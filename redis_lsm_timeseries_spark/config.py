@@ -1,0 +1,101 @@
+"""Engine configuration.
+
+Mirrors the reference's settings surface (reference ``index.js:46-62``):
+a partition width on the sort-key axis, a purge queue name, and a
+SHA-256 settings hash used to namespace physically-incompatible
+configurations (``index.js:149-155``). The hard limits reproduce the
+reference's admission control (``index.js:12-15``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+
+# Reference admission-control constants (index.js:12-15).
+MAX_SAMPLES_PER_WRITE = 2_000
+MAX_TAGS_PER_READ = 100
+MAX_TAG_NAME_LENGTH = 200
+MAX_PAGE_NAME_LENGTH = 400
+
+# Reference default partition width: 120,000 ms (index.js:46).
+DEFAULT_PARTITION_WIDTH = 120_000
+
+VERSION = 1
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Immutable engine settings.
+
+    ``root`` is the storage root; hot/cold/purge-log tables live under
+    ``{root}/{namespace}/``. ``partition_width`` is the fixed width of a
+    time partition in sort-key units (ms in practice) — the Spark analog
+    of the reference's page width (``index.js:121-122``).
+
+    ``partition_cols`` controls the physical Parquet layout. The default
+    ``("tag", "part_start")`` gives Catalyst directory-level pruning on
+    both the tag and the time range — the exact metadata-only partition
+    selection the reference's per-tag index ZSET performs
+    (``index.js:157-231``). At very high tag cardinality (millions of
+    series) this layout would explode into tiny directories; deployments
+    at that scale should use ``("part_start",)`` and rely on Parquet
+    min/max + sorted-by-tag files for tag pruning (set
+    ``sort_within_partitions=True``).
+    """
+
+    root: str
+    partition_width: int = DEFAULT_PARTITION_WIDTH
+    purge_queue_name: str = "Purge"
+    partition_cols: tuple = ("tag", "part_start")
+    sort_within_partitions: bool = False
+    max_samples_per_write: int = MAX_SAMPLES_PER_WRITE
+    max_tags_per_read: int = MAX_TAGS_PER_READ
+    max_tag_name_length: int = MAX_TAG_NAME_LENGTH
+    version: int = VERSION
+
+    @property
+    def namespace(self) -> str:
+        """SHA-256 hash of the physical-compatibility settings.
+
+        Reference: ``_settingsHash`` over ``{version, partitionWidth,
+        purgeQueName}`` (``index.js:149-155``); two configs that disagree
+        on any of these cannot share a physical layout, so they get
+        distinct table prefixes.
+        """
+        payload = json.dumps(
+            {
+                "version": self.version,
+                "partitionWidth": self.partition_width,
+                "purgeQueName": self.purge_queue_name,
+            },
+            sort_keys=True,
+        )
+        return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:16]
+
+    @property
+    def base_path(self) -> str:
+        return f"{self.root}/{self.namespace}"
+
+    @property
+    def hot_path(self) -> str:
+        return f"{self.base_path}/hot"
+
+    @property
+    def cold_path(self) -> str:
+        return f"{self.base_path}/cold"
+
+    @property
+    def purge_log_path(self) -> str:
+        return f"{self.base_path}/purge_log"
+
+    @property
+    def meta_path(self) -> str:
+        return f"{self.base_path}/_engine_meta.json"
+
+    def part_start_of(self, sort_key: int) -> int:
+        """Partition assignment: ``sortKey - sortKey % width``
+        (reference ``index.js:121``). Floor-mod, so negative keys land in
+        the partition that contains them."""
+        return sort_key - (sort_key % self.partition_width)

@@ -1,0 +1,36 @@
+"""Validation errors mirroring the reference's admission control.
+
+The reference raises plain ``Error`` with specific messages
+(``index.js:102-119, 163-209``); we use typed exceptions so tests can
+assert the failure class rather than string-match.
+"""
+
+from __future__ import annotations
+
+
+class EngineError(Exception):
+    """Base class for engine errors."""
+
+
+class NotInitializedError(EngineError):
+    """Operation before ``initialize`` (reference ``index.js:66, 159``)."""
+
+
+class ValidationError(EngineError):
+    """Bad input shape/type (reference ``index.js:102-113, 163-199``)."""
+
+
+class BatchTooLargeError(ValidationError):
+    """> max samples per write (reference ``index.js:116-119``)."""
+
+
+class TooManyTagsError(ValidationError):
+    """> max tags per read (reference ``index.js:167-169``)."""
+
+
+class KeyTooLongError(ValidationError):
+    """Tag or page name over length cap (reference ``index.js:111, 240``)."""
+
+
+class InvalidRangeError(ValidationError):
+    """Missing/inverted/non-integer range bounds (reference ``index.js:196-199``)."""

@@ -1,0 +1,10 @@
+"""Engine operators: DataFrame-in / DataFrame-out transformations.
+
+- ``lww``        last-write-wins merge (the reference's read-time dedup, O6)
+- ``asof``       as-of join (latest sample at-or-before an event time)
+- ``rollups``    time-bucket aggregation views
+- ``dedup``      exact + near-duplicate detection over documents
+- ``similarity`` embedding similarity search (brute-force + LSH-bucketed)
+- ``text``       text analysis: language ID, quality score, tokens, fingerprint
+- ``multimodal`` opaque-binary column plumbing (decode stubs, real Spark shape)
+"""

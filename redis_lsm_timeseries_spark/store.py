@@ -1,0 +1,411 @@
+"""TimeseriesStore — the engine core (reference operators O1-O7).
+
+Reproduces the ``SortedStore`` lifecycle (``index.js:20-359``) on
+partitioned Parquet:
+
+- ``initialize``  namespace EPOCH + table paths (O1, ``index.js:46-62``)
+- ``write``       validated, partition-assigned LSM append (O2/O3,
+                  ``index.js:64-147``) — appends only, never updates
+- ``read_index``  partition pruning metadata query, newest-first (O4,
+                  ``index.js:157-231``)
+- ``read_page``   single-partition scan + residual range filter (O5,
+                  ``index.js:233-266``)
+- ``read_range``  the canonical composed read: prune + scan + LWW merge
+                  (O6/O7, ``index.js:278-288`` +
+                  ``test/consumer-test.js:1135-1162``)
+
+Physical layout: ``{root}/{settings-hash}/hot`` Parquet partitioned by
+``(tag, part_start)`` — Catalyst's directory-level partition pruning
+performs the same metadata-only page selection as the reference's
+per-tag index ZSET, with no index table to maintain. Where the
+reference fetches a whole partition and filters client-side
+(``index.js:262-263``), the Parquet scan gets the residual ``ts``
+predicate pushed to row-group min/max — strictly better (SURVEY.md §4
+P9).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from collections.abc import Iterable, Mapping
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from redis_lsm_timeseries_spark.config import (
+    MAX_PAGE_NAME_LENGTH,
+    EngineConfig,
+)
+from redis_lsm_timeseries_spark.errors import (
+    BatchTooLargeError,
+    InvalidRangeError,
+    KeyTooLongError,
+    NotInitializedError,
+    TooManyTagsError,
+    ValidationError,
+)
+from redis_lsm_timeseries_spark.operators.lww import lww_latest
+from redis_lsm_timeseries_spark.schema import (
+    MEMBER_IDENTITY_COLS,
+    SAMPLE_SCHEMA,
+)
+
+
+@dataclass(frozen=True)
+class WriteMetrics:
+    """Returned by ``write``. The reference returns Redis ``used_memory``
+    as a back-pressure hint (``index.js:91-93``); rows/partitions are the
+    meaningful analog for a columnar store (SURVEY.md §2.2.8)."""
+
+    rows_written: int
+    partitions_touched: int
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+class TimeseriesStore:
+    """Partitioned LSM-style time-series store on Parquet."""
+
+    def __init__(self, spark: SparkSession, config: EngineConfig):
+        self.spark = spark
+        self.config = config
+        self._epoch: int | None = None
+        # Instance id: the reference derives a shortid per store instance
+        # (index.js:58) used in the member uniquifier.
+        self.writer_id = uuid.uuid4().hex[:8]
+
+    # ------------------------------------------------------------------ O1
+    def initialize(self) -> int:
+        """Create or load the namespace EPOCH (reference ``SET NX`` then
+        ``GET``, ``index.js:50-52``). The epoch made Redis float64 scores
+        small (``recipe:7-10``); int64 columns don't need it, but we keep
+        it as the namespace creation stamp so multiple store instances
+        agree the namespace exists."""
+        os.makedirs(self.config.base_path, exist_ok=True)
+        meta_path = self.config.meta_path
+        if os.path.exists(meta_path):
+            with open(meta_path, encoding="utf-8") as fh:
+                meta = json.load(fh)
+            if not isinstance(meta.get("epoch"), int):
+                raise ValidationError(f"corrupted engine meta at {meta_path}")
+        else:
+            meta = {"epoch": _now_ms(), "version": self.config.version}
+            with open(meta_path, "w", encoding="utf-8") as fh:
+                json.dump(meta, fh)
+        self._epoch = meta["epoch"]
+        return self._epoch
+
+    def _require_init(self) -> None:
+        if self._epoch is None:
+            raise NotInitializedError(
+                "store not initialized; call initialize() first"
+            )
+
+    # -------------------------------------------------------------- O2/O3
+    def write(
+        self,
+        key_value_pairs: Mapping[str, Mapping[int, str]] | Iterable[tuple],
+        ingest_ts: int | None = None,
+    ) -> WriteMetrics:
+        """Validated LSM append (reference ``write`` +
+        ``_validateTransformParameters``, ``index.js:64-147``).
+
+        Accepts the reference's map-of-maps shape
+        ``{tag: {sort_key: value}}`` or an iterable of
+        ``(tag, ts, value)`` tuples (tuple order = batch order, which
+        matters for intra-batch last-entry-wins, SURVEY.md §2.2.3).
+
+        Appends only — duplicates of existing (tag, ts) keys become new
+        members resolved at read time by LWW, exactly the reference's
+        LSM posture (``recipe:19-20``).
+        """
+        self._require_init()
+        rows = self._validate_batch(key_value_pairs)
+        if ingest_ts is None:
+            ingest_ts = _now_ms()
+
+        w = self.config.partition_width
+        # Intra-batch duplicate sort keys collapse to the LAST batch entry
+        # before storage — the reference gets this from JS Map insertion
+        # semantics (index.js:107, test/consumer-test.js:746-752). `seq`
+        # is the batch position, so max-seq == last entry.
+        collapsed: dict[tuple, tuple] = {}
+        for seq, (tag, ts, value) in enumerate(rows):
+            collapsed[(tag, ts)] = (tag, ts, value, ingest_ts, self.writer_id, seq)
+        data = [
+            (tag, ts, value, its, wid, seq, ts - (ts % w))
+            for (tag, ts, value, its, wid, seq) in collapsed.values()
+        ]
+        df = self.spark.createDataFrame(data, SAMPLE_SCHEMA)
+        self._append_hot(df)
+        partitions = len({(t, ps) for (t, _, _, _, _, _, ps) in data})
+        return WriteMetrics(rows_written=len(data), partitions_touched=partitions)
+
+    def write_df(self, df: DataFrame, ingest_ts: int | None = None) -> None:
+        """Bulk ingest path for DataFrame-shaped input (columns
+        ``tag, ts, value`` at minimum; ``ingest_ts/writer_id/seq`` kept
+        if present). No batch-size cap — the 2,000-sample cap is client
+        admission control (``index.js:12``), meaningless for a
+        distributed bulk load; validation here is schema-shape only."""
+        self._require_init()
+        cols = set(df.columns)
+        if not {"tag", "ts", "value"} <= cols:
+            raise ValidationError("write_df needs columns tag, ts, value")
+        if ingest_ts is None:
+            ingest_ts = _now_ms()
+        if "ingest_ts" not in cols:
+            df = df.withColumn("ingest_ts", F.lit(ingest_ts).cast("long"))
+        if "writer_id" not in cols:
+            df = df.withColumn("writer_id", F.lit(self.writer_id))
+        if "seq" not in cols:
+            df = df.withColumn(
+                "seq", F.monotonically_increasing_id().cast("long")
+            )
+        df = df.withColumn(
+            "part_start",
+            (F.col("ts") - F.pmod(F.col("ts"), F.lit(self.config.partition_width))).cast("long"),
+        )
+        self._append_hot(df.select(*[f.name for f in SAMPLE_SCHEMA.fields]))
+
+    def _append_hot(self, df: DataFrame) -> None:
+        writer = df
+        if self.config.sort_within_partitions:
+            writer = df.sortWithinPartitions("tag", "ts")
+        (
+            writer.write.mode("append")
+            .partitionBy(*self.config.partition_cols)
+            .parquet(self.config.hot_path)
+        )
+
+    def _validate_batch(self, key_value_pairs) -> list[tuple]:
+        """Reference admission control (``index.js:102-119``)."""
+        if key_value_pairs is None:
+            raise ValidationError("input batch is required")
+        if isinstance(key_value_pairs, Mapping):
+            rows = [
+                (tag, ts, value)
+                for tag, series in key_value_pairs.items()
+                for ts, value in series.items()
+            ]
+            for tag, series in key_value_pairs.items():
+                if not isinstance(series, Mapping):
+                    raise ValidationError(
+                        f"value for tag {tag!r} must be a mapping of ts -> value"
+                    )
+        else:
+            try:
+                rows = [(t, ts, v) for (t, ts, v) in key_value_pairs]
+            except (TypeError, ValueError) as exc:
+                raise ValidationError(
+                    "batch must be {tag: {ts: value}} or iterable of (tag, ts, value)"
+                ) from exc
+        if not rows:
+            raise ValidationError("empty batch")
+        if len(rows) > self.config.max_samples_per_write:
+            raise BatchTooLargeError(
+                f"batch of {len(rows)} exceeds cap "
+                f"{self.config.max_samples_per_write} (reference index.js:12)"
+            )
+        out = []
+        for tag, ts, value in rows:
+            if not isinstance(tag, str) or not tag:
+                raise ValidationError(f"tag must be a non-empty string, got {tag!r}")
+            if len(tag) > self.config.max_tag_name_length:
+                raise KeyTooLongError(
+                    f"tag longer than {self.config.max_tag_name_length} chars"
+                )
+            if isinstance(ts, bool) or not isinstance(ts, int):
+                # The reference coerces to BigInt and rejects floats
+                # (index.js:120, test/consumer-test.js:734).
+                raise InvalidRangeError(f"sort key must be an integer, got {ts!r}")
+            out.append((tag, int(ts), None if value is None else str(value)))
+        return out
+
+    # ------------------------------------------------------------------ hot
+    def hot(self) -> DataFrame:
+        """The hot table as a DataFrame (empty-safe)."""
+        self._require_init()
+        try:
+            return self.spark.read.schema(SAMPLE_SCHEMA).parquet(self.config.hot_path)
+        except Exception:
+            return self.spark.createDataFrame([], SAMPLE_SCHEMA)
+
+    def cold(self) -> DataFrame:
+        self._require_init()
+        try:
+            df = self.spark.read.parquet(self.config.cold_path)
+            return df.select(*[f.name for f in SAMPLE_SCHEMA.fields])
+        except Exception:
+            return self.spark.createDataFrame([], SAMPLE_SCHEMA)
+
+    # ------------------------------------------------------------------ O4
+    def read_index(self, ranges: Mapping[str, tuple] | Mapping[str, Mapping]) -> DataFrame:
+        """Partition-pruning metadata query (reference ``readIndex``,
+        ``index.js:157-231``): which (tag, part_start) partitions overlap
+        each requested range, **newest-first** with ascending
+        ``sort_weight`` (``test/consumer-test.js:345-384``).
+
+        Only the range start is floored to a partition boundary; the end
+        is not (``index.js:176-186``, SURVEY.md §2.2.2) — reproduced by
+        the ``part_start >= floor(start)`` / ``part_start <= end`` pair.
+
+        Reads only the partition columns, so the scan materializes no
+        column data — the Spark analog of the ZRANGEBYSCORE index lookup.
+        """
+        self._require_init()
+        parsed = self._validate_ranges(ranges)
+        pred = self._prune_predicate(parsed)
+        from pyspark.sql.window import Window
+
+        meta = (
+            self.hot()
+            .select("tag", "part_start")
+            .where(pred)
+            .distinct()
+        )
+        w = Window.partitionBy("tag").orderBy(F.col("part_start").desc())
+        return (
+            meta.withColumn("sort_weight", F.row_number().over(w))
+            .orderBy("tag", F.col("part_start").desc())
+        )
+
+    # ------------------------------------------------------------------ O5
+    def read_page(self, page_name: str, start: int, end: int) -> DataFrame:
+        """Single-partition scan + residual range filter (reference
+        ``readPage``, ``index.js:233-266``). The reference fetches the
+        whole ZSET then filters client-side; here the residual ``ts``
+        predicate is pushed into the Parquet scan (SURVEY.md §4 P9).
+
+        ``page_name`` is ``{tag}-{part_start}`` (``index.js:121-122``);
+        parsed from the right so tags containing ``-`` work
+        (``index.js:268-276``)."""
+        self._require_init()
+        if not isinstance(page_name, str) or len(page_name) > MAX_PAGE_NAME_LENGTH:
+            raise KeyTooLongError(
+                f"page name must be a string of <= {MAX_PAGE_NAME_LENGTH} chars"
+            )
+        tag, _, part = page_name.rpartition("-")
+        if not tag or not part.lstrip("+").isdigit():
+            raise ValidationError(f"malformed page name {page_name!r}")
+        self._check_range_bounds(tag, start, end)
+        part_start = int(part)
+        return (
+            self.hot()
+            .where(
+                (F.col("tag") == tag)
+                & (F.col("part_start") == part_start)
+                & F.col("ts").between(int(start), int(end))
+            )
+            .select("tag", "ts", "value", "ingest_ts", "writer_id", "seq")
+        )
+
+    # -------------------------------------------------------------- O6/O7
+    def read_range(
+        self,
+        ranges: Mapping[str, tuple],
+        include_cold: bool = False,
+        with_tombstones: bool = False,
+    ) -> DataFrame:
+        """The canonical composed read (reference ``readData``,
+        ``test/consumer-test.js:1135-1162``): prune partitions, scan,
+        apply the residual range predicate, then last-write-wins merge.
+
+        One declarative plan — Catalyst turns it into partition-pruned
+        parallel scans (the reference's page fan-out) and the LWW merge
+        is a partially-aggregated ``max_by`` (operators/lww.py).
+
+        ``include_cold=True`` unions the cold tier; exact duplicates (the
+        same member snapshotted to cold but not yet acked out of hot) are
+        dropped by identity before LWW, mirroring mark-then-ack
+        at-least-once semantics (SURVEY.md §2.2.6).
+
+        Deletes: the reference sketches tombstones but never implements
+        them (``recipe:22-23``). We define value ``NULL`` as a tombstone:
+        it participates in LWW (a newer NULL beats an older value) and is
+        filtered from results unless ``with_tombstones``.
+        """
+        self._require_init()
+        parsed = self._validate_ranges(ranges)
+        pred = self._prune_predicate(parsed)
+        residual = self._residual_predicate(parsed)
+
+        df = self.hot()
+        if include_cold:
+            df = df.unionByName(self.cold()).dropDuplicates(MEMBER_IDENTITY_COLS)
+        out = lww_latest(df.where(pred & residual))
+        if not with_tombstones:
+            out = out.where(F.col("value").isNotNull())
+        return out.select("tag", "ts", "value")
+
+    # ------------------------------------------------------------ helpers
+    def _validate_ranges(self, ranges) -> list[tuple]:
+        if not isinstance(ranges, Mapping) or not ranges:
+            raise ValidationError("ranges must be a non-empty mapping tag -> (start, end)")
+        if len(ranges) > self.config.max_tags_per_read:
+            raise TooManyTagsError(
+                f"{len(ranges)} tags exceeds cap {self.config.max_tags_per_read} "
+                "(reference index.js:13)"
+            )
+        parsed = []
+        for tag, rng in ranges.items():
+            if isinstance(rng, Mapping):
+                start, end = rng.get("start"), rng.get("end")
+            else:
+                try:
+                    start, end = rng
+                except (TypeError, ValueError) as exc:
+                    raise InvalidRangeError(
+                        f"range for {tag!r} must be (start, end)"
+                    ) from exc
+            self._check_range_bounds(tag, start, end)
+            parsed.append((tag, int(start), int(end)))
+        return parsed
+
+    def _check_range_bounds(self, tag, start, end) -> None:
+        if not isinstance(tag, str) or not tag:
+            raise ValidationError(f"tag must be a non-empty string, got {tag!r}")
+        if len(tag) > self.config.max_tag_name_length:
+            raise KeyTooLongError(
+                f"tag longer than {self.config.max_tag_name_length} chars"
+            )
+        for bound, name in ((start, "start"), (end, "end")):
+            if bound is None:
+                raise InvalidRangeError(f"missing {name} for tag {tag!r}")
+            if isinstance(bound, bool) or not isinstance(bound, int):
+                raise InvalidRangeError(
+                    f"{name} for tag {tag!r} must be an integer, got {bound!r}"
+                )
+        if start > end:
+            raise InvalidRangeError(
+                f"inverted range for tag {tag!r}: {start} > {end} (index.js:196-199)"
+            )
+
+    def _prune_predicate(self, parsed: list[tuple]):
+        """Partition-pruning predicate over the partition columns only.
+
+        Start floored to a partition boundary, end not (reference
+        ``index.js:176-186``): partitions with
+        ``floor(start) <= part_start <= end`` overlap the range."""
+        w = self.config.partition_width
+        pred = F.lit(False)
+        for tag, start, end in parsed:
+            floored = start - (start % w)
+            pred = pred | (
+                (F.col("tag") == tag)
+                & F.col("part_start").between(floored, end)
+            )
+        return pred
+
+    def _residual_predicate(self, parsed: list[tuple]):
+        """Row-level range predicate (reference ``index.js:263``)."""
+        pred = F.lit(False)
+        for tag, start, end in parsed:
+            pred = pred | (
+                (F.col("tag") == tag) & F.col("ts").between(start, end)
+            )
+        return pred

@@ -1,0 +1,265 @@
+"""Core store tests: FIXTURES.md §1 (gap_serial), §2 (update_lww),
+§4 (perf_shape round-trip), §5 (validation). Mirrors the reference's
+test corpus (test/consumer-test.js) layer by layer."""
+
+from __future__ import annotations
+
+import pytest
+
+from redis_lsm_timeseries_spark.config import EngineConfig
+from redis_lsm_timeseries_spark.errors import (
+    BatchTooLargeError,
+    InvalidRangeError,
+    KeyTooLongError,
+    NotInitializedError,
+    TooManyTagsError,
+    ValidationError,
+)
+from redis_lsm_timeseries_spark.store import TimeseriesStore
+
+GAP_SERIAL = [
+    ("GapTag", 1, "One"),
+    ("GapTag", 2, "Two"),
+    ("GapTag", 10, "Ten"),
+    ("GapTag", 20, "Twenty"),
+    ("SerialTag", 1, "One"),
+    ("SerialTag", 2, "Two"),
+    ("SerialTag", 3, "Three"),
+    ("SerialTag", 4, "Four"),
+]
+
+
+def _result_map(df):
+    return {(r.tag, r.ts): r.value for r in df.collect()}
+
+
+class TestGapSerialReads:
+    """Range-read correctness over the curated gap/serial shapes
+    (test/consumer-test.js:529-668)."""
+
+    @pytest.fixture(autouse=True)
+    def _write(self, store):
+        store.write(GAP_SERIAL)
+        self.store = store
+
+    def test_full_cover(self):
+        out = _result_map(
+            self.store.read_range({"GapTag": (0, 50), "SerialTag": (0, 50)})
+        )
+        assert out == {(t, ts): v for t, ts, v in GAP_SERIAL}
+
+    def test_outside_data(self):
+        out = self.store.read_range({"GapTag": (50, 100), "SerialTag": (50, 50)})
+        assert out.count() == 0
+
+    def test_single_point(self):
+        out = _result_map(
+            self.store.read_range({"GapTag": (1, 1), "SerialTag": (4, 4)})
+        )
+        assert out == {("GapTag", 1): "One", ("SerialTag", 4): "Four"}
+
+    def test_partial_overlap(self):
+        out = _result_map(
+            self.store.read_range({"GapTag": (0, 1), "SerialTag": (4, 10)})
+        )
+        assert out == {("GapTag", 1): "One", ("SerialTag", 4): "Four"}
+
+    def test_strict_subset(self):
+        out = _result_map(
+            self.store.read_range({"GapTag": (2, 10), "SerialTag": (3, 4)})
+        )
+        assert out == {
+            ("GapTag", 2): "Two",
+            ("GapTag", 10): "Ten",
+            ("SerialTag", 3): "Three",
+            ("SerialTag", 4): "Four",
+        }
+
+
+class TestReadIndex:
+    """Partition-pruning metadata: newest-first page order with
+    ascending sort_weight (test/consumer-test.js:345-384); start floored,
+    end not (SURVEY.md §2.2.1-2)."""
+
+    def test_newest_first_weights(self, store):
+        store.write(GAP_SERIAL)
+        rows = store.read_index({"GapTag": (0, 50)}).collect()
+        # W=5: GapTag partitions 0 (ts 1,2), 10, 20 → newest first.
+        assert [(r.part_start, r.sort_weight) for r in rows] == [
+            (20, 1),
+            (10, 2),
+            (0, 3),
+        ]
+
+    def test_start_floored_end_not(self, store):
+        store.write(GAP_SERIAL)
+        # start=2 floors to partition 0; end=10 includes partition 10
+        # but not partition 20.
+        rows = store.read_index({"GapTag": (2, 10)}).collect()
+        assert sorted(r.part_start for r in rows) == [0, 10]
+
+
+class TestReadPage:
+    def test_page_scan_with_residual(self, store):
+        store.write(GAP_SERIAL)
+        out = store.read_page("GapTag-0", 2, 4).collect()
+        assert [(r.ts, r.value) for r in out] == [(2, "Two")]
+
+    def test_malformed_page_name(self, store):
+        with pytest.raises(ValidationError):
+            store.read_page("no-trailing-int-", 0, 1).collect()
+
+    def test_page_name_too_long(self, store):
+        with pytest.raises(KeyTooLongError):
+            store.read_page("x" * 401, 0, 1)
+
+
+class TestUpdateLww:
+    """FIXTURES.md §2: intra-batch last-entry-wins
+    (test/consumer-test.js:738-765) and cross-batch LWW by ingest_ts
+    (SURVEY.md §2.2.4 refinement)."""
+
+    def test_intra_batch_last_entry_wins(self, store):
+        store.write(
+            [
+                ("GapTag", 1, "One"),
+                ("GapTag", 1, "Two"),
+                ("GapTag", 1, "Ten"),
+                ("GapTag", 1, "Twenty"),
+                ("SerialTag", 55, "One"),
+                ("SerialTag", 55, "Two"),
+                ("SerialTag", 56, "Three"),
+                ("SerialTag", 55, "Four"),
+            ]
+        )
+        out = _result_map(
+            store.read_range({"GapTag": (0, 100), "SerialTag": (0, 100)})
+        )
+        assert out == {
+            ("GapTag", 1): "Twenty",
+            ("SerialTag", 55): "Four",
+            ("SerialTag", 56): "Three",
+        }
+
+    def test_cross_batch_lww(self, store):
+        store.write([("GapTag", 2, "Two")], ingest_ts=1000)
+        store.write([("GapTag", 2, "NewTwo")], ingest_ts=2000)
+        out = _result_map(store.read_range({"GapTag": (0, 100)}))
+        assert out == {("GapTag", 2): "NewTwo"}
+        # Storage retained both members (LSM append, recipe:19-20).
+        assert store.hot().where("tag='GapTag' and ts=2").count() == 2
+
+    def test_tombstone_delete(self, store):
+        store.write([("GapTag", 1, "One")], ingest_ts=1000)
+        store.write([("GapTag", 1, None)], ingest_ts=2000)
+        assert store.read_range({"GapTag": (0, 10)}).count() == 0
+        assert (
+            store.read_range({"GapTag": (0, 10)}, with_tombstones=True).count() == 1
+        )
+
+
+class TestPerfShape:
+    """FIXTURES.md §4: 10 tags x 200 consecutive samples, W=10."""
+
+    def test_bulk_round_trip(self, spark, tmp_path):
+        cfg = EngineConfig(root=str(tmp_path / "bulk"), partition_width=10)
+        store = TimeseriesStore(spark, cfg)
+        store.initialize()
+        for t in range(10):
+            batch = [(f"tag{t}", ts, str(ts)) for ts in range(200)]
+            store.write(batch)
+        ranges = {f"tag{t}": (0, 199) for t in range(10)}
+        out = store.read_range(ranges)
+        assert out.count() == 2000
+        one = _result_map(out.where("tag = 'tag3'"))
+        assert one == {("tag3", ts): str(ts) for ts in range(200)}
+
+
+class TestValidation:
+    """FIXTURES.md §5 error paths (test/consumer-test.js:41-103 etc.)."""
+
+    def test_uninitialized(self, spark, tmp_path):
+        cfg = EngineConfig(root=str(tmp_path / "uninit"))
+        s = TimeseriesStore(spark, cfg)
+        with pytest.raises(NotInitializedError):
+            s.write([("a", 1, "x")])
+        with pytest.raises(NotInitializedError):
+            s.read_range({"a": (0, 1)})
+
+    def test_empty_batch(self, store):
+        with pytest.raises(ValidationError):
+            store.write([])
+
+    def test_wrong_type(self, store):
+        with pytest.raises(ValidationError):
+            store.write(42)
+
+    def test_batch_cap(self, store):
+        batch = [("t", i, "v") for i in range(2001)]
+        with pytest.raises(BatchTooLargeError):
+            store.write(batch)
+
+    def test_tag_too_long(self, store):
+        with pytest.raises(KeyTooLongError):
+            store.write([("x" * 201, 1, "v")])
+
+    def test_too_many_tags_read(self, store):
+        store.write([("t", 1, "v")])
+        ranges = {f"tag{i}": (0, 1) for i in range(101)}
+        with pytest.raises(TooManyTagsError):
+            store.read_range(ranges)
+
+    def test_inverted_range(self, store):
+        store.write([("t", 1, "v")])
+        with pytest.raises(InvalidRangeError):
+            store.read_range({"t": (10, 5)})
+
+    def test_non_integer_bounds(self, store):
+        store.write([("t", 1, "v")])
+        with pytest.raises(InvalidRangeError):
+            store.read_range({"t": (0.3, 5)})
+
+    def test_non_integer_sort_key(self, store):
+        with pytest.raises(InvalidRangeError):
+            store.write([("t", 0.3, "v")])
+
+    def test_missing_range_bound(self, store):
+        store.write([("t", 1, "v")])
+        with pytest.raises(InvalidRangeError):
+            store.read_range({"t": {"start": 0}})
+
+
+class TestPhysicalLayout:
+    """The reference asserts raw ZSET layout after writes
+    (test/consumer-test.js:105-343); the Parquet analog is the
+    partition-directory structure."""
+
+    def test_partition_directories(self, store):
+        store.write(GAP_SERIAL)
+        import os
+
+        hot = store.config.hot_path
+        tags = sorted(d for d in os.listdir(hot) if d.startswith("tag="))
+        assert tags == ["tag=GapTag", "tag=SerialTag"]
+        gap_parts = sorted(
+            d for d in os.listdir(f"{hot}/tag=GapTag") if d.startswith("part_start=")
+        )
+        assert gap_parts == ["part_start=0", "part_start=10", "part_start=20"]
+
+    def test_epoch_persistence(self, spark, tmp_path):
+        cfg = EngineConfig(root=str(tmp_path / "ep"))
+        s1 = TimeseriesStore(spark, cfg)
+        e1 = s1.initialize()
+        s2 = TimeseriesStore(spark, cfg)
+        assert s2.initialize() == e1
+
+    def test_corrupted_epoch_rejected(self, spark, tmp_path):
+        import json
+        import os
+
+        cfg = EngineConfig(root=str(tmp_path / "bad"))
+        os.makedirs(cfg.base_path, exist_ok=True)
+        with open(cfg.meta_path, "w", encoding="utf-8") as fh:
+            json.dump({"epoch": "garbage"}, fh)
+        with pytest.raises(ValidationError):
+            TimeseriesStore(spark, cfg).initialize()
