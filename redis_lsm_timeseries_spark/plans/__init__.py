@@ -1,0 +1,16 @@
+"""Query catalog: every operator the engine claims is registered here as
+a (Spark plan, DuckDB oracle SQL) pair. ``__spark_entry__.py`` exposes
+the registry to the driver; ``tests/test_oracle_parity.py`` replicates
+the driver's differential check locally.
+
+Importing this package populates the registry.
+"""
+
+from redis_lsm_timeseries_spark.plans.catalog import REGISTRY, QuerySpec, register
+
+# Populate the registry (import side effects).
+from redis_lsm_timeseries_spark.plans import reference_queries  # noqa: F401, E402
+from redis_lsm_timeseries_spark.plans import analytics_queries  # noqa: F401, E402
+from redis_lsm_timeseries_spark.plans import llm_queries  # noqa: F401, E402
+
+__all__ = ["REGISTRY", "QuerySpec", "register"]
