@@ -1,0 +1,237 @@
+"""Hot->cold tiering: the reference's purge pipeline (O8-O11).
+
+Reference lifecycle (SURVEY.md §3.3): an atomic Lua script takes the K
+coldest partitions from the RecentActivity ZSET, snapshots each to a
+Redis stream and removes it from RecentActivity (mark-once,
+``enqueue-purge.lua:1-28``); a consumer persists the snapshot to cold
+storage; an ack script removes exactly the snapshotted members from the
+hot partition, dropping the partition's index entry only when it
+emptied (``ack-purge.lua:1-28``).
+
+Spark re-expression — two idempotent maintenance jobs + an append-only
+``purge_log`` Parquet table as the protocol state:
+
+- ``purge_scan``  coldness aggregate over hot -> snapshot each selected
+  partition to the cold tier (partitioned by purge_id for exact-member
+  ack) -> append a ``marked`` log row. "Removed from RecentActivity"
+  becomes a predicate: a partition is eligible iff it was never marked
+  or has been written since its last mark (the reference re-registers a
+  marked partition on write, ``index.js:81``).
+- ``purge_ack``   idempotency-gated anti-join delete: rewrite the hot
+  partition as ``hot EXCEPT snapshot`` (exact member identity, so data
+  written after the mark survives — ``test/consumer-test.js:936-989``),
+  drop the directory when it empties, append an ``acked`` log row.
+
+Semantics consciously fixed vs the reference (SURVEY.md §2.2.5): the
+idle threshold is in SECONDS, one unit everywhere (the reference
+divides a ms input by 1000 into a seconds comparison, making its
+default 0).
+
+Atomicity: the reference gets it from Redis single-threading; here each
+job is a single Spark write commit, and the mark/ack pair is serialized
+by the single-writer maintenance-job pattern (Delta MERGE would replace
+the manual partition overwrite on a lakehouse deployment).
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from redis_lsm_timeseries_spark.errors import ValidationError
+from redis_lsm_timeseries_spark.schema import (
+    MEMBER_IDENTITY_COLS,
+    PURGE_LOG_SCHEMA,
+    SAMPLE_SCHEMA,
+)
+from redis_lsm_timeseries_spark.store import TimeseriesStore
+
+
+@dataclass(frozen=True)
+class PurgeMark:
+    purge_id: str
+    tag: str
+    part_start: int
+    n_rows: int
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def purge_log(store: TimeseriesStore) -> DataFrame:
+    """The append-only protocol table (the purge stream analog)."""
+    store._require_init()
+    try:
+        return store.spark.read.schema(PURGE_LOG_SCHEMA).parquet(
+            store.config.purge_log_path
+        )
+    except Exception:
+        return store.spark.createDataFrame([], PURGE_LOG_SCHEMA)
+
+
+def _append_log(store: TimeseriesStore, rows: list[tuple]) -> None:
+    df = store.spark.createDataFrame(rows, PURGE_LOG_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(store.config.purge_log_path)
+
+
+def purge_scan(
+    store: TimeseriesStore,
+    partition_age_threshold_s: float = 300.0,
+    max_partitions_to_mark: int = 10,
+    now_ms: int | None = None,
+) -> list[PurgeMark]:
+    """Mark up to K coldest idle partitions for eviction (reference
+    ``purgeScan`` -> ``enqueue-purge.lua``). Returns the marks (the
+    reference returns stream ids).
+
+    Scale shape: one partial-aggregated groupBy over the partition
+    columns + ingest_ts (metadata-narrow scan), a broadcast-joined
+    eligibility check against the tiny purge log, and a global
+    TakeOrdered of K rows. The per-partition snapshot writes are
+    partition-pruned scans.
+    """
+    store._require_init()
+    if max_partitions_to_mark < 1:
+        raise ValidationError("max_partitions_to_mark must be >= 1")
+    if partition_age_threshold_s < 0:
+        raise ValidationError("partition_age_threshold_s must be >= 0")
+    if now_ms is None:
+        now_ms = _now_ms()
+
+    hot = store.hot()
+    activity = hot.groupBy("tag", "part_start").agg(
+        F.max("ingest_ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    # Last mark per partition; a partition is "in RecentActivity" iff
+    # never marked or written after its last mark (index.js:81).
+    last_marks = (
+        purge_log(store)
+        .where(F.col("status") == "marked")
+        .groupBy("tag", "part_start")
+        .agg(F.max("event_ts").alias("last_marked"))
+    )
+    eligible = (
+        activity.join(F.broadcast(last_marks), ["tag", "part_start"], "left")
+        .where(
+            (F.col("last_marked").isNull() | (F.col("last_seen") > F.col("last_marked")))
+            & (
+                (F.lit(now_ms) - F.col("last_seen"))
+                >= F.lit(int(partition_age_threshold_s * 1000))
+            )
+        )
+        .orderBy(F.col("last_seen").asc(), F.col("tag").asc(), F.col("part_start").asc())
+        .limit(max_partitions_to_mark)
+    )
+    selected = eligible.collect()
+    if not selected:
+        return []
+
+    marks: list[PurgeMark] = []
+    log_rows: list[tuple] = []
+    for row in selected:
+        purge_id = uuid.uuid4().hex[:16]
+        # Snapshot the partition's CURRENT members — the exact set the
+        # ack will remove (enqueue-purge.lua:17-18 serializes the whole
+        # partition into the stream entry).
+        snap = store.hot().where(
+            (F.col("tag") == row.tag) & (F.col("part_start") == row.part_start)
+        )
+        (
+            snap.withColumn("purge_id", F.lit(purge_id))
+            .write.mode("append")
+            .partitionBy("purge_id", "tag", "part_start")
+            .parquet(store.config.cold_path)
+        )
+        marks.append(
+            PurgeMark(
+                purge_id=purge_id,
+                tag=row.tag,
+                part_start=row.part_start,
+                n_rows=row.n,
+            )
+        )
+        log_rows.append(
+            (purge_id, row.tag, row.part_start, "marked", now_ms, row.n)
+        )
+    _append_log(store, log_rows)
+    return marks
+
+
+def purge_ack(
+    store: TimeseriesStore, purge_id: str, now_ms: int | None = None
+) -> bool:
+    """Commit an eviction: remove exactly the snapshotted members from
+    the hot partition (reference ``purgeAck`` -> ``ack-purge.lua``).
+
+    Idempotent: returns False if the purge id is unknown or already
+    acked (``ack-purge.lua:7-8, 27``). Members written after the mark
+    survive (``test/consumer-test.js:936-989``) because the delete is an
+    anti-join on full member identity, not a partition drop. The hot
+    partition directory is removed when it empties — the analog of
+    dropping the tag-index entry for a vanished partition
+    (``ack-purge.lua:21-23``)."""
+    store._require_init()
+    if now_ms is None:
+        now_ms = _now_ms()
+
+    log = purge_log(store).where(F.col("purge_id") == purge_id)
+    states = {r.status for r in log.select("status").distinct().collect()}
+    if "marked" not in states or "acked" in states:
+        return False
+    mark = log.where(F.col("status") == "marked").first()
+
+    snapshot = (
+        store.spark.read.parquet(store.config.cold_path)
+        .where(F.col("purge_id") == purge_id)
+        .select(*MEMBER_IDENTITY_COLS)
+    )
+    hot_part = store.hot().where(
+        (F.col("tag") == mark.tag) & (F.col("part_start") == mark.part_start)
+    )
+    remainder = hot_part.join(
+        F.broadcast(snapshot), on=MEMBER_IDENTITY_COLS, how="left_anti"
+    )
+    # Materialize before overwriting the directory we just read
+    # (Spark refuses / corrupts a self-overwrite otherwise). On a
+    # lakehouse table this whole block is one Delta MERGE ... DELETE.
+    remaining = remainder.select(*[f.name for f in SAMPLE_SCHEMA.fields]).localCheckpoint()
+    part_dir = (
+        f"{store.config.hot_path}/tag={mark.tag}/part_start={mark.part_start}"
+    )
+    if remaining.isEmpty():
+        shutil.rmtree(part_dir, ignore_errors=True)
+    else:
+        # Dynamic partition overwrite: only the acked partition's
+        # directory is replaced (session.py sets partitionOverwriteMode).
+        (
+            remaining.write.mode("overwrite")
+            .partitionBy(*store.config.partition_cols)
+            .parquet(store.config.hot_path)
+        )
+    _append_log(
+        store,
+        [(purge_id, mark.tag, mark.part_start, "acked", now_ms, mark.n_rows)],
+    )
+    return True
+
+
+def purge_payload(store: TimeseriesStore, purge_id: str) -> DataFrame:
+    """Decode a purge snapshot back into samples (reference
+    ``parsePurgePayload``, ``index.js:350-355``), LWW-merged the same
+    way a read would be (O6)."""
+    from redis_lsm_timeseries_spark.operators.lww import lww_latest
+
+    store._require_init()
+    snap = (
+        store.spark.read.parquet(store.config.cold_path)
+        .where(F.col("purge_id") == purge_id)
+        .select(*[f.name for f in SAMPLE_SCHEMA.fields])
+    )
+    return lww_latest(snap).select("tag", "ts", "value")

@@ -1,0 +1,160 @@
+"""Tiering lifecycle tests — FIXTURES.md §3, mirroring the reference's
+purge corpus (test/consumer-test.js:767-1039)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from redis_lsm_timeseries_spark.tiering import (
+    purge_ack,
+    purge_log,
+    purge_payload,
+    purge_scan,
+)
+
+GAP_SERIAL = [
+    ("GapTag", 1, "One"),
+    ("GapTag", 2, "Two"),
+    ("GapTag", 10, "Ten"),
+    ("GapTag", 20, "Twenty"),
+    ("SerialTag", 1, "One"),
+    ("SerialTag", 2, "Two"),
+    ("SerialTag", 3, "Three"),
+    ("SerialTag", 4, "Four"),
+]
+
+T0 = 1_000_000
+
+
+def _read_all(store, **kw):
+    df = store.read_range({"GapTag": (0, 100), "SerialTag": (0, 100)}, **kw)
+    return {(r.tag, r.ts): r.value for r in df.collect()}
+
+
+class TestPurgeScan:
+    def test_marks_all_idle_partitions(self, store):
+        """W=5 → partitions GapTag-0/10/20 + SerialTag-0 all idle
+        (test/consumer-test.js:784-788)."""
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        marks = purge_scan(store, 0, 10, now_ms=T0 + 1_000)
+        assert {(m.tag, m.part_start) for m in marks} == {
+            ("GapTag", 0),
+            ("GapTag", 10),
+            ("GapTag", 20),
+            ("SerialTag", 0),
+        }
+        log = purge_log(store)
+        assert log.where("status = 'marked'").count() == 4
+        # Marked-but-unacked data still lives in hot — reads unchanged.
+        assert _read_all(store) == {(t, ts): v for t, ts, v in GAP_SERIAL}
+
+    def test_threshold_excludes_fresh_partitions(self, store):
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        assert purge_scan(store, 300, 10, now_ms=T0 + 1_000) == []
+        assert len(purge_scan(store, 300, 10, now_ms=T0 + 300_000)) == 4
+
+    def test_rescan_is_mark_once(self, store):
+        """Marking removes from RecentActivity → re-scan returns nothing
+        (test/consumer-test.js:898-934)."""
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        assert len(purge_scan(store, 0, 10, now_ms=T0 + 1_000)) == 4
+        assert purge_scan(store, 0, 10, now_ms=T0 + 2_000) == []
+
+    def test_oldest_k_limit(self, store):
+        store.write([("GapTag", 1, "a")], ingest_ts=T0)
+        store.write([("GapTag", 10, "b")], ingest_ts=T0 + 100)
+        store.write([("GapTag", 20, "c")], ingest_ts=T0 + 200)
+        marks = purge_scan(store, 0, 2, now_ms=T0 + 10_000)
+        # Coldest two partitions only, oldest first.
+        assert [(m.tag, m.part_start) for m in marks] == [
+            ("GapTag", 0),
+            ("GapTag", 10),
+        ]
+
+    def test_write_after_mark_reregisters(self, store):
+        """A write to a marked partition re-registers it for scanning
+        (index.js:81)."""
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        purge_scan(store, 0, 10, now_ms=T0 + 1_000)
+        store.write([("GapTag", 2, "NewTwo")], ingest_ts=T0 + 2_000)
+        marks = purge_scan(store, 0, 10, now_ms=T0 + 10_000)
+        assert [(m.tag, m.part_start) for m in marks] == [("GapTag", 0)]
+
+
+class TestPurgeAck:
+    def test_ack_evicts_members(self, store):
+        """Acked members leave hot; hot∪cold reads stay complete
+        (test/consumer-test.js:848-896, 991-1039)."""
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        marks = purge_scan(store, 0, 10, now_ms=T0 + 1_000)
+        gap0 = next(m for m in marks if (m.tag, m.part_start) == ("GapTag", 0))
+        assert purge_ack(store, gap0.purge_id, now_ms=T0 + 2_000) is True
+
+        hot_only = _read_all(store)
+        assert ("GapTag", 1) not in hot_only and ("GapTag", 2) not in hot_only
+        assert ("GapTag", 10) in hot_only  # other partitions untouched
+
+        full = _read_all(store, include_cold=True)
+        assert full == {(t, ts): v for t, ts, v in GAP_SERIAL}
+
+    def test_partition_dir_dropped_when_empty(self, store):
+        """Index entry removed only when the partition vanished
+        (ack-purge.lua:21-23) — Parquet analog: directory removal."""
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        marks = purge_scan(store, 0, 10, now_ms=T0 + 1_000)
+        gap0 = next(m for m in marks if (m.tag, m.part_start) == ("GapTag", 0))
+        purge_ack(store, gap0.purge_id, now_ms=T0 + 2_000)
+        assert not os.path.exists(
+            f"{store.config.hot_path}/tag=GapTag/part_start=0"
+        )
+        assert os.path.exists(
+            f"{store.config.hot_path}/tag=GapTag/part_start=10"
+        )
+        # read_index no longer lists the vanished partition.
+        parts = {
+            (r.tag, r.part_start)
+            for r in store.read_index({"GapTag": (0, 100)}).collect()
+        }
+        assert ("GapTag", 0) not in parts
+
+    def test_ack_is_idempotent(self, store):
+        """Second ack and unknown ids return False (ack-purge.lua:7-8)."""
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        marks = purge_scan(store, 0, 10, now_ms=T0 + 1_000)
+        pid = marks[0].purge_id
+        assert purge_ack(store, pid, now_ms=T0 + 2_000) is True
+        assert purge_ack(store, pid, now_ms=T0 + 3_000) is False
+        assert purge_ack(store, "nonexistent", now_ms=T0 + 3_000) is False
+
+    def test_write_after_mark_survives_ack(self, store):
+        """FIXTURES.md §3 step 4 (test/consumer-test.js:936-989): data
+        written between mark and ack is NOT evicted."""
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        marks = purge_scan(store, 0, 10, now_ms=T0 + 1_000)
+        gap0 = next(m for m in marks if (m.tag, m.part_start) == ("GapTag", 0))
+        store.write([("GapTag", 2, "NewTwo")], ingest_ts=T0 + 2_000)
+        assert purge_ack(store, gap0.purge_id, now_ms=T0 + 3_000) is True
+
+        hot_only = _read_all(store)
+        assert hot_only.get(("GapTag", 2)) == "NewTwo"
+        assert ("GapTag", 1) not in hot_only
+        # hot ∪ cold: LWW still favors NewTwo over the evicted "Two".
+        full = _read_all(store, include_cold=True)
+        assert full.get(("GapTag", 2)) == "NewTwo"
+        assert full.get(("GapTag", 1)) == "One"
+
+
+class TestPurgePayload:
+    def test_payload_round_trip(self, store):
+        """parsePurgePayload equivalent (test/consumer-test.js:1081-1131)."""
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        marks = purge_scan(store, 0, 10, now_ms=T0 + 1_000)
+        gap0 = next(m for m in marks if (m.tag, m.part_start) == ("GapTag", 0))
+        rows = {
+            (r.tag, r.ts): r.value
+            for r in purge_payload(store, gap0.purge_id).collect()
+        }
+        assert rows == {("GapTag", 1): "One", ("GapTag", 2): "Two"}
+        assert gap0.n_rows == 2
