@@ -1,10 +1,517 @@
-"""Star-schema analytics queries (SURVEY.md §2.3 'engine adds'):
-joins, aggregations, set ops, scalar functions over the TPC-H-ish
-tables. Populated incrementally."""
+"""Star-schema analytics queries (SURVEY.md §2.3 'engine adds').
+
+The reference has NO joins, aggregations, window functions, or set ops
+(SURVEY.md §2.1) — this module is the analytics surface the north star
+mandates, over the driver's TPC-H-ish tables. Every query is registered
+with a DuckDB oracle.
+
+Scale/plan notes (verified via .explain, see tests/test_plans.py):
+- dimension joins broadcast explicitly (region/nation/customer/supplier
+  are small at every realistic SF; lineitem/orders never broadcast);
+- aggregates go partial->final (map-side combine) automatically;
+- money math: DECIMAL(18,2) casts are exact (inputs are 2-decimal),
+  decimal x decimal products are exact at scale 4, sums accumulate in
+  decimal and only the final value casts to DOUBLE -> bitwise-equal to
+  the oracle regardless of partition/accumulation order;
+- date columns leave results as 'yyyy-MM-dd' strings (engines disagree
+  on timestamp dtype plumbing, not on values).
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from redis_lsm_timeseries_spark.plans.catalog import register
-from redis_lsm_timeseries_spark.sources.testdata import load_table
+from redis_lsm_timeseries_spark.sources.testdata import load_events, load_table
+
+# Exact per-row revenue term: decimal x decimal, scale 2+2=4, no rounding.
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+def _revenue() -> F.Column:
+    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+
+
+# ------------------------------------------------------------------ TPC-H Q1
+@register(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum({_REV}) AS DOUBLE) AS sum_disc_price,
+       CAST(sum({_REV} * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("analytics", "aggregation", "tpch"),
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical wide hash aggregation. Partial
+    aggregation means each of the ~1000 executors ships 4 rows, not
+    100 TB, to the final stage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _revenue()
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(rev).cast("double").alias("sum_disc_price"),
+            F.sum(rev * (one + _dec("l_tax"))).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ TPC-H Q3
+@register(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+SELECT o_orderkey,
+       CAST(sum({_REV}) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+    tags=("analytics", "join", "tpch"),
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: fact-fact join + broadcast dim filter + top-K.
+    customer (a dim at this schema's proportions) broadcasts; the
+    orders<->lineitem equi-join shuffles on the order key; the final
+    top-10 is TakeOrdered, not a global sort."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ------------------------------------------------------------------ TPC-H Q5
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+SELECT n_name,
+       CAST(sum({_REV}) AS DOUBLE) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN supplier ON s_nationkey = n_nationkey
+JOIN lineitem ON l_suppkey = s_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+    tags=("analytics", "join", "tpch"),
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-way join. region/nation/supplier/customer
+    broadcast (small dims); the lineitem<->orders fact-fact join is the
+    only shuffle. Join order keeps the selective region filter upstream
+    so dynamic partition pruning can kick in on a partitioned fact."""
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    dims = (
+        supplier.join(
+            F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        )
+    )
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(
+            F.broadcast(customer),
+            (orders.o_custkey == customer.c_custkey)
+            & (customer.c_nationkey == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+# ------------------------------------------------------------- semi / anti
+@register(
+    "join_semi_customers_with_orders",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    tags=("analytics", "join", "semi"),
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: existence check without duplicating the left side
+    (SURVEY.md §2.3 joins)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 150000
+)
+""",
+    tags=("analytics", "join", "anti"),
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the purge-ack delete primitive (ack-purge.lua
+    member removal) as a standalone relational operator. Filtered to
+    high-value orders so the anti side is non-trivial at every SF."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 150_000
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ------------------------------------------------------------ rollup / cube
+@register(
+    "agg_rollup_region_nation",
+    oracle="""
+SELECT coalesce(r_name, '<all>') AS region_name,
+       coalesce(n_name, '<all>') AS nation_name,
+       CAST(GROUPING(r_name) + GROUPING(n_name) AS BIGINT) AS lvl,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    tags=("analytics", "aggregation", "rollup"),
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP over region -> nation with grouping level
+    (SURVEY.md §2.3 aggregations: grouping sets)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            (F.grouping("r_name") + F.grouping("n_name")).cast("long").alias("lvl"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("<all>")).alias("region_name"),
+            F.coalesce(F.col("n_name"), F.lit("<all>")).alias("nation_name"),
+            "lvl",
+            "n_customers",
+            "sum_acctbal",
+        )
+    )
+
+
+@register(
+    "agg_cube_status_priority",
+    oracle="""
+SELECT coalesce(o_orderstatus, '<all>') AS status,
+       coalesce(o_orderpriority, '<all>') AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("analytics", "aggregation", "cube"),
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over two categorical dimensions."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            "n_orders",
+            "sum_total",
+        )
+    )
+
+
+# ------------------------------------------------------------------ set ops
+@register(
+    "set_ops_nation_presence",
+    oracle="""
+SELECT 'both' AS which, nk FROM (
+  SELECT DISTINCT c_nationkey AS nk FROM customer
+  INTERSECT
+  SELECT DISTINCT s_nationkey AS nk FROM supplier
+)
+UNION ALL
+SELECT 'customer_only' AS which, nk FROM (
+  SELECT DISTINCT c_nationkey AS nk FROM customer
+  EXCEPT
+  SELECT DISTINCT s_nationkey AS nk FROM supplier
+)
+""",
+    tags=("analytics", "setops"),
+)
+def set_ops_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one result (SURVEY.md §2.3 set
+    ops; the reference's only set-op is the implicit anti-join in
+    ack-purge.lua:13-18)."""
+    cust_nk = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nk"))
+        .distinct()
+    )
+    supp_nk = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nk"))
+        .distinct()
+    )
+    both = cust_nk.intersect(supp_nk).select(F.lit("both").alias("which"), "nk")
+    cust_only = cust_nk.exceptAll(supp_nk).select(
+        F.lit("customer_only").alias("which"), "nk"
+    )
+    return both.unionAll(cust_only)
+
+
+# ------------------------------------------------------------ scalar funcs
+@register(
+    "scalar_functions_events",
+    oracle="""
+SELECT event_id,
+       upper(event_type) AS type_upper,
+       substr(event_type, 1, 3) AS type_prefix,
+       length(props) AS props_len,
+       CAST(props::JSON ->> 'k' AS BIGINT) AS k_val,
+       CAST(round("value", 1) AS DOUBLE) AS value_rounded,
+       abs("value" - 100.0) AS value_abs_dist,
+       CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day_number,
+       strftime(ts, '%Y-%m-%d') AS day_str,
+       CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+       md5(concat(event_type, CAST(event_id AS VARCHAR))) AS row_digest
+FROM events
+WHERE event_id % 100 = 0
+""",
+    tags=("analytics", "scalar"),
+)
+def scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / JSON / math / date / hash scalar functions in one
+    projection (SURVEY.md §2.3 scalar functions; the reference's whole
+    scalar library is JSON encode/decode + string concat + SHA-256)."""
+    ev = load_events(spark, sf_dir)
+    return ev.where(F.col("event_id") % 100 == 0).select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.substring("event_type", 1, 3).alias("type_prefix"),
+        F.length("props").cast("long").alias("props_len"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.round(F.col("value"), 1).cast("double").alias("value_rounded"),
+        F.abs(F.col("value") - F.lit(100.0)).alias("value_abs_dist"),
+        F.floor(F.col("ts_ms") / F.lit(86_400_000)).cast("long").alias("day_number"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+        F.hour("ts").cast("long").alias("hour_of_day"),
+        F.md5(F.concat(F.col("event_type"), F.col("event_id").cast("string"))).alias(
+            "row_digest"
+        ),
+    )
+
+
+# ----------------------------------------------------------- distinct aggs
+@register(
+    "distinct_users_per_type",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+    tags=("analytics", "aggregation", "distinct"),
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand+two-phase under the hood)."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketches are engine-specific; rows-only check.
+    tags=("analytics", "aggregation", "approx"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB path where an
+    exact distinct would shuffle every key. No oracle — sketch values
+    are engine-specific by construction; correctness is bounded-error
+    vs the exact count, asserted in tests/test_plans.py."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ------------------------------------------------------------ top-k / rank
+@register(
+    "top_orders_global",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+""",
+    tags=("analytics", "topk"),
+)
+def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K: Spark plans TakeOrderedAndProject — per-partition
+    heaps + driver merge of K rows, never a full sort."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+@register(
+    "window_rank_suppliers_in_nation",
+    oracle="""
+SELECT s_suppkey, s_name, n_name, s_acctbal,
+       CAST(rank() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey ASC) AS BIGINT) AS bal_rank
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+""",
+    tags=("analytics", "window", "rank"),
+)
+def window_rank_suppliers_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() window over a broadcast-joined dimension."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            F.rank().over(w).cast("long").alias("bal_rank"),
+        )
+    )
+
+
+# -------------------------------------------------------- pivot-style agg
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("analytics", "pivot"),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot as conditional aggregation — the shuffle-count-stable form
+    (df.pivot() is sugar for exactly this plan)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def n_status(s: str) -> F.Column:
+        return F.sum(
+            F.when(F.col("o_orderstatus") == s, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long")
+
+    return orders.groupBy("o_orderpriority").agg(
+        n_status("F").alias("n_f"),
+        n_status("O").alias("n_o"),
+        n_status("P").alias("n_p"),
+    )
+
+
+# ----------------------------------------------------- as-of: events x orders
+@register(
+    "asof_order_latest_event",
+    oracle="""
+WITH ue AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, "value" AS v, event_id
+  FROM events WHERE event_type = 'purchase'
+),
+ranked AS (
+  SELECT user_id, v, ts_ms,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC
+         ) AS rn
+  FROM ue
+)
+SELECT user_id,
+       v AS last_purchase_value,
+       ts_ms AS last_purchase_ts
+FROM ranked WHERE rn = 1
+""",
+    tags=("analytics", "aggregation", "argmax"),
+)
+def asof_order_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max per group (max_by): latest purchase value per user — the
+    aggregation form of as-of lookup (one shuffle, partial agg)."""
+    ev = load_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    return ev.groupBy("user_id").agg(
+        F.max_by("value", F.struct(F.col("ts_ms"), F.col("event_id"))).alias(
+            "last_purchase_value"
+        ),
+        F.max("ts_ms").alias("last_purchase_ts"),
+    )

@@ -1,0 +1,123 @@
+"""Physical-plan quality gates: the 100 TB design assertions.
+
+Correctness says the answer is right; these tests say the PLAN is the
+one that survives a 1000-executor cluster — broadcasts where expected,
+filters pushed into the Parquet scan, no accidental cartesian products,
+bounded-error sketches actually bounded.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from redis_lsm_timeseries_spark.plans import REGISTRY
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+
+
+def _plan(spark, name: str, execute: bool = False) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    if execute:
+        # AQE finalizes the physical plan (incl. codegen stages) only
+        # once the query actually runs.
+        df.count()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestBroadcastJoins:
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "tpch_q3_shipping_priority",
+            "tpch_q5_local_supplier_volume",
+            "agg_rollup_region_nation",
+            "window_rank_suppliers_in_nation",
+        ],
+    )
+    def test_dims_broadcast(self, spark, name):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: dim join did not broadcast"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product!"
+
+
+class TestPushdown:
+    def test_filter_reaches_parquet_scan(self, spark):
+        plan = _plan(spark, "tpch_q1_pricing_summary")
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+    def test_column_pruning(self, spark):
+        """Q1 needs 7 of lineitem's 11 columns; the scan must not read
+        the rest (ReadSchema shows what's materialized)."""
+        plan = _plan(spark, "tpch_q1_pricing_summary")
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "l_orderkey" not in read_schema
+        assert "l_partkey" not in read_schema
+        assert "l_quantity" in read_schema
+
+    def test_events_predicate_pushdown(self, spark):
+        """ts_page_scan's tag filter must reach the events scan."""
+        plan = _plan(spark, "ts_page_scan")
+        assert "PushedFilters" in plan
+        assert "EqualTo(event_type,error)" in plan
+
+
+class TestAggregationShape:
+    def test_partial_aggregation(self, spark):
+        """Rollup goes partial->final (map-side combine)."""
+        plan = _plan(spark, "ts_rollup_hourly")
+        assert "partial" in plan.lower()
+        assert "HashAggregate" in plan
+
+    def test_topk_is_take_ordered(self, spark):
+        """Global top-10 must be TakeOrdered, never a full sort."""
+        plan = _plan(spark, "top_orders_global")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_whole_stage_codegen(self, spark):
+        import contextlib
+        import io
+
+        # AQE wraps the plan and defers codegen until runtime; disable
+        # it for this static assertion only.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            df = REGISTRY["tpch_q1_pricing_summary"].fn(spark, SF_DIR)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("codegen")
+            out = buf.getvalue()
+            assert "WholeStageCodegen" in out
+            assert "Found 0 WholeStageCodegen" not in out
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+class TestApproxSketch:
+    def test_hll_bounded_error(self, spark):
+        """approx_count_distinct (rsd=2%) within 10% of exact."""
+        approx = {
+            r.event_type: r.approx_users
+            for r in REGISTRY["approx_distinct_users"].fn(spark, SF_DIR).collect()
+        }
+        exact = {
+            r.event_type: r.n_users
+            for r in REGISTRY["distinct_users_per_type"].fn(spark, SF_DIR).collect()
+        }
+        assert set(approx) == set(exact)
+        for k in exact:
+            assert abs(approx[k] - exact[k]) <= max(1, 0.1 * exact[k]), (
+                k,
+                approx[k],
+                exact[k],
+            )
+
+
+class TestLwwShape:
+    def test_lww_is_aggregate_not_window(self, spark):
+        """The LWW merge must plan as partial-aggregated max, not a
+        row_number window (no full sort of every duplicate group)."""
+        plan = _plan(spark, "ts_range_read")
+        assert "HashAggregate" in plan or "SortAggregate" in plan
+        assert "Window" not in plan
