@@ -1,0 +1,153 @@
+"""Deduplication operators (north star): exact, MinHash+LSH banding,
+SimHash, n-gram Jaccard verification.
+
+Design for 100 TB:
+- exact dedup is a hash-groupBy with map-side partial aggregation
+  (winner = min id per content hash) — one shuffle of (digest, id);
+- MinHash signatures are computed PER ROW with higher-order array
+  functions (no explode, no shuffle): array_min over transformed
+  shingle arrays;
+- LSH banding explodes only ``num_bands`` rows per document and
+  shuffles on (band_idx, band_key) — the classic band-bucket join; the
+  candidate set is tiny relative to the corpus, so the expensive exact
+  Jaccard verification runs on candidates only;
+- SimHash reduces each document to one int64; near-dup lookup becomes
+  bit_count(xor) on candidate pairs.
+
+All hashes route through the portable md5-based ``hash64`` so the
+DuckDB oracle computes identical signatures (functions/portable.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from redis_lsm_timeseries_spark.functions.portable import (
+    HASH64_SPARK_EXPR,
+    hash64,
+    shingles,
+    tokens,
+)
+
+NUM_HASHES = 12
+ROWS_PER_BAND = 3
+SIMHASH_BITS = 60  # hash64 yields 60 bits; stay under the int64 sign bit
+
+
+def content_digest(text_col: str = "text") -> Column:
+    return F.md5(F.col(text_col))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: one row per distinct content, winner =
+    min id, n_copies = group size."""
+    return (
+        df.groupBy(content_digest(text_col).alias("digest"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def with_minhash(
+    df: DataFrame, text_col: str = "text", num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """MinHash signature columns mh_0..mh_{k-1}, computed per row with
+    no shuffle: min over the shingle set of a seeded portable hash.
+    Empty shingle sets (docs under 3 tokens) get NULL signatures."""
+    out = df.withColumn("toks", tokens(text_col)).withColumn(
+        "sh", shingles("toks")
+    )
+    for j in range(num_hashes):
+        seeded = HASH64_SPARK_EXPR.format(e=f"concat(s, '#{j}')")
+        out = out.withColumn(
+            f"mh_{j}",
+            F.expr(f"array_min(transform(sh, s -> {seeded}))"),
+        )
+    return out.drop("toks")
+
+
+def lsh_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Explode MinHash signatures into (id, band_idx, band_key) rows.
+    band_key = md5 of the band's signature slice."""
+    num_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    return (
+        df.select(F.col(id_col), F.explode(bands).alias("band"))
+        .select(id_col, "band.band_idx", "band.band_key")
+    )
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one band
+    bucket. The join shuffles on (band_idx, band_key) — bucket-local,
+    never all-pairs."""
+    a = bands_df.select(
+        F.col(id_col).alias("a"), "band_idx", "band_key"
+    )
+    b = bands_df.select(
+        F.col(id_col).alias("b"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """SimHash over the distinct token set: bit j of the fingerprint is
+    the sign of the sum of (+1/-1) votes from each token's hash bit j.
+
+    Plan shape: explode distinct tokens -> one groupBy with
+    ``SIMHASH_BITS`` conditional sums (partial-aggregated) -> bit
+    recombination. One shuffle of (id, token-hash) pairs."""
+    toks = (
+        df.select(
+            "*", F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+        )
+        .withColumn("th", hash64(F.col("tok")))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    keys = [c for c in df.columns]
+    agg = toks.groupBy(*keys).agg(*votes)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim + bit
+    return agg.select(*keys, sim.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b)).cast("long")

@@ -1,10 +1,634 @@
 """LLM-data-pipeline queries (north star): dedup, similarity search,
 text analysis, multimodal plumbing over documents/embeddings.
-Populated incrementally."""
+
+The testdata contains no natural duplicates or near-neighbors, so the
+dedup corpora are synthesized IN the query (documents unioned with
+exact / near-dup copies at offset ids) — identically on the Spark and
+oracle sides, which turns every dedup operator into a differential test
+with known-positive pairs.
+
+All hashing routes through the portable md5-based hash64
+(functions/portable.py), so MinHash signatures, LSH bands, SimHash
+fingerprints, and hyperplane signs are bit-identical across engines.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from redis_lsm_timeseries_spark.functions.portable import (
+    HASH64_SQL,
+    TOKENS_SQL,
+    shingles_sql,
+)
+from redis_lsm_timeseries_spark.operators import dedup as D
+from redis_lsm_timeseries_spark.operators import similarity as S
+from redis_lsm_timeseries_spark.operators import text as TX
 from redis_lsm_timeseries_spark.plans.catalog import register
 from redis_lsm_timeseries_spark.sources.testdata import load_table
+
+EXACT_OFFSET = 1_000_000
+NEAR_OFFSET = 10_000_000
+
+# ---------------------------------------------------------------- corpora
+
+
+def _docs_with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.select(
+        (F.col("doc_id") + EXACT_OFFSET).alias("doc_id"), F.col("text")
+    )
+    return d.unionByName(copies)
+
+DOCS_EXACT_SQL = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {EXACT_OFFSET} AS doc_id, text FROM documents
+)
+"""
+
+
+def _docs_with_near_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup corpus: each copy appends one token, so its 3-shingle
+    set differs by exactly one shingle (Jaccard ~ (n-2)/(n-1))."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.select(
+        (F.col("doc_id") + NEAR_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" nearduptoken")).alias("text"),
+    )
+    return d.unionByName(copies)
+
+DOCS_NEAR_SQL = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {NEAR_OFFSET} AS doc_id, text || ' nearduptoken' AS text
+  FROM documents
+)
+"""
+
+
+# ------------------------------------------------------------ text stats
+@register(
+    "text_token_stats",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {TOKENS_SQL.format(e='text')} AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_obs,
+       CAST(len(regexp_extract_all(lower(text), '{TX.BPE_PATTERN}')) AS BIGINT)
+         AS n_bpe_tokens
+FROM t
+""",
+    tags=("llm", "text"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, chars, and a
+    BPE-ish regex pre-tokenization count. Pure Column expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.with_token_stats(d).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "n_chars_obs", "n_bpe_tokens"
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {TOKENS_SQL.format(e='text')} AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_obs,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS BIGINT)
+           AS n_punct,
+         CAST(len(list_filter(toks, t -> t IN {str(TX.STOPWORDS['en'])})) AS BIGINT)
+           AS en_stopword_hits
+  FROM t
+)
+SELECT doc_id, n_punct, en_stopword_hits,
+       CAST(n_punct AS DOUBLE) / n_chars_obs AS punct_ratio,
+       CAST(en_stopword_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_chars_obs - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_token_len,
+       (CAST(en_stopword_hits AS DOUBLE) / n_tokens) * 0.4
+         + (1.0 - CAST(n_punct AS DOUBLE) / n_chars_obs) * 0.3
+         + (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.3 ELSE 0.0 END)
+         AS quality_score
+FROM s
+""",
+    tags=("llm", "text", "quality"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: punctuation density, stopword ratio, mean token
+    length, composite score — integer counts divided in double, so the
+    oracle matches bitwise."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.with_quality_score(TX.with_token_stats(d)).select(
+        "doc_id",
+        "n_punct",
+        "en_stopword_hits",
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_token_len",
+        "quality_score",
+    )
+
+
+def _hits_sql(lang: str) -> str:
+    return (
+        f"CAST(len(list_filter(toks, t -> t IN {str(TX.STOPWORDS[lang])})) AS BIGINT)"
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, {TOKENS_SQL.format(e='text')} AS toks FROM documents
+), h AS (
+  SELECT doc_id, lang,
+         {_hits_sql('en')} AS hits_en,
+         {_hits_sql('de')} AS hits_de,
+         {_hits_sql('es')} AS hits_es,
+         {_hits_sql('fr')} AS hits_fr
+  FROM t
+)
+SELECT doc_id, lang, hits_en, hits_de, hits_es, hits_fr,
+       CASE
+         WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+         WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+         WHEN hits_es >= hits_fr THEN 'es'
+         ELSE 'fr'
+       END AS lang_guess
+FROM h
+""",
+    tags=("llm", "text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with deterministic argmax
+    precedence (en > de > es > fr)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = TX.with_lang_guess(
+        d.withColumn("toks", F.split(F.lower(F.col("text")), r"\s+"))
+    )
+    return out.select(
+        "doc_id", "lang", "hits_en", "hits_de", "hits_es", "hits_fr", "lang_guess"
+    )
+
+
+@register(
+    "text_fingerprint_dups",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {EXACT_OFFSET} AS doc_id,
+         text || ' ' || regexp_extract(lower(text), '^\\S+') AS text
+  FROM documents
+), fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+           {TOKENS_SQL.format(e='text')})), ' ')) AS fingerprint
+  FROM corpus
+)
+SELECT fingerprint,
+       min(doc_id) AS keep_id,
+       count(*) AS n_members
+FROM fp GROUP BY fingerprint
+""",
+    tags=("llm", "text", "dedup"),
+)
+def text_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-of-tokens fingerprint: copies that merely REPEAT an existing
+    token collide with their original (repetition/order-insensitive
+    near-dup key). Corpus = docs + copies appending their own first
+    token; every fingerprint group has exactly 2 members."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.select(
+        (F.col("doc_id") + EXACT_OFFSET).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.regexp_extract(F.lower(F.col("text")), r"^\S+", 0),
+        ).alias("text"),
+    )
+    corpus = d.unionByName(copies)
+    return (
+        TX.with_fingerprint(corpus)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+# ------------------------------------------------------------------ dedup
+@register(
+    "dedup_exact",
+    oracle=f"""
+WITH {DOCS_EXACT_SQL.strip()}
+SELECT md5(text) AS digest,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM corpus GROUP BY md5(text)
+""",
+    tags=("llm", "dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as hash-groupBy: winner = min doc_id per content
+    digest. Corpus = documents + exact copies, so every group has
+    n_copies = 2 and keep_id = the original."""
+    return D.exact_dedup(_docs_with_exact_copies(spark, sf_dir))
+
+
+def _minhash_sql_cols(num: int = D.NUM_HASHES) -> str:
+    cols = []
+    for j in range(num):
+        h = HASH64_SQL.format(e=f"s || '#{j}'")
+        cols.append(
+            f"list_min(list_transform(sh, s -> {h})) AS mh_{j}"
+        )
+    return ",\n       ".join(cols)
+
+
+MINHASH_CTE = f"""
+toked AS (
+  SELECT doc_id, {TOKENS_SQL.format(e='text')} AS toks FROM corpus
+), shingled AS (
+  SELECT doc_id, {shingles_sql('toks')} AS sh FROM toked
+  WHERE len(toks) >= 3
+), sigs AS (
+  SELECT doc_id,
+       {_minhash_sql_cols()}
+  FROM shingled
+)
+"""
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{MINHASH_CTE.strip()}
+SELECT * FROM sigs
+""",
+    tags=("llm", "dedup", "minhash"),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (12 portable hashes over word 3-shingles),
+    computed per row with array_min(transform(...)) — zero shuffles.
+    Differentially checks the entire signature pipeline bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = D.with_minhash(d)
+    return sig.where(F.size(F.col("sh")) >= 1).select(
+        "doc_id", *[f"mh_{j}" for j in range(D.NUM_HASHES)]
+    )
+
+
+def _bands_cte(num_hashes: int = D.NUM_HASHES, rpb: int = D.ROWS_PER_BAND) -> str:
+    selects = []
+    for b in range(num_hashes // rpb):
+        slice_cols = " || ',' || ".join(
+            f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+        )
+        selects.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({slice_cols}) AS band_key FROM sigs"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+LSH_PAIRS_SQL = f"""
+WITH {DOCS_NEAR_SQL.strip()},
+{MINHASH_CTE.strip()},
+flat AS (
+  {_bands_cte()}
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM flat l JOIN flat r
+  ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+WHERE l.doc_id < r.doc_id
+"""
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=LSH_PAIRS_SQL,
+    tags=("llm", "dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH banding (4 bands x 3 rows): candidate pairs sharing
+    >= 1 band bucket. Corpus = docs + one-token-appended near-dups, so
+    the known-positive pairs (id, id + 10M) dominate the candidate set.
+    The band join shuffles on (band_idx, band_key) — never all-pairs."""
+    corpus = _docs_with_near_copies(spark, sf_dir)
+    sig = D.with_minhash(corpus).where(F.size(F.col("sh")) >= 1)
+    bands = D.lsh_bands(sig)
+    return D.lsh_candidate_pairs(bands)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {DOCS_NEAR_SQL.strip()},
+{MINHASH_CTE.strip()},
+flat AS (
+  {_bands_cte()}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM flat l JOIN flat r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+doc_sh AS (
+  SELECT DISTINCT doc_id, s AS shingle
+  FROM shingled, UNNEST(sh) AS u(s)
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM doc_sh GROUP BY doc_id
+),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cand c
+  JOIN doc_sh sa ON sa.doc_id = c.a
+  JOIN doc_sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b,
+       CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a
+JOIN sizes zb ON zb.doc_id = i.b
+WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.6
+""",
+    tags=("llm", "dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard verification on LSH candidates: exact distinct-
+    shingle intersection / union, computed only for pairs the banding
+    surfaced (candidates << all-pairs — the verify stage of the classic
+    two-phase near-dup pipeline)."""
+    corpus = _docs_with_near_copies(spark, sf_dir)
+    sig = D.with_minhash(corpus).where(F.size(F.col("sh")) >= 1)
+    cand = D.lsh_candidate_pairs(D.lsh_bands(sig))
+
+    doc_sh = (
+        sig.select("doc_id", F.explode("sh").alias("shingle")).distinct()
+    )
+    sizes = doc_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = doc_sh.select(F.col("doc_id").alias("a"), "shingle")
+    sb = doc_sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        cand.join(sa, "a").join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(za, "a")
+        .join(zb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= 0.6)
+    )
+    return jac.select("a", "b", "jaccard")
+
+
+def _simhash_sql() -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(D.SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(D.SIMHASH_BITS)
+    )
+    return f"""
+toked2 AS (
+  SELECT doc_id, list_distinct({TOKENS_SQL.format(e='text')}) AS dtoks
+  FROM corpus
+), tok_rows AS (
+  SELECT doc_id, {HASH64_SQL.format(e='t')} AS th
+  FROM toked2, UNNEST(dtoks) AS u(t)
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM tok_rows GROUP BY doc_id
+), sims AS (
+  SELECT doc_id, {bits} AS simhash FROM votes
+)
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{_simhash_sql().strip()}
+SELECT doc_id, simhash FROM sims
+""",
+    tags=("llm", "dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document (sign-of-vote per bit
+    over the distinct token set). One shuffle: the per-doc vote
+    aggregation, partial-aggregated map-side."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.with_simhash(d).select("doc_id", "simhash")
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=f"""
+WITH {DOCS_NEAR_SQL.strip()},
+{_simhash_sql().strip()}
+SELECT o.doc_id AS a,
+       m.doc_id AS b,
+       CAST(bit_count(xor(o.simhash, m.simhash)) AS BIGINT) AS hamming
+FROM sims o JOIN sims m ON m.doc_id = o.doc_id + {NEAR_OFFSET}
+WHERE o.doc_id < {NEAR_OFFSET}
+""",
+    tags=("llm", "dedup", "simhash"),
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup check: Hamming distance between each document
+    and its one-token-appended copy (expected near 0; an unrelated pair
+    averages ~30 of 60 bits)."""
+    corpus = _docs_with_near_copies(spark, sf_dir)
+    sims = D.with_simhash(corpus).select("doc_id", "simhash")
+    o = sims.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sh_a"))
+    m = sims.select(
+        (F.col("doc_id") - NEAR_OFFSET).alias("a"),
+        F.col("simhash").alias("sh_b"),
+        F.col("doc_id").alias("b"),
+    )
+    return (
+        o.join(m, "a")
+        .select("a", "b", D.hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+    )
+
+
+# ------------------------------------------------------- similarity search
+DOT_SQL = (
+    "list_reduce(list_transform(range(64), i -> qv[i+1] * cv[i+1]), (x, y) -> x + y)"
+)
+NORM_SQL = (
+    "sqrt(list_reduce(list_transform({v}, x -> x * x), (x, y) -> x + y))"
+)
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         {DOT_SQL} / ({NORM_SQL.format(v='qv')} * {NORM_SQL.format(v='cv')})
+           AS cosine_sim
+  FROM c, q
+  WHERE query_id != neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+         ) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rnk FROM ranked WHERE rnk <= 10
+""",
+    tags=("llm", "similarity", "ann"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for 5 query vectors — the ANN
+    correctness baseline. Queries broadcast; corpus streams in one
+    partition-parallel pass; only k rows per query survive the rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "ann_cosine_topk_lsh",
+    oracle=None,  # scale-path variant; recall vs the exact baseline is
+    # asserted in tests/test_llm_operators.py instead of a SQL twin.
+    tags=("llm", "similarity", "ann", "lsh"),
+)
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH-bucketed cosine top-k — the 100 TB path:
+    vectors compete only within their bucket, so the join key is the
+    bucket id and work scales with occupancy, not corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_bucket_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {NEAR_OFFSET} AS vec_id,
+         list_transform(range(64), i -> v[i+1] + 0.01 * (i % 3 - 1)) AS v
+  FROM base
+), pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_reduce(list_transform(range(64), i -> a.v[i+1] * b.v[i+1]), (x,y) -> x+y)
+           / ({NORM_SQL.format(v='a.v')} * {NORM_SQL.format(v='b.v')}) AS cosine_sim
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT a, b, cosine_sim FROM pairs WHERE cosine_sim >= 0.99
+""",
+    tags=("llm", "similarity", "neardup"),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.99). Corpus =
+    embeddings + slightly-perturbed copies, so each (id, id + 10M) pair
+    is a known positive. Exact all-pairs here (the corpus is small);
+    the LSH bucket path above is the scale variant."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pert = emb.select(
+        (F.col("vec_id") + NEAR_OFFSET).alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), i -> v[i] + 0.01 * (i % 3 - 1))"
+        ).alias("v"),
+    )
+    corpus = emb.unionByName(pert)
+    a = corpus.select(F.col("vec_id").alias("a"), F.col("v").alias("qv"))
+    b = corpus.select(F.col("vec_id").alias("b"), F.col("v").alias("cv"))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cosine_sim", S.cosine("qv", "cv"))
+        .where(F.col("cosine_sim") >= 0.99)
+    )
+    return pairs.select("a", "b", "cosine_sim")
+
+
+# ---------------------------------------------------------------- multimodal
+@register(
+    "multimodal_binary_metadata",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_digest,
+       CASE
+         WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
+         WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+         ELSE 'video'
+       END AS modality
+FROM documents
+""",
+    tags=("llm", "multimodal"),
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: treat the payload as bytes with
+    typed metadata (size, digest, modality tag). The modality here is a
+    deterministic stand-in — real deployments carry it as a column."""
+    d = load_table(spark, sf_dir, "documents")
+    bin_col = F.encode(F.col("text"), "UTF-8")
+    n_bytes = F.octet_length(bin_col).cast("long")
+    return d.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_digest"),
+        F.when(n_bytes % 3 == 0, "image")
+        .when(n_bytes % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+    )
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=None,  # Pandas-UDF decode stub — the Spark-side plumbing is
+    # the deliverable; features are deterministic and schema-checked in
+    # tests/test_llm_operators.py.
+    tags=("llm", "multimodal", "udf"),
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract over binary payloads via
+    mapInPandas (the real multimodal codec slot — image/audio libs are
+    stubbed with a deterministic byte-statistics 'decoder')."""
+    from redis_lsm_timeseries_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    binary = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return extract_features(binary)
