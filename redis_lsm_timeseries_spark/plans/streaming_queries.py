@@ -1,0 +1,87 @@
+"""Streaming catalog queries: real Structured Streaming jobs driven to
+completion inside a ``queries()`` callable, so the driver's harness
+checks streaming results against a batch SQL oracle.
+
+The tumbling-window rollup runs in COMPLETE output mode over a finite
+file source — after ``processAllAvailable`` the memory sink holds every
+window, which equals the batch aggregation exactly (no watermark
+truncation to reason about). That makes a genuinely streaming plan
+(StateStore-backed windowed aggregation) hash-comparable to ANSI SQL.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from redis_lsm_timeseries_spark.plans.catalog import register
+
+EVENTS_NS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@register(
+    "stream_rollup_tumbling",
+    oracle="""
+SELECT event_type AS tag,
+       epoch_ms(ts) - epoch_ms(ts) % 300000 AS bucket_ms,
+       count(*) AS n,
+       CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+FROM events
+GROUP BY event_type, epoch_ms(ts) - epoch_ms(ts) % 300000
+""",
+    tags=("streaming", "rollup"),
+)
+def stream_rollup_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling event-time rollup executed as a REAL
+    Structured Streaming query (file source -> stateful windowed agg ->
+    memory sink, complete mode), then returned as the sink table.
+    The tumbling window is the engine's partition function:
+    window(ts, W) groups by ts - ts % W."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_NS_SCHEMA)
+        .parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.col("event_type"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            F.col("value"),
+        )
+    )
+    agg = (
+        stream.groupBy(
+            F.window("ts", "5 minutes"), F.col("event_type").alias("tag")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_v"),
+        )
+        .select(
+            "tag",
+            F.unix_millis(F.col("window.start")).alias("bucket_ms"),
+            "n",
+            "sum_v",
+        )
+    )
+    sink_name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink_name)

@@ -1,0 +1,9 @@
+"""Structured Streaming surface: continuous ingest into the hot layout
+and event-time windowed rollups."""
+
+from redis_lsm_timeseries_spark.streaming.ingest import (
+    start_hot_ingest,
+    streaming_rollup,
+)
+
+__all__ = ["start_hot_ingest", "streaming_rollup"]

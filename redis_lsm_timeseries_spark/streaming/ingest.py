@@ -1,0 +1,100 @@
+"""Structured Streaming ingest (reference parity, SURVEY.md §2.3
+streaming + build plan stage 3).
+
+The reference is a continuously-written store, not a streaming engine:
+every ``write()`` call is a micro-batch append, the hot store is the
+state, and late data simply lands in its (possibly already-purged)
+partition and re-registers it (``index.js:81``;
+``test/consumer-test.js:936-989``). The Spark analog is exact:
+
+- ingest = ``writeStream`` into the SAME partitioned hot layout the
+  batch path writes (one source of truth, no dual storage format);
+- the tumbling ``window(ts, W)`` IS the partition function
+  ``ts - ts % W`` — a streaming windowed aggregate groups by exactly
+  the engine's partition key;
+- late data: appended to its old partition, resolved at read time by
+  the LWW merge — reference semantics, not watermark-dropped. The
+  windowed ROLLUP view uses a watermark for bounded state; the
+  INGEST path never drops.
+
+Exactly-once: the parquet sink + checkpoint gives idempotent file
+commits per micro-batch (the reference's write is non-atomic across
+its three ZADDs — SURVEY.md §2.2.7 — so this is strictly stronger).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from redis_lsm_timeseries_spark.schema import SAMPLE_SCHEMA, WRITE_SCHEMA
+from redis_lsm_timeseries_spark.store import TimeseriesStore
+
+
+def read_sample_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source sample stream: (tag, ts, value) parquet files landing
+    in a directory (the test stand-in for Kafka/Kinesis)."""
+    return spark.readStream.schema(WRITE_SCHEMA).parquet(input_dir)
+
+
+def start_hot_ingest(
+    store: TimeseriesStore,
+    stream: DataFrame,
+    checkpoint_dir: str,
+    writer_id: str = "stream",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous ingest into the hot table.
+
+    Derives the same ingest metadata the batch path derives (O3): the
+    micro-batch commit time as ``ingest_ts``, a writer id, and a
+    monotonic ``seq`` — so streamed and batch-written samples merge
+    under one LWW rule.
+    """
+    w = store.config.partition_width
+    enriched = (
+        stream.withColumn(
+            "ingest_ts", (F.unix_micros(F.current_timestamp()) / 1000).cast("long")
+        )
+        .withColumn("writer_id", F.lit(writer_id))
+        .withColumn("seq", F.monotonically_increasing_id().cast("long"))
+        .withColumn(
+            "part_start",
+            (F.col("ts") - F.pmod(F.col("ts"), F.lit(w))).cast("long"),
+        )
+        .select(*[f.name for f in SAMPLE_SCHEMA.fields])
+    )
+    writer = (
+        enriched.writeStream.format("parquet")
+        .option("path", store.config.hot_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy(*store.config.partition_cols)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_rollup(
+    events_stream: DataFrame,
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time tumbling rollup with a watermark for bounded state —
+    the continuous version of ts_rollup_hourly. Input needs ``ts``
+    (timestamp), ``event_type``, ``value``."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration), F.col("event_type").alias("tag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_v"),
+        )
+        .select(
+            "tag",
+            F.unix_millis(F.col("window.start")).alias("bucket_ms"),
+            "n",
+            "sum_v",
+        )
+    )

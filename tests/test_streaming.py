@@ -1,0 +1,117 @@
+"""Structured Streaming tests: continuous ingest into the hot layout,
+late-data semantics (append + LWW, never dropped), and the streaming
+rollup vs its batch equivalent."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from redis_lsm_timeseries_spark.schema import WRITE_SCHEMA
+from redis_lsm_timeseries_spark.streaming import start_hot_ingest
+from redis_lsm_timeseries_spark.streaming.ingest import read_sample_stream
+
+
+def _land_batch(spark, input_dir: str, rows, batch: int) -> None:
+    df = spark.createDataFrame(rows, WRITE_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(f"{input_dir}/b{batch}")
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    return str(inp), str(tmp_path / "checkpoint")
+
+
+class TestHotIngest:
+    def test_streamed_rows_readable(self, spark, store, stream_dirs):
+        input_dir, ckpt = stream_dirs
+        _land_batch(
+            spark,
+            input_dir,
+            [("GapTag", 1, "One"), ("GapTag", 2, "Two"), ("SerialTag", 3, "Three")],
+            batch=0,
+        )
+        q = start_hot_ingest(
+            store, read_sample_stream(spark, f"{input_dir}/*"), ckpt
+        )
+        q.awaitTermination(120)
+        out = {
+            (r.tag, r.ts): r.value
+            for r in store.read_range(
+                {"GapTag": (0, 100), "SerialTag": (0, 100)}
+            ).collect()
+        }
+        assert out == {
+            ("GapTag", 1): "One",
+            ("GapTag", 2): "Two",
+            ("SerialTag", 3): "Three",
+        }
+
+    def test_late_data_lands_in_old_partition_lww(self, spark, store, stream_dirs):
+        """Reference semantics (index.js:81): late data is appended to
+        its original partition and wins by LWW — never dropped."""
+        input_dir, ckpt = stream_dirs
+        _land_batch(spark, input_dir, [("GapTag", 2, "Two")], batch=0)
+        q = start_hot_ingest(
+            store, read_sample_stream(spark, f"{input_dir}/*"), ckpt
+        )
+        q.awaitTermination(120)
+
+        # A later micro-batch carries an update for the SAME old ts.
+        _land_batch(spark, input_dir, [("GapTag", 2, "NewTwo")], batch=1)
+        q2 = start_hot_ingest(
+            store, read_sample_stream(spark, f"{input_dir}/*"), ckpt
+        )
+        q2.awaitTermination(120)
+
+        out = {
+            (r.tag, r.ts): r.value
+            for r in store.read_range({"GapTag": (0, 100)}).collect()
+        }
+        assert out == {("GapTag", 2): "NewTwo"}
+        # Both members retained in storage (LSM append).
+        assert store.hot().where("tag = 'GapTag' AND ts = 2").count() == 2
+
+    def test_checkpoint_exactly_once(self, spark, store, stream_dirs):
+        """Re-running the stream over the same checkpoint must not
+        duplicate rows."""
+        input_dir, ckpt = stream_dirs
+        _land_batch(spark, input_dir, [("GapTag", 1, "One")], batch=0)
+        for _ in range(2):
+            q = start_hot_ingest(
+                store, read_sample_stream(spark, f"{input_dir}/*"), ckpt
+            )
+            q.awaitTermination(120)
+        assert store.hot().count() == 1
+
+
+class TestStreamingRollup:
+    def test_rollup_matches_batch(self, spark):
+        from redis_lsm_timeseries_spark.plans import REGISTRY
+        from redis_lsm_timeseries_spark.sources.testdata import load_events
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r.tag, r.bucket_ms): (r.n, r.sum_v)
+            for r in REGISTRY["stream_rollup_tumbling"].fn(spark, sf).collect()
+        }
+        ev = load_events(spark, sf)
+        want = {
+            (r.tag, r.bucket_ms): (r.n, r.sum_v)
+            for r in ev.groupBy(
+                F.col("event_type").alias("tag"),
+                (F.col("ts_ms") - F.pmod(F.col("ts_ms"), F.lit(300_000))).alias(
+                    "bucket_ms"
+                ),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_v"),
+            )
+            .collect()
+        }
+        assert got == want
