@@ -118,16 +118,22 @@ def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFram
     )
 
 
-def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """SimHash over the distinct token set: bit j of the fingerprint is
     the sign of the sum of (+1/-1) votes from each token's hash bit j.
+    Returns (id_col, simhash) — join back on id_col if other columns
+    are needed downstream.
 
-    Plan shape: explode distinct tokens -> one groupBy with
+    Plan shape: explode distinct tokens -> one groupBy(id) with
     ``SIMHASH_BITS`` conditional sums (partial-aggregated) -> bit
-    recombination. One shuffle of (id, token-hash) pairs."""
+    recombination. The vote shuffle carries only (id, 60 vote ints) —
+    grouping by the id alone keeps the document text OFF the exchange,
+    which at 100 TB is the dominant cost of the pipeline."""
     toks = (
         df.select(
-            "*", F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+            F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
         )
         .withColumn("th", hash64(F.col("tok")))
     )
@@ -138,15 +144,14 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias(f"v_{j}")
         for j in range(SIMHASH_BITS)
     ]
-    keys = [c for c in df.columns]
-    agg = toks.groupBy(*keys).agg(*votes)
+    agg = toks.groupBy(id_col).agg(*votes)
     sim = None
     for j in range(SIMHASH_BITS):
         bit = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sim = bit if sim is None else sim + bit
-    return agg.select(*keys, sim.alias("simhash"))
+    return agg.select(id_col, sim.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -93,10 +93,15 @@ LIMIT 10
     tags=("analytics", "join", "tpch"),
 )
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: fact-fact join + broadcast dim filter + top-K.
-    customer (a dim at this schema's proportions) broadcasts; the
+    """TPC-H Q3 shape: fact-fact join + dim filter + top-K. The
     orders<->lineitem equi-join shuffles on the order key; the final
-    top-10 is TakeOrdered, not a global sort."""
+    top-10 is TakeOrdered, not a global sort.
+
+    customer is NOT force-broadcast: it grows with SF (~150k rows x SF),
+    so a hint that is right at sf0.1 becomes an executor-OOM at 100 TB.
+    The optimizer broadcasts it while its size estimate is under the
+    threshold and falls back to a shuffle join beyond — AQE re-plans at
+    runtime from actual sizes."""
     cust = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -108,7 +113,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
         .select(
@@ -139,10 +144,14 @@ GROUP BY n_name
     tags=("analytics", "join", "tpch"),
 )
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: six-way join. region/nation/supplier/customer
-    broadcast (small dims); the lineitem<->orders fact-fact join is the
-    only shuffle. Join order keeps the selective region filter upstream
-    so dynamic partition pruning can kick in on a partitioned fact."""
+    """TPC-H Q5 shape: six-way join. Only the genuinely bounded dims
+    (region: 5 rows, nation: 25 rows — fixed at every SF) carry explicit
+    broadcast hints; supplier and customer scale with SF, so their join
+    strategy is left to the optimizer/AQE (broadcast while small,
+    shuffle join at 100 TB). The lineitem<->orders fact-fact join
+    shuffles on the order key. Join order keeps the selective region
+    filter upstream so dynamic partition pruning can kick in on a
+    partitioned fact."""
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -157,10 +166,10 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return (
-        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        li.join(dims, li.l_suppkey == dims.s_suppkey)
         .join(orders, F.col("l_orderkey") == orders.o_orderkey)
         .join(
-            F.broadcast(customer),
+            customer,
             (orders.o_custkey == customer.c_custkey)
             & (customer.c_nationkey == F.col("s_nationkey")),
         )

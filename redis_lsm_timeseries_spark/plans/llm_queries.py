@@ -622,7 +622,11 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature-extract over binary payloads via
     mapInPandas (the real multimodal codec slot — image/audio libs are
-    stubbed with a deterministic byte-statistics 'decoder')."""
+    stubbed with a deterministic byte-statistics 'decoder').
+
+    The internal API (operators/multimodal.py) returns the feature as
+    ``array<double>``; the catalog entry serializes it to a fixed-format
+    CSV string so the harness can canonicalize/hash the rows."""
     from redis_lsm_timeseries_spark.operators.multimodal import (
         extract_features,
     )
@@ -631,4 +635,14 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary = d.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    return extract_features(binary)
+    feats = extract_features(binary)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "mean_byte",
+        "width",
+        "height",
+        F.concat_ws(
+            ",", F.transform(F.col("feature"), lambda x: F.format_string("%.6f", x))
+        ).alias("feature_csv"),
+    )

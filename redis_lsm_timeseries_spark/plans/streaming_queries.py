@@ -49,9 +49,13 @@ def stream_rollup_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     The tumbling window is the engine's partition function:
     window(ts, W) groups by ts - ts % W."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source requires a DIRECTORY; sf_dir holds one
+    # parquet file per table, so stream the directory with a glob that
+    # admits only the events file.
     stream = (
         spark.readStream.schema(EVENTS_NS_SCHEMA)
-        .parquet(f"{sf_dir}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
         .select(
             F.col("event_type"),
             F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),

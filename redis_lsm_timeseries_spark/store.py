@@ -187,16 +187,19 @@ class TimeseriesStore:
         if key_value_pairs is None:
             raise ValidationError("input batch is required")
         if isinstance(key_value_pairs, Mapping):
-            rows = [
-                (tag, ts, value)
-                for tag, series in key_value_pairs.items()
-                for ts, value in series.items()
-            ]
+            # Validate the per-tag shape BEFORE iterating .items() — a
+            # non-mapping series must raise ValidationError, not
+            # AttributeError.
             for tag, series in key_value_pairs.items():
                 if not isinstance(series, Mapping):
                     raise ValidationError(
                         f"value for tag {tag!r} must be a mapping of ts -> value"
                     )
+            rows = [
+                (tag, ts, value)
+                for tag, series in key_value_pairs.items()
+                for ts, value in series.items()
+            ]
         else:
             try:
                 rows = [(t, ts, v) for (t, ts, v) in key_value_pairs]
@@ -228,20 +231,22 @@ class TimeseriesStore:
 
     # ------------------------------------------------------------------ hot
     def hot(self) -> DataFrame:
-        """The hot table as a DataFrame (empty-safe)."""
+        """The hot table as a DataFrame. A never-written store reads as
+        empty (the path does not exist yet); any OTHER failure — corrupt
+        files, permissions — propagates instead of masquerading as an
+        empty store. (The existence check is a local-FS/HDFS idiom; a
+        lakehouse deployment replaces it with a catalog lookup.)"""
         self._require_init()
-        try:
-            return self.spark.read.schema(SAMPLE_SCHEMA).parquet(self.config.hot_path)
-        except Exception:
+        if not os.path.exists(self.config.hot_path):
             return self.spark.createDataFrame([], SAMPLE_SCHEMA)
+        return self.spark.read.schema(SAMPLE_SCHEMA).parquet(self.config.hot_path)
 
     def cold(self) -> DataFrame:
         self._require_init()
-        try:
-            df = self.spark.read.parquet(self.config.cold_path)
-            return df.select(*[f.name for f in SAMPLE_SCHEMA.fields])
-        except Exception:
+        if not os.path.exists(self.config.cold_path):
             return self.spark.createDataFrame([], SAMPLE_SCHEMA)
+        df = self.spark.read.parquet(self.config.cold_path)
+        return df.select(*[f.name for f in SAMPLE_SCHEMA.fields])
 
     # ------------------------------------------------------------------ O4
     def read_index(self, ranges: Mapping[str, tuple] | Mapping[str, Mapping]) -> DataFrame:

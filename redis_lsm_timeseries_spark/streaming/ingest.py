@@ -47,9 +47,17 @@ def start_hot_ingest(
     """Continuous ingest into the hot table.
 
     Derives the same ingest metadata the batch path derives (O3): the
-    micro-batch commit time as ``ingest_ts``, a writer id, and a
-    monotonic ``seq`` — so streamed and batch-written samples merge
-    under one LWW rule.
+    micro-batch commit time as ``ingest_ts``, a writer id, and a ``seq``
+    — so streamed and batch-written samples merge under one LWW rule.
+
+    ``seq`` is a deterministic content hash rather than a monotonic
+    counter: ``monotonically_increasing_id()`` is illegal on streaming
+    DataFrames (analysis-time error), and a content-derived seq is also
+    replay-stable — a micro-batch re-run after failure assigns the same
+    seq to the same sample, so LWW tie-breaks don't depend on scheduling.
+    Within one micro-batch the reference's "last entry wins" order is
+    carried by ``ingest_ts`` (the batch commit time); distinct batches
+    never tie on it.
     """
     w = store.config.partition_width
     enriched = (
@@ -57,7 +65,10 @@ def start_hot_ingest(
             "ingest_ts", (F.unix_micros(F.current_timestamp()) / 1000).cast("long")
         )
         .withColumn("writer_id", F.lit(writer_id))
-        .withColumn("seq", F.monotonically_increasing_id().cast("long"))
+        .withColumn(
+            "seq",
+            F.pmod(F.xxhash64("tag", "ts", "value"), F.lit(2**62)).cast("long"),
+        )
         .withColumn(
             "part_start",
             (F.col("ts") - F.pmod(F.col("ts"), F.lit(w))).cast("long"),

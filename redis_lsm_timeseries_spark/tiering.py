@@ -35,6 +35,7 @@ the manual partition overwrite on a lakehouse deployment).
 
 from __future__ import annotations
 
+import os
 import shutil
 import time
 import uuid
@@ -64,14 +65,14 @@ def _now_ms() -> int:
 
 
 def purge_log(store: TimeseriesStore) -> DataFrame:
-    """The append-only protocol table (the purge stream analog)."""
+    """The append-only protocol table (the purge stream analog). Reads
+    as empty only when never written; other read failures propagate."""
     store._require_init()
-    try:
-        return store.spark.read.schema(PURGE_LOG_SCHEMA).parquet(
-            store.config.purge_log_path
-        )
-    except Exception:
+    if not os.path.exists(store.config.purge_log_path):
         return store.spark.createDataFrame([], PURGE_LOG_SCHEMA)
+    return store.spark.read.schema(PURGE_LOG_SCHEMA).parquet(
+        store.config.purge_log_path
+    )
 
 
 def _append_log(store: TimeseriesStore, rows: list[tuple]) -> None:
@@ -209,9 +210,12 @@ def purge_ack(
         shutil.rmtree(part_dir, ignore_errors=True)
     else:
         # Dynamic partition overwrite: only the acked partition's
-        # directory is replaced (session.py sets partitionOverwriteMode).
+        # directory is replaced. Set per-write (not just session-wide in
+        # session.py) — with a static-overwrite session default this
+        # writer would silently DELETE every other hot partition.
         (
             remaining.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*store.config.partition_cols)
             .parquet(store.config.hot_path)
         )

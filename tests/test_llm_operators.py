@@ -86,8 +86,10 @@ class TestMultimodal:
         rows2 = {r.doc_id: r for r in df.collect()}
         assert rows1.keys() == rows2.keys()
         some = next(iter(rows1.values()))
-        assert len(some.feature) == 8
-        assert abs(sum(some.feature) - 1.0) < 1e-9  # histogram normalized
+        feature = [float(t) for t in some.feature_csv.split(",")]
+        assert len(feature) == 8
+        # histogram normalized (1e-5 tolerance: CSV carries 6 decimals)
+        assert abs(sum(feature) - 1.0) < 1e-5
         for k in rows1:
             assert rows1[k].mean_byte == rows2[k].mean_byte
         # n_bytes must equal the utf-8 length of the text.

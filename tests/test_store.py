@@ -263,3 +263,19 @@ class TestPhysicalLayout:
             json.dump({"epoch": "garbage"}, fh)
         with pytest.raises(ValidationError):
             TimeseriesStore(spark, cfg).initialize()
+
+    def test_unwritten_store_reads_empty(self, store):
+        assert store.hot().count() == 0
+
+    def test_corrupt_hot_store_raises(self, store):
+        """A broken hot store must ERROR, not read as empty — an empty
+        result from a corrupted table is silent data loss."""
+        import os
+
+        store.write([("t", 1, "v")])
+        part_dir = f"{store.config.hot_path}/tag=t/part_start=0"
+        [pq] = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        with open(f"{part_dir}/{pq}", "wb") as fh:
+            fh.write(b"this is not parquet")
+        with pytest.raises(Exception):
+            store.read_range({"t": (0, 10)}).collect()
