@@ -81,16 +81,32 @@ def cosine_topk(
     )
 
 
+def plane_components(plane: int, dim: int) -> list[float]:
+    """Plane ``plane``'s components: +1/-1 by md5 parity of
+    'p{plane}:{i}' — the identical value the DuckDB oracle derives with
+    its own md5, so buckets agree across engines. Computed ONCE on the
+    driver; embedding them as literals keeps 64 x planes md5 calls per
+    ROW out of the executors."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"p{plane}:{i}".encode()).hexdigest()[:15], 16) % 2 == 0
+        else -1.0
+        for i in range(dim)
+    ]
+
+
 def hyperplane_sign(vec_col: str, plane: int, dim: int) -> Column:
-    """Sign bit for one pseudo-random hyperplane: the plane's component
-    i is +1/-1 by parity of hash64('p{plane}:{i}') — reproducible in
-    SQL. Returns 0/1."""
-    comp = (
-        f"IF(CAST(conv(substring(md5(concat('p{plane}:', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0, 1.0D, -1.0D)"
+    """Sign bit for one pseudo-random hyperplane (0/1). The dot with
+    the literal component array keeps the same sequential accumulation
+    the oracle's list_reduce performs — bitwise-equal sign decisions."""
+    comps = ", ".join(
+        f"{c:.1f}D" for c in plane_components(plane, dim)
     )
     return (
         F.expr(
-            f"aggregate(zip_with({vec_col}, transform(sequence(0, {dim - 1}), i -> {comp}), (x, s) -> x * s), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            f"aggregate(zip_with({vec_col}, array({comps}), (x, s) -> x * s), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
         > 0
     ).cast("int")
@@ -112,6 +128,43 @@ def with_lsh_bucket(
         )
         bucket = bit if bucket is None else bucket + bit
     return out.withColumn("lsh_bucket", bucket).drop("_dv")
+
+
+def with_lsh_bands(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_bands: int = 4,
+    planes_per_band: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Banded random-hyperplane LSH: explode each vector into
+    ``num_bands`` (band_idx, band_bucket) rows, where band b's bucket is
+    the sign pattern of planes [b*r, (b+1)*r). Near-dup candidates are
+    pairs sharing >= 1 band bucket — misses require EVERY band to split
+    the pair, so recall approaches 1 for high-cosine pairs while the
+    join stays bucket-local (the MinHash-banding trick applied to
+    hyperplane signatures).
+
+    Output: the input columns + (band_idx, band_bucket)."""
+    dv = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    out = df.withColumn("_dv", F.expr(dv))
+    bands = []
+    for b in range(num_bands):
+        bucket = None
+        for p in range(planes_per_band):
+            bit = hyperplane_sign("_dv", b * planes_per_band + p, dim).cast(
+                "long"
+            ) * F.lit(1 << p).cast("long")
+            bucket = bit if bucket is None else bucket + bit
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_idx"), bucket.alias("band_bucket")
+            )
+        )
+    return (
+        out.withColumn("band", F.explode(F.array(*bands)))
+        .select(*df.columns, "band.band_idx", "band.band_bucket")
+    )
 
 
 def lsh_bucket_topk(

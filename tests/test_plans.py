@@ -42,6 +42,15 @@ class TestBroadcastJoins:
         assert "CartesianProduct" not in plan, f"{name}: cartesian product!"
 
 
+class TestNearDupShape:
+    def test_near_dup_pairs_no_cartesian(self, spark):
+        """embedding_near_dup_pairs must be a bucket-local equi-join,
+        never an all-pairs cross join."""
+        plan = _plan(spark, "embedding_near_dup_pairs")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 class TestPushdown:
     def test_filter_reaches_parquet_scan(self, spark):
         plan = _plan(spark, "tpch_q1_pricing_summary")
