@@ -13,5 +13,6 @@ from redis_lsm_timeseries_spark.plans import reference_queries  # noqa: F401, E4
 from redis_lsm_timeseries_spark.plans import analytics_queries  # noqa: F401, E402
 from redis_lsm_timeseries_spark.plans import llm_queries  # noqa: F401, E402
 from redis_lsm_timeseries_spark.plans import streaming_queries  # noqa: F401, E402
+from redis_lsm_timeseries_spark.plans import lifecycle_queries  # noqa: F401, E402
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -1,0 +1,129 @@
+"""Tiering lifecycle as a driver-checkable query.
+
+The purge pipeline (O8 ``purgeScan`` -> O9 ``purgeAck``,
+``enqueue-purge.lua`` / ``ack-purge.lua``) is a sequence of MUTATIONS,
+so it can't be a pure query over the shared testdata. This entry runs
+the whole lifecycle inside a throwaway temp store built
+deterministically from ``events`` and returns the post-ack hot read;
+the DuckDB oracle recomputes the expected end state in pure SQL:
+
+    hot_after_ack = base EXCEPT rows-in-marked-partitions
+                    UNION the one row written AFTER its partition was
+                    marked (write-after-mark survives ack —
+                    ``test/consumer-test.js:936-989``, ``index.js:81``)
+
+Determinism: every ingest_ts is pinned (1000 base / 3000 late), the
+input collapses to one row per (tag, ts) so LWW never tie-breaks on
+generated ids, and purge_scan's eligibility sort (last_seen, tag,
+part_start) reduces to (tag, part_start) because all base rows share
+one ingest_ts — the oracle's ORDER BY tag, part_start LIMIT K selects
+the identical mark set.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from redis_lsm_timeseries_spark.config import EngineConfig
+from redis_lsm_timeseries_spark.operators.lww import lww_latest
+from redis_lsm_timeseries_spark.plans.catalog import register
+from redis_lsm_timeseries_spark.sources.testdata import load_events
+from redis_lsm_timeseries_spark.store import TimeseriesStore
+from redis_lsm_timeseries_spark.tiering import (
+    purge_ack,
+    purge_ack_many,
+    purge_scan,
+)
+
+LIFECYCLE_W = 86_400_000  # 1-day partitions over the events time span
+LIFECYCLE_K = 10  # partitions to mark (reference default, index.js:290)
+SUBSET_MOD = 20  # bound the temp store to events/20
+
+
+@register(
+    "tiering_purge_lifecycle",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type AS tag, epoch_ms(ts) AS ts,
+         CAST(max(event_id) AS VARCHAR) AS value
+  FROM events
+  WHERE event_id % {SUBSET_MOD} = 0
+  GROUP BY event_type, epoch_ms(ts)
+), parts AS (
+  SELECT DISTINCT tag, ts - ts % {LIFECYCLE_W} AS part_start FROM base
+), marked AS (
+  SELECT tag, part_start FROM parts
+  ORDER BY tag, part_start LIMIT {LIFECYCLE_K}
+), first_mark AS (
+  SELECT tag, part_start FROM marked ORDER BY tag, part_start LIMIT 1
+), survivors AS (
+  SELECT b.tag, b.ts, b.value
+  FROM base b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM marked m
+    WHERE m.tag = b.tag AND m.part_start = b.ts - b.ts % {LIFECYCLE_W}
+  )
+)
+SELECT tag, ts, value FROM survivors
+UNION ALL
+SELECT tag, part_start AS ts, 'late-write' AS value FROM first_mark
+""",
+    tags=("tiering", "lifecycle", "mutation"),
+)
+def tiering_purge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full mark -> write-after-mark -> ack lifecycle in a temp store;
+    returns the post-ack hot read (LWW-merged).
+
+    Exercises: O2 bulk + batch writes, O8 purge_scan coldness aggregate
+    + snapshot, O9 purge_ack idempotent anti-join delete (exact-member,
+    so the late write survives), and the hot read over the mutated
+    store. The result is localCheckpoint'ed so the temp directory can
+    be removed before returning."""
+    base_dir = tempfile.mkdtemp(prefix="rlts_lifecycle_")
+    try:
+        cfg = EngineConfig(root=base_dir, partition_width=LIFECYCLE_W)
+        store = TimeseriesStore(spark, cfg)
+        store.initialize()
+
+        ev = load_events(spark, sf_dir).where(
+            F.col("event_id") % SUBSET_MOD == 0
+        )
+        base = (
+            ev.groupBy(
+                F.col("event_type").alias("tag"), F.col("ts_ms").alias("ts")
+            )
+            .agg(F.max("event_id").cast("string").alias("value"))
+            .withColumn("seq", F.lit(0).cast("long"))
+        )
+        store.write_df(base, ingest_ts=1000)
+
+        marks = purge_scan(
+            store,
+            partition_age_threshold_s=0.0,
+            max_partitions_to_mark=LIFECYCLE_K,
+            now_ms=2000,
+        )
+        if not marks:
+            raise RuntimeError("lifecycle query marked no partitions")
+
+        # Write INTO the first marked partition after the mark: the ack
+        # removes only snapshotted members, so this row must survive.
+        first = marks[0]
+        store.write(
+            [(first.tag, first.part_start, "late-write")], ingest_ts=3000
+        )
+
+        acked = purge_ack_many(store, [m.purge_id for m in marks])
+        if not all(acked.values()):
+            raise RuntimeError(f"ack failed: {acked}")
+        # Re-ack must be a no-op (idempotency gate, ack-purge.lua:7-8).
+        if purge_ack(store, marks[0].purge_id):
+            raise RuntimeError("re-ack was not idempotent")
+
+        out = lww_latest(store.hot()).select("tag", "ts", "value")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

@@ -146,12 +146,24 @@ class TimeseriesStore:
         partitions = len({(t, ps) for (t, _, _, _, _, _, ps) in data})
         return WriteMetrics(rows_written=len(data), partitions_touched=partitions)
 
-    def write_df(self, df: DataFrame, ingest_ts: int | None = None) -> None:
+    def write_df(
+        self,
+        df: DataFrame,
+        ingest_ts: int | None = None,
+        cluster_by_partition: bool = True,
+    ) -> None:
         """Bulk ingest path for DataFrame-shaped input (columns
         ``tag, ts, value`` at minimum; ``ingest_ts/writer_id/seq`` kept
         if present). No batch-size cap — the 2,000-sample cap is client
         admission control (``index.js:12``), meaningless for a
-        distributed bulk load; validation here is schema-shape only."""
+        distributed bulk load; validation here is schema-shape only.
+
+        ``cluster_by_partition`` (default) shuffles rows onto their
+        (tag, part_start) key before the partitioned write, so each
+        partition directory gets ONE file per batch instead of one per
+        input task — without it a 32-task batch over P partitions emits
+        up to 32*P small files, and small-file explosion is what kills
+        partitioned stores at scale. Disable for pre-clustered input."""
         self._require_init()
         cols = set(df.columns)
         if not {"tag", "ts", "value"} <= cols:
@@ -170,7 +182,10 @@ class TimeseriesStore:
             "part_start",
             (F.col("ts") - F.pmod(F.col("ts"), F.lit(self.config.partition_width))).cast("long"),
         )
-        self._append_hot(df.select(*[f.name for f in SAMPLE_SCHEMA.fields]))
+        out = df.select(*[f.name for f in SAMPLE_SCHEMA.fields])
+        if cluster_by_partition:
+            out = out.repartition("tag", "part_start")
+        self._append_hot(out)
 
     def _append_hot(self, df: DataFrame) -> None:
         writer = df

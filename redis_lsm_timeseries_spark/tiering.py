@@ -134,84 +134,122 @@ def purge_scan(
     if not selected:
         return []
 
-    marks: list[PurgeMark] = []
-    log_rows: list[tuple] = []
-    for row in selected:
-        purge_id = uuid.uuid4().hex[:16]
-        # Snapshot the partition's CURRENT members — the exact set the
-        # ack will remove (enqueue-purge.lua:17-18 serializes the whole
-        # partition into the stream entry).
-        snap = store.hot().where(
-            (F.col("tag") == row.tag) & (F.col("part_start") == row.part_start)
+    marks = [
+        PurgeMark(
+            purge_id=uuid.uuid4().hex[:16],
+            tag=row.tag,
+            part_start=row.part_start,
+            n_rows=row.n,
         )
-        (
-            snap.withColumn("purge_id", F.lit(purge_id))
-            .write.mode("append")
-            .partitionBy("purge_id", "tag", "part_start")
-            .parquet(store.config.cold_path)
-        )
-        marks.append(
-            PurgeMark(
-                purge_id=purge_id,
-                tag=row.tag,
-                part_start=row.part_start,
-                n_rows=row.n,
-            )
-        )
-        log_rows.append(
-            (purge_id, row.tag, row.part_start, "marked", now_ms, row.n)
-        )
-    _append_log(store, log_rows)
+        for row in selected
+    ]
+    # Snapshot every selected partition's CURRENT members in ONE write
+    # job — the exact sets the ack will remove (enqueue-purge.lua:17-18
+    # serializes the whole partition into the stream entry). The mark
+    # list is <= K rows, so the id assignment is a broadcast join; the
+    # hot scan is partition-pruned to the marked partitions.
+    mark_df = store.spark.createDataFrame(
+        [(m.purge_id, m.tag, m.part_start) for m in marks],
+        "purge_id string, tag string, part_start long",
+    )
+    snap = store.hot().join(F.broadcast(mark_df), ["tag", "part_start"])
+    (
+        snap.select("purge_id", *[f.name for f in SAMPLE_SCHEMA.fields])
+        .repartition("purge_id")
+        .write.mode("append")
+        .partitionBy("purge_id", "tag", "part_start")
+        .parquet(store.config.cold_path)
+    )
+    _append_log(
+        store,
+        [(m.purge_id, m.tag, m.part_start, "marked", now_ms, m.n_rows) for m in marks],
+    )
     return marks
 
 
 def purge_ack(
     store: TimeseriesStore, purge_id: str, now_ms: int | None = None
 ) -> bool:
-    """Commit an eviction: remove exactly the snapshotted members from
-    the hot partition (reference ``purgeAck`` -> ``ack-purge.lua``).
+    """Commit one eviction (reference ``purgeAck`` -> ``ack-purge.lua``).
+    See ``purge_ack_many`` for semantics; this is the single-id form
+    matching the reference API."""
+    return purge_ack_many(store, [purge_id], now_ms=now_ms)[purge_id]
 
-    Idempotent: returns False if the purge id is unknown or already
-    acked (``ack-purge.lua:7-8, 27``). Members written after the mark
-    survive (``test/consumer-test.js:936-989``) because the delete is an
-    anti-join on full member identity, not a partition drop. The hot
-    partition directory is removed when it empties — the analog of
-    dropping the tag-index entry for a vanished partition
-    (``ack-purge.lua:21-23``)."""
+
+def purge_ack_many(
+    store: TimeseriesStore, purge_ids: list[str], now_ms: int | None = None
+) -> dict[str, bool]:
+    """Commit a batch of evictions in ONE delete job: remove exactly
+    the snapshotted members from the hot partitions.
+
+    Idempotent per id: maps to False if the purge id is unknown or
+    already acked (``ack-purge.lua:7-8, 27``). Members written after
+    the mark survive (``test/consumer-test.js:936-989``) because the
+    delete is an anti-join on full member identity, not a partition
+    drop. Hot partition directories are removed when they empty — the
+    analog of dropping the tag-index entry for a vanished partition
+    (``ack-purge.lua:21-23``).
+
+    The reference acks one stream entry per Lua call; batching N acks
+    into one partition-pruned anti-join + one dynamic-partition
+    overwrite is the engine-level equivalent of its consumer loop, at
+    1/N the job count. On a lakehouse table this whole function is one
+    Delta ``MERGE ... WHEN MATCHED DELETE``."""
     store._require_init()
     if now_ms is None:
         now_ms = _now_ms()
+    result = {pid: False for pid in purge_ids}
 
-    log = purge_log(store).where(F.col("purge_id") == purge_id)
-    states = {r.status for r in log.select("status").distinct().collect()}
-    if "marked" not in states or "acked" in states:
-        return False
-    mark = log.where(F.col("status") == "marked").first()
+    log = purge_log(store).where(F.col("purge_id").isin(list(purge_ids)))
+    states: dict[str, set] = {}
+    marks: dict[str, tuple] = {}
+    for r in log.collect():
+        states.setdefault(r.purge_id, set()).add(r.status)
+        if r.status == "marked":
+            marks[r.purge_id] = (r.tag, r.part_start, r.n_rows)
+    valid = [
+        pid
+        for pid in purge_ids
+        if "marked" in states.get(pid, set()) and "acked" not in states[pid]
+    ]
+    if not valid:
+        return result
 
     snapshot = (
         store.spark.read.parquet(store.config.cold_path)
-        .where(F.col("purge_id") == purge_id)
+        .where(F.col("purge_id").isin(valid))
         .select(*MEMBER_IDENTITY_COLS)
     )
-    hot_part = store.hot().where(
-        (F.col("tag") == mark.tag) & (F.col("part_start") == mark.part_start)
-    )
-    remainder = hot_part.join(
+    affected = {(marks[pid][0], marks[pid][1]) for pid in valid}
+    part_pred = F.lit(False)
+    for tag, part_start in affected:
+        part_pred = part_pred | (
+            (F.col("tag") == tag) & (F.col("part_start") == part_start)
+        )
+    hot_parts = store.hot().where(part_pred)
+    remainder = hot_parts.join(
         F.broadcast(snapshot), on=MEMBER_IDENTITY_COLS, how="left_anti"
     )
-    # Materialize before overwriting the directory we just read
-    # (Spark refuses / corrupts a self-overwrite otherwise). On a
-    # lakehouse table this whole block is one Delta MERGE ... DELETE.
-    remaining = remainder.select(*[f.name for f in SAMPLE_SCHEMA.fields]).localCheckpoint()
-    part_dir = (
-        f"{store.config.hot_path}/tag={mark.tag}/part_start={mark.part_start}"
-    )
-    if remaining.isEmpty():
-        shutil.rmtree(part_dir, ignore_errors=True)
-    else:
-        # Dynamic partition overwrite: only the acked partition's
-        # directory is replaced. Set per-write (not just session-wide in
-        # session.py) — with a static-overwrite session default this
+    # Materialize before overwriting the directories we just read
+    # (Spark refuses / corrupts a self-overwrite otherwise).
+    remaining = remainder.select(
+        *[f.name for f in SAMPLE_SCHEMA.fields]
+    ).localCheckpoint()
+    nonempty = {
+        (r.tag, r.part_start)
+        for r in remaining.select("tag", "part_start").distinct().collect()
+    }
+    for tag, part_start in affected - nonempty:
+        # Partition fully evicted: dynamic overwrite rewrites only
+        # partitions present in the output, so drop emptied ones here.
+        shutil.rmtree(
+            f"{store.config.hot_path}/tag={tag}/part_start={part_start}",
+            ignore_errors=True,
+        )
+    if nonempty:
+        # Dynamic partition overwrite: only the acked partitions'
+        # directories are replaced. Set per-write (not just session-wide
+        # in session.py) — with a static-overwrite session default this
         # writer would silently DELETE every other hot partition.
         (
             remaining.write.mode("overwrite")
@@ -221,9 +259,14 @@ def purge_ack(
         )
     _append_log(
         store,
-        [(purge_id, mark.tag, mark.part_start, "acked", now_ms, mark.n_rows)],
+        [
+            (pid, marks[pid][0], marks[pid][1], "acked", now_ms, marks[pid][2])
+            for pid in valid
+        ],
     )
-    return True
+    for pid in valid:
+        result[pid] = True
+    return result
 
 
 def purge_payload(store: TimeseriesStore, purge_id: str) -> DataFrame:
