@@ -33,13 +33,14 @@ from redis_lsm_timeseries_spark.plans.catalog import register
 from redis_lsm_timeseries_spark.sources.testdata import load_events
 from redis_lsm_timeseries_spark.store import TimeseriesStore
 from redis_lsm_timeseries_spark.tiering import (
+    compact,
     purge_ack,
     purge_ack_many,
     purge_scan,
 )
 
-LIFECYCLE_W = 86_400_000  # 1-day partitions over the events time span
-LIFECYCLE_K = 10  # partitions to mark (reference default, index.js:290)
+LIFECYCLE_W = 604_800_000  # 7-day partitions over the events time span
+LIFECYCLE_K = 4  # partitions to mark per scan (maxPartitionsToMark)
 SUBSET_MOD = 20  # bound the temp store to events/20
 
 
@@ -124,6 +125,60 @@ def tiering_purge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError("re-ack was not idempotent")
 
         out = lww_latest(store.hot()).select("tag", "ts", "value")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@register(
+    "compaction_rewrite",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type AS tag, epoch_ms(ts) AS ts,
+         CAST(max(event_id) AS VARCHAR) AS value
+  FROM events
+  WHERE event_id % {SUBSET_MOD} = 0
+  GROUP BY event_type, epoch_ms(ts)
+)
+SELECT tag, ts,
+       CASE WHEN ts % 2 = 0 THEN value || '-u' ELSE value END AS value
+FROM base
+""",
+    tags=("tiering", "compaction", "mutation"),
+)
+def compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW compaction (``recipe:43``'s open TODO): load a base batch,
+    update half the keys in a second batch (duplicate members, LSM
+    style), run ``compact``, and return the RAW hot read — no LWW merge
+    on the way out, so the check only passes if compaction PHYSICALLY
+    collapsed every duplicate to its winner."""
+    base_dir = tempfile.mkdtemp(prefix="rlts_compact_")
+    try:
+        cfg = EngineConfig(root=base_dir, partition_width=LIFECYCLE_W)
+        store = TimeseriesStore(spark, cfg)
+        store.initialize()
+
+        ev = load_events(spark, sf_dir).where(
+            F.col("event_id") % SUBSET_MOD == 0
+        )
+        base = (
+            ev.groupBy(
+                F.col("event_type").alias("tag"), F.col("ts_ms").alias("ts")
+            )
+            .agg(F.max("event_id").cast("string").alias("value"))
+            .withColumn("seq", F.lit(0).cast("long"))
+        )
+        store.write_df(base, ingest_ts=1000)
+        updates = base.where(F.col("ts") % 2 == 0).withColumn(
+            "value", F.concat(F.col("value"), F.lit("-u"))
+        )
+        store.write_df(updates, ingest_ts=2000)
+
+        metrics = compact(store)
+        if metrics.rows_after >= metrics.rows_before:
+            raise RuntimeError(f"compaction removed nothing: {metrics}")
+
+        out = store.hot().select("tag", "ts", "value")
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)

@@ -77,7 +77,13 @@ def stream_rollup_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_v",
         )
     )
-    sink_name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    return _run_to_memory_sink(spark, agg, "stream_rollup")
+
+
+def _run_to_memory_sink(spark: SparkSession, agg: DataFrame, prefix: str) -> DataFrame:
+    """Drive a finite streaming aggregation to completion in COMPLETE
+    mode and return the memory-sink table."""
+    sink_name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.format("memory")
         .queryName(sink_name)
@@ -89,3 +95,77 @@ def stream_rollup_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(sink_name)
+
+
+SESSION_GAP_MS = 1_800_000  # 30 minutes
+
+
+@register(
+    "stream_sessionize_users",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, "value" AS v FROM events
+), o AS (
+  SELECT user_id, ts_ms, v,
+         lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS prev
+  FROM e
+), m AS (
+  SELECT user_id, ts_ms, v,
+         CASE WHEN prev IS NULL OR ts_ms - prev > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+), s AS (
+  SELECT user_id, ts_ms, v,
+         sum(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts_ms
+           ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM m
+)
+SELECT user_id,
+       min(ts_ms) AS session_start_ms,
+       max(ts_ms) + {SESSION_GAP_MS} AS session_end_ms,
+       count(*) AS n_events,
+       CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+FROM s GROUP BY user_id, sid
+""",
+    tags=("streaming", "session"),
+)
+def stream_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native stateful streaming sessionization: ``session_window`` with
+    a 30-minute gap per user, run as a real streaming query (StateStore
+    session merging across micro-batches) and returned as the final
+    table. The batch gaps-and-islands oracle computes the identical
+    sessions.
+
+    Timestamps are truncated to MILLISECONDS on ingest: the oracle
+    sessionizes over epoch_ms, and a sub-millisecond residue on the gap
+    comparison would flip session boundaries between engines."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_NS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.col("user_id"),
+            F.timestamp_millis(F.expr("ts div 1000000")).alias("ts"),
+            F.col("value"),
+        )
+    )
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_v"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("session_window.end")).alias("session_end_ms"),
+            "n_events",
+            "sum_v",
+        )
+    )
+    return _run_to_memory_sink(spark, agg, "stream_session")

@@ -269,6 +269,73 @@ def purge_ack_many(
     return result
 
 
+@dataclass(frozen=True)
+class CompactionMetrics:
+    partitions_compacted: int
+    rows_before: int
+    rows_after: int
+
+
+def compact(store: TimeseriesStore) -> CompactionMetrics:
+    """LWW compaction: rewrite hot partitions that contain superseded
+    members, keeping only each (tag, ts) key's LWW winner.
+
+    The reference sketches exactly this as an open TODO
+    (``recipe:43`` — "keep only the latest" when merging duplicate
+    scores); reads are correct without it (the LWW merge runs at read
+    time), so compaction is purely a storage/scan-cost maintenance job,
+    like an LSM segment merge.
+
+    Scale shape: one partial-aggregated duplicate-detection pass over
+    (tag, part_start, ts), then the rewrite touches ONLY partitions
+    that actually hold duplicates — a partition-pruned scan + dynamic
+    partition overwrite. Tombstones (NULL-value winners) are KEPT: they
+    still shadow older members in the cold tier on hot-union-cold reads.
+    """
+    store._require_init()
+    hot = store.hot()
+    dup_parts = [
+        (r.tag, r.part_start)
+        for r in (
+            hot.groupBy("tag", "part_start", "ts")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .select("tag", "part_start")
+            .distinct()
+            .collect()
+        )
+    ]
+    if not dup_parts:
+        return CompactionMetrics(0, 0, 0)
+    pred = F.lit(False)
+    for tag, part_start in dup_parts:
+        pred = pred | (
+            (F.col("tag") == tag) & (F.col("part_start") == part_start)
+        )
+    from redis_lsm_timeseries_spark.operators.lww import lww_latest
+
+    target = hot.where(pred)
+    rows_before = target.count()
+    winners = (
+        lww_latest(target)
+        .select(*[f.name for f in SAMPLE_SCHEMA.fields])
+        .repartition("tag", "part_start")
+        .localCheckpoint()
+    )
+    rows_after = winners.count()
+    (
+        winners.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*store.config.partition_cols)
+        .parquet(store.config.hot_path)
+    )
+    return CompactionMetrics(
+        partitions_compacted=len(dup_parts),
+        rows_before=rows_before,
+        rows_after=rows_after,
+    )
+
+
 def purge_payload(store: TimeseriesStore, purge_id: str) -> DataFrame:
     """Decode a purge snapshot back into samples (reference
     ``parsePurgePayload``, ``index.js:350-355``), LWW-merged the same

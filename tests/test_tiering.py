@@ -8,7 +8,9 @@ import os
 import pytest
 
 from redis_lsm_timeseries_spark.tiering import (
+    compact,
     purge_ack,
+    purge_ack_many,
     purge_log,
     purge_payload,
     purge_scan,
@@ -144,6 +146,62 @@ class TestPurgeAck:
         full = _read_all(store, include_cold=True)
         assert full.get(("GapTag", 2)) == "NewTwo"
         assert full.get(("GapTag", 1)) == "One"
+
+
+class TestBatchAck:
+    def test_ack_many_all_at_once(self, store):
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        marks = purge_scan(store, 0, 10, now_ms=T0 + 1_000)
+        result = purge_ack_many(
+            store, [m.purge_id for m in marks], now_ms=T0 + 2_000
+        )
+        assert all(result.values())
+        assert _read_all(store) == {}  # everything evicted from hot
+        assert _read_all(store, include_cold=True) == {
+            (t, ts): v for t, ts, v in GAP_SERIAL
+        }
+        # Batch re-ack: every id now reports False (idempotency).
+        again = purge_ack_many(
+            store, [m.purge_id for m in marks] + ["nonexistent"],
+            now_ms=T0 + 3_000,
+        )
+        assert not any(again.values())
+
+
+class TestCompaction:
+    def test_compact_keeps_lww_winners_only(self, store):
+        """recipe:43 'keep only latest': physical dedup, reads
+        unchanged."""
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        store.write(
+            [("GapTag", 2, "NewTwo"), ("SerialTag", 3, "NewThree")],
+            ingest_ts=T0 + 1_000,
+        )
+        before = _read_all(store)
+        assert before[("GapTag", 2)] == "NewTwo"
+        assert store.hot().count() == len(GAP_SERIAL) + 2
+
+        metrics = compact(store)
+        assert metrics.partitions_compacted == 2  # GapTag-0, SerialTag-0
+        # GapTag-0 holds {1, 2, 2'} = 3 members, SerialTag-0 holds
+        # {1, 2, 3, 3', 4} = 5; winners are 2 + 4.
+        assert metrics.rows_before == 8
+        assert metrics.rows_after == 6
+
+        assert _read_all(store) == before  # reads identical
+        assert store.hot().count() == len(GAP_SERIAL)  # duplicates gone
+        # Second compaction is a no-op.
+        assert compact(store).partitions_compacted == 0
+
+    def test_compact_keeps_tombstones(self, store):
+        """A NULL-value tombstone must survive compaction: it still
+        shadows older cold members on hot-union-cold reads."""
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        store.write([("GapTag", 2, None)], ingest_ts=T0 + 1_000)
+        compact(store)
+        assert ("GapTag", 2) not in _read_all(store)
+        raw = store.hot().where("tag = 'GapTag' AND ts = 2").collect()
+        assert len(raw) == 1 and raw[0].value is None
 
 
 class TestPurgePayload:
