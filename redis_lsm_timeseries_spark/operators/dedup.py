@@ -23,7 +23,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from redis_lsm_timeseries_spark.functions.portable import (
-    HASH64_SPARK_EXPR,
     hash64,
     shingles,
     tokens,
@@ -50,22 +49,81 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+MIX_MOD = 1 << 30
+
+
+def _mix_constants(num_hashes: int = NUM_HASHES) -> list[tuple[int, int, int]]:
+    """Deterministic 30-bit universal-hash constants (a odd, b odd, c)
+    per signature position, derived from md5 so they're reproducible
+    anywhere without a random seed."""
+    import hashlib
+
+    def c30(label: str) -> int:
+        return int(hashlib.md5(label.encode()).hexdigest()[:8], 16) % MIX_MOD
+
+    return [
+        (c30(f"A{j}") | 1, c30(f"B{j}") | 1, c30(f"C{j}"))
+        for j in range(num_hashes)
+    ]
+
+
+def _mix_sql(j: int, h: str, intdiv: str = "div") -> str:
+    """Signature position j from a 60-bit base hash ``h``: a 2-piece
+    universal hash (a*hi + b*lo + c) mod 2^30 — identical arithmetic in
+    Spark and DuckDB, no overflow (operands < 2^30, sum < 2^61).
+    ``intdiv`` is Spark's ``div`` / DuckDB's ``//``."""
+    a, b, c = _mix_constants()[j]
+    return (
+        f"(({a} * ({h} {intdiv} {MIX_MOD}) + {b} * ({h} % {MIX_MOD}) + {c})"
+        f" % {MIX_MOD})"
+    )
+
+
+def minhash_signature_expr(num_hashes: int = NUM_HASHES) -> Column:
+    """The full MinHash signature as ONE array<long> column (``mhs``),
+    computed in a single pass over the ``sh`` shingle array.
+
+    Cost shape: exactly ONE md5 per shingle (the portable 60-bit base
+    hash), then k cheap arithmetic mixes derive the k signature
+    positions — the (a*x + b) universal-hash family standard in MinHash
+    implementations. The whole signature is one expression tree and the
+    base hash is a bound lambda variable, so nothing is re-evaluated;
+    per-column formulations cost k md5 passes because lambda subtrees
+    defeat Spark's common-subexpression elimination.
+
+    Empty shingle arrays yield the max-init vector; filter short docs
+    before use."""
+    mixes = ", ".join(
+        f"CAST({_mix_sql(j, 'h')} AS BIGINT)" for j in range(num_hashes)
+    )
+    base = "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+    return F.expr(
+        f"aggregate("
+        f"  transform(sh, s -> {base}),"
+        f"  array_repeat(CAST({MIX_MOD} AS BIGINT), {num_hashes}),"
+        f"  (acc, h) -> zip_with(acc, array({mixes}), (a, x) -> least(a, x))"
+        f")"
+    )
+
+
 def with_minhash(
     df: DataFrame, text_col: str = "text", num_hashes: int = NUM_HASHES
 ) -> DataFrame:
-    """MinHash signature columns mh_0..mh_{k-1}, computed per row with
-    no shuffle: min over the shingle set of a seeded portable hash.
-    Empty shingle sets (docs under 3 tokens) get NULL signatures."""
-    out = df.withColumn("toks", tokens(text_col)).withColumn(
-        "sh", shingles("toks")
+    """Shingle + MinHash columns: adds ``sh`` (word 3-shingles) and
+    ``mhs`` (array<long> signature), computed per row with no shuffle.
+
+    NOTE: downstream consumers that reference ``mhs`` more than once
+    (signature column extraction, band keys, self-joins) should
+    materialize first (``localCheckpoint``) — projection collapse
+    otherwise inlines the signature computation into every consumer.
+    At scale this materialization IS the persisted signature table of a
+    real dedup pipeline."""
+    return (
+        df.withColumn("toks", tokens(text_col))
+        .withColumn("sh", shingles("toks"))
+        .withColumn("mhs", minhash_signature_expr(num_hashes))
+        .drop("toks")
     )
-    for j in range(num_hashes):
-        seeded = HASH64_SPARK_EXPR.format(e=f"concat(s, '#{j}')")
-        out = out.withColumn(
-            f"mh_{j}",
-            F.expr(f"array_min(transform(sh, s -> {seeded}))"),
-        )
-    return out.drop("toks")
 
 
 def lsh_bands(
@@ -74,8 +132,9 @@ def lsh_bands(
     num_hashes: int = NUM_HASHES,
     rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
-    """Explode MinHash signatures into (id, band_idx, band_key) rows.
-    band_key = md5 of the band's signature slice."""
+    """Explode MinHash signatures (``mhs`` array) into
+    (id, band_idx, band_key) rows. band_key = md5 of the band's
+    signature slice."""
     num_bands = num_hashes // rows_per_band
     bands = F.array(
         *[
@@ -85,7 +144,7 @@ def lsh_bands(
                     F.concat_ws(
                         ",",
                         *[
-                            F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                            F.col("mhs")[b * rows_per_band + r].cast("string")
                             for r in range(rows_per_band)
                         ],
                     )

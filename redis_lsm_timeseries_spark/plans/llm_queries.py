@@ -244,11 +244,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql_cols(num: int = D.NUM_HASHES) -> str:
+    """Twin of dedup.minhash_signature_expr: one 60-bit md5 base hash
+    per shingle, position j derived by the same universal-hash mix
+    (DuckDB ``//`` = Spark ``div``)."""
+    h = "(('0x' || substr(md5(s), 1, 15))::BIGINT)"
     cols = []
     for j in range(num):
-        h = HASH64_SQL.format(e=f"s || '#{j}'")
         cols.append(
-            f"list_min(list_transform(sh, s -> {h})) AS mh_{j}"
+            f"list_min(list_transform(sh, s -> {D._mix_sql(j, h, intdiv='//')})) AS mh_{j}"
         )
     return ",\n       ".join(cols)
 
@@ -277,13 +280,22 @@ SELECT * FROM sigs
     tags=("llm", "dedup", "minhash"),
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (12 portable hashes over word 3-shingles),
-    computed per row with array_min(transform(...)) — zero shuffles.
-    Differentially checks the entire signature pipeline bit-for-bit."""
+    """MinHash signatures (12 portable hashes — 6 md5s, two 60-bit
+    hashes each — over word 3-shingles), computed in one per-row pass
+    with zero shuffles. Differentially checks the entire signature
+    pipeline bit-for-bit. The signature table is materialized before
+    column extraction so the 12 mh_j projections read the array instead
+    of re-deriving it."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sig = D.with_minhash(d)
-    return sig.where(F.size(F.col("sh")) >= 1).select(
-        "doc_id", *[f"mh_{j}" for j in range(D.NUM_HASHES)]
+    sig = (
+        D.with_minhash(d)
+        .where(F.size(F.col("sh")) >= 1)
+        .select("doc_id", "mhs")
+        .localCheckpoint(eager=True)
+    )
+    return sig.select(
+        "doc_id",
+        *[F.col("mhs")[j].alias(f"mh_{j}") for j in range(D.NUM_HASHES)],
     )
 
 
@@ -321,9 +333,16 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH banding (4 bands x 3 rows): candidate pairs sharing
     >= 1 band bucket. Corpus = docs + one-token-appended near-dups, so
     the known-positive pairs (id, id + 10M) dominate the candidate set.
-    The band join shuffles on (band_idx, band_key) — never all-pairs."""
+    The band join shuffles on (band_idx, band_key) — never all-pairs.
+    Signatures are materialized before the self-join: both join sides
+    read the signature table instead of re-hashing the corpus."""
     corpus = _docs_with_near_copies(spark, sf_dir)
-    sig = D.with_minhash(corpus).where(F.size(F.col("sh")) >= 1)
+    sig = (
+        D.with_minhash(corpus)
+        .where(F.size(F.col("sh")) >= 1)
+        .select("doc_id", "mhs")
+        .localCheckpoint(eager=True)
+    )
     bands = D.lsh_bands(sig)
     return D.lsh_candidate_pairs(bands)
 
@@ -371,7 +390,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     surfaced (candidates << all-pairs — the verify stage of the classic
     two-phase near-dup pipeline)."""
     corpus = _docs_with_near_copies(spark, sf_dir)
-    sig = D.with_minhash(corpus).where(F.size(F.col("sh")) >= 1)
+    sig = (
+        D.with_minhash(corpus)
+        .where(F.size(F.col("sh")) >= 1)
+        .select("doc_id", "sh", "mhs")
+        .localCheckpoint(eager=True)
+    )
     cand = D.lsh_candidate_pairs(D.lsh_bands(sig))
 
     doc_sh = (
