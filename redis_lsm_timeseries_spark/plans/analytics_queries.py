@@ -492,6 +492,161 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- range join (bucketed)
+RANGE_W_MS = 300_000  # +/- 5 minutes
+
+
+@register(
+    "range_join_user_activity",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+), p AS (
+  SELECT * FROM e WHERE event_type = 'error'
+)
+SELECT p.event_id,
+       CAST(sum(CASE WHEN e.event_id != p.event_id
+                      AND abs(e.ts_ms - p.ts_ms) <= {RANGE_W_MS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nearby
+FROM p JOIN e ON e.user_id = p.user_id
+GROUP BY p.event_id
+""",
+    tags=("analytics", "join", "range"),
+)
+def range_join_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join, 100 TB shape: same-user events within +/- 5
+    minutes of each error event.
+
+    A naive non-equi join plans as BroadcastNestedLoopJoin — O(N*M) and
+    an OOM at scale. The bucketed form turns it into an EQUI-join: each
+    probe explodes into its 3 candidate time buckets (bucket width =
+    the range width, so |dt| <= W spans at most adjacent buckets), the
+    join key is (user_id, bucket), and the exact range predicate runs
+    as a residual on the tiny candidate set. The oracle brute-forces
+    the per-user pairs — same answer, different (unscalable) plan."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts_ms", "event_type"
+    )
+    bucket = F.expr(f"ts_ms div {RANGE_W_MS}")
+    probes = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("p_event_id"),
+            F.col("ts_ms").alias("p_ts_ms"),
+            F.explode(
+                F.array(bucket - 1, bucket, bucket + 1)
+            ).alias("bucket"),
+        )
+    )
+    cands = ev.select(
+        "user_id", "event_id", "ts_ms", bucket.alias("bucket")
+    )
+    hit = (
+        (F.col("event_id") != F.col("p_event_id"))
+        & (F.abs(F.col("ts_ms") - F.col("p_ts_ms")) <= RANGE_W_MS)
+    )
+    return (
+        probes.join(cands, ["user_id", "bucket"])
+        .groupBy(F.col("p_event_id").alias("event_id"))
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_nearby")
+        )
+    )
+
+
+# --------------------------------------------------- exact percentile (disc)
+@register(
+    "percentile_disc_by_type",
+    oracle="""
+WITH e AS (
+  SELECT event_type AS tag, "value" AS v, event_id FROM events
+), r AS (
+  SELECT tag, v,
+         row_number() OVER (PARTITION BY tag ORDER BY v, event_id) AS rn,
+         count(*) OVER (PARTITION BY tag) AS n
+  FROM e
+)
+SELECT tag,
+       max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN v END) AS p25,
+       max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN v END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN v END) AS p75
+FROM r GROUP BY tag
+""",
+    tags=("analytics", "aggregation", "percentile"),
+)
+def percentile_disc_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p25/p50/p75 of value per event
+    type) via rank selection — percentile_disc semantics: the returned
+    value is an actual input value at the ceil(q*n)-th position, so
+    both engines select the identical double (interpolating variants
+    differ in float rounding between engines). Tie-break on event_id
+    makes the selection deterministic."""
+    ev = load_events(spark, sf_dir).select(
+        F.col("event_type").alias("tag"), F.col("value").alias("v"), "event_id"
+    )
+    w = Window.partitionBy("tag").orderBy(F.col("v").asc(), F.col("event_id").asc())
+    r = ev.select(
+        "tag",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("tag")).alias("n"),
+    )
+
+    def pick(q: float) -> F.Column:
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+                F.col("v"),
+            )
+        )
+
+    return r.groupBy("tag").agg(
+        pick(0.25).alias("p25"), pick(0.50).alias("p50"), pick(0.75).alias("p75")
+    )
+
+
+# ------------------------------------------------ grouped-map UDF (trend)
+@register(
+    "udf_grouped_trend",
+    oracle="""
+WITH e AS (
+  SELECT event_type AS tag,
+         CAST(epoch_ms(ts) AS HUGEINT) AS x,
+         CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y
+  FROM events
+), s AS (
+  SELECT tag, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM e GROUP BY tag
+)
+SELECT tag,
+       CAST(n AS BIGINT) AS n_points,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+         AS slope
+FROM s
+""",
+    tags=("analytics", "udf", "grouped-map"),
+)
+def udf_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF (applyInPandas): per-event-type
+    least-squares trend of value-over-time. All accumulation is exact
+    integer arithmetic on both sides (Python ints / HUGEINT), so the
+    Arrow + Pandas surface is differentially checked bit-for-bit, not
+    rows-only. y is value scaled to integer cents; x is epoch ms."""
+    from redis_lsm_timeseries_spark.operators.grouped import (
+        per_group_linear_trend,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        F.col("event_type").alias("tag"),
+        F.col("ts_ms").alias("x"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("y"),
+    )
+    return per_group_linear_trend(ev, "tag", "x", "y")
+
+
 # ----------------------------------------------------- as-of: events x orders
 @register(
     "asof_order_latest_event",

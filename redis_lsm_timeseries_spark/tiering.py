@@ -85,22 +85,32 @@ def purge_scan(
     partition_age_threshold_s: float = 300.0,
     max_partitions_to_mark: int = 10,
     now_ms: int | None = None,
+    size_trigger_rows: int | None = None,
 ) -> list[PurgeMark]:
     """Mark up to K coldest idle partitions for eviction (reference
     ``purgeScan`` -> ``enqueue-purge.lua``). Returns the marks (the
     reference returns stream ids).
 
+    ``size_trigger_rows`` is the memory-pressure analog the reference
+    sketches but never implements (``write`` returning ``used_memory``
+    as a back-pressure hint, ``index.js:91-93``; ``recipe:44-45``;
+    SURVEY.md §4 P10): when set, a partition holding at least that many
+    rows is eligible regardless of idle age, so hot-but-oversized
+    partitions can be tiered out under pressure.
+
     Scale shape: one partial-aggregated groupBy over the partition
     columns + ingest_ts (metadata-narrow scan), a broadcast-joined
     eligibility check against the tiny purge log, and a global
-    TakeOrdered of K rows. The per-partition snapshot writes are
-    partition-pruned scans.
+    TakeOrdered of K rows. The snapshot write is one partition-pruned
+    scan over the marked partitions.
     """
     store._require_init()
     if max_partitions_to_mark < 1:
         raise ValidationError("max_partitions_to_mark must be >= 1")
     if partition_age_threshold_s < 0:
         raise ValidationError("partition_age_threshold_s must be >= 0")
+    if size_trigger_rows is not None and size_trigger_rows < 1:
+        raise ValidationError("size_trigger_rows must be >= 1")
     if now_ms is None:
         now_ms = _now_ms()
 
@@ -118,14 +128,18 @@ def purge_scan(
         .groupBy("tag", "part_start")
         .agg(F.max("event_ts").alias("last_marked"))
     )
+    idle_or_oversized = (
+        F.lit(now_ms) - F.col("last_seen")
+    ) >= F.lit(int(partition_age_threshold_s * 1000))
+    if size_trigger_rows is not None:
+        idle_or_oversized = idle_or_oversized | (
+            F.col("n") >= F.lit(size_trigger_rows)
+        )
     eligible = (
         activity.join(F.broadcast(last_marks), ["tag", "part_start"], "left")
         .where(
             (F.col("last_marked").isNull() | (F.col("last_seen") > F.col("last_marked")))
-            & (
-                (F.lit(now_ms) - F.col("last_seen"))
-                >= F.lit(int(partition_age_threshold_s * 1000))
-            )
+            & idle_or_oversized
         )
         .orderBy(F.col("last_seen").asc(), F.col("tag").asc(), F.col("part_start").asc())
         .limit(max_partitions_to_mark)

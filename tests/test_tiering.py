@@ -148,6 +148,20 @@ class TestPurgeAck:
         assert full.get(("GapTag", 1)) == "One"
 
 
+class TestSizeTrigger:
+    def test_oversized_fresh_partition_marked(self, store):
+        """P10 memory-pressure analog: a partition at/over the row
+        trigger is eligible even with zero idle time."""
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        # Nothing is idle (threshold 1h), so without the trigger: no-op.
+        assert purge_scan(store, 3600, 10, now_ms=T0 + 1) == []
+        # SerialTag-0 holds 4 rows -> trips a >=4-row trigger.
+        marks = purge_scan(
+            store, 3600, 10, now_ms=T0 + 1, size_trigger_rows=4
+        )
+        assert {(m.tag, m.part_start) for m in marks} == {("SerialTag", 0)}
+
+
 class TestBatchAck:
     def test_ack_many_all_at_once(self, store):
         store.write(GAP_SERIAL, ingest_ts=T0)
