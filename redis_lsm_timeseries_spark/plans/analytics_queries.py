@@ -178,6 +178,47 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# ------------------------------------------------------------------ TPC-H Q14
+@register(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+SELECT CAST(100.0 AS DOUBLE) *
+       CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV}
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(sum({_REV}) AS DOUBLE) AS promo_revenue_pct,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-07-01 00:00:00'
+""",
+    tags=("analytics", "join", "tpch"),
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact x part-dimension join with conditional
+    aggregation (promo revenue share). part scales with SF, so no
+    forced broadcast — the optimizer/AQE picks the strategy. Both
+    revenue sums accumulate in DECIMAL and cast to DOUBLE once, then
+    divide — bitwise-stable across engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = _revenue()
+    zero = F.lit(0).cast("decimal(18,2)")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0).cast("double")
+            * F.sum(
+                F.when(F.col("p_type").like("PROMO%"), rev).otherwise(zero)
+            ).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
 # ------------------------------------------------------------- semi / anti
 @register(
     "join_semi_customers_with_orders",

@@ -97,6 +97,84 @@ def _run_to_memory_sink(spark: SparkSession, agg: DataFrame, prefix: str) -> Dat
     return spark.table(sink_name)
 
 
+@register(
+    "stream_stateful_latest",
+    oracle="""
+WITH e AS (
+  SELECT event_type AS tag, epoch_ms(ts) AS ts_ms, event_id, "value" AS v
+  FROM events
+), r AS (
+  SELECT tag, ts_ms, event_id, v,
+         row_number() OVER (
+           PARTITION BY tag ORDER BY ts_ms DESC, event_id DESC
+         ) AS rn,
+         count(*) OVER (PARTITION BY tag) AS n
+  FROM e
+)
+SELECT tag,
+       ts_ms AS last_ts,
+       event_id AS last_seq,
+       v AS last_value,
+       CAST(n AS BIGINT) AS n_seen
+FROM r WHERE rn = 1
+""",
+    tags=("streaming", "stateful", "udf"),
+)
+def stream_stateful_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-tag GroupState tracking the running LWW-latest sample — the
+    reference's O6 reduction as live streaming state. Each micro-batch
+    emits the group's current best; the wrapper takes the arg-max of
+    the emissions, which equals the final state for ANY micro-batch
+    splitting (the reduction is associative), so a batch arg-max SQL
+    oracle checks it exactly."""
+    from redis_lsm_timeseries_spark.streaming.stateful import (
+        latest_per_tag_stateful,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_NS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.col("event_type").alias("tag"),
+            F.expr("ts div 1000000").alias("ts"),
+            F.col("event_id").alias("seq"),
+            F.col("value"),
+        )
+    )
+    updates = latest_per_tag_stateful(stream.groupBy("tag"))
+    sink_name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        updates.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.table(sink_name)
+    w = F.max(
+        F.struct(
+            F.col("last_ts"), F.col("last_seq"), F.col("last_value")
+        )
+    ).alias("w")
+    return (
+        emitted.groupBy("tag")
+        .agg(w, F.max("n_seen").alias("n_seen"))
+        .select(
+            "tag",
+            F.col("w.last_ts").alias("last_ts"),
+            F.col("w.last_seq").alias("last_seq"),
+            F.col("w.last_value").alias("last_value"),
+            "n_seen",
+        )
+    )
+
+
 SESSION_GAP_MS = 1_800_000  # 30 minutes
 
 
