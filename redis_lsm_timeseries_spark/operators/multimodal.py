@@ -84,3 +84,58 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    frame_size: int = 64,
+    stride: int = 4,
+) -> DataFrame:
+    """Frame sampling over a binary column via ``mapInPandas`` — the
+    1-row-in / N-rows-out multimodal shape (a video decoder emitting
+    every ``stride``-th frame plugs into exactly this slot; the stub
+    treats the payload as fixed-size byte frames and digests each
+    sampled one).
+
+    Output: (doc_id, frame_idx, frame_bytes, frame_digest) — one row
+    per sampled frame. Arrow-batched; the payload bytes never pass
+    through Python row-by-row driver-side."""
+
+    def run(batches):
+        import hashlib as _hashlib
+        import math as _math
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_bytes": [],
+                "frame_digest": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                data = bytes(payload)
+                n_frames = _math.ceil(len(data) / frame_size)
+                for idx in range(0, n_frames, stride):
+                    frame = data[idx * frame_size : (idx + 1) * frame_size]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_digest"].append(
+                        _hashlib.md5(frame).hexdigest()
+                    )
+            yield _pd.DataFrame(out)
+
+    return df.mapInPandas(run, FRAME_SCHEMA)

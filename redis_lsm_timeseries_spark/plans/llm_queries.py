@@ -694,6 +694,39 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_sample",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, text,
+         UNNEST(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 4))
+           AS frame_idx
+  FROM documents
+)
+SELECT doc_id,
+       frame_idx,
+       CAST(length(substring(text, frame_idx * 64 + 1, 64)) AS BIGINT)
+         AS frame_bytes,
+       md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_digest
+FROM f
+""",
+    tags=("llm", "multimodal", "udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (every 4th 64-byte frame of the payload) via
+    mapInPandas — the 1-in/N-out multimodal decode shape. The payloads
+    are ASCII text encoded to bytes, so the oracle reproduces each
+    frame digest with character slicing; a real video codec plugs into
+    the same operator (operators/multimodal.sample_frames)."""
+    from redis_lsm_timeseries_spark.operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    binary = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return sample_frames(binary)
+
+
+@register(
     "multimodal_feature_extract",
     oracle=None,  # Pandas-UDF decode stub — the Spark-side plumbing is
     # the deliverable; features are deterministic and schema-checked in

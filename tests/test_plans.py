@@ -50,6 +50,19 @@ class TestNearDupShape:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_range_join_is_equi_join(self, spark):
+        """The bucketed interval join must plan as an equi-join on
+        (user_id, bucket) — a plain non-equi condition would be a
+        BroadcastNestedLoopJoin, O(N*M) at scale."""
+        plan = _plan(spark, "range_join_user_activity")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q14_no_cartesian(self, spark):
+        plan = _plan(spark, "tpch_q14_promo_revenue")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
 
 class TestPushdown:
     def test_filter_reaches_parquet_scan(self, spark):
