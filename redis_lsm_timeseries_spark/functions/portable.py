@@ -11,7 +11,8 @@ their outputs cell-exactly.
 - ``hash64``  first 15 hex chars of md5 as a non-negative int64
   (60 bits — headroom so bit-position math stays under the sign bit)
 - ``tokens``  lowercase whitespace tokenization
-- ``shingles`` word k-grams over the token array
+- ``hashed_shingles_expr``  word k-gram hashes (one md5 per token,
+  arithmetic k-gram combination — shingle strings are never built)
 """
 
 from __future__ import annotations
@@ -43,27 +44,60 @@ def tokens(col: Column | str) -> Column:
 TOKENS_SQL = "string_split_regex(lower({e}), '\\s+')"
 
 
-# ---------------------------------------------------------------- shingles
-def shingles(tok_col: str, k: int = 3) -> Column:
-    """Word k-grams over an existing array column (by NAME — the lambda
-    body must reference a resolvable column). Spark arrays are 0-indexed
-    in SQL-lambda land; guarded so short documents yield an empty array
-    instead of a negative-length sequence error."""
-    parts = ", ".join(f"{tok_col}[i + {j}]" for j in range(k))
-    return F.when(
-        F.size(F.col(tok_col)) >= k,
-        F.expr(
-            f"transform(sequence(0, size({tok_col}) - {k}), "
-            f"i -> concat_ws(' ', {parts}))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+# ------------------------------------------------------- hashed shingles
+# The dedup pipeline never needs shingle STRINGS — only their hashes.
+# Hashing each token once (one md5 per token) and combining k
+# consecutive token hashes arithmetically skips building n-2 k-gram
+# strings per document, which profiling shows dominates the pipeline.
+# The combination is position-sensitive (distinct odd multipliers) and
+# overflow-safe: h < 2^60, so h*7 < 2^63.
+
+SHINGLE_MOD = 1 << 60
+SHINGLE_MULTS = (3, 5, 7)
 
 
-def shingles_sql(tok_col: str, k: int = 3) -> str:
-    """DuckDB twin of ``shingles`` — lists are 1-indexed; range(n<=0) is
-    already an empty list, so no guard is needed."""
-    parts = " || ' ' || ".join(f"{tok_col}[i + {j + 1}]" for j in range(k))
-    return f"list_transform(range(len({tok_col}) - {k - 1}), i -> {parts})"
+def hashed_shingles_expr(text_col: str, k: int = 3) -> Column:
+    """Word k-gram hashes straight from a text column, as one
+    expression with every intermediate array BOUND as a lambda
+    variable (``transform(array(x), v -> ...)`` evaluates x once and
+    binds it as v).
+
+    The binding is the critical part: referencing a derived array
+    COLUMN as ``th[i]`` inside a lambda re-inlines the whole array
+    expression at every element access (projection collapse), turning
+    an O(n) pass into O(n^2) re-hashing — measured 5x slower at sf0.1.
+    Bound lambda variables are plain values; indexing them is O(1).
+
+    Short documents (< k tokens) yield an empty array."""
+    h = HASH64_SPARK_EXPR.format(e="t")
+    combine = " + ".join(
+        f"((th[i + {j}] * {SHINGLE_MULTS[j]}) % {SHINGLE_MOD})"
+        for j in range(k)
+    )
+    toks = f"split(lower({text_col}), '\\\\s+')"
+    return F.expr(
+        f"element_at(transform(array(transform({toks}, t -> {h})), th -> "
+        f"IF(size(th) >= {k}, "
+        f"transform(sequence(0, size(th) - {k}), i -> ({combine}) % {SHINGLE_MOD}), "
+        f"CAST(array() AS ARRAY<BIGINT>))), 1)"
+    )
 
 
-SHINGLES_SQL = shingles_sql  # alias for the functions/__init__ export
+def token_hashes_sql(tok_col: str) -> str:
+    """DuckDB twin of the per-token hashing inside
+    ``hashed_shingles_expr``."""
+    h = HASH64_SQL.format(e="t")
+    return f"list_transform({tok_col}, t -> {h})"
+
+
+def hashed_shingles_sql(th_col: str, k: int = 3) -> str:
+    """DuckDB twin of ``hashed_shingles_expr``'s k-gram combination
+    (1-indexed lists; range(n<=0) is already empty, no guard needed)."""
+    parts = " + ".join(
+        f"(({th_col}[i + {j + 1}] * {SHINGLE_MULTS[j]}) % {SHINGLE_MOD})"
+        for j in range(k)
+    )
+    return (
+        f"list_transform(range(len({th_col}) - {k - 1}), "
+        f"i -> ({parts}) % {SHINGLE_MOD})"
+    )

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from redis_lsm_timeseries_spark.functions.portable import (
     hash64,
-    shingles,
+    hashed_shingles_expr,
     tokens,
 )
 
@@ -96,10 +96,9 @@ def minhash_signature_expr(num_hashes: int = NUM_HASHES) -> Column:
     mixes = ", ".join(
         f"CAST({_mix_sql(j, 'h')} AS BIGINT)" for j in range(num_hashes)
     )
-    base = "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
     return F.expr(
         f"aggregate("
-        f"  transform(sh, s -> {base}),"
+        f"  sh,"
         f"  array_repeat(CAST({MIX_MOD} AS BIGINT), {num_hashes}),"
         f"  (acc, h) -> zip_with(acc, array({mixes}), (a, x) -> least(a, x))"
         f")"
@@ -109,8 +108,10 @@ def minhash_signature_expr(num_hashes: int = NUM_HASHES) -> Column:
 def with_minhash(
     df: DataFrame, text_col: str = "text", num_hashes: int = NUM_HASHES
 ) -> DataFrame:
-    """Shingle + MinHash columns: adds ``sh`` (word 3-shingles) and
-    ``mhs`` (array<long> signature), computed per row with no shuffle.
+    """Shingle + MinHash columns: adds ``sh`` (word 3-shingle HASHES —
+    one md5 per token, arithmetic k-gram combination; the pipeline
+    never builds shingle strings) and ``mhs`` (array<long> signature),
+    computed per row with no shuffle.
 
     NOTE: downstream consumers that reference ``mhs`` more than once
     (signature column extraction, band keys, self-joins) should
@@ -119,10 +120,8 @@ def with_minhash(
     At scale this materialization IS the persisted signature table of a
     real dedup pipeline."""
     return (
-        df.withColumn("toks", tokens(text_col))
-        .withColumn("sh", shingles("toks"))
+        df.withColumn("sh", hashed_shingles_expr(text_col))
         .withColumn("mhs", minhash_signature_expr(num_hashes))
-        .drop("toks")
     )
 
 

@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from redis_lsm_timeseries_spark.functions.portable import (
     HASH64_SQL,
     TOKENS_SQL,
-    shingles_sql,
+    hashed_shingles_sql,
+    token_hashes_sql,
 )
 from redis_lsm_timeseries_spark.operators import dedup as D
 from redis_lsm_timeseries_spark.operators import similarity as S
@@ -244,14 +245,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql_cols(num: int = D.NUM_HASHES) -> str:
-    """Twin of dedup.minhash_signature_expr: one 60-bit md5 base hash
-    per shingle, position j derived by the same universal-hash mix
+    """Twin of dedup.minhash_signature_expr: the shingle hash IS the
+    base hash; position j derives by the same universal-hash mix
     (DuckDB ``//`` = Spark ``div``)."""
-    h = "(('0x' || substr(md5(s), 1, 15))::BIGINT)"
     cols = []
     for j in range(num):
         cols.append(
-            f"list_min(list_transform(sh, s -> {D._mix_sql(j, h, intdiv='//')})) AS mh_{j}"
+            f"list_min(list_transform(sh, s -> {D._mix_sql(j, 's', intdiv='//')})) AS mh_{j}"
         )
     return ",\n       ".join(cols)
 
@@ -259,9 +259,11 @@ def _minhash_sql_cols(num: int = D.NUM_HASHES) -> str:
 MINHASH_CTE = f"""
 toked AS (
   SELECT doc_id, {TOKENS_SQL.format(e='text')} AS toks FROM corpus
-), shingled AS (
-  SELECT doc_id, {shingles_sql('toks')} AS sh FROM toked
+), thashed AS (
+  SELECT doc_id, {token_hashes_sql('toks')} AS th FROM toked
   WHERE len(toks) >= 3
+), shingled AS (
+  SELECT doc_id, {hashed_shingles_sql('th')} AS sh FROM thashed
 ), sigs AS (
   SELECT doc_id,
        {_minhash_sql_cols()}
