@@ -636,8 +636,12 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     corpus = emb.unionByName(pert)
+    # zip_with's array_repeat child evaluates nrm ONCE per row; a
+    # `transform(v, x -> x / nrm)` lambda would re-inline the norm
+    # aggregate at every element (64x per row — see
+    # functions/portable.hashed_shingles_expr for the general rule).
     normed = corpus.withColumn("nrm", S.norm("v")).withColumn(
-        "nv", F.expr("transform(v, x -> x / nrm)")
+        "nv", F.expr("zip_with(v, array_repeat(nrm, 64), (x, n) -> x / n)")
     )
     banded = S.with_lsh_bands(
         normed.select("vec_id", "v", "nv"), vec_col="v",
