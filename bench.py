@@ -63,6 +63,9 @@ def main() -> int:
             log(f"{name}: FAILED {failures[name]}")
     total = time.perf_counter() - total_t0
 
+    ingest_rps, read_qps = ingest_read_bench(spark)
+    log(f"ingest: {ingest_rps:.0f} rows/s, point reads: {read_qps:.1f} q/s")
+
     result = {
         "metric": "catalog_wall_time",
         "value": round(total, 3),
@@ -72,9 +75,51 @@ def main() -> int:
         "n_queries": len(per_query),
         "failures": failures,
         "cpus": cpus,
+        "ingest_rows_per_s": round(ingest_rps, 1),
+        "point_read_qps": round(read_qps, 2),
     }
     print(json.dumps(result), flush=True)
     return 1 if failures else 0
+
+
+def ingest_read_bench(spark, n_batches: int = 5, n_reads: int = 20):
+    """The reference's JMeter workload shape on the engine
+    (BASELINE.md: each /set = 200 tags x 10 samples = 2,000 samples —
+    the admission cap; each /get = 1 tag over a narrow window).
+    Returns (ingested rows/s, point reads/s)."""
+    import shutil
+    import tempfile
+
+    from redis_lsm_timeseries_spark.config import EngineConfig
+    from redis_lsm_timeseries_spark.store import TimeseriesStore
+
+    base = tempfile.mkdtemp(prefix="rlts_bench_")
+    try:
+        store = TimeseriesStore(
+            spark, EngineConfig(root=base, partition_width=120_000)
+        )
+        store.initialize()
+        t0 = time.perf_counter()
+        rows = 0
+        for b in range(n_batches):
+            batch = [
+                (f"tag{t:03d}", b * 100_000 + s * 10_000, f"v{b}-{s}")
+                for t in range(200)
+                for s in range(10)
+            ]
+            m = store.write(batch, ingest_ts=1_000 + b)
+            rows += m.rows_written
+        ingest_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        for i in range(n_reads):
+            tag = f"tag{(i * 37) % 200:03d}"
+            start = (i % n_batches) * 100_000
+            store.read_range({tag: (start, start + 20_000)}).collect()
+        read_s = time.perf_counter() - t0
+        return rows / ingest_s, n_reads / read_s
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 if __name__ == "__main__":
