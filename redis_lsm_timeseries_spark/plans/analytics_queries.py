@@ -178,6 +178,41 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# ------------------------------------------------------------------ TPC-H Q10
+Q10_SQL = f"""
+SELECT c_custkey, c_name,
+       CAST(sum({_REV}) AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=Q10_SQL,
+    tags=("analytics", "join", "tpch", "sql-api"),
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (top customers by returned-item revenue),
+    executed through the SQL API: tables registered as temp views, the
+    ONE SQL text runs on both engines verbatim. Demonstrates that the
+    engine's surface is DataFrame AND SQL — Catalyst plans the SQL to
+    the same physical operators (broadcast nation, shuffled fact-fact
+    join, TakeOrdered top-20) as the DataFrame form would."""
+    for name in ("customer", "orders", "lineitem", "nation"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(Q10_SQL)
+
+
 # ------------------------------------------------------------------ TPC-H Q14
 @register(
     "tpch_q14_promo_revenue",

@@ -32,6 +32,7 @@ class TestBroadcastJoins:
         [
             "tpch_q3_shipping_priority",
             "tpch_q5_local_supplier_volume",
+            "tpch_q10_returned_items",
             "agg_rollup_region_nation",
             "window_rank_suppliers_in_nation",
         ],
@@ -95,6 +96,12 @@ class TestAggregationShape:
     def test_topk_is_take_ordered(self, spark):
         """Global top-10 must be TakeOrdered, never a full sort."""
         plan = _plan(spark, "top_orders_global")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_sql_api_topk_is_take_ordered(self, spark):
+        """The SQL-API path must plan ORDER BY + LIMIT as TakeOrdered
+        too — same Catalyst, same physical strategy."""
+        plan = _plan(spark, "tpch_q10_returned_items")
         assert "TakeOrderedAndProject" in plan
 
     def test_whole_stage_codegen(self, spark):
