@@ -98,6 +98,78 @@ def _run_to_memory_sink(spark: SparkSession, agg: DataFrame, prefix: str) -> Dat
 
 
 @register(
+    "stream_ingest_roundtrip",
+    oracle="""
+SELECT event_type AS tag,
+       epoch_ms(ts) AS ts,
+       CAST(max(event_id) AS VARCHAR) AS value
+FROM events
+WHERE event_id % 20 = 0
+GROUP BY event_type, epoch_ms(ts)
+""",
+    tags=("streaming", "ingest", "mutation"),
+)
+def stream_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming INGEST (reference O2 as a
+    continuous writer, ``index.js:64-94``): land a sample batch as a
+    file, stream it through ``start_hot_ingest`` into a temp hot store
+    (checkpointed exactly-once file-sink commit, hash-derived seq),
+    then return the store's composed range read. Green only if the
+    whole write path — schema enrichment, partition assignment,
+    partitioned append — round-trips every sample."""
+    import shutil
+    import tempfile
+
+    from redis_lsm_timeseries_spark.config import EngineConfig
+    from redis_lsm_timeseries_spark.store import TimeseriesStore
+    from redis_lsm_timeseries_spark.streaming.ingest import (
+        read_sample_stream,
+        start_hot_ingest,
+    )
+
+    base_dir = tempfile.mkdtemp(prefix="rlts_stream_ingest_")
+    try:
+        ev = load_events_ns(spark, sf_dir)
+        batch = (
+            ev.where(F.col("event_id") % 20 == 0)
+            .groupBy(
+                F.col("event_type").alias("tag"),
+                F.expr("raw_ts div 1000000").alias("ts"),
+            )
+            .agg(F.max("event_id").cast("string").alias("value"))
+        )
+        input_dir = f"{base_dir}/incoming"
+        batch.coalesce(1).write.parquet(input_dir)
+
+        store = TimeseriesStore(
+            spark,
+            EngineConfig(root=f"{base_dir}/store", partition_width=604_800_000),
+        )
+        store.initialize()
+        q = start_hot_ingest(
+            store,
+            read_sample_stream(spark, input_dir),
+            checkpoint_dir=f"{base_dir}/ckpt",
+        )
+        q.awaitTermination(300)
+
+        tags = [r.tag for r in batch.select("tag").distinct().collect()]
+        out = store.read_range({t: (0, 1 << 50) for t in tags})
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+def load_events_ns(spark: SparkSession, sf_dir: str):
+    """events with the raw int64-nanos ts exposed (``raw_ts``)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumnRenamed("ts", "raw_ts")
+    )
+
+
+@register(
     "stream_stateful_latest",
     oracle="""
 WITH e AS (
