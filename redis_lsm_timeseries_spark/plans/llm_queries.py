@@ -487,7 +487,14 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     and its one-token-appended copy (expected near 0; an unrelated pair
     averages ~30 of 60 bits)."""
     corpus = _docs_with_near_copies(spark, sf_dir)
-    sims = D.with_simhash(corpus).select("doc_id", "simhash")
+    # Materialize: the self-join below reads the fingerprint table
+    # twice, and without the checkpoint each side re-runs the explode +
+    # 60-sum vote aggregation over the corpus.
+    sims = (
+        D.with_simhash(corpus)
+        .select("doc_id", "simhash")
+        .localCheckpoint(eager=True)
+    )
     o = sims.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sh_a"))
     m = sims.select(
         (F.col("doc_id") - NEAR_OFFSET).alias("a"),

@@ -151,7 +151,11 @@ def stream_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             read_sample_stream(spark, input_dir),
             checkpoint_dir=f"{base_dir}/ckpt",
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("ingest stream did not finish in 300s")
+        if q.exception() is not None:
+            raise q.exception()
 
         tags = [r.tag for r in batch.select("tag").distinct().collect()]
         out = store.read_range({t: (0, 1 << 50) for t in tags})
