@@ -254,6 +254,105 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ TPC-H Q18
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(o_totalprice AS DOUBLE) AS totalprice,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+""",
+    tags=("analytics", "join", "tpch", "semi"),
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-filtered semi-join (orders whose
+    total quantity exceeds a threshold). The HAVING subquery is a
+    partial-aggregated groupBy of lineitem followed by a left-semi join
+    back onto the fact — two shuffles on the order key, no forced
+    broadcasts (the qualifying-order set scales with SF)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+# ------------------------------------------------------------------ TPC-H Q19
+@register(
+    "tpch_q19_disjunctive",
+    oracle=f"""
+SELECT CAST(sum({_REV}) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+    tags=("analytics", "join", "tpch", "disjunctive"),
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: equi-join with a DISJUNCTIVE residual mixing
+    columns from both sides. The join key (p_partkey = l_partkey)
+    stays a hash-joinable equi-condition; only the OR-of-ANDs runs as a
+    post-join filter — the pattern that keeps disjunctive predicates
+    off the nested-loop path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    def arm(brand: str, size_hi: int, q_lo: int, q_hi: int) -> F.Column:
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    cond = (
+        arm("Brand#12", 15, 1, 11)
+        | arm("Brand#23", 25, 10, 20)
+        | arm("Brand#34", 35, 20, 30)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 # ------------------------------------------------------------- semi / anti
 @register(
     "join_semi_customers_with_orders",
@@ -628,6 +727,68 @@ def range_join_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_nearby")
         )
+    )
+
+
+# --------------------------------------------------- range-frame window
+@register(
+    "window_range_frame_trailing",
+    oracle="""
+SELECT event_type AS tag,
+       epoch_ms(ts) AS ts_ms,
+       event_id,
+       CAST(sum(CAST("value" AS DECIMAL(18,2))) OVER (
+         PARTITION BY event_type ORDER BY epoch_ms(ts)
+         RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS sum_10m,
+       CAST(count(*) OVER (
+         PARTITION BY event_type ORDER BY epoch_ms(ts)
+         RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_10m
+FROM events
+WHERE event_id % 10 = 0
+""",
+    tags=("analytics", "window", "range-frame"),
+)
+def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-range window frame (rangeBetween): trailing-10-minute sum
+    and count per tag — the canonical TSDB sliding aggregate, distinct
+    from the row-count frames elsewhere in the catalog. Range frames
+    include all peer rows of the boundary timestamps, so tie order
+    never affects the result (engine-agnostic determinism); the sum
+    accumulates in DECIMAL."""
+    ev = load_events(spark, sf_dir).where(F.col("event_id") % 10 == 0)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_ms")
+        .rangeBetween(-600_000, 0)
+    )
+    return ev.select(
+        F.col("event_type").alias("tag"),
+        "ts_ms",
+        "event_id",
+        F.sum(_dec("value")).over(w).cast("double").alias("sum_10m"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_10m"),
+    )
+
+
+# ------------------------------------------------- approx percentile sketch
+@register(
+    "approx_percentile_value",
+    oracle=None,  # t-digest style sketches are engine-specific;
+    # bounded error vs the exact percentiles is asserted in
+    # tests/test_plans.py.
+    tags=("analytics", "aggregation", "approx"),
+)
+def approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (p50/p95 of value per event type): the sketch
+    path for quantiles at 100 TB, pairing percentile_disc_by_type the
+    way approx_distinct_users pairs the exact distinct count."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy(F.col("event_type").alias("tag")).agg(
+        F.percentile_approx("value", [0.5, 0.95], 10_000)[0].alias("p50_approx"),
+        F.percentile_approx("value", [0.5, 0.95], 10_000)[1].alias("p95_approx"),
+        F.count(F.lit(1)).alias("n_events"),
     )
 
 

@@ -124,6 +124,23 @@ class TestAggregationShape:
 
 
 class TestApproxSketch:
+    def test_percentile_sketch_bounded_error(self, spark):
+        """approx_percentile within a few percent of the exact
+        rank-selected percentiles."""
+        approx = {
+            r.tag: (r.p50_approx, r.p95_approx)
+            for r in REGISTRY["approx_percentile_value"].fn(spark, SF_DIR).collect()
+        }
+        exact = {
+            r.tag: r.p50
+            for r in REGISTRY["percentile_disc_by_type"].fn(spark, SF_DIR).collect()
+        }
+        assert set(approx) == set(exact)
+        for tag, p50_exact in exact.items():
+            p50_a, p95_a = approx[tag]
+            assert abs(p50_a - p50_exact) <= max(0.5, 0.05 * abs(p50_exact))
+            assert p95_a >= p50_a
+
     def test_hll_bounded_error(self, spark):
         """approx_count_distinct (rsd=2%) within 10% of exact."""
         approx = {
