@@ -67,10 +67,15 @@ def latest_per_tag_stateful(grouped_stream) -> DataFrame:
         n_new = 0
         for pdf in pdfs:
             n_new += len(pdf)
-            for ts, seq, value in zip(pdf["ts"], pdf["seq"], pdf["value"]):
-                cand: Any = (int(ts), int(seq), float(value))
-                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
-                    best = cand
+            if not len(pdf):
+                continue
+            # Vectorized arg-max over (ts, seq): rows at the max ts,
+            # then the max seq among them — never a Python row loop.
+            at_max_ts = pdf[pdf["ts"] == pdf["ts"].max()]
+            row = at_max_ts.loc[at_max_ts["seq"].idxmax()]
+            cand: Any = (int(row["ts"]), int(row["seq"]), float(row["value"]))
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
         if state.exists:
             s_ts, s_seq, s_val, s_n = state.get
             if best is None or (s_ts, s_seq) > (best[0], best[1]):
