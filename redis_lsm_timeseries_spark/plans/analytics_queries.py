@@ -468,6 +468,73 @@ def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- grouping sets
+GROUPING_SETS_SQL = """
+SELECT coalesce(o_orderstatus, '<all>') AS status,
+       coalesce(o_orderpriority, '<all>') AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=GROUPING_SETS_SQL,
+    tags=("analytics", "aggregation", "grouping-sets", "sql-api"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two independent groupings in one pass —
+    neither a rollup nor a cube), via the SQL API: Catalyst plans one
+    Expand + hash aggregate instead of two scans + union."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(GROUPING_SETS_SQL)
+
+
+# ------------------------------------------------------------------ unpivot
+@register(
+    "unpivot_status_counts",
+    oracle="""
+WITH p AS (
+  SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'n_f' AS status_col, n_f AS n FROM p
+UNION ALL
+SELECT o_orderpriority, 'n_o' AS status_col, n_o AS n FROM p
+UNION ALL
+SELECT o_orderpriority, 'n_p' AS status_col, n_p AS n FROM p
+""",
+    tags=("analytics", "unpivot"),
+)
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long): the pivoted status counts melted
+    back to rows via DataFrame.unpivot — Catalyst's Expand node, the
+    inverse of the conditional-aggregation pivot."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def n_status(s: str) -> F.Column:
+        return F.sum(
+            F.when(F.col("o_orderstatus") == s, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long")
+
+    wide = orders.groupBy("o_orderpriority").agg(
+        n_status("F").alias("n_f"),
+        n_status("O").alias("n_o"),
+        n_status("P").alias("n_p"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_f", "n_o", "n_p"],
+        variableColumnName="status_col",
+        valueColumnName="n",
+    )
+
+
 # ------------------------------------------------------------------ set ops
 @register(
     "set_ops_nation_presence",
