@@ -72,31 +72,6 @@ corpus AS (
 
 # ------------------------------------------------------------ text stats
 @register(
-    "text_token_stats",
-    oracle=f"""
-WITH t AS (
-  SELECT doc_id, text, {TOKENS_SQL.format(e='text')} AS toks FROM documents
-)
-SELECT doc_id,
-       CAST(len(toks) AS BIGINT) AS n_tokens,
-       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
-       CAST(length(text) AS BIGINT) AS n_chars_obs,
-       CAST(len(regexp_extract_all(lower(text), '{TX.BPE_PATTERN}')) AS BIGINT)
-         AS n_bpe_tokens
-FROM t
-""",
-    tags=("llm", "text"),
-)
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens, distinct tokens, chars, and a
-    BPE-ish regex pre-tokenization count. Pure Column expressions."""
-    d = load_table(spark, sf_dir, "documents")
-    return TX.with_token_stats(d).select(
-        "doc_id", "n_tokens", "n_distinct_tokens", "n_chars_obs", "n_bpe_tokens"
-    )
-
-
-@register(
     "text_quality_scores",
     oracle=f"""
 WITH t AS (
@@ -105,13 +80,17 @@ WITH t AS (
   SELECT doc_id,
          CAST(length(text) AS BIGINT) AS n_chars_obs,
          CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+         CAST(len(regexp_extract_all(lower(text), '{TX.BPE_PATTERN}')) AS BIGINT)
+           AS n_bpe_tokens,
          CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS BIGINT)
            AS n_punct,
          CAST(len(list_filter(toks, t -> t IN {str(TX.STOPWORDS['en'])})) AS BIGINT)
            AS en_stopword_hits
   FROM t
 )
-SELECT doc_id, n_punct, en_stopword_hits,
+SELECT doc_id, n_tokens, n_distinct_tokens, n_chars_obs, n_bpe_tokens,
+       n_punct, en_stopword_hits,
        CAST(n_punct AS DOUBLE) / n_chars_obs AS punct_ratio,
        CAST(en_stopword_hits AS DOUBLE) / n_tokens AS stopword_ratio,
        CAST(n_chars_obs - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_token_len,
@@ -124,12 +103,19 @@ FROM s
     tags=("llm", "text", "quality"),
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: punctuation density, stopword ratio, mean token
-    length, composite score — integer counts divided in double, so the
-    oracle matches bitwise."""
+    """Token counting + quality scoring in one entry (merged round 3
+    for the 50-entry driver window): whitespace/distinct/BPE-ish-regex
+    token counts, punctuation density, stopword ratio, mean token
+    length, composite score. Pure Column expressions, one pass over the
+    text — integer counts divided in double, so the oracle matches
+    bitwise."""
     d = load_table(spark, sf_dir, "documents")
     return TX.with_quality_score(TX.with_token_stats(d)).select(
         "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_chars_obs",
+        "n_bpe_tokens",
         "n_punct",
         "en_stopword_hits",
         "punct_ratio",
@@ -272,33 +258,11 @@ toked AS (
 """
 
 
-@register(
-    "dedup_minhash_signatures",
-    oracle=f"""
-WITH corpus AS (SELECT doc_id, text FROM documents),
-{MINHASH_CTE.strip()}
-SELECT * FROM sigs
-""",
-    tags=("llm", "dedup", "minhash"),
-)
-def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (12 portable hashes — 6 md5s, two 60-bit
-    hashes each — over word 3-shingles), computed in one per-row pass
-    with zero shuffles. Differentially checks the entire signature
-    pipeline bit-for-bit. The signature table is materialized before
-    column extraction so the 12 mh_j projections read the array instead
-    of re-deriving it."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sig = (
-        D.with_minhash(d)
-        .where(F.size(F.col("sh")) >= 1)
-        .select("doc_id", "mhs")
-        .localCheckpoint(eager=True)
-    )
-    return sig.select(
-        "doc_id",
-        *[F.col("mhs")[j].alias(f"mh_{j}") for j in range(D.NUM_HASHES)],
-    )
+# dedup_minhash_signatures was unregistered in round 3 (50-entry driver
+# window): dedup_minhash_lsh_pairs computes the identical signatures on
+# both sides (its oracle derives band keys from MINHASH_CTE signature
+# values), so any signature bit flip breaks its pair set — the
+# signature pipeline stays transitively differentially verified.
 
 
 def _bands_cte(num_hashes: int = D.NUM_HASHES, rpb: int = D.ROWS_PER_BAND) -> str:
@@ -452,23 +416,10 @@ toked2 AS (
 """
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
-WITH corpus AS (SELECT doc_id, text FROM documents),
-{_simhash_sql().strip()}
-SELECT doc_id, simhash FROM sims
-""",
-    tags=("llm", "dedup", "simhash"),
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash fingerprint per document (sign-of-vote per bit
-    over the distinct token set). One shuffle: the per-doc vote
-    aggregation, partial-aggregated map-side."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return D.with_simhash(d).select("doc_id", "simhash")
-
-
+# dedup_simhash (fingerprints alone) was unregistered in round 3
+# (50-entry driver window): dedup_simhash_hamming computes the same
+# 60-bit fingerprints on both sides before the distance join, so the
+# fingerprint pipeline stays differentially verified bit-for-bit.
 @register(
     "dedup_simhash_hamming",
     oracle=f"""

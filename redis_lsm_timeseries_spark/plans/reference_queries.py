@@ -237,6 +237,7 @@ def ts_purge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT tag,
        ts - ts % 3600000 AS bucket_ms,
        count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
        CAST(sum(CAST(value_num AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
        min(value_num) AS min_v,
        max(value_num) AS max_v
@@ -250,13 +251,16 @@ def ts_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly bucket is the same floor-mod math as the partition function.
     Catalyst plans partial+final hash aggregation; at 100 TB the
     map-side combine means one row per (tag, hour) per task crosses the
-    shuffle."""
+    shuffle. n_users is the exact-distinct aggregation (Expand +
+    two-phase under the hood) — the dedup-before-count primitive; the
+    sketch alternative is approx_distinct_users."""
     s = events_as_samples(spark, sf_dir)
     return s.groupBy(
         "tag",
         (F.col("ts") - F.pmod(F.col("ts"), F.lit(3_600_000))).alias("bucket_ms"),
     ).agg(
         F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
         F.sum(F.col("value_num").cast("decimal(18,2)"))
         .cast("double")
         .alias("sum_v"),
@@ -267,36 +271,13 @@ def ts_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ window fns
 @register(
-    "ts_delta",
+    "ts_moving_window",
     oracle=SAMPLES_CTE
     + f"""
 SELECT tag, ts, value_num,
        value_num - lag(value_num) OVER (
          PARTITION BY tag ORDER BY ts ASC, seq ASC
-       ) AS delta
-FROM samples
-WHERE ts BETWEEN {RS} AND {RE}
-""",
-    tags=("analytics", "window"),
-)
-def ts_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-tag consecutive-sample delta via lag (SURVEY.md §2.3 window
-    functions)."""
-    s = events_as_samples(spark, sf_dir).where(F.col("ts").between(RS, RE))
-    w = Window.partitionBy("tag").orderBy(F.col("ts").asc(), F.col("seq").asc())
-    return s.select(
-        "tag",
-        "ts",
-        "value_num",
-        (F.col("value_num") - F.lag("value_num").over(w)).alias("delta"),
-    )
-
-
-@register(
-    "ts_moving_window",
-    oracle=SAMPLES_CTE
-    + f"""
-SELECT tag, ts,
+       ) AS delta,
        CAST(sum(CAST(value_num AS DECIMAL(18,2))) OVER (
          PARTITION BY tag ORDER BY ts ASC, seq ASC
          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
@@ -311,23 +292,26 @@ WHERE ts BETWEEN {RS} AND {RE}
     tags=("analytics", "window"),
 )
 def ts_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moving 4-sample sum/count per tag (rowsBetween frame). The
-    moving average is mov_sum/mov_n — kept as exact components so the
-    differential hash is float-order-independent."""
+    """Per-tag lag delta + moving 4-sample sum/count (SURVEY.md §2.3
+    window functions: offset function and rowsBetween frame share ONE
+    window sort, so Catalyst plans a single Window node — two catalog
+    entries' coverage for one shuffle). The moving average is
+    mov_sum/mov_n — kept as exact components so the differential hash
+    is float-order-independent."""
     s = events_as_samples(spark, sf_dir).where(F.col("ts").between(RS, RE))
-    w = (
-        Window.partitionBy("tag")
-        .orderBy(F.col("ts").asc(), F.col("seq").asc())
-        .rowsBetween(-3, 0)
-    )
+    order = [F.col("ts").asc(), F.col("seq").asc()]
+    w = Window.partitionBy("tag").orderBy(*order)
+    wf = w.rowsBetween(-3, 0)
     return s.select(
         "tag",
         "ts",
+        "value_num",
+        (F.col("value_num") - F.lag("value_num").over(w)).alias("delta"),
         F.sum(F.col("value_num").cast("decimal(18,2)"))
-        .over(w)
+        .over(wf)
         .cast("double")
         .alias("mov_sum"),
-        F.count(F.lit(1)).over(w).alias("mov_n"),
+        F.count(F.lit(1)).over(wf).alias("mov_n"),
     )
 
 

@@ -13,12 +13,20 @@ import os
 import pytest
 
 from redis_lsm_timeseries_spark.plans import REGISTRY
+from redis_lsm_timeseries_spark.plans.analytics_queries import (
+    distinct_users_per_type,
+    top_orders_global,
+    tpch_q14_promo_revenue,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
 
 
-def _plan(spark, name: str, execute: bool = False) -> str:
-    df = REGISTRY[name].fn(spark, SF_DIR)
+def _plan(spark, name, execute: bool = False) -> str:
+    """Executed-plan text for a registry name or an unregistered
+    plan-gate fixture function."""
+    fn = REGISTRY[name].fn if isinstance(name, str) else name
+    df = fn(spark, SF_DIR)
     if execute:
         # AQE finalizes the physical plan (incl. codegen stages) only
         # once the query actually runs.
@@ -60,7 +68,7 @@ class TestNearDupShape:
         assert "CartesianProduct" not in plan
 
     def test_q14_no_cartesian(self, spark):
-        plan = _plan(spark, "tpch_q14_promo_revenue")
+        plan = _plan(spark, tpch_q14_promo_revenue)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
@@ -94,9 +102,12 @@ class TestAggregationShape:
         assert "HashAggregate" in plan
 
     def test_topk_is_take_ordered(self, spark):
-        """Global top-10 must be TakeOrdered, never a full sort."""
-        plan = _plan(spark, "top_orders_global")
+        """Global top-10 must be TakeOrdered, never a full sort — on
+        the minimal fixture and on the registered Q3 (orderBy+limit)."""
+        plan = _plan(spark, top_orders_global)
         assert "TakeOrderedAndProject" in plan
+        plan_q3 = _plan(spark, "tpch_q3_shipping_priority")
+        assert "TakeOrderedAndProject" in plan_q3
 
     def test_sql_api_topk_is_take_ordered(self, spark):
         """The SQL-API path must plan ORDER BY + LIMIT as TakeOrdered
@@ -149,7 +160,7 @@ class TestApproxSketch:
         }
         exact = {
             r.event_type: r.n_users
-            for r in REGISTRY["distinct_users_per_type"].fn(spark, SF_DIR).collect()
+            for r in distinct_users_per_type(spark, SF_DIR).collect()
         }
         assert set(approx) == set(exact)
         for k in exact:
