@@ -76,8 +76,14 @@ def purge_log(store: TimeseriesStore) -> DataFrame:
 
 
 def _append_log(store: TimeseriesStore, rows: list[tuple]) -> None:
-    df = store.spark.createDataFrame(rows, PURGE_LOG_SCHEMA)
-    df.coalesce(1).write.mode("append").parquet(store.config.purge_log_path)
+    # Single-slice parallelize, NOT createDataFrame(rows).coalesce(1):
+    # createDataFrame spreads even a 4-row list over defaultParallelism
+    # partitions, and coalesce(1) then evaluates all 32 Python input
+    # partitions serially in one task (~0.15 s of worker round-trips
+    # each — measured 4.5 s per append). One input slice = one task.
+    rdd = store.spark.sparkContext.parallelize(rows, 1)
+    df = store.spark.createDataFrame(rdd, PURGE_LOG_SCHEMA)
+    df.write.mode("append").parquet(store.config.purge_log_path)
 
 
 def purge_scan(
@@ -163,7 +169,9 @@ def purge_scan(
     # list is <= K rows, so the id assignment is a broadcast join; the
     # hot scan is partition-pruned to the marked partitions.
     mark_df = store.spark.createDataFrame(
-        [(m.purge_id, m.tag, m.part_start) for m in marks],
+        store.spark.sparkContext.parallelize(
+            [(m.purge_id, m.tag, m.part_start) for m in marks], 1
+        ),
         "purge_id string, tag string, part_start long",
     )
     snap = store.hot().join(F.broadcast(mark_df), ["tag", "part_start"])
@@ -213,6 +221,9 @@ def purge_ack_many(
     if now_ms is None:
         now_ms = _now_ms()
     result = {pid: False for pid in purge_ids}
+    # Dedupe while preserving order: a repeated id must ack (and log)
+    # once, not write two 'acked' rows for one eviction.
+    purge_ids = list(dict.fromkeys(purge_ids))
 
     log = purge_log(store).where(F.col("purge_id").isin(list(purge_ids)))
     states: dict[str, set] = {}

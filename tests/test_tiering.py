@@ -181,6 +181,23 @@ class TestBatchAck:
         )
         assert not any(again.values())
 
+    def test_ack_many_dedupes_repeated_ids(self, store):
+        """A purge id repeated in one batch acks once: one 'acked' log
+        row, not two, and the call still reports True for the id."""
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        marks = purge_scan(store, 0, 1, now_ms=T0 + 1_000)
+        pid = marks[0].purge_id
+        result = purge_ack_many(store, [pid, pid, pid], now_ms=T0 + 2_000)
+        assert result == {pid: True}
+        from pyspark.sql import functions as F
+
+        acked_rows = (
+            purge_log(store)
+            .where((F.col("purge_id") == pid) & (F.col("status") == "acked"))
+            .count()
+        )
+        assert acked_rows == 1
+
 
 class TestCompaction:
     def test_compact_keeps_lww_winners_only(self, store):
