@@ -42,9 +42,15 @@ def main() -> int:
 
     names = sorted(catalog.REGISTRY)
     # Warm the JVM/session on the smallest SF so the first measured
-    # query doesn't pay one-time codegen/session costs.
-    warm = catalog.REGISTRY["ts_range_read"].fn(spark, "/root/testdata/sf0.001")
-    warm.write.format("noop").mode("overwrite").save()
+    # query doesn't pay one-time codegen/session costs. Best-effort:
+    # fall back to sf_dir, and never let warm-up kill the bench.
+    for warm_dir in ("/root/testdata/sf0.001", sf_dir):
+        try:
+            warm = catalog.REGISTRY["ts_range_read"].fn(spark, warm_dir)
+            warm.write.format("noop").mode("overwrite").save()
+            break
+        except Exception as exc:
+            log(f"warm-up on {warm_dir} failed: {exc}")
 
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}
@@ -63,8 +69,11 @@ def main() -> int:
             log(f"{name}: FAILED {failures[name]}")
     total = time.perf_counter() - total_t0
 
-    ingest_rps, read_qps = ingest_read_bench(spark)
-    log(f"ingest: {ingest_rps:.0f} rows/s, point reads: {read_qps:.1f} q/s")
+    ingest_rps, read_qps, bulk_rps = ingest_read_bench(spark)
+    log(
+        f"ingest: {ingest_rps:.0f} rows/s (row-batch), "
+        f"{bulk_rps:.0f} rows/s (bulk), point reads: {read_qps:.1f} q/s"
+    )
 
     result = {
         "metric": "catalog_wall_time",
@@ -77,6 +86,7 @@ def main() -> int:
         "cpus": cpus,
         "ingest_rows_per_s": round(ingest_rps, 1),
         "point_read_qps": round(read_qps, 2),
+        "bulk_ingest_rows_per_s": round(bulk_rps, 1),
     }
     print(json.dumps(result), flush=True)
     return 1 if failures else 0
@@ -86,9 +96,18 @@ def ingest_read_bench(spark, n_batches: int = 5, n_reads: int = 20):
     """The reference's JMeter workload shape on the engine
     (BASELINE.md: each /set = 200 tags x 10 samples = 2,000 samples —
     the admission cap; each /get = 1 tag over a narrow window).
-    Returns (ingested rows/s, point reads/s)."""
+
+    The row-batch path lands in the L0 staging tier (one file per
+    batch, LSM memtable flush); point reads run against the cached
+    hot handle after the first read lists the table. The bulk path
+    (``write_df``, one clustered job for the same total rows) is
+    reported alongside as ``bulk_ingest_rows_per_s``.
+
+    Returns (row-batch rows/s, point reads/s, bulk rows/s)."""
     import shutil
     import tempfile
+
+    from pyspark.sql import functions as F
 
     from redis_lsm_timeseries_spark.config import EngineConfig
     from redis_lsm_timeseries_spark.store import TimeseriesStore
@@ -117,7 +136,25 @@ def ingest_read_bench(spark, n_batches: int = 5, n_reads: int = 20):
             start = (i % n_batches) * 100_000
             store.read_range({tag: (start, start + 20_000)}).collect()
         read_s = time.perf_counter() - t0
-        return rows / ingest_s, n_reads / read_s
+
+        # Bulk path: the same total rows as ONE clustered write_df job.
+        bulk_store = TimeseriesStore(
+            spark, EngineConfig(root=f"{base}/bulk", partition_width=120_000)
+        )
+        bulk_store.initialize()
+        bulk_df = (
+            spark.range(rows)
+            .select(
+                F.format_string("tag%03d", (F.col("id") % 200)).alias("tag"),
+                ((F.col("id") % 50) * 10_000).alias("ts"),
+                F.col("id").cast("string").alias("value"),
+                F.col("id").alias("seq"),
+            )
+        )
+        t0 = time.perf_counter()
+        bulk_store.write_df(bulk_df, ingest_ts=1_000)
+        bulk_s = time.perf_counter() - t0
+        return rows / ingest_s, n_reads / read_s, rows / bulk_s
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

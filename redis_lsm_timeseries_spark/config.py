@@ -83,6 +83,14 @@ class EngineConfig:
         return f"{self.base_path}/hot"
 
     @property
+    def l0_path(self) -> str:
+        """Row-batch staging tier (LSM L0): flat Parquet segments, one
+        file per ``write()`` batch, folded into the partitioned hot
+        layout (L1) by ``flush_l0``/``compact``. The memtable-flush
+        analog of the reference's in-Redis LSM posture (recipe:19-20)."""
+        return f"{self.base_path}/hot_l0"
+
+    @property
     def cold_path(self) -> str:
         return f"{self.base_path}/cold"
 

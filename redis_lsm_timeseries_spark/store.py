@@ -14,14 +14,25 @@ partitioned Parquet:
                   (O6/O7, ``index.js:278-288`` +
                   ``test/consumer-test.js:1135-1162``)
 
-Physical layout: ``{root}/{settings-hash}/hot`` Parquet partitioned by
-``(tag, part_start)`` — Catalyst's directory-level partition pruning
-performs the same metadata-only page selection as the reference's
-per-tag index ZSET, with no index table to maintain. Where the
-reference fetches a whole partition and filters client-side
-(``index.js:262-263``), the Parquet scan gets the residual ``ts``
-predicate pushed to row-group min/max — strictly better (SURVEY.md §4
-P9).
+Physical layout — a two-level LSM:
+
+- L1 ``{root}/{settings-hash}/hot``: Parquet partitioned by
+  ``(tag, part_start)`` — Catalyst's directory-level partition pruning
+  performs the same metadata-only page selection as the reference's
+  per-tag index ZSET, with no index table to maintain. Where the
+  reference fetches a whole partition and filters client-side
+  (``index.js:262-263``), the Parquet scan gets the residual ``ts``
+  predicate pushed to row-group min/max — strictly better (SURVEY.md
+  §4 P9). Bulk loads (``write_df``) land here directly, clustered.
+- L0 ``{root}/{settings-hash}/hot_l0``: flat Parquet segments, ONE
+  file per row-batch ``write()``, globally sorted by (tag, ts) so
+  row-group stats prune reads. The memtable-flush analog of the
+  reference's append-first LSM posture (``recipe:19-20``);
+  ``flush_l0`` (called by ack/compact maintenance) folds segments
+  into L1.
+
+Reads union both tiers and cache the table handle per store instance
+(mutators invalidate), so repeated point reads skip the file listing.
 """
 
 from __future__ import annotations
@@ -78,6 +89,19 @@ class TimeseriesStore:
         # Instance id: the reference derives a shortid per store instance
         # (index.js:58) used in the member uniquifier.
         self.writer_id = uuid.uuid4().hex[:8]
+        # In-process hot-table handle cache: re-listing the partitioned
+        # table per read is the dominant point-read cost. Every mutator
+        # in this module and tiering.py invalidates it; external writers
+        # (e.g. a streaming sink on hot_path) must call
+        # invalidate_hot_cache() — single-writer posture, as documented
+        # for the purge pipeline.
+        self._hot_cache: DataFrame | None = None
+
+    def invalidate_hot_cache(self) -> None:
+        """Drop the cached hot-table handle so the next read re-lists
+        the table. Called by every in-module mutator; call it manually
+        after writing hot/L0 files outside the store API."""
+        self._hot_cache = None
 
     # ------------------------------------------------------------------ O1
     def initialize(self) -> int:
@@ -141,15 +165,20 @@ class TimeseriesStore:
             (tag, ts, value, its, wid, seq, ts - (ts % w))
             for (tag, ts, value, its, wid, seq) in collapsed.values()
         ]
-        # Parallel append without pre-clustering: for a <= 2,000-row
-        # batch the job overhead dominates, and measured A/B shows the
-        # clustered/coalesced variants serialize the 200+ directory
-        # writes into one task (AQE coalesces the tiny shuffle) and run
-        # 5x slower. Bulk loads should use write_df (which clusters);
-        # file-count hygiene for chatty row-batch writers comes from
-        # the compact() maintenance job.
-        df = self.spark.createDataFrame(data, SAMPLE_SCHEMA)
-        self._append_hot(df)
+        # Row-batch writes land in the L0 staging tier as ONE flat file
+        # per batch (LSM memtable flush): a 2,000-row batch spread over
+        # 200 tags touches 200+ partition directories, and writing the
+        # partitioned layout per batch costs >1 s in file/commit
+        # overhead alone (measured; it is why the reference's LSM
+        # appends first and sorts later, recipe:19-20). L0 segments are
+        # globally sorted by (tag, ts) so the row-group min/max stats
+        # give reads the same pruning the partition directories give
+        # L1; flush_l0/compact fold them into the partitioned layout.
+        import pandas as pd
+
+        pdf = pd.DataFrame(data, columns=[f.name for f in SAMPLE_SCHEMA.fields])
+        df = self.spark.createDataFrame(pdf, SAMPLE_SCHEMA)
+        self._append_l0(df)
         partitions = len({(t, ps) for (t, _, _, _, _, _, ps) in data})
         return WriteMetrics(rows_written=len(data), partitions_touched=partitions)
 
@@ -191,7 +220,12 @@ class TimeseriesStore:
         )
         out = df.select(*[f.name for f in SAMPLE_SCHEMA.fields])
         if cluster_by_partition:
-            out = out.repartition("tag", "part_start")
+            # Explicit partition count: with the count left implicit,
+            # AQE coalesces a small clustering shuffle into ONE task
+            # that then writes every partition directory serially.
+            out = out.repartition(
+                self.spark.sparkContext.defaultParallelism, "tag", "part_start"
+            )
         self._append_hot(out)
 
     def _append_hot(self, df: DataFrame) -> None:
@@ -203,6 +237,46 @@ class TimeseriesStore:
             .partitionBy(*self.config.partition_cols)
             .parquet(self.config.hot_path)
         )
+        self.invalidate_hot_cache()
+
+    def _append_l0(self, df: DataFrame) -> None:
+        # coalesce(1): one segment file per batch, and the
+        # sortWithinPartitions becomes a global (tag, ts) sort of the
+        # segment — maximal row-group pruning. Cheap here because the
+        # input is Arrow batches already in the JVM (unlike coalescing
+        # a Python-parallelized DataFrame, see tiering._append_log).
+        writer = df.coalesce(1)
+        if self.config.sort_within_partitions:
+            writer = writer.sortWithinPartitions("tag", "ts")
+        writer.write.mode("append").parquet(self.config.l0_path)
+        self.invalidate_hot_cache()
+
+    def flush_l0(self) -> bool:
+        """Fold the L0 staging segments into the partitioned L1 layout
+        (the LSM memtable -> sorted-run flush). Clusters rows onto their
+        (tag, part_start) key with explicit parallelism (AQE would
+        coalesce the tiny shuffle into one task and serialize the
+        directory writes), appends to L1, then drops L0. Returns True
+        if anything was flushed.
+
+        Crash window: a failure between the L1 append and the L0 drop
+        leaves duplicate members in both tiers; LWW picks one of the
+        identical rows and the ack anti-join removes all copies of a
+        snapshotted member, so reads stay correct until a re-flush.
+        """
+        self._require_init()
+        if not os.path.exists(self.config.l0_path):
+            return False
+        l0 = self.spark.read.schema(SAMPLE_SCHEMA).parquet(self.config.l0_path)
+        clustered = l0.repartition(
+            self.spark.sparkContext.defaultParallelism, "tag", "part_start"
+        )
+        self._append_hot(clustered)
+        import shutil
+
+        shutil.rmtree(self.config.l0_path, ignore_errors=True)
+        self.invalidate_hot_cache()
+        return True
 
     def _validate_batch(self, key_value_pairs) -> list[tuple]:
         """Reference admission control (``index.js:102-119``)."""
@@ -253,15 +327,42 @@ class TimeseriesStore:
 
     # ------------------------------------------------------------------ hot
     def hot(self) -> DataFrame:
-        """The hot table as a DataFrame. A never-written store reads as
-        empty (the path does not exist yet); any OTHER failure — corrupt
-        files, permissions — propagates instead of masquerading as an
-        empty store. (The existence check is a local-FS/HDFS idiom; a
-        lakehouse deployment replaces it with a catalog lookup.)"""
+        """The hot table as a DataFrame: the partitioned L1 layout
+        unioned with any unflushed L0 row-batch segments (both carry
+        the full sample schema, L0 with ``part_start`` as a data
+        column). A never-written store reads as empty (no path exists
+        yet); any OTHER failure — corrupt files, permissions —
+        propagates instead of masquerading as an empty store. (The
+        existence check is a local-FS/HDFS idiom; a lakehouse
+        deployment replaces it with a catalog lookup.)
+
+        The returned handle is cached on the instance — repeated reads
+        skip the per-query file listing — and every mutator
+        invalidates it (see ``invalidate_hot_cache``)."""
         self._require_init()
-        if not os.path.exists(self.config.hot_path):
+        if self._hot_cache is not None:
+            return self._hot_cache
+        field_names = [f.name for f in SAMPLE_SCHEMA.fields]
+        tiers = []
+        if os.path.exists(self.config.hot_path):
+            tiers.append(
+                self.spark.read.schema(SAMPLE_SCHEMA)
+                .parquet(self.config.hot_path)
+                .select(*field_names)
+            )
+        if os.path.exists(self.config.l0_path):
+            tiers.append(
+                self.spark.read.schema(SAMPLE_SCHEMA)
+                .parquet(self.config.l0_path)
+                .select(*field_names)
+            )
+        if not tiers:
             return self.spark.createDataFrame([], SAMPLE_SCHEMA)
-        return self.spark.read.schema(SAMPLE_SCHEMA).parquet(self.config.hot_path)
+        df = tiers[0]
+        for t in tiers[1:]:
+            df = df.unionByName(t)
+        self._hot_cache = df
+        return df
 
     def cold(self) -> DataFrame:
         self._require_init()

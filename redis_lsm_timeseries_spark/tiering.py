@@ -240,6 +240,12 @@ def purge_ack_many(
     if not valid:
         return result
 
+    # Fold any L0 row-batch segments into the partitioned layout first:
+    # the delete below rewrites L1 partition directories, and rows still
+    # sitting in L0 (including writes made after the mark, which must
+    # survive) have to be in those directories to be rewritten or kept.
+    store.flush_l0()
+
     snapshot = (
         store.spark.read.parquet(store.config.cold_path)
         .where(F.col("purge_id").isin(valid))
@@ -282,6 +288,7 @@ def purge_ack_many(
             .partitionBy(*store.config.partition_cols)
             .parquet(store.config.hot_path)
         )
+    store.invalidate_hot_cache()
     _append_log(
         store,
         [
@@ -318,6 +325,10 @@ def compact(store: TimeseriesStore) -> CompactionMetrics:
     still shadow older members in the cold tier on hot-union-cold reads.
     """
     store._require_init()
+    # Fold L0 row-batch segments into the partitioned layout first —
+    # compaction IS the file-count hygiene for the chatty write() path,
+    # and the duplicate rewrite below operates on L1 directories.
+    store.flush_l0()
     hot = store.hot()
     dup_parts = [
         (r.tag, r.part_start)
@@ -354,6 +365,7 @@ def compact(store: TimeseriesStore) -> CompactionMetrics:
         .partitionBy(*store.config.partition_cols)
         .parquet(store.config.hot_path)
     )
+    store.invalidate_hot_cache()
     return CompactionMetrics(
         partitions_compacted=len(dup_parts),
         rows_before=rows_before,

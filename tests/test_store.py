@@ -235,8 +235,18 @@ class TestPhysicalLayout:
     partition-directory structure."""
 
     def test_partition_directories(self, store):
-        store.write(GAP_SERIAL)
+        """Row-batch writes stage in L0 (one flat file per batch);
+        flush_l0 folds them into the reference-shaped partition
+        directories."""
         import os
+
+        store.write(GAP_SERIAL)
+        l0_files = [
+            f for f in os.listdir(store.config.l0_path) if f.endswith(".parquet")
+        ]
+        assert len(l0_files) == 1  # one segment per write batch
+        assert store.flush_l0()
+        assert not os.path.exists(store.config.l0_path)
 
         hot = store.config.hot_path
         tags = sorted(d for d in os.listdir(hot) if d.startswith("tag="))
@@ -245,6 +255,10 @@ class TestPhysicalLayout:
             d for d in os.listdir(f"{hot}/tag=GapTag") if d.startswith("part_start=")
         )
         assert gap_parts == ["part_start=0", "part_start=10", "part_start=20"]
+        # The flush is read-transparent: same data before and after.
+        assert {(r.tag, r.ts): r.value for r in store.hot().collect()} == {
+            (t, ts): v for t, ts, v in GAP_SERIAL
+        }
 
     def test_epoch_persistence(self, spark, tmp_path):
         cfg = EngineConfig(root=str(tmp_path / "ep"))
@@ -267,15 +281,46 @@ class TestPhysicalLayout:
     def test_unwritten_store_reads_empty(self, store):
         assert store.hot().count() == 0
 
+    def test_hot_cache_invalidated_by_writes(self, store):
+        """The cached hot handle must never serve stale reads: every
+        write path (L0 row batch, L1 bulk, flush) invalidates it."""
+        store.write([("t", 1, "a")], ingest_ts=100)
+        assert {r.ts for r in store.hot().collect()} == {1}
+        store.write([("t", 2, "b")], ingest_ts=200)  # L0 append
+        assert {r.ts for r in store.hot().collect()} == {1, 2}
+        store.flush_l0()
+        assert {r.ts for r in store.hot().collect()} == {1, 2}
+        base = store.spark.createDataFrame(
+            [("t", 3, "c")], "tag string, ts long, value string"
+        )
+        store.write_df(base, ingest_ts=300)  # L1 bulk append
+        assert {r.ts for r in store.hot().collect()} == {1, 2, 3}
+
     def test_corrupt_hot_store_raises(self, store):
         """A broken hot store must ERROR, not read as empty — an empty
-        result from a corrupted table is silent data loss."""
+        result from a corrupted table is silent data loss. Corrupts
+        both tiers' files (L0 segment, then the flushed L1 file)."""
         import os
 
         store.write([("t", 1, "v")])
+        [pq] = [
+            f for f in os.listdir(store.config.l0_path) if f.endswith(".parquet")
+        ]
+        with open(f"{store.config.l0_path}/{pq}", "wb") as fh:
+            fh.write(b"this is not parquet")
+        store.invalidate_hot_cache()
+        with pytest.raises(Exception):
+            store.read_range({"t": (0, 10)}).collect()
+
+    def test_corrupt_l1_raises(self, store):
+        import os
+
+        store.write([("t", 1, "v")])
+        store.flush_l0()
         part_dir = f"{store.config.hot_path}/tag=t/part_start=0"
         [pq] = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
         with open(f"{part_dir}/{pq}", "wb") as fh:
             fh.write(b"this is not parquet")
+        store.invalidate_hot_cache()
         with pytest.raises(Exception):
             store.read_range({"t": (0, 10)}).collect()
