@@ -55,6 +55,23 @@ class EngineConfig:
     max_tag_name_length: int = MAX_TAG_NAME_LENGTH
     version: int = VERSION
 
+    def __post_init__(self) -> None:
+        # The store's table probes (hot/cold/purge-log existence checks)
+        # and maintenance deletes use the LOCAL filesystem. On a remote
+        # root (s3://, hdfs://) the probes would always answer "absent"
+        # and every table would silently read as empty — the exact
+        # data-loss mode the probes exist to prevent. Fail loudly at
+        # config time; a lakehouse deployment swaps the probes for a
+        # catalog lookup (see store.hot docstring).
+        scheme, sep, _ = self.root.partition("://")
+        if sep and scheme not in ("file",):
+            raise ValueError(
+                f"EngineConfig.root {self.root!r} uses scheme {scheme!r}: "
+                "this build's filesystem probes are local-only (file:// "
+                "or bare paths); use a catalog-backed deployment for "
+                "object storage"
+            )
+
     @property
     def namespace(self) -> str:
         """SHA-256 hash of the physical-compatibility settings.

@@ -665,6 +665,7 @@ WITH f AS (
          UNNEST(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 4))
            AS frame_idx
   FROM documents
+  WHERE octet_length(encode(text)) = length(text)
 )
 SELECT doc_id,
        frame_idx,
@@ -677,13 +678,20 @@ FROM f
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (every 4th 64-byte frame of the payload) via
-    mapInPandas — the 1-in/N-out multimodal decode shape. The payloads
-    are ASCII text encoded to bytes, so the oracle reproduces each
-    frame digest with character slicing; a real video codec plugs into
-    the same operator (operators/multimodal.sample_frames)."""
+    mapInPandas — the 1-in/N-out multimodal decode shape. A real video
+    codec plugs into the same operator
+    (operators/multimodal.sample_frames).
+
+    The operator frames the payload's BYTES; the DuckDB oracle can only
+    slice characters, so both sides restrict to pure-ASCII payloads
+    (octet length == char length — everything in the generated corpus),
+    keeping parity exact instead of silently diverging on multibyte
+    text."""
     from redis_lsm_timeseries_spark.operators.multimodal import sample_frames
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").where(
+        F.octet_length("text") == F.length("text")
+    )
     binary = d.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )

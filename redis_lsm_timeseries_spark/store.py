@@ -91,17 +91,38 @@ class TimeseriesStore:
         self.writer_id = uuid.uuid4().hex[:8]
         # In-process hot-table handle cache: re-listing the partitioned
         # table per read is the dominant point-read cost. Every mutator
-        # in this module and tiering.py invalidates it; external writers
-        # (e.g. a streaming sink on hot_path) must call
-        # invalidate_hot_cache() — single-writer posture, as documented
-        # for the purge pipeline.
-        self._hot_cache: DataFrame | None = None
+        # in this module and tiering.py invalidates it explicitly, and
+        # the cache self-validates against a layout mtime token (hot
+        # root, its _spark_metadata streaming-commit dir, L0 root), so
+        # any Spark writer — including an external streaming sink on
+        # hot_path — is picked up on the next read. Residual caveat: a
+        # non-Spark tool dropping a bare file into an EXISTING partition
+        # subdirectory bumps none of the watched mtimes; call
+        # invalidate_hot_cache() after such writes.
+        self._hot_cache: tuple[tuple, DataFrame] | None = None
 
     def invalidate_hot_cache(self) -> None:
         """Drop the cached hot-table handle so the next read re-lists
         the table. Called by every in-module mutator; call it manually
-        after writing hot/L0 files outside the store API."""
+        after writing hot/L0 files outside the Spark writer paths."""
         self._hot_cache = None
+
+    def _layout_token(self) -> tuple:
+        """Cheap staleness token for the hot layout: mtimes of the
+        directories every Spark write path touches (batch jobs rewrite
+        _SUCCESS at the table root; the streaming sink adds a commit
+        file under _spark_metadata; L0 appends add a segment file)."""
+        token = []
+        for path in (
+            self.config.hot_path,
+            f"{self.config.hot_path}/_spark_metadata",
+            self.config.l0_path,
+        ):
+            try:
+                token.append(os.stat(path).st_mtime_ns)
+            except OSError:
+                token.append(None)
+        return tuple(token)
 
     # ------------------------------------------------------------------ O1
     def initialize(self) -> int:
@@ -340,8 +361,9 @@ class TimeseriesStore:
         skip the per-query file listing — and every mutator
         invalidates it (see ``invalidate_hot_cache``)."""
         self._require_init()
-        if self._hot_cache is not None:
-            return self._hot_cache
+        token = self._layout_token()
+        if self._hot_cache is not None and self._hot_cache[0] == token:
+            return self._hot_cache[1]
         field_names = [f.name for f in SAMPLE_SCHEMA.fields]
         tiers = []
         if os.path.exists(self.config.hot_path):
@@ -361,7 +383,7 @@ class TimeseriesStore:
         df = tiers[0]
         for t in tiers[1:]:
             df = df.unionByName(t)
-        self._hot_cache = df
+        self._hot_cache = (token, df)
         return df
 
     def cold(self) -> DataFrame:

@@ -58,6 +58,16 @@ def start_hot_ingest(
     Within one micro-batch the reference's "last entry wins" order is
     carried by ``ingest_ts`` (the batch commit time); distinct batches
     never tie on it.
+
+    Intra-batch duplicate (tag, ts) keys: a file-source micro-batch has
+    no defined row order (unlike the batch ``write()``, whose input is
+    an ordered client batch), so "last entry wins" is undefined within
+    one micro-batch; both members are appended and the LWW winner
+    tie-breaks on the content-hash ``seq`` — DETERMINISTIC across
+    replays, but not positional. Producers that need positional
+    intra-batch semantics should assign their own ``seq`` upstream or
+    route through ``start_hot_ingest_with_maintenance``, which collapses
+    intra-batch duplicates per micro-batch.
     """
     w = store.config.partition_width
     enriched = (
@@ -80,6 +90,85 @@ def start_hot_ingest(
         .option("path", store.config.hot_path)
         .option("checkpointLocation", checkpoint_dir)
         .partitionBy(*store.config.partition_cols)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_hot_ingest_with_maintenance(
+    store: TimeseriesStore,
+    stream: DataFrame,
+    checkpoint_dir: str,
+    writer_id: str = "stream",
+    maintenance_every: int = 1,
+    partition_age_threshold_s: float = 300.0,
+    max_partitions_to_mark: int = 10,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Ingest with the purge pipeline wired into the stream (SURVEY.md
+    §3.3): a ``foreachBatch`` sink appends each micro-batch through the
+    store API, then every ``maintenance_every``-th batch runs
+    ``purge_scan`` and immediately acks the marks — the reference's
+    enqueue-purge consumer loop (``example/service.js`` polling +
+    ``ack-purge``) collapsed into the ingest trigger, so cold tiering
+    needs no second scheduler.
+
+    Differences from ``start_hot_ingest`` (plain parquet sink):
+
+    - intra-batch duplicate (tag, ts) keys are collapsed to one member
+      per micro-batch (greatest content-hash ``seq`` wins —
+      deterministic under replay) before the append, matching the batch
+      ``write()`` path's one-member-per-key posture;
+    - appends go through ``store.write_df``, so the hot-handle cache is
+      invalidated per batch and concurrent readers see fresh data;
+    - exactly-once is at-least-once here: ``foreachBatch`` re-runs a
+      failed batch and the plain append is not idempotent (the parquet
+      sink's file-commit log is). Replayed members are EXACT duplicates
+      (content-hash seq), which LWW collapses at read time and the ack
+      anti-join removes together — correctness holds, storage may hold
+      transient duplicate members until compaction.
+    """
+    from redis_lsm_timeseries_spark.tiering import purge_ack_many, purge_scan
+
+    w = store.config.partition_width
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = (
+            batch_df.withColumn(
+                "ingest_ts",
+                (F.unix_micros(F.current_timestamp()) / 1000).cast("long"),
+            )
+            .withColumn("writer_id", F.lit(writer_id))
+            .withColumn(
+                "seq",
+                F.pmod(F.xxhash64("tag", "ts", "value"), F.lit(2**62)).cast("long"),
+            )
+            .withColumn(
+                "part_start",
+                (F.col("ts") - F.pmod(F.col("ts"), F.lit(w))).cast("long"),
+            )
+        )
+        # One member per (tag, ts) within the micro-batch.
+        collapsed = enriched.groupBy("tag", "ts").agg(
+            F.max_by(
+                F.struct(*[f.name for f in SAMPLE_SCHEMA.fields]), F.col("seq")
+            ).alias("m")
+        ).select("m.*")
+        store.write_df(collapsed, cluster_by_partition=False)
+        if batch_id % maintenance_every == 0:
+            marks = purge_scan(
+                store,
+                partition_age_threshold_s=partition_age_threshold_s,
+                max_partitions_to_mark=max_partitions_to_mark,
+            )
+            if marks:
+                purge_ack_many(store, [m.purge_id for m in marks])
+
+    writer = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
     if available_now:

@@ -295,6 +295,18 @@ class TestPhysicalLayout:
         )
         store.write_df(base, ingest_ts=300)  # L1 bulk append
         assert {r.ts for r in store.hot().collect()} == {1, 2, 3}
+        # External Spark writer into an EXISTING partition dir, no
+        # invalidate call: the layout-mtime token must catch it (the
+        # write job rewrites _SUCCESS at the table root).
+        ext = store.spark.createDataFrame(
+            [("t", 4, "d", 999, "x", 0, 0)],
+            "tag string, ts long, value string, ingest_ts long,"
+            " writer_id string, seq long, part_start long",
+        )
+        ext.write.mode("append").partitionBy("tag", "part_start").parquet(
+            store.config.hot_path
+        )
+        assert {r.ts for r in store.hot().collect()} == {1, 2, 3, 4}
 
     def test_corrupt_hot_store_raises(self, store):
         """A broken hot store must ERROR, not read as empty — an empty

@@ -87,6 +87,76 @@ class TestHotIngest:
         assert store.hot().count() == 1
 
 
+class TestIngestWithMaintenance:
+    def test_purge_maintenance_on_ingest_no_data_loss(
+        self, spark, store, stream_dirs
+    ):
+        """SURVEY §3.3: the purge pipeline driven by the ingest stream
+        itself. With a zero idle threshold every batch's partitions are
+        marked and acked to cold as the stream runs; the unified
+        hot-union-cold read must still return every sample."""
+        from redis_lsm_timeseries_spark.streaming import (
+            start_hot_ingest_with_maintenance,
+        )
+        from redis_lsm_timeseries_spark.tiering import purge_log
+
+        input_dir, ckpt = stream_dirs
+        rows = [("GapTag", 1, "One"), ("GapTag", 7, "Seven"), ("SerialTag", 2, "Two")]
+        _land_batch(spark, input_dir, rows, batch=0)
+        q = start_hot_ingest_with_maintenance(
+            store,
+            read_sample_stream(spark, f"{input_dir}/*"),
+            ckpt,
+            partition_age_threshold_s=0.0,
+        )
+        assert q.awaitTermination(300)
+        assert q.exception() is None
+
+        log = purge_log(store)
+        assert log.where("status = 'marked'").count() >= 1
+        assert log.where("status = 'acked'").count() >= 1
+        # Evicted from hot, but the unified read loses nothing.
+        assert store.cold().count() >= 1
+        out = {
+            (r.tag, r.ts): r.value
+            for r in store.read_range(
+                {"GapTag": (0, 100), "SerialTag": (0, 100)},
+                include_cold=True,
+            ).collect()
+        }
+        assert out == {(t, ts): v for t, ts, v in rows}
+
+    def test_intra_batch_duplicate_keys_collapse(
+        self, spark, store, stream_dirs
+    ):
+        """The maintenance path stores ONE member per (tag, ts) within
+        a micro-batch (batch write() posture), unlike the plain sink
+        which keeps both and resolves at read time."""
+        from redis_lsm_timeseries_spark.streaming import (
+            start_hot_ingest_with_maintenance,
+        )
+
+        input_dir, ckpt = stream_dirs
+        _land_batch(
+            spark,
+            input_dir,
+            [("GapTag", 1, "A"), ("GapTag", 1, "B")],
+            batch=0,
+        )
+        q = start_hot_ingest_with_maintenance(
+            store,
+            read_sample_stream(spark, f"{input_dir}/*"),
+            ckpt,
+            partition_age_threshold_s=3600.0,  # no purge this time
+        )
+        assert q.awaitTermination(300)
+        assert q.exception() is None
+        assert store.hot().where("tag = 'GapTag' AND ts = 1").count() == 1
+        # Deterministic winner: greatest content-hash seq.
+        [r] = store.read_range({"GapTag": (0, 100)}).collect()
+        assert r.value in ("A", "B")
+
+
 class TestStreamingRollup:
     def test_rollup_matches_batch(self, spark):
         from redis_lsm_timeseries_spark.plans import REGISTRY
