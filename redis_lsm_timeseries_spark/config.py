@@ -63,14 +63,28 @@ class EngineConfig:
         # data-loss mode the probes exist to prevent. Fail loudly at
         # config time; a lakehouse deployment swaps the probes for a
         # catalog lookup (see store.hot docstring).
-        scheme, sep, _ = self.root.partition("://")
-        if sep and scheme not in ("file",):
-            raise ValueError(
-                f"EngineConfig.root {self.root!r} uses scheme {scheme!r}: "
-                "this build's filesystem probes are local-only (file:// "
-                "or bare paths); use a catalog-backed deployment for "
-                "object storage"
-            )
+        #
+        # file:// roots are NORMALIZED to the bare local path: Spark
+        # accepts both spellings, but os.path/shutil do not understand
+        # the URI form — left raw, Spark would write to /data while the
+        # probes checked a literal './file:/data' relative path and
+        # every table would read as empty after successful writes.
+        scheme, sep, rest = self.root.partition("://")
+        if sep:
+            if scheme != "file":
+                raise ValueError(
+                    f"EngineConfig.root {self.root!r} uses scheme {scheme!r}: "
+                    "this build's filesystem probes are local-only (file:// "
+                    "or bare paths); use a catalog-backed deployment for "
+                    "object storage"
+                )
+            if not rest.startswith("/"):
+                raise ValueError(
+                    f"EngineConfig.root {self.root!r}: file:// roots must "
+                    "be absolute (file:///path); authority or relative "
+                    "forms are not supported"
+                )
+            object.__setattr__(self, "root", rest)
 
     @property
     def namespace(self) -> str:
@@ -106,6 +120,15 @@ class EngineConfig:
         layout (L1) by ``flush_l0``/``compact``. The memtable-flush
         analog of the reference's in-Redis LSM posture (recipe:19-20)."""
         return f"{self.base_path}/hot_l0"
+
+    @property
+    def l0_staging_path(self) -> str:
+        """Per-flush staging area for ``flush_l0``: segments are moved
+        (atomic local rename) into a staging subdir before the L1
+        append, and a ``_COMMITTED`` marker records the append landing,
+        so a crashed flush is recoverable without re-appending the same
+        segments (see ``TimeseriesStore.flush_l0``)."""
+        return f"{self.base_path}/hot_l0_staging"
 
     @property
     def cold_path(self) -> str:

@@ -108,20 +108,44 @@ class TimeseriesStore:
         self._hot_cache = None
 
     def _layout_token(self) -> tuple:
-        """Cheap staleness token for the hot layout: mtimes of the
-        directories every Spark write path touches (batch jobs rewrite
-        _SUCCESS at the table root; the streaming sink adds a commit
-        file under _spark_metadata; L0 appends add a segment file)."""
+        """Cheap staleness token for the hot layout.
+
+        Per watched root (hot table root, its _spark_metadata
+        streaming-commit dir, L0, L0 staging): the directory mtime PLUS
+        a hash of the directory listing — mtime alone is only as fine
+        as filesystem timestamp granularity, so a write landing within
+        the same tick as the cached token would be served stale. The
+        listing hash catches any add/remove of a top-level entry
+        (partition dir, L0 segment, streaming commit file) regardless
+        of timestamp resolution.
+
+        Appends into an EXISTING partition subdirectory change neither
+        the root mtime nor its listing; those are caught by the
+        _SUCCESS marker's (mtime, inode) — FileOutputCommitter recreates
+        it on every batch job, so the inode changes even when mtime
+        granularity doesn't. CAVEAT: committers configured with
+        ``mapreduce.fileoutputcommitter.marksuccessfuljobs=false``
+        never rewrite _SUCCESS; external batch appends into existing
+        partition dirs then go undetected — call
+        ``invalidate_hot_cache()`` after such writes (or keep the
+        marker enabled, the default)."""
         token = []
         for path in (
             self.config.hot_path,
             f"{self.config.hot_path}/_spark_metadata",
             self.config.l0_path,
+            self.config.l0_staging_path,
         ):
             try:
-                token.append(os.stat(path).st_mtime_ns)
+                st = os.stat(path)
+                token.append((st.st_mtime_ns, hash(tuple(sorted(os.listdir(path))))))
             except OSError:
                 token.append(None)
+        try:
+            st = os.stat(f"{self.config.hot_path}/_SUCCESS")
+            token.append((st.st_mtime_ns, st.st_ino))
+        except OSError:
+            token.append(None)
         return tuple(token)
 
     # ------------------------------------------------------------------ O1
@@ -274,30 +298,91 @@ class TimeseriesStore:
 
     def flush_l0(self) -> bool:
         """Fold the L0 staging segments into the partitioned L1 layout
-        (the LSM memtable -> sorted-run flush). Clusters rows onto their
-        (tag, part_start) key with explicit parallelism (AQE would
-        coalesce the tiny shuffle into one task and serialize the
-        directory writes), appends to L1, then drops L0. Returns True
-        if anything was flushed.
+        (the LSM memtable -> sorted-run flush). Returns True if
+        anything was folded or recovered.
 
-        Crash window: a failure between the L1 append and the L0 drop
-        leaves duplicate members in both tiers; LWW picks one of the
-        identical rows and the ack anti-join removes all copies of a
-        snapshotted member, so reads stay correct until a re-flush.
+        Idempotent under crashes via a staged two-phase fold:
+
+        1. every L0 entry is MOVED (atomic local rename) into a fresh
+           ``hot_l0_staging/<id>/`` dir — new ``write()`` batches
+           landing mid-flush are untouched;
+        2. the staged segments are clustered onto their
+           (tag, part_start) key (explicit parallelism: AQE would
+           coalesce the tiny shuffle into one task and serialize the
+           directory writes) and appended to L1;
+        3. a ``_COMMITTED`` marker is written in the staging dir, then
+           the dir is removed.
+
+        Recovery (run first on every flush): a leftover staging dir
+        WITHOUT the marker crashed before its L1 append — fold it now
+        (its rows stayed readable throughout: ``hot()`` unions
+        uncommitted staging dirs); one WITH the marker crashed after
+        the append — its rows are already in L1, just delete it. The
+        only re-append window left is the marker write itself (one
+        local file create), vs. the previous design's whole
+        many-file L0 tree removal; LWW hides any duplicates from that
+        residual window and ``compact`` removes them physically.
         """
         self._require_init()
+        did = self._recover_staging()
         if not os.path.exists(self.config.l0_path):
-            return False
-        l0 = self.spark.read.schema(SAMPLE_SCHEMA).parquet(self.config.l0_path)
-        clustered = l0.repartition(
-            self.spark.sparkContext.defaultParallelism, "tag", "part_start"
-        )
-        self._append_hot(clustered)
+            return did
+        entries = os.listdir(self.config.l0_path)
+        if not entries:
+            return did
+        stage_dir = f"{self.config.l0_staging_path}/{uuid.uuid4().hex[:12]}"
+        os.makedirs(stage_dir)
+        for name in entries:
+            os.rename(f"{self.config.l0_path}/{name}", f"{stage_dir}/{name}")
+        try:
+            # rmdir (not rmtree): refuses if a new batch landed a
+            # segment mid-flush — that batch stays for the next flush.
+            os.rmdir(self.config.l0_path)
+        except OSError:
+            pass
+        self.invalidate_hot_cache()
+        self._fold_staged(stage_dir)
+        return True
+
+    def _fold_staged(self, stage_dir: str) -> None:
+        """Phase 2+3 of ``flush_l0``: append one staging dir's segments
+        to L1, mark committed, remove. Spark's path filter skips the
+        ``_``-prefixed marker and ``.crc`` sidecars, so re-reading a
+        staging dir is safe."""
         import shutil
 
-        shutil.rmtree(self.config.l0_path, ignore_errors=True)
+        if any(not n.startswith(("_", ".")) for n in os.listdir(stage_dir)):
+            staged = self.spark.read.schema(SAMPLE_SCHEMA).parquet(stage_dir)
+            clustered = staged.repartition(
+                self.spark.sparkContext.defaultParallelism, "tag", "part_start"
+            )
+            self._append_hot(clustered)
+        with open(f"{stage_dir}/_COMMITTED", "w", encoding="utf-8"):
+            pass
+        shutil.rmtree(stage_dir, ignore_errors=True)
         self.invalidate_hot_cache()
-        return True
+
+    def _recover_staging(self) -> bool:
+        """Fold or garbage-collect staging dirs a crashed flush left
+        behind (see ``flush_l0``). Returns True if anything was done."""
+        import shutil
+
+        root = self.config.l0_staging_path
+        if not os.path.exists(root):
+            return False
+        did = False
+        for name in sorted(os.listdir(root)):
+            stage_dir = f"{root}/{name}"
+            if not os.path.isdir(stage_dir):
+                continue
+            did = True
+            if os.path.exists(f"{stage_dir}/_COMMITTED"):
+                # Crashed after the L1 append: rows are in L1 already.
+                shutil.rmtree(stage_dir, ignore_errors=True)
+                self.invalidate_hot_cache()
+            else:
+                self._fold_staged(stage_dir)
+        return did
 
     def _validate_batch(self, key_value_pairs) -> list[tuple]:
         """Reference admission control (``index.js:102-119``)."""
@@ -378,6 +463,24 @@ class TimeseriesStore:
                 .parquet(self.config.l0_path)
                 .select(*field_names)
             )
+        # Uncommitted staging dirs: a flush crashed (or is running)
+        # between the L0 move and the L1 append — those rows live only
+        # in staging, so reads must include them. COMMITTED dirs are
+        # already in L1 and excluded (including them would double-read).
+        if os.path.exists(self.config.l0_staging_path):
+            for name in sorted(os.listdir(self.config.l0_staging_path)):
+                stage_dir = f"{self.config.l0_staging_path}/{name}"
+                if not os.path.isdir(stage_dir):
+                    continue
+                if os.path.exists(f"{stage_dir}/_COMMITTED"):
+                    continue
+                if all(n.startswith(("_", ".")) for n in os.listdir(stage_dir)):
+                    continue
+                tiers.append(
+                    self.spark.read.schema(SAMPLE_SCHEMA)
+                    .parquet(stage_dir)
+                    .select(*field_names)
+                )
         if not tiers:
             return self.spark.createDataFrame([], SAMPLE_SCHEMA)
         df = tiers[0]

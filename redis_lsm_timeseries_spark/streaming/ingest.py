@@ -24,6 +24,10 @@ its three ZADDs — SURVEY.md §2.2.7 — so this is strictly stronger).
 
 from __future__ import annotations
 
+import json
+import os
+import time
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -97,6 +101,88 @@ def start_hot_ingest(
     return writer.start()
 
 
+def _batch_ingest_ts(checkpoint_dir: str, batch_id: int) -> int:
+    """Replay-stable ingest timestamp for a foreachBatch micro-batch.
+
+    The FIRST processing attempt of a batch records wall-clock ms in a
+    sidecar file under the checkpoint dir (write-temp-then-rename, so a
+    concurrent/crashed writer never exposes a partial file); every
+    replay of the same batch_id reads the recorded value back. Replayed
+    members are therefore IDENTITY-EQUAL to the originals — same
+    (tag, ts, value, ingest_ts, writer_id, seq) — so identity dedup
+    and the purge-ack anti-join treat original and replay as one
+    member. Deriving ingest_ts from current_timestamp() instead would
+    give replays a fresh ingest_ts: neither dropDuplicates nor the ack
+    anti-join would collapse them, and a replay after an ack would
+    resurrect purged rows into hot."""
+    meta_dir = f"{checkpoint_dir}/rlts_batch_meta"
+    os.makedirs(meta_dir, exist_ok=True)
+    path = f"{meta_dir}/{batch_id}.json"
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as fh:
+            return json.load(fh)["ingest_ts"]
+    ingest_ts = int(time.time() * 1000)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"ingest_ts": ingest_ts}, fh)
+    os.replace(tmp, path)
+    # A concurrent attempt may have won the rename race; re-read so
+    # every attempt agrees on one value.
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)["ingest_ts"]
+
+
+def make_maintenance_batch_handler(
+    store: TimeseriesStore,
+    checkpoint_dir: str,
+    writer_id: str = "stream",
+    maintenance_every: int = 1,
+    partition_age_threshold_s: float = 300.0,
+    max_partitions_to_mark: int = 10,
+):
+    """The foreachBatch handler behind
+    ``start_hot_ingest_with_maintenance``, exposed so replay semantics
+    are directly testable (call it twice with one batch_id = a replay).
+    """
+    from redis_lsm_timeseries_spark.tiering import purge_ack_many, purge_scan
+
+    w = store.config.partition_width
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = (
+            batch_df.withColumn(
+                "ingest_ts",
+                F.lit(_batch_ingest_ts(checkpoint_dir, batch_id)).cast("long"),
+            )
+            .withColumn("writer_id", F.lit(writer_id))
+            .withColumn(
+                "seq",
+                F.pmod(F.xxhash64("tag", "ts", "value"), F.lit(2**62)).cast("long"),
+            )
+            .withColumn(
+                "part_start",
+                (F.col("ts") - F.pmod(F.col("ts"), F.lit(w))).cast("long"),
+            )
+        )
+        # One member per (tag, ts) within the micro-batch.
+        collapsed = enriched.groupBy("tag", "ts").agg(
+            F.max_by(
+                F.struct(*[f.name for f in SAMPLE_SCHEMA.fields]), F.col("seq")
+            ).alias("m")
+        ).select("m.*")
+        store.write_df(collapsed, cluster_by_partition=False)
+        if batch_id % maintenance_every == 0:
+            marks = purge_scan(
+                store,
+                partition_age_threshold_s=partition_age_threshold_s,
+                max_partitions_to_mark=max_partitions_to_mark,
+            )
+            if marks:
+                purge_ack_many(store, [m.purge_id for m in marks])
+
+    return handle_batch
+
+
 def start_hot_ingest_with_maintenance(
     store: TimeseriesStore,
     stream: DataFrame,
@@ -125,47 +211,21 @@ def start_hot_ingest_with_maintenance(
       invalidated per batch and concurrent readers see fresh data;
     - exactly-once is at-least-once here: ``foreachBatch`` re-runs a
       failed batch and the plain append is not idempotent (the parquet
-      sink's file-commit log is). Replayed members are EXACT duplicates
-      (content-hash seq), which LWW collapses at read time and the ack
-      anti-join removes together — correctness holds, storage may hold
-      transient duplicate members until compaction.
+      sink's file-commit log is). Replayed members ARE exact duplicates
+      — ``ingest_ts`` is pinned per batch_id in a checkpoint sidecar
+      (``_batch_ingest_ts``) and ``seq`` is a content hash — so LWW
+      collapses them at read time and the ack anti-join removes
+      original + replay together; storage may hold transient duplicate
+      members until compaction.
     """
-    from redis_lsm_timeseries_spark.tiering import purge_ack_many, purge_scan
-
-    w = store.config.partition_width
-
-    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        enriched = (
-            batch_df.withColumn(
-                "ingest_ts",
-                (F.unix_micros(F.current_timestamp()) / 1000).cast("long"),
-            )
-            .withColumn("writer_id", F.lit(writer_id))
-            .withColumn(
-                "seq",
-                F.pmod(F.xxhash64("tag", "ts", "value"), F.lit(2**62)).cast("long"),
-            )
-            .withColumn(
-                "part_start",
-                (F.col("ts") - F.pmod(F.col("ts"), F.lit(w))).cast("long"),
-            )
-        )
-        # One member per (tag, ts) within the micro-batch.
-        collapsed = enriched.groupBy("tag", "ts").agg(
-            F.max_by(
-                F.struct(*[f.name for f in SAMPLE_SCHEMA.fields]), F.col("seq")
-            ).alias("m")
-        ).select("m.*")
-        store.write_df(collapsed, cluster_by_partition=False)
-        if batch_id % maintenance_every == 0:
-            marks = purge_scan(
-                store,
-                partition_age_threshold_s=partition_age_threshold_s,
-                max_partitions_to_mark=max_partitions_to_mark,
-            )
-            if marks:
-                purge_ack_many(store, [m.purge_id for m in marks])
-
+    handle_batch = make_maintenance_batch_handler(
+        store,
+        checkpoint_dir,
+        writer_id=writer_id,
+        maintenance_every=maintenance_every,
+        partition_age_threshold_s=partition_age_threshold_s,
+        max_partitions_to_mark=max_partitions_to_mark,
+    )
     writer = (
         stream.writeStream.foreachBatch(handle_batch)
         .option("checkpointLocation", checkpoint_dir)

@@ -336,3 +336,125 @@ class TestPhysicalLayout:
         store.invalidate_hot_cache()
         with pytest.raises(Exception):
             store.read_range({"t": (0, 10)}).collect()
+
+
+class TestFileSchemeRoot:
+    """file:// roots are normalized to bare local paths so Spark writes
+    and the local-FS probes agree on one location (ADVICE r3: with the
+    raw URI kept, Spark wrote to /data while os.path probed a literal
+    './file:/data' — every table silently read as empty)."""
+
+    def test_file_root_normalized_and_readable(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.config import EngineConfig
+        from redis_lsm_timeseries_spark.store import TimeseriesStore
+
+        cfg = EngineConfig(root=f"file://{tmp_path}/engine", partition_width=5)
+        assert cfg.root == f"{tmp_path}/engine"
+        s = TimeseriesStore(spark, cfg)
+        s.initialize()
+        s.write([("t", 1, "a")], ingest_ts=100)
+        s.flush_l0()
+        assert {(r.ts, r.value) for r in s.hot().collect()} == {(1, "a")}
+
+    def test_file_root_relative_rejected(self):
+        from redis_lsm_timeseries_spark.config import EngineConfig
+
+        with pytest.raises(ValueError):
+            EngineConfig(root="file://relative/path")
+
+    def test_remote_scheme_rejected(self):
+        from redis_lsm_timeseries_spark.config import EngineConfig
+
+        with pytest.raises(ValueError):
+            EngineConfig(root="s3://bucket/prefix")
+
+
+class TestFlushRecovery:
+    """flush_l0's staged two-phase fold: a crashed flush never loses
+    rows and never re-appends committed segments (ADVICE r3: the old
+    append-then-rmtree left a window where a re-flush duplicated the
+    whole L0 tree into L1)."""
+
+    def _staged_dirs(self, store):
+        import os
+
+        root = store.config.l0_staging_path
+        if not os.path.exists(root):
+            return []
+        return sorted(os.listdir(root))
+
+    def test_crash_before_append_rows_visible_then_recovered(self, store):
+        import os
+
+        store.write([("t", 1, "a"), ("t", 7, "b")], ingest_ts=100)
+        # Simulate a flush that crashed right after the L0 -> staging
+        # move (phase 1), before any L1 append.
+        stage = f"{store.config.l0_staging_path}/crashed"
+        os.makedirs(stage)
+        for name in os.listdir(store.config.l0_path):
+            os.rename(f"{store.config.l0_path}/{name}", f"{stage}/{name}")
+        store.invalidate_hot_cache()
+        # Rows live only in the uncommitted staging dir — still read.
+        assert {r.ts for r in store.hot().collect()} == {1, 7}
+        # Recovery folds them into L1 exactly once.
+        assert store.flush_l0() is True
+        assert self._staged_dirs(store) == []
+        assert {r.ts for r in store.hot().collect()} == {1, 7}
+        assert store.hot().count() == 2
+
+    def test_committed_leftover_not_reappended(self, store):
+        import os
+        import shutil
+
+        store.write([("t", 1, "a")], ingest_ts=100)
+        store.flush_l0()
+        assert store.hot().count() == 1
+        # Simulate a crash AFTER the L1 append + marker write but
+        # before cleanup: a committed staging dir whose segment holds a
+        # row that is already in L1. Recovery must delete, not re-fold.
+        stage = f"{store.config.l0_staging_path}/committed_leftover"
+        os.makedirs(stage)
+        part_dir = f"{store.config.hot_path}/tag=t/part_start=0"
+        [pq] = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        shutil.copy(f"{part_dir}/{pq}", f"{stage}/{pq}")
+        with open(f"{stage}/_COMMITTED", "w", encoding="utf-8"):
+            pass
+        store.invalidate_hot_cache()
+        # Committed staging dirs are not part of the readable state.
+        assert store.hot().count() == 1
+        store.flush_l0()
+        assert self._staged_dirs(store) == []
+        assert store.hot().count() == 1
+
+    def test_flush_keeps_concurrent_new_batches(self, store):
+        """A write() landing between two flushes is never swallowed by
+        recovery bookkeeping."""
+        store.write([("t", 1, "a")], ingest_ts=100)
+        store.flush_l0()
+        store.write([("t", 2, "b")], ingest_ts=200)
+        store.flush_l0()
+        assert {r.ts for r in store.hot().collect()} == {1, 2}
+
+
+class TestLayoutTokenGranularity:
+    def test_same_mtime_external_l0_write_detected(self, spark, store):
+        """An external writer landing within the same filesystem
+        timestamp tick as the cached token must still invalidate the
+        hot-handle cache: the token folds a directory-listing hash, not
+        just the mtime (ADVICE r3)."""
+        import os
+
+        from redis_lsm_timeseries_spark.store import TimeseriesStore
+
+        store.write([("t", 1, "a")], ingest_ts=100)
+        assert {r.ts for r in store.hot().collect()} == {1}
+        st = os.stat(store.config.l0_path)
+        # Second store instance = external writer; it invalidates its
+        # own cache, not the first store's.
+        other = TimeseriesStore(spark, store.config)
+        other.initialize()
+        other.write([("t", 2, "b")], ingest_ts=200)
+        # Force the L0 dir mtime back onto the cached token's tick, so
+        # only the listing hash can reveal the new segment.
+        os.utime(store.config.l0_path, ns=(st.st_atime_ns, st.st_mtime_ns))
+        assert {r.ts for r in store.hot().collect()} == {1, 2}

@@ -185,3 +185,55 @@ class TestStreamingRollup:
             .collect()
         }
         assert got == want
+
+
+class TestReplayIdentity:
+    def test_batch_ingest_ts_pinned_per_batch(self, tmp_path):
+        from redis_lsm_timeseries_spark.streaming.ingest import _batch_ingest_ts
+
+        ckpt = str(tmp_path / "ckpt")
+        t0 = _batch_ingest_ts(ckpt, 0)
+        assert _batch_ingest_ts(ckpt, 0) == t0  # replay reads it back
+        assert isinstance(t0, int)
+        t1 = _batch_ingest_ts(ckpt, 1)
+        assert _batch_ingest_ts(ckpt, 1) == t1
+
+    def test_replayed_batch_members_are_identity_equal(
+        self, spark, store, stream_dirs
+    ):
+        """A foreachBatch replay must append members IDENTITY-EQUAL to
+        the first attempt (ingest_ts pinned per batch_id in a
+        checkpoint sidecar), so identity dedup and the ack anti-join
+        collapse original + replay as one member (ADVICE r3: with
+        current_timestamp() the replica had a fresh ingest_ts and
+        survived both)."""
+        from redis_lsm_timeseries_spark.schema import MEMBER_IDENTITY_COLS
+        from redis_lsm_timeseries_spark.streaming.ingest import (
+            make_maintenance_batch_handler,
+        )
+
+        _, ckpt = stream_dirs
+        handler = make_maintenance_batch_handler(
+            store, ckpt, partition_age_threshold_s=3600.0
+        )
+        batch = spark.createDataFrame(
+            [("T", 1, "a"), ("T", 2, "b")], WRITE_SCHEMA
+        )
+        handler(batch, 0)
+        assert store.hot().count() == 2
+        handler(batch, 0)  # replay of the same micro-batch
+        # Raw storage holds the duplicates (at-least-once append)…
+        assert store.hot().count() == 4
+        # …but they are exact duplicates: identity dedup collapses them
+        assert store.hot().dropDuplicates(MEMBER_IDENTITY_COLS).count() == 2
+        out = {
+            (r.tag, r.ts): r.value
+            for r in store.read_range({"T": (0, 10)}).collect()
+        }
+        assert out == {("T", 1): "a", ("T", 2): "b"}
+        # …and compaction removes them physically.
+        from redis_lsm_timeseries_spark.tiering import compact
+
+        metrics = compact(store)
+        assert metrics.rows_after == 2
+        assert store.hot().count() == 2
