@@ -700,9 +700,45 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_feature_extract",
-    oracle=None,  # Pandas-UDF decode stub — the Spark-side plumbing is
-    # the deliverable; features are deterministic and schema-checked in
-    # tests/test_llm_operators.py.
+    # Full DuckDB oracle for the Arrow-batched decode path: the stub
+    # decoder is pure byte statistics, so SQL can recompute it from the
+    # payload's hex expansion (one row per byte via unnest(range(n))).
+    # The histogram is serialized as exact integer COUNTS, not
+    # formatted ratios — Java's %.6f (HALF_UP) and C/fmt (half-even)
+    # disagree on ties like 1/128 = 0.0078125, so no float ever passes
+    # through a decimal formatter on either side.
+    oracle="""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+), b AS (
+  SELECT doc_id, n,
+         (strpos('0123456789ABCDEF', substr(hx, 2 * i + 1, 1)) - 1) * 16
+         + strpos('0123456789ABCDEF', substr(hx, 2 * i + 2, 1)) - 1 AS byte
+  FROM (SELECT doc_id, hx, n, unnest(range(0, n)) AS i FROM h)
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(byte) AS DOUBLE) / CAST(any_value(n) AS DOUBLE) AS mean_byte,
+         concat_ws(',',
+           CAST(sum(CASE WHEN byte // 32 = 0 THEN 1 ELSE 0 END) AS VARCHAR),
+           CAST(sum(CASE WHEN byte // 32 = 1 THEN 1 ELSE 0 END) AS VARCHAR),
+           CAST(sum(CASE WHEN byte // 32 = 2 THEN 1 ELSE 0 END) AS VARCHAR),
+           CAST(sum(CASE WHEN byte // 32 = 3 THEN 1 ELSE 0 END) AS VARCHAR),
+           CAST(sum(CASE WHEN byte // 32 = 4 THEN 1 ELSE 0 END) AS VARCHAR),
+           CAST(sum(CASE WHEN byte // 32 = 5 THEN 1 ELSE 0 END) AS VARCHAR),
+           CAST(sum(CASE WHEN byte // 32 = 6 THEN 1 ELSE 0 END) AS VARCHAR),
+           CAST(sum(CASE WHEN byte // 32 = 7 THEN 1 ELSE 0 END) AS VARCHAR)
+         ) AS feature_csv
+  FROM b GROUP BY doc_id
+)
+SELECT h.doc_id, h.n AS n_bytes,
+       COALESCE(agg.mean_byte, 0.0) AS mean_byte,
+       CAST(16 + h.n % 64 AS INTEGER) AS width,
+       CAST(16 + (h.n // 64) % 64 AS INTEGER) AS height,
+       COALESCE(agg.feature_csv, '0,0,0,0,0,0,0,0') AS feature_csv
+FROM h LEFT JOIN agg ON h.doc_id = agg.doc_id
+""",
     tags=("llm", "multimodal", "udf"),
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,8 +747,10 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     stubbed with a deterministic byte-statistics 'decoder').
 
     The internal API (operators/multimodal.py) returns the feature as
-    ``array<double>``; the catalog entry serializes it to a fixed-format
-    CSV string so the harness can canonicalize/hash the rows."""
+    ``array<double>`` of bucket RATIOS; the catalog entry serializes
+    the exact integer bucket counts (ratio * n_bytes rounds back to the
+    count exactly — the product is within a few ulps of an integer) so
+    the differential hash never formats a float."""
     from redis_lsm_timeseries_spark.operators.multimodal import (
         extract_features,
     )
@@ -729,6 +767,10 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         F.concat_ws(
-            ",", F.transform(F.col("feature"), lambda x: F.format_string("%.6f", x))
+            ",",
+            F.transform(
+                F.col("feature"),
+                lambda x: F.round(x * F.col("n_bytes")).cast("long").cast("string"),
+            ),
         ).alias("feature_csv"),
     )

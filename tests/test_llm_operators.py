@@ -86,10 +86,11 @@ class TestMultimodal:
         rows2 = {r.doc_id: r for r in df.collect()}
         assert rows1.keys() == rows2.keys()
         some = next(iter(rows1.values()))
-        feature = [float(t) for t in some.feature_csv.split(",")]
+        feature = [int(t) for t in some.feature_csv.split(",")]
         assert len(feature) == 8
-        # histogram normalized (1e-5 tolerance: CSV carries 6 decimals)
-        assert abs(sum(feature) - 1.0) < 1e-5
+        # exact integer bucket counts: the histogram sums to the byte
+        # count (the internal API exposes the normalized ratios).
+        assert sum(feature) == some.n_bytes
         for k in rows1:
             assert rows1[k].mean_byte == rows2[k].mean_byte
         # n_bytes must equal the utf-8 length of the text.
