@@ -158,18 +158,31 @@ def lsh_bands(
     )
 
 
-def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    bands_df: DataFrame, id_col: str = "doc_id", num_salts: int = 1
+) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one band
     bucket. The join shuffles on (band_idx, band_key) — bucket-local,
-    never all-pairs."""
+    never all-pairs.
+
+    ``num_salts > 1`` splits each bucket's quadratic pair enumeration
+    across that many tasks (see ``operators.skew``) — same output,
+    bounded per-task work when boilerplate-heavy corpora collapse many
+    documents into few buckets; with the default 1, AQE skew-join is
+    the (runtime) mitigation."""
+    from redis_lsm_timeseries_spark.operators.skew import salted_pair_sides
+
     a = bands_df.select(
         F.col(id_col).alias("a"), "band_idx", "band_key"
     )
     b = bands_df.select(
         F.col(id_col).alias("b"), "band_idx", "band_key"
     )
+    a, b, keys = salted_pair_sides(
+        a, b, ["band_idx", "band_key"], left_id_col="a", num_salts=num_salts
+    )
     return (
-        a.join(b, ["band_idx", "band_key"])
+        a.join(b, keys)
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()

@@ -167,6 +167,40 @@ def with_lsh_bands(
     )
 
 
+def banded_pair_scores(
+    banded: DataFrame,
+    id_col: str = "vec_id",
+    nv_col: str = "nv",
+    num_salts: int = 1,
+) -> DataFrame:
+    """Candidate pairs (a < b) sharing >= 1 (band_idx, band_bucket),
+    scored by the dot of their pre-normalized vectors (= cosine).
+    Output: (a, b, cosine_sim), one row per pair per shared band —
+    callers dedup with ``distinct()`` after thresholding.
+
+    ``num_salts > 1`` splits hot buckets' pair enumeration across tasks
+    (``operators.skew``); the rows produced are identical."""
+    from redis_lsm_timeseries_spark.operators.skew import salted_pair_sides
+
+    left = banded.select(
+        F.col(id_col).alias("a"), F.col(nv_col).alias("nva"),
+        "band_idx", "band_bucket",
+    )
+    right = banded.select(
+        F.col(id_col).alias("b"), F.col(nv_col).alias("nvb"),
+        "band_idx", "band_bucket",
+    )
+    l, r, keys = salted_pair_sides(
+        left, right, ["band_idx", "band_bucket"], left_id_col="a",
+        num_salts=num_salts,
+    )
+    return (
+        l.join(r, keys)
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", dot("nva", "nvb").alias("cosine_sim"))
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -605,18 +605,8 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         normed.select("vec_id", "v", "nv"), vec_col="v",
         num_bands=NEAR_DUP_BANDS, planes_per_band=8,
     )
-    left = banded.select(
-        F.col("vec_id").alias("a"), F.col("nv").alias("nva"),
-        "band_idx", "band_bucket",
-    )
-    right = banded.select(
-        F.col("vec_id").alias("b"), F.col("nv").alias("nvb"),
-        "band_idx", "band_bucket",
-    )
     pairs = (
-        left.join(right, ["band_idx", "band_bucket"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", S.dot("nva", "nvb").alias("cosine_sim"))
+        S.banded_pair_scores(banded, id_col="vec_id", nv_col="nv")
         .distinct()
         .where(F.col("cosine_sim") >= 0.99)
     )
