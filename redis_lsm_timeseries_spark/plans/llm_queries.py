@@ -501,20 +501,6 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
 
 
-@register(
-    "ann_cosine_topk_lsh",
-    oracle=None,  # scale-path variant; recall vs the exact baseline is
-    # asserted in tests/test_llm_operators.py instead of a SQL twin.
-    tags=("llm", "similarity", "ann", "lsh"),
-)
-def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH-bucketed cosine top-k — the 100 TB path:
-    vectors compete only within their bucket, so the join key is the
-    bucket id and work scales with occupancy, not corpus size."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return S.lsh_bucket_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
-
-
 def _plane_comp_sql(q: int) -> str:
     """DuckDB twin of similarity.hyperplane_sign's component i for
     global plane q: +1/-1 by md5 parity of 'p{q}:{i}'."""
@@ -534,6 +520,48 @@ def _band_bucket_sql(b: int, rpb: int = 8) -> str:
         )
         bits.append(f"(CASE WHEN {dot} > 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
     return " + ".join(bits)
+
+
+@register(
+    "ann_cosine_topk_lsh",
+    # The oracle recomputes the 8-plane bucket ids (band 0 of the same
+    # md5-derived hyperplane family the near-dup oracle uses) and ranks
+    # within buckets — the approximation is deterministic, so the
+    # differential check is exact. Recall vs the exact baseline is
+    # additionally asserted in tests/test_llm_operators.py.
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bucketed AS (
+  SELECT vec_id, v, {_band_bucket_sql(0)} AS lsh_bucket FROM base
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, lsh_bucket FROM bucketed WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, v AS cv, lsh_bucket FROM bucketed
+), scored AS (
+  SELECT query_id, q.lsh_bucket AS lsh_bucket, neighbor_id,
+         {DOT_SQL} / ({NORM_SQL.format(v='qv')} * {NORM_SQL.format(v='cv')})
+           AS cosine_sim
+  FROM c JOIN q ON c.lsh_bucket = q.lsh_bucket
+  WHERE query_id != neighbor_id
+), ranked AS (
+  SELECT query_id, lsh_bucket, neighbor_id, cosine_sim,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+         ) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT query_id, lsh_bucket, neighbor_id, cosine_sim, rnk
+FROM ranked WHERE rnk <= 10
+""",
+    tags=("llm", "similarity", "ann", "lsh"),
+)
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH-bucketed cosine top-k — the 100 TB path:
+    vectors compete only within their bucket, so the join key is the
+    bucket id and work scales with occupancy, not corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_bucket_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
 
 
 NEAR_DUP_BANDS = 4
