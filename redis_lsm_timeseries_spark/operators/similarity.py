@@ -1,16 +1,22 @@
 """Similarity search over embedding columns (north star).
 
-Two paths:
+Three paths:
 - ``cosine_topk``: brute-force exact top-k — the correctness baseline.
   Queries broadcast (a handful of vectors); the corpus streams through
   one pass; per-query top-k via window rank. At 100 TB the corpus side
   stays partition-parallel and nothing but (query x k) rows survive
   the rank filter.
-- ``lsh_bucket_topk``: random-hyperplane LSH — the scale path. Each
+- ``lsh_bucket_topk``: random-hyperplane LSH — a scale path. Each
   vector reduces to a small signature; candidates only compete within
   their bucket, turning O(Q x N) into O(Q x N / 2^planes) expected.
   Hyperplanes are pseudo-random derived from the portable hash so the
   DuckDB oracle can reproduce them exactly.
+- ``ivf_topk`` (+ ``train_ivf_centroids``): inverted-file ANN — the
+  other standard scale path. K coarse centroids partition the corpus
+  into lists; a query probes only its ``n_probe`` nearest lists.
+  Centroids are literals in the plan (they're tiny: n_list x dim
+  doubles), so list ASSIGNMENT is a map-only projection — zero
+  shuffle over the corpus — and the probe join is keyed on list id.
 
 All vector math happens in float64 over higher-order array functions
 (zip_with + aggregate) — sequential, deterministic accumulation that
@@ -236,4 +242,153 @@ def lsh_bucket_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
         .select("query_id", "lsh_bucket", "neighbor_id", "cosine_sim", "rnk")
+    )
+
+
+# ------------------------------------------------------------------ IVF
+def _centroid_lit(c: list[float]) -> str:
+    return "array(" + ", ".join(f"{x!r}D" for x in c) + ")"
+
+
+def _assign_expr(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid list id as ONE projection expression: the
+    centroids ride in the plan as literal arrays, so assignment is
+    map-only — no broadcast join, no shuffle. Ties break to the lowest
+    list id (struct max compares (sim, -list_id) lexicographically)."""
+    scored = ", ".join(
+        f"struct("
+        f"aggregate(zip_with({vec_col}, {_centroid_lit(c)}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS sim, "
+        f"{-i} AS neg_list)"
+        for i, c in enumerate(centroids)
+    )
+    return F.expr(f"-array_max(array({scored})).neg_list").cast("int")
+
+
+def _probe_expr(vec_col: str, centroids: list[list[float]], n_probe: int) -> Column:
+    """The n_probe nearest list ids for a query vector, as array<int>:
+    sort the scored-centroid structs descending, slice, project ids."""
+    scored = ", ".join(
+        f"struct("
+        f"aggregate(zip_with({vec_col}, {_centroid_lit(c)}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS sim, "
+        f"{-i} AS neg_list)"
+        for i, c in enumerate(centroids)
+    )
+    return F.expr(
+        f"transform(slice(reverse(array_sort(array({scored}))), 1, {n_probe}), "
+        f"s -> CAST(-s.neg_list AS INT))"
+    )
+
+
+def _unit_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, unit-norm vector) — normalizing once makes every later
+    cosine a plain dot and makes centroid similarity spherical."""
+    out = df.select(
+        F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
+    ).withColumn("_nrm", norm("_v"))
+    return out.select(
+        "_id",
+        F.expr(
+            "zip_with(_v, array_repeat(_nrm, size(_v)), (x, n) -> x / n)"
+        ).alias("_nv"),
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_list: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer (the IVF training step).
+
+    Seeds = the n_list rows ranking lowest by xxhash64(id) — a
+    deterministic pseudo-random sample (TakeOrdered, no full shuffle).
+    Each Lloyd iteration assigns every vector with the map-only literal
+    expression and re-estimates means from a (list_id, dim) partial
+    aggregate: the explode shuffles only n_list x dim running sums per
+    partition (map-side combine), and only n_list x dim tiny rows reach
+    the driver. Train on a SAMPLE at 100 TB — the quantizer doesn't
+    need the full corpus."""
+    unit = _unit_rows(corpus, id_col, vec_col)
+    seeds = (
+        unit.orderBy(F.xxhash64(F.col("_id").cast("string")))
+        .limit(n_list)
+        .collect()
+    )
+    centroids = [list(r._nv) for r in seeds]
+    for _ in range(iters):
+        assigned = unit.select(
+            _assign_expr("_nv", centroids).alias("list_id"),
+            F.posexplode("_nv").alias("dim", "x"),
+        )
+        sums = (
+            assigned.groupBy("list_id", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_list: dict[int, dict[int, float]] = {}
+        counts: dict[int, int] = {}
+        for r in sums:
+            by_list.setdefault(r.list_id, {})[r.dim] = r.s
+            counts[r.list_id] = r.n
+        new = []
+        for i, old in enumerate(centroids):
+            if i not in by_list:
+                new.append(old)  # empty list keeps its seed
+                continue
+            mean = [by_list[i][d] / counts[i] for d in range(len(old))]
+            nrm = sum(x * x for x in mean) ** 0.5 or 1.0
+            new.append([x / nrm for x in mean])
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF serving path: assign the corpus to inverted lists (map-only
+    literal projection — at scale this column is written once with the
+    table, bucketed by list_id), explode each query into its n_probe
+    probe lists, and join on list_id so each query scores only ~
+    (n_probe / n_list) of the corpus. Output matches ``cosine_topk``'s
+    shape plus the probed list id; with n_probe = n_list the result is
+    exactly the brute-force ranking.
+
+    Skew note: list occupancy is data-dependent; pick n_list >> executor
+    count at scale and AQE's skew-join handles residual imbalance (or
+    split hot lists with ``operators.skew``)."""
+    c = _unit_rows(corpus, id_col, vec_col).select(
+        F.col("_id").alias("neighbor_id"),
+        F.col("_nv").alias("cv"),
+        _assign_expr("_nv", centroids).alias("list_id"),
+    )
+    q = (
+        _unit_rows(queries, id_col, vec_col)
+        .select(
+            F.col("_id").alias("query_id"),
+            F.col("_nv").alias("qv"),
+            F.explode(_probe_expr("_nv", centroids, n_probe)).alias("list_id"),
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", dot("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "list_id", "neighbor_id", "cosine_sim", "rnk")
     )
