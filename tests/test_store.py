@@ -157,6 +157,14 @@ class TestUpdateLww:
             store.read_range({"GapTag": (0, 10)}, with_tombstones=True).count() == 1
         )
 
+    def test_read_all_matches_read_range_over_everything(self, store):
+        store.write([("A", 1, "a1"), ("B", 2, "b1")], ingest_ts=1000)
+        store.write([("B", 2, "b2"), ("C", 99, None)], ingest_ts=2000)
+        out = _result_map(store.read_all())
+        assert out == {("A", 1): "a1", ("B", 2): "b2"}
+        # Tombstones follow read_range semantics.
+        assert store.read_all(with_tombstones=True).count() == 3
+
 
 class TestPerfShape:
     """FIXTURES.md §4: 10 tags x 200 consecutive samples, W=10."""
