@@ -1,0 +1,102 @@
+"""Filesystem seam for the store's side-channel metadata operations.
+
+Spark itself reads and writes every TABLE through its own Hadoop
+FileSystem stack — nothing here touches data files. What the engine
+additionally needs is a handful of small metadata operations around
+those tables: existence probes before a read (a never-written table
+must read as empty, not crash), the engine-meta JSON, L0 segment
+moves, emptied-partition drops, and the purge-log compaction swap.
+
+The reference gets all of this from Redis commands (``EXISTS``,
+``RENAME``, ``DEL`` — ``index.js:50-52``, ``ack-purge.lua:21-23``);
+a lakehouse deployment gets it from the table format's catalog and
+Delta/Iceberg ``MERGE``/``REPLACE``. This build targets local-FS/HDFS
+paths, but every such operation routes through a single
+``StorageFilesystem`` object injected into ``TimeseriesStore``, so an
+object-storage deployment implements ONE class (atop s3fs/fsspec or a
+Hadoop FS bridge) instead of chasing ``os.path`` calls through the
+engine. Semantics a remote implementation must honor are documented
+per method; ``rename`` atomicity is the one local-FS property object
+stores lack — implementations there should back the L0 staging and
+purge-log swap paths with a manifest or the table format's commit
+protocol instead.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+
+class StorageFilesystem:
+    """Metadata-operation surface the engine needs from storage.
+
+    The base class IS the local implementation (``os``/``shutil``);
+    subclass and override for other backends. Paths are the same
+    strings handed to Spark readers/writers."""
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def rename(self, src: str, dst: str) -> None:
+        """Atomic move of a file or directory tree. The L0 flush and
+        purge-log compaction protocols rely on this being atomic and
+        on a directory rename moving the whole tree; object-store
+        implementations must substitute a manifest/commit protocol."""
+        os.rename(src, dst)
+
+    def remove_tree(self, path: str) -> None:
+        """Recursive delete; absent path is a no-op."""
+        shutil.rmtree(path, ignore_errors=True)
+
+    def rmdir_if_empty(self, path: str) -> bool:
+        """Delete a directory only if empty (used to retire the L0
+        root without racing a concurrent batch write). Returns True
+        if removed."""
+        try:
+            os.rmdir(path)
+            return True
+        except OSError:
+            return False
+
+    def read_text(self, path: str) -> str:
+        with open(path, encoding="utf-8") as fh:
+            return fh.read()
+
+    def write_text(self, path: str, text: str) -> None:
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(text)
+
+    def stat_signature(self, path: str) -> tuple | None:
+        """Cheap change token for a path: (mtime_ns, inode) locally.
+        None if absent. Used only by the hot-handle cache — a remote
+        implementation may return an etag/version tuple, or None
+        always to disable handle caching."""
+        try:
+            st = os.stat(path)
+            return (st.st_mtime_ns, st.st_ino)
+        except OSError:
+            return None
+
+    def count_files_with_suffix(self, path: str, suffix: str) -> int:
+        """Recursive count of data files under a table root (purge-log
+        compaction's should-I-run check)."""
+        return sum(
+            1
+            for _root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(suffix)
+        )
+
+
+# Default instance shared by stores that don't inject one.
+LOCAL_FS = StorageFilesystem()

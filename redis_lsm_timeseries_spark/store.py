@@ -38,7 +38,6 @@ Reads union both tiers and cache the table handle per store instance
 from __future__ import annotations
 
 import json
-import os
 import time
 import uuid
 from collections.abc import Iterable, Mapping
@@ -50,6 +49,7 @@ from redis_lsm_timeseries_spark.config import (
     MAX_PAGE_NAME_LENGTH,
     EngineConfig,
 )
+from redis_lsm_timeseries_spark.fs import LOCAL_FS, StorageFilesystem
 from redis_lsm_timeseries_spark.errors import (
     BatchTooLargeError,
     InvalidRangeError,
@@ -82,9 +82,18 @@ def _now_ms() -> int:
 class TimeseriesStore:
     """Partitioned LSM-style time-series store on Parquet."""
 
-    def __init__(self, spark: SparkSession, config: EngineConfig):
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: EngineConfig,
+        fs: StorageFilesystem | None = None,
+    ):
         self.spark = spark
         self.config = config
+        # Every side-channel metadata operation (existence probes, meta
+        # JSON, L0 segment moves, partition drops) routes through this
+        # seam — see fs.py for what a non-local deployment implements.
+        self.fs = fs if fs is not None else LOCAL_FS
         self._epoch: int | None = None
         # Instance id: the reference derives a shortid per store instance
         # (index.js:58) used in the member uniquifier.
@@ -136,16 +145,16 @@ class TimeseriesStore:
             self.config.l0_path,
             self.config.l0_staging_path,
         ):
-            try:
-                st = os.stat(path)
-                token.append((st.st_mtime_ns, hash(tuple(sorted(os.listdir(path))))))
-            except OSError:
+            sig = self.fs.stat_signature(path)
+            if sig is None:
                 token.append(None)
-        try:
-            st = os.stat(f"{self.config.hot_path}/_SUCCESS")
-            token.append((st.st_mtime_ns, st.st_ino))
-        except OSError:
-            token.append(None)
+            else:
+                try:
+                    listing = hash(tuple(sorted(self.fs.listdir(path))))
+                except OSError:
+                    listing = None
+                token.append((sig[0], listing))
+        token.append(self.fs.stat_signature(f"{self.config.hot_path}/_SUCCESS"))
         return tuple(token)
 
     # ------------------------------------------------------------------ O1
@@ -155,17 +164,15 @@ class TimeseriesStore:
         small (``recipe:7-10``); int64 columns don't need it, but we keep
         it as the namespace creation stamp so multiple store instances
         agree the namespace exists."""
-        os.makedirs(self.config.base_path, exist_ok=True)
+        self.fs.makedirs(self.config.base_path)
         meta_path = self.config.meta_path
-        if os.path.exists(meta_path):
-            with open(meta_path, encoding="utf-8") as fh:
-                meta = json.load(fh)
+        if self.fs.exists(meta_path):
+            meta = json.loads(self.fs.read_text(meta_path))
             if not isinstance(meta.get("epoch"), int):
                 raise ValidationError(f"corrupted engine meta at {meta_path}")
         else:
             meta = {"epoch": _now_ms(), "version": self.config.version}
-            with open(meta_path, "w", encoding="utf-8") as fh:
-                json.dump(meta, fh)
+            self.fs.write_text(meta_path, json.dumps(meta))
         self._epoch = meta["epoch"]
         return self._epoch
 
@@ -325,21 +332,18 @@ class TimeseriesStore:
         """
         self._require_init()
         did = self._recover_staging()
-        if not os.path.exists(self.config.l0_path):
+        if not self.fs.exists(self.config.l0_path):
             return did
-        entries = os.listdir(self.config.l0_path)
+        entries = self.fs.listdir(self.config.l0_path)
         if not entries:
             return did
         stage_dir = f"{self.config.l0_staging_path}/{uuid.uuid4().hex[:12]}"
-        os.makedirs(stage_dir)
+        self.fs.makedirs(stage_dir)
         for name in entries:
-            os.rename(f"{self.config.l0_path}/{name}", f"{stage_dir}/{name}")
-        try:
-            # rmdir (not rmtree): refuses if a new batch landed a
-            # segment mid-flush — that batch stays for the next flush.
-            os.rmdir(self.config.l0_path)
-        except OSError:
-            pass
+            self.fs.rename(f"{self.config.l0_path}/{name}", f"{stage_dir}/{name}")
+        # if-empty (not recursive): refuses if a new batch landed a
+        # segment mid-flush — that batch stays for the next flush.
+        self.fs.rmdir_if_empty(self.config.l0_path)
         self.invalidate_hot_cache()
         self._fold_staged(stage_dir)
         return True
@@ -349,10 +353,8 @@ class TimeseriesStore:
         to L1, mark committed, remove. Spark's path filter skips the
         ``_``-prefixed marker and ``.crc`` sidecars, so re-reading a
         staging dir is safe."""
-        import shutil
-
         segments = [
-            n for n in os.listdir(stage_dir) if not n.startswith(("_", "."))
+            n for n in self.fs.listdir(stage_dir) if not n.startswith(("_", "."))
         ]
         if segments:
             staged = self.spark.read.schema(SAMPLE_SCHEMA).parquet(stage_dir)
@@ -364,28 +366,25 @@ class TimeseriesStore:
             n_parts = min(self.spark.sparkContext.defaultParallelism, len(segments))
             clustered = staged.repartition(n_parts, "tag", "part_start")
             self._append_hot(clustered)
-        with open(f"{stage_dir}/_COMMITTED", "w", encoding="utf-8"):
-            pass
-        shutil.rmtree(stage_dir, ignore_errors=True)
+        self.fs.write_text(f"{stage_dir}/_COMMITTED", "")
+        self.fs.remove_tree(stage_dir)
         self.invalidate_hot_cache()
 
     def _recover_staging(self) -> bool:
         """Fold or garbage-collect staging dirs a crashed flush left
         behind (see ``flush_l0``). Returns True if anything was done."""
-        import shutil
-
         root = self.config.l0_staging_path
-        if not os.path.exists(root):
+        if not self.fs.exists(root):
             return False
         did = False
-        for name in sorted(os.listdir(root)):
+        for name in sorted(self.fs.listdir(root)):
             stage_dir = f"{root}/{name}"
-            if not os.path.isdir(stage_dir):
+            if not self.fs.is_dir(stage_dir):
                 continue
             did = True
-            if os.path.exists(f"{stage_dir}/_COMMITTED"):
+            if self.fs.exists(f"{stage_dir}/_COMMITTED"):
                 # Crashed after the L1 append: rows are in L1 already.
-                shutil.rmtree(stage_dir, ignore_errors=True)
+                self.fs.remove_tree(stage_dir)
                 self.invalidate_hot_cache()
             else:
                 self._fold_staged(stage_dir)
@@ -446,8 +445,9 @@ class TimeseriesStore:
         column). A never-written store reads as empty (no path exists
         yet); any OTHER failure — corrupt files, permissions —
         propagates instead of masquerading as an empty store. (The
-        existence check is a local-FS/HDFS idiom; a lakehouse
-        deployment replaces it with a catalog lookup.)
+        existence check routes through the injected
+        ``StorageFilesystem`` — see fs.py; a lakehouse deployment
+        replaces it with a catalog lookup.)
 
         The returned handle is cached on the instance — repeated reads
         skip the per-query file listing — and every mutator
@@ -458,13 +458,13 @@ class TimeseriesStore:
             return self._hot_cache[1]
         field_names = [f.name for f in SAMPLE_SCHEMA.fields]
         tiers = []
-        if os.path.exists(self.config.hot_path):
+        if self.fs.exists(self.config.hot_path):
             tiers.append(
                 self.spark.read.schema(SAMPLE_SCHEMA)
                 .parquet(self.config.hot_path)
                 .select(*field_names)
             )
-        if os.path.exists(self.config.l0_path):
+        if self.fs.exists(self.config.l0_path):
             tiers.append(
                 self.spark.read.schema(SAMPLE_SCHEMA)
                 .parquet(self.config.l0_path)
@@ -474,14 +474,17 @@ class TimeseriesStore:
         # between the L0 move and the L1 append — those rows live only
         # in staging, so reads must include them. COMMITTED dirs are
         # already in L1 and excluded (including them would double-read).
-        if os.path.exists(self.config.l0_staging_path):
-            for name in sorted(os.listdir(self.config.l0_staging_path)):
+        if self.fs.exists(self.config.l0_staging_path):
+            for name in sorted(self.fs.listdir(self.config.l0_staging_path)):
                 stage_dir = f"{self.config.l0_staging_path}/{name}"
-                if not os.path.isdir(stage_dir):
+                if not self.fs.is_dir(stage_dir):
                     continue
-                if os.path.exists(f"{stage_dir}/_COMMITTED"):
+                if self.fs.exists(f"{stage_dir}/_COMMITTED"):
                     continue
-                if all(n.startswith(("_", ".")) for n in os.listdir(stage_dir)):
+                if all(
+                    n.startswith(("_", "."))
+                    for n in self.fs.listdir(stage_dir)
+                ):
                     continue
                 tiers.append(
                     self.spark.read.schema(SAMPLE_SCHEMA)
@@ -498,7 +501,7 @@ class TimeseriesStore:
 
     def cold(self) -> DataFrame:
         self._require_init()
-        if not os.path.exists(self.config.cold_path):
+        if not self.fs.exists(self.config.cold_path):
             return self.spark.createDataFrame([], SAMPLE_SCHEMA)
         df = self.spark.read.parquet(self.config.cold_path)
         return df.select(*[f.name for f in SAMPLE_SCHEMA.fields])
