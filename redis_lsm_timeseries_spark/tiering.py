@@ -35,8 +35,6 @@ the manual partition overwrite on a lakehouse deployment).
 
 from __future__ import annotations
 
-import os
-import shutil
 import time
 import uuid
 from dataclasses import dataclass
@@ -66,13 +64,20 @@ def _now_ms() -> int:
 
 def purge_log(store: TimeseriesStore) -> DataFrame:
     """The append-only protocol table (the purge stream analog). Reads
-    as empty only when never written; other read failures propagate."""
+    as empty only when never written; other read failures propagate.
+
+    If a ``compact_purge_log`` swap was interrupted between its two
+    renames, the live directory is briefly absent but the pre-swap copy
+    survives at ``<path>.compact-old`` — fall back to it so a crash in
+    the maintenance job never loses protocol state."""
     store._require_init()
-    if not os.path.exists(store.config.purge_log_path):
+    path = store.config.purge_log_path
+    if not store.fs.exists(path):
+        old = path + ".compact-old"
+        if store.fs.exists(old):
+            return store.spark.read.schema(PURGE_LOG_SCHEMA).parquet(old)
         return store.spark.createDataFrame([], PURGE_LOG_SCHEMA)
-    return store.spark.read.schema(PURGE_LOG_SCHEMA).parquet(
-        store.config.purge_log_path
-    )
+    return store.spark.read.schema(PURGE_LOG_SCHEMA).parquet(path)
 
 
 def _append_log(store: TimeseriesStore, rows: list[tuple]) -> None:
@@ -273,9 +278,8 @@ def purge_ack_many(
     for tag, part_start in affected - nonempty:
         # Partition fully evicted: dynamic overwrite rewrites only
         # partitions present in the output, so drop emptied ones here.
-        shutil.rmtree(
-            f"{store.config.hot_path}/tag={tag}/part_start={part_start}",
-            ignore_errors=True,
+        store.fs.remove_tree(
+            f"{store.config.hot_path}/tag={tag}/part_start={part_start}"
         )
     if nonempty:
         # Dynamic partition overwrite: only the acked partitions'
@@ -299,6 +303,47 @@ def purge_ack_many(
     for pid in valid:
         result[pid] = True
     return result
+
+
+def compact_purge_log(store: TimeseriesStore) -> int:
+    """Snapshot the append-only purge log into a single file.
+
+    Every ``purge_scan``/``purge_ack`` appends one small parquet file
+    (one commit each, like the reference's one stream entry per Lua
+    call), so after N maintenance cycles the log directory holds N
+    files and every protocol read pays N file opens. The log is
+    protocol metadata — two rows per eviction — so the whole table
+    rewrites into one file; run via ``compact()``, the same maintenance
+    job that does LWW segment hygiene.
+
+    Swap order keeps a full copy on disk at every instant (the
+    single-writer caveat in the module docstring applies — this is the
+    maintenance job, not a concurrent writer): write the snapshot to a
+    temp dir, rename live -> ``.compact-old``, rename temp -> live,
+    delete old. ``purge_log`` falls back to ``.compact-old`` if a crash
+    lands between the renames. Returns the number of data files
+    replaced (0 = nothing to do)."""
+    store._require_init()
+    path = store.config.purge_log_path
+    if not store.fs.exists(path):
+        return 0
+    n_files = store.fs.count_files_with_suffix(path, ".parquet")
+    if n_files <= 1:
+        return 0
+    tmp, old = path + ".compact-tmp", path + ".compact-old"
+    store.fs.remove_tree(tmp)
+    store.fs.remove_tree(old)
+    (
+        store.spark.read.schema(PURGE_LOG_SCHEMA)
+        .parquet(path)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    store.fs.rename(path, old)
+    store.fs.rename(tmp, path)
+    store.fs.remove_tree(old)
+    return n_files
 
 
 @dataclass(frozen=True)
@@ -329,6 +374,9 @@ def compact(store: TimeseriesStore) -> CompactionMetrics:
     # compaction IS the file-count hygiene for the chatty write() path,
     # and the duplicate rewrite below operates on L1 directories.
     store.flush_l0()
+    # Same hygiene for the protocol table: one file per mark/ack append
+    # otherwise accrues forever.
+    compact_purge_log(store)
     hot = store.hot()
     dup_parts = [
         (r.tag, r.part_start)

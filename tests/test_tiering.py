@@ -8,7 +8,9 @@ import os
 import pytest
 
 from redis_lsm_timeseries_spark.tiering import (
+    _append_log,
     compact,
+    compact_purge_log,
     purge_ack,
     purge_ack_many,
     purge_log,
@@ -233,6 +235,63 @@ class TestCompaction:
         assert ("GapTag", 2) not in _read_all(store)
         raw = store.hot().where("tag = 'GapTag' AND ts = 2").collect()
         assert len(raw) == 1 and raw[0].value is None
+
+
+class TestPurgeLogCompaction:
+    @staticmethod
+    def _log_files(store) -> int:
+        path = store.config.purge_log_path
+        return sum(
+            1
+            for _root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    def test_log_collapses_to_one_file_content_preserved(self, store):
+        """VERDICT #7: N mark/ack cycles leave N log files; compaction
+        must collapse them without losing protocol state."""
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        # Simulate 60 maintenance cycles' worth of appends directly
+        # (each _append_log is one commit = one file, same as a cycle).
+        for i in range(60):
+            _append_log(store, [(f"id-{i}", "GapTag", 0, "marked", T0 + i, 2)])
+        assert self._log_files(store) >= 60
+        before = {
+            (r.purge_id, r.status) for r in purge_log(store).collect()
+        }
+
+        replaced = compact_purge_log(store)
+        assert replaced >= 60
+        assert self._log_files(store) == 1
+        after = {(r.purge_id, r.status) for r in purge_log(store).collect()}
+        assert after == before
+        # Nothing left to do — and no temp/old dirs on disk.
+        assert compact_purge_log(store) == 0
+        path = store.config.purge_log_path
+        assert not os.path.exists(path + ".compact-tmp")
+        assert not os.path.exists(path + ".compact-old")
+
+    def test_protocol_semantics_survive_compaction(self, store):
+        """Idempotency decisions read from the compacted log: an acked
+        id stays acked, an open mark still acks."""
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        marks = purge_scan(store, 0, 10, now_ms=T0 + 1_000)
+        first, rest = marks[0], marks[1:]
+        assert purge_ack(store, first.purge_id) is True
+        compact_purge_log(store)
+        assert purge_ack(store, first.purge_id) is False  # still acked
+        result = purge_ack_many(store, [m.purge_id for m in rest])
+        assert all(result.values())
+
+    def test_reader_falls_back_to_old_copy_mid_swap(self, store):
+        """Crash between the two renames: live dir absent, .compact-old
+        present — purge_log must still see every row."""
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        _append_log(store, [("id-x", "GapTag", 0, "marked", T0, 2)])
+        path = store.config.purge_log_path
+        os.rename(path, path + ".compact-old")
+        assert purge_log(store).where("purge_id = 'id-x'").count() == 1
 
 
 class TestPurgePayload:
