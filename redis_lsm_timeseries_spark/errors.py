@@ -34,3 +34,11 @@ class KeyTooLongError(ValidationError):
 
 class InvalidRangeError(ValidationError):
     """Missing/inverted/non-integer range bounds (reference ``index.js:196-199``)."""
+
+
+class ConcurrentMaintenanceError(EngineError):
+    """A maintenance job (purge scan/ack, compaction) found the
+    namespace's maintenance lease held by another live writer. The
+    reference serializes these through Redis single-threaded Lua
+    (``enqueue-purge.lua`` / ``ack-purge.lua``); here the lease file is
+    the guard (see ``tiering.maintenance_lease``)."""

@@ -72,6 +72,26 @@ class StorageFilesystem:
         with open(path, encoding="utf-8") as fh:
             return fh.read()
 
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """Create-if-absent, atomically: False (and no write) if the
+        path already exists. The maintenance lease's mutual exclusion
+        rests on this — local ``O_EXCL``; an object-store
+        implementation maps it to a conditional put (If-None-Match) or
+        a DynamoDB/ZooKeeper-style lock entry."""
+        try:
+            with open(path, "x", encoding="utf-8") as fh:
+                fh.write(text)
+            return True
+        except FileExistsError:
+            return False
+
+    def remove_file(self, path: str) -> None:
+        """Delete a single file; absent path is a no-op."""
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
     def write_text(self, path: str, text: str) -> None:
         with open(path, "w", encoding="utf-8") as fh:
             fh.write(text)

@@ -29,19 +29,28 @@ default 0).
 
 Atomicity: the reference gets it from Redis single-threading; here each
 job is a single Spark write commit, and the mark/ack pair is serialized
-by the single-writer maintenance-job pattern (Delta MERGE would replace
-the manual partition overwrite on a lakehouse deployment).
+by the namespace maintenance LEASE (``maintenance_lease`` — enforced,
+not just a convention: concurrent maintenance raises
+``ConcurrentMaintenanceError``). Delta MERGE / optimistic table commits
+would replace both the manual partition overwrite and the lease on a
+lakehouse deployment.
 """
 
 from __future__ import annotations
 
+import functools
+import json
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from redis_lsm_timeseries_spark.errors import ValidationError
+from redis_lsm_timeseries_spark.errors import (
+    ConcurrentMaintenanceError,
+    ValidationError,
+)
 from redis_lsm_timeseries_spark.schema import (
     MEMBER_IDENTITY_COLS,
     PURGE_LOG_SCHEMA,
@@ -60,6 +69,89 @@ class PurgeMark:
 
 def _now_ms() -> int:
     return int(time.time() * 1000)
+
+
+LEASE_FILE = "_maintenance_lease"
+
+
+@contextmanager
+def maintenance_lease(
+    store: TimeseriesStore, ttl_s: float = 900.0, now_ms: int | None = None
+):
+    """Single-writer guard for the maintenance jobs.
+
+    The reference gets mark/ack atomicity from Redis running each Lua
+    script single-threaded; the module docstring's 'single-writer
+    maintenance-job pattern' was previously just a convention. This
+    makes it enforced: every maintenance entry point (``purge_scan``,
+    ``purge_ack_many``, ``compact``, ``compact_purge_log``) acquires
+    the namespace's lease file first, so two jobs racing the same
+    namespace fail fast with ``ConcurrentMaintenanceError`` instead of
+    corrupting a partition overwrite.
+
+    Mechanics: atomic create-if-absent of ``{base}/_maintenance_lease``
+    through the fs seam (local ``O_EXCL``; conditional put on object
+    stores). A lease older than its ``ttl_s`` horizon is presumed
+    crashed and stolen (remove + re-create; the create race between
+    two stealers has exactly one winner). Reentrant per store instance
+    (``compact`` calls ``compact_purge_log``), and a lease left by a
+    crashed run of the SAME instance re-acquires immediately. On a
+    lakehouse deployment the table format's optimistic commit replaces
+    this file."""
+    store._require_init()
+    depth = getattr(store, "_lease_depth", 0)
+    if depth > 0:
+        store._lease_depth = depth + 1
+        try:
+            yield
+        finally:
+            store._lease_depth -= 1
+        return
+    path = f"{store.config.base_path}/{LEASE_FILE}"
+    if now_ms is None:
+        now_ms = _now_ms()
+    payload = json.dumps(
+        {"holder": store.writer_id, "expires_ms": now_ms + int(ttl_s * 1000)}
+    )
+    if not store.fs.create_exclusive(path, payload):
+        try:
+            cur = json.loads(store.fs.read_text(path))
+        except Exception:
+            # Vanished mid-race (holder just released) or unreadable:
+            # fall through to the steal path, whose create race is the
+            # real arbiter.
+            cur = None
+        if (
+            cur is not None
+            and cur.get("holder") != store.writer_id
+            and now_ms <= cur.get("expires_ms", 0)
+        ):
+            raise ConcurrentMaintenanceError(
+                f"maintenance lease held by {cur.get('holder')!r} until "
+                f"{cur.get('expires_ms')} (now {now_ms})"
+            )
+        store.fs.remove_file(path)
+        if not store.fs.create_exclusive(path, payload):
+            raise ConcurrentMaintenanceError(
+                "lost the lease-steal race for " + path
+            )
+    store._lease_depth = 1
+    try:
+        yield
+    finally:
+        store._lease_depth = 0
+        store.fs.remove_file(path)
+
+
+def _serialized_maintenance(fn):
+    """Run a maintenance entry point under the namespace lease."""
+
+    @functools.wraps(fn)
+    def wrapper(store, *args, **kwargs):
+        with maintenance_lease(store):
+            return fn(store, *args, **kwargs)
+
+    return wrapper
 
 
 def purge_log(store: TimeseriesStore) -> DataFrame:
@@ -91,6 +183,7 @@ def _append_log(store: TimeseriesStore, rows: list[tuple]) -> None:
     df.write.mode("append").parquet(store.config.purge_log_path)
 
 
+@_serialized_maintenance
 def purge_scan(
     store: TimeseriesStore,
     partition_age_threshold_s: float = 300.0,
@@ -203,6 +296,7 @@ def purge_ack(
     return purge_ack_many(store, [purge_id], now_ms=now_ms)[purge_id]
 
 
+@_serialized_maintenance
 def purge_ack_many(
     store: TimeseriesStore, purge_ids: list[str], now_ms: int | None = None
 ) -> dict[str, bool]:
@@ -305,6 +399,7 @@ def purge_ack_many(
     return result
 
 
+@_serialized_maintenance
 def compact_purge_log(store: TimeseriesStore) -> int:
     """Snapshot the append-only purge log into a single file.
 
@@ -353,6 +448,7 @@ class CompactionMetrics:
     rows_after: int
 
 
+@_serialized_maintenance
 def compact(store: TimeseriesStore) -> CompactionMetrics:
     """LWW compaction: rewrite hot partitions that contain superseded
     members, keeping only each (tag, ts) key's LWW winner.
