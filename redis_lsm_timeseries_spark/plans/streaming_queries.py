@@ -12,11 +12,32 @@ truncation to reason about). That makes a genuinely streaming plan
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from redis_lsm_timeseries_spark.plans.catalog import register
+
+
+@contextmanager
+def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Pin ``spark.sql.shuffle.partitions`` for a finite test stream.
+
+    The StateStore partition count is frozen from this conf at a
+    stream's first micro-batch; in a vanilla session it defaults to
+    200, which spreads a few-key state over 200 near-empty state
+    partitions and the per-partition store open/commit dominates the
+    entry's wall time. A production stream sizes this once to its key
+    cardinality × executor count (it persists in the checkpoint);
+    these entries' memory-sink checkpoints are ephemeral, so pinning
+    per-run is safe. The session value is restored on exit."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 EVENTS_NS_SCHEMA = T.StructType(
     [
@@ -84,16 +105,17 @@ def _run_to_memory_sink(spark: SparkSession, agg: DataFrame, prefix: str) -> Dat
     """Drive a finite streaming aggregation to completion in COMPLETE
     mode and return the memory-sink table."""
     sink_name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(sink_name)
 
 
@@ -222,16 +244,17 @@ def stream_stateful_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = latest_per_tag_stateful(stream.groupBy("tag"))
     sink_name = f"stream_state_{uuid.uuid4().hex[:8]}"
-    q = (
-        updates.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("update")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_shuffle_partitions(spark):
+        q = (
+            updates.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     emitted = spark.table(sink_name)
     w = F.max(
         F.struct(
