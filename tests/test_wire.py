@@ -1,0 +1,110 @@
+"""Reference wire-format codecs (sources/wire.py): /set and /get JSON
+bodies and the example consumer's cold text-archive lines, round-tripped
+as DataFrame transformations (service.js:22-54, 89-107)."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+from pyspark.sql import functions as F
+
+from redis_lsm_timeseries_spark.sources.wire import (
+    encode_cold_text_lines,
+    encode_read_result,
+    parse_cold_text_lines,
+    parse_range_payloads,
+    parse_write_payloads,
+)
+
+
+def _payloads(spark, bodies):
+    return spark.createDataFrame([(json.dumps(b),) for b in bodies], ["payload"])
+
+
+class TestWritePayloads:
+    def test_set_body_parses_to_samples(self, spark):
+        bodies = [
+            {"GapTag": {"1": "One", "2": "Two"}, "SerialTag": {"3": "Three"}},
+            {"GapTag": {"10": "Ten"}},
+        ]
+        out = {
+            (r.tag, r.ts): r.value
+            for r in parse_write_payloads(_payloads(spark, bodies)).collect()
+        }
+        assert out == {
+            ("GapTag", 1): "One",
+            ("GapTag", 2): "Two",
+            ("SerialTag", 3): "Three",
+            ("GapTag", 10): "Ten",
+        }
+
+    def test_bigint_scale_keys_and_malformed_rows(self, spark):
+        """BigInt-range sort keys survive the cast; malformed JSON and
+        non-integer keys drop (the 500-response analog)."""
+        big = str((1 << 60) + 7)
+        df = spark.createDataFrame(
+            [
+                (json.dumps({"T": {big: "v"}}),),
+                ("not json at all",),
+                (json.dumps({"T": {"abc": "v"}}),),
+            ],
+            ["payload"],
+        )
+        rows = parse_write_payloads(df).collect()
+        assert [(r.tag, r.ts, r.value) for r in rows] == [
+            ("T", (1 << 60) + 7, "v")
+        ]
+
+    def test_feeds_write_df_roundtrip(self, spark, store):
+        bodies = [{"WireTag": {"1": "a", "6": "b"}}]
+        store.write_df(parse_write_payloads(_payloads(spark, bodies)), ingest_ts=1000)
+        got = {
+            (r.tag, r.ts): r.value
+            for r in store.read_range({"WireTag": (0, 100)}).collect()
+        }
+        assert got == {("WireTag", 1): "a", ("WireTag", 6): "b"}
+
+
+class TestRangeAndResult:
+    def test_get_body_parses_to_ranges(self, spark):
+        bodies = [{"A": {"start": "0", "end": "50"}, "B": {"start": "5", "end": "9"}}]
+        out = {
+            r.tag: (r.start, r.end)
+            for r in parse_range_payloads(_payloads(spark, bodies)).collect()
+        }
+        assert out == {"A": (0, 50), "B": (5, 9)}
+
+    def test_read_result_encodes_reference_shape(self, spark):
+        samples = spark.createDataFrame(
+            [("A", 2, "two"), ("A", 1, "one"), ("B", 9, "nine")],
+            ["tag", "ts", "value"],
+        )
+        rows = {r.tag: json.loads(r.payload) for r in encode_read_result(samples).collect()}
+        assert rows == {
+            "A": {"A": {"1": "one", "2": "two"}},
+            "B": {"B": {"9": "nine"}},
+        }
+
+
+class TestColdTextArchive:
+    def test_lines_match_reference_format_and_roundtrip(self, spark):
+        samples = spark.createDataFrame(
+            [("GapTag", 1, "One", 0), ("GapTag", 7, None, 5)],
+            ["tag", "ts", "value", "part_start"],
+        )
+        lines = encode_cold_text_lines(samples, entry_time_ms=1234).collect()
+        by_ts = {int(line.line.split(",")[0]): line for line in lines}
+        assert by_ts[1].file == "GapTag-0"
+        ts, entry, b64 = by_ts[1].line.split(",")
+        assert (ts, entry) == ("1", "1234")
+        assert base64.b64decode(b64).decode() == "One"
+        assert by_ts[7].line.endswith(",1234,")  # NULL -> empty payload
+
+        back = parse_cold_text_lines(
+            spark.createDataFrame([(line.line,) for line in lines], ["line"])
+        ).collect()
+        assert {(r.ts, r.ingest_ts, r.value) for r in back} == {
+            (1, 1234, "One"),
+            (7, 1234, ""),
+        }
