@@ -474,19 +474,21 @@ def compact(store: TimeseriesStore) -> CompactionMetrics:
     # otherwise accrues forever.
     compact_purge_log(store)
     hot = store.hot()
-    dup_parts = [
-        (r.tag, r.part_start)
-        for r in (
-            hot.groupBy("tag", "part_start", "ts")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > 1)
-            .select("tag", "part_start")
-            .distinct()
-            .collect()
-        )
-    ]
+    # One pass detects dup-holding partitions AND their total row count
+    # (rows_before) — a separate count() of the target partitions would
+    # re-scan them.
+    part_stats = (
+        hot.groupBy("tag", "part_start", "ts")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("tag", "part_start")
+        .agg(F.sum("n").alias("rows"), F.max("n").alias("max_n"))
+        .where(F.col("max_n") > 1)
+        .collect()
+    )
+    dup_parts = [(r.tag, r.part_start) for r in part_stats]
     if not dup_parts:
         return CompactionMetrics(0, 0, 0)
+    rows_before = sum(r.rows for r in part_stats)
     pred = F.lit(False)
     for tag, part_start in dup_parts:
         pred = pred | (
@@ -495,7 +497,6 @@ def compact(store: TimeseriesStore) -> CompactionMetrics:
     from redis_lsm_timeseries_spark.operators.lww import lww_latest
 
     target = hot.where(pred)
-    rows_before = target.count()
     winners = (
         lww_latest(target)
         .select(*[f.name for f in SAMPLE_SCHEMA.fields])

@@ -87,6 +87,40 @@ class TestRangeAndResult:
         }
 
 
+class TestWireStreamingIngest:
+    def test_set_body_stream_ingests_into_hot_store(self, spark, store, tmp_path):
+        """The migration path end-to-end: a stream of reference /set
+        JSON bodies (text files standing in for a Kafka topic) parses
+        through the wire codec and ingests via start_hot_ingest; the
+        composed range read returns every sample."""
+        from redis_lsm_timeseries_spark.streaming.ingest import start_hot_ingest
+
+        inp = tmp_path / "bodies"
+        inp.mkdir()
+        (inp / "b0.jsonl").write_text(
+            json.dumps({"GapTag": {"1": "One", "2": "Two"}}) + "\n"
+        )
+        (inp / "b1.jsonl").write_text(
+            json.dumps({"SerialTag": {"3": "Three"}}) + "\n"
+        )
+        stream = parse_write_payloads(
+            spark.readStream.text(str(inp)), payload_col="value"
+        )
+        q = start_hot_ingest(store, stream, str(tmp_path / "ckpt"))
+        assert q.awaitTermination(120)
+        out = {
+            (r.tag, r.ts): r.value
+            for r in store.read_range(
+                {"GapTag": (0, 100), "SerialTag": (0, 100)}
+            ).collect()
+        }
+        assert out == {
+            ("GapTag", 1): "One",
+            ("GapTag", 2): "Two",
+            ("SerialTag", 3): "Three",
+        }
+
+
 class TestColdTextArchive:
     def test_lines_match_reference_format_and_roundtrip(self, spark):
         samples = spark.createDataFrame(
