@@ -47,20 +47,33 @@ def parse_write_payloads(
 
     Input: a DataFrame with a string column of JSON bodies (an HTTP
     access log, a Kafka topic's value column). Output columns
-    ``tag, ts, value`` feed ``TimeseriesStore.write_df`` directly.
+    ``tag, ts, value`` feed ``TimeseriesStore.write_df`` directly; every
+    OTHER input column rides along unchanged (a Kafka offset or batch id
+    stays attached to the samples it produced); rename any input column
+    that collides with the output names (``tag``, ``ts``, ``value``)
+    before parsing.
     Malformed JSON rows parse to NULL maps and drop out (the engine's
     admission-control analog of the reference's 500 response,
     ``service.js:36-38``); non-integer sort keys fail the cast to NULL
     ts (``try_cast`` — ANSI-safe) and are dropped the same way."""
+    passthrough = [c for c in payloads.columns if c != payload_col]
     return (
         payloads.select(
+            *passthrough,
             F.explode(
                 F.from_json(F.col(payload_col), WRITE_PAYLOAD_TYPE)
-            ).alias("tag", "series")
+            ).alias("tag", "series"),
         )
-        .select(F.col("tag"), F.explode(F.col("series")).alias("ts_s", "value"))
         .select(
-            "tag", F.col("ts_s").try_cast("long").alias("ts"), "value"
+            *passthrough,
+            "tag",
+            F.explode(F.col("series")).alias("ts_s", "value"),
+        )
+        .select(
+            *passthrough,
+            "tag",
+            F.col("ts_s").try_cast("long").alias("ts"),
+            "value",
         )
         .where(F.col("ts").isNotNull())
     )

@@ -7,6 +7,7 @@ from __future__ import annotations
 import base64
 import json
 
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from redis_lsm_timeseries_spark.sources.wire import (
@@ -85,6 +86,50 @@ class TestRangeAndResult:
             "A": {"A": {"1": "one", "2": "two"}},
             "B": {"B": {"9": "nine"}},
         }
+
+
+_body = st.dictionaries(
+    keys=st.text(alphabet="abzAB-.", min_size=1, max_size=8),
+    values=st.dictionaries(
+        keys=st.integers(min_value=0, max_value=1 << 60).map(str),
+        values=st.text(alphabet="xyz09,\"\\", max_size=6),
+        min_size=1,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+class TestWireProperties:
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(bodies=st.lists(_body, min_size=1, max_size=3))
+    def test_parse_recovers_every_sample(self, spark, bodies):
+        """For ANY batch of /set bodies — tags with separators, values
+        holding JSON metacharacters, BigInt-scale keys — the parsed
+        sample multiset equals what a Python reader of the same JSON
+        sees (per-payload maps collapse duplicate (tag, ts) to the
+        JSON object's last key, as json.loads does)."""
+        want = set()
+        for i, b in enumerate(bodies):
+            for tag, series in b.items():
+                for ts_s, v in series.items():
+                    want.add((i, tag, int(ts_s), v))
+        df = spark.createDataFrame(
+            [(i, json.dumps(b)) for i, b in enumerate(bodies)],
+            ["body_id", "payload"],
+        )
+        got = {
+            (r.body_id, r.tag, r.ts, r.value)
+            for r in parse_write_payloads(df).select(
+                "body_id", "tag", "ts", "value"
+            ).collect()
+        }
+        assert got == want
 
 
 class TestWireStreamingIngest:
