@@ -240,13 +240,25 @@ def streaming_rollup(
     events_stream: DataFrame,
     window_duration: str = "5 minutes",
     watermark: str = "10 minutes",
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Event-time tumbling rollup with a watermark for bounded state —
+    """Event-time windowed rollup with a watermark for bounded state —
     the continuous version of ts_rollup_hourly. Input needs ``ts``
-    (timestamp), ``event_type``, ``value``."""
+    (timestamp), ``event_type``, ``value``.
+
+    Default is tumbling; pass ``slide_duration`` for SLIDING windows
+    (each event lands in duration/slide overlapping windows — Spark
+    expands the assignment, state stays one row per open (window, tag)).
+    The watermark bounds state either way: windows older than the
+    horizon finalize and evict."""
+    win = (
+        F.window("ts", window_duration)
+        if slide_duration is None
+        else F.window("ts", window_duration, slide_duration)
+    )
     return (
         events_stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window_duration), F.col("event_type").alias("tag"))
+        .groupBy(win, F.col("event_type").alias("tag"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_v"),

@@ -237,3 +237,129 @@ class TestReplayIdentity:
         metrics = compact(store)
         assert metrics.rows_after == 2
         assert store.hot().count() == 2
+
+
+class TestSlidingRollup:
+    def test_sliding_matches_batch_window_expansion(self, spark):
+        """Sliding windows (10 min duration, 5 min slide): every event
+        lands in exactly 2 windows; the streamed complete-mode result
+        must equal the batch window() computation on the same input."""
+        from redis_lsm_timeseries_spark.plans.streaming_queries import (
+            EVENTS_NS_SCHEMA,
+            _run_to_memory_sink,
+        )
+        from redis_lsm_timeseries_spark.streaming import streaming_rollup
+
+        sf = "/root/testdata/sf0.001"
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        select_cols = lambda df: df.select(  # noqa: E731
+            F.col("event_type"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            F.col("value"),
+        )
+        stream = select_cols(
+            spark.readStream.schema(EVENTS_NS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        # Watermark far larger than the data span: complete-mode sink
+        # then holds EVERY window, so batch equality is exact.
+        agg = streaming_rollup(
+            stream,
+            window_duration="10 minutes",
+            watermark="100 days",
+            slide_duration="5 minutes",
+        )
+        got = {
+            (r.tag, r.bucket_ms): (r.n, r.sum_v)
+            for r in _run_to_memory_sink(spark, agg, "slide").collect()
+        }
+        batch = select_cols(
+            spark.read.schema(EVENTS_NS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        want = {
+            (r.tag, r.bucket_ms): (r.n, r.sum_v)
+            for r in batch.groupBy(
+                F.window("ts", "10 minutes", "5 minutes"),
+                F.col("event_type").alias("tag"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_v"),
+            )
+            .select(
+                "tag",
+                F.unix_millis(F.col("window.start")).alias("bucket_ms"),
+                "n",
+                "sum_v",
+            )
+            .collect()
+        }
+        assert got == want
+        # Overlap sanity: sliding windows double-count vs tumbling.
+        assert sum(n for n, _ in got.values()) == 2 * batch.count()
+
+
+class TestColdArchiveSink:
+    def test_foreachbatch_writes_reference_text_archive(
+        self, spark, store, stream_dirs, tmp_path
+    ):
+        """O11 example-sink parity in streaming form: a foreachBatch
+        sink writes the reference consumer's per-partition text-archive
+        format (service.js:89-107); the files parse back to the
+        original samples."""
+        from redis_lsm_timeseries_spark.sources.wire import (
+            encode_cold_text_lines,
+            parse_cold_text_lines,
+        )
+        from redis_lsm_timeseries_spark.streaming.ingest import (
+            read_sample_stream,
+        )
+
+        input_dir, ckpt = stream_dirs
+        _land_batch(
+            spark,
+            input_dir,
+            [("GapTag", 1, "One"), ("GapTag", 11, "Eleven")],
+            batch=0,
+        )
+        out_dir = str(tmp_path / "raw-db")
+
+        def archive(batch_df, batch_id):
+            w = 5  # partition width of the store fixture
+            lines = encode_cold_text_lines(
+                batch_df.withColumn(
+                    "part_start", F.col("ts") - F.col("ts") % w
+                ),
+                entry_time_ms=1234,
+            )
+            (
+                lines.withColumnRenamed("line", "value")
+                .write.mode("append")
+                .partitionBy("file")
+                .text(out_dir)
+            )
+
+        q = (
+            read_sample_stream(spark, f"{input_dir}/*")
+            .writeStream.foreachBatch(archive)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+        back = parse_cold_text_lines(
+            spark.read.text(out_dir).withColumnRenamed("value", "line")
+        )
+        got = {(r.ts, r.value) for r in back.collect()}
+        assert got == {(1, "One"), (11, "Eleven")}
+        # Partition-file layout matches {tag}-{part_start}.
+        import os as _os
+
+        dirs = {d for d in _os.listdir(out_dir) if d.startswith("file=")}
+        assert dirs == {"file=GapTag-0", "file=GapTag-10"}
