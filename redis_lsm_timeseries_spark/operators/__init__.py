@@ -4,6 +4,9 @@
 - ``asof``       as-of join (latest sample at-or-before an event time)
 - ``rollups``    time-bucket aggregation views
 - ``dedup``      exact + near-duplicate detection over documents
+- ``components`` connected components over candidate pairs (large-star/
+                 small-star) + canonical-doc selection — the dedup
+                 pipeline's transitive 'keep one copy' final stage
 - ``similarity`` embedding similarity search (brute-force + LSH-bucketed)
 - ``text``       text analysis: language ID, quality score, tokens, fingerprint
 - ``multimodal`` opaque-binary column plumbing (decode stubs, real Spark shape)

@@ -1,0 +1,170 @@
+"""Connected components over candidate-pair graphs — the final stage
+of the dedup pipeline.
+
+The near-dup operators (operators/dedup.py, similarity.py) emit
+candidate PAIRS; a training-data pipeline must then group pairs into
+duplicate CLUSTERS and keep one canonical document per cluster —
+transitive closure, not pairwise filtering (A~B and B~C must drop two
+of {A,B,C} even if A~C was never emitted as a pair).
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014) expressed
+as DataFrame self-joins. Each round:
+
+- large-star: every node connects its LARGER neighbors to its current
+  minimum neighbor (including itself);
+- small-star: every node connects its smaller-or-equal neighbors to
+  the minimum.
+
+Both are a groupBy(min) + explode — partial-aggregated shuffles on
+node id, no driver-side graph. The edge list contracts toward a
+star per component; converged when every node's component label stops
+changing. Rounds needed: O(log^2 n) worst case, 2-4 in practice for
+near-dup graphs (components are tiny cliques/chains). Each round
+``localCheckpoint``s the contracted edges — the iteration product is
+small (one row per node), and checkpointing severs the
+exponentially-deepening lineage that would otherwise re-execute every
+prior round per action.
+
+At 100 TB scale the candidate graph is orders of magnitude smaller
+than the corpus (bands bound it), so the iteration runs on the small
+derived table, never the documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve candidate pairs to components.
+
+    Input: an edge list (two long/str columns; direction ignored).
+    Output: one row per node appearing in any edge —
+    ``(node, component)`` with ``component`` = the minimum node id in
+    its connected component (a deterministic canonical label).
+
+    Raises if the iteration hasn't converged after ``max_iter`` rounds
+    (pathological graphs; raise the cap) rather than returning a
+    silently-wrong partial closure."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))  # self-pairs carry no structure
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Node universe, fixed up front: contraction drops nodes whose
+    # component has collapsed (and singleton-only nodes never enter the
+    # edge iteration at all); the final labeling re-attaches them.
+    nodes = (
+        pairs.select(F.col(src).alias("node"))
+        .unionByName(pairs.select(F.col(dst).alias("node")))
+        .where(F.col("node").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # Per node: neighbors and m = min(N(u) ∪ {u}). The min MUST
+        # include u itself — after a contraction round the component
+        # minimum appears only on the v side, and a min over neighbors
+        # alone would hand its neighbors a wrong (larger) label.
+        agg = (
+            _sym(e)
+            .groupBy("u")
+            .agg(F.min("v").alias("mn"), F.collect_set("v").alias("vs"))
+            .select(
+                "u", F.least(F.col("mn"), F.col("u")).alias("m"), "vs"
+            )
+        )
+        # Explode the CLOSED neighborhood (u folded into its own
+        # neighbor set) so small-star's u->m edge needs no second
+        # branch (a union sharing agg's lineage trips attribute
+        # resolution under checkpointing).
+        exploded = agg.select(
+            "u",
+            "m",
+            F.explode(F.array_union("vs", F.array("u"))).alias("x"),
+        )
+        cond = (
+            (F.col("x") > F.col("u"))  # larger neighbors -> min
+            if large
+            else (F.col("x") <= F.col("u"))  # smaller + self -> min
+        )
+        return (
+            exploded.where(cond & (F.col("x") != F.col("m")))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    labels = None
+    for _ in range(max_iter):
+        edges = _star(edges, large=True)
+        edges = _star(edges, large=False).localCheckpoint(eager=True)
+        # Current labeling: min over each node's closed neighborhood,
+        # re-attached to the full universe (coalesce = own id for nodes
+        # contracted out of the edge list / singletons).
+        member_min = (
+            _sym(edges)
+            .groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select(
+                F.col("u").alias("node"),
+                F.least(F.col("mn"), F.col("u")).alias("c"),
+            )
+        )
+        new_labels = (
+            nodes.join(member_min, on="node", how="left")
+            .select(
+                "node", F.coalesce(F.col("c"), F.col("node")).alias("component")
+            )
+            .localCheckpoint(eager=True)
+        )
+        if labels is not None:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="node")
+                .where(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                return new_labels
+        labels = new_labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+) -> DataFrame:
+    """Drop duplicates transitively: keep, per duplicate cluster, only
+    the document with the MINIMUM id (the cluster's canonical label),
+    and every document that appears in no candidate pair.
+
+    This is the dedup pipeline's final 'keep one copy' step:
+    candidates (LSH) -> verified pairs (Jaccard/Hamming/cosine) ->
+    components -> canonical survivors. One broadcast-or-shuffle
+    left-anti join of docs against the (small) non-canonical node set;
+    the documents table itself never enters the iteration."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, on=id_col, how="left_anti")

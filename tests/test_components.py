@@ -1,0 +1,121 @@
+"""Connected components + canonical-doc selection (operators/
+components.py): DataFrame large-star/small-star vs a Python union-find
+oracle, including the transitive case pairwise filtering gets wrong."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from redis_lsm_timeseries_spark.operators.components import (
+    canonical_docs,
+    connected_components,
+)
+
+
+def _uf_oracle(edges):
+    """Min-label components by union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["doc_id_a", "doc_id_b"])
+    return {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+
+
+class TestConnectedComponents:
+    def test_transitive_chain_and_clique(self, spark):
+        """A~B~C chains collapse to one component even though A~C was
+        never emitted — the case pairwise dedup misses."""
+        edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 20)]
+        assert _cc(spark, edges) == _uf_oracle(edges)
+
+    def test_two_chains_merged_by_late_edge(self, spark):
+        edges = [(1, 2), (3, 4), (5, 6), (2, 5), (4, 5)]
+        got = _cc(spark, edges)
+        assert got == _uf_oracle(edges)
+        assert set(got.values()) == {1}  # everything connects to min=1
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=0, max_value=30),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def test_matches_union_find_on_random_graphs(self, spark, edges):
+        assert _cc(spark, edges) == _uf_oracle(edges)
+
+    def test_nonconvergence_raises(self, spark):
+        df = spark.createDataFrame([(1, 2), (2, 3)], ["doc_id_a", "doc_id_b"])
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(df, max_iter=0)
+
+
+class TestCanonicalDocs:
+    def test_keeps_min_per_cluster_and_all_unpaired(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"text-{i}") for i in (1, 2, 3, 10, 11, 50)],
+            ["doc_id", "text"],
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], ["doc_id_a", "doc_id_b"]
+        )
+        kept = sorted(
+            r.doc_id for r in canonical_docs(docs, pairs).collect()
+        )
+        # Cluster {1,2,3} -> keep 1; {10,11} -> keep 10; 50 untouched.
+        assert kept == [1, 10, 50]
+
+    def test_end_to_end_with_lsh_pairs(self, spark):
+        """Wire the real LSH candidate pairs into the cluster step: the
+        planted near-copies (doc_id + 10_000_000) must collapse onto
+        their originals."""
+        from redis_lsm_timeseries_spark.plans.llm_queries import (
+            _docs_with_near_copies,
+            dedup_minhash_lsh_pairs,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        corpus = _docs_with_near_copies(spark, sf).select("doc_id", "text")
+        pairs = dedup_minhash_lsh_pairs(spark, sf)  # columns (a, b)
+        kept = canonical_docs(corpus, pairs, src="a", dst="b")
+        kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+        n_docs = corpus.count()
+        # Every planted copy (id >= 10M) whose pair was surfaced is gone,
+        # and no original lost its canonical slot to its copy.
+        edge_list = [(r.a, r.b) for r in pairs.collect()]
+        surfaced = {x for e in edge_list for x in e if x >= 10_000_000}
+        assert surfaced and kept_ids.isdisjoint(surfaced)
+        # Exact expectation from the union-find oracle over the SAME
+        # pairs (banding may also surface original-original near-dups):
+        # drop every node that is not its own component minimum.
+        comp = _uf_oracle(edge_list)
+        losers = {n for n, c in comp.items() if n != c}
+        all_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+        assert kept_ids == all_ids - losers
+        assert len(kept_ids) < n_docs
