@@ -785,13 +785,12 @@ def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- approx percentile sketch
-@register(
-    "approx_percentile_value",
-    oracle=None,  # t-digest style sketches are engine-specific;
-    # bounded error vs the exact percentiles is asserted in
-    # tests/test_plans.py.
-    tags=("analytics", "aggregation", "approx"),
-)
+# NOT registered (the catalog is capped at the driver's 50-entry
+# correctness window, and its slot went to dedup_cluster_canonical,
+# which holds a FULL oracle row where this sketch could only ever be
+# rows-only). The sketch path stays: bounded error vs the exact
+# percentiles is asserted in tests/test_plans.py, and
+# approx_distinct_users keeps a sketch representative in the catalog.
 def approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (p50/p95 of value per event type): the sketch
     path for quantiles at 100 TB, pairing percentile_disc_by_type the

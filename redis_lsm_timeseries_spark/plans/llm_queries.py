@@ -330,6 +330,56 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(bands)
 
 
+# Transitive closure of the candidate graph: DuckDB computes the same
+# components with a recursive CTE (tractable — the candidate graph is
+# band-bounded, orders of magnitude smaller than the corpus).
+CLUSTER_SQL = f"""
+WITH RECURSIVE {DOCS_NEAR_SQL.strip()},
+{MINHASH_CTE.strip()},
+flat AS (
+  {_bands_cte()}
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM flat l JOIN flat r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+"""
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=CLUSTER_SQL,
+    tags=("llm", "dedup", "components", "iterative"),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from the LSH candidate pairs: alternating
+    large-star/small-star connected components (operators/components.py)
+    resolve transitive duplicate groups — A~B and B~C collapse {A,B,C}
+    to one cluster even though A~C was never emitted as a pair. Each
+    node's ``component`` is the minimum doc_id of its cluster, i.e. its
+    canonical document; ``canonical_docs`` anti-joins everything else
+    away. The DuckDB oracle recomputes the identical closure with a
+    recursive CTE over the same band-derived pairs — an ITERATIVE
+    DataFrame algorithm holding a full rows+schema+hash oracle row."""
+    from redis_lsm_timeseries_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    return connected_components(pairs, src="a", dst="b")
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""

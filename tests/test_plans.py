@@ -138,9 +138,13 @@ class TestApproxSketch:
     def test_percentile_sketch_bounded_error(self, spark):
         """approx_percentile within a few percent of the exact
         rank-selected percentiles."""
+        from redis_lsm_timeseries_spark.plans.analytics_queries import (
+            approx_percentile_value,
+        )
+
         approx = {
             r.tag: (r.p50_approx, r.p95_approx)
-            for r in REGISTRY["approx_percentile_value"].fn(spark, SF_DIR).collect()
+            for r in approx_percentile_value(spark, SF_DIR).collect()
         }
         exact = {
             r.tag: r.p50
