@@ -119,3 +119,28 @@ class TestCanonicalDocs:
         all_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
         assert kept_ids == all_ids - losers
         assert len(kept_ids) < n_docs
+
+    def test_embedding_pairs_cluster_too(self, spark):
+        """The EMBEDDING near-dup path feeds the same clustering stage:
+        hyperplane-LSH cosine pairs -> components -> canonical vectors,
+        with the planted perturbed copies (id + 10M) losing to their
+        originals."""
+        from redis_lsm_timeseries_spark.operators.components import (
+            connected_components,
+        )
+        from redis_lsm_timeseries_spark.plans.llm_queries import (
+            embedding_near_dup_pairs,
+        )
+
+        pairs = embedding_near_dup_pairs(spark, "/root/testdata/sf0.001")
+        edge_list = [(r.a, r.b) for r in pairs.select("a", "b").collect()]
+        assert edge_list
+        got = {
+            r.node: r.component
+            for r in connected_components(pairs, src="a", dst="b").collect()
+        }
+        assert got == _uf_oracle(edge_list)
+        # Every planted copy that paired resolved to a sub-10M canonical.
+        assert all(
+            c < 10_000_000 for n, c in got.items() if n >= 10_000_000
+        )
