@@ -70,6 +70,20 @@ class TestConnectedComponents:
     def test_matches_union_find_on_random_graphs(self, spark, edges):
         assert _cc(spark, edges) == _uf_oracle(edges)
 
+    def test_large_seeded_graph_matches_union_find(self, spark):
+        """2,000-node seeded random graph (chains, cliques, isolated
+        self-pairs): the DataFrame iteration must agree with union-find
+        at a scale where multi-round contraction actually happens."""
+        import random
+
+        rng = random.Random(42)
+        edges = [
+            (rng.randrange(2000), rng.randrange(2000)) for _ in range(2500)
+        ]
+        # Long chain forces several contraction rounds.
+        edges += [(i, i + 1) for i in range(1900, 1999)]
+        assert _cc(spark, edges) == _uf_oracle(edges)
+
     def test_nonconvergence_raises(self, spark):
         df = spark.createDataFrame([(1, 2), (2, 3)], ["doc_id_a", "doc_id_b"])
         with pytest.raises(RuntimeError, match="did not converge"):
