@@ -108,42 +108,40 @@ def connected_components(
             .distinct()
         )
 
-    labels = None
+    # Terminate on EDGE-SET stability (the paper's criterion: a round
+    # that changes nothing means the graph is fully contracted into
+    # stars). Checking edges is cheaper than labeling every round —
+    # the count on a just-checkpointed frame is near-free, and the
+    # exceptAll only runs when counts already agree.
+    prev: tuple[DataFrame, int] | None = None
+    converged = False
     for _ in range(max_iter):
         edges = _star(edges, large=True)
         edges = _star(edges, large=False).localCheckpoint(eager=True)
-        # Current labeling: min over each node's closed neighborhood,
-        # re-attached to the full universe (coalesce = own id for nodes
-        # contracted out of the edge list / singletons).
-        member_min = (
-            _sym(edges)
-            .groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select(
-                F.col("u").alias("node"),
-                F.least(F.col("mn"), F.col("u")).alias("c"),
-            )
+        n = edges.count()
+        if prev is not None and n == prev[1]:
+            if edges.exceptAll(prev[0]).limit(1).count() == 0:
+                converged = True
+                break
+        prev = (edges, n)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
         )
-        new_labels = (
-            nodes.join(member_min, on="node", how="left")
-            .select(
-                "node", F.coalesce(F.col("c"), F.col("node")).alias("component")
-            )
-            .localCheckpoint(eager=True)
+    # Final labeling: min over each node's closed neighborhood,
+    # re-attached to the full universe (coalesce = own id for nodes
+    # contracted out of the edge list / singletons).
+    member_min = (
+        _sym(edges)
+        .groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("mn"), F.col("u")).alias("c"),
         )
-        if labels is not None:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), on="node")
-                .where(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
-            if changed == 0:
-                return new_labels
-        labels = new_labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds"
+    )
+    return nodes.join(member_min, on="node", how="left").select(
+        "node", F.coalesce(F.col("c"), F.col("node")).alias("component")
     )
 
 
