@@ -310,9 +310,15 @@ class TimeseriesStore:
 
         Idempotent under crashes via a staged two-phase fold:
 
-        1. every L0 entry is MOVED (atomic local rename) into a fresh
+        1. every L0 segment is MOVED (atomic local rename) into a fresh
            ``hot_l0_staging/<id>/`` dir — new ``write()`` batches
-           landing mid-flush are untouched;
+           landing mid-flush are untouched. Entries starting with ``_``
+           or ``.`` are left in place: ``_temporary`` is a concurrent
+           append's IN-FLIGHT commit (moving it would strand that
+           batch's rows in staging, where ``_fold_staged`` skips
+           hidden names, and then delete them with the staging dir —
+           a silent data loss + failed commit); ``_SUCCESS``/``.crc``
+           are inert markers/sidecars;
         2. the staged segments are clustered onto their
            (tag, part_start) key (explicit parallelism: AQE would
            coalesce the tiny shuffle into one task and serialize the
@@ -334,7 +340,11 @@ class TimeseriesStore:
         did = self._recover_staging()
         if not self.fs.exists(self.config.l0_path):
             return did
-        entries = self.fs.listdir(self.config.l0_path)
+        entries = [
+            n
+            for n in self.fs.listdir(self.config.l0_path)
+            if not n.startswith(("_", "."))
+        ]
         if not entries:
             return did
         stage_dir = f"{self.config.l0_staging_path}/{uuid.uuid4().hex[:12]}"
@@ -343,6 +353,8 @@ class TimeseriesStore:
             self.fs.rename(f"{self.config.l0_path}/{name}", f"{stage_dir}/{name}")
         # if-empty (not recursive): refuses if a new batch landed a
         # segment mid-flush — that batch stays for the next flush.
+        # (Markers/sidecars left behind by the filter above also keep
+        # the dir; harmless — Spark ignores hidden files on read.)
         self.fs.rmdir_if_empty(self.config.l0_path)
         self.invalidate_hot_cache()
         self._fold_staged(stage_dir)

@@ -92,12 +92,19 @@ def maintenance_lease(
     Mechanics: atomic create-if-absent of ``{base}/_maintenance_lease``
     through the fs seam (local ``O_EXCL``; conditional put on object
     stores). A lease older than its ``ttl_s`` horizon is presumed
-    crashed and stolen (remove + re-create; the create race between
-    two stealers has exactly one winner). Reentrant per store instance
-    (``compact`` calls ``compact_purge_log``), and a lease left by a
-    crashed run of the SAME instance re-acquires immediately. On a
-    lakehouse deployment the table format's optimistic commit replaces
-    this file."""
+    crashed and stolen. Steal = remove + re-create, which is NOT atomic
+    (a second stealer's remove can delete the lease the first just
+    created), so the create result alone is never trusted: after every
+    acquisition the lease is READ BACK and must carry this acquisition's
+    unique nonce, else the acquisition lost and raises. Release is
+    guarded the same way — the file is removed only while it still
+    holds this acquisition's nonce, so an expired holder exiting late
+    cannot delete a stealer's fresh lease. A read-back/act window
+    remains (this is a best-effort local-FS guard); a lakehouse
+    deployment replaces the file with the table format's optimistic
+    commit. Reentrant per store instance (``compact`` calls
+    ``compact_purge_log``), and a lease left by a crashed run of the
+    SAME instance re-acquires immediately."""
     store._require_init()
     depth = getattr(store, "_lease_depth", 0)
     if depth > 0:
@@ -110,15 +117,31 @@ def maintenance_lease(
     path = f"{store.config.base_path}/{LEASE_FILE}"
     if now_ms is None:
         now_ms = _now_ms()
+    nonce = uuid.uuid4().hex
     payload = json.dumps(
-        {"holder": store.writer_id, "expires_ms": now_ms + int(ttl_s * 1000)}
+        {
+            "holder": store.writer_id,
+            "nonce": nonce,
+            "expires_ms": now_ms + int(ttl_s * 1000),
+        }
     )
+
+    def _held_by_me() -> bool:
+        try:
+            cur = json.loads(store.fs.read_text(path))
+        except Exception:
+            return False
+        return (
+            cur.get("holder") == store.writer_id
+            and cur.get("nonce") == nonce
+        )
+
     if not store.fs.create_exclusive(path, payload):
         try:
             cur = json.loads(store.fs.read_text(path))
         except Exception:
             # Vanished mid-race (holder just released) or unreadable:
-            # fall through to the steal path, whose create race is the
+            # fall through to the steal path, whose read-back is the
             # real arbiter.
             cur = None
         if (
@@ -131,16 +154,20 @@ def maintenance_lease(
                 f"{cur.get('expires_ms')} (now {now_ms})"
             )
         store.fs.remove_file(path)
-        if not store.fs.create_exclusive(path, payload):
-            raise ConcurrentMaintenanceError(
-                "lost the lease-steal race for " + path
-            )
+        store.fs.create_exclusive(path, payload)
+    # Arbiter for every acquisition path: whatever create_exclusive
+    # returned, we own the lease only if the file now carries OUR nonce.
+    if not _held_by_me():
+        raise ConcurrentMaintenanceError(
+            "lost the lease-steal race for " + path
+        )
     store._lease_depth = 1
     try:
         yield
     finally:
         store._lease_depth = 0
-        store.fs.remove_file(path)
+        if _held_by_me():
+            store.fs.remove_file(path)
 
 
 def _serialized_maintenance(fn):
@@ -172,7 +199,31 @@ def purge_log(store: TimeseriesStore) -> DataFrame:
     return store.spark.read.schema(PURGE_LOG_SCHEMA).parquet(path)
 
 
+def _repair_interrupted_log_swap(store: TimeseriesStore) -> None:
+    """Complete or roll back a ``compact_purge_log`` swap that crashed
+    between its two renames (live dir absent; pre-swap copy at
+    ``.compact-old``). Without this, the next ``_append_log`` would
+    recreate the live dir holding only the new appends, after which
+    ``purge_log`` reads stop falling back to ``.compact-old`` and all
+    pre-compaction protocol state is silently dropped. Runs under the
+    maintenance lease (every caller is a lease-holding maintenance
+    entry point), so the renames cannot race another repairer."""
+    path = store.config.purge_log_path
+    tmp, old = path + ".compact-tmp", path + ".compact-old"
+    if store.fs.exists(path):
+        return
+    if store.fs.exists(tmp) and store.fs.exists(f"{tmp}/_SUCCESS"):
+        # The snapshot committed: roll the swap forward.
+        store.fs.rename(tmp, path)
+        store.fs.remove_tree(old)
+    elif store.fs.exists(old):
+        # Snapshot incomplete or already promoted-and-lost: roll back.
+        store.fs.remove_tree(tmp)
+        store.fs.rename(old, path)
+
+
 def _append_log(store: TimeseriesStore, rows: list[tuple]) -> None:
+    _repair_interrupted_log_swap(store)
     # Single-slice parallelize, NOT createDataFrame(rows).coalesce(1):
     # createDataFrame spreads even a 4-row list over defaultParallelism
     # partitions, and coalesce(1) then evaluates all 32 Python input
@@ -420,6 +471,7 @@ def compact_purge_log(store: TimeseriesStore) -> int:
     replaced (0 = nothing to do)."""
     store._require_init()
     path = store.config.purge_log_path
+    _repair_interrupted_log_swap(store)
     if not store.fs.exists(path):
         return 0
     n_files = store.fs.count_files_with_suffix(path, ".parquet")
