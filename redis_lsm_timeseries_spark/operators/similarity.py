@@ -283,11 +283,16 @@ def _probe_expr(vec_col: str, centroids: list[list[float]], n_probe: int) -> Col
 
 def _unit_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, unit-norm vector) — normalizing once makes every later
-    cosine a plain dot and makes centroid similarity spherical."""
+    cosine a plain dot and makes centroid similarity spherical.
+
+    Zero-norm vectors (an all-zero embedding from a broken encoder) are
+    dropped rather than divided: x/0 would yield NaN components that
+    poison every downstream dot product and, worse, the IVF centroid
+    means — one NaN vector in a list makes the whole centroid NaN."""
     out = df.select(
         F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
     ).withColumn("_nrm", norm("_v"))
-    return out.select(
+    return out.where(F.col("_nrm") > 0.0).select(
         "_id",
         F.expr(
             "zip_with(_v, array_repeat(_nrm, size(_v)), (x, n) -> x / n)"

@@ -15,9 +15,12 @@ import uuid
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql import types as T
 
 from redis_lsm_timeseries_spark.plans.catalog import register
+from redis_lsm_timeseries_spark.sources.testdata import (
+    load_events,
+    read_events_stream,
+)
 
 
 @contextmanager
@@ -39,18 +42,6 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
-EVENTS_NS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 @register(
     "stream_rollup_tumbling",
     oracle="""
@@ -69,19 +60,8 @@ def stream_rollup_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory sink, complete mode), then returned as the sink table.
     The tumbling window is the engine's partition function:
     window(ts, W) groups by ts - ts % W."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # The file stream source requires a DIRECTORY; sf_dir holds one
-    # parquet file per table, so stream the directory with a glob that
-    # admits only the events file.
-    stream = (
-        spark.readStream.schema(EVENTS_NS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select(
-            F.col("event_type"),
-            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-            F.col("value"),
-        )
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_type", "ts", "value"
     )
     agg = (
         stream.groupBy(
@@ -151,12 +131,12 @@ def stream_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base_dir = tempfile.mkdtemp(prefix="rlts_stream_ingest_")
     try:
-        ev = load_events_ns(spark, sf_dir)
+        ev = load_events(spark, sf_dir)
         batch = (
             ev.where(F.col("event_id") % 20 == 0)
             .groupBy(
                 F.col("event_type").alias("tag"),
-                F.expr("raw_ts div 1000000").alias("ts"),
+                F.col("ts_ms").alias("ts"),
             )
             .agg(F.max("event_id").cast("string").alias("value"))
         )
@@ -184,15 +164,6 @@ def stream_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
-
-
-def load_events_ns(spark: SparkSession, sf_dir: str):
-    """events with the raw int64-nanos ts exposed (``raw_ts``)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumnRenamed("ts", "raw_ts")
-    )
 
 
 @register(
@@ -230,17 +201,11 @@ def stream_stateful_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         latest_per_tag_stateful,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_NS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select(
-            F.col("event_type").alias("tag"),
-            F.expr("ts div 1000000").alias("ts"),
-            F.col("event_id").alias("seq"),
-            F.col("value"),
-        )
+    stream = read_events_stream(spark, sf_dir).select(
+        F.col("event_type").alias("tag"),
+        F.col("ts_ms").alias("ts"),
+        F.col("event_id").alias("seq"),
+        F.col("value"),
     )
     updates = latest_per_tag_stateful(stream.groupBy("tag"))
     sink_name = f"stream_state_{uuid.uuid4().hex[:8]}"
@@ -318,16 +283,10 @@ def stream_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     Timestamps are truncated to MILLISECONDS on ingest: the oracle
     sessionizes over epoch_ms, and a sub-millisecond residue on the gap
     comparison would flip session boundaries between engines."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_NS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select(
-            F.col("user_id"),
-            F.timestamp_millis(F.expr("ts div 1000000")).alias("ts"),
-            F.col("value"),
-        )
+    stream = read_events_stream(spark, sf_dir).select(
+        F.col("user_id"),
+        F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+        F.col("value"),
     )
     agg = (
         stream.groupBy(

@@ -155,8 +155,13 @@ def parse_cold_text_lines(lines: DataFrame, line_col: str = "line") -> DataFrame
     is surfaced as ``ingest_ts`` so re-imported archives participate in
     LWW with their archival timestamp."""
     parts = F.split(F.col(line_col), ",", 3)
+    # A tombstone (NULL value) encodes as an empty base64 field; nullif
+    # restores it so a re-imported archive cannot resurrect a deletion
+    # as a live empty-string member that wins LWW.
     return lines.select(
         parts.getItem(0).try_cast("long").alias("ts"),
         parts.getItem(1).try_cast("long").alias("ingest_ts"),
-        F.unbase64(parts.getItem(2)).cast("string").alias("value"),
+        F.nullif(
+            F.unbase64(parts.getItem(2)).cast("string"), F.lit("")
+        ).alias("value"),
     ).where(F.col("ts").isNotNull())

@@ -501,7 +501,9 @@ class CompactionMetrics:
 
 
 @_serialized_maintenance
-def compact(store: TimeseriesStore) -> CompactionMetrics:
+def compact(
+    store: TimeseriesStore, max_partitions: int | None = None
+) -> CompactionMetrics:
     """LWW compaction: rewrite hot partitions that contain superseded
     members, keeping only each (tag, ts) key's LWW winner.
 
@@ -512,10 +514,15 @@ def compact(store: TimeseriesStore) -> CompactionMetrics:
     like an LSM segment merge.
 
     Scale shape: one partial-aggregated duplicate-detection pass over
-    (tag, part_start, ts), then the rewrite touches ONLY partitions
-    that actually hold duplicates — a partition-pruned scan + dynamic
-    partition overwrite. Tombstones (NULL-value winners) are KEPT: they
-    still shadow older members in the cold tier on hot-union-cold reads.
+    (tag, part_start, ts); the rewrite then touches ONLY partitions
+    that actually hold duplicates, selected via a broadcast semi-join
+    on a small (tag, part_start) keys DataFrame — never a literal
+    per-partition predicate, so neither the plan nor driver memory
+    grows with the number of dirty partitions. ``max_partitions``
+    bounds one run to the K partitions carrying the most superseded
+    rows (like ``purge_scan``'s coldest-K); the rest compact on later
+    runs. Tombstones (NULL-value winners) are KEPT: they still shadow
+    older members in the cold tier on hot-union-cold reads.
     """
     store._require_init()
     # Fold L0 row-batch segments into the partitioned layout first —
@@ -526,29 +533,43 @@ def compact(store: TimeseriesStore) -> CompactionMetrics:
     # otherwise accrues forever.
     compact_purge_log(store)
     hot = store.hot()
-    # One pass detects dup-holding partitions AND their total row count
-    # (rows_before) — a separate count() of the target partitions would
-    # re-scan them.
+    # One pass detects dup-holding partitions AND their row/key counts
+    # (rows_before, dup excess) — a separate count() of the target
+    # partitions would re-scan them.
     part_stats = (
         hot.groupBy("tag", "part_start", "ts")
         .agg(F.count(F.lit(1)).alias("n"))
         .groupBy("tag", "part_start")
-        .agg(F.sum("n").alias("rows"), F.max("n").alias("max_n"))
-        .where(F.col("max_n") > 1)
-        .collect()
-    )
-    dup_parts = [(r.tag, r.part_start) for r in part_stats]
-    if not dup_parts:
-        return CompactionMetrics(0, 0, 0)
-    rows_before = sum(r.rows for r in part_stats)
-    pred = F.lit(False)
-    for tag, part_start in dup_parts:
-        pred = pred | (
-            (F.col("tag") == tag) & (F.col("part_start") == part_start)
+        .agg(
+            F.sum("n").alias("rows"),
+            F.count(F.lit(1)).alias("keys"),
+            F.max("n").alias("max_n"),
         )
+        .where(F.col("max_n") > 1)
+    )
+    if max_partitions is not None:
+        part_stats = (
+            part_stats.orderBy(
+                (F.col("rows") - F.col("keys")).desc(), "tag", "part_start"
+            )
+            .limit(max_partitions)
+        )
+    # Materialize once: at most K (or #dirty-partition) tiny rows —
+    # reused for the semi-join keys AND the metrics aggregate.
+    part_stats = part_stats.localCheckpoint(eager=True)
+    totals = part_stats.agg(
+        F.count(F.lit(1)).alias("parts"), F.sum("rows").alias("rows")
+    ).first()
+    if totals.parts == 0:
+        return CompactionMetrics(0, 0, 0)
+    rows_before = totals.rows
     from redis_lsm_timeseries_spark.operators.lww import lww_latest
 
-    target = hot.where(pred)
+    target = hot.join(
+        F.broadcast(part_stats.select("tag", "part_start")),
+        ["tag", "part_start"],
+        "left_semi",
+    )
     winners = (
         lww_latest(target)
         .select(*[f.name for f in SAMPLE_SCHEMA.fields])
@@ -564,7 +585,7 @@ def compact(store: TimeseriesStore) -> CompactionMetrics:
     )
     store.invalidate_hot_cache()
     return CompactionMetrics(
-        partitions_compacted=len(dup_parts),
+        partitions_compacted=totals.parts,
         rows_before=rows_before,
         rows_after=rows_after,
     )

@@ -65,6 +65,33 @@ class TestIVF:
         )
         assert full == exact  # probing every list IS brute force
 
+    def test_zero_norm_embedding_cannot_poison_training(self, spark, emb):
+        """An all-zero embedding (broken encoder output) must be
+        dropped by normalization, not divided into NaNs: one NaN vector
+        in a list would make the whole IVF centroid NaN and silently
+        zero that list's recall."""
+        dim = len(emb.select("embedding").first().embedding)
+        zero = spark.range(10_000_000, 10_000_001).select(
+            F.col("id").alias("vec_id"),
+            F.expr(f"array_repeat(CAST(0.0 AS FLOAT), {dim})").alias(
+                "embedding"
+            ),
+        )
+        poisoned = emb.limit(50).select("vec_id", "embedding").unionByName(
+            zero
+        )
+        cents = train_ivf_centroids(poisoned, n_list=4, iters=2)
+        for c in cents:
+            assert all(x == x for x in c), "NaN leaked into a centroid"
+        unit = _unit_rows(poisoned, "vec_id", "embedding")
+        assert unit.where(F.col("_id") == 10_000_000).count() == 0
+        queries = emb.where(F.col("vec_id") < 3)
+        got = ivf_topk(poisoned, queries, cents, k=5, n_probe=4).collect()
+        assert all(
+            r.cosine_sim == r.cosine_sim for r in got
+        ), "NaN similarity emitted"
+        assert all(r.neighbor_id != 10_000_000 for r in got)
+
     def test_partial_probe_recall(self, spark, emb, centroids):
         queries = emb.where(F.col("vec_id") < 20)
         exact = _topk_sets(cosine_topk(emb, queries, k=10).collect())

@@ -245,22 +245,17 @@ class TestSlidingRollup:
         lands in exactly 2 windows; the streamed complete-mode result
         must equal the batch window() computation on the same input."""
         from redis_lsm_timeseries_spark.plans.streaming_queries import (
-            EVENTS_NS_SCHEMA,
             _run_to_memory_sink,
+        )
+        from redis_lsm_timeseries_spark.sources.testdata import (
+            load_events,
+            read_events_stream,
         )
         from redis_lsm_timeseries_spark.streaming import streaming_rollup
 
         sf = "/root/testdata/sf0.001"
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        select_cols = lambda df: df.select(  # noqa: E731
-            F.col("event_type"),
-            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-            F.col("value"),
-        )
-        stream = select_cols(
-            spark.readStream.schema(EVENTS_NS_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf)
+        stream = read_events_stream(spark, sf).select(
+            "event_type", "ts", "value"
         )
         # Watermark far larger than the data span: complete-mode sink
         # then holds EVERY window, so batch equality is exact.
@@ -274,11 +269,7 @@ class TestSlidingRollup:
             (r.tag, r.bucket_ms): (r.n, r.sum_v)
             for r in _run_to_memory_sink(spark, agg, "slide").collect()
         }
-        batch = select_cols(
-            spark.read.schema(EVENTS_NS_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf)
-        )
+        batch = load_events(spark, sf).select("event_type", "ts", "value")
         want = {
             (r.tag, r.bucket_ms): (r.n, r.sum_v)
             for r in batch.groupBy(

@@ -1,0 +1,154 @@
+"""Testdata-schema canary: the driver regenerates the parquet testdata
+between rounds and has already changed ``events.ts``'s physical type
+once (TIMESTAMP(NANOS) -> timestamp[us]). These tests fail LOUDLY if
+the shipped types drift outside what the adaptive loaders handle, and
+verify — against DuckDB reading the very same file — that the
+normalized epoch columns are bit-exact in the CURRENT representation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from redis_lsm_timeseries_spark.sources.testdata import (
+    TABLES,
+    events_epoch_us_sql,
+    load_events,
+    read_events_stream,
+)
+
+SF_DIRS = [
+    d
+    for d in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    )
+    if os.path.isdir(d)
+]
+
+
+def _events_path(sf_dir: str) -> str:
+    return f"{sf_dir}/events.parquet"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_all_tables_present(sf_dir):
+    for t in TABLES:
+        assert os.path.exists(f"{sf_dir}/{t}.parquet"), f"missing {t} in {sf_dir}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_events_ts_physical_type_is_handled(sf_dir):
+    """The loader supports exactly: int64 (raw nanos), timestamp[ns]
+    (read as int64 via nanosAsLong), timestamp[us/ms/s] (read as
+    TIMESTAMP). Anything else must fail here, not as 20 silent catalog
+    errors."""
+    import pyarrow.types as pat
+
+    t = pq.read_schema(_events_path(sf_dir)).field("ts").type
+    ok = pat.is_int64(t) or pat.is_timestamp(t)
+    assert ok, f"events.ts shipped as unhandled physical type {t} in {sf_dir}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_load_events_normalized_schema(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    got = {f.name: f.dataType for f in ev.schema.fields}
+    assert isinstance(got["ts_ns"], T.LongType)
+    assert isinstance(got["ts_ms"], T.LongType)
+    assert isinstance(got["ts"], T.TimestampType)
+    # events_epoch_us_sql must accept the type Spark actually infers
+    raw_type = (
+        spark.read.parquet(_events_path(sf_dir)).schema["ts"].dataType
+    )
+    assert events_epoch_us_sql(raw_type)
+
+
+def test_load_events_epoch_values_match_duckdb(spark):
+    """Differential check of the normalization itself: Spark's ts_ms /
+    ts_ns / ts against DuckDB reading the same file, joined on
+    event_id, compared exactly."""
+    sf_dir = SF_DIRS[0]
+    ev = (
+        load_events(spark, sf_dir)
+        .select(
+            "event_id",
+            "ts_ns",
+            "ts_ms",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .orderBy("event_id")
+        .limit(200)
+        .collect()
+    )
+    con = duckdb.connect()
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(
+            f"""
+            SELECT event_id, epoch_ns(ts), epoch_ms(ts), epoch_us(ts)
+            FROM '{_events_path(sf_dir)}'
+            ORDER BY event_id LIMIT 200
+            """
+        ).fetchall()
+    }
+    assert len(ev) == len(want) > 0
+    for r in ev:
+        assert (r.ts_ns, r.ts_ms, r.ts_us) == want[r.event_id], r.event_id
+
+
+def test_stream_read_matches_batch_read(spark):
+    """The streaming source's explicit schema must recover the same
+    epoch micros as the batch loader — the round-5 silent-wrong-answer
+    mode (LongType schema over timestamp[us] data) dies here."""
+    import uuid
+
+    sf_dir = SF_DIRS[0]
+    sink = f"canary_{uuid.uuid4().hex[:8]}"
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .select(F.unix_micros("ts").alias("us"), "ts_ms")
+        .groupBy()
+        .agg(
+            F.min("us").alias("mn_us"),
+            F.max("us").alias("mx_us"),
+            F.sum("ts_ms").alias("sum_ms"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table(sink).collect()[0]
+    want = (
+        load_events(spark, sf_dir)
+        .select(F.unix_micros("ts").alias("us"), "ts_ms")
+        .groupBy()
+        .agg(
+            F.min("us").alias("mn_us"),
+            F.max("us").alias("mx_us"),
+            F.sum("ts_ms").alias("sum_ms"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert (got.mn_us, got.mx_us, got.sum_ms, got.n) == (
+        want.mn_us,
+        want.mx_us,
+        want.sum_ms,
+        want.n,
+    )

@@ -229,6 +229,35 @@ class TestCompaction:
         # Second compaction is a no-op.
         assert compact(store).partitions_compacted == 0
 
+    def test_compact_bounded_to_k_dirtiest_partitions(self, store):
+        """``max_partitions`` caps one run to the K partitions with the
+        most superseded rows (purge_scan's coldest-K pattern): at 100 TB
+        a single run must not rewrite every dirty partition, and the
+        target selection is a broadcast semi-join — never a literal
+        OR-chain that grows the plan with the dirty-partition count."""
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        # SerialTag-0 gets 2 superseded rows, GapTag-0 gets 1.
+        store.write(
+            [("SerialTag", 3, "N3"), ("SerialTag", 4, "N4")],
+            ingest_ts=T0 + 1_000,
+        )
+        store.write([("GapTag", 2, "NewTwo")], ingest_ts=T0 + 2_000)
+        before = _read_all(store)
+
+        m1 = compact(store, max_partitions=1)
+        assert m1.partitions_compacted == 1
+        assert m1.rows_before - m1.rows_after == 2  # dirtiest first
+        assert _read_all(store) == before
+        # GapTag-0's duplicate survives until the next run.
+        assert store.hot().count() == len(GAP_SERIAL) + 1
+
+        m2 = compact(store, max_partitions=1)
+        assert m2.partitions_compacted == 1
+        assert m2.rows_before - m2.rows_after == 1
+        assert store.hot().count() == len(GAP_SERIAL)
+        assert _read_all(store) == before
+        assert compact(store, max_partitions=1).partitions_compacted == 0
+
     def test_compact_keeps_tombstones(self, store):
         """A NULL-value tombstone must survive compaction: it still
         shadows older cold members on hot-union-cold reads."""

@@ -183,7 +183,10 @@ class TestColdTextArchive:
         back = parse_cold_text_lines(
             spark.createDataFrame([(line.line,) for line in lines], ["line"])
         ).collect()
+        # The NULL tombstone must round-trip as NULL, not '': an
+        # empty-string member would be a LIVE value that wins LWW and
+        # resurrects the deletion on re-import.
         assert {(r.ts, r.ingest_ts, r.value) for r in back} == {
             (1, 1234, "One"),
-            (7, 1234, ""),
+            (7, 1234, None),
         }
