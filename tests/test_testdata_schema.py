@@ -38,10 +38,50 @@ def _events_path(sf_dir: str) -> str:
     return f"{sf_dir}/events.parquet"
 
 
+#: Column names every catalog query / oracle assumes. A driver-side
+#: rename or drop should fail HERE, with the table named, not as a
+#: scatter of AnalysisExceptions across 50 catalog entries.
+EXPECTED_COLUMNS = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
+    "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
+    "part": {"p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"},
+    "orders": {
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    },
+    "lineitem": {
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    },
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding", "label"},
+}
+
+
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
-def test_all_tables_present(sf_dir):
+def test_all_tables_present_with_expected_columns(sf_dir):
     for t in TABLES:
-        assert os.path.exists(f"{sf_dir}/{t}.parquet"), f"missing {t} in {sf_dir}"
+        path = f"{sf_dir}/{t}.parquet"
+        assert os.path.exists(path), f"missing {t} in {sf_dir}"
+        got = set(pq.read_schema(path).names)
+        missing = EXPECTED_COLUMNS[t] - got
+        assert not missing, f"{t} in {sf_dir} lost columns {sorted(missing)}"
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
