@@ -351,10 +351,22 @@ class TimeseriesStore:
         self.fs.makedirs(stage_dir)
         for name in entries:
             self.fs.rename(f"{self.config.l0_path}/{name}", f"{stage_dir}/{name}")
+            # A moved segment's checksum sidecar travels with it; left
+            # behind it would be an orphan that pins the L0 dir forever.
+            crc = f".{name}.crc"
+            if self.fs.exists(f"{self.config.l0_path}/{crc}"):
+                self.fs.rename(
+                    f"{self.config.l0_path}/{crc}", f"{stage_dir}/{crc}"
+                )
+        # The _SUCCESS marker (and its sidecar) describe batches that
+        # were ALL just moved out — inert now, and they'd block the
+        # rmdir below. _temporary (an in-flight append) is never
+        # touched: it keeps the dir alive, as it must.
+        for marker in ("_SUCCESS", "._SUCCESS.crc"):
+            if self.fs.exists(f"{self.config.l0_path}/{marker}"):
+                self.fs.remove_file(f"{self.config.l0_path}/{marker}")
         # if-empty (not recursive): refuses if a new batch landed a
         # segment mid-flush — that batch stays for the next flush.
-        # (Markers/sidecars left behind by the filter above also keep
-        # the dir; harmless — Spark ignores hidden files on read.)
         self.fs.rmdir_if_empty(self.config.l0_path)
         self.invalidate_hot_cache()
         self._fold_staged(stage_dir)
