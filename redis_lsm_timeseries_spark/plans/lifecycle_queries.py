@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from redis_lsm_timeseries_spark.config import EngineConfig
 from redis_lsm_timeseries_spark.operators.lww import lww_latest
 from redis_lsm_timeseries_spark.plans.catalog import register
+from redis_lsm_timeseries_spark.session import pinned_shuffle_partitions
 from redis_lsm_timeseries_spark.sources.testdata import load_events
 from redis_lsm_timeseries_spark.store import TimeseriesStore
 from redis_lsm_timeseries_spark.tiering import (
@@ -101,6 +102,15 @@ def _run_lifecycle(
     if key in _LIFECYCLE_CACHE:
         return _LIFECYCLE_CACHE[key]
     base_dir = tempfile.mkdtemp(prefix="rlts_lifecycle_")
+    # The temp store holds ~5k rows; 32+ near-empty shuffle tasks per
+    # maintenance job cost more than the work they do.
+    with pinned_shuffle_partitions(spark, 8):
+        return _run_lifecycle_inner(spark, sf_dir, base_dir, key)
+
+
+def _run_lifecycle_inner(
+    spark: SparkSession, sf_dir: str, base_dir: str, key
+) -> tuple[DataFrame, DataFrame]:
     try:
         cfg = EngineConfig(root=base_dir, partition_width=LIFECYCLE_W)
         store = TimeseriesStore(spark, cfg)
@@ -218,32 +228,36 @@ def compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the way out, so the check only passes if compaction PHYSICALLY
     collapsed every duplicate to its winner."""
     base_dir = tempfile.mkdtemp(prefix="rlts_compact_")
+    # ~5k-row temp store: size the shuffles to the data (see
+    # _run_lifecycle).
     try:
-        cfg = EngineConfig(root=base_dir, partition_width=LIFECYCLE_W)
-        store = TimeseriesStore(spark, cfg)
-        store.initialize()
+        with pinned_shuffle_partitions(spark, 8):
+            cfg = EngineConfig(root=base_dir, partition_width=LIFECYCLE_W)
+            store = TimeseriesStore(spark, cfg)
+            store.initialize()
 
-        ev = load_events(spark, sf_dir).where(
-            F.col("event_id") % SUBSET_MOD == 0
-        )
-        base = (
-            ev.groupBy(
-                F.col("event_type").alias("tag"), F.col("ts_ms").alias("ts")
+            ev = load_events(spark, sf_dir).where(
+                F.col("event_id") % SUBSET_MOD == 0
             )
-            .agg(F.max("event_id").cast("string").alias("value"))
-            .withColumn("seq", F.lit(0).cast("long"))
-        )
-        store.write_df(base, ingest_ts=1000)
-        updates = base.where(F.col("ts") % 2 == 0).withColumn(
-            "value", F.concat(F.col("value"), F.lit("-u"))
-        )
-        store.write_df(updates, ingest_ts=2000)
+            base = (
+                ev.groupBy(
+                    F.col("event_type").alias("tag"),
+                    F.col("ts_ms").alias("ts"),
+                )
+                .agg(F.max("event_id").cast("string").alias("value"))
+                .withColumn("seq", F.lit(0).cast("long"))
+            )
+            store.write_df(base, ingest_ts=1000)
+            updates = base.where(F.col("ts") % 2 == 0).withColumn(
+                "value", F.concat(F.col("value"), F.lit("-u"))
+            )
+            store.write_df(updates, ingest_ts=2000)
 
-        metrics = compact(store)
-        if metrics.rows_after >= metrics.rows_before:
-            raise RuntimeError(f"compaction removed nothing: {metrics}")
+            metrics = compact(store)
+            if metrics.rows_after >= metrics.rows_before:
+                raise RuntimeError(f"compaction removed nothing: {metrics}")
 
-        out = store.hot().select("tag", "ts", "value")
-        return out.localCheckpoint(eager=True)
+            out = store.hot().select("tag", "ts", "value")
+            return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)

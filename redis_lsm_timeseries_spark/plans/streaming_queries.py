@@ -12,35 +12,22 @@ truncation to reason about). That makes a genuinely streaming plan
 from __future__ import annotations
 
 import uuid
-from contextlib import contextmanager
+from functools import partial
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from redis_lsm_timeseries_spark.plans.catalog import register
+from redis_lsm_timeseries_spark.session import pinned_shuffle_partitions
 from redis_lsm_timeseries_spark.sources.testdata import (
     load_events,
     read_events_stream,
 )
 
-
-@contextmanager
-def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
-    """Pin ``spark.sql.shuffle.partitions`` for a finite test stream.
-
-    The StateStore partition count is frozen from this conf at a
-    stream's first micro-batch; in a vanilla session it defaults to
-    200, which spreads a few-key state over 200 near-empty state
-    partitions and the per-partition store open/commit dominates the
-    entry's wall time. A production stream sizes this once to its key
-    cardinality × executor count (it persists in the checkpoint);
-    these entries' memory-sink checkpoints are ephemeral, so pinning
-    per-run is safe. The session value is restored on exit."""
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+# Finite test streams pin the StateStore partition count (frozen from
+# this conf at the first micro-batch): a vanilla session's 200 default
+# spreads a few-key state over 200 near-empty state partitions and the
+# per-partition store open/commit dominates the entry's wall time.
+_stream_shuffle_partitions = partial(pinned_shuffle_partitions, n=8)
 
 @register(
     "stream_rollup_tumbling",
@@ -130,38 +117,43 @@ def stream_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base_dir = tempfile.mkdtemp(prefix="rlts_stream_ingest_")
+    # ~5k-row temp store: size the shuffles to the data (same rationale
+    # as the state-store pin in _stream_shuffle_partitions).
     try:
-        ev = load_events(spark, sf_dir)
-        batch = (
-            ev.where(F.col("event_id") % 20 == 0)
-            .groupBy(
-                F.col("event_type").alias("tag"),
-                F.col("ts_ms").alias("ts"),
+        with _stream_shuffle_partitions(spark):
+            ev = load_events(spark, sf_dir)
+            batch = (
+                ev.where(F.col("event_id") % 20 == 0)
+                .groupBy(
+                    F.col("event_type").alias("tag"),
+                    F.col("ts_ms").alias("ts"),
+                )
+                .agg(F.max("event_id").cast("string").alias("value"))
             )
-            .agg(F.max("event_id").cast("string").alias("value"))
-        )
-        input_dir = f"{base_dir}/incoming"
-        batch.coalesce(1).write.parquet(input_dir)
+            input_dir = f"{base_dir}/incoming"
+            batch.coalesce(1).write.parquet(input_dir)
 
-        store = TimeseriesStore(
-            spark,
-            EngineConfig(root=f"{base_dir}/store", partition_width=604_800_000),
-        )
-        store.initialize()
-        q = start_hot_ingest(
-            store,
-            read_sample_stream(spark, input_dir),
-            checkpoint_dir=f"{base_dir}/ckpt",
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("ingest stream did not finish in 300s")
-        if q.exception() is not None:
-            raise q.exception()
+            store = TimeseriesStore(
+                spark,
+                EngineConfig(
+                    root=f"{base_dir}/store", partition_width=604_800_000
+                ),
+            )
+            store.initialize()
+            q = start_hot_ingest(
+                store,
+                read_sample_stream(spark, input_dir),
+                checkpoint_dir=f"{base_dir}/ckpt",
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("ingest stream did not finish in 300s")
+            if q.exception() is not None:
+                raise q.exception()
 
-        tags = [r.tag for r in batch.select("tag").distinct().collect()]
-        out = store.read_range({t: (0, 1 << 50) for t in tags})
-        return out.localCheckpoint(eager=True)
+            tags = [r.tag for r in batch.select("tag").distinct().collect()]
+            out = store.read_range({t: (0, 1 << 50) for t in tags})
+            return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
 

@@ -11,8 +11,28 @@ than the 200 default.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def pinned_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily size ``spark.sql.shuffle.partitions`` to a job's
+    actual data, restoring the session value on exit.
+
+    Used by the catalog's temp-store mutation entries (a few thousand
+    rows — 32 near-empty shuffle tasks per job cost more than the work)
+    and by the finite test streams (the StateStore partition count is
+    frozen from this conf at the first micro-batch). A production
+    deployment sizes the session value once to key cardinality x
+    executor count; this pin is for bounded, known-small jobs only."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def get_spark(app_name: str = "redis-lsm-timeseries-spark", cpus: int | None = None) -> SparkSession:
