@@ -375,9 +375,15 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redis_lsm_timeseries_spark.operators.components import (
         connected_components,
     )
+    from redis_lsm_timeseries_spark.session import pinned_shuffle_partitions
 
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
-    return connected_components(pairs, src="a", dst="b")
+    # The candidate graph at test SF is a few hundred edges; every
+    # star-contraction round shuffles + checkpoints it, so near-empty
+    # task overhead compounds per round. At 100 TB the session's
+    # shuffle sizing governs — the operator itself is unpinned.
+    with pinned_shuffle_partitions(spark, 8):
+        return connected_components(pairs, src="a", dst="b")
 
 
 @register(

@@ -144,6 +144,46 @@ def test_load_events_epoch_values_match_duckdb(spark):
         assert (r.ts_ns, r.ts_ms, r.ts_us) == want[r.event_id], r.event_id
 
 
+def test_both_ts_representations_normalize_identically(spark, tmp_path):
+    """The SAME logical events written as int64-nanos (the old driver
+    format, TIMESTAMP(NANOS)-style) and as timestamp[us] (the current
+    one) must load to identical normalized rows. The real testdata only
+    exercises one branch at a time; this keeps the other from rotting."""
+    import pyarrow as pa
+
+    micros = [1_704_067_200_000_000, 1_704_067_200_123_456, 1_706_657_176_220_708]
+    cols = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 20, 30], pa.int64()),
+        "event_type": pa.array(["a", "b", "c"]),
+        "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+        "props": pa.array(["x", "y", "z"]),
+    }
+    ns_dir = tmp_path / "ns_repr"
+    us_dir = tmp_path / "us_repr"
+    for d in (ns_dir, us_dir):
+        d.mkdir()
+    pq.write_table(
+        pa.table({**cols, "ts": pa.array([m * 1000 for m in micros], pa.int64())}),
+        str(ns_dir / "events.parquet"),
+    )
+    pq.write_table(
+        pa.table({**cols, "ts": pa.array(micros, pa.timestamp("us"))}),
+        str(us_dir / "events.parquet"),
+    )
+
+    def rows(sf_dir):
+        return [
+            (r.event_id, r.ts_ns, r.ts_ms, r.ts, r.user_id, r.event_type)
+            for r in load_events(spark, str(sf_dir)).orderBy("event_id").collect()
+        ]
+
+    got_ns, got_us = rows(ns_dir), rows(us_dir)
+    assert got_ns == got_us
+    assert [r[1] for r in got_us] == [m * 1000 for m in micros]  # ts_ns
+    assert [r[2] for r in got_us] == [m // 1000 for m in micros]  # ts_ms
+
+
 def test_stream_read_matches_batch_read(spark):
     """The streaming source's explicit schema must recover the same
     epoch micros as the batch loader — the round-5 silent-wrong-answer
