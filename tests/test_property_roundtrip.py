@@ -11,7 +11,10 @@ Python dict model of the semantics:
   duplicate (tag, ts) wins (JS-Map semantics, SURVEY.md §2.2.3);
 - across batches, the later ingest_ts wins (LWW, §2.2.4);
 - a NULL value is a tombstone: it shadows older values and is absent
-  from reads (recipe:22-23 refinement).
+  from reads (recipe:22-23 refinement);
+- maintenance (L0 flush, LWW compaction — with and without a
+  partition cap) interleaved anywhere in the schedule is
+  READ-TRANSPARENT: the model ignores it entirely.
 """
 
 from __future__ import annotations
@@ -33,14 +36,17 @@ entry = st.tuples(
     st.one_of(st.none(), st.text(alphabet="abcXYZ019", max_size=6)),
 )
 
-schedule = st.lists(
-    st.lists(entry, min_size=1, max_size=12), min_size=1, max_size=3
+step = st.tuples(
+    st.lists(entry, min_size=1, max_size=12),
+    st.sampled_from(["none", "flush", "compact", "compact_capped"]),
 )
 
+schedule = st.lists(step, min_size=1, max_size=3)
 
-def model_read(batches) -> dict:
+
+def model_read(steps) -> dict:
     latest: dict = {}
-    for batch in batches:
+    for batch, _maintenance in steps:  # maintenance is invisible to reads
         collapsed = {}
         for tag, ts, value in batch:  # intra-batch last-entry-wins
             collapsed[(tag, ts)] = value
@@ -53,22 +59,30 @@ def model_read(batches) -> dict:
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(batches=schedule)
-def test_write_read_matches_model(spark, batches):
+@given(steps=schedule)
+def test_write_read_matches_model(spark, steps):
+    from redis_lsm_timeseries_spark.tiering import compact
+
     base = tempfile.mkdtemp(prefix="rlts_prop_")
     try:
         store = TimeseriesStore(
             spark, EngineConfig(root=base, partition_width=5)
         )
         store.initialize()
-        for i, batch in enumerate(batches):
+        for i, (batch, maintenance) in enumerate(steps):
             store.write(batch, ingest_ts=T0 + i)
+            if maintenance == "flush":
+                store.flush_l0()
+            elif maintenance == "compact":
+                compact(store)
+            elif maintenance == "compact_capped":
+                compact(store, max_partitions=1)
         got = {
             (r.tag, r.ts): r.value
             for r in store.read_range(
                 {tag: (0, 100) for tag in TAGS}
             ).collect()
         }
-        assert got == model_read(batches)
+        assert got == model_read(steps)
     finally:
         shutil.rmtree(base, ignore_errors=True)

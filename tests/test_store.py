@@ -268,6 +268,27 @@ class TestPhysicalLayout:
             (t, ts): v for t, ts, v in GAP_SERIAL
         }
 
+    def test_read_range_partition_prunes_the_scan(self, store):
+        """The 100 TB property of the composed read: tag and part_start
+        are DIRECTORY columns in L1, so a narrow range read must plan
+        as PartitionFilters (directory pruning — untouched partitions
+        are never listed, let alone scanned) plus a PushedFilters ts
+        residual inside the surviving files. A filter that only runs
+        post-scan would read the whole store per point query."""
+        store.write(GAP_SERIAL)
+        store.flush_l0()  # all rows in the partitioned L1 layout
+        df = store.read_range({"GapTag": (10, 12)})
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        # Both partition columns constrain the directory listing...
+        pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+        assert "tag" in pf and "part_start" in pf
+        # ...and the residual ts range reaches the parquet reader.
+        assert "PushedFilters" in plan
+        pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+        assert "ts" in pushed
+        assert _result_map(df) == {("GapTag", 10): "Ten"}
+
     def test_epoch_persistence(self, spark, tmp_path):
         cfg = EngineConfig(root=str(tmp_path / "ep"))
         s1 = TimeseriesStore(spark, cfg)
