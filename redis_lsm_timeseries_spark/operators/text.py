@@ -128,3 +128,84 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             )
         ),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 256,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-length-bound preprocessing step of a training pipeline
+    (each chunk fits a model's window; the overlap preserves cross-
+    boundary context).
+
+    1-in/N-out entirely in Column expressions: tokenize once, build the
+    chunk-start sequence with ``sequence`` (stride = size - overlap),
+    ``posexplode`` it, and slice the token array per chunk — no Python
+    in the loop, and the explode is a map-side expansion (no shuffle).
+    Short documents yield exactly one chunk. Chunk count per doc is
+    ceil((n_tokens - overlap) / stride), matching the trailing partial
+    chunk a tokenizer-based pipeline keeps.
+
+    Output: one row per chunk — (id, chunk_idx, chunk_text,
+    n_chunk_tokens) plus the carried-through input columns."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens(text_col)
+    starts = F.expr(
+        f"sequence(0, greatest(size(_toks) - {overlap} - 1, 0), {stride})"
+    )
+    return (
+        df.withColumn("_toks", toks)
+        .withColumn("_starts", starts)
+        .select(
+            "*",
+            F.posexplode("_starts").alias("chunk_idx", "_start"),
+        )
+        .withColumn(
+            "chunk_text",
+            F.concat_ws(
+                " ", F.expr(f"slice(_toks, _start + 1, {chunk_size})")
+            ),
+        )
+        .withColumn(
+            "n_chunk_tokens",
+            F.least(
+                F.size("_toks") - F.col("_start"), F.lit(chunk_size)
+            ).cast("long"),
+        )
+        .drop("_toks", "_starts", "_start")
+    )
+
+
+#: (pattern, replacement) pairs for the PII scrubber, applied in order.
+#: Deliberately conservative patterns: emails, IPv4 addresses,
+#: 13-19-digit card-like runs, then international-ish phone numbers.
+#: Order is load-bearing: the phone pattern is the greediest digit
+#: matcher, so the more specific shapes must claim their text first
+#: (an IP or card number would otherwise half-match as a phone).
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{13,19}\b", "<NUMBER>"),
+    (r"\+?\d{1,3}[-. ()]{0,2}\d{2,4}[-. ()]{0,2}\d{3,4}[-. ]?\d{3,4}", "<PHONE>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_scrubbed"
+) -> DataFrame:
+    """Regex PII redaction (emails, IPv4, long digit runs, phone
+    numbers) — the standard pre-training hygiene pass. A chain of
+    ``regexp_replace`` Column expressions, so the whole scrub runs
+    inside whole-stage codegen; patterns apply in declaration order
+    (see PII_PATTERNS — specific shapes before the greedy phone one).
+    """
+    col: Column = F.col(text_col)
+    for pattern, replacement in PII_PATTERNS:
+        col = F.regexp_replace(col, pattern, replacement)
+    return df.withColumn(out_col, col)

@@ -100,3 +100,120 @@ class TestMultimodal:
         }
         for k, r in rows1.items():
             assert r.n_bytes == len(texts[k].encode("utf-8"))
+
+
+class TestChunking:
+    """chunk_documents: the context-window preprocessing step. Exact
+    boundary math on synthetic docs, then shape invariants on the real
+    documents table."""
+
+    def test_exact_boundaries_with_overlap(self, spark):
+        from redis_lsm_timeseries_spark.operators.text import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(1, 12))  # 11 tokens
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        got = {
+            r.chunk_idx: (r.chunk_text, r.n_chunk_tokens)
+            for r in chunk_documents(
+                df, chunk_size=4, overlap=1
+            ).collect()
+        }
+        # stride 3 -> starts 0,3,6,9: [t1..t4][t4..t7][t7..t10][t10 t11]
+        assert got == {
+            0: ("t1 t2 t3 t4", 4),
+            1: ("t4 t5 t6 t7", 4),
+            2: ("t7 t8 t9 t10", 4),
+            3: ("t10 t11", 2),
+        }
+
+    def test_short_doc_is_one_chunk(self, spark):
+        from redis_lsm_timeseries_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        rows = chunk_documents(df, chunk_size=256, overlap=32).collect()
+        assert len(rows) == 1
+        assert rows[0].chunk_text == "a b c"
+        assert rows[0].n_chunk_tokens == 3
+
+    def test_chunks_reconstruct_document(self, spark):
+        """Dropping each chunk's leading `overlap` tokens (except the
+        first chunk's) and concatenating must reproduce the tokenized
+        document — no token lost or duplicated, for every real doc."""
+        from redis_lsm_timeseries_spark.functions.portable import tokens
+        from redis_lsm_timeseries_spark.operators.text import chunk_documents
+
+        docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text")
+            .limit(50)
+        )
+        overlap = 8
+        chunks = chunk_documents(docs, chunk_size=32, overlap=overlap)
+        rebuilt = (
+            chunks.withColumn(
+                "part",
+                F.when(F.col("chunk_idx") == 0, F.col("chunk_text")).otherwise(
+                    F.concat_ws(
+                        " ",
+                        F.expr(
+                            f"slice(split(chunk_text, ' '), {overlap + 1}, "
+                            "size(split(chunk_text, ' ')))"
+                        ),
+                    )
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.concat_ws(
+                    " ", F.array_sort(F.collect_list(F.struct("chunk_idx", "part")))
+                    .getField("part")
+                ).alias("rebuilt")
+            )
+        )
+        want = {
+            r.doc_id: " ".join(r.toks)
+            for r in docs.select("doc_id", tokens("text").alias("toks")).collect()
+        }
+        got = {r.doc_id: r.rebuilt for r in rebuilt.collect()}
+        assert got == want
+
+    def test_invalid_overlap_rejected(self, spark):
+        from redis_lsm_timeseries_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_size=4, overlap=4)
+
+
+class TestPiiScrub:
+    def test_patterns_redacted_and_clean_text_untouched(self, spark):
+        from redis_lsm_timeseries_spark.operators.text import scrub_pii
+
+        rows = [
+            (1, "contact bob.smith+x@example.co.uk today"),
+            (2, "call +1 (555) 123-4567 or 555-123-4567"),
+            (3, "server at 192.168.001.1 went down"),
+            (4, "card 4111111111111111 declined"),
+            (5, "a perfectly clean sentence with numbers like 42"),
+        ]
+        df = spark.createDataFrame(rows, ["id", "text"])
+        got = {r.id: r.text_scrubbed for r in scrub_pii(df).collect()}
+        assert got[1] == "contact <EMAIL> today"
+        assert "555" not in got[2] and "<PHONE>" in got[2]
+        assert got[3] == "server at <IP> went down"
+        assert got[4] == "card <NUMBER> declined"
+        assert got[5] == rows[4][1]  # clean text passes through verbatim
+
+    def test_scrub_stays_in_codegen(self, spark):
+        """The scrub must be a Column-expression chain (no Python UDF
+        stage in the plan)."""
+        from redis_lsm_timeseries_spark.operators.text import scrub_pii
+
+        df = scrub_pii(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+                "doc_id", "text"
+            )
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
