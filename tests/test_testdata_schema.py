@@ -183,6 +183,32 @@ def test_both_ts_representations_normalize_identically(spark, tmp_path):
     assert [r[1] for r in got_us] == [m * 1000 for m in micros]  # ts_ns
     assert [r[2] for r in got_us] == [m // 1000 for m in micros]  # ts_ms
 
+    # The STREAMING reader's schema branch must agree in both worlds
+    # too (the LongType branch is otherwise exercised by no real data).
+    import uuid
+
+    for d in (ns_dir, us_dir):
+        sink = f"repr_{uuid.uuid4().hex[:8]}"
+        q = (
+            read_events_stream(spark, str(d))
+            .select("event_id", F.unix_micros("ts").alias("us"), "ts_ms")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        streamed = {
+            r.event_id: (r.us, r.ts_ms)
+            for r in spark.table(sink).collect()
+        }
+        assert streamed == {
+            i + 1: (m, m // 1000) for i, m in enumerate(micros)
+        }, d
+
 
 def test_stream_read_matches_batch_read(spark):
     """The streaming source's explicit schema must recover the same
