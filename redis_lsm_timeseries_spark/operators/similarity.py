@@ -63,15 +63,21 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k per query vector.
 
+    Zero-norm rows are dropped on BOTH sides (cosine is undefined for
+    them; a 0/0 = NaN similarity would otherwise rank above every real
+    neighbor, since Spark orders NaN greatest) — the same posture as
+    ``_unit_rows`` on the IVF path, so exact and ANN results stay
+    comparable on a corpus containing broken embeddings.
+
     Output: (query_id, neighbor_id, cosine_sim, rnk)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_array(vec_col).alias("qv"),
-    )
+    ).where(norm("qv") > 0.0)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("cv"),
-    )
+    ).where(norm("cv") > 0.0)
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -219,17 +225,17 @@ def lsh_bucket_topk(
     """Approximate top-k: compete only within the query's LSH bucket.
     The bucket equi-join replaces the cross join — the shuffle key is
     the bucket id, so work scales with bucket occupancy, not corpus
-    size."""
+    size. Zero-norm rows are dropped like in ``cosine_topk``."""
     qb = with_lsh_bucket(queries, vec_col, num_planes, dim).select(
         F.col(id_col).alias("query_id"),
         as_double_array(vec_col).alias("qv"),
         "lsh_bucket",
-    )
+    ).where(norm("qv") > 0.0)
     cb = with_lsh_bucket(corpus, vec_col, num_planes, dim).select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("cv"),
         "lsh_bucket",
-    )
+    ).where(norm("cv") > 0.0)
     scored = (
         cb.join(F.broadcast(qb), "lsh_bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))

@@ -142,6 +142,14 @@ def chunk_documents(
     (each chunk fits a model's window; the overlap preserves cross-
     boundary context).
 
+    Chunks are windows over the NORMALIZED token stream (``tokens``:
+    lowercased, whitespace-collapsed), not byte offsets into the raw
+    text — chunk_text joins tokens with single spaces, the way a
+    tokenizer-fed pipeline consumes them. Callers needing the original
+    casing/spacing should chunk by character ranges instead. NULL text
+    is treated as empty: the doc still yields its one (empty) chunk
+    row rather than silently vanishing from the output.
+
     1-in/N-out entirely in Column expressions: tokenize once, build the
     chunk-start sequence with ``sequence`` (stride = size - overlap),
     ``posexplode`` it, and slice the token array per chunk — no Python
@@ -155,7 +163,9 @@ def chunk_documents(
     if not 0 <= overlap < chunk_size:
         raise ValueError("need 0 <= overlap < chunk_size")
     stride = chunk_size - overlap
-    toks = tokens(text_col)
+    toks = F.coalesce(
+        tokens(text_col), F.expr("CAST(array() AS ARRAY<STRING>)")
+    )
     starts = F.expr(
         f"sequence(0, greatest(size(_toks) - {overlap} - 1, 0), {stride})"
     )
@@ -184,15 +194,27 @@ def chunk_documents(
 
 #: (pattern, replacement) pairs for the PII scrubber, applied in order.
 #: Deliberately conservative patterns: emails, IPv4 addresses,
-#: 13-19-digit card-like runs, then international-ish phone numbers.
+#: separator-formatted card numbers, 13+-digit runs, then phones.
 #: Order is load-bearing: the phone pattern is the greediest digit
 #: matcher, so the more specific shapes must claim their text first
-#: (an IP or card number would otherwise half-match as a phone).
+#: (an IP or card number would otherwise half-match as a phone,
+#: leaking the unmatched digits). The phone pattern requires either a
+#: leading ``+``, a parenthesized area code, or a ``-``/``.`` group
+#: separator — bare digit runs (epoch timestamps, record ids) and
+#: groups spanning a sentence boundary (``... 2024. 555 2000 ...``)
+#: stay untouched, at the cost of missing separator-free local
+#: numbers. That trade favors corpus fidelity: an unredacted phone is
+#: recoverable by a later pass; a redacted timestamp is data loss.
 PII_PATTERNS = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    (r"\b\d{13,19}\b", "<NUMBER>"),
-    (r"\+?\d{1,3}[-. ()]{0,2}\d{2,4}[-. ()]{0,2}\d{3,4}[-. ]?\d{3,4}", "<PHONE>"),
+    (r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{1,7}\b", "<NUMBER>"),
+    (r"\b\d{13,}\b", "<NUMBER>"),
+    (
+        r"\+\d{7,15}"
+        r"|(?:\+\d{1,3}[-. ]?)?(?:\(\d{2,4}\)[-. ]?|\d{2,4}[-.])\d{3,4}[-. ]\d{3,4}",
+        "<PHONE>",
+    ),
 )
 
 

@@ -378,12 +378,17 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from redis_lsm_timeseries_spark.session import pinned_shuffle_partitions
 
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
-    # The candidate graph at test SF is a few hundred edges; every
-    # star-contraction round shuffles + checkpoints it, so near-empty
-    # task overhead compounds per round. At 100 TB the session's
-    # shuffle sizing governs — the operator itself is unpinned.
+    # The whole derivation at test SF — signatures, banding, and every
+    # star-contraction round's shuffle + checkpoint — runs over a few
+    # thousand rows, so near-empty task overhead compounds per round;
+    # pin the shuffles to the data and MATERIALIZE inside the pin (the
+    # final labeling join would otherwise run lazily at the restored
+    # session default). At 100 TB the session's shuffle sizing governs
+    # — the operator itself is unpinned.
     with pinned_shuffle_partitions(spark, 8):
-        return connected_components(pairs, src="a", dst="b")
+        return connected_components(pairs, src="a", dst="b").localCheckpoint(
+            eager=True
+        )
 
 
 @register(

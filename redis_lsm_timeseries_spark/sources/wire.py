@@ -22,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
+#: Cold-archive value field for a NULL tombstone. `-` is not in the
+#: base64 alphabet, so no live value (including '') can collide.
+TOMBSTONE_FIELD = "-"
+
 # {tag: {sortKey: value}} — JSON object keys are strings; the reference
 # coerces the sort key with BigInt(time) (service.js:26) and we cast the
 # same way. Values may be JSON null (tombstone).
@@ -133,9 +137,14 @@ def encode_cold_text_lines(
     """Samples -> the example consumer's cold-archive line format:
     ``ts,entryTime,base64(value)`` with the partition file name
     (``{tag}-{part_start}.txt``, ``service.js:95-98``). Writing is one
-    ``partitionBy("file").text(...)`` job. NULL values encode as an
-    empty base64 field, matching ``Buffer.from(String(v))`` never
-    seeing null in the reference (tombstones are an engine extension)."""
+    ``partitionBy("file").text(...)`` job.
+
+    Tombstones are an engine extension the reference format can't
+    carry (``Buffer.from(String(v))`` never sees null), so a NULL
+    value encodes as the out-of-band sentinel ``-`` — not a character
+    base64 can emit, so no live value collides with it. A live empty
+    string encodes as the reference's own empty field (base64('') is
+    ''), and both round-trip losslessly through ``parse``."""
     return samples.select(
         F.concat_ws(
             "-", F.col("tag"), F.col("part_start").cast("string")
@@ -144,7 +153,10 @@ def encode_cold_text_lines(
             ",",
             F.col("ts").cast("string"),
             F.lit(str(entry_time_ms)),
-            F.base64(F.coalesce(F.col("value"), F.lit("")).cast("binary")),
+            F.coalesce(
+                F.base64(F.col("value").cast("binary")),
+                F.lit(TOMBSTONE_FIELD),
+            ),
         ).alias("line"),
     )
 
@@ -155,13 +167,16 @@ def parse_cold_text_lines(lines: DataFrame, line_col: str = "line") -> DataFrame
     is surfaced as ``ingest_ts`` so re-imported archives participate in
     LWW with their archival timestamp."""
     parts = F.split(F.col(line_col), ",", 3)
-    # A tombstone (NULL value) encodes as an empty base64 field; nullif
-    # restores it so a re-imported archive cannot resurrect a deletion
-    # as a live empty-string member that wins LWW.
+    # The `-` sentinel (see encode) restores NULL tombstones exactly;
+    # every other field — including the empty one a live '' produces —
+    # decodes as a live value. A re-imported archive therefore neither
+    # resurrects a deletion nor deletes a live empty string.
     return lines.select(
         parts.getItem(0).try_cast("long").alias("ts"),
         parts.getItem(1).try_cast("long").alias("ingest_ts"),
-        F.nullif(
-            F.unbase64(parts.getItem(2)).cast("string"), F.lit("")
-        ).alias("value"),
+        F.when(
+            parts.getItem(2) == TOMBSTONE_FIELD, F.lit(None).cast("string")
+        )
+        .otherwise(F.unbase64(parts.getItem(2)).cast("string"))
+        .alias("value"),
     ).where(F.col("ts").isNotNull())

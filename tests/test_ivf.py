@@ -91,6 +91,12 @@ class TestIVF:
             r.cosine_sim == r.cosine_sim for r in got
         ), "NaN similarity emitted"
         assert all(r.neighbor_id != 10_000_000 for r in got)
+        # The exact baseline takes the same posture, so full-probe IVF
+        # and brute force stay comparable on a poisoned corpus — and no
+        # NaN (which Spark ranks above every real number) tops any list.
+        exact = cosine_topk(poisoned, queries, k=5).collect()
+        assert all(r.cosine_sim == r.cosine_sim for r in exact)
+        assert all(r.neighbor_id != 10_000_000 for r in exact)
 
     def test_partial_probe_recall(self, spark, emb, centroids):
         queries = emb.where(F.col("vec_id") < 20)

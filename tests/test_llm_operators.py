@@ -194,15 +194,38 @@ class TestPiiScrub:
             (2, "call +1 (555) 123-4567 or 555-123-4567"),
             (3, "server at 192.168.001.1 went down"),
             (4, "card 4111111111111111 declined"),
-            (5, "a perfectly clean sentence with numbers like 42"),
+            (5, "card 4111 1111 1111 1111 declined"),  # spaced card
+            (6, "account 12345678901234567890 ok"),  # 20-digit run
+            (7, "dotted 555.123.4567 phone"),
         ]
         df = spark.createDataFrame(rows, ["id", "text"])
         got = {r.id: r.text_scrubbed for r in scrub_pii(df).collect()}
         assert got[1] == "contact <EMAIL> today"
-        assert "555" not in got[2] and "<PHONE>" in got[2]
+        assert got[2] == "call <PHONE> or <PHONE>"
         assert got[3] == "server at <IP> went down"
         assert got[4] == "card <NUMBER> declined"
-        assert got[5] == rows[4][1]  # clean text passes through verbatim
+        assert got[5] == "card <NUMBER> declined"  # no digit leaks
+        assert got[6] == "account <NUMBER> ok"
+        assert got[7] == "dotted <PHONE> phone"
+
+    def test_clean_text_is_never_redacted(self, spark):
+        """False-positive guard: ordinary numeric text — epoch
+        timestamps, record ids, version numbers, dates, page ranges,
+        digit groups spanning a sentence boundary — passes through
+        verbatim. An unredacted phone is recoverable by a later pass; a
+        redacted timestamp is data loss."""
+        from redis_lsm_timeseries_spark.operators.text import scrub_pii
+
+        clean = [
+            (1, "a perfectly clean sentence with numbers like 42"),
+            (2, "ts 1704067200 id 123456789 stay intact"),
+            (3, "meeting on 2024. 555 2000 people came"),
+            (4, "version 2.4.1 released, pages 100-200"),
+            (5, "date 2024-01-15 12:30 fine"),
+        ]
+        df = spark.createDataFrame(clean, ["id", "text"])
+        got = {r.id: r.text_scrubbed for r in scrub_pii(df).collect()}
+        assert got == {i: t for i, t in clean}
 
     def test_scrub_stays_in_codegen(self, spark):
         """The scrub must be a Column-expression chain (no Python UDF

@@ -111,6 +111,7 @@ def test_load_events_normalized_schema(spark, sf_dir):
     assert events_epoch_us_sql(raw_type)
 
 
+@pytest.mark.skipif(not SF_DIRS, reason="no testdata directories present")
 def test_load_events_epoch_values_match_duckdb(spark):
     """Differential check of the normalization itself: Spark's ts_ms /
     ts_ns / ts against DuckDB reading the same file, joined on
@@ -210,6 +211,7 @@ def test_both_ts_representations_normalize_identically(spark, tmp_path):
         }, d
 
 
+@pytest.mark.skipif(not SF_DIRS, reason="no testdata directories present")
 def test_stream_read_matches_batch_read(spark):
     """The streaming source's explicit schema must recover the same
     epoch micros as the batch loader — the round-5 silent-wrong-answer

@@ -169,7 +169,11 @@ class TestWireStreamingIngest:
 class TestColdTextArchive:
     def test_lines_match_reference_format_and_roundtrip(self, spark):
         samples = spark.createDataFrame(
-            [("GapTag", 1, "One", 0), ("GapTag", 7, None, 5)],
+            [
+                ("GapTag", 1, "One", 0),
+                ("GapTag", 7, None, 5),  # tombstone
+                ("GapTag", 9, "", 5),  # LIVE empty string
+            ],
             ["tag", "ts", "value", "part_start"],
         )
         lines = encode_cold_text_lines(samples, entry_time_ms=1234).collect()
@@ -178,15 +182,18 @@ class TestColdTextArchive:
         ts, entry, b64 = by_ts[1].line.split(",")
         assert (ts, entry) == ("1", "1234")
         assert base64.b64decode(b64).decode() == "One"
-        assert by_ts[7].line.endswith(",1234,")  # NULL -> empty payload
+        assert by_ts[7].line.endswith(",1234,-")  # NULL -> sentinel
+        assert by_ts[9].line.endswith(",1234,")  # '' -> reference empty
 
         back = parse_cold_text_lines(
             spark.createDataFrame([(line.line,) for line in lines], ["line"])
         ).collect()
-        # The NULL tombstone must round-trip as NULL, not '': an
-        # empty-string member would be a LIVE value that wins LWW and
-        # resurrects the deletion on re-import.
+        # Both directions must survive the round-trip: the tombstone as
+        # NULL (an empty-string member would be a LIVE value that wins
+        # LWW and resurrects the deletion on re-import), and the live
+        # empty string as '' (a NULL would silently delete it).
         assert {(r.ts, r.ingest_ts, r.value) for r in back} == {
             (1, 1234, "One"),
             (7, 1234, None),
+            (9, 1234, ""),
         }
