@@ -54,6 +54,16 @@ def cosine(a: str, b: str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def usable_norm(a: str) -> Column:
+    """True iff the vector can participate in cosine ranking: positive
+    finite norm. `norm > 0` ALONE is not enough — a NaN component gives
+    a NaN norm, and Spark evaluates `NaN > 0.0` as TRUE (NaN sorts
+    greatest), so the broken vector would pass the filter and its NaN
+    similarities would outrank every real neighbor."""
+    n = norm(a)
+    return (n > 0.0) & ~F.isnan(n)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -63,21 +73,21 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k per query vector.
 
-    Zero-norm rows are dropped on BOTH sides (cosine is undefined for
-    them; a 0/0 = NaN similarity would otherwise rank above every real
-    neighbor, since Spark orders NaN greatest) — the same posture as
-    ``_unit_rows`` on the IVF path, so exact and ANN results stay
-    comparable on a corpus containing broken embeddings.
+    Zero- and NaN-norm rows are dropped on BOTH sides (cosine is
+    undefined for them; a NaN similarity would otherwise rank above
+    every real neighbor, since Spark orders NaN greatest) — the same
+    posture as ``_unit_rows`` on the IVF path, so exact and ANN
+    results stay comparable on a corpus containing broken embeddings.
 
     Output: (query_id, neighbor_id, cosine_sim, rnk)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_array(vec_col).alias("qv"),
-    ).where(norm("qv") > 0.0)
+    ).where(usable_norm("qv"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("cv"),
-    ).where(norm("cv") > 0.0)
+    ).where(usable_norm("cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -225,17 +235,17 @@ def lsh_bucket_topk(
     """Approximate top-k: compete only within the query's LSH bucket.
     The bucket equi-join replaces the cross join — the shuffle key is
     the bucket id, so work scales with bucket occupancy, not corpus
-    size. Zero-norm rows are dropped like in ``cosine_topk``."""
+    size. Zero/NaN-norm rows are dropped like in ``cosine_topk``."""
     qb = with_lsh_bucket(queries, vec_col, num_planes, dim).select(
         F.col(id_col).alias("query_id"),
         as_double_array(vec_col).alias("qv"),
         "lsh_bucket",
-    ).where(norm("qv") > 0.0)
+    ).where(usable_norm("qv"))
     cb = with_lsh_bucket(corpus, vec_col, num_planes, dim).select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("cv"),
         "lsh_bucket",
-    ).where(norm("cv") > 0.0)
+    ).where(usable_norm("cv"))
     scored = (
         cb.join(F.broadcast(qb), "lsh_bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -291,14 +301,18 @@ def _unit_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, unit-norm vector) — normalizing once makes every later
     cosine a plain dot and makes centroid similarity spherical.
 
-    Zero-norm vectors (an all-zero embedding from a broken encoder) are
-    dropped rather than divided: x/0 would yield NaN components that
-    poison every downstream dot product and, worse, the IVF centroid
-    means — one NaN vector in a list makes the whole centroid NaN."""
+    Zero- and NaN-norm vectors (all-zero or NaN-bearing embeddings
+    from a broken encoder) are dropped rather than divided: x/0 or
+    NaN arithmetic would yield NaN components that poison every
+    downstream dot product and, worse, the IVF centroid means — one
+    NaN vector in a list makes the whole centroid NaN. `> 0` alone
+    would NOT exclude a NaN norm (Spark evaluates NaN > 0 as true)."""
     out = df.select(
         F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
     ).withColumn("_nrm", norm("_v"))
-    return out.where(F.col("_nrm") > 0.0).select(
+    return out.where(
+        (F.col("_nrm") > 0.0) & ~F.isnan(F.col("_nrm"))
+    ).select(
         "_id",
         F.expr(
             "zip_with(_v, array_repeat(_nrm, size(_v)), (x, n) -> x / n)"

@@ -134,7 +134,6 @@ def chunk_documents(
     df: DataFrame,
     chunk_size: int = 256,
     overlap: int = 32,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Split documents into overlapping token-window chunks — the
@@ -143,12 +142,13 @@ def chunk_documents(
     boundary context).
 
     Chunks are windows over the NORMALIZED token stream (``tokens``:
-    lowercased, whitespace-collapsed), not byte offsets into the raw
-    text — chunk_text joins tokens with single spaces, the way a
-    tokenizer-fed pipeline consumes them. Callers needing the original
-    casing/spacing should chunk by character ranges instead. NULL text
-    is treated as empty: the doc still yields its one (empty) chunk
-    row rather than silently vanishing from the output.
+    lowercased, whitespace-collapsed, with the phantom empty tokens
+    that edge whitespace produces filtered out), not byte offsets into
+    the raw text — chunk_text joins tokens with single spaces, the way
+    a tokenizer-fed pipeline consumes them. Callers needing the
+    original casing/spacing should chunk by character ranges instead.
+    NULL or empty text is one empty chunk row (``n_chunk_tokens`` 0)
+    rather than silently vanishing from the output.
 
     1-in/N-out entirely in Column expressions: tokenize once, build the
     chunk-start sequence with ``sequence`` (stride = size - overlap),
@@ -163,8 +163,11 @@ def chunk_documents(
     if not 0 <= overlap < chunk_size:
         raise ValueError("need 0 <= overlap < chunk_size")
     stride = chunk_size - overlap
-    toks = F.coalesce(
-        tokens(text_col), F.expr("CAST(array() AS ARRAY<STRING>)")
+    # split('', '\\s+') yields [''] and edge whitespace yields phantom
+    # '' tokens — filter them so counts and windows see real tokens.
+    toks = F.filter(
+        F.coalesce(tokens(text_col), F.expr("CAST(array() AS ARRAY<STRING>)")),
+        lambda t: t != "",
     )
     starts = F.expr(
         f"sequence(0, greatest(size(_toks) - {overlap} - 1, 0), {stride})"
@@ -194,25 +197,27 @@ def chunk_documents(
 
 #: (pattern, replacement) pairs for the PII scrubber, applied in order.
 #: Deliberately conservative patterns: emails, IPv4 addresses,
-#: separator-formatted card numbers, 13+-digit runs, then phones.
+#: dash-formatted card numbers, 13+-digit runs, then phones.
 #: Order is load-bearing: the phone pattern is the greediest digit
 #: matcher, so the more specific shapes must claim their text first
 #: (an IP or card number would otherwise half-match as a phone,
-#: leaking the unmatched digits). The phone pattern requires either a
-#: leading ``+``, a parenthesized area code, or a ``-``/``.`` group
-#: separator — bare digit runs (epoch timestamps, record ids) and
-#: groups spanning a sentence boundary (``... 2024. 555 2000 ...``)
-#: stay untouched, at the cost of missing separator-free local
-#: numbers. That trade favors corpus fidelity: an unredacted phone is
-#: recoverable by a later pass; a redacted timestamp is data loss.
+#: leaking the unmatched digits). Both the card and phone patterns
+#: require unambiguous separators (``-``/``.``/parens/leading ``+``):
+#: bare digit runs (epoch timestamps, record ids), space-separated
+#: digit groups (``1914 1918 1939 1945``, ``4111 1111 1111 1111``),
+#: year ranges followed by a count (``2023-2024 1500 staff``), and
+#: groups spanning a sentence boundary all pass through verbatim, at
+#: the cost of missing space-formatted phones/cards. That trade favors
+#: corpus fidelity: an unredacted number is recoverable by a later,
+#: stricter pass; a redacted year list or timestamp is data loss.
 PII_PATTERNS = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    (r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{1,7}\b", "<NUMBER>"),
+    (r"\b\d{4}-\d{4}-\d{4}-\d{1,7}\b", "<NUMBER>"),
     (r"\b\d{13,}\b", "<NUMBER>"),
     (
         r"\+\d{7,15}"
-        r"|(?:\+\d{1,3}[-. ]?)?(?:\(\d{2,4}\)[-. ]?|\d{2,4}[-.])\d{3,4}[-. ]\d{3,4}",
+        r"|(?:\+\d{1,3}[-. ]?)?(?:\(\d{2,4}\)[-. ]?|\d{2,4}[-.])\d{3,4}[-.]\d{3,4}",
         "<PHONE>",
     ),
 )

