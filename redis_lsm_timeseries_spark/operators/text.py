@@ -130,6 +130,65 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the Gopher-style filters of
+    Rae et al. 2021, §A1.1): highly repetitive documents — boilerplate,
+    scraped navigation, degenerate generations — are poison for
+    training corpora and invisible to length/stopword heuristics.
+
+    All pure Column expressions over the document's own content:
+
+    - ``dup_line_frac``: 1 - distinct/total over newline-split lines
+      (0.0 for single-line docs);
+    - ``top_2gram_frac``: occurrences of the most frequent token
+      2-gram / total 2-grams (0.0 when fewer than 2 tokens);
+    - ``is_repetitive``: either signal past the published thresholds
+      (dup lines > 0.30, top 2-gram > 0.20).
+
+    The 2-gram mode is computed per row as distinct x occurrences —
+    O(d*n) in the document's own size, embarrassingly parallel, no
+    shuffle; an exploded groupBy would shuffle every 2-gram of the
+    corpus to count within one document."""
+    lines = F.expr(
+        f"filter(split({text_col}, '\\n'), l -> trim(l) != '')"
+    )
+    dup_line_frac = F.when(
+        F.size(lines) > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines)).cast("double")
+        / F.size(lines).cast("double"),
+    ).otherwise(F.lit(0.0))
+    # The < 2 guard is load-bearing twice over: sequence(0, -1) infers
+    # a NEGATIVE step (yielding [0, -1], not []), and the lambda would
+    # then index past the array — an ANSI runtime error.
+    grams = F.expr(
+        "CASE WHEN _rs_toks IS NULL OR size(_rs_toks) < 2 "
+        "THEN CAST(array() AS ARRAY<STRING>) "
+        "ELSE transform(sequence(0, size(_rs_toks) - 2), "
+        "i -> concat(_rs_toks[i], ' ', _rs_toks[i + 1])) END"
+    )
+    top_2gram_frac = F.when(
+        F.size(F.col("_rs_grams")) > 0,
+        F.expr(
+            "array_max(transform(array_distinct(_rs_grams), "
+            "g -> size(filter(_rs_grams, x -> x = g))))"
+        ).cast("double")
+        / F.size(F.col("_rs_grams")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("_rs_toks", tokens(text_col))
+        .withColumn("_rs_grams", grams)
+        .withColumn("dup_line_frac", dup_line_frac)
+        .withColumn("top_2gram_frac", top_2gram_frac)
+        .withColumn(
+            "is_repetitive",
+            (F.col("dup_line_frac") > 0.30)
+            | (F.col("top_2gram_frac") > 0.20),
+        )
+        .drop("_rs_toks", "_rs_grams")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_size: int = 256,

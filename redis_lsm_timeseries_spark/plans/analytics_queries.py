@@ -213,6 +213,57 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(Q10_SQL)
 
 
+# ------------------------------------------------------ TPC-H Q4 / Q17
+# Unregistered (50-entry driver cap): pytest-differential fixtures for
+# the two SUBQUERY decorrelation shapes the registered catalog doesn't
+# exercise — correlated EXISTS (Q4: Catalyst rewrites to a left-semi
+# join) and a correlated SCALAR subquery (Q17: rewritten to an
+# aggregate + join). One SQL text runs verbatim on Spark and DuckDB;
+# tests/test_plans.py compares results and gates the physical plan.
+
+Q4_EXISTS_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+Q17_SCALAR_SQL = """
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            / 7.0 AS DOUBLE) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def tpch_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS over the fact table. Catalyst
+    decorrelates the subquery into a LEFT-SEMI join on l_orderkey — at
+    scale that is one shuffle (or broadcast) semi-join, never a
+    per-row subquery execution."""
+    for name in ("orders", "lineitem"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(Q4_EXISTS_SQL)
+
+
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated SCALAR subquery (per-part average
+    threshold). Catalyst decorrelates it into a per-key aggregate
+    joined back to the fact — two scans + one join, never N subquery
+    executions. The revenue sum accumulates in DECIMAL and casts to
+    DOUBLE once, so the value is bitwise-stable across engines."""
+    for name in ("lineitem", "part"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(Q17_SCALAR_SQL)
+
+
 # ------------------------------------------------------------------ TPC-H Q14
 # Unregistered since round 3: tpch_q19_disjunctive covers the same
 # fact x part join + conditional aggregation shape, and the driver's

@@ -255,3 +255,54 @@ class TestPiiScrub:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestRepetitionStats:
+    """Gopher-style repetition filters: known-repetitive synthetic docs
+    must trip the thresholds, normal prose must not."""
+
+    def test_signals_and_thresholds(self, spark):
+        from redis_lsm_timeseries_spark.operators.text import (
+            with_repetition_stats,
+        )
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog near a river"),
+            (2, "buy now " * 30),  # one 2-gram dominates
+            (3, "menu\nhome\nmenu\nhome\nmenu\nhome\ncontact"),  # dup lines
+            (4, "single line with no repetition whatsoever"),
+            (5, "ab"),  # one token: no 2-grams, no crash
+            (6, None),  # NULL text must not error
+        ]
+        df = spark.createDataFrame(rows, ["id", "text"])
+        got = {r.id: r for r in with_repetition_stats(df).collect()}
+
+        assert got[1].is_repetitive is False
+        assert got[1].dup_line_frac == 0.0
+
+        assert got[2].top_2gram_frac > 0.4  # 'now buy'/'buy now' dominate
+        assert got[2].is_repetitive is True
+
+        # 7 non-empty lines, 3 distinct -> dup fraction 4/7.
+        assert got[3].dup_line_frac == pytest.approx(4 / 7)
+        assert got[3].is_repetitive is True
+
+        assert got[4].is_repetitive is False
+        assert got[5].top_2gram_frac == 0.0
+        assert got[5].is_repetitive is False
+        assert got[6].dup_line_frac == 0.0
+        assert got[6].top_2gram_frac == 0.0
+
+    def test_real_documents_mostly_clean(self, spark):
+        """The synthetic documents table is generated prose — the
+        repetition filters must not reject a large share of it (a
+        miscalibrated filter that nukes half the corpus is worse than
+        none)."""
+        from redis_lsm_timeseries_spark.operators.text import (
+            with_repetition_stats,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        stats = with_repetition_stats(docs)
+        frac = stats.where("is_repetitive").count() / docs.count()
+        assert frac < 0.5, f"{frac:.2%} of corpus flagged repetitive"

@@ -14,9 +14,13 @@ import pytest
 
 from redis_lsm_timeseries_spark.plans import REGISTRY
 from redis_lsm_timeseries_spark.plans.analytics_queries import (
+    Q4_EXISTS_SQL,
+    Q17_SCALAR_SQL,
     distinct_users_per_type,
     top_orders_global,
+    tpch_q4_priority_exists,
     tpch_q14_promo_revenue,
+    tpch_q17_small_qty_revenue,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
@@ -71,6 +75,44 @@ class TestNearDupShape:
         plan = _plan(spark, tpch_q14_promo_revenue)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestSubqueryDecorrelation:
+    """Correlated subqueries must decorrelate into joins — the plan
+    that survives 100 TB — and the SAME SQL text must produce the same
+    values in DuckDB (SQL-surface differential, beyond the catalog)."""
+
+    @staticmethod
+    def _duck(sql):
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ("orders", "lineitem", "part"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            )
+        return con.execute(sql).fetchall()
+
+    def test_q4_exists_becomes_semi_join(self, spark):
+        df = tpch_q4_priority_exists(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan, plan  # EXISTS decorrelated to semi join
+        assert "CartesianProduct" not in plan
+        got = [(r.o_orderpriority, r.order_count) for r in df.collect()]
+        assert got == self._duck(Q4_EXISTS_SQL)
+        assert sum(n for _, n in got) > 0
+
+    def test_q17_scalar_subquery_becomes_aggregate_join(self, spark):
+        df = tpch_q17_small_qty_revenue(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # The per-part threshold must be a derived aggregate joined
+        # back, never a per-row subquery: no nested-loop artifacts.
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        got = df.collect()[0]
+        want = self._duck(Q17_SCALAR_SQL)[0]
+        assert got.n_small == want[1]
+        assert got.avg_yearly == pytest.approx(want[0], rel=1e-12)
 
 
 class TestPushdown:
