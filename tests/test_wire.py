@@ -131,6 +131,48 @@ class TestWireProperties:
         }
         assert got == want
 
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        samples=st.lists(
+            st.tuples(
+                st.sampled_from(("A", "B-1", "täg")),  # incl. '-' + unicode
+                st.integers(min_value=-(10**15), max_value=10**15),
+                st.one_of(
+                    st.none(),  # tombstone
+                    st.just(""),  # LIVE empty string — must stay live
+                    st.text(max_size=8),  # arbitrary unicode values
+                ),
+            ),
+            min_size=1,
+            max_size=10,
+            unique_by=lambda s: (s[0], s[1]),
+        )
+    )
+    def test_cold_archive_roundtrip_lossless(self, spark, samples):
+        """encode -> parse is the identity on (ts, value) for ANY
+        sample set: tombstones come back as NULL, live empty strings as
+        '', unicode values byte-exact — the two directions the sentinel
+        format exists to keep apart."""
+        from redis_lsm_timeseries_spark.sources.wire import (
+            encode_cold_text_lines,
+            parse_cold_text_lines,
+        )
+
+        df = spark.createDataFrame(
+            [(t, ts, v, 0) for t, ts, v in samples],
+            "tag STRING, ts LONG, value STRING, part_start LONG",
+        )
+        lines = encode_cold_text_lines(df, entry_time_ms=77).select("line")
+        back = {
+            (r.ts, r.value)
+            for r in parse_cold_text_lines(lines).collect()
+        }
+        assert back == {(ts, v) for _, ts, v in samples}
+
 
 class TestWireStreamingIngest:
     def test_set_body_stream_ingests_into_hot_store(self, spark, store, tmp_path):
