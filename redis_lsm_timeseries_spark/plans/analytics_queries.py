@@ -636,8 +636,15 @@ WHERE event_id % 100 = 0
 def scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String / JSON / math / date / hash scalar functions in one
     projection (SURVEY.md §2.3 scalar functions; the reference's whole
-    scalar library is JSON encode/decode + string concat + SHA-256)."""
+    scalar library is JSON encode/decode + string concat + SHA-256).
+
+    The calendar columns derive from epoch arithmetic, NOT from
+    rendering the TIMESTAMP column: date_format/hour on an LTZ
+    timestamp apply the SESSION timezone, so a driver session in any
+    zone but UTC would silently disagree with the oracle's naive-UTC
+    strftime/extract. Integer division and date_add are zone-free."""
     ev = load_events(spark, sf_dir)
+    day_num = F.floor(F.col("ts_ms") / F.lit(86_400_000)).cast("long")
     return ev.where(F.col("event_id") % 100 == 0).select(
         "event_id",
         F.upper("event_type").alias("type_upper"),
@@ -646,9 +653,11 @@ def scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("k_val"),
         F.round(F.col("value"), 1).cast("double").alias("value_rounded"),
         F.abs(F.col("value") - F.lit(100.0)).alias("value_abs_dist"),
-        F.floor(F.col("ts_ms") / F.lit(86_400_000)).cast("long").alias("day_number"),
-        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
-        F.hour("ts").cast("long").alias("hour_of_day"),
+        day_num.alias("day_number"),
+        F.date_add(F.lit("1970-01-01").cast("date"), day_num.cast("int"))
+        .cast("string")
+        .alias("day_str"),
+        F.expr("(ts_ms div 3600000) % 24").cast("long").alias("hour_of_day"),
         F.md5(F.concat(F.col("event_type"), F.col("event_id").cast("string"))).alias(
             "row_digest"
         ),

@@ -176,6 +176,29 @@ class TestAggregationShape:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+class TestTimezoneIndependence:
+    @pytest.mark.parametrize(
+        "name",
+        ["scalar_functions_events", "ts_rollup_hourly", "ts_sessionize"],
+    )
+    def test_same_rows_in_any_session_timezone(self, spark, name):
+        """The driver runs entries in ITS OWN session; nothing
+        guarantees a UTC timezone there. Every timestamp-touching
+        entry must produce identical rows under any session zone —
+        date_format/hour on an LTZ timestamp silently render in
+        session-local time (the bug this test pinned down in
+        scalar_functions_events), while epoch arithmetic does not."""
+        fn = REGISTRY[name].fn
+        old = spark.conf.get("spark.sql.session.timeZone")
+        rows_utc = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            rows_ny = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+        assert rows_utc == rows_ny
+
+
 class TestApproxSketch:
     def test_percentile_sketch_bounded_error(self, spark):
         """approx_percentile within a few percent of the exact
