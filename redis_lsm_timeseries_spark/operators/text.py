@@ -130,6 +130,41 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: http(s) URLs as they appear in prose: scheme + host + optional path,
+#: terminated before whitespace and common trailing punctuation.
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?::\d+)?(?:/[^\s<>\"')\]]*)?"
+
+
+def with_urls(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Extract http(s) URLs and their registrable-ish domains — the
+    inputs to URL-level dedup and source/blocklist filtering in a
+    training pipeline.
+
+    - ``urls``: every match of ``URL_PATTERN``, in order (array<string>);
+    - ``domains``: each URL's lowercased host with any leading ``www.``
+      stripped and the port dropped (array<string>, same order — dedup
+      with ``array_distinct`` as needed);
+    - ``n_urls``: match count.
+
+    All Column expressions (regexp_extract_all + transform), no UDFs;
+    domain extraction is string surgery, not a PSL lookup — callers
+    needing true eTLD+1 semantics plug in a suffix table join."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    host = (
+        "lower(regexp_replace(regexp_replace(u, '^https?://', ''), '[/:].*$', ''))"
+    )
+    domains = F.expr(
+        f"transform(_url_list, u -> regexp_replace({host}, '^www\\\\.', ''))"
+    )
+    return (
+        df.withColumn("_url_list", F.coalesce(urls, F.expr("array()")))
+        .withColumn("urls", F.col("_url_list"))
+        .withColumn("domains", domains)
+        .withColumn("n_urls", F.size("_url_list").cast("long"))
+        .drop("_url_list")
+    )
+
+
 def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition-based quality signals (the Gopher-style filters of
     Rae et al. 2021, §A1.1): highly repetitive documents — boilerplate,

@@ -306,3 +306,45 @@ class TestRepetitionStats:
         stats = with_repetition_stats(docs)
         frac = stats.where("is_repetitive").count() / docs.count()
         assert frac < 0.5, f"{frac:.2%} of corpus flagged repetitive"
+
+
+class TestUrlExtraction:
+    def test_urls_and_domains(self, spark):
+        from redis_lsm_timeseries_spark.operators.text import with_urls
+
+        rows = [
+            (1, "see https://www.Example.com/path?q=1 and http://sub.co.uk:8080/x."),
+            (2, "bare mention of example.com without scheme stays out"),
+            (3, "trailing punct https://a.io/p), then (https://b.io/q]"),
+            (4, None),
+            (5, "no links at all"),
+        ]
+        df = spark.createDataFrame(rows, "id LONG, text STRING")
+        got = {r.id: r for r in with_urls(df).collect()}
+
+        assert got[1].urls == [
+            "https://www.Example.com/path?q=1",
+            "http://sub.co.uk:8080/x.",
+        ]
+        assert got[1].domains == ["example.com", "sub.co.uk"]
+        assert got[1].n_urls == 2
+
+        assert got[2].n_urls == 0  # scheme required: no false positives
+        # Closing punctuation never swallowed into the path.
+        assert got[3].urls == ["https://a.io/p", "https://b.io/q"]
+        assert got[3].domains == ["a.io", "b.io"]
+
+        assert got[4].n_urls == 0 and got[4].urls == []  # NULL-safe
+        assert got[5].n_urls == 0
+
+    def test_stays_in_codegen(self, spark):
+        from redis_lsm_timeseries_spark.operators.text import with_urls
+
+        df = with_urls(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+                "doc_id", "text"
+            )
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
