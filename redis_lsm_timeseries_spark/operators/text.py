@@ -131,7 +131,11 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 #: http(s) URLs as they appear in prose: scheme + host + optional path,
-#: terminated before whitespace and common trailing punctuation.
+#: terminated before whitespace and closing brackets/quotes. Sentence
+#: punctuation ('.', ',', ';', '!', '?') is legal INSIDE a path, so the
+#: class admits it and ``with_urls`` strips it off the END of each
+#: match instead — a URL cited mid-sentence and the same URL at a
+#: sentence boundary must produce one dedup key, not two.
 URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?::\d+)?(?:/[^\s<>\"')\]]*)?"
 
 
@@ -149,7 +153,13 @@ def with_urls(df: DataFrame, text_col: str = "text") -> DataFrame:
     All Column expressions (regexp_extract_all + transform), no UDFs;
     domain extraction is string surgery, not a PSL lookup — callers
     needing true eTLD+1 semantics plug in a suffix table join."""
-    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    raw = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    # Trailing sentence punctuation belongs to the prose, not the URL
+    # (the host class also admits a final '.' for "https://a.io." at a
+    # sentence end) — strip it per match so dedup keys are stable.
+    urls = F.expr(
+        "transform(_url_raw, u -> regexp_replace(u, '[.,;!?]+$', ''))"
+    )
     host = (
         "lower(regexp_replace(regexp_replace(u, '^https?://', ''), '[/:].*$', ''))"
     )
@@ -157,7 +167,9 @@ def with_urls(df: DataFrame, text_col: str = "text") -> DataFrame:
         f"transform(_url_list, u -> regexp_replace({host}, '^www\\\\.', ''))"
     )
     return (
-        df.withColumn("_url_list", F.coalesce(urls, F.expr("array()")))
+        df.withColumn("_url_raw", F.coalesce(raw, F.expr("array()")))
+        .withColumn("_url_list", urls)
+        .drop("_url_raw")
         .withColumn("urls", F.col("_url_list"))
         .withColumn("domains", domains)
         .withColumn("n_urls", F.size("_url_list").cast("long"))
@@ -210,8 +222,13 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).cast("double")
         / F.size(F.col("_rs_grams")).cast("double"),
     ).otherwise(F.lit(0.0))
+    # Same phantom-empty-token filter as chunk_documents: edge
+    # whitespace makes tokens() emit '' entries, and a gram containing
+    # '' would count repetition that no real token stream has (a
+    # whitespace-only doc would otherwise score top_2gram_frac = 1.0).
+    toks = F.filter(tokens(text_col), lambda t: t != "")
     return (
-        df.withColumn("_rs_toks", tokens(text_col))
+        df.withColumn("_rs_toks", toks)
         .withColumn("_rs_grams", grams)
         .withColumn("dup_line_frac", dup_line_frac)
         .withColumn("top_2gram_frac", top_2gram_frac)

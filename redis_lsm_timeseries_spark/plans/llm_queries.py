@@ -679,7 +679,7 @@ WITH base AS (
 ), normed AS (
   SELECT vec_id, v,
          list_transform(v, x -> x / {NORM_SQL.format(v='v')}) AS nv
-  FROM corpus
+  FROM corpus WHERE {_usable('v')}
 ), banded AS (
   {NEAR_DUP_BANDED_SQL}
 ), pairs AS (
@@ -715,7 +715,11 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(0, 63), i -> v[i] + 0.01 * (i % 3 - 1))"
         ).alias("v"),
     )
-    corpus = emb.unionByName(pert)
+    # Same usable-norm posture as ann_cosine_topk / the LSH entry: a
+    # zero- or NaN-norm embedding would hit x/0 in the normalization
+    # and Spark-vs-DuckDB NaN semantics in sign banding and the >= 0.99
+    # filter are not guaranteed to agree — drop on BOTH sides.
+    corpus = emb.unionByName(pert).where(S.usable_norm("v"))
     # zip_with's array_repeat child evaluates nrm ONCE per row; a
     # `transform(v, x -> x / nrm)` lambda would re-inline the norm
     # aggregate at every element (64x per row — see

@@ -273,6 +273,8 @@ class TestRepetitionStats:
             (4, "single line with no repetition whatsoever"),
             (5, "ab"),  # one token: no 2-grams, no crash
             (6, None),  # NULL text must not error
+            (7, "   "),  # whitespace-only: phantom '' tokens filtered
+            (8, "  spaced   out  "),  # edge whitespace, real tokens
         ]
         df = spark.createDataFrame(rows, ["id", "text"])
         got = {r.id: r for r in with_repetition_stats(df).collect()}
@@ -292,6 +294,13 @@ class TestRepetitionStats:
         assert got[5].is_repetitive is False
         assert got[6].dup_line_frac == 0.0
         assert got[6].top_2gram_frac == 0.0
+
+        # Whitespace-only text: tokens() yields ['', ''] before the
+        # filter — the gram built from phantom empties must not flag.
+        assert got[7].top_2gram_frac == 0.0
+        assert got[7].is_repetitive is False
+        # Edge whitespace: 2 real tokens -> 1 gram of real words only.
+        assert got[8].top_2gram_frac == 1.0 / 1.0
 
     def test_real_documents_mostly_clean(self, spark):
         """The synthetic documents table is generated prose — the
@@ -322,9 +331,11 @@ class TestUrlExtraction:
         df = spark.createDataFrame(rows, "id LONG, text STRING")
         got = {r.id: r for r in with_urls(df).collect()}
 
+        # Trailing sentence '.' is prose, not path: stripped per match
+        # so mid- and end-sentence citations of one URL share a key.
         assert got[1].urls == [
             "https://www.Example.com/path?q=1",
-            "http://sub.co.uk:8080/x.",
+            "http://sub.co.uk:8080/x",
         ]
         assert got[1].domains == ["example.com", "sub.co.uk"]
         assert got[1].n_urls == 2
