@@ -151,8 +151,13 @@ def stream_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             if q.exception() is not None:
                 raise q.exception()
 
-            tags = [r.tag for r in batch.select("tag").distinct().collect()]
-            out = store.read_range({t: (0, 1 << 50) for t in tags})
+            # Full-store read instead of enumerating tags into a
+            # read_range request map: the reference API shape (a
+            # Map<tag, range> request) is exercised by ts_range_read;
+            # here the assertion is "everything ingested comes back",
+            # and read_all expresses that with no driver-side collect —
+            # no assumption about tag cardinality survives in the plan.
+            out = store.read_all()
             return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)

@@ -349,7 +349,10 @@ def purge_ack(
 
 @_serialized_maintenance
 def purge_ack_many(
-    store: TimeseriesStore, purge_ids: list[str], now_ms: int | None = None
+    store: TimeseriesStore,
+    purge_ids: list[str],
+    now_ms: int | None = None,
+    max_ids: int = 1000,
 ) -> dict[str, bool]:
     """Commit a batch of evictions in ONE delete job: remove exactly
     the snapshotted members from the hot partitions.
@@ -374,14 +377,41 @@ def purge_ack_many(
     # Dedupe while preserving order: a repeated id must ack (and log)
     # once, not write two 'acked' rows for one eviction.
     purge_ids = list(dict.fromkeys(purge_ids))
+    # Bound the driver-side state like purge_scan's K bounds marks: the
+    # ack map, the delete predicate, and the collect below are all
+    # O(len(purge_ids)), so an unbounded request list is the one way
+    # this job's driver memory scales with caller behavior.
+    if len(purge_ids) > max_ids:
+        raise ValueError(
+            f"purge_ack_many: {len(purge_ids)} ids exceeds max_ids="
+            f"{max_ids}; ack in batches (each batch is one delete job)"
+        )
 
-    log = purge_log(store).where(F.col("purge_id").isin(list(purge_ids)))
+    # Aggregate the log BEFORE collecting: one row per requested id
+    # regardless of log size, so a bloated log (many files / repeated
+    # appends between compactions) cannot grow the collect past
+    # len(purge_ids) rows. collect_set/max fold away duplicate rows the
+    # append-only protocol may have accumulated.
+    log = (
+        purge_log(store)
+        .where(F.col("purge_id").isin(list(purge_ids)))
+        .groupBy("purge_id")
+        .agg(
+            F.collect_set("status").alias("statuses"),
+            F.max(
+                F.when(
+                    F.col("status") == "marked",
+                    F.struct("tag", "part_start", "n_rows"),
+                )
+            ).alias("mark"),
+        )
+    )
     states: dict[str, set] = {}
     marks: dict[str, tuple] = {}
     for r in log.collect():
-        states.setdefault(r.purge_id, set()).add(r.status)
-        if r.status == "marked":
-            marks[r.purge_id] = (r.tag, r.part_start, r.n_rows)
+        states[r.purge_id] = set(r.statuses)
+        if r.mark is not None:
+            marks[r.purge_id] = (r.mark.tag, r.mark.part_start, r.mark.n_rows)
     valid = [
         pid
         for pid in purge_ids

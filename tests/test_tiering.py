@@ -203,6 +203,41 @@ class TestBatchAck:
         )
         assert acked_rows == 1
 
+    def test_ack_collect_bounded_under_bloated_log(self, store):
+        """The driver-side collect in purge_ack_many must stay at one
+        row per requested id even when the append-only log has
+        accumulated duplicate rows (repeated appends between
+        compactions): the log is aggregated by purge_id BEFORE
+        collecting, so log bloat cannot grow driver memory."""
+        from redis_lsm_timeseries_spark.tiering import _append_log
+
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        marks = purge_scan(store, 0, 1, now_ms=T0 + 1_000)
+        m = marks[0]
+        # Bloat: re-append the same 'marked' row 25 times.
+        _append_log(
+            store,
+            [
+                (m.purge_id, m.tag, m.part_start, "marked", T0 + 1_000, m.n_rows)
+                for _ in range(25)
+            ],
+        )
+        result = purge_ack_many(store, [m.purge_id], now_ms=T0 + 2_000)
+        assert result == {m.purge_id: True}
+        # Idempotency survives the bloat too.
+        again = purge_ack_many(store, [m.purge_id], now_ms=T0 + 3_000)
+        assert again == {m.purge_id: False}
+
+    def test_ack_many_rejects_oversized_batches(self, store):
+        """max_ids mirrors purge_scan's K: the ack map, delete
+        predicate, and collect are O(len(purge_ids)), so the request
+        list itself is capped."""
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        with pytest.raises(ValueError, match="max_ids"):
+            purge_ack_many(
+                store, [f"pid{i}" for i in range(11)], now_ms=T0, max_ids=10
+            )
+
 
 class TestCompaction:
     def test_compact_keeps_lww_winners_only(self, store):
