@@ -189,6 +189,70 @@ def lsh_candidate_pairs(
     )
 
 
+def ngram_overlap_contamination(
+    corpus: DataFrame,
+    eval_grams: DataFrame,
+    id_col: str = "doc_id",
+    sh_col: str = "sh",
+) -> DataFrame:
+    """Benchmark decontamination: per-document n-gram overlap of a
+    training corpus against a held-out eval set (the GPT-3-style
+    contamination check, applied at the shingle-hash level).
+
+    ``corpus`` carries hashed shingle arrays (``sh_col``, as produced
+    by ``functions.portable.hashed_shingles_expr`` — the same
+    signatures the MinHash pipeline runs on); ``eval_grams`` is a
+    one-column relation of the eval set's distinct shingle hashes.
+
+    Output, one row per corpus document (including zero-overlap docs):
+    (id, n_shingles, n_eval_hits, contam_frac, is_contaminated) where
+    ``n_eval_hits`` counts the doc's DISTINCT shingles present in the
+    eval set and ``contam_frac`` = hits / distinct shingles.
+
+    100 TB shape: eval sets are orders of magnitude smaller than the
+    corpus (a benchmark is thousands of documents), so the distinct
+    eval grams BROADCAST and the overlap test is a map-side broadcast
+    semi-join on the exploded corpus shingles — the corpus never
+    shuffles on gram. The only corpus-keyed exchange carries two ints
+    per document (the hit-count groupBy and the join back to pick up
+    zero-hit docs), both map-side combined; at scale the hits side of
+    that join is contamination-bounded and AQE broadcasts it."""
+    empty = "CAST(array() AS ARRAY<BIGINT>)"
+    base = corpus.select(
+        F.col(id_col),
+        F.coalesce(F.array_distinct(F.col(sh_col)), F.expr(empty)).alias(
+            "_dsh"
+        ),
+    )
+    grams = eval_grams.select(
+        F.col(eval_grams.columns[0]).alias("g")
+    ).distinct()
+    hits = (
+        base.select(id_col, F.explode("_dsh").alias("g"))
+        .join(F.broadcast(grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_eval_hits"))
+    )
+    return (
+        base.select(
+            id_col, F.size("_dsh").cast("long").alias("n_shingles")
+        )
+        .join(hits, [id_col], "left")
+        .withColumn(
+            "n_eval_hits",
+            F.coalesce(F.col("n_eval_hits"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "contam_frac",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_eval_hits").cast("double") / F.col("n_shingles"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("is_contaminated", F.col("n_eval_hits") > 0)
+    )
+
+
 def with_simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -678,11 +678,12 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "approx_distinct_users",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check.
-    tags=("analytics", "aggregation", "approx"),
-)
+# approx_distinct_users was unregistered in round 7 (50-entry driver
+# window) in favor of data_mix_sample: as a no-oracle entry it only
+# bought a rows-only check, while its exact twin stays hash-checked
+# inside ts_rollup_hourly and the sketch's bounded error stays gated
+# in tests/test_plans.py::test_hll_bounded_error — swapping it for a
+# full-hash entry strictly increases driver-visible coverage.
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB path where an
     exact distinct would shuffle every key. No oracle — sketch values

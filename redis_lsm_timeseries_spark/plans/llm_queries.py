@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from redis_lsm_timeseries_spark.functions.portable import (
     HASH64_SQL,
     TOKENS_SQL,
+    hashed_shingles_expr,
     hashed_shingles_sql,
     token_hashes_sql,
 )
@@ -189,9 +190,13 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_fingerprint_dups",
-    oracle=f"""
+# text_fingerprint_dups was unregistered in round 7 (50-entry driver
+# window) in favor of text_decontaminate: its digest-groupBy shape is
+# subsumed by dedup_exact (same plan, md5-of-token-set vs md5-of-text
+# key), and the fingerprint operator itself stays pytest-differential
+# in tests/test_llm_operators.py (FINGERPRINT_DUPS_SQL below is the
+# retired oracle, kept for that test).
+FINGERPRINT_DUPS_SQL = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -208,9 +213,9 @@ SELECT fingerprint,
        min(doc_id) AS keep_id,
        count(*) AS n_members
 FROM fp GROUP BY fingerprint
-""",
-    tags=("llm", "text", "dedup"),
-)
+"""
+
+
 def text_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-of-tokens fingerprint: copies that merely REPEAT an existing
     token collide with their original (repetition/order-insensitive
@@ -230,6 +235,125 @@ def text_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.with_fingerprint(corpus)
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+# ------------------------------------------------------ decontamination
+#: Eval set for the decontamination entry: every 20th document, its
+#: first EVAL_GRAMS_PER_DOC shingle hashes — a deterministic stand-in
+#: for a held-out benchmark (real deployments read the eval relation
+#: from its own table; the operator takes any one-column gram set).
+EVAL_MOD = 20
+EVAL_GRAMS_PER_DOC = 8
+
+DECONTAM_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, {TOKENS_SQL.format(e='text')} AS toks FROM documents
+), thashed AS (
+  SELECT doc_id, {token_hashes_sql('toks')} AS th FROM toked
+), shingled AS (
+  SELECT doc_id, {hashed_shingles_sql('th')} AS sh FROM thashed
+), dsh AS (
+  SELECT doc_id,
+         coalesce(list_distinct(sh), CAST([] AS BIGINT[])) AS dsh
+  FROM shingled
+), evalg AS (
+  SELECT DISTINCT unnest(sh[1:{EVAL_GRAMS_PER_DOC}]) AS g
+  FROM shingled WHERE doc_id % {EVAL_MOD} = 0
+), hits AS (
+  SELECT e.doc_id, count(*) AS n_eval_hits
+  FROM (SELECT doc_id, unnest(dsh) AS g FROM dsh) e
+  JOIN evalg USING (g)
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.dsh) AS BIGINT) AS n_shingles,
+       CAST(coalesce(h.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+       CASE WHEN len(d.dsh) > 0
+            THEN CAST(coalesce(h.n_eval_hits, 0) AS DOUBLE) / len(d.dsh)
+            ELSE 0.0 END AS contam_frac,
+       coalesce(h.n_eval_hits, 0) > 0 AS is_contaminated
+FROM dsh d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@register(
+    "text_decontaminate",
+    oracle=DECONTAM_SQL,
+    tags=("llm", "text", "decontamination"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose
+    n-gram shingles overlap a held-out eval set (every 20th doc's
+    first 8 shingle hashes — known positives, so every eval-source
+    document with >= 1 shingle must flag). The eval grams broadcast;
+    the corpus never shuffles on gram (operators/dedup.py:
+    ngram_overlap_contamination). The DuckDB oracle recomputes the
+    identical portable shingle hashes, so overlap counts and fractions
+    are differentially exact."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.withColumn("sh", hashed_shingles_expr("text"))
+    eval_grams = (
+        corpus.where(F.col("doc_id") % EVAL_MOD == 0)
+        .select(
+            F.explode(F.slice("sh", 1, EVAL_GRAMS_PER_DOC)).alias("g")
+        )
+        .distinct()
+    )
+    return D.ngram_overlap_contamination(corpus, eval_grams)
+
+
+# ------------------------------------------------------- data mixing
+#: The mix recipe for the catalog entry: each source's per-mille rate
+#: derives from the source name itself (portable hash64), so the entry
+#: is robust to testdata regeneration — no hardcoded source list — and
+#: the oracle recomputes the identical recipe. Real deployments pass
+#: an explicit {source: rate} dict or a recipe dimension table.
+MIX_RATE_SPAN = 800
+MIX_RATE_FLOOR = 100
+
+_MIX_H_DOC = HASH64_SQL.format(e="CAST(doc_id AS VARCHAR)")
+_MIX_H_SRC = HASH64_SQL.format(e="source")
+
+DATA_MIX_SQL = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         ({_MIX_H_DOC} % 1000) AS mix_bucket,
+         (({_MIX_H_SRC} % {MIX_RATE_SPAN}) + {MIX_RATE_FLOOR})
+           AS rate_per_mille
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(mix_bucket AS BIGINT) AS mix_bucket,
+       CAST(rate_per_mille AS BIGINT) AS rate_per_mille
+FROM r WHERE mix_bucket < rate_per_mille
+"""
+
+
+@register(
+    "data_mix_sample",
+    oracle=DATA_MIX_SQL,
+    tags=("llm", "sampling", "mixing"),
+)
+def data_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing / stratified sampling: weighted per-source document
+    sampling with deterministic hash-mod decisions (operators/
+    sampling.py) — keep iff hash64(doc_id) % 1000 < rate(source),
+    rates in [100, 900) derived per source. Pure map-side filter: no
+    shuffle, no RNG; re-runs reproduce the identical member set, and
+    the DuckDB oracle recomputes it exactly (the determinism the
+    reference gets from its content-derived u uniquifier,
+    index.js:123, applied to sampling)."""
+    from redis_lsm_timeseries_spark.functions.portable import hash64
+    from redis_lsm_timeseries_spark.operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rate = (
+        F.pmod(hash64(F.col("source")), F.lit(MIX_RATE_SPAN))
+        + F.lit(MIX_RATE_FLOOR)
+    )
+    return SA.hash_mod_sample(docs, "source", rate, "doc_id").select(
+        "doc_id", "source", "mix_bucket", "rate_per_mille"
     )
 
 

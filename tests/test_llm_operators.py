@@ -359,3 +359,185 @@ class TestUrlExtraction:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestDecontamination:
+    def test_known_positives_flag(self, spark):
+        """Every eval-source document (doc_id % 20 == 0) with at least
+        one shingle contributed its first grams to the eval set, so it
+        MUST come back contaminated; its contam_frac is bounded below
+        by the contributed share."""
+        out = REGISTRY["text_decontaminate"].fn(spark, SF_DIR).collect()
+        by_id = {r.doc_id: r for r in out}
+        eval_ids = [i for i in by_id if i % 20 == 0]
+        assert eval_ids, "fixture must contain eval-source docs"
+        for i in eval_ids:
+            r = by_id[i]
+            if r.n_shingles > 0:
+                assert r.is_contaminated, f"eval doc {i} not flagged"
+                assert r.n_eval_hits >= 1
+        # The corpus must not be uniformly contaminated (the filter
+        # would then be vacuous): some non-eval doc stays clean.
+        assert any(
+            not r.is_contaminated for r in out if r.doc_id % 20 != 0
+        )
+
+    def test_two_table_overlap_counts(self, spark):
+        """Direct two-table use: a doc sharing exactly one 3-shingle
+        with the eval set counts 1 hit; a disjoint doc counts 0 and
+        still appears in the output."""
+        from redis_lsm_timeseries_spark.functions.portable import (
+            hashed_shingles_expr,
+        )
+        from redis_lsm_timeseries_spark.operators.dedup import (
+            ngram_overlap_contamination,
+        )
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),  # shares 'alpha beta gamma'
+                (2, "zeta eta theta iota"),  # disjoint
+                (3, "xy"),  # < 3 tokens: zero shingles
+            ],
+            ["doc_id", "text"],
+        ).withColumn("sh", hashed_shingles_expr("text"))
+        eval_df = spark.createDataFrame(
+            [("alpha beta gamma",)], ["text"]
+        ).select(F.explode(hashed_shingles_expr("text")).alias("g"))
+        got = {
+            r.doc_id: r
+            for r in ngram_overlap_contamination(corpus, eval_df).collect()
+        }
+        assert got[1].n_eval_hits == 1 and got[1].is_contaminated
+        assert got[1].n_shingles == 2 and got[1].contam_frac == 0.5
+        assert got[2].n_eval_hits == 0 and not got[2].is_contaminated
+        assert got[3].n_shingles == 0 and got[3].contam_frac == 0.0
+
+    def test_eval_side_broadcasts_and_stays_in_codegen(self, spark):
+        """The scale posture: the eval gram set must reach the overlap
+        join as a broadcast (the corpus never shuffles on gram), and
+        nothing in the plan falls out of the JVM."""
+        df = REGISTRY["text_decontaminate"].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+class TestFingerprint:
+    def test_fingerprint_dups_differential(self, spark):
+        """text_fingerprint_dups left the driver catalog in round 7
+        (slot swapped for text_decontaminate) — the retired oracle
+        keeps gating it here, same comparison the driver ran."""
+        import duckdb
+
+        from redis_lsm_timeseries_spark.plans.llm_queries import (
+            FINGERPRINT_DUPS_SQL,
+            text_fingerprint_dups,
+        )
+
+        got = (
+            text_fingerprint_dups(spark, SF_DIR)
+            .toPandas()
+            .sort_values(["fingerprint"], ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{SF_DIR}/documents.parquet'"
+        )
+        want = (
+            con.execute(FINGERPRINT_DUPS_SQL)
+            .fetchdf()
+            .sort_values(["fingerprint"], ignore_index=True)
+        )
+        con.close()
+        assert got["fingerprint"].tolist() == want["fingerprint"].tolist()
+        assert got["keep_id"].tolist() == want["keep_id"].tolist()
+        assert got["n_members"].tolist() == want["n_members"].tolist()
+
+
+class TestSampling:
+    def test_hash_mod_sample_deterministic_and_rate_shaped(self, spark):
+        """Same inputs -> identical member set across runs, and each
+        stratum's realized fraction tracks its requested rate."""
+        from redis_lsm_timeseries_spark.operators.sampling import (
+            hash_mod_sample,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "source"
+        )
+        rates = {f"src{i}": 100 + 40 * i for i in range(20)}
+        a = {
+            r.doc_id
+            for r in hash_mod_sample(docs, "source", rates, "doc_id").collect()
+        }
+        b = {
+            r.doc_id
+            for r in hash_mod_sample(docs, "source", rates, "doc_id").collect()
+        }
+        assert a == b and a  # deterministic, non-empty
+        # A stratum missing from the recipe contributes nothing.
+        partial = hash_mod_sample(docs, "source", {"src0": 1000}, "doc_id")
+        assert partial.where(F.col("source") != "src0").count() == 0
+
+    def test_hash_mod_sample_is_map_only(self, spark):
+        """The 100 TB property: the sampler is a pure filter — no
+        exchange anywhere in its plan."""
+        from redis_lsm_timeseries_spark.operators.sampling import (
+            hash_mod_sample,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "source"
+        )
+        df = hash_mod_sample(docs, "source", {"src0": 500}, "doc_id")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_quota_sample_exact_counts_and_oracle(self, spark):
+        """Quota top-up path: exact per-stratum sizes, and the member
+        set matches a DuckDB recomputation of the same rank."""
+        import duckdb
+
+        from redis_lsm_timeseries_spark.functions.portable import HASH64_SQL
+        from redis_lsm_timeseries_spark.operators.sampling import (
+            stratified_quota_sample,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "source"
+        )
+        out = stratified_quota_sample(docs, "source", 3, "doc_id")
+        sizes = {
+            r.source: r.n
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        per_stratum = {
+            r.source: r.n
+            for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        for s, n in per_stratum.items():
+            assert sizes.get(s, 0) == min(3, n)
+
+        h = HASH64_SQL.format(e="CAST(doc_id AS VARCHAR)")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{SF_DIR}/documents.parquet'"
+        )
+        want = con.execute(
+            f"""
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (
+                PARTITION BY source ORDER BY {h}, doc_id
+              ) AS rk FROM documents
+            ) WHERE rk <= 3
+            """
+        ).fetchdf()
+        con.close()
+        assert {r.doc_id for r in out.select("doc_id").collect()} == set(
+            want["doc_id"].tolist()
+        )

@@ -223,9 +223,13 @@ class TestApproxSketch:
 
     def test_hll_bounded_error(self, spark):
         """approx_count_distinct (rsd=2%) within 10% of exact."""
+        from redis_lsm_timeseries_spark.plans.analytics_queries import (
+            approx_distinct_users,
+        )
+
         approx = {
             r.event_type: r.approx_users
-            for r in REGISTRY["approx_distinct_users"].fn(spark, SF_DIR).collect()
+            for r in approx_distinct_users(spark, SF_DIR).collect()
         }
         exact = {
             r.event_type: r.n_users
