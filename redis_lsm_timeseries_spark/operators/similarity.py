@@ -189,11 +189,28 @@ def with_lsh_bands(
     )
 
 
+def max_band_occupancy(banded: DataFrame) -> int:
+    """Largest (band_idx, band_bucket) population — the statistic that
+    decides whether a bucket self-join needs salting (a bucket of m
+    rows is O(m^2) pair work inside one task). One map-side-combined
+    count per occupied bucket, negligible next to the pair join it
+    guards; at scale the same number falls out of the signature/band
+    table's build statistics."""
+    row = (
+        banded.groupBy("band_idx", "band_bucket")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()
+    )
+    return int(row.mx) if row.mx is not None else 0
+
+
 def banded_pair_scores(
     banded: DataFrame,
     id_col: str = "vec_id",
     nv_col: str = "nv",
     num_salts: int = 1,
+    auto_salt_occupancy: int | None = None,
 ) -> DataFrame:
     """Candidate pairs (a < b) sharing >= 1 (band_idx, band_bucket),
     scored by the dot of their pre-normalized vectors (= cosine).
@@ -201,8 +218,23 @@ def banded_pair_scores(
     callers dedup with ``distinct()`` after thresholding.
 
     ``num_salts > 1`` splits hot buckets' pair enumeration across tasks
-    (``operators.skew``); the rows produced are identical."""
-    from redis_lsm_timeseries_spark.operators.skew import salted_pair_sides
+    (``operators.skew``); the rows produced are identical.
+
+    ``auto_salt_occupancy``: occupancy-gated salting — probe the max
+    bucket population (``max_band_occupancy``) and engage
+    ``DEFAULT_SALTS``-way salting only when some bucket exceeds the
+    threshold. Pick the threshold as the bucket size whose quadratic
+    pair work one task should own (e.g. 10_000 -> ~5e7 pairs); below
+    it, the unsalted join + AQE skew-split is cheaper than shuffling
+    the right side S times."""
+    from redis_lsm_timeseries_spark.operators.skew import (
+        DEFAULT_SALTS,
+        salted_pair_sides,
+    )
+
+    if auto_salt_occupancy is not None and num_salts <= 1:
+        if max_band_occupancy(banded) > auto_salt_occupancy:
+            num_salts = DEFAULT_SALTS
 
     left = banded.select(
         F.col(id_col).alias("a"), F.col(nv_col).alias("nva"),
