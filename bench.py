@@ -75,6 +75,9 @@ def main() -> int:
         f"{bulk_rps:.0f} rows/s (bulk), point reads: {read_qps:.1f} q/s"
     )
 
+    calibration = host_calibration(spark, sf_dir)
+    log(f"calibration: {calibration}")
+
     result = {
         "metric": "catalog_wall_time",
         "value": round(total, 3),
@@ -87,9 +90,62 @@ def main() -> int:
         "ingest_rows_per_s": round(ingest_rps, 1),
         "point_read_qps": round(read_qps, 2),
         "bulk_ingest_rows_per_s": round(bulk_rps, 1),
+        "calibration": calibration,
     }
     print(json.dumps(result), flush=True)
     return 1 if failures else 0
+
+
+def host_calibration(spark, sf_dir: str) -> dict:
+    """Fixed, engine-independent workloads whose cost depends only on
+    the host: cross-round per-query ratios should be divided by the
+    ratio of these numbers before reading anything into them (SURVEY
+    §6: sandbox host speed varied ~2.7x between recorded rounds, and
+    an A/B re-run of an old tree reproduced the NEW host's times).
+
+    - cpu_hash_sec: 100M xxhash64 + sum over a generated range — pure
+      whole-stage-codegen CPU, no I/O, no Python;
+    - shuffle_sec: 20M rows hash-aggregated to 1M keys — exchange +
+      partial-agg machinery;
+    - scan_sec: full lineitem scan with a per-row hash — parquet
+      decode + filesystem.
+
+    min-of-2 runs each (the second run's JIT/page-cache state is the
+    steady state the catalog queries see). None of these touch engine
+    code, so the numbers move only when the host does."""
+
+    def timed(fn):
+        vals = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            vals.append(time.perf_counter() - t0)
+        return round(min(vals), 3)
+
+    # pmod keeps the 64-bit hash sum under the ANSI long-overflow line
+    # (1e8 rows x < 2^20 each).
+    cpu = timed(
+        lambda: spark.range(0, 100_000_000, 1, 32)
+        .selectExpr("sum(pmod(xxhash64(id), 1048576)) AS s")
+        .collect()
+    )
+    shuffle = timed(
+        lambda: spark.range(0, 20_000_000, 1, 32)
+        .selectExpr("id % 1000000 AS k")
+        .groupBy("k")
+        .count()
+        .selectExpr("sum(count) AS s")
+        .collect()
+    )
+    lineitem = f"{sf_dir}/lineitem.parquet"
+    scan = timed(
+        lambda: spark.read.parquet(lineitem)
+        .selectExpr(
+            "sum(pmod(xxhash64(l_orderkey, l_returnflag, l_shipdate), 1048576)) AS s"
+        )
+        .collect()
+    )
+    return {"cpu_hash_sec": cpu, "shuffle_sec": shuffle, "scan_sec": scan}
 
 
 def ingest_read_bench(spark, n_batches: int = 5, n_reads: int = 20):
