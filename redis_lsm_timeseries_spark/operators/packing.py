@@ -1,0 +1,133 @@
+"""Sequence packing (north star): assign documents to fixed-size
+training context windows — the concat-and-chunk packing step every
+LLM pre-training pipeline runs between curation and tokenized-shard
+writing.
+
+Semantics: within each (source, shard) stream, documents are laid out
+back-to-back in a deterministic order and the token stream is cut
+every ``window_tokens`` tokens. Each document learns its byte-exact
+placement: the stream offset of its first token, the window (pack) its
+first token lands in, the window its last token lands in, and whether
+it straddles a window boundary. This is the GPT-style "concatenate
+then chunk" layout (documents MAY cross window boundaries, separated
+downstream by EOD tokens) — not first-fit bin packing, whose
+running-reset recurrence needs sequential state and reshuffles the
+corpus order non-deterministically under retries.
+
+100 TB shape: the only exchange is the window's hash partition on
+(source, shard). A GLOBAL document order would funnel the whole corpus
+through one sort partition — instead the stream is sharded by
+``pmod(hash64(doc_id), num_shards)`` WITHIN each source, so every
+window partition holds ~|source|/num_shards documents and the cumsum
+is embarrassingly parallel. Any deterministic grouping is a valid
+packing plan (each shard becomes its own run of training shards);
+determinism is what matters for resumable pipelines, and the hash
+shard gives the same reproducibility the reference gets from its
+content-derived ``u`` uniquifier (``index.js:123`` — identity from
+content, not job timing). The oracle in tests recomputes the exact
+same layout in DuckDB: integer-only arithmetic, no floats anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from redis_lsm_timeseries_spark.functions.portable import hash64, tokens
+
+DEFAULT_WINDOW_TOKENS = 64
+DEFAULT_NUM_SHARDS = 8
+
+
+def pack_documents(
+    df: DataFrame,
+    window_tokens: int = DEFAULT_WINDOW_TOKENS,
+    num_shards: int = DEFAULT_NUM_SHARDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Concat-and-chunk packing plan for a document corpus.
+
+    Output (one row per document):
+      id, source, shard       — identity + stream assignment
+      n_tokens                — whitespace token count (0 for empty)
+      token_start             — offset of the doc's first token within
+                                its (source, shard) stream
+      pack_id                 — window index of the first token
+      pack_id_end             — window index of the last token (equals
+                                pack_id for zero-token docs)
+      crosses_boundary        — doc spans >= 2 windows
+      n_windows               — windows the doc touches (>= 1)
+
+    Stream order within a shard is ascending ``id_col`` — stable under
+    re-runs and recomputable by any engine. One shuffle total: the
+    hash partition of the running-sum window."""
+    if window_tokens <= 0:
+        raise ValueError("window_tokens must be positive")
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+
+    # Token count must agree with the oracle on empty text: Spark's
+    # split('', '\s+') yields [''] (size 1), so count non-empty tokens.
+    n_tok = F.size(
+        F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    ).cast("long")
+
+    shard = F.pmod(
+        hash64(F.col(id_col).cast("string")), F.lit(num_shards)
+    ).cast("long")
+
+    w = (
+        Window.partitionBy(source_col, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    wt = F.lit(int(window_tokens))
+    pack_first = F.floor(F.col("token_start") / wt).cast("long")
+    # Last-token window; zero-token docs occupy no tokens but are
+    # pinned to their start window (greatest(n, 1) guards the -1).
+    pack_last = F.floor(
+        (F.col("token_start") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+        / wt
+    ).cast("long")
+
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(source_col),
+            shard.alias("shard"),
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn("token_start", start)
+        .withColumn("pack_id", pack_first)
+        .withColumn("pack_id_end", pack_last)
+        .withColumn(
+            "crosses_boundary", F.col("pack_id_end") > F.col("pack_id")
+        )
+        .withColumn(
+            "n_windows",
+            (F.col("pack_id_end") - F.col("pack_id") + 1).cast("long"),
+        )
+    )
+
+
+def pack_utilization(packed: DataFrame) -> DataFrame:
+    """Per-(source, shard) packing summary: total tokens, windows
+    consumed (ceil of the stream length), and mean fill of the
+    consumed windows — the number a pipeline watches to size
+    ``window_tokens``. Derivable entirely from ``pack_documents``
+    output; one map-side-combined aggregate."""
+    return (
+        packed.groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (F.max("pack_id_end") + 1).cast("long").alias("n_windows_used"),
+            F.sum(F.col("crosses_boundary").cast("long"))
+            .cast("long")
+            .alias("n_boundary_docs"),
+        )
+        .orderBy("source", "shard")
+    )

@@ -1,0 +1,260 @@
+"""Sequence packing + unigram-LM scoring: DuckDB differential checks
+(the operators are pytest-tier — the 50-slot driver catalog is full —
+so this file replicates the oracle-parity harness for them) plus
+semantic unit properties the differential can't express."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from redis_lsm_timeseries_spark.operators.lm import (
+    lm_quality_scores,
+    unigram_model,
+    with_lm_score,
+)
+from redis_lsm_timeseries_spark.operators.packing import (
+    pack_documents,
+    pack_utilization,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+
+HASH64 = "(('0x' || substr(md5(CAST({e} AS VARCHAR)), 1, 15))::BIGINT)"
+TOKS = "list_filter(string_split_regex(lower({e}), '\\s+'), t -> t != '')"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+class TestPackingDifferential:
+    W, S = 64, 8
+
+    ORACLE = f"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   {HASH64.format(e='doc_id')} % {{s}} AS shard,
+                   len({TOKS.format(e='text')}) AS n_tokens
+            FROM documents
+        ), run AS (
+            SELECT *,
+                   (SUM(n_tokens) OVER (
+                        PARTITION BY source, shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) - n_tokens) AS token_start
+            FROM base
+        )
+        SELECT doc_id, source, shard,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(token_start AS BIGINT) AS token_start,
+               CAST(token_start // {{w}} AS BIGINT) AS pack_id,
+               CAST((token_start + greatest(n_tokens, 1) - 1) // {{w}}
+                    AS BIGINT) AS pack_id_end
+        FROM run ORDER BY doc_id
+    """
+
+    def test_layout_matches_duckdb_exactly(self, spark, duck, docs):
+        got = (
+            pack_documents(docs, window_tokens=self.W, num_shards=self.S)
+            .orderBy("doc_id")
+            .collect()
+        )
+        want = duck.execute(
+            self.ORACLE.format(w=self.W, s=self.S)
+        ).fetchall()
+        assert len(got) == len(want) > 0
+        for g, w in zip(got, want):
+            assert (
+                g.doc_id,
+                g.source,
+                g.shard,
+                g.n_tokens,
+                g.token_start,
+                g.pack_id,
+                g.pack_id_end,
+            ) == tuple(w), f"doc {w[0]} layout mismatch"
+
+    def test_streams_are_gapless(self, spark, docs):
+        """Within every (source, shard) stream, token offsets tile the
+        stream with no gaps or overlaps — the property that makes the
+        layout directly materializable into training shards."""
+        packed = pack_documents(docs, window_tokens=self.W, num_shards=self.S)
+        bad = (
+            packed.withColumn(
+                "prev_end",
+                F.lag(F.col("token_start") + F.col("n_tokens"), 1, 0).over(
+                    Window.partitionBy("source", "shard").orderBy("doc_id")
+                ),
+            )
+            .where(F.col("token_start") != F.col("prev_end"))
+            .count()
+        )
+        assert bad == 0
+
+    def test_utilization_consistency(self, spark, docs):
+        packed = pack_documents(docs, window_tokens=self.W, num_shards=self.S)
+        util = pack_utilization(packed).collect()
+        assert len(util) > 0
+        for r in util:
+            # windows used = ceil(stream length / W) when the stream is
+            # gapless and non-empty.
+            assert r.n_windows_used == max(
+                1, -(-r.total_tokens // self.W)
+            ) or r.total_tokens == 0
+            assert 0 <= r.n_boundary_docs <= r.n_docs
+
+    def test_boundary_flags_on_tiny_window(self, spark, docs):
+        """window_tokens=1: every doc with >= 2 tokens crosses."""
+        packed = pack_documents(docs, window_tokens=1, num_shards=self.S)
+        wrong = packed.where(
+            (F.col("n_tokens") >= 2) & ~F.col("crosses_boundary")
+        ).count()
+        assert wrong == 0
+
+    def test_empty_and_whitespace_docs(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma", "s"),
+                (2, "", "s"),
+                (3, "   ", "s"),
+                (4, "delta", "s"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in pack_documents(df, window_tokens=2, num_shards=1)
+            .collect()
+        }
+        assert rows[2].n_tokens == 0 and rows[3].n_tokens == 0
+        for r in rows.values():
+            if r.n_tokens == 0:
+                assert r.pack_id == r.pack_id_end
+                assert not r.crosses_boundary
+                assert r.n_windows == 1
+        total = sum(r.n_tokens for r in rows.values())
+        assert total == 4
+
+
+class TestLMScoringDifferential:
+    ORACLE = f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest({TOKS.format(e='text')}) AS token
+            FROM documents
+        ), model AS (
+            SELECT token, count(*) AS n FROM tok GROUP BY token
+        ), tot AS (SELECT sum(n) AS total FROM model),
+        scored AS (
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   sum(ln(m.n / tot.total)) AS sum_lp
+            FROM tok t JOIN model m USING (token) CROSS JOIN tot
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CASE WHEN coalesce(s.n_tokens, 0) > 0
+                    THEN s.sum_lp / s.n_tokens ELSE 0.0 END AS lm_score
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+    def test_self_scores_match_duckdb(self, spark, duck, docs):
+        got = lm_quality_scores(docs).orderBy("doc_id").collect()
+        want = duck.execute(self.ORACLE).fetchall()
+        assert len(got) == len(want) > 0
+        for g, w in zip(got, want):
+            assert g.doc_id == w[0] and g.n_tokens == w[1]
+            assert g.n_oov == 0  # self-scoring: every token in-model
+            assert math.isclose(g.lm_score, w[2], rel_tol=1e-9, abs_tol=1e-12)
+
+    def test_model_is_a_proper_distribution(self, spark, docs):
+        m = unigram_model(docs).collect()
+        total = m[0]._total
+        assert sum(r.n for r in m) == total
+        assert all(r.logprob < 0 for r in m)
+        # probabilities sum to 1 (exact rationals under the ln)
+        assert math.isclose(
+            sum(math.exp(r.logprob) for r in m), 1.0, rel_tol=1e-9
+        )
+
+    def test_oov_floor_on_cross_corpus_scoring(self, spark):
+        fit = spark.createDataFrame(
+            [(1, "a a a b"), (2, "b c")],
+            "doc_id long, text string",
+        )
+        model = unigram_model(fit)
+        score = spark.createDataFrame(
+            [(10, "a zzz"), (11, ""), (12, "c")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in with_lm_score(score, model).collect()}
+        total = 6  # a:3 b:2 c:1
+        assert rows[10].n_oov == 1
+        assert math.isclose(
+            rows[10].lm_score,
+            (math.log(3 / total) + math.log(1 / total)) / 2,
+            rel_tol=1e-12,
+        )
+        assert rows[11].n_tokens == 0 and rows[11].lm_score == 0.0
+        assert rows[12].n_oov == 0
+        assert math.isclose(
+            rows[12].lm_score, math.log(1 / total), rel_tol=1e-12
+        )
+
+    def test_junk_scores_below_fluent(self, spark, docs):
+        """The curation property: a doc of singleton junk tokens must
+        score below the corpus median."""
+        junk = docs.sparkSession.createDataFrame(
+            [(10_000_000, "zqxj wvkp qjzx pkwv zzzz", "x", "junk", 24)],
+            docs.schema,
+        )
+        scored = lm_quality_scores(docs.unionByName(junk))
+        med = scored.where(F.col("doc_id") < 10_000_000).agg(
+            F.percentile_approx("lm_score", 0.5).alias("m")
+        ).first().m
+        junk_score = (
+            scored.where(F.col("doc_id") == 10_000_000).first().lm_score
+        )
+        assert junk_score < med
+
+
+class TestPlanShape:
+    def test_packing_single_shuffle(self, spark, docs):
+        plan = pack_documents(docs)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 1, plan
+
+    def test_lm_model_broadcasts(self, spark, docs):
+        plan = (
+            with_lm_score(docs, unigram_model(docs))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+    def test_no_python_row_udfs(self, spark, docs):
+        for df in (
+            pack_documents(docs),
+            lm_quality_scores(docs),
+        ):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "BatchEvalPython" not in plan
