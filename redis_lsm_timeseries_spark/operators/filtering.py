@@ -1,0 +1,101 @@
+"""Corpus admission filtering (north star): the rule-driven keep/drop
+pass every curation pipeline runs — domain blocklists, quality
+thresholds — plus the one-row corpus report card that makes a 100 TB
+run auditable.
+
+Shapes: blocklists are small dimensions (thousands to low millions of
+domains) → broadcast semi/anti-joins against the exploded per-doc
+domain arrays; threshold filters are pure Column predicates that push
+down onto the scan; the report card is a single map-side-combined
+aggregate emitting one row regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from redis_lsm_timeseries_spark.operators.text import with_urls
+
+
+def filter_by_domain_blocklist(
+    df: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "drop",
+) -> DataFrame:
+    """Drop (or keep, ``mode='keep'`` for allowlist audits) documents
+    citing any blocklisted domain.
+
+    ``blocklist`` is a one-column relation of lowercased domains
+    (``www.``-less, port-less — the normalization ``with_urls``
+    applies). Documents with no URLs never match, so ``drop`` keeps
+    them and ``keep`` drops them.
+
+    Plan: explode each doc's distinct domains, broadcast-join the
+    blocklist, reduce to a per-doc verdict, then LEFT SEMI / ANTI join
+    the verdict back — the corpus body (the wide text column) crosses
+    no shuffle; only (id, domain) pairs do, and even those collapse
+    map-side to (id) before the join back."""
+    if mode not in ("drop", "keep"):
+        raise ValueError(f"mode must be 'drop' or 'keep', got {mode!r}")
+    bl = blocklist.select(
+        F.lower(F.col(blocklist.columns[0])).alias("_bl_domain")
+    ).distinct()
+    hits = (
+        with_urls(df.select(id_col, text_col), text_col)
+        .select(
+            id_col,
+            F.explode(F.array_distinct("domains")).alias("_bl_domain"),
+        )
+        .join(F.broadcast(bl), "_bl_domain")
+        .select(id_col)
+        .distinct()
+    )
+    how = "left_anti" if mode == "drop" else "left_semi"
+    return df.join(hits, [id_col], how)
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """One-row corpus report card: document and token totals, length
+    distribution, language/source breadth, and duplicate-content rate.
+    The number a pipeline owner reads before and after every curation
+    stage; at 100 TB it is one aggregate pass (the exact-distinct
+    counts are the expensive part — swap ``countDistinct`` for
+    ``approx_count_distinct`` when the corpus outgrows exactness;
+    both are partial-aggregated map-side)."""
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda t: t != F.lit(""),
+        )
+    ).cast("long")
+    digest = F.md5(F.col(text_col))
+    return df.select(
+        F.col(text_col),
+        F.col(lang_col),
+        F.col(source_col),
+        n_tok.alias("_nt"),
+        digest.alias("_dg"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("total_tokens"),
+        F.min("_nt").cast("long").alias("min_tokens"),
+        F.expr("percentile_approx(_nt, 0.5)").cast("long").alias(
+            "median_tokens"
+        ),
+        F.max("_nt").cast("long").alias("max_tokens"),
+        F.countDistinct(lang_col).cast("long").alias("n_langs"),
+        F.countDistinct(source_col).cast("long").alias("n_sources"),
+        F.countDistinct("_dg").cast("long").alias("n_distinct_contents"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("_dg").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
+    )

@@ -105,3 +105,41 @@ def stratified_quota_sample(
         df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .where(F.col("sample_rank") <= quota)
     )
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, int],
+    key_col: str,
+    denom: int = DENOM,
+) -> DataFrame:
+    """Deterministic train/val/test splitting: label each row with the
+    split its hash bucket falls in. ``fractions`` maps split name ->
+    width out of ``denom``, consumed in sorted-name order (so the
+    bucket->split mapping is a pure function of the dict, not of call
+    order); widths must sum to <= denom, any remainder is labeled
+    'train' only if present in ``fractions``, else NULL-free rows drop.
+
+    The split is STABLE under corpus growth: a document's split
+    depends only on its own key, never on the rest of the corpus — the
+    property random permutation splits lack and the reason leakage
+    audits can run months later. Map-only, no shuffle; same bucket
+    function as ``hash_mod_sample`` so a row's sample and split
+    decisions compose (bucket < rate AND bucket in split range)."""
+    total = sum(int(w) for w in fractions.values())
+    if total > denom:
+        raise ValueError(f"fractions sum {total} exceeds denom {denom}")
+    bucket = sample_bucket(key_col, denom)
+    label: Column = F.lit(None).cast("string")
+    lo = 0
+    for name, width in sorted(fractions.items()):
+        hi = lo + int(width)
+        label = F.when(
+            (bucket >= F.lit(lo)) & (bucket < F.lit(hi)), F.lit(name)
+        ).otherwise(label)
+        lo = hi
+    return (
+        df.withColumn("mix_bucket", bucket)
+        .withColumn("split", label)
+        .where(F.col("split").isNotNull())
+    )

@@ -1,0 +1,179 @@
+"""Blocklist filtering, hash splitting, corpus report: DuckDB
+differentials where arithmetic is portable, semantic properties
+elsewhere, plan gates for the broadcast/anti-join shapes."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from redis_lsm_timeseries_spark.operators.filtering import (
+    corpus_report,
+    filter_by_domain_blocklist,
+)
+from redis_lsm_timeseries_spark.operators.sampling import hash_split
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+
+HASH64 = "(('0x' || substr(md5(CAST({e} AS VARCHAR)), 1, 15))::BIGINT)"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    yield con
+    con.close()
+
+
+class TestHashSplit:
+    FR = {"train": 800, "val": 100, "test": 100}
+
+    def test_partition_of_corpus(self, spark, docs):
+        out = hash_split(docs, self.FR, "doc_id")
+        assert out.count() == docs.count()  # fractions cover denom
+        assert (
+            out.groupBy("doc_id").count().where("count > 1").count() == 0
+        )
+
+    def test_matches_duckdb_bucketing(self, spark, duck, docs):
+        got = {
+            r.doc_id: r.split
+            for r in hash_split(docs, self.FR, "doc_id").collect()
+        }
+        rows = duck.execute(
+            f"SELECT doc_id, {HASH64.format(e='doc_id')} % 1000 AS b "
+            f"FROM documents"
+        ).fetchall()
+        assert len(rows) == len(got)
+        for doc_id, b in rows:
+            want = "test" if b < 100 else ("train" if b < 900 else "val")
+            assert got[doc_id] == want, (doc_id, b, got[doc_id], want)
+
+    def test_stability_under_corpus_growth(self, spark, docs):
+        """A doc's split never changes when the corpus around it does."""
+        full = {
+            r.doc_id: r.split
+            for r in hash_split(docs, self.FR, "doc_id").collect()
+        }
+        half = {
+            r.doc_id: r.split
+            for r in hash_split(
+                docs.where("doc_id % 2 = 0"), self.FR, "doc_id"
+            ).collect()
+        }
+        assert half and all(full[k] == v for k, v in half.items())
+
+    def test_partial_fractions_drop_remainder(self, spark, docs):
+        out = hash_split(docs, {"eval": 50}, "doc_id")
+        assert 0 < out.count() < docs.count()
+        assert out.select("split").distinct().collect()[0].split == "eval"
+
+    def test_overcommitted_fractions_raise(self, spark, docs):
+        with pytest.raises(ValueError):
+            hash_split(docs, {"a": 700, "b": 700}, "doc_id")
+
+
+class TestDomainBlocklist:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "see https://bad.example.com/x for details"),
+                (2, "visit http://www.good.org/page today"),
+                (3, "both https://bad.example.com/a and https://good.org/b"),
+                (4, "no links at all"),
+                (5, "https://BAD.EXAMPLE.COM/upper case host"),
+            ],
+            "doc_id long, text string",
+        )
+
+    @pytest.fixture(scope="class")
+    def blocklist(self, spark):
+        return spark.createDataFrame(
+            [("bad.example.com",)], "domain string"
+        )
+
+    def test_drop_mode(self, spark, corpus, blocklist):
+        kept = sorted(
+            r.doc_id
+            for r in filter_by_domain_blocklist(corpus, blocklist).collect()
+        )
+        assert kept == [2, 4]  # 1,3,5 cite the blocked domain
+
+    def test_keep_mode_is_the_complement(self, spark, corpus, blocklist):
+        kept = sorted(
+            r.doc_id
+            for r in filter_by_domain_blocklist(
+                corpus, blocklist, mode="keep"
+            ).collect()
+        )
+        assert kept == [1, 3, 5]
+
+    def test_blocklist_broadcasts_and_text_avoids_shuffle(
+        self, spark, corpus, blocklist
+    ):
+        plan = (
+            filter_by_domain_blocklist(corpus, blocklist)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastExchange" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_real_corpus_passes_through_unblocked(self, spark, docs, blocklist):
+        out = filter_by_domain_blocklist(docs, blocklist)
+        assert out.count() <= docs.count()
+        assert out.schema == docs.schema
+
+
+class TestCorpusReport:
+    ORACLE = """
+        WITH base AS (
+            SELECT lang, source, md5(text) AS dg,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t != '')) AS nt
+            FROM documents
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS total_tokens,
+               CAST(min(nt) AS BIGINT) AS min_tokens,
+               CAST(max(nt) AS BIGINT) AS max_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(count(DISTINCT dg) AS BIGINT) AS n_distinct
+        FROM base
+    """
+
+    def test_matches_duckdb(self, spark, duck, docs):
+        got = corpus_report(docs).first()
+        want = duck.execute(self.ORACLE).fetchone()
+        assert (
+            got.n_docs,
+            got.total_tokens,
+            got.min_tokens,
+            got.max_tokens,
+            got.n_langs,
+            got.n_sources,
+            got.n_distinct_contents,
+        ) == tuple(want)
+        assert 0.0 <= got.dup_rate < 1.0
+        assert got.min_tokens <= got.median_tokens <= got.max_tokens
+
+    def test_single_row_and_no_python(self, spark, docs):
+        rep = corpus_report(docs)
+        assert rep.count() == 1
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
