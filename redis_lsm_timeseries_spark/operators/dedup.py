@@ -21,6 +21,7 @@ DuckDB oracle computes identical signatures (functions/portable.py).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from redis_lsm_timeseries_spark.functions.portable import (
     hash64,
@@ -291,3 +292,149 @@ def with_simhash(
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b)).cast("long")
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    corpus_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Daily-ingest admission: which rows of a NEW batch are novel
+    against an existing corpus digest index, and which are duplicates
+    (of the corpus, or of an earlier row in the same batch)?
+
+    Output, one row per batch document:
+      (id, digest, dup_of_corpus, dup_in_batch, admit)
+    with ``admit`` = novel content AND first occurrence (min id) of
+    that content within the batch — so re-running admission on the
+    same batch is idempotent, the reference's write-path posture
+    (``index.js:123``: content-keyed identity).
+
+    100 TB shape: the batch is orders of magnitude smaller than the
+    corpus, so the corpus index is SCANNED, never shuffled — the hit
+    set comes from a left-semi join of the index against the
+    BROADCAST batch digests, and the (tiny, contamination-bounded)
+    hit set broadcasts back onto the batch. The corpus never moves."""
+    digests = batch.select(
+        F.col(id_col), content_digest(text_col).alias("digest")
+    )
+    hits = (
+        corpus_digests.select(
+            F.col(corpus_digests.columns[0]).alias("digest")
+        )
+        .join(F.broadcast(digests.select("digest").distinct()), "digest",
+              "left_semi")
+        .distinct()
+        .withColumn("_in_corpus", F.lit(True))
+    )
+    first = F.min(id_col).over(Window.partitionBy("digest"))
+    return (
+        digests.join(F.broadcast(hits), "digest", "left")
+        .withColumn(
+            "dup_of_corpus", F.coalesce(F.col("_in_corpus"), F.lit(False))
+        )
+        .withColumn("dup_in_batch", F.col(id_col) != first)
+        .withColumn(
+            "admit", ~F.col("dup_of_corpus") & ~F.col("dup_in_batch")
+        )
+        .select(id_col, "digest", "dup_of_corpus", "dup_in_batch", "admit")
+    )
+
+
+def incremental_near_dup(
+    batch: DataFrame,
+    corpus_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """Near-duplicate admission for a new batch against an existing
+    corpus: MinHash-band the batch, probe the corpus band table, and
+    estimate similarity for every candidate by signature agreement.
+
+    ``corpus_bands`` is the persisted band table a real pipeline
+    maintains: (corpus_id, band_idx, band_key, mhs) — the exact output
+    of ``lsh_bands`` joined with its signatures (see
+    ``build_band_index``). Output, one row per batch doc:
+      (id, n_candidates, best_est_jaccard, is_near_dup)
+    where est_jaccard = fraction of agreeing signature positions with
+    the closest corpus doc (the unbiased MinHash estimator), 0.0 for
+    docs hitting no bucket.
+
+    100 TB shape: the batch's band rows BROADCAST; the corpus band
+    table is scanned map-side (at a real deployment, bucket-pruned:
+    the band table is stored bucketed by (band_idx, band_key), so the
+    probe touches only matching buckets). The only shuffled relation
+    is the candidate set, bounded by bucket collisions, then one
+    per-batch-doc aggregate."""
+    b = with_minhash(batch.select(id_col, text_col), text_col, num_hashes)
+    b_bands = (
+        lsh_bands(b, id_col, num_hashes)
+        .join(b.select(F.col(id_col), F.col("mhs").alias("_bmhs")), id_col)
+    )
+    cand = corpus_bands.join(
+        F.broadcast(
+            b_bands.select(
+                F.col(id_col).alias("_bid"), "band_idx", "band_key", "_bmhs"
+            )
+        ),
+        ["band_idx", "band_key"],
+    )
+    agree = (
+        F.size(
+            F.filter(
+                F.zip_with("mhs", "_bmhs", lambda x, y: x == y),
+                lambda e: e,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    scored = (
+        cand.select(
+            F.col("_bid").alias(id_col),
+            F.col("corpus_id"),
+            agree.alias("est_jaccard"),
+        )
+        .groupBy(id_col, "corpus_id")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.max("est_jaccard").alias("best_est_jaccard"),
+        )
+    )
+    return (
+        batch.select(id_col)
+        .join(scored, id_col, "left")
+        .withColumn(
+            "n_candidates",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "best_est_jaccard",
+            F.coalesce(F.col("best_est_jaccard"), F.lit(0.0)),
+        )
+        .withColumn(
+            "is_near_dup", F.col("best_est_jaccard") >= F.lit(threshold)
+        )
+    )
+
+
+def build_band_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """The persisted corpus band table ``incremental_near_dup`` probes:
+    (corpus_id, band_idx, band_key, mhs). In production this is
+    written once, bucketed by (band_idx, band_key), and appended per
+    admitted batch — here it is derived on the fly for tests."""
+    c = with_minhash(corpus.select(id_col, text_col), text_col, num_hashes)
+    return lsh_bands(c, id_col, num_hashes).join(
+        c.select(F.col(id_col), F.col("mhs")), id_col
+    ).select(
+        F.col(id_col).alias("corpus_id"), "band_idx", "band_key", "mhs"
+    )

@@ -131,3 +131,56 @@ def pack_utilization(packed: DataFrame) -> DataFrame:
         )
         .orderBy("source", "shard")
     )
+
+
+def window_manifest(packed: DataFrame, window_tokens: int) -> DataFrame:
+    """Materialize the packing plan into per-window assembly specs —
+    the manifest a training-shard writer consumes: for every (source,
+    shard, window) the ordered document slices that fill it.
+
+    One row per (window, contributing doc):
+      source, shard, window_id
+      id-col columns from ``packed`` (passed through)
+      doc_tok_start / doc_tok_end  — the slice of the DOCUMENT's own
+                                     tokens landing in this window
+                                     (end-exclusive)
+      win_tok_start                — where the slice begins WITHIN the
+                                     window
+    Zero-token documents emit no manifest rows (they occupy no
+    tokens); ``pack_documents`` still reports their nominal window.
+
+    Scale: a document spanning w windows explodes into w rows, so the
+    manifest holds at most total_tokens / window_tokens + n_docs rows
+    — linear in corpus size, and the explode is map-side (the spans
+    come straight off ``pack_id``/``pack_id_end``, no join). Sorting
+    within a window is the shard writer's job; the manifest carries
+    the (window_id, win_tok_start) sort key it needs."""
+    wt = F.lit(int(window_tokens))
+    spans = packed.where(F.col("n_tokens") > 0).select(
+        "*",
+        F.explode(
+            F.sequence(F.col("pack_id"), F.col("pack_id_end"))
+        ).alias("window_id"),
+    )
+    # Document-relative slice boundaries for this window: the window
+    # covers stream tokens [window_id*W, (window_id+1)*W); intersect
+    # with the doc's [token_start, token_start + n_tokens).
+    win_lo = F.col("window_id") * wt
+    win_hi = win_lo + wt
+    doc_lo = F.col("token_start")
+    doc_hi = doc_lo + F.col("n_tokens")
+    return (
+        spans.withColumn(
+            "doc_tok_start",
+            (F.greatest(win_lo, doc_lo) - doc_lo).cast("long"),
+        )
+        .withColumn(
+            "doc_tok_end",
+            (F.least(win_hi, doc_hi) - doc_lo).cast("long"),
+        )
+        .withColumn(
+            "win_tok_start",
+            (F.greatest(win_lo, doc_lo) - win_lo).cast("long"),
+        )
+        .drop("pack_id", "pack_id_end", "crosses_boundary", "n_windows")
+    )
