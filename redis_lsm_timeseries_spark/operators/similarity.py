@@ -449,3 +449,149 @@ def ivf_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "list_id", "neighbor_id", "cosine_sim", "rnk")
     )
+
+
+def embedding_decontamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = True,
+    num_bands: int = 4,
+    planes_per_band: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Semantic decontamination: flag corpus items whose embedding is
+    near-identical (cosine >= threshold) to ANY held-out eval item —
+    the companion check to the n-gram overlap in
+    ``operators.dedup.ngram_overlap_contamination``, catching
+    paraphrased or reformatted contamination the lexical test misses.
+
+    Output, one row per usable-norm corpus vector:
+      (id, best_eval_sim, matched_eval_id, is_contaminated)
+    with best_eval_sim = 0.0 / matched_eval_id = NULL when no eval
+    candidate was met. Zero/NaN-norm vectors drop on both sides
+    (``usable_norm`` — same posture as every other embeddings entry).
+
+    Scale: the eval set is benchmark-sized, so it BROADCASTS either
+    way. ``use_lsh=True`` is the 100 TB path: both sides take banded
+    hyperplane signatures and the corpus only scores eval candidates
+    sharing >= 1 band bucket — per-row work proportional to bucket
+    collisions, not |eval|; recall approaches 1 for the high-cosine
+    pairs a >= 0.9 threshold targets (misses need every band to
+    split the pair). ``use_lsh=False`` scores every (corpus, eval)
+    pair exactly — the small-eval baseline and the recall yardstick
+    in tests."""
+    c = corpus.select(
+        F.col(id_col), as_double_array(vec_col).alias("cv")
+    ).where(usable_norm("cv"))
+    e = eval_set.select(
+        F.col(id_col).alias("_eval_id"),
+        as_double_array(vec_col).alias("ev"),
+    ).where(usable_norm("ev"))
+
+    if use_lsh:
+        cb = with_lsh_bands(
+            c.withColumnRenamed("cv", "embedding"),
+            num_bands=num_bands,
+            planes_per_band=planes_per_band,
+            dim=dim,
+        ).select(
+            F.col(id_col),
+            F.col("embedding").alias("cv"),
+            "band_idx",
+            "band_bucket",
+        )
+        eb = with_lsh_bands(
+            e.withColumnRenamed("ev", "embedding"),
+            num_bands=num_bands,
+            planes_per_band=planes_per_band,
+            dim=dim,
+        ).select(
+            "_eval_id",
+            F.col("embedding").alias("ev"),
+            "band_idx",
+            "band_bucket",
+        )
+        pairs = cb.join(
+            F.broadcast(eb), ["band_idx", "band_bucket"]
+        ).select(id_col, "cv", "_eval_id", "ev")
+    else:
+        pairs = c.crossJoin(F.broadcast(e))
+
+    scored = (
+        pairs.withColumn("_sim", cosine("cv", "ev"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by("_eval_id", F.struct("_sim", "_eval_id")).alias(
+                "matched_eval_id"
+            ),
+            F.max("_sim").alias("best_eval_sim"),
+        )
+    )
+    return (
+        c.select(id_col)
+        .join(scored, id_col, "left")
+        .withColumn(
+            "best_eval_sim", F.coalesce(F.col("best_eval_sim"), F.lit(0.0))
+        )
+        .withColumn(
+            "is_contaminated", F.col("best_eval_sim") >= F.lit(threshold)
+        )
+        .withColumn(
+            "matched_eval_id",
+            F.when(F.col("is_contaminated"), F.col("matched_eval_id")),
+        )
+        .select(id_col, "best_eval_sim", "matched_eval_id", "is_contaminated")
+    )
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector cluster assignment under a trained spherical k-means
+    quantizer: (id, cluster_id, centroid_sim). Map-only — the
+    centroids are plan literals (``_assign_expr``), so this runs as a
+    projection over the scan with no join and no shuffle; the corpus
+    semantic organization step (topic bucketing, cluster-balanced
+    sampling, per-cluster curation) at any scale."""
+    unit = _unit_rows(corpus, id_col, vec_col)
+    best = ", ".join(
+        f"aggregate(zip_with(_nv, {_centroid_lit(c)}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        for c in centroids
+    )
+    return unit.select(
+        F.col("_id").alias(id_col),
+        _assign_expr("_nv", centroids).alias("cluster_id"),
+        F.expr(f"array_max(array({best}))").alias("centroid_sim"),
+    )
+
+
+def cluster_profile(assigned: DataFrame) -> DataFrame:
+    """Per-cluster corpus profile over ``assign_clusters`` output:
+    size, share of corpus, and centroid-similarity spread (mean/min)
+    — the report that drives cluster-balanced mixing and spot-checks
+    quantizer health (a cluster with low mean similarity is too
+    coarse; an empty one wasted a list). One map-side-combined
+    aggregate + one scalar broadcast for the share."""
+    total = assigned.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.avg("centroid_sim").alias("mean_sim"),
+            F.min("centroid_sim").alias("min_sim"),
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "corpus_share",
+            F.col("n_vectors").cast("double") / F.col("_n").cast("double"),
+        )
+        .drop("_n")
+        .orderBy("cluster_id")
+    )
