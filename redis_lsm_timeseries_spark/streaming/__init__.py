@@ -1,6 +1,7 @@
 """Structured Streaming surface: continuous ingest into the hot layout
 and event-time windowed rollups."""
 
+from redis_lsm_timeseries_spark.streaming.curation import curate_stream
 from redis_lsm_timeseries_spark.streaming.dedup import (
     dedup_stream_by_content,
     dedup_stream_by_key,
@@ -12,6 +13,7 @@ from redis_lsm_timeseries_spark.streaming.ingest import (
 )
 
 __all__ = [
+    "curate_stream",
     "dedup_stream_by_content",
     "dedup_stream_by_key",
     "start_hot_ingest",
