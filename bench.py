@@ -78,6 +78,9 @@ def main() -> int:
     calibration = host_calibration(spark, sf_dir)
     log(f"calibration: {calibration}")
 
+    extras = extras_bench(spark, sf_dir)
+    log(f"extras: {extras}")
+
     result = {
         "metric": "catalog_wall_time",
         "value": round(total, 3),
@@ -91,9 +94,73 @@ def main() -> int:
         "point_read_qps": round(read_qps, 2),
         "bulk_ingest_rows_per_s": round(bulk_rps, 1),
         "calibration": calibration,
+        "extras": extras,
     }
     print(json.dumps(result), flush=True)
     return 1 if failures else 0
+
+
+def extras_bench(spark, sf_dir: str) -> dict:
+    """Pipeline operators outside the 50-entry driver catalog
+    (pytest-tier; SURVEY §2.4 round-7 additions), timed through the
+    same noop sink as the catalog queries. Best-effort: a failure
+    records the error string instead of killing the bench."""
+    from pyspark.sql import functions as F
+
+    from redis_lsm_timeseries_spark.operators.dedup import (
+        build_band_index,
+        content_digest,
+        incremental_exact_dedup,
+        incremental_near_dup,
+    )
+    from redis_lsm_timeseries_spark.operators.filtering import corpus_report
+    from redis_lsm_timeseries_spark.operators.lm import lm_quality_scores
+    from redis_lsm_timeseries_spark.operators.packing import (
+        pack_documents,
+        window_manifest,
+    )
+    from redis_lsm_timeseries_spark.operators.sampling import hash_split
+    from redis_lsm_timeseries_spark.operators.similarity import (
+        embedding_decontamination,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = docs.where("doc_id % 2 = 0")
+    batch = docs.where("doc_id % 2 = 1").select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    eval_emb = emb.where("vec_id % 25 = 0").select(
+        (F.col("vec_id") + 500_000).alias("vec_id"), "embedding"
+    )
+    digest_idx = corpus.select(content_digest("text").alias("digest"))
+    band_idx = build_band_index(corpus).localCheckpoint()
+
+    workloads = {
+        "pack_documents": lambda: pack_documents(docs),
+        "window_manifest": lambda: window_manifest(pack_documents(docs), 64),
+        "lm_quality_scores": lambda: lm_quality_scores(docs),
+        "corpus_report": lambda: corpus_report(docs),
+        "hash_split": lambda: hash_split(
+            docs, {"train": 900, "val": 50, "test": 50}, "doc_id"
+        ),
+        "incremental_exact_dedup": lambda: incremental_exact_dedup(
+            batch, digest_idx
+        ),
+        "incremental_near_dup": lambda: incremental_near_dup(batch, band_idx),
+        "embedding_decontamination": lambda: embedding_decontamination(
+            emb, eval_emb, use_lsh=True
+        ),
+    }
+    out: dict[str, object] = {}
+    for name, fn in workloads.items():
+        t0 = time.perf_counter()
+        try:
+            fn().write.format("noop").mode("overwrite").save()
+            out[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            out[name] = f"FAILED {type(exc).__name__}: {exc}"[:200]
+    return out
 
 
 def host_calibration(spark, sf_dir: str) -> dict:

@@ -369,7 +369,18 @@ def incremental_near_dup(
     probe touches only matching buckets). The only shuffled relation
     is the candidate set, bounded by bucket collisions, then one
     per-batch-doc aggregate."""
-    b = with_minhash(batch.select(id_col, text_col), text_col, num_hashes)
+    # Materialize the batch signatures ONCE: the signature column is
+    # consumed twice below (band keys + agreement scoring), and
+    # projection collapse would otherwise re-inline the full
+    # shingle+MinHash computation into both consumers (the
+    # ``with_minhash`` docstring trap — measured ~15x on the bench
+    # extras workload). The batch is small by definition, so the
+    # checkpoint is cheap.
+    b = (
+        with_minhash(batch.select(id_col, text_col), text_col, num_hashes)
+        .select(F.col(id_col), F.col("mhs"))
+        .localCheckpoint(eager=False)
+    )
     b_bands = (
         lsh_bands(b, id_col, num_hashes)
         .join(b.select(F.col(id_col), F.col("mhs").alias("_bmhs")), id_col)
