@@ -184,3 +184,62 @@ def window_manifest(packed: DataFrame, window_tokens: int) -> DataFrame:
         )
         .drop("pack_id", "pack_id_end", "crosses_boundary", "n_windows")
     )
+
+
+def materialize_windows(
+    docs: DataFrame,
+    manifest: DataFrame,
+    window_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assemble the actual training windows from a ``window_manifest``:
+    one row per (source, shard, window_id) carrying the window's token
+    sequence, ready for a shard writer (a real pipeline maps tokens to
+    BPE ids here; this engine stays tokenizer-agnostic and emits the
+    token strings).
+
+    Output: (source, shard, window_id, toks array<string>, n_tokens).
+    Every window holds exactly ``window_tokens`` tokens except each
+    stream's final one.
+
+    Scale shape: the manifest joins the corpus on the document key
+    (both sides hash-partition on id — at 100 TB co-locate by storing
+    both bucketed by id), each row slices ONLY the token range the
+    window needs, and the assembly groupBy shuffles token payloads
+    keyed by window — data-volume-linear, the same bytes a shard
+    writer must move anyway. In-window order is restored by sorting
+    the collected slices on ``win_tok_start`` (array_sort on structs —
+    no ordering assumption on collect_list)."""
+    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    sliced = (
+        manifest.join(
+            docs.select(F.col(id_col), toks.alias("_toks")), id_col
+        )
+        .select(
+            "source",
+            "shard",
+            "window_id",
+            "win_tok_start",
+            F.slice(
+                "_toks",
+                F.col("doc_tok_start").cast("int") + F.lit(1),
+                (F.col("doc_tok_end") - F.col("doc_tok_start")).cast("int"),
+            ).alias("_slice"),
+        )
+    )
+    return (
+        sliced.groupBy("source", "shard", "window_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("win_tok_start", "_slice"))
+            ).alias("_parts")
+        )
+        .select(
+            "source",
+            "shard",
+            "window_id",
+            F.flatten(F.col("_parts._slice")).alias("toks"),
+        )
+        .withColumn("n_tokens", F.size("toks").cast("long"))
+    )
