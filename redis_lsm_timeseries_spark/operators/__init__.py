@@ -9,5 +9,12 @@
                  pipeline's transitive 'keep one copy' final stage
 - ``similarity`` embedding similarity search (brute-force + LSH-bucketed)
 - ``text``       text analysis: language ID, quality score, tokens, fingerprint
+- ``lm``         unigram language-model quality scoring (corpus-fit logprobs)
+- ``packing``    concat-and-chunk sequence packing: layout, manifest,
+                 window materialization
+- ``sampling``   deterministic hash-mod mixing, quota top-up, hash splits
+- ``filtering``  domain blocklists + one-row corpus report card
+- ``pipeline``   one-call batch curation composing the above with
+                 auditable per-document drop reasons
 - ``multimodal`` opaque-binary column plumbing (decode stubs, real Spark shape)
 """
