@@ -123,3 +123,100 @@ def resample_gapfill(
         ).otherwise(prev_v)  # trailing gap: degrade to LOCF
     )
     return joined.select("tag", "grid_ts", lerp.alias("value"), "observed")
+
+
+def m4_downsample(
+    samples: DataFrame,
+    bucket: int,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per (series, time
+    bucket) keep min, max, first and last — the four samples that make
+    a line rendering of the bucket pixel-identical to the full series.
+    The standard visualization/preview reduction for time-series
+    engines (LTTB's sequential anchor dependency doesn't distribute;
+    M4 is the parallel-friendly choice and errs on keeping MORE
+    extremes).
+
+    Output: (tag, bucket_ts, first_v, last_v, min_v, max_v, n) —
+    consumers explode back to <=4 points per bucket as needed. Ties
+    inside a bucket break deterministically: first/last by (ts, value)
+    order, so the oracle reproduces them.
+
+    One partial-aggregated groupBy on (tag, bucket) — map-side
+    combine, no window, no sort; the cheapest possible shape."""
+    if bucket <= 0:
+        raise ValueError("bucket must be positive")
+    b = (
+        F.floor(F.col(ts_col) / F.lit(bucket)) * F.lit(bucket)
+    ).cast("long")
+    v = F.col(value_col).cast("double")
+    ts = F.col(ts_col).cast("long")
+    return (
+        samples.select(
+            F.col(tag_col).alias("tag"),
+            b.alias("bucket_ts"),
+            ts.alias("_ts"),
+            v.alias("_v"),
+        )
+        .groupBy("tag", "bucket_ts")
+        .agg(
+            F.min_by("_v", F.struct("_ts", "_v")).alias("first_v"),
+            F.max_by("_v", F.struct("_ts", "_v")).alias("last_v"),
+            F.min("_v").alias("min_v"),
+            F.max("_v").alias("max_v"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+def counter_rate(
+    samples: DataFrame,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-second rate of a monotonically-increasing counter with
+    reset detection (the Prometheus ``rate()`` contract): a value
+    DROP between consecutive samples means the counter restarted, so
+    the increase since the reset is the new value itself, not the
+    (negative) difference.
+
+    Output, one row per sample after each series' first:
+    (tag, ts, increase, rate_per_unit, reset) where ``rate_per_unit``
+    = increase / (ts - prev_ts) in the ts column's own unit.
+
+    One lag window partitioned by series — the same shuffle class as
+    every other per-series pass; no cross-series data motion."""
+    w = Window.partitionBy(tag_col).orderBy(ts_col)
+    prev_v = F.lag(F.col(value_col).cast("double")).over(w)
+    prev_ts = F.lag(F.col(ts_col).cast("long")).over(w)
+    v = F.col(value_col).cast("double")
+    return (
+        samples.select(
+            F.col(tag_col).alias("tag"),
+            F.col(ts_col).cast("long").alias("ts"),
+            v.alias("_v"),
+            prev_v.alias("_pv"),
+            prev_ts.alias("_pts"),
+        )
+        .where(F.col("_pv").isNotNull())
+        .withColumn("reset", F.col("_v") < F.col("_pv"))
+        .withColumn(
+            "increase",
+            F.when(F.col("reset"), F.col("_v")).otherwise(
+                F.col("_v") - F.col("_pv")
+            ),
+        )
+        .withColumn(
+            "rate_per_unit",
+            F.when(
+                F.col("ts") > F.col("_pts"),
+                F.col("increase")
+                / (F.col("ts") - F.col("_pts")).cast("double"),
+            ),
+        )
+        .select("tag", "ts", "increase", "rate_per_unit", "reset")
+    )

@@ -148,3 +148,95 @@ class TestDifferential:
             else:
                 assert math.isclose(g.value, w[2], rel_tol=1e-12)
         con.close()
+
+
+class TestM4AndRate:
+    @pytest.fixture(scope="class")
+    def counter(self, spark):
+        # monotone counter with one reset at ts 40
+        return spark.createDataFrame(
+            [
+                ("c", 0, 100.0),
+                ("c", 10, 150.0),
+                ("c", 25, 150.0),
+                ("c", 40, 20.0),   # reset
+                ("c", 50, 70.0),
+            ],
+            "tag string, ts long, value double",
+        )
+
+    def test_counter_rate_semantics(self, spark, counter):
+        from redis_lsm_timeseries_spark.operators.resample import (
+            counter_rate,
+        )
+
+        out = {r.ts: r for r in counter_rate(counter).collect()}
+        assert set(out) == {10, 25, 40, 50}  # first sample emits none
+        assert out[10].increase == 50.0 and out[10].rate_per_unit == 5.0
+        assert out[25].increase == 0.0 and not out[25].reset
+        assert out[40].reset and out[40].increase == 20.0
+        assert out[50].increase == 50.0 and out[50].rate_per_unit == 5.0
+
+    def test_m4_matches_duckdb(self, spark):
+        from redis_lsm_timeseries_spark.operators.resample import (
+            m4_downsample,
+        )
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS "
+            f"SELECT * FROM '{SF_DIR}/events.parquet'"
+        )
+        step = 3_600_000
+        want = con.execute(f"""
+            WITH s AS (
+                SELECT event_type AS tag,
+                       (epoch_us(ts) // 1000 // {step}) * {step}
+                           AS bucket_ts,
+                       epoch_us(ts) // 1000 AS ts, value
+                FROM events
+            )
+            SELECT tag, bucket_ts,
+                   first(value ORDER BY ts, value) AS first_v,
+                   last(value ORDER BY ts, value) AS last_v,
+                   min(value) AS min_v, max(value) AS max_v,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM s GROUP BY tag, bucket_ts ORDER BY tag, bucket_ts
+        """).fetchall()
+        events = load_events(spark, SF_DIR).select(
+            F.col("event_type").alias("tag"),
+            F.col("ts_ms").alias("ts"),
+            "value",
+        )
+        got = (
+            m4_downsample(events, step)
+            .orderBy("tag", "bucket_ts")
+            .collect()
+        )
+        assert len(got) == len(want) > 0
+        for g, w in zip(got, want):
+            assert (g.tag, g.bucket_ts, g.n) == (w[0], w[1], w[6])
+            for a, b in zip(
+                (g.first_v, g.last_v, g.min_v, g.max_v), w[2:6]
+            ):
+                assert math.isclose(a, b, rel_tol=1e-12)
+        con.close()
+
+    def test_m4_envelope_bounds_series(self, spark):
+        from redis_lsm_timeseries_spark.operators.resample import (
+            m4_downsample,
+        )
+
+        events = load_events(spark, SF_DIR).select(
+            F.col("event_type").alias("tag"),
+            F.col("ts_ms").alias("ts"),
+            "value",
+        )
+        m4 = m4_downsample(events, 3_600_000)
+        assert m4.where(
+            (F.col("min_v") > F.col("max_v"))
+            | (F.col("first_v") < F.col("min_v"))
+            | (F.col("first_v") > F.col("max_v"))
+            | (F.col("last_v") < F.col("min_v"))
+            | (F.col("last_v") > F.col("max_v"))
+        ).count() == 0
