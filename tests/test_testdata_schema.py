@@ -85,6 +85,26 @@ def test_all_tables_present_with_expected_columns(sf_dir):
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_embedding_dim_is_pinned(sf_dir):
+    """The hyperplane LSH entries embed dim-64 plane literals in the
+    plan (similarity.plane_components; the `array_repeat(nrm, 64)`
+    normalization in llm_queries) — a driver-side regeneration with a
+    different dimension must fail HERE with the table named, not as a
+    subtle band mismatch across three embeddings catalog entries."""
+    con = duckdb.connect()
+    dims = con.execute(
+        f"SELECT DISTINCT len(embedding) FROM "
+        f"'{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    con.close()
+    assert dims == [(64,)], (
+        f"embeddings in {sf_dir} shipped dims {dims}; the LSH plane "
+        f"literals and norm expressions assume 64 — update "
+        f"similarity.NUM/dim call sites together"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_events_ts_physical_type_is_handled(sf_dir):
     """The loader supports exactly: int64 (raw nanos), timestamp[ns]
     (read as int64 via nanosAsLong), timestamp[us/ms/s] (read as
