@@ -117,8 +117,9 @@ def hash_split(
     split its hash bucket falls in. ``fractions`` maps split name ->
     width out of ``denom``, consumed in sorted-name order (so the
     bucket->split mapping is a pure function of the dict, not of call
-    order); widths must sum to <= denom, any remainder is labeled
-    'train' only if present in ``fractions``, else NULL-free rows drop.
+    order); widths must sum to <= denom. Rows whose bucket falls past
+    the last width (widths summing below ``denom``) belong to no
+    split and are dropped — a deliberate holdout mechanism.
 
     The split is STABLE under corpus growth: a document's split
     depends only on its own key, never on the rest of the corpus — the
