@@ -75,10 +75,18 @@ def main() -> int:
         f"{bulk_rps:.0f} rows/s (bulk), point reads: {read_qps:.1f} q/s"
     )
 
-    calibration = host_calibration(spark, sf_dir)
+    # Auxiliary sections must never cost us the headline JSON line —
+    # the catalog numbers above are already measured at this point.
+    try:
+        calibration = host_calibration(spark, sf_dir)
+    except Exception as exc:
+        calibration = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     log(f"calibration: {calibration}")
 
-    extras = extras_bench(spark, sf_dir)
+    try:
+        extras = extras_bench(spark, sf_dir)
+    except Exception as exc:
+        extras = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     log(f"extras: {extras}")
 
     result = {

@@ -44,6 +44,19 @@ def tokens(col: Column | str) -> Column:
 TOKENS_SQL = "string_split_regex(lower({e}), '\\s+')"
 
 
+def nonempty_tokens(col: Column | str) -> Column:
+    """``tokens`` minus the phantom empties: Spark's split('', '\\s+')
+    yields [''] and edge whitespace adds '' entries, so every consumer
+    that COUNTS or ENUMERATES tokens must filter them (chunking,
+    packing, LM scoring, repetition stats all share this stream)."""
+    return F.filter(tokens(col), lambda t: t != F.lit(""))
+
+
+NONEMPTY_TOKENS_SQL = (
+    "list_filter(" + TOKENS_SQL + ", t -> t != '')"
+)
+
+
 # ------------------------------------------------------- hashed shingles
 # The dedup pipeline never needs shingle STRINGS — only their hashes.
 # Hashing each token once (one md5 per token) and combining k

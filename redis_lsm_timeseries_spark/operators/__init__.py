@@ -16,5 +16,7 @@
 - ``filtering``  domain blocklists + one-row corpus report card
 - ``pipeline``   one-call batch curation composing the above with
                  auditable per-document drop reasons
+- ``resample``   regular-grid gap filling (LOCF / linear), M4
+                 downsampling, counter rate with reset detection
 - ``multimodal`` opaque-binary column plumbing (decode stubs, real Spark shape)
 """

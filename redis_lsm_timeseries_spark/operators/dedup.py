@@ -73,7 +73,11 @@ def _mix_sql(j: int, h: str, intdiv: str = "div") -> str:
     universal hash (a*hi + b*lo + c) mod 2^30 — identical arithmetic in
     Spark and DuckDB, no overflow (operands < 2^30, sum < 2^61).
     ``intdiv`` is Spark's ``div`` / DuckDB's ``//``."""
-    a, b, c = _mix_constants()[j]
+    # constants are derived per-position from md5(label), so asking
+    # for j+1 of them yields the same values for 0..j regardless of
+    # the signature width — callers with num_hashes > NUM_HASHES get
+    # consistent constants instead of an IndexError.
+    a, b, c = _mix_constants(j + 1)[j]
     return (
         f"(({a} * ({h} {intdiv} {MIX_MOD}) + {b} * ({h} % {MIX_MOD}) + {c})"
         f" % {MIX_MOD})"
@@ -224,7 +228,13 @@ def ngram_overlap_contamination(
         F.coalesce(F.array_distinct(F.col(sh_col)), F.expr(empty)).alias(
             "_dsh"
         ),
-    )
+    # base feeds TWO branches (the hit-count explode and the
+    # n_shingles join-back); without materialization projection
+    # collapse re-inlines the caller's shingle-hash expression into
+    # both — the md5 pass over the corpus would run twice. At scale
+    # this materialization is the persisted shingle table the MinHash
+    # pipeline already maintains (see with_minhash's NOTE).
+    ).localCheckpoint(eager=False)
     grams = eval_grams.select(
         F.col(eval_grams.columns[0]).alias("g")
     ).distinct()
@@ -393,7 +403,24 @@ def incremental_near_dup(
         ),
         ["band_idx", "band_key"],
     )
-    agree = (
+    # Guard the signature width: probing an index built with a
+    # different num_hashes would null-pad zip_with and silently HALVE
+    # the agreement estimate (near-dups admitted as novel) — fail
+    # loudly instead.
+    agree = F.when(
+        F.size("mhs") != F.lit(num_hashes),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"incremental_near_dup: corpus_bands signatures have "
+                    f"size "
+                ),
+                F.size("mhs").cast("string"),
+                F.lit(f" but num_hashes={num_hashes} — rebuild the band "
+                      f"index with the same num_hashes"),
+            )
+        ).cast("double"),
+    ).otherwise(
         F.size(
             F.filter(
                 F.zip_with("mhs", "_bmhs", lambda x, y: x == y),

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from redis_lsm_timeseries_spark.functions.portable import nonempty_tokens
+from redis_lsm_timeseries_spark.operators.dedup import content_digest
 from redis_lsm_timeseries_spark.operators.text import with_urls
 
 
@@ -69,13 +71,8 @@ def corpus_report(
     counts are the expensive part — swap ``countDistinct`` for
     ``approx_count_distinct`` when the corpus outgrows exactness;
     both are partial-aggregated map-side)."""
-    n_tok = F.size(
-        F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"),
-            lambda t: t != F.lit(""),
-        )
-    ).cast("long")
-    digest = F.md5(F.col(text_col))
+    n_tok = F.size(nonempty_tokens(text_col)).cast("long")
+    digest = content_digest(text_col)
     return df.select(
         F.col(text_col),
         F.col(lang_col),

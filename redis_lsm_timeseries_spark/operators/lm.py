@@ -29,16 +29,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from redis_lsm_timeseries_spark.functions.portable import tokens
+from redis_lsm_timeseries_spark.functions.portable import nonempty_tokens
 
 
 def _doc_tokens(df: DataFrame, text_col: str) -> DataFrame:
     """Non-empty lowercase whitespace tokens, one row per token."""
     return df.select(
-        "*",
-        F.explode(
-            F.filter(tokens(text_col), lambda t: t != F.lit(""))
-        ).alias("_tok"),
+        "*", F.explode(nonempty_tokens(text_col)).alias("_tok")
     )
 
 
@@ -79,6 +76,12 @@ def with_lm_score(
     toks = _doc_tokens(
         corpus.select(F.col(id_col), F.col(text_col)), text_col
     ).select(id_col, F.col("_tok").alias("token"))
+    # The model plan is consumed TWICE below (broadcast join + the
+    # 1-row total aggregate); without materialization each consumer
+    # re-runs the full corpus tokenize/count of unigram_model — the
+    # same projection-collapse trap incremental_near_dup checkpoints
+    # against. The model is vocabulary-bounded, so this is cheap.
+    model = model.localCheckpoint(eager=False)
     # _total is constant across the model; ride it in as a 1-row
     # broadcast so OOV rows (left-join misses) can compute the floor
     # without a global window over the exploded token table.

@@ -33,7 +33,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from redis_lsm_timeseries_spark.functions.portable import hash64, tokens
+from redis_lsm_timeseries_spark.functions.portable import (
+    hash64,
+    nonempty_tokens,
+)
 
 DEFAULT_WINDOW_TOKENS = 64
 DEFAULT_NUM_SHARDS = 8
@@ -68,11 +71,7 @@ def pack_documents(
     if num_shards <= 0:
         raise ValueError("num_shards must be positive")
 
-    # Token count must agree with the oracle on empty text: Spark's
-    # split('', '\s+') yields [''] (size 1), so count non-empty tokens.
-    n_tok = F.size(
-        F.filter(tokens(text_col), lambda t: t != F.lit(""))
-    ).cast("long")
+    n_tok = F.size(nonempty_tokens(text_col)).cast("long")
 
     shard = F.pmod(
         hash64(F.col(id_col).cast("string")), F.lit(num_shards)
@@ -110,30 +109,77 @@ def pack_documents(
             "n_windows",
             (F.col("pack_id_end") - F.col("pack_id") + 1).cast("long"),
         )
+        # carried so downstream consumers (manifest, utilization,
+        # materialization) can VERIFY they were called with the same
+        # window size the layout was computed under — a mismatch
+        # would silently corrupt every slice boundary.
+        .withColumn("pack_window_tokens", wt.cast("long"))
+    )
+
+
+def _checked_wt(df: DataFrame, window_tokens: int | None, caller: str):
+    """The window size as a Column, cross-checked against the
+    ``pack_window_tokens`` the layout carries. Passing a mismatching
+    explicit value raises AT EXECUTION with the caller named instead
+    of producing overlapping/skipped slices."""
+    carried = "pack_window_tokens" in df.columns
+    if window_tokens is None:
+        if not carried:
+            raise ValueError(
+                f"{caller}: no window_tokens given and the input "
+                f"carries no pack_window_tokens column"
+            )
+        return F.col("pack_window_tokens")
+    wt = F.lit(int(window_tokens))
+    if not carried:
+        return wt
+    return F.when(F.col("pack_window_tokens") == wt, wt).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{caller}: window_tokens={int(window_tokens)} does "
+                    f"not match the layout's pack_window_tokens="
+                ),
+                F.col("pack_window_tokens").cast("string"),
+            )
+        ).cast("long")
     )
 
 
 def pack_utilization(packed: DataFrame) -> DataFrame:
     """Per-(source, shard) packing summary: total tokens, windows
-    consumed (ceil of the stream length), and mean fill of the
-    consumed windows — the number a pipeline watches to size
-    ``window_tokens``. Derivable entirely from ``pack_documents``
-    output; one map-side-combined aggregate."""
+    consumed, boundary-crossing docs, and ``fill_frac`` — the mean
+    fill of the consumed windows, the number a pipeline watches to
+    size ``window_tokens``. One map-side-combined aggregate.
+
+    ``n_windows_used`` = ceil(stream tokens / window) — computed from
+    the token total, NOT from max(pack_id_end): a trailing zero-token
+    document whose nominal start sits exactly on a window boundary
+    reports a pack_id_end one past the last window any token
+    occupies."""
+    wt = F.max("pack_window_tokens")
+    total = F.sum("n_tokens").cast("long")
+    used = F.ceil(total / wt).cast("long")
     return (
         packed.groupBy("source", "shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
-            (F.max("pack_id_end") + 1).cast("long").alias("n_windows_used"),
+            total.alias("total_tokens"),
+            used.alias("n_windows_used"),
             F.sum(F.col("crosses_boundary").cast("long"))
             .cast("long")
             .alias("n_boundary_docs"),
+            F.when(used > 0, total.cast("double") / (used * wt))
+            .otherwise(F.lit(0.0))
+            .alias("fill_frac"),
         )
         .orderBy("source", "shard")
     )
 
 
-def window_manifest(packed: DataFrame, window_tokens: int) -> DataFrame:
+def window_manifest(
+    packed: DataFrame, window_tokens: int | None = None
+) -> DataFrame:
     """Materialize the packing plan into per-window assembly specs —
     the manifest a training-shard writer consumes: for every (source,
     shard, window) the ordered document slices that fill it.
@@ -154,8 +200,12 @@ def window_manifest(packed: DataFrame, window_tokens: int) -> DataFrame:
     — linear in corpus size, and the explode is map-side (the spans
     come straight off ``pack_id``/``pack_id_end``, no join). Sorting
     within a window is the shard writer's job; the manifest carries
-    the (window_id, win_tok_start) sort key it needs."""
-    wt = F.lit(int(window_tokens))
+    the (window_id, win_tok_start) sort key it needs.
+
+    ``window_tokens`` defaults to the size the layout itself carries
+    (``pack_window_tokens``); passing a different value raises at
+    execution instead of silently corrupting slice boundaries."""
+    wt = _checked_wt(packed, window_tokens, "window_manifest")
     spans = packed.where(F.col("n_tokens") > 0).select(
         "*",
         F.explode(
@@ -189,7 +239,7 @@ def window_manifest(packed: DataFrame, window_tokens: int) -> DataFrame:
 def materialize_windows(
     docs: DataFrame,
     manifest: DataFrame,
-    window_tokens: int,
+    window_tokens: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -210,8 +260,25 @@ def materialize_windows(
     keyed by window — data-volume-linear, the same bytes a shard
     writer must move anyway. In-window order is restored by sorting
     the collected slices on ``win_tok_start`` (array_sort on structs —
-    no ordering assumption on collect_list)."""
-    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    no ordering assumption on collect_list).
+
+    ``window_tokens`` is a pure cross-check (slice boundaries come
+    from the manifest): passing a value mismatching the manifest's
+    ``pack_window_tokens`` raises at execution."""
+    if window_tokens is not None and "pack_window_tokens" in manifest.columns:
+        # assert_true yields NULL on success, raises on the first
+        # mismatching row; as a filter predicate it cannot be pruned.
+        manifest = manifest.where(
+            F.assert_true(
+                F.col("pack_window_tokens") == F.lit(int(window_tokens)),
+                F.lit(
+                    f"materialize_windows: window_tokens="
+                    f"{int(window_tokens)} mismatches the manifest's "
+                    f"pack_window_tokens"
+                ),
+            ).isNull()
+        )
+    toks = nonempty_tokens(text_col)
     sliced = (
         manifest.join(
             docs.select(F.col(id_col), toks.alias("_toks")), id_col

@@ -186,7 +186,12 @@ def counter_rate(
 
     Output, one row per sample after each series' first:
     (tag, ts, increase, rate_per_unit, reset) where ``rate_per_unit``
-    = increase / (ts - prev_ts) in the ts column's own unit.
+    = increase / (ts - prev_ts) in the ts column's own unit. A NULL
+    value (the store's tombstone convention) yields NULL
+    increase/rate for its own row AND the next one — the interval
+    around a tombstone is unknowable, but the rows still appear (the
+    filter is on row POSITION, not on the previous value, so a
+    tombstone cannot silently swallow its successor's interval).
 
     One lag window partitioned by series — the same shuffle class as
     every other per-series pass; no cross-series data motion."""
@@ -201,8 +206,9 @@ def counter_rate(
             v.alias("_v"),
             prev_v.alias("_pv"),
             prev_ts.alias("_pts"),
+            F.row_number().over(w).alias("_rn"),
         )
-        .where(F.col("_pv").isNotNull())
+        .where(F.col("_rn") > 1)
         .withColumn("reset", F.col("_v") < F.col("_pv"))
         .withColumn(
             "increase",

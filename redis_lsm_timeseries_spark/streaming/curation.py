@@ -24,6 +24,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from redis_lsm_timeseries_spark.operators.pipeline import (
+    DEFAULT_MIN_QUALITY,
+    DEFAULT_MIN_TOKENS,
+)
 from redis_lsm_timeseries_spark.operators.text import (
     scrub_pii,
     with_quality_score,
@@ -32,9 +36,6 @@ from redis_lsm_timeseries_spark.operators.text import (
 from redis_lsm_timeseries_spark.streaming.dedup import (
     dedup_stream_by_content,
 )
-
-DEFAULT_MIN_QUALITY = 0.5
-DEFAULT_MIN_TOKENS = 5
 
 
 def curate_stream(

@@ -114,12 +114,15 @@ class TestPackingDifferential:
         util = pack_utilization(packed).collect()
         assert len(util) > 0
         for r in util:
-            # windows used = ceil(stream length / W) when the stream is
-            # gapless and non-empty.
-            assert r.n_windows_used == max(
-                1, -(-r.total_tokens // self.W)
-            ) or r.total_tokens == 0
+            # windows used = ceil(stream length / W); 0 for all-empty
+            assert r.n_windows_used == -(-r.total_tokens // self.W)
             assert 0 <= r.n_boundary_docs <= r.n_docs
+            if r.total_tokens > 0:
+                assert 0.0 < r.fill_frac <= 1.0
+                assert abs(
+                    r.fill_frac
+                    - r.total_tokens / (r.n_windows_used * self.W)
+                ) < 1e-12
 
     def test_boundary_flags_on_tiny_window(self, spark, docs):
         """window_tokens=1: every doc with >= 2 tokens crosses."""
@@ -258,3 +261,47 @@ class TestPlanShape:
         ):
             plan = df._jdf.queryExecution().executedPlan().toString()
             assert "BatchEvalPython" not in plan
+
+
+class TestWindowSizeGuards:
+    def test_manifest_mismatch_raises(self, spark, docs):
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+        from redis_lsm_timeseries_spark.operators.packing import (
+            window_manifest,
+        )
+
+        packed = pack_documents(docs, window_tokens=128)
+        # collect(), not count(): column pruning would remove the
+        # guarded slice expressions from a count-only plan
+        with pytest.raises((SparkRuntimeException, Py4JJavaError, Exception)):
+            window_manifest(packed, 64).collect()
+
+    def test_manifest_defaults_to_carried_size(self, spark, docs):
+        from redis_lsm_timeseries_spark.operators.packing import (
+            window_manifest,
+        )
+
+        packed = pack_documents(docs, window_tokens=32)
+        explicit = window_manifest(packed, 32).orderBy(
+            "doc_id", "window_id"
+        ).collect()
+        implicit = window_manifest(packed).orderBy(
+            "doc_id", "window_id"
+        ).collect()
+        assert [tuple(r) for r in explicit] == [tuple(r) for r in implicit]
+
+    def test_near_dup_signature_width_guard(self, spark, docs):
+        from redis_lsm_timeseries_spark.operators.dedup import (
+            build_band_index,
+            incremental_near_dup,
+        )
+
+        corpus = docs.limit(20)
+        index = build_band_index(corpus, num_hashes=12)
+        probe = corpus.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        with pytest.raises(Exception, match="num_hashes"):
+            incremental_near_dup(probe, index, num_hashes=24).collect()
