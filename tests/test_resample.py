@@ -240,3 +240,85 @@ class TestM4AndRate:
             | (F.col("last_v") < F.col("min_v"))
             | (F.col("last_v") > F.col("max_v"))
         ).count() == 0
+
+
+class TestGapfillProperties:
+    """Hypothesis fuzz: for ANY (tag, ts, value) sample set, both fill
+    modes reproduce a driver-side reference implementation."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _sample = st.tuples(
+        st.sampled_from("xy"),
+        st.integers(0, 200),
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(_sample, min_size=1, max_size=30),
+        step=st.integers(1, 50),
+        how=st.sampled_from(["locf", "linear"]),
+    )
+    def test_matches_reference_implementation(self, spark, rows, step, how):
+        import math as m
+
+        df = spark.createDataFrame(
+            rows, "tag string, ts long, value double"
+        )
+        got = {
+            (r.tag, r.grid_ts): r
+            for r in resample_gapfill(df, step, how=how).collect()
+        }
+
+        # driver-side reference: bucket (latest ts wins, ties by max
+        # value), build grid, fill
+        buckets: dict = {}
+        for tag, ts, v in rows:
+            b = (ts // step) * step
+            key = (tag, b)
+            cur = buckets.get(key)
+            cand = (ts, -1e18 if v is None else v, v)
+            if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+                buckets[key] = cand
+        want: dict = {}
+        for tag in {r[0] for r in rows}:
+            bs = sorted(b for (t, b) in buckets if t == tag)
+            if not bs:
+                continue
+            grid = list(range(bs[0], bs[-1] + 1, step))
+            obs = {b: buckets[(tag, b)][2] for b in bs}
+            for g in grid:
+                if how == "locf":
+                    prevs = [b for b in bs if b <= g and obs[b] is not None]
+                    want[(tag, g)] = obs[prevs[-1]] if prevs else None
+                else:
+                    if g in obs and obs[g] is not None:
+                        want[(tag, g)] = obs[g]
+                        continue
+                    prevs = [b for b in bs if b <= g and obs[b] is not None]
+                    nexts = [b for b in bs if b > g and obs[b] is not None]
+                    if prevs and nexts:
+                        p, n = prevs[-1], nexts[0]
+                        want[(tag, g)] = obs[p] + (obs[n] - obs[p]) * (
+                            (g - p) / (n - p)
+                        )
+                    elif prevs:
+                        want[(tag, g)] = obs[prevs[-1]]
+                    else:
+                        want[(tag, g)] = None
+
+        assert set(got) == set(want)
+        for k, wv in want.items():
+            gv = got[k].value
+            if wv is None:
+                assert gv is None, (k, gv)
+            else:
+                assert gv is not None and m.isclose(
+                    gv, wv, rel_tol=1e-9, abs_tol=1e-12
+                ), (k, gv, wv)
