@@ -127,3 +127,127 @@ def lm_quality_scores(
     """Self-scoring convenience: fit on the corpus, score the corpus.
     (No OOV possible by construction — every token is in the model.)"""
     return with_lm_score(df, unigram_model(df, text_col), text_col, id_col)
+
+
+def _doc_bigrams(df: DataFrame, text_col: str) -> DataFrame:
+    """Consecutive token pairs, one row per bigram. Pairs are built
+    per row with a bound-lambda transform (no self-join, no shuffle);
+    docs with < 2 tokens contribute nothing."""
+    pairs = F.expr(
+        "CASE WHEN size(_bg_toks) < 2 "
+        "THEN CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) "
+        "ELSE transform(sequence(0, size(_bg_toks) - 2), "
+        "i -> struct(_bg_toks[i] AS w1, _bg_toks[i + 1] AS w2)) END"
+    )
+    return (
+        df.withColumn("_bg_toks", nonempty_tokens(text_col))
+        .withColumn("_bg", F.explode(pairs))
+        .select("*", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+        .drop("_bg", "_bg_toks")
+    )
+
+
+def bigram_model(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fit the bigram table: (w1, w2, n, n_context, logprob) with the
+    MLE ``logprob = ln(n / n_context)`` where ``n_context`` counts w1
+    as a bigram CONTEXT (= sum of n over its continuations).
+
+    Two hash aggregates (bigram counts, then context totals) + one
+    join keyed by w1 — all vocabulary-bounded after the first
+    map-side-combined pass over the corpus."""
+    counts = (
+        _doc_bigrams(df.select(F.col(text_col)), text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # feeds the context agg AND the join
+    )
+    contexts = counts.groupBy("w1").agg(
+        F.sum("n").cast("long").alias("n_context")
+    )
+    return (
+        counts.join(contexts, "w1")
+        .withColumn(
+            "logprob",
+            F.log(F.col("n").cast("double") / F.col("n_context")),
+        )
+        .select("w1", "w2", "n", "n_context", "logprob")
+    )
+
+
+BACKOFF_ALPHA = 0.4  # "stupid backoff" (Brants et al. 2007) weight
+
+
+def with_bigram_score(
+    corpus: DataFrame,
+    bi_model: DataFrame,
+    uni_model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score each document by mean bigram log-probability with stupid
+    backoff: an unseen bigram falls back to
+    ``ln(BACKOFF_ALPHA * P_unigram(w2))`` (the distributed
+    approximation of the KenLM-style n-gram filters CCNet uses — no
+    normalization pass, deterministic, join-only).
+
+    Output: (id, n_bigrams, n_backoff, bigram_score); documents with
+    < 2 tokens score 0.0 with n_bigrams = 0. Both models BROADCAST
+    (vocabulary-bounded)."""
+    bi = bi_model.select("w1", "w2", F.col("logprob").alias("_bi_lp"))
+    uni = uni_model.select(
+        F.col("token").alias("w2"), F.col("logprob").alias("_uni_lp")
+    ).localCheckpoint(eager=False)
+    uni_total = uni_model.agg(
+        F.max("_total").alias("_floor_total")
+    )
+    grams = _doc_bigrams(
+        corpus.select(F.col(id_col), F.col(text_col)), text_col
+    ).select(id_col, "w1", "w2")
+    backoff_uni = F.log(
+        F.lit(float(BACKOFF_ALPHA))
+    ) + F.coalesce(
+        F.col("_uni_lp"), F.log(F.lit(1.0) / F.col("_floor_total"))
+    )
+    scored = (
+        grams.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), "w2", "left")
+        .crossJoin(F.broadcast(uni_total))
+        .withColumn("_lp", F.coalesce(F.col("_bi_lp"), backoff_uni))
+        .withColumn("_is_backoff", F.col("_bi_lp").isNull())
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.col("_is_backoff").cast("long"))
+            .cast("long")
+            .alias("n_backoff"),
+            F.sum("_lp").alias("_sum_lp"),
+        )
+        .join(corpus.select(id_col), id_col, "right")
+        .withColumn(
+            "n_bigrams", F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "n_backoff", F.coalesce(F.col("n_backoff"), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "bigram_score",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.col("_sum_lp") / F.col("n_bigrams").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(id_col, "n_bigrams", "n_backoff", "bigram_score")
+    )
+
+
+def bigram_quality_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Self-scoring convenience: fit bigram + unigram models on the
+    corpus, score the corpus. In-corpus bigrams never back off."""
+    return with_bigram_score(
+        df, bigram_model(df, text_col), unigram_model(df, text_col),
+        text_col, id_col,
+    )

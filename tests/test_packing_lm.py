@@ -305,3 +305,107 @@ class TestWindowSizeGuards:
         )
         with pytest.raises(Exception, match="num_hashes"):
             incremental_near_dup(probe, index, num_hashes=24).collect()
+
+
+class TestBigramLM:
+    def test_self_scores_match_duckdb(self, spark, duck, docs):
+        from redis_lsm_timeseries_spark.operators.lm import (
+            bigram_quality_scores,
+        )
+
+        want = {
+            r[0]: (r[1], r[2])
+            for r in duck.execute(f"""
+                WITH toks AS (
+                    SELECT doc_id, {TOKS.format(e='text')} AS t
+                    FROM documents
+                ), bg AS (
+                    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                    FROM toks, unnest(range(1, len(t))) AS u(i)
+                    WHERE len(t) >= 2
+                ), model AS (
+                    SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2
+                ), ctx AS (
+                    SELECT w1, sum(n) AS nc FROM model GROUP BY w1
+                ), scored AS (
+                    SELECT bg.doc_id, count(*) AS n_bigrams,
+                           sum(ln(m.n / c.nc)) AS slp
+                    FROM bg JOIN model m USING (w1, w2)
+                            JOIN ctx c USING (w1)
+                    GROUP BY bg.doc_id
+                )
+                SELECT d.doc_id,
+                       CAST(coalesce(s.n_bigrams, 0) AS BIGINT),
+                       CASE WHEN coalesce(s.n_bigrams, 0) > 0
+                            THEN s.slp / s.n_bigrams ELSE 0.0 END
+                FROM documents d LEFT JOIN scored s USING (doc_id)
+            """).fetchall()
+        }
+        got = bigram_quality_scores(docs).collect()
+        assert len(got) == len(want) > 0
+        for r in got:
+            nb, score = want[r.doc_id]
+            assert r.n_bigrams == nb
+            assert r.n_backoff == 0  # self-scoring never backs off
+            assert math.isclose(
+                r.bigram_score, score, rel_tol=1e-9, abs_tol=1e-12
+            )
+
+    def test_backoff_on_unseen_bigrams(self, spark):
+        from redis_lsm_timeseries_spark.operators.lm import (
+            BACKOFF_ALPHA,
+            bigram_model,
+            unigram_model,
+            with_bigram_score,
+        )
+
+        fit = spark.createDataFrame(
+            [(1, "a b a b c")], "doc_id long, text string"
+        )
+        bi, uni = bigram_model(fit), unigram_model(fit)
+        probe = spark.createDataFrame(
+            # "c a": unseen bigram, both words known -> backoff to
+            # alpha * P_uni(a) = 0.4 * 2/5
+            [(10, "c a"), (11, "a b"), (12, "q")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r for r in with_bigram_score(probe, bi, uni).collect()
+        }
+        assert rows[10].n_backoff == 1
+        assert math.isclose(
+            rows[10].bigram_score,
+            math.log(BACKOFF_ALPHA) + math.log(2 / 5),
+            rel_tol=1e-12,
+        )
+        # "a b": 'a' occurs twice as a context, both continuing to
+        # 'b' -> P(b|a) = 2/2 = 1, score ln(1) = 0
+        assert rows[11].n_backoff == 0
+        assert rows[11].bigram_score == 0.0
+        assert rows[12].n_bigrams == 0 and rows[12].bigram_score == 0.0
+
+    def test_backoff_penalizes_vs_unigram(self, spark):
+        """A document whose every bigram is unseen scores strictly
+        below its own unigram score — the ln(alpha) penalty is what
+        makes the bigram signal separate scrambled text from fluent
+        text even when the unigram distributions agree."""
+        from redis_lsm_timeseries_spark.operators.lm import (
+            bigram_model,
+            unigram_model,
+            with_bigram_score,
+            with_lm_score,
+        )
+
+        fit = spark.createDataFrame(
+            [(1, "a b c d e a b c d e")], "doc_id long, text string"
+        )
+        bi, uni = bigram_model(fit), unigram_model(fit)
+        # reversed order: every bigram unseen, every unigram known
+        probe = spark.createDataFrame(
+            [(10, "e d c b a")], "doc_id long, text string"
+        )
+        bg = with_bigram_score(probe, bi, uni).first()
+        ug = with_lm_score(probe, uni).first()
+        assert bg.n_backoff == bg.n_bigrams == 4
+        assert ug.n_oov == 0
+        assert bg.bigram_score < ug.lm_score
