@@ -127,13 +127,27 @@ def extras_bench(spark, sf_dir: str) -> dict:
         pack_documents,
         window_manifest,
     )
+    from redis_lsm_timeseries_spark.operators.lm import (
+        bigram_quality_scores,
+    )
+    from redis_lsm_timeseries_spark.operators.pipeline import curate_corpus
+    from redis_lsm_timeseries_spark.operators.resample import (
+        m4_downsample,
+        resample_gapfill,
+    )
     from redis_lsm_timeseries_spark.operators.sampling import hash_split
     from redis_lsm_timeseries_spark.operators.similarity import (
         embedding_decontamination,
     )
+    from redis_lsm_timeseries_spark.sources.testdata import load_events
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    events = load_events(spark, sf_dir).select(
+        F.col("event_type").alias("tag"),
+        F.col("ts_ms").alias("ts"),
+        "value",
+    )
     corpus = docs.where("doc_id % 2 = 0")
     batch = docs.where("doc_id % 2 = 1").select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
@@ -159,6 +173,12 @@ def extras_bench(spark, sf_dir: str) -> dict:
         "embedding_decontamination": lambda: embedding_decontamination(
             emb, eval_emb, use_lsh=True
         ),
+        "bigram_quality_scores": lambda: bigram_quality_scores(docs),
+        "curate_corpus": lambda: curate_corpus(docs),
+        "resample_gapfill_linear": lambda: resample_gapfill(
+            events, 3_600_000, how="linear"
+        ),
+        "m4_downsample": lambda: m4_downsample(events, 3_600_000),
     }
     out: dict[str, object] = {}
     for name, fn in workloads.items():
