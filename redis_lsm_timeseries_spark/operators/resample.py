@@ -226,3 +226,52 @@ def counter_rate(
         )
         .select("tag", "ts", "increase", "rate_per_unit", "reset")
     )
+
+
+def with_zscore_anomaly(
+    samples: DataFrame,
+    trailing_rows: int = 20,
+    threshold: float = 3.0,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Rolling z-score anomaly flagging: score each sample against
+    the mean/stddev of the ``trailing_rows`` samples BEFORE it (the
+    point itself excluded, so a spike cannot mask itself by inflating
+    its own baseline).
+
+    Output adds: roll_mean, roll_std (sample stddev), zscore (NULL
+    until the trailing window holds >= 2 points or when the window is
+    constant — a flat baseline gives no scale, and flagging on it
+    would be noise), is_anomaly.
+
+    One window sort per series, two aggregates over the same frame —
+    Spark evaluates them in a single pass. The same shuffle class as
+    every per-series operator here; at 100 TB the series key
+    partitions the work and no cross-series data moves."""
+    if trailing_rows < 2:
+        raise ValueError("trailing_rows must be >= 2")
+    w = (
+        Window.partitionBy(tag_col)
+        .orderBy(ts_col)
+        .rowsBetween(-trailing_rows, -1)
+    )
+    v = F.col(value_col).cast("double")
+    mean = F.avg(v).over(w)
+    std = F.stddev_samp(v).over(w)
+    z = F.when(
+        std.isNotNull() & (std > 0.0), (v - mean) / std
+    )
+    return (
+        samples.withColumn("roll_mean", mean)
+        .withColumn("roll_std", std)
+        .withColumn("zscore", z)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(
+                F.abs(F.col("zscore")) > F.lit(float(threshold)),
+                F.lit(False),
+            ),
+        )
+    )

@@ -322,3 +322,97 @@ class TestGapfillProperties:
                 assert gv is not None and m.isclose(
                     gv, wv, rel_tol=1e-9, abs_tol=1e-12
                 ), (k, gv, wv)
+
+
+class TestZScoreAnomaly:
+    def test_spike_flags_and_baseline_excludes_self(self, spark):
+        from redis_lsm_timeseries_spark.operators.resample import (
+            with_zscore_anomaly,
+        )
+
+        # stable baseline 10 +- 1, then a spike at ts 20
+        rows = [("a", t, 10.0 + (1.0 if t % 2 else -1.0)) for t in range(20)]
+        rows.append(("a", 20, 100.0))
+        rows.append(("a", 21, 10.0))
+        df = spark.createDataFrame(
+            rows, "tag string, ts long, value double"
+        )
+        out = {
+            r.ts: r
+            for r in with_zscore_anomaly(df, trailing_rows=10).collect()
+        }
+        assert out[20].is_anomaly
+        assert out[20].zscore > 3.0
+        # the spike's own row used only the clean trailing baseline
+        assert abs(out[20].roll_mean - 10.0) < 0.5
+        # the first row has no trailing window -> no flag
+        assert out[0].zscore is None and not out[0].is_anomaly
+        # the sample after the spike sees an inflated std -> not
+        # flagged (and must not crash on it)
+        assert not out[21].is_anomaly
+
+    def test_constant_series_never_flags(self, spark):
+        from redis_lsm_timeseries_spark.operators.resample import (
+            with_zscore_anomaly,
+        )
+
+        df = spark.createDataFrame(
+            [("c", t, 5.0) for t in range(30)],
+            "tag string, ts long, value double",
+        )
+        out = with_zscore_anomaly(df, trailing_rows=5).collect()
+        assert all(not r.is_anomaly for r in out)
+        assert all(r.zscore is None for r in out)  # zero-variance guard
+
+    def test_matches_duckdb(self, spark):
+        from redis_lsm_timeseries_spark.operators.resample import (
+            with_zscore_anomaly,
+        )
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS "
+            f"SELECT * FROM '{SF_DIR}/events.parquet'"
+        )
+        want = {
+            (r[0], r[1]): r[2]
+            for r in con.execute("""
+                SELECT event_type, event_id,
+                       CASE WHEN stddev_samp(value) OVER w > 0
+                            THEN (value - avg(value) OVER w)
+                                 / (stddev_samp(value) OVER w) END AS z
+                FROM events
+                WINDOW w AS (
+                    PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+                )
+            """).fetchall()
+        }
+        # order by (epoch_us, event_id) for a deterministic tie-break
+        # matching the oracle's window exactly (epoch_us, not ms: two
+        # events inside one millisecond must order the same way on
+        # both engines); events read through the adaptive loader.
+        # rebase microseconds to the data's 2024-01-01 origin so the
+        # (us, event_id) composite key stays inside int64
+        base_us = 1_704_067_200_000_000
+        events = load_events(spark, SF_DIR).select(
+            F.col("event_type").alias("tag"),
+            (
+                (F.floor(F.col("ts_ns") / F.lit(1000)) - F.lit(base_us))
+                * F.lit(100_000)
+                + F.col("event_id")
+            ).alias("ts"),
+            "value",
+            F.col("event_id"),
+        )
+        got = with_zscore_anomaly(events, trailing_rows=20).collect()
+        assert len(got) == len(want) > 0
+        for r in got:
+            wz = want[(r.tag, r.event_id)]
+            if wz is None:
+                assert r.zscore is None
+            else:
+                assert r.zscore is not None and math.isclose(
+                    r.zscore, wz, rel_tol=1e-9, abs_tol=1e-12
+                )
+        con.close()
