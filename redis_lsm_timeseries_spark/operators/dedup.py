@@ -476,3 +476,95 @@ def build_band_index(
     ).select(
         F.col(id_col).alias("corpus_id"), "band_idx", "band_key", "mhs"
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Paragraph-level exact dedup with document reassembly (the
+    Dolma / RefinedWeb pass): a paragraph appearing in multiple
+    documents survives only in its FIRST occurrence — (min doc id,
+    then min position within that doc) — and every other copy is cut
+    out of its document; the remaining paragraphs rejoin in original
+    order. Kills cross-document boilerplate (navigation, footers,
+    license blocks) that document-level dedup cannot see.
+
+    Paragraphs = newline-separated segments with > ``min_chars`` - 1
+    characters after trimming; sub-threshold segments and blank lines
+    are dropped from the reassembled text (the same normalization the
+    repetition filters apply to lines).
+
+    Output, one row per input document:
+      (id, text_deduped, n_paragraphs, n_kept, was_modified)
+    Documents whose every paragraph was cut keep an empty string —
+    the caller's length filter (already part of every curation
+    pipeline here) removes them.
+
+    100 TB shape: one explode to (digest, id, pos) rows — the window
+    that picks each digest's winner and the groupBy that reassembles
+    documents both shuffle paragraph-sized payloads keyed by digest /
+    id, the same bytes a rewrite must move; nothing all-pairs, no
+    driver state."""
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.filter(
+                    F.transform(
+                        F.split(F.col(text_col), "\n"),
+                        lambda p: F.trim(p),
+                    ),
+                    lambda p: F.length(p) >= int(min_chars),
+                )
+            ).alias("pos", "para"),
+        )
+        .withColumn("pdigest", F.md5(F.col("para")))
+    )
+    w = Window.partitionBy("pdigest")
+    first_owner = F.min(F.struct(F.col(id_col), F.col("pos"))).over(w)
+    kept = paras.withColumn(
+        "_keep",
+        (F.col(id_col) == first_owner[id_col])
+        & (F.col("pos") == first_owner["pos"]),
+    )
+    reassembled = (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
+            F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct("pos", "para"),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+            ).alias("text_deduped"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(reassembled, id_col, "left")
+        .withColumn(
+            "n_paragraphs",
+            F.coalesce(F.col("n_paragraphs"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "n_kept", F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "text_deduped", F.coalesce(F.col("text_deduped"), F.lit(""))
+        )
+        .withColumn(
+            "was_modified", F.col("n_kept") < F.col("n_paragraphs")
+        )
+    )
