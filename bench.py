@@ -127,6 +127,7 @@ def extras_bench(spark, sf_dir: str) -> dict:
         pack_documents,
         window_manifest,
     )
+    from redis_lsm_timeseries_spark.operators.dedup import paragraph_dedup
     from redis_lsm_timeseries_spark.operators.lm import (
         bigram_quality_scores,
     )
@@ -179,6 +180,7 @@ def extras_bench(spark, sf_dir: str) -> dict:
             events, 3_600_000, how="linear"
         ),
         "m4_downsample": lambda: m4_downsample(events, 3_600_000),
+        "paragraph_dedup": lambda: paragraph_dedup(docs),
     }
     out: dict[str, object] = {}
     for name, fn in workloads.items():
