@@ -499,6 +499,11 @@ def paragraph_dedup(
 
     Output, one row per input document:
       (id, text_deduped, n_paragraphs, n_kept, was_modified)
+    ``was_modified`` compares the reassembled text against the
+    ORIGINAL, so it is true for normalization-only changes too (blank
+    lines dropped, paragraphs trimmed, sub-``min_chars`` segments
+    removed) — callers use it to decide whether a rewrite is needed,
+    and a count-based flag would skip rewrites that do change bytes.
     Documents whose every paragraph was cut keep an empty string —
     the caller's length filter (already part of every curation
     pipeline here) removes them.
@@ -552,7 +557,7 @@ def paragraph_dedup(
         )
     )
     return (
-        df.select(id_col)
+        df.select(id_col, F.col(text_col).alias("_orig"))
         .join(reassembled, id_col, "left")
         .withColumn(
             "n_paragraphs",
@@ -565,6 +570,8 @@ def paragraph_dedup(
             "text_deduped", F.coalesce(F.col("text_deduped"), F.lit(""))
         )
         .withColumn(
-            "was_modified", F.col("n_kept") < F.col("n_paragraphs")
+            "was_modified",
+            ~F.col("text_deduped").eqNullSafe(F.col("_orig")),
         )
+        .drop("_orig")
     )

@@ -48,6 +48,11 @@ def unigram_model(df: DataFrame, text_col: str = "text") -> DataFrame:
         _doc_tokens(df, text_col)
         .groupBy(F.col("_tok").alias("token"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # counts feeds TWO consumers (the total aggregate and the
+        # crossJoin side); without materialization projection collapse
+        # re-runs the full corpus tokenize+count pass per consumer —
+        # the same trap bigram_model guards against below.
+        .localCheckpoint(eager=False)
     )
     total = counts.agg(F.sum("n").cast("long").alias("_total"))
     return (

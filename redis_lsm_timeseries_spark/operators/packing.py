@@ -83,13 +83,18 @@ def pack_documents(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
-    wt = F.lit(int(window_tokens))
-    pack_first = F.floor(F.col("token_start") / wt).cast("long")
+    wt_i = int(window_tokens)
+    wt = F.lit(wt_i)
+    # Integer division (`div`), not floor(a / b): offsets and window
+    # sizes are longs, so the layout arithmetic stays integer-exact at
+    # any stream length — floor over a double division is only exact
+    # while offsets stay under 2^53.
+    pack_first = F.expr(f"token_start div {wt_i}").cast("long")
     # Last-token window; zero-token docs occupy no tokens but are
     # pinned to their start window (greatest(n, 1) guards the -1).
-    pack_last = F.floor(
-        (F.col("token_start") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
-        / wt
+    pack_last = F.expr(
+        f"(token_start + greatest(n_tokens, CAST(1 AS BIGINT)) - 1) "
+        f"div {wt_i}"
     ).cast("long")
 
     return (

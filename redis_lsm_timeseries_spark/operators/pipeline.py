@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from redis_lsm_timeseries_spark.functions.portable import nonempty_tokens
 from redis_lsm_timeseries_spark.operators.dedup import content_digest
 from redis_lsm_timeseries_spark.operators.filtering import (
     filter_by_domain_blocklist,
@@ -75,6 +76,16 @@ def curate_corpus(
         ),
         text_col,
     ).drop("toks")
+    # The audit n_tokens (and the length gates below) count REAL
+    # tokens: with_token_stats keeps the phantom ''s that empty text /
+    # edge whitespace produce, but every counting consumer downstream
+    # (packing, LM scoring, corpus_report) filters them — the same
+    # document must report one token count across the whole pipeline.
+    # Overridden AFTER scoring so quality_score still describes the
+    # document as with_quality_score defines it.
+    scored = scored.withColumn(
+        "n_tokens", F.size(nonempty_tokens(text_col)).cast("long")
+    )
     scored = scored.withColumn("content_digest", content_digest(text_col))
     scored = scored.withColumn(
         "_dup",

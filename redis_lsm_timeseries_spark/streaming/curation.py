@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from redis_lsm_timeseries_spark.functions.portable import nonempty_tokens
 from redis_lsm_timeseries_spark.operators.pipeline import (
     DEFAULT_MIN_QUALITY,
     DEFAULT_MIN_TOKENS,
@@ -58,11 +59,19 @@ def curate_stream(
        scores must describe the document as crawled) but BEFORE
        digesting — two crawls differing only in a scrubbed email
        admit once, and the persisted text is the clean one."""
-    scored = with_quality_score(
-        with_token_stats(stream, text_col), text_col
-    ).where(
-        (F.col("quality_score") >= F.lit(float(min_quality)))
-        & (F.col("n_tokens") >= F.lit(int(min_tokens)))
+    # n_tokens is overridden with the REAL (nonempty) token count
+    # after scoring, mirroring the batch pipeline: the length gate and
+    # the persisted audit column must agree with packing/LM/report,
+    # while quality_score still sees with_quality_score's definition.
+    scored = (
+        with_quality_score(with_token_stats(stream, text_col), text_col)
+        .withColumn(
+            "n_tokens", F.size(nonempty_tokens(text_col)).cast("long")
+        )
+        .where(
+            (F.col("quality_score") >= F.lit(float(min_quality)))
+            & (F.col("n_tokens") >= F.lit(int(min_tokens)))
+        )
     )
     # drop the heavy intermediate array; keep scalar audit columns
     slim = scored.drop("toks")

@@ -48,11 +48,17 @@ def test_schema_and_partition(docs, curated):
 
 def test_reasons_sound_and_complete(spark, docs, curated):
     """Cross-check every reason tag against the standalone operator."""
+    from redis_lsm_timeseries_spark.functions.portable import (
+        nonempty_tokens,
+    )
+
     standalone = with_repetition_stats(
         with_quality_score(with_token_stats(docs, "text"), "text"), "text"
     ).select(
         "doc_id",
-        F.col("n_tokens").alias("nt"),
+        # the pipeline's length gates count REAL tokens (nonempty),
+        # not with_token_stats's phantom-including n_tokens
+        F.size(nonempty_tokens("text")).cast("long").alias("nt"),
         F.col("quality_score").alias("qs"),
         F.col("is_repetitive").alias("rep"),
     )

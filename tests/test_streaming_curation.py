@@ -113,7 +113,11 @@ def test_streaming_equals_batch_pipeline(spark, landed, tmp_path):
     }
     batch = spark.createDataFrame(all_rows, DOC_SCHEMA)
     scored = with_quality_score(with_token_stats(batch, "text"), "text")
-    kept = scored.where("quality_score >= 0.5 AND n_tokens >= 5")
+    # same nonempty-token length gate as curate_stream
+    kept = scored.where(
+        "quality_score >= 0.5 "
+        "AND size(filter(split(lower(text), '\\\\s+'), t -> t != '')) >= 5"
+    )
     scrubbed = scrub_pii(kept, "text")
     batch_digests = {
         r.d
