@@ -8,19 +8,23 @@ Scale notes:
   partition pruning ("train shard of source X" touches one
   directory) and matches the hot store's layout discipline
   (`store.py`: partition columns ARE the read predicate).
-- The writer repartitions by the partition columns first so each
-  (split, source) directory is written by the tasks owning its rows —
-  without it every task appends a file into every directory
-  (tasks × partitions small files, the classic 100 TB
-  dynamic-partition mistake).
-- The manifest is computed from the SAME DataFrame in one aggregate
-  and written via the filesystem seam (`fs.py`), not collected row
-  data — it carries counts, not content.
+- The writer repartitions by (split, source, bounded shard): hashing
+  on the partition columns ALONE would funnel each (split, source)
+  directory through exactly one writer task — with a handful of
+  sources at 100 TB, one task per source's entire keep-set. The shard
+  key fans each directory out over ``n_files`` tasks, where
+  ``n_files`` is sized per partition from its row count and a target
+  file size — parallel writes, still a controlled file count (never
+  the tasks × partitions small-file spray of a bare dynamic write).
+- The manifest stats are computed from the SAME materialized
+  DataFrame (one execution of the upstream curation DAG, not one per
+  consumer) and written via the Hadoop FS — counts, not content.
 """
 
 from __future__ import annotations
 
 import json
+import math
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -33,22 +37,34 @@ def write_curated(
     split_col: str = "split",
     source_col: str = "source",
     keep_col: str = "keep",
+    id_col: str = "doc_id",
+    target_rows_per_file: int = 1_000_000,
+    max_files_per_partition: int = 4096,
 ) -> dict:
     """Write kept rows partitioned by (split, source); returns (and
-    persists) the manifest: per-partition row counts plus the global
-    kept/dropped tally.
+    persists) the manifest: per-partition row counts, files per
+    partition, and the global kept/dropped tally.
 
     Rows where ``keep`` is false are NOT silently lost — they are
     counted into the manifest's ``n_dropped`` so the write is
-    auditable against the curation report."""
+    auditable against the curation report.
+
+    Each (split, source) directory is written by up to
+    ``n_files = clamp(ceil(rows / target_rows_per_file), 1,
+    max_files_per_partition)`` tasks, sharded by a deterministic hash
+    of ``id_col`` (falling back to all non-partition columns when the
+    id column is absent) — retries re-produce the same layout.
+    ``target_rows_per_file`` is the row-count proxy for a byte-size
+    target; a deployment with wildly variable document sizes should
+    set it from measured bytes-per-row."""
+    if target_rows_per_file < 1:
+        raise ValueError("target_rows_per_file must be >= 1")
     spark = curated.sparkSession
-    kept = curated.where(F.col(keep_col))
-    (
-        kept.repartition(F.col(split_col), F.col(source_col))
-        .write.partitionBy(split_col, source_col)
-        .mode("overwrite")
-        .parquet(path)
-    )
+    # One execution of the (potentially expensive) upstream curation
+    # DAG: both the stats aggregate and the partitioned write read the
+    # materialized plan — and cannot disagree if the input is
+    # non-deterministic.
+    curated = curated.localCheckpoint(eager=False)
     stats = (
         curated.groupBy(
             F.col(keep_col).alias("keep"),
@@ -61,8 +77,70 @@ def write_curated(
     partitions = {
         f"{r.split}/{r.source}": r["count"] for r in stats if r.keep
     }
+    n_files = {
+        part: min(
+            max(1, math.ceil(rows / target_rows_per_file)),
+            max_files_per_partition,
+        )
+        for part, rows in partitions.items()
+    }
+    # Small (split, source, n_files) dimension — broadcast onto the
+    # keep-set to derive each row's shard. One input slice: a spread
+    # createDataFrame costs a task per default-parallelism partition.
+    shards_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [
+                (r.split, r.source, n_files[f"{r.split}/{r.source}"])
+                for r in stats
+                if r.keep
+            ],
+            1,
+        ),
+        f"{split_col} string, {source_col} string, _n_files int",
+    )
+    kept = curated.where(F.col(keep_col))
+    shard_src = (
+        F.col(id_col).cast("string")
+        if id_col in curated.columns
+        else F.concat_ws(
+            "\x1f",
+            *[
+                F.col(c).cast("string")
+                for c in curated.columns
+                if c not in (split_col, source_col)
+            ],
+        )
+    )
+    sharded = (
+        kept.join(F.broadcast(shards_df), [split_col, source_col], "left")
+        .withColumn(
+            "_shard",
+            F.pmod(
+                F.xxhash64(shard_src),
+                F.coalesce(F.col("_n_files"), F.lit(1)),
+            ),
+        )
+    )
+    # EXPLICIT partition count: an un-numbered repartition is eligible
+    # for AQE partition coalescing, which merges the (deliberately
+    # file-sized) shard groups back into few tasks and re-creates the
+    # single-writer funnel. A user-specified count is honored. Each
+    # (split, source, shard) group hashes to one bucket, so a
+    # directory's file count stays <= its n_files even when distinct
+    # groups collide into one bucket.
+    n_buckets = max(1, sum(n_files.values()))
+    (
+        sharded.repartition(
+            n_buckets, F.col(split_col), F.col(source_col), F.col("_shard")
+        )
+        .drop("_shard", "_n_files")
+        .write.partitionBy(split_col, source_col)
+        .mode("overwrite")
+        .parquet(path)
+    )
     manifest = {
         "partitions": partitions,
+        "n_files": n_files,
         "n_kept": sum(partitions.values()),
         "n_dropped": sum(r["count"] for r in stats if not r.keep),
         "partition_cols": [split_col, source_col],

@@ -68,3 +68,59 @@ def test_manifest_invisible_to_corpus_reads(spark, written):
     path, _ = written
     back = read_curated(spark, path)
     assert "value" not in back.columns  # no stray text-file columns
+
+
+def _parquet_files(dirpath: str) -> list[str]:
+    return [
+        os.path.join(root, f)
+        for root, _, files in os.walk(dirpath)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+
+
+def test_skewed_partition_written_by_many_tasks(spark, tmp_path):
+    """The write-funnel guard: a (split, source) holding ~95% of the
+    corpus must be written as multiple files (= by multiple tasks),
+    bounded by the derived n_files — never one giant single-writer
+    file, never an unbounded small-file spray."""
+    rows = [(i, f"document body number {i}", "train", "web", True)
+            for i in range(950)]
+    rows += [(1000 + i, f"tail doc {i}", "val", "books", True)
+             for i in range(50)]
+    curated = spark.createDataFrame(
+        rows, "doc_id long, text string, split string, source string, "
+              "keep boolean",
+    )
+    path = str(tmp_path / "skew")
+    manifest = write_curated(curated, path, target_rows_per_file=100)
+    # 950 rows / 100 per file -> 10 shards for the hot partition
+    assert manifest["n_files"]["train/web"] == 10
+    assert manifest["n_files"]["val/books"] == 1
+    hot_files = _parquet_files(f"{path}/split=train/source=web")
+    cold_files = _parquet_files(f"{path}/split=val/source=books")
+    assert 1 < len(hot_files) <= 10, hot_files
+    assert len(cold_files) == 1, cold_files
+    # layout change loses no rows
+    back = read_curated(spark, path)
+    assert back.count() == 1000
+    assert read_curated(spark, path, split="train").count() == 950
+
+
+def test_default_write_is_one_file_per_small_partition(spark, tmp_path):
+    """With the default 1M-row target, small partitions still produce
+    exactly one file each — the small-file control the shard key must
+    not regress."""
+    rows = [(i, f"doc {i}", "train" if i % 2 else "val", "web", True)
+            for i in range(100)]
+    curated = spark.createDataFrame(
+        rows, "doc_id long, text string, split string, source string, "
+              "keep boolean",
+    )
+    path = str(tmp_path / "small")
+    manifest = write_curated(curated, path)
+    assert set(manifest["n_files"].values()) == {1}
+    for part in manifest["partitions"]:
+        split, source = part.split("/")
+        files = _parquet_files(f"{path}/split={split}/source={source}")
+        assert len(files) == 1, (part, files)
