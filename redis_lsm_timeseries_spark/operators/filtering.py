@@ -63,18 +63,34 @@ def corpus_report(
     text_col: str = "text",
     lang_col: str = "lang",
     source_col: str = "source",
+    exact: bool = False,
+    rsd: float = 0.02,
 ) -> DataFrame:
     """One-row corpus report card: document and token totals, length
     distribution, language/source breadth, and duplicate-content rate.
     The number a pipeline owner reads before and after every curation
-    stage; at 100 TB it is one aggregate pass (the exact-distinct
-    counts are the expensive part — swap ``countDistinct`` for
-    ``approx_count_distinct`` when the corpus outgrows exactness;
-    both are partial-aggregated map-side)."""
+    stage.
+
+    Default is ``approx_count_distinct`` (HyperLogLog++, ~2% rsd) for
+    the three distinct counts: this report runs before and after EVERY
+    stage, and exact distincts force an expand + full shuffle of
+    (digest, lang, source) tuples at corpus scale, while the HLL
+    sketches fold map-side into a one-row exchange (``rsd`` tunes the
+    sketch's relative error). ``exact=True`` keeps the exact counts
+    for tests and small corpora. ``dup_rate`` is clamped at 0 — an
+    over-estimated distinct count would otherwise report a small
+    negative rate."""
     n_tok = F.size(nonempty_tokens(text_col)).cast("long")
     digest = content_digest(text_col)
+
+    def distinct(col: str):
+        return (
+            F.countDistinct(col)
+            if exact
+            else F.approx_count_distinct(col, rsd=float(rsd))
+        )
+
     return df.select(
-        F.col(text_col),
         F.col(lang_col),
         F.col(source_col),
         n_tok.alias("_nt"),
@@ -87,12 +103,13 @@ def corpus_report(
             "median_tokens"
         ),
         F.max("_nt").cast("long").alias("max_tokens"),
-        F.countDistinct(lang_col).cast("long").alias("n_langs"),
-        F.countDistinct(source_col).cast("long").alias("n_sources"),
-        F.countDistinct("_dg").cast("long").alias("n_distinct_contents"),
-        (
+        distinct(lang_col).cast("long").alias("n_langs"),
+        distinct(source_col).cast("long").alias("n_sources"),
+        distinct("_dg").cast("long").alias("n_distinct_contents"),
+        F.greatest(
+            F.lit(0.0),
             F.lit(1.0)
-            - F.countDistinct("_dg").cast("double")
-            / F.count(F.lit(1)).cast("double")
+            - distinct("_dg").cast("double")
+            / F.count(F.lit(1)).cast("double"),
         ).alias("dup_rate"),
     )

@@ -8,9 +8,14 @@ the heuristic scores in ``operators.text``.
 Two passes over the corpus, both shuffle-light:
 
 1. ``unigram_model`` — one (token -> count) hash aggregate with
-   map-side combine. The vocabulary is corpus-bounded (Heaps' law:
-   ~millions of distinct tokens at 100 TB, tens of MB as a two-column
-   table), so the model fits a broadcast.
+   map-side combine, then a ``min_count`` prune before the model is
+   used. The prune is what makes the broadcast safe: raw whitespace
+   vocabulary over web text does NOT obey Heaps' law — junk tokens
+   (urls, ids, binary soup) grow the distinct-token count near
+   linearly with crawl size, hundreds of millions of tokens at
+   100 TB. Dropping hapax/rare tokens (CCNet does exactly this)
+   collapses that tail; the pruned mass is still counted in the
+   total, so pruned tokens score at the OOV floor.
 2. ``with_lm_score`` — explode tokens, broadcast-join the model,
    re-aggregate per document. The only corpus-keyed shuffle carries
    (doc_id, sum, count) after partial aggregation.
@@ -39,11 +44,26 @@ def _doc_tokens(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def unigram_model(df: DataFrame, text_col: str = "text") -> DataFrame:
+DEFAULT_MIN_COUNT = 2
+
+
+def unigram_model(
+    df: DataFrame, text_col: str = "text", min_count: int = DEFAULT_MIN_COUNT
+) -> DataFrame:
     """Fit the unigram table: (token, n, logprob) with
     ``logprob = ln(n / total)``. One hash aggregate; ``total`` rides
     in as a scalar subquery-style cross-joined literal aggregate so
-    the plan stays fully distributed (no driver collect)."""
+    the plan stays fully distributed (no driver collect).
+
+    Tokens with ``n < min_count`` are PRUNED from the table (see the
+    module docstring — the prune is what keeps the broadcast bounded
+    on web-scale text). ``total`` still counts every token, pruned
+    mass included, so a pruned token scores exactly at the OOV floor
+    ``ln(1 / total)`` — the smoothing already in place for unseen
+    tokens. ``min_count=1`` keeps the full distribution (probabilities
+    sum to 1)."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
     counts = (
         _doc_tokens(df, text_col)
         .groupBy(F.col("_tok").alias("token"))
@@ -55,6 +75,8 @@ def unigram_model(df: DataFrame, text_col: str = "text") -> DataFrame:
         .localCheckpoint(eager=False)
     )
     total = counts.agg(F.sum("n").cast("long").alias("_total"))
+    if min_count > 1:
+        counts = counts.where(F.col("n") >= F.lit(int(min_count)))
     return (
         counts.crossJoin(F.broadcast(total))
         .withColumn(
@@ -127,11 +149,18 @@ def with_lm_score(
 
 
 def lm_quality_scores(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = DEFAULT_MIN_COUNT,
 ) -> DataFrame:
     """Self-scoring convenience: fit on the corpus, score the corpus.
-    (No OOV possible by construction — every token is in the model.)"""
-    return with_lm_score(df, unigram_model(df, text_col), text_col, id_col)
+    With the default pruning, tokens rarer than ``min_count`` score at
+    the OOV floor (and count as OOV) — exactly the penalty a junk
+    filter wants; ``min_count=1`` restores no-OOV self-scoring."""
+    return with_lm_score(
+        df, unigram_model(df, text_col, min_count), text_col, id_col
+    )
 
 
 def _doc_bigrams(df: DataFrame, text_col: str) -> DataFrame:
@@ -152,20 +181,30 @@ def _doc_bigrams(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def bigram_model(df: DataFrame, text_col: str = "text") -> DataFrame:
+def bigram_model(
+    df: DataFrame, text_col: str = "text", min_count: int = DEFAULT_MIN_COUNT
+) -> DataFrame:
     """Fit the bigram table: (w1, w2, n, n_context, logprob) with the
     MLE ``logprob = ln(n / n_context)`` where ``n_context`` counts w1
-    as a bigram CONTEXT (= sum of n over its continuations).
+    as a bigram CONTEXT (= sum of n over its KEPT continuations).
 
     Two hash aggregates (bigram counts, then context totals) + one
-    join keyed by w1 — all vocabulary-bounded after the first
-    map-side-combined pass over the corpus."""
+    join keyed by w1. Bigrams with ``n < min_count`` are pruned BEFORE
+    the context totals — the bigram tail is even heavier than the
+    unigram one (most web-text bigrams are hapax), and a pruned bigram
+    falls back to the stupid-backoff unigram path in
+    ``with_bigram_score``, which is precisely the treatment an unseen
+    bigram gets."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
     counts = (
         _doc_bigrams(df.select(F.col(text_col)), text_col)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .localCheckpoint(eager=False)  # feeds the context agg AND the join
     )
+    if min_count > 1:
+        counts = counts.where(F.col("n") >= F.lit(int(min_count)))
     contexts = counts.groupBy("w1").agg(
         F.sum("n").cast("long").alias("n_context")
     )
@@ -248,11 +287,18 @@ def with_bigram_score(
 
 
 def bigram_quality_scores(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = DEFAULT_MIN_COUNT,
 ) -> DataFrame:
     """Self-scoring convenience: fit bigram + unigram models on the
-    corpus, score the corpus. In-corpus bigrams never back off."""
+    corpus, score the corpus. With the default pruning, in-corpus
+    bigrams rarer than ``min_count`` back off like unseen ones;
+    ``min_count=1`` restores never-backs-off self-scoring."""
     return with_bigram_score(
-        df, bigram_model(df, text_col), unigram_model(df, text_col),
+        df,
+        bigram_model(df, text_col, min_count),
+        unigram_model(df, text_col, min_count),
         text_col, id_col,
     )

@@ -158,7 +158,7 @@ class TestCorpusReport:
     """
 
     def test_matches_duckdb(self, spark, duck, docs):
-        got = corpus_report(docs).first()
+        got = corpus_report(docs, exact=True).first()
         want = duck.execute(self.ORACLE).fetchone()
         assert (
             got.n_docs,
@@ -177,3 +177,41 @@ class TestCorpusReport:
         assert rep.count() == 1
         plan = rep._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
+
+    def test_approx_default_tracks_exact(self, spark, docs):
+        """The default (approx) report: tiny cardinalities are exact
+        under HLL, and the content-distinct estimate stays within the
+        sketch's error band of the exact count."""
+        approx = corpus_report(docs).first()
+        exact = corpus_report(docs, exact=True).first()
+        # identical non-distinct aggregates
+        assert (approx.n_docs, approx.total_tokens, approx.max_tokens) == (
+            exact.n_docs, exact.total_tokens, exact.max_tokens
+        )
+        # HLL estimates within the sketch's error band
+        assert abs(approx.n_langs - exact.n_langs) <= max(
+            1, 0.1 * exact.n_langs
+        )
+        assert abs(approx.n_sources - exact.n_sources) <= max(
+            1, 0.1 * exact.n_sources
+        )
+        assert (
+            abs(approx.n_distinct_contents - exact.n_distinct_contents)
+            <= 0.1 * exact.n_distinct_contents
+        )
+        assert approx.dup_rate >= 0.0  # clamped
+
+    def test_approx_plan_has_no_expand(self, spark, docs):
+        """The reason approx is the default: multiple countDistincts
+        force an Expand (row multiplication) before the shuffle; the
+        HLL sketches do not."""
+        approx_plan = (
+            corpus_report(docs)._jdf.queryExecution().executedPlan()
+            .toString()
+        )
+        exact_plan = (
+            corpus_report(docs, exact=True)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert "Expand" not in approx_plan
+        assert "Expand" in exact_plan

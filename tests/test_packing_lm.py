@@ -158,22 +158,29 @@ class TestPackingDifferential:
 
 
 class TestLMScoringDifferential:
+    # The default min_count=2 prune is part of the differential: the
+    # model keeps only tokens seen >= 2 times, the total still counts
+    # every token, and pruned/unseen tokens take the ln(1/total) floor
+    # (and count as OOV).
     ORACLE = f"""
         WITH tok AS (
             SELECT doc_id,
                    unnest({TOKS.format(e='text')}) AS token
             FROM documents
-        ), model AS (
+        ), counts AS (
             SELECT token, count(*) AS n FROM tok GROUP BY token
-        ), tot AS (SELECT sum(n) AS total FROM model),
+        ), tot AS (SELECT sum(n) AS total FROM counts),
+        model AS (SELECT token, n FROM counts WHERE n >= 2),
         scored AS (
             SELECT t.doc_id, count(*) AS n_tokens,
-                   sum(ln(m.n / tot.total)) AS sum_lp
-            FROM tok t JOIN model m USING (token) CROSS JOIN tot
+                   sum(CASE WHEN m.n IS NULL THEN 1 ELSE 0 END) AS n_oov,
+                   sum(ln(coalesce(m.n, 1) / tot.total)) AS sum_lp
+            FROM tok t LEFT JOIN model m USING (token) CROSS JOIN tot
             GROUP BY t.doc_id
         )
         SELECT d.doc_id,
                CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(s.n_oov, 0) AS BIGINT) AS n_oov,
                CASE WHEN coalesce(s.n_tokens, 0) > 0
                     THEN s.sum_lp / s.n_tokens ELSE 0.0 END AS lm_score
         FROM documents d LEFT JOIN scored s USING (doc_id)
@@ -186,11 +193,11 @@ class TestLMScoringDifferential:
         assert len(got) == len(want) > 0
         for g, w in zip(got, want):
             assert g.doc_id == w[0] and g.n_tokens == w[1]
-            assert g.n_oov == 0  # self-scoring: every token in-model
-            assert math.isclose(g.lm_score, w[2], rel_tol=1e-9, abs_tol=1e-12)
+            assert g.n_oov == w[2]  # pruned singletons count as OOV
+            assert math.isclose(g.lm_score, w[3], rel_tol=1e-9, abs_tol=1e-12)
 
     def test_model_is_a_proper_distribution(self, spark, docs):
-        m = unigram_model(docs).collect()
+        m = unigram_model(docs, min_count=1).collect()
         total = m[0]._total
         assert sum(r.n for r in m) == total
         assert all(r.logprob < 0 for r in m)
@@ -199,12 +206,41 @@ class TestLMScoringDifferential:
             sum(math.exp(r.logprob) for r in m), 1.0, rel_tol=1e-9
         )
 
+    def test_pruned_model_properties(self, spark, docs):
+        """Default prune: kept tokens all have n >= 2, the total is
+        unchanged (pruned mass stays in the denominator), and the kept
+        probability mass is <= 1."""
+        full = unigram_model(docs, min_count=1).collect()
+        pruned = unigram_model(docs).collect()
+        assert {r.token for r in pruned} == {
+            r.token for r in full if r.n >= 2
+        }
+        assert pruned[0]._total == full[0]._total
+        assert sum(math.exp(r.logprob) for r in pruned) <= 1.0 + 1e-9
+        # a singleton token now scores at the OOV floor, and is
+        # reported as OOV by the scorer
+        singles = {r.token for r in full if r.n == 1}
+        if singles:
+            probe = docs.sparkSession.createDataFrame(
+                [(99_000_000, next(iter(singles)))],
+                "doc_id long, text string",
+            )
+            row = with_lm_score(
+                probe, unigram_model(docs)
+            ).first()
+            assert row.n_oov == 1
+            assert math.isclose(
+                row.lm_score,
+                math.log(1.0 / pruned[0]._total),
+                rel_tol=1e-12,
+            )
+
     def test_oov_floor_on_cross_corpus_scoring(self, spark):
         fit = spark.createDataFrame(
             [(1, "a a a b"), (2, "b c")],
             "doc_id long, text string",
         )
-        model = unigram_model(fit)
+        model = unigram_model(fit, min_count=1)  # exact-floor semantics
         score = spark.createDataFrame(
             [(10, "a zzz"), (11, ""), (12, "c")],
             "doc_id long, text string",
@@ -314,7 +350,7 @@ class TestBigramLM:
         )
 
         want = {
-            r[0]: (r[1], r[2])
+            r[0]: (r[1], r[2], r[3])
             for r in duck.execute(f"""
                 WITH toks AS (
                     SELECT doc_id, {TOKS.format(e='text')} AS t
@@ -323,19 +359,37 @@ class TestBigramLM:
                     SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
                     FROM toks, unnest(range(1, len(t))) AS u(i)
                     WHERE len(t) >= 2
-                ), model AS (
+                ), counts AS (
                     SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2
+                ), model AS (
+                    SELECT w1, w2, n FROM counts WHERE n >= 2
                 ), ctx AS (
                     SELECT w1, sum(n) AS nc FROM model GROUP BY w1
-                ), scored AS (
+                ), utok AS (
+                    SELECT unnest({TOKS.format(e='text')}) AS token
+                    FROM documents
+                ), ucnt AS (
+                    SELECT token, count(*) AS n FROM utok GROUP BY token
+                ), utot AS (SELECT sum(n) AS total FROM ucnt),
+                umodel AS (SELECT token, n FROM ucnt WHERE n >= 2),
+                scored AS (
                     SELECT bg.doc_id, count(*) AS n_bigrams,
-                           sum(ln(m.n / c.nc)) AS slp
-                    FROM bg JOIN model m USING (w1, w2)
-                            JOIN ctx c USING (w1)
+                           sum(CASE WHEN m.n IS NULL THEN 1 ELSE 0 END)
+                               AS n_backoff,
+                           sum(CASE WHEN m.n IS NOT NULL
+                                    THEN ln(m.n / c.nc)
+                                    ELSE ln(0.4) + ln(coalesce(u.n, 1)
+                                                      / utot.total) END)
+                               AS slp
+                    FROM bg LEFT JOIN model m USING (w1, w2)
+                            LEFT JOIN ctx c USING (w1)
+                            LEFT JOIN umodel u ON u.token = bg.w2
+                            CROSS JOIN utot
                     GROUP BY bg.doc_id
                 )
                 SELECT d.doc_id,
                        CAST(coalesce(s.n_bigrams, 0) AS BIGINT),
+                       CAST(coalesce(s.n_backoff, 0) AS BIGINT),
                        CASE WHEN coalesce(s.n_bigrams, 0) > 0
                             THEN s.slp / s.n_bigrams ELSE 0.0 END
                 FROM documents d LEFT JOIN scored s USING (doc_id)
@@ -344,9 +398,9 @@ class TestBigramLM:
         got = bigram_quality_scores(docs).collect()
         assert len(got) == len(want) > 0
         for r in got:
-            nb, score = want[r.doc_id]
+            nb, nbk, score = want[r.doc_id]
             assert r.n_bigrams == nb
-            assert r.n_backoff == 0  # self-scoring never backs off
+            assert r.n_backoff == nbk  # pruned bigrams back off
             assert math.isclose(
                 r.bigram_score, score, rel_tol=1e-9, abs_tol=1e-12
             )
