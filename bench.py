@@ -127,7 +127,10 @@ def extras_bench(spark, sf_dir: str) -> dict:
         pack_documents,
         window_manifest,
     )
-    from redis_lsm_timeseries_spark.operators.dedup import paragraph_dedup
+    from redis_lsm_timeseries_spark.operators.dedup import (
+        paragraph_dedup,
+        substring_dedup,
+    )
     from redis_lsm_timeseries_spark.operators.lm import (
         bigram_quality_scores,
     )
@@ -181,6 +184,7 @@ def extras_bench(spark, sf_dir: str) -> dict:
         ),
         "m4_downsample": lambda: m4_downsample(events, 3_600_000),
         "paragraph_dedup": lambda: paragraph_dedup(docs),
+        "substring_dedup": lambda: substring_dedup(docs),
     }
     out: dict[str, object] = {}
     for name, fn in workloads.items():

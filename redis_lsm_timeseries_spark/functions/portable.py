@@ -96,6 +96,62 @@ def hashed_shingles_expr(text_col: str, k: int = 3) -> Column:
     )
 
 
+# ------------------------------------------------------ hashed windows
+# Long stride-1 token windows for SUBSTRING-level dedup (Lee et al.
+# 2022-style duplicate spans). Same skeleton as the k=3 shingles, but
+# k here is a span length (tens of tokens), so the arithmetic differs:
+# token hashes are first reduced mod 2^50 term-by-term, making the sum
+# of up to ~4000 terms overflow-safe, and the position multiplier is
+# the j-th odd number (odd => invertible mod 2^50, position-sensitive).
+# Windows index the NONEMPTY token stream — span offsets must line up
+# with the token positions reassembly slices on.
+
+WINDOW_MOD = 1 << 50
+
+
+def _window_mult(j: int) -> int:
+    return 3 + 2 * j
+
+
+def hashed_windows_expr(text_col: str, k: int) -> Column:
+    """Stride-1 hashes of every k-token window of the nonempty token
+    stream, as one bound-lambda expression (one md5 per token; see
+    ``hashed_shingles_expr`` for why the binding matters). Documents
+    with < k tokens yield an empty array."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = HASH64_SPARK_EXPR.format(e="t")
+    # reduce BEFORE multiplying: a 60-bit hash times a multiplier > 7
+    # would overflow int64; (h % 2^50) * (2k+1) stays under 2^63 for
+    # any realistic span length, and the k-term sum under 2^63 too.
+    combine = " + ".join(
+        f"(((th[i + {j}] % {WINDOW_MOD}) * {_window_mult(j)}) % {WINDOW_MOD})"
+        for j in range(k)
+    )
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    return F.expr(
+        f"element_at(transform(array(transform({toks}, t -> {h})), th -> "
+        f"IF(size(th) >= {k}, "
+        f"transform(sequence(0, size(th) - {k}), i -> ({combine}) % {WINDOW_MOD}), "
+        f"CAST(array() AS ARRAY<BIGINT>))), 1)"
+    )
+
+
+def hashed_windows_sql(th_col: str, k: int) -> str:
+    """DuckDB twin of ``hashed_windows_expr``'s combination, over a
+    per-token hash list (``token_hashes_sql`` of the NONEMPTY tokens;
+    1-indexed lists; range(n<=0) is already empty)."""
+    parts = " + ".join(
+        f"((({th_col}[i + {j + 1}] % {WINDOW_MOD}) * {_window_mult(j)})"
+        f" % {WINDOW_MOD})"
+        for j in range(k)
+    )
+    return (
+        f"list_transform(range(len({th_col}) - {k - 1}), "
+        f"i -> ({parts}) % {WINDOW_MOD})"
+    )
+
+
 def token_hashes_sql(tok_col: str) -> str:
     """DuckDB twin of the per-token hashing inside
     ``hashed_shingles_expr``."""

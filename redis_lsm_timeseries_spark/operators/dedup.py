@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 from redis_lsm_timeseries_spark.functions.portable import (
     hash64,
     hashed_shingles_expr,
+    hashed_windows_expr,
     tokens,
 )
 
@@ -574,4 +575,160 @@ def paragraph_dedup(
             ~F.col("text_deduped").eqNullSafe(F.col("_orig")),
         )
         .drop("_orig")
+    )
+
+
+DEFAULT_SPAN_TOKENS = 20
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = DEFAULT_SPAN_TOKENS,
+) -> DataFrame:
+    """Substring-level exact-duplicate spans (the Lee et al. 2022
+    "Deduplicating Training Data" pass, without suffix arrays): find
+    every maximal run of tokens, >= ``span_tokens`` long, that already
+    occurred earlier in the corpus — whether or not it aligns to a
+    paragraph boundary. The non-paragraph-aligned complement of
+    ``paragraph_dedup``.
+
+    Mechanics: hash every stride-1 window of ``span_tokens`` NONEMPTY
+    tokens (`functions.portable.hashed_windows_expr` — one md5 per
+    token, arithmetic window combination); each window digest's FIRST
+    occurrence (min (id, pos) struct) is the winner; every other
+    occurrence is a duplicated window. A duplicated region of length
+    L >= span_tokens yields L - span_tokens + 1 consecutive duplicated
+    windows, which the per-document interval merge below folds into
+    one span [start, start + L). Output, one row per merged span:
+      (id, span_start, span_end, n_windows)   -- token offsets into
+    the nonempty token stream, end-exclusive.
+
+    100 TB shape: the explode emits ~n_tokens rows per document (same
+    order as the MinHash shingle table), the winner window shuffles
+    (digest, id, pos) triples — digests and ints, never text — and the
+    span merge shuffles only the DUPLICATED windows keyed by id.
+    Nothing all-pairs; cost is linear in corpus tokens, the floor for
+    any exact-substring method."""
+    wins = df.select(
+        F.col(id_col),
+        F.posexplode(
+            hashed_windows_expr(text_col, int(span_tokens))
+        ).alias("pos", "wdigest"),
+    )
+    w = Window.partitionBy("wdigest")
+    first_owner = F.min(F.struct(F.col(id_col), F.col("pos"))).over(w)
+    dups = (
+        wins.withColumn("_first", first_owner)
+        .where(
+            (F.col(id_col) != F.col("_first")[id_col])
+            | (F.col("pos") != F.col("_first")["pos"])
+        )
+        .select(id_col, "pos")
+    )
+    lw = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(lw)
+    # windows cover [pos, pos + k): a gap opens only when the next
+    # duplicated window starts past the previous one's end
+    new_span = F.when(
+        prev.isNull() | (F.col("pos") > prev + F.lit(int(span_tokens))),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        dups.withColumn("_new", new_span)
+        .withColumn(
+            "span_id",
+            F.sum("_new")
+            .over(lw.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .groupBy(id_col, "span_id")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(int(span_tokens)))
+            .cast("long")
+            .alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = DEFAULT_SPAN_TOKENS,
+) -> DataFrame:
+    """Per-document substring-dedup verdict with text rewrite: cut
+    every duplicated span (see ``duplicate_substring_spans`` — first
+    corpus occurrence survives) out of the document's nonempty token
+    stream and rejoin the remainder with single spaces.
+
+    Output, one row per input document:
+      (id, n_tokens, n_spans, n_dup_windows, dup_tokens, dup_frac,
+       text_deduped)
+    ``text_deduped`` is over the NORMALIZED token stream (lowercased,
+    whitespace-collapsed) — the form a tokenizer-fed pipeline
+    consumes, the same convention as ``chunk_documents``.
+
+    Scale: one spans aggregate per doc (small), broadcast-friendly
+    join back onto the corpus; the rewrite slices each document's own
+    token array with pure Column expressions — no shuffle beyond the
+    span machinery's."""
+    spans = duplicate_substring_spans(df, text_col, id_col, span_tokens)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("n_windows").cast("long").alias("n_dup_windows"),
+        F.sum(F.col("span_end") - F.col("span_start"))
+        .cast("long")
+        .alias("dup_tokens"),
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans"),
+    )
+    empty_spans = (
+        "CAST(array() AS ARRAY<STRUCT<span_start: BIGINT, span_end: BIGINT>>)"
+    )
+    kept_text = F.expr(
+        "concat_ws(' ', transform(filter("
+        "  transform(_toks, (t, i) -> struct(t AS t, CAST(i AS BIGINT) AS i)),"
+        "  s -> NOT exists(_spans, sp -> s.i >= sp.span_start"
+        "                                AND s.i < sp.span_end)"
+        "), s -> s.t))"
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.coalesce(
+                F.filter(tokens(text_col), lambda t: t != F.lit("")),
+                F.expr("CAST(array() AS ARRAY<STRING>)"),
+            ).alias("_toks"),
+        )
+        .join(per_doc, id_col, "left")
+        .withColumn("_spans", F.coalesce(F.col("_spans"), F.expr(empty_spans)))
+        .withColumn("n_tokens", F.size("_toks").cast("long"))
+        .withColumn(
+            "n_spans", F.coalesce(F.col("n_spans"), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "n_dup_windows",
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "dup_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("dup_tokens").cast("double") / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("text_deduped", kept_text)
+        .select(
+            id_col, "n_tokens", "n_spans", "n_dup_windows", "dup_tokens",
+            "dup_frac", "text_deduped",
+        )
     )

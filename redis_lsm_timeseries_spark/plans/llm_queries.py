@@ -21,6 +21,7 @@ from redis_lsm_timeseries_spark.functions.portable import (
     TOKENS_SQL,
     hashed_shingles_expr,
     hashed_shingles_sql,
+    hashed_windows_sql,
     token_hashes_sql,
 )
 from redis_lsm_timeseries_spark.operators import dedup as D
@@ -1014,3 +1015,105 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("feature_csv"),
     )
+
+
+# ----------------------------------------------------- substring dedup
+# Corpus with EMBEDDED copies: each document reappears with a 3-token
+# prefix, so the duplicated run sits mid-document, unaligned to any
+# paragraph boundary — exactly the case paragraph_dedup cannot see and
+# substring_dedup exists for. Registered in round 8 in place of
+# ts_page_scan (O5's partition-scan half stays pinned by the composed
+# ts_range_read plus a dedicated unregistered-parity pytest).
+SUBSTR_OFFSET = 20_000_000
+SUBSTR_K = 20
+
+DOCS_EMBEDDED_SQL = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {SUBSTR_OFFSET} AS doc_id,
+         'fresh intro prefix ' || text AS text
+  FROM documents
+)
+"""
+
+_W_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+
+
+def _docs_with_embedded_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.select(
+        (F.col("doc_id") + SUBSTR_OFFSET).alias("doc_id"),
+        F.concat(F.lit("fresh intro prefix "), F.col("text")).alias("text"),
+    )
+    return d.unionByName(copies)
+
+
+@register(
+    "dedup_substring",
+    oracle=f"""
+WITH {DOCS_EMBEDDED_SQL.strip()},
+toked AS (
+  SELECT doc_id, {_W_TOKS} AS toks FROM corpus
+), th AS (
+  SELECT doc_id, toks, {token_hashes_sql('toks')} AS th FROM toked
+), wh AS (
+  SELECT doc_id, {hashed_windows_sql('th', SUBSTR_K)} AS wh FROM th
+), win AS (
+  SELECT doc_id, i - 1 AS pos, wh[i] AS wd
+  FROM wh, unnest(range(1, len(wh) + 1)) u(i)
+), dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY wd ORDER BY doc_id, pos) AS rn
+    FROM win
+  ) WHERE rn > 1
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos > lag(pos) OVER w + {SUBSTR_K}
+              THEN 1 ELSE 0 END AS f
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), sp AS (
+  SELECT doc_id, pos,
+         sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+), spans AS (
+  SELECT doc_id, span_id, min(pos) AS s, max(pos) + {SUBSTR_K} AS e,
+         count(*) AS nw
+  FROM sp GROUP BY doc_id, span_id
+), per_doc AS (
+  SELECT doc_id,
+         count(*) AS n_spans,
+         sum(nw) AS n_dup_windows,
+         sum(e - s) AS dup_tokens,
+         list({{'s': s, 'e': e}} ORDER BY s) AS spans
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CASE WHEN len(t.toks) > 0
+            THEN coalesce(p.dup_tokens, 0) / CAST(len(t.toks) AS DOUBLE)
+            ELSE 0.0 END AS dup_frac,
+       coalesce(array_to_string(
+         list_transform(
+           list_filter(range(1, len(t.toks) + 1),
+             i -> coalesce(len(list_filter(p.spans,
+                    x -> i - 1 >= x.s AND i - 1 < x.e)), 0) = 0),
+           i -> t.toks[i]), ' '), '') AS text_deduped
+FROM toked t LEFT JOIN per_doc p USING (doc_id)
+""",
+    tags=("llm", "dedup", "substring"),
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022-style duplicate
+    spans, suffix-array-free): every >= 20-token run that already
+    occurred earlier in the corpus is cut from its later occurrence,
+    mid-paragraph or not. Each embedded copy must report its original's
+    whole token stream as one duplicated span starting at offset 3."""
+    corpus = _docs_with_embedded_copies(spark, sf_dir)
+    return D.substring_dedup(corpus, span_tokens=SUBSTR_K)

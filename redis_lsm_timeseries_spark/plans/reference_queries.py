@@ -168,18 +168,24 @@ def ts_lww_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------ O5 page scan
-@register(
-    "ts_page_scan",
-    oracle=SAMPLES_CTE
+# Unregistered in round 8 to free a driver catalog slot for
+# dedup_substring: ts_read_index and ts_page_scan pinned the O4/O5
+# halves of the already-green composed ts_range_read, so this entry
+# was redundant at the driver. It stays differentially verified via
+# UNREGISTERED_ORACLES (tests/test_oracle_parity.py runs the same
+# rows+schema+values comparison on it).
+TS_PAGE_SCAN_ORACLE = (
+    SAMPLES_CTE
     + f"""
 SELECT tag, ts, value, part_start
 FROM samples
 WHERE tag = 'error'
   AND part_start BETWEEN {RS} AND {RS + 86_400_000}
   AND ts BETWEEN {RS + 1_000} AND {RS + 86_400_000}
-""",
-    tags=("reference", "read"),
+"""
 )
+
+
 def ts_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition scan + residual predicate (reference readPage,
     index.js:233-266). The reference fetches the whole partition and
@@ -452,3 +458,11 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.sum("new_session") + F.lit(1)).alias("n_sessions"),
     )
+
+
+#: Queries with full DuckDB oracles that hold no driver catalog slot
+#: (the driver checks exactly 50 entries); the pytest parity harness
+#: runs these through the identical comparison.
+UNREGISTERED_ORACLES = {
+    "ts_page_scan": (ts_page_scan, TS_PAGE_SCAN_ORACLE),
+}

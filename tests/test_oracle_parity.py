@@ -20,6 +20,9 @@ import pandas as pd
 import pytest
 
 from redis_lsm_timeseries_spark.plans import REGISTRY
+from redis_lsm_timeseries_spark.plans.reference_queries import (
+    UNREGISTERED_ORACLES,
+)
 from redis_lsm_timeseries_spark.sources.testdata import TABLES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
@@ -92,6 +95,22 @@ def test_oracle_parity(spark, duck, name):
         assert not bad, (
             f"{name}: column {col!r} mismatches (first 5 of {len(bad)}): {bad[:5]}"
         )
+
+
+@pytest.mark.parametrize("name", sorted(UNREGISTERED_ORACLES))
+def test_unregistered_oracle_parity(spark, duck, name):
+    """Queries that lost their driver slot to the 50-entry cap keep
+    the identical rows+schema+values parity check here."""
+    fn, oracle = UNREGISTERED_ORACLES[name]
+    got = _canon(fn(spark, SF_DIR).toPandas())
+    want = _canon(duck.execute(oracle).fetchdf())
+    assert len(got) == len(want)
+    assert list(got.columns) == list(want.columns)
+    for col in got.columns:
+        assert all(
+            _cell_equal(a, b)
+            for a, b in zip(got[col].tolist(), want[col].tolist())
+        ), f"{name}: column {col!r} mismatch"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_SPECS)

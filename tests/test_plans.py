@@ -130,8 +130,13 @@ class TestPushdown:
         assert "l_quantity" in read_schema
 
     def test_events_predicate_pushdown(self, spark):
-        """ts_page_scan's tag filter must reach the events scan."""
-        plan = _plan(spark, "ts_page_scan")
+        """ts_page_scan's tag filter must reach the events scan (the
+        query is unregistered since round 8 but stays plan-gated)."""
+        from redis_lsm_timeseries_spark.plans.reference_queries import (
+            ts_page_scan,
+        )
+
+        plan = _plan(spark, ts_page_scan)
         assert "PushedFilters" in plan
         assert "EqualTo(event_type,error)" in plan
 
