@@ -86,3 +86,180 @@ def curate_stream(
     return dedup_stream_by_content(
         slim, text_col, event_time_col, watermark
     )
+
+
+# ---------------------------------------------------- near-dup admission
+#
+# The exact-dedup stage above is content-digest-keyed: a re-crawl that
+# differs by one word sails through. Near-dup admission closes that
+# gap with the SAME machinery the batch pipeline uses — the persisted
+# MinHash band index (`operators.dedup.build_band_index`) probed per
+# micro-batch via `incremental_near_dup` — wrapped in foreachBatch,
+# because the probe joins against a growing external table, which the
+# declarative streaming operators cannot express.
+
+MIN_SHINGLE_TOKENS = 3  # word-3-shingles need >= 3 tokens to exist
+
+
+def near_dup_admitting_batch(
+    output_path: str,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int | None = None,
+):
+    """Build the ``foreachBatch`` function for near-dup-aware
+    streaming admission. For each micro-batch:
+
+    1. EXACT guard (idempotency): probe the admitted-digest index with
+       ``incremental_exact_dedup`` — rows whose content was already
+       admitted (including a re-delivered micro-batch after a restart:
+       same content, same digests) drop here, so replays admit nothing
+       twice and never grow the index. In-batch exact dups admit once
+       (min id).
+    2. NEAR guard: MinHash-probe the persisted band index with
+       ``incremental_near_dup``; rows whose best signature agreement
+       >= ``threshold`` drop. Documents too short to shingle
+       (< 3 tokens) skip this stage — their max-init signatures would
+       all collide — and rely on the exact guard alone.
+    3. Admit the remainder: append rows to ``output_path``, their
+       digests and band rows (signatures included) to the index.
+
+    Batch-internal NEAR dups (two first-seen variants arriving in one
+    micro-batch) both admit — the idempotent batch dedup downstream
+    remains the backstop, the same two-tier posture as the exact
+    stage. State lives entirely in the two index tables, not the
+    streaming state store, so it survives restarts and is shared with
+    batch admission jobs using the same index.
+
+    100 TB shape: per batch, the (small) batch side broadcasts twice —
+    digests against the digest index, band keys against the band index
+    — and the indexes are scanned, never shuffled; appends are
+    batch-sized. At deployment scale the band index is stored bucketed
+    by (band_idx, band_key) so the probe is bucket-pruned."""
+    from pyspark.sql import types as T
+
+    from redis_lsm_timeseries_spark.functions.portable import (
+        nonempty_tokens as _net,
+    )
+    from redis_lsm_timeseries_spark.operators import dedup as D
+
+    nh = D.NUM_HASHES if num_hashes is None else int(num_hashes)
+    digests_path = f"{index_path}/digests"
+    bands_path = f"{index_path}/bands"
+
+    bands_schema = T.StructType(
+        [
+            T.StructField("corpus_id", T.LongType()),
+            T.StructField("band_idx", T.IntegerType()),
+            T.StructField("band_key", T.StringType()),
+            T.StructField("mhs", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _read_or_empty(spark, path, schema):
+        try:
+            return spark.read.schema(schema).parquet(path)
+        except Exception:
+            return spark.createDataFrame([], schema)
+
+    def process(batch_df, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)
+        if batch.isEmpty():
+            return
+        digest_idx = _read_or_empty(
+            spark, digests_path, T.StructType(
+                [T.StructField("digest", T.StringType())]
+            ),
+        )
+        exact = D.incremental_exact_dedup(batch, digest_idx, text_col, id_col)
+        novel_ids = exact.where("admit").select(id_col)
+        novel = batch.join(novel_ids, id_col, "left_semi").localCheckpoint(
+            eager=True
+        )
+        if novel.isEmpty():
+            return
+        long_enough = novel.where(
+            F.size(_net(text_col)) >= MIN_SHINGLE_TOKENS
+        )
+        band_idx_df = _read_or_empty(spark, bands_path, bands_schema)
+        near = D.incremental_near_dup(
+            long_enough.select(id_col, text_col),
+            band_idx_df,
+            text_col,
+            id_col,
+            threshold,
+            nh,
+        )
+        dropped_ids = near.where("is_near_dup").select(id_col)
+        admitted = novel.join(dropped_ids, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        if admitted.isEmpty():
+            return
+        admitted.write.mode("append").parquet(output_path)
+        (
+            admitted.select(D.content_digest(text_col).alias("digest"))
+            .distinct()
+            .write.mode("append")
+            .parquet(digests_path)
+        )
+        new_bands = D.build_band_index(
+            admitted.where(F.size(_net(text_col)) >= MIN_SHINGLE_TOKENS),
+            text_col,
+            id_col,
+            nh,
+        )
+        # enforce the index schema (band_idx is int, ids long) so a
+        # later probe's signature-width/type guard stays meaningful
+        (
+            new_bands.select(
+                F.col("corpus_id").cast("long"),
+                F.col("band_idx").cast("int"),
+                F.col("band_key"),
+                F.col("mhs"),
+            )
+            .write.mode("append")
+            .parquet(bands_path)
+        )
+
+    return process
+
+
+def curate_stream_near_dup(
+    stream: DataFrame,
+    output_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    event_time_col: str = "event_time",
+    text_col: str = "text",
+    min_quality: float = DEFAULT_MIN_QUALITY,
+    min_tokens: int = DEFAULT_MIN_TOKENS,
+    watermark: str = "10 minutes",
+    scrub: bool = True,
+    threshold: float = 0.5,
+    trigger: dict | None = None,
+):
+    """The near-dup-aware streaming curation pipeline: the stateless
+    ``curate_stream`` stages (score, filter, scrub, watermark-bounded
+    exact dedup) feed a ``foreachBatch`` admission sink that drops
+    near-duplicates of everything previously admitted and appends the
+    rest to ``output_path``. Returns the started StreamingQuery.
+    ``trigger`` passes through to ``writeStream.trigger`` (e.g.
+    ``{"availableNow": True}`` for drain-and-stop runs)."""
+    curated = curate_stream(
+        stream, event_time_col, text_col, min_quality, min_tokens,
+        watermark, scrub,
+    )
+    writer = curated.writeStream.foreachBatch(
+        near_dup_admitting_batch(
+            output_path, index_path, text_col, threshold=threshold
+        )
+    ).option("checkpointLocation", checkpoint_path)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.outputMode("append").start()
