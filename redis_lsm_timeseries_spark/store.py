@@ -87,6 +87,7 @@ class TimeseriesStore:
         spark: SparkSession,
         config: EngineConfig,
         fs: StorageFilesystem | None = None,
+        commit=None,
     ):
         self.spark = spark
         self.config = config
@@ -94,6 +95,14 @@ class TimeseriesStore:
         # JSON, L0 segment moves, partition drops) routes through this
         # seam — see fs.py for what a non-local deployment implements.
         self.fs = fs if fs is not None else LOCAL_FS
+        # Atomic-commit seam for the maintenance jobs (lease, dynamic
+        # partition overwrite, snapshot swap) — see commit.py for the
+        # Delta/Iceberg drop-in mapping.
+        if commit is None:
+            from redis_lsm_timeseries_spark.commit import DEFAULT_COMMIT
+
+            commit = DEFAULT_COMMIT
+        self.commit = commit
         self._epoch: int | None = None
         # Instance id: the reference derives a shortid per store instance
         # (index.js:58) used in the member uniquifier.

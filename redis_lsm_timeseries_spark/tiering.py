@@ -27,19 +27,20 @@ idle threshold is in SECONDS, one unit everywhere (the reference
 divides a ms input by 1000 into a seconds comparison, making its
 default 0).
 
-Atomicity: the reference gets it from Redis single-threading; here each
-job is a single Spark write commit, and the mark/ack pair is serialized
-by the namespace maintenance LEASE (``maintenance_lease`` — enforced,
-not just a convention: concurrent maintenance raises
-``ConcurrentMaintenanceError``). Delta MERGE / optimistic table commits
-would replace both the manual partition overwrite and the lease on a
-lakehouse deployment.
+Atomicity: the reference gets it from Redis single-threading; here
+every transactional table operation routes through the store's
+``TableCommit`` seam (``commit.py``): the namespace maintenance LEASE
+(enforced — concurrent maintenance raises
+``ConcurrentMaintenanceError``), the dynamic partition overwrite, the
+protocol-log append, and the crash-repairable snapshot swap. The
+default ``ParquetLeaseCommit`` implements them on plain Parquet; a
+lakehouse deployment drops in a Delta/Iceberg implementation (MERGE /
+DELETE / optimistic commit) without touching the logic here.
 """
 
 from __future__ import annotations
 
 import functools
-import json
 import time
 import uuid
 from contextlib import contextmanager
@@ -47,10 +48,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from redis_lsm_timeseries_spark.errors import (
-    ConcurrentMaintenanceError,
-    ValidationError,
-)
+from redis_lsm_timeseries_spark.commit import OLD_SUFFIX
+from redis_lsm_timeseries_spark.errors import ValidationError
 from redis_lsm_timeseries_spark.schema import (
     MEMBER_IDENTITY_COLS,
     PURGE_LOG_SCHEMA,
@@ -71,103 +70,25 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
-LEASE_FILE = "_maintenance_lease"
+# Re-exported for callers/tests that import it from here.
+from redis_lsm_timeseries_spark.commit import LEASE_FILE  # noqa: E402, F401
 
 
 @contextmanager
 def maintenance_lease(
     store: TimeseriesStore, ttl_s: float = 900.0, now_ms: int | None = None
 ):
-    """Single-writer guard for the maintenance jobs.
-
-    The reference gets mark/ack atomicity from Redis running each Lua
-    script single-threaded; the module docstring's 'single-writer
-    maintenance-job pattern' was previously just a convention. This
-    makes it enforced: every maintenance entry point (``purge_scan``,
-    ``purge_ack_many``, ``compact``, ``compact_purge_log``) acquires
-    the namespace's lease file first, so two jobs racing the same
-    namespace fail fast with ``ConcurrentMaintenanceError`` instead of
-    corrupting a partition overwrite.
-
-    Mechanics: atomic create-if-absent of ``{base}/_maintenance_lease``
-    through the fs seam (local ``O_EXCL``; conditional put on object
-    stores). A lease older than its ``ttl_s`` horizon is presumed
-    crashed and stolen. Steal = remove + re-create, which is NOT atomic
-    (a second stealer's remove can delete the lease the first just
-    created), so the create result alone is never trusted: after every
-    acquisition the lease is READ BACK and must carry this acquisition's
-    unique nonce, else the acquisition lost and raises. Release is
-    guarded the same way — the file is removed only while it still
-    holds this acquisition's nonce, so an expired holder exiting late
-    cannot delete a stealer's fresh lease. A read-back/act window
-    remains (this is a best-effort local-FS guard); a lakehouse
-    deployment replaces the file with the table format's optimistic
-    commit. Reentrant per store instance (``compact`` calls
-    ``compact_purge_log``), and a lease left by a crashed run of the
-    SAME instance re-acquires immediately."""
-    store._require_init()
-    depth = getattr(store, "_lease_depth", 0)
-    if depth > 0:
-        store._lease_depth = depth + 1
-        try:
-            yield
-        finally:
-            store._lease_depth -= 1
-        return
-    path = f"{store.config.base_path}/{LEASE_FILE}"
-    if now_ms is None:
-        now_ms = _now_ms()
-    nonce = uuid.uuid4().hex
-    payload = json.dumps(
-        {
-            "holder": store.writer_id,
-            "nonce": nonce,
-            "expires_ms": now_ms + int(ttl_s * 1000),
-        }
-    )
-
-    def _held_by_me() -> bool:
-        try:
-            cur = json.loads(store.fs.read_text(path))
-        except Exception:
-            return False
-        return (
-            cur.get("holder") == store.writer_id
-            and cur.get("nonce") == nonce
-        )
-
-    if not store.fs.create_exclusive(path, payload):
-        try:
-            cur = json.loads(store.fs.read_text(path))
-        except Exception:
-            # Vanished mid-race (holder just released) or unreadable:
-            # fall through to the steal path, whose read-back is the
-            # real arbiter.
-            cur = None
-        if (
-            cur is not None
-            and cur.get("holder") != store.writer_id
-            and now_ms <= cur.get("expires_ms", 0)
-        ):
-            raise ConcurrentMaintenanceError(
-                f"maintenance lease held by {cur.get('holder')!r} until "
-                f"{cur.get('expires_ms')} (now {now_ms})"
-            )
-        store.fs.remove_file(path)
-        store.fs.create_exclusive(path, payload)
-    # Arbiter for every acquisition path: whatever create_exclusive
-    # returned, we own the lease only if the file now carries OUR nonce.
-    if not _held_by_me():
-        raise ConcurrentMaintenanceError(
-            "lost the lease-steal race for " + path
-        )
-    store._lease_depth = 1
-    try:
+    """Single-writer guard for the maintenance jobs — every
+    maintenance entry point (``purge_scan``, ``purge_ack_many``,
+    ``compact``, ``compact_purge_log``) acquires the namespace lock
+    first, so two jobs racing the same namespace fail fast with
+    ``ConcurrentMaintenanceError`` instead of corrupting a partition
+    overwrite. Delegates to the store's ``TableCommit`` seam (the
+    default ``ParquetLeaseCommit.maintenance_lock`` documents the
+    lease-file protocol; a lakehouse implementation makes this a no-op
+    and lets the table format's optimistic commit detect conflicts)."""
+    with store.commit.maintenance_lock(store, ttl_s=ttl_s, now_ms=now_ms):
         yield
-    finally:
-        store._lease_depth = 0
-        if _held_by_me():
-            store.fs.remove_file(path)
 
 
 def _serialized_maintenance(fn):
@@ -192,46 +113,20 @@ def purge_log(store: TimeseriesStore) -> DataFrame:
     store._require_init()
     path = store.config.purge_log_path
     if not store.fs.exists(path):
-        old = path + ".compact-old"
+        old = path + OLD_SUFFIX
         if store.fs.exists(old):
             return store.spark.read.schema(PURGE_LOG_SCHEMA).parquet(old)
         return store.spark.createDataFrame([], PURGE_LOG_SCHEMA)
     return store.spark.read.schema(PURGE_LOG_SCHEMA).parquet(path)
 
 
-def _repair_interrupted_log_swap(store: TimeseriesStore) -> None:
-    """Complete or roll back a ``compact_purge_log`` swap that crashed
-    between its two renames (live dir absent; pre-swap copy at
-    ``.compact-old``). Without this, the next ``_append_log`` would
-    recreate the live dir holding only the new appends, after which
-    ``purge_log`` reads stop falling back to ``.compact-old`` and all
-    pre-compaction protocol state is silently dropped. Runs under the
-    maintenance lease (every caller is a lease-holding maintenance
-    entry point), so the renames cannot race another repairer."""
-    path = store.config.purge_log_path
-    tmp, old = path + ".compact-tmp", path + ".compact-old"
-    if store.fs.exists(path):
-        return
-    if store.fs.exists(tmp) and store.fs.exists(f"{tmp}/_SUCCESS"):
-        # The snapshot committed: roll the swap forward.
-        store.fs.rename(tmp, path)
-        store.fs.remove_tree(old)
-    elif store.fs.exists(old):
-        # Snapshot incomplete or already promoted-and-lost: roll back.
-        store.fs.remove_tree(tmp)
-        store.fs.rename(old, path)
-
-
 def _append_log(store: TimeseriesStore, rows: list[tuple]) -> None:
-    _repair_interrupted_log_swap(store)
-    # Single-slice parallelize, NOT createDataFrame(rows).coalesce(1):
-    # createDataFrame spreads even a 4-row list over defaultParallelism
-    # partitions, and coalesce(1) then evaluates all 32 Python input
-    # partitions serially in one task (~0.15 s of worker round-trips
-    # each — measured 4.5 s per append). One input slice = one task.
-    rdd = store.spark.sparkContext.parallelize(rows, 1)
-    df = store.spark.createDataFrame(rdd, PURGE_LOG_SCHEMA)
-    df.write.mode("append").parquet(store.config.purge_log_path)
+    store.commit.repair_interrupted_rewrite(
+        store, store.config.purge_log_path
+    )
+    store.commit.append_rows(
+        store, rows, PURGE_LOG_SCHEMA, store.config.purge_log_path
+    )
 
 
 @_serialized_maintenance
@@ -453,19 +348,17 @@ def purge_ack_many(
     for tag, part_start in affected - nonempty:
         # Partition fully evicted: dynamic overwrite rewrites only
         # partitions present in the output, so drop emptied ones here.
-        store.fs.remove_tree(
-            f"{store.config.hot_path}/tag={tag}/part_start={part_start}"
+        store.commit.drop_partition_dir(
+            store,
+            f"{store.config.hot_path}/tag={tag}/part_start={part_start}",
         )
     if nonempty:
-        # Dynamic partition overwrite: only the acked partitions'
-        # directories are replaced. Set per-write (not just session-wide
-        # in session.py) — with a static-overwrite session default this
-        # writer would silently DELETE every other hot partition.
-        (
-            remaining.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*store.config.partition_cols)
-            .parquet(store.config.hot_path)
+        # Only the acked partitions' directories are replaced — see
+        # ParquetLeaseCommit.overwrite_partitions for the per-write
+        # dynamic-overwrite requirement.
+        store.commit.overwrite_partitions(
+            store, remaining, store.config.hot_path,
+            store.config.partition_cols,
         )
     store.invalidate_hot_cache()
     _append_log(
@@ -501,25 +394,23 @@ def compact_purge_log(store: TimeseriesStore) -> int:
     replaced (0 = nothing to do)."""
     store._require_init()
     path = store.config.purge_log_path
-    _repair_interrupted_log_swap(store)
+    store.commit.repair_interrupted_rewrite(store, path)
     if not store.fs.exists(path):
         return 0
     n_files = store.fs.count_files_with_suffix(path, ".parquet")
     if n_files <= 1:
         return 0
-    tmp, old = path + ".compact-tmp", path + ".compact-old"
-    store.fs.remove_tree(tmp)
-    store.fs.remove_tree(old)
-    (
-        store.spark.read.schema(PURGE_LOG_SCHEMA)
-        .parquet(path)
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    store.fs.rename(path, old)
-    store.fs.rename(tmp, path)
-    store.fs.remove_tree(old)
+
+    def write_snapshot(tmp: str) -> None:
+        (
+            store.spark.read.schema(PURGE_LOG_SCHEMA)
+            .parquet(path)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+    store.commit.snapshot_rewrite(store, path, write_snapshot)
     return n_files
 
 
@@ -607,11 +498,8 @@ def compact(
         .localCheckpoint()
     )
     rows_after = winners.count()
-    (
-        winners.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*store.config.partition_cols)
-        .parquet(store.config.hot_path)
+    store.commit.overwrite_partitions(
+        store, winners, store.config.hot_path, store.config.partition_cols
     )
     store.invalidate_hot_cache()
     return CompactionMetrics(
