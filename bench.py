@@ -1,14 +1,21 @@
 """Engine benchmark: run the headline catalog queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and print the result as JSON:
 
     {"metric": "catalog_wall_time", "value": <total sec>, "unit": "sec",
      "queries": {"<name>": <sec>, ...}, "sf": 0.1}
 
 Each query is forced through the noop sink (computes every output
 column and row — ``count()`` would let Catalyst prune the projection
-work away), timed wall-clock. The JSON line is the LAST line on stdout;
-all other output goes to stderr.
+work away), timed wall-clock.
+
+Output protocol: the driver records only the last ~2,000 characters
+of stdout, which in round 7 truncated the (single, long) JSON line
+from the HEAD and left it unparseable. So stdout now carries TWO
+lines: first the full-detail record (complete history in the log),
+then a compact duplicate — per-query times at 2 decimals, extras
+dropped — size-guarded under the capture window, as the LAST line.
+All progress goes to stderr.
 """
 
 from __future__ import annotations
@@ -89,6 +96,8 @@ def main() -> int:
         extras = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     log(f"extras: {extras}")
 
+    norm = normalized_vs_prev(per_query, calibration)
+
     result = {
         "metric": "catalog_wall_time",
         "value": round(total, 3),
@@ -103,9 +112,97 @@ def main() -> int:
         "bulk_ingest_rows_per_s": round(bulk_rps, 1),
         "calibration": calibration,
         "extras": extras,
+        "normalized_vs_prev": norm,
     }
+    # Full-detail record first (for the log)...
     print(json.dumps(result), flush=True)
+    # ...then the compact duplicate as the LAST line, kept under the
+    # driver's ~2,000-char tail capture: 2-decimal query times, no
+    # extras; progressively shed optional sections if still too long.
+    compact = dict(result)
+    compact["queries"] = {k: round(v, 2) for k, v in per_query.items()}
+    compact.pop("extras", None)
+    for drop in ("normalized_vs_prev", "calibration", None):
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= 1900 or drop is None:
+            break
+        compact.pop(drop, None)
+    print(line, flush=True)
     return 1 if failures else 0
+
+
+def normalized_vs_prev(per_query: dict, calibration: dict) -> dict:
+    """Host-calibration-normalized comparison against the most recent
+    recorded round (SURVEY §6's protocol as a computed column): the
+    per-query time ratio divided by the host-speed ratio, so a
+    uniformly slower/faster sandbox reads as ~1.0. Best-effort — any
+    missing prior data yields a reason string instead of numbers."""
+    import glob
+    import re
+    import statistics
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    cur_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for path in reversed(prior):
+        try:
+            rec = json.load(open(path))
+        except Exception:
+            continue
+        # apples-to-apples only: skip prior rounds at a different SF
+        prev_sf = rec.get("sf")
+        if prev_sf is not None and f"sf{prev_sf}" not in cur_sf:
+            continue
+        parsed = rec.get("parsed") or {}
+        prev_cal = parsed.get("calibration")
+        prev_queries = parsed.get("queries")
+        tail = rec.get("tail", "")
+        if not prev_cal:
+            m = re.search(r'"calibration":\s*(\{[^}]*\})', tail)
+            if m:
+                try:
+                    prev_cal = json.loads(m.group(1))
+                except Exception:
+                    prev_cal = None
+        if not prev_queries:
+            # per-query times live in the truncated tail as
+            # '"name": 1.234' pairs; harvest what survived
+            prev_queries = {
+                k: float(v)
+                for k, v in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', tail)
+                if k in per_query
+            }
+        if not (prev_cal and isinstance(prev_cal, dict)):
+            continue
+        try:
+            ratios = [
+                calibration[k] / prev_cal[k]
+                for k in ("cpu_hash_sec", "shuffle_sec", "scan_sec")
+                if prev_cal.get(k)
+            ]
+            if not ratios:
+                continue
+            cal_ratio = statistics.median(ratios)
+            q_ratios = [
+                per_query[k] / prev_queries[k]
+                for k in per_query
+                if prev_queries.get(k)
+            ]
+            out = {
+                "prev": os.path.basename(path),
+                "cal_ratio": round(cal_ratio, 3),
+            }
+            if q_ratios:
+                med = statistics.median(q_ratios)
+                out["median_query_ratio_raw"] = round(med, 3)
+                out["median_query_ratio_normalized"] = round(
+                    med / cal_ratio, 3
+                )
+                out["n_compared"] = len(q_ratios)
+            return out
+        except Exception:
+            continue
+    return {"prev": None, "reason": "no prior round with calibration"}
 
 
 def extras_bench(spark, sf_dir: str) -> dict:
