@@ -222,6 +222,7 @@ def extras_bench(spark, sf_dir: str) -> dict:
     from redis_lsm_timeseries_spark.operators.lm import lm_quality_scores
     from redis_lsm_timeseries_spark.operators.packing import (
         pack_documents,
+        pack_documents_nosplit,
         window_manifest,
     )
     from redis_lsm_timeseries_spark.operators.dedup import (
@@ -261,6 +262,7 @@ def extras_bench(spark, sf_dir: str) -> dict:
 
     workloads = {
         "pack_documents": lambda: pack_documents(docs),
+        "pack_documents_nosplit": lambda: pack_documents_nosplit(docs),
         "window_manifest": lambda: window_manifest(pack_documents(docs), 64),
         "lm_quality_scores": lambda: lm_quality_scores(docs),
         "corpus_report": lambda: corpus_report(docs),

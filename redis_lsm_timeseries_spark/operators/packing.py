@@ -10,9 +10,10 @@ placement: the stream offset of its first token, the window (pack) its
 first token lands in, the window its last token lands in, and whether
 it straddles a window boundary. This is the GPT-style "concatenate
 then chunk" layout (documents MAY cross window boundaries, separated
-downstream by EOD tokens) — not first-fit bin packing, whose
-running-reset recurrence needs sequential state and reshuffles the
-corpus order non-deterministically under retries.
+downstream by EOD tokens). The boundary-respecting greedy layout —
+whose running-reset recurrence needs sequential per-stream state — is
+``pack_documents_nosplit`` below: same deterministic (source, shard,
+id) order, Arrow-batched ``applyInPandas`` for the recurrence.
 
 100 TB shape: the only exchange is the window's hash partition on
 (source, shard). A GLOBAL document order would funnel the whole corpus
@@ -314,4 +315,104 @@ def materialize_windows(
             F.flatten(F.col("_parts._slice")).alias("toks"),
         )
         .withColumn("n_tokens", F.size("toks").cast("long"))
+    )
+
+
+def pack_documents_nosplit(
+    df: DataFrame,
+    window_tokens: int = DEFAULT_WINDOW_TOKENS,
+    num_shards: int = DEFAULT_NUM_SHARDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Document-boundary-respecting packing (the SFT-style layout):
+    within each (source, shard) stream, documents are placed in
+    ascending-id order into fixed-size windows WITHOUT splitting — a
+    document that does not fit the current window's remaining space
+    starts a new window. The complement of ``pack_documents`` (whose
+    GPT-style concat-and-chunk layout lets documents straddle
+    windows): instruction-tuning pipelines want every example intact
+    in one context, trading fill fraction for boundary integrity.
+
+    Output (one row per document):
+      id, source, shard, n_tokens       — as in ``pack_documents``
+      pack_id                           — window index within the
+                                          stream (0-based, contiguous)
+      win_offset                        — the doc's start offset
+                                          within its window
+      oversize                          — n_tokens > window_tokens:
+                                          the doc occupies a window
+                                          alone and must be truncated
+                                          or split downstream (flagged,
+                                          never silently cut)
+      pack_window_tokens                — carried for the same
+                                          execution-time guards as
+                                          ``pack_documents``
+    Zero-token documents take zero space: they pin to the current
+    window at its current offset.
+
+    Why Pandas, not Columns: greedy first-fit is a data-dependent
+    recurrence (each placement depends on the running remainder, which
+    RESETS on overflow) — not expressible as a window aggregate.
+    ``applyInPandas`` over (source, shard) keeps it Arrow-batched and
+    bounded: the hash shard caps every group at ~|source|/num_shards
+    documents, the same single-exchange scale posture as
+    ``pack_documents``; per-group work is a linear scan."""
+    import pandas as pd
+
+    if window_tokens <= 0:
+        raise ValueError("window_tokens must be positive")
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+
+    n_tok = F.size(nonempty_tokens(text_col)).cast("long")
+    shard = F.pmod(
+        hash64(F.col(id_col).cast("string")), F.lit(num_shards)
+    ).cast("long")
+    slim = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        shard.alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+
+    wt = int(window_tokens)
+
+    def place(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        pack_ids, offsets, oversize = [], [], []
+        win, used = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > wt:
+                # oversize: its own window, flagged
+                if used > 0:
+                    win += 1
+                pack_ids.append(win)
+                offsets.append(0)
+                oversize.append(True)
+                win += 1
+                used = 0
+                continue
+            if used + n > wt:
+                win += 1
+                used = 0
+            pack_ids.append(win)
+            offsets.append(used)
+            oversize.append(False)
+            used += n
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        pdf["win_offset"] = pd.Series(offsets, dtype="int64")
+        pdf["oversize"] = pd.Series(oversize, dtype="bool")
+        return pdf
+
+    out_schema = (
+        f"{id_col} long, {source_col} string, shard long, n_tokens long, "
+        f"pack_id long, win_offset long, oversize boolean"
+    )
+    return (
+        slim.groupBy(source_col, "shard")
+        .applyInPandas(place, out_schema)
+        .withColumn("pack_window_tokens", F.lit(wt).cast("long"))
     )
