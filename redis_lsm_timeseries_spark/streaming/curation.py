@@ -263,3 +263,66 @@ def curate_stream_near_dup(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.outputMode("append").start()
+
+
+def compact_admission_index(
+    spark,
+    index_path: str,
+    fs=None,
+    target_files: int = 1,
+) -> dict:
+    """Small-file hygiene for the admission index: every micro-batch
+    appends one file to ``digests`` and ``bands``, so after N batches
+    each probe pays N file opens — the same accretion the purge log
+    suffers (``tiering.compact_purge_log``), handled the same way:
+    rewrite each table clustered into ``target_files`` files via a
+    crash-safe tmp-write + two-rename swap (full copy on disk at
+    every instant; an interrupted swap leaves ``.compact-old`` to
+    fall back to, repaired on the next run). The bands rewrite also
+    clusters by (band_idx, band_key), so probes touch co-located
+    row groups — the local-FS stand-in for the bucketed layout a
+    deployment stores the index in.
+
+    Run this between streaming runs (the admission sink reads the
+    index at the start of each micro-batch; swapping mid-batch would
+    race it — same single-writer maintenance posture as tiering).
+    Returns {"digests": files_before, "bands": files_before} (0 =
+    nothing to do)."""
+    from redis_lsm_timeseries_spark.fs import LOCAL_FS
+
+    fs = fs if fs is not None else LOCAL_FS
+    done = {}
+    for name, cluster in (("digests", ["digest"]),
+                          ("bands", ["band_idx", "band_key"])):
+        path = f"{index_path}/{name}"
+        tmp, old = path + ".compact-tmp", path + ".compact-old"
+        # repair an interrupted swap first (same protocol as
+        # commit.ParquetLeaseCommit.repair_interrupted_rewrite)
+        if not fs.exists(path):
+            if fs.exists(tmp) and fs.exists(f"{tmp}/_SUCCESS"):
+                fs.rename(tmp, path)
+                fs.remove_tree(old)
+            elif fs.exists(old):
+                fs.remove_tree(tmp)
+                fs.rename(old, path)
+        if not fs.exists(path):
+            done[name] = 0
+            continue
+        n = fs.count_files_with_suffix(path, ".parquet")
+        if n <= target_files:
+            done[name] = 0
+            continue
+        fs.remove_tree(tmp)
+        fs.remove_tree(old)
+        (
+            spark.read.parquet(path)
+            .repartition(target_files, *cluster)
+            .sortWithinPartitions(*cluster)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        fs.rename(path, old)
+        fs.rename(tmp, path)
+        fs.remove_tree(old)
+        done[name] = n
+    return done

@@ -149,3 +149,71 @@ class TestEndToEnd:
             spark.read.parquet(str(tmp_path / "out")).count()
             == len(admitted)
         )
+
+
+class TestIndexCompaction:
+    def test_compacts_and_preserves_admission_behavior(
+        self, spark, tmp_path
+    ):
+        from redis_lsm_timeseries_spark.streaming.curation import (
+            compact_admission_index,
+        )
+
+        out = str(tmp_path / "out")
+        idx = str(tmp_path / "idx")
+        process = near_dup_admitting_batch(out, idx)
+        # several batches -> several small files per index table
+        process(_df(spark, [(1, WORDS)]), 0)
+        process(_df(spark, [(2, NOVEL)]), 1)
+        process(
+            _df(spark, [(3, "a third entirely separate passage about "
+                            "orchard harvests and the pressing of "
+                            "apples into cider every autumn weekend")]),
+            2,
+        )
+        dig_before = spark.read.parquet(f"{idx}/digests").collect()
+        bands_before = spark.read.parquet(f"{idx}/bands").collect()
+        n_files = len(
+            [f for f in __import__("os").listdir(f"{idx}/digests")
+             if f.endswith(".parquet")]
+        )
+        assert n_files >= 3
+        done = compact_admission_index(spark, idx)
+        assert done["digests"] >= 3 and done["bands"] >= 3
+        # contents identical
+        assert sorted(r.digest for r in dig_before) == sorted(
+            r.digest
+            for r in spark.read.parquet(f"{idx}/digests").collect()
+        )
+        assert len(bands_before) == spark.read.parquet(
+            f"{idx}/bands"
+        ).count()
+        # single file each now; second run is a no-op
+        assert compact_admission_index(spark, idx) == {
+            "digests": 0, "bands": 0
+        }
+        # admission semantics unchanged through the compacted index:
+        # replay of batch 1 still admits nothing
+        process(_df(spark, [(10, WORDS), (11, VARIANT)]), 3)
+        admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert 10 not in admitted and 11 not in admitted
+
+    def test_interrupted_swap_repaired(self, spark, tmp_path):
+        import os
+
+        from redis_lsm_timeseries_spark.streaming.curation import (
+            compact_admission_index,
+        )
+
+        out = str(tmp_path / "out")
+        idx = str(tmp_path / "idx")
+        process = near_dup_admitting_batch(out, idx)
+        process(_df(spark, [(1, WORDS)]), 0)
+        process(_df(spark, [(2, NOVEL)]), 1)
+        n = spark.read.parquet(f"{idx}/digests").count()
+        # simulate a crash between the two renames: live dir gone,
+        # pre-swap copy parked at .compact-old
+        os.rename(f"{idx}/digests", f"{idx}/digests.compact-old")
+        compact_admission_index(spark, idx)
+        assert spark.read.parquet(f"{idx}/digests").count() == n
+        assert not os.path.exists(f"{idx}/digests.compact-old")
