@@ -416,3 +416,52 @@ def pack_documents_nosplit(
         .applyInPandas(place, out_schema)
         .withColumn("pack_window_tokens", F.lit(wt).cast("long"))
     )
+
+
+def materialize_windows_nosplit(
+    docs: DataFrame,
+    packed: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assemble the actual training windows from a
+    ``pack_documents_nosplit`` layout: one row per (source, shard,
+    window) carrying the window's token sequence — documents intact,
+    in placement order.
+
+    Output: (source, shard, window_id, toks, n_tokens, n_docs,
+    has_oversize). Windows hold <= window_tokens tokens unless
+    ``has_oversize`` (a single too-long document placed alone —
+    truncate or split downstream, the layout never cuts silently).
+
+    Scale shape mirrors ``materialize_windows``: the layout joins the
+    corpus on the document key, and the assembly groupBy shuffles
+    token payloads keyed by window — the same bytes a shard writer
+    must move. In-window order is (win_offset, id): ties happen only
+    between zero-token documents, whose empty arrays cannot affect
+    the flattened stream."""
+    toks = nonempty_tokens(text_col)
+    joined = packed.join(
+        docs.select(F.col(id_col), toks.alias("_toks")), id_col
+    )
+    return (
+        joined.groupBy("source", "shard", F.col("pack_id").alias("window_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("win_offset", F.col(id_col).alias("_id"), "_toks")
+                )
+            ).alias("_parts"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max(F.col("oversize")).alias("has_oversize"),
+        )
+        .select(
+            "source",
+            "shard",
+            "window_id",
+            F.flatten(F.col("_parts._toks")).alias("toks"),
+            "n_docs",
+            "has_oversize",
+        )
+        .withColumn("n_tokens", F.size("toks").cast("long"))
+    )
