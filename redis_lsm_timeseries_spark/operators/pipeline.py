@@ -137,3 +137,98 @@ def curate_corpus(
         .withColumn("keep", F.size("drop_reasons") == 0)
         .drop("_dup", "_blocked")
     )
+
+
+def dedup_rewrite(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+    span_tokens: int | None = None,
+    paragraph: bool = True,
+    substring: bool = True,
+) -> DataFrame:
+    """One-call content REWRITE pass: cut cross-document boilerplate
+    at paragraph granularity (``paragraph_dedup``), then cut the
+    non-paragraph-aligned duplicated runs the first pass cannot see
+    (``substring_dedup``) — the rewrite-side complement of
+    ``curate_corpus``'s keep/drop verdicts (which never alter text).
+
+    Output, one row per document:
+      (id, text — the rewritten form, n_paragraphs, n_paragraphs_kept,
+       n_spans_cut, dup_tokens_cut, was_modified)
+    Stage order matters: paragraph cuts remove whole duplicated blocks
+    first, so the substring pass only pays for the remainder, and a
+    run that already survived both passes is a fixed point (re-running
+    the rewrite changes nothing — tested).
+
+    NOTE the output text is the substring stage's NORMALIZED token
+    stream (lowercased, single-spaced) when ``substring=True`` — the
+    form a tokenizer-fed pipeline consumes; set ``substring=False``
+    to keep original casing/spacing with paragraph cuts only.
+
+    Scale = the union of the stages' shapes (digest-keyed paragraph
+    shuffle + window-digest shuffle, text crossing only the exchanges
+    a rewrite must move). The intermediate rewritten corpus is
+    materialized between stages: ``substring_dedup`` consumes its
+    input twice, and projection collapse would otherwise run the
+    whole paragraph stage once per consumer."""
+    from redis_lsm_timeseries_spark.operators.dedup import (
+        DEFAULT_SPAN_TOKENS,
+        paragraph_dedup,
+        substring_dedup,
+    )
+
+    if span_tokens is None:
+        span_tokens = DEFAULT_SPAN_TOKENS
+    out = docs.select(F.col(id_col), F.col(text_col))
+    n_paragraphs = F.lit(0).cast("long")
+    n_kept = F.lit(0).cast("long")
+    modified = F.lit(False)
+    if paragraph:
+        p = paragraph_dedup(out, text_col, id_col, min_chars)
+        out = p.select(
+            F.col(id_col),
+            F.col("text_deduped").alias(text_col),
+            "n_paragraphs",
+            F.col("n_kept").alias("n_paragraphs_kept"),
+            F.col("was_modified").alias("_mod_p"),
+        ).localCheckpoint(eager=False)
+    else:
+        out = (
+            out.withColumn("n_paragraphs", n_paragraphs)
+            .withColumn("n_paragraphs_kept", n_kept)
+            .withColumn("_mod_p", modified)
+            .localCheckpoint(eager=False)
+        )
+    if substring:
+        s = substring_dedup(out, text_col, id_col, span_tokens)
+        out = (
+            out.drop(text_col)
+            .join(
+                s.select(
+                    F.col(id_col),
+                    F.col("text_deduped").alias(text_col),
+                    F.col("n_spans").alias("n_spans_cut"),
+                    F.col("dup_tokens").alias("dup_tokens_cut"),
+                    (F.col("dup_tokens") > 0).alias("_mod_s"),
+                ),
+                id_col,
+            )
+        )
+    else:
+        out = out.withColumn(
+            "n_spans_cut", F.lit(0).cast("long")
+        ).withColumn(
+            "dup_tokens_cut", F.lit(0).cast("long")
+        ).withColumn("_mod_s", F.lit(False))
+    return (
+        out.withColumn(
+            "was_modified", F.col("_mod_p") | F.col("_mod_s")
+        )
+        .drop("_mod_p", "_mod_s")
+        .select(
+            id_col, text_col, "n_paragraphs", "n_paragraphs_kept",
+            "n_spans_cut", "dup_tokens_cut", "was_modified",
+        )
+    )
