@@ -275,3 +275,58 @@ def with_zscore_anomaly(
             ),
         )
     )
+
+
+def with_ewma(
+    samples: DataFrame,
+    alpha: float,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exponentially-weighted moving average per series, the recursive
+    (Prometheus/monitoring-style) form:
+
+        y_0 = x_0;  y_t = alpha * x_t + (1 - alpha) * y_{t-1}
+
+    Output: input columns + ``ewma`` (double), ordered within each
+    series by (ts, value) — the value tie-break keeps duplicate-ts
+    rows deterministic.
+
+    Why Pandas, not Columns: the recursion weights EVERY prior sample
+    with (1-alpha)^k — expressible as a window sum only through
+    (1-alpha)^(-k) prefix terms, which overflow doubles after a few
+    thousand rows for any practical alpha. The honest distributed
+    shape is one Arrow batch per series (``applyInPandas`` keyed by
+    tag — state never crosses series), the same posture as the
+    stateful trend operator in ``operators/grouped.py``. Long series
+    are the caveat: one task holds one series; split on a coarse time
+    bucket first if a single series outgrows a task (the recursion
+    then restarts per bucket — document the seam, don't hide it)."""
+    import pandas as pd
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    cols = samples.columns
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, value_col], ignore_index=True)
+        # pandas ewm(adjust=False) IS this recursion; computed
+        # explicitly so the semantics are pinned by our code, not a
+        # library default that could drift
+        vals = pdf[value_col].astype("float64").to_numpy()
+        out = vals.copy()
+        for i in range(1, len(out)):
+            out[i] = alpha * vals[i] + (1.0 - alpha) * out[i - 1]
+        pdf["ewma"] = out
+        return pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in samples.schema.fields
+    ) + ", ewma double"
+    return (
+        samples.groupBy(tag_col)
+        .applyInPandas(smooth, schema)
+        .select(*cols, "ewma")
+    )

@@ -167,3 +167,22 @@ class TestMaterialization:
                 for t in toks
             ]
             assert got == want, key
+
+
+class TestPlanShape:
+    def test_single_exchange_arrow_grouped(self, docs):
+        from redis_lsm_timeseries_spark.operators.packing import (
+            pack_documents_nosplit,
+        )
+
+        plan = (
+            pack_documents_nosplit(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # one hash partition on (source, shard); the recurrence runs
+        # Arrow-batched (FlatMapGroupsInPandas), never row-at-a-time
+        assert plan.count("Exchange") <= 1, plan
+        assert "FlatMapGroupsInPandas" in plan
+        assert "BatchEvalPython" not in plan

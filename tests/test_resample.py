@@ -416,3 +416,62 @@ class TestZScoreAnomaly:
                     r.zscore, wz, rel_tol=1e-9, abs_tol=1e-12
                 )
         con.close()
+
+
+class TestEwma:
+    def test_matches_python_recurrence_on_events(self, spark):
+        from redis_lsm_timeseries_spark.operators.resample import with_ewma
+
+        events = load_events(spark, SF_DIR).select(
+            F.col("event_type").alias("tag"),
+            F.col("ts_ms").alias("ts"),
+            "value",
+        ).where(F.col("value").isNotNull())
+        alpha = 0.3
+        got = with_ewma(events, alpha).collect()
+        by_tag: dict = {}
+        for r in sorted(got, key=lambda r: (r.tag, r.ts, r.value)):
+            by_tag.setdefault(r.tag, []).append(r)
+        assert by_tag
+        for tag, rows in by_tag.items():
+            y = None
+            for r in rows:
+                y = (
+                    float(r.value)
+                    if y is None
+                    else alpha * float(r.value) + (1 - alpha) * y
+                )
+                assert math.isclose(r.ewma, y, rel_tol=1e-9), (tag, r.ts)
+
+    def test_first_sample_passthrough_and_bounds(self, spark):
+        from redis_lsm_timeseries_spark.operators.resample import with_ewma
+
+        df = spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, 0.0), ("a", 3, 0.0)],
+            "tag string, ts long, value double",
+        )
+        rows = {
+            r.ts: r.ewma for r in with_ewma(df, 0.5).collect()
+        }
+        assert rows[1] == 10.0
+        assert rows[2] == 5.0
+        assert rows[3] == 2.5
+        with pytest.raises(ValueError):
+            with_ewma(df, 0.0)
+
+    def test_plan_is_arrow_grouped(self, spark):
+        from redis_lsm_timeseries_spark.operators.resample import with_ewma
+
+        events = load_events(spark, SF_DIR).select(
+            F.col("event_type").alias("tag"),
+            F.col("ts_ms").alias("ts"),
+            "value",
+        )
+        plan = (
+            with_ewma(events, 0.5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "FlatMapGroupsInPandas" in plan
+        assert "BatchEvalPython" not in plan
