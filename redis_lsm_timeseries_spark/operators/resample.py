@@ -311,14 +311,15 @@ def with_ewma(
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, value_col], ignore_index=True)
-        # pandas ewm(adjust=False) IS this recursion; computed
-        # explicitly so the semantics are pinned by our code, not a
-        # library default that could drift
-        vals = pdf[value_col].astype("float64").to_numpy()
-        out = vals.copy()
-        for i in range(1, len(out)):
-            out[i] = alpha * vals[i] + (1.0 - alpha) * out[i - 1]
-        pdf["ewma"] = out
+        # pandas ewm(adjust=False) IS this recursion, C-implemented —
+        # a Python loop here would make long series driver-of-cost.
+        # The semantics are pinned by the test's independent Python
+        # recurrence, so a drifting library default cannot slip by.
+        pdf["ewma"] = (
+            pdf[value_col].astype("float64")
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+        )
         return pdf
 
     schema = ", ".join(
