@@ -139,11 +139,19 @@ def make_maintenance_batch_handler(
     maintenance_every: int = 1,
     partition_age_threshold_s: float = 300.0,
     max_partitions_to_mark: int = 10,
+    rollups: list[tuple[str, int]] | None = None,
 ):
     """The foreachBatch handler behind
     ``start_hot_ingest_with_maintenance``, exposed so replay semantics
     are directly testable (call it twice with one batch_id = a replay).
-    """
+
+    ``rollups`` = [(name, step_ms), ...]: continuous rollups to keep
+    fresh from the ingest trigger — every maintenance turn runs
+    ``refresh_rollup`` for each, whose watermark-driven incremental
+    recompute makes the piggyback idempotent under micro-batch replay
+    (a replayed batch writes identity-equal members, so the refresh
+    sees nothing new)."""
+    from redis_lsm_timeseries_spark.rollup import refresh_rollup
     from redis_lsm_timeseries_spark.tiering import purge_ack_many, purge_scan
 
     w = store.config.partition_width
@@ -179,6 +187,8 @@ def make_maintenance_batch_handler(
             )
             if marks:
                 purge_ack_many(store, [m.purge_id for m in marks])
+            for name, step in rollups or ():
+                refresh_rollup(store, name, step)
 
     return handle_batch
 
@@ -192,6 +202,7 @@ def start_hot_ingest_with_maintenance(
     partition_age_threshold_s: float = 300.0,
     max_partitions_to_mark: int = 10,
     available_now: bool = True,
+    rollups: list[tuple[str, int]] | None = None,
 ) -> StreamingQuery:
     """Ingest with the purge pipeline wired into the stream (SURVEY.md
     §3.3): a ``foreachBatch`` sink appends each micro-batch through the
@@ -225,6 +236,7 @@ def start_hot_ingest_with_maintenance(
         maintenance_every=maintenance_every,
         partition_age_threshold_s=partition_age_threshold_s,
         max_partitions_to_mark=max_partitions_to_mark,
+        rollups=rollups,
     )
     writer = (
         stream.writeStream.foreachBatch(handle_batch)

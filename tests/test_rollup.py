@@ -129,3 +129,39 @@ class TestIncrementalEqualsFull:
         refresh_rollup(store, "coarse", 100)
         assert read_rollup(store, "fine").count() == 2
         assert read_rollup(store, "coarse").count() == 1
+
+
+class TestStreamingPiggyback:
+    def test_rollup_maintained_from_ingest_stream(self, spark, store, tmp_path):
+        """Rollups refresh from the ingest trigger, and a replayed
+        micro-batch (identity-equal members) leaves them unchanged."""
+        from redis_lsm_timeseries_spark.streaming.ingest import (
+            make_maintenance_batch_handler,
+        )
+
+        ckpt = str(tmp_path / "ckpt")
+        handler = make_maintenance_batch_handler(
+            store,
+            ckpt,
+            partition_age_threshold_s=1e6,  # no purging in this test
+            rollups=[("agg", STEP)],
+        )
+        b0 = spark.createDataFrame(
+            [("cpu", 1, "1.0"), ("cpu", 12, "2.0")],
+            "tag string, ts long, value string",
+        )
+        handler(b0, 0)
+        _assert_matches_full(store)
+        assert read_rollup(store, "agg").count() == 2
+        b1 = spark.createDataFrame(
+            [("cpu", 14, "3.0"), ("mem", 2, "4.0")],
+            "tag string, ts long, value string",
+        )
+        handler(b1, 1)
+        _assert_matches_full(store)
+        before = _rows(read_rollup(store, "agg"))
+        # replay of batch 1: pinned ingest_ts + content-hash seq make
+        # members identity-equal; the watermark refresh sees nothing
+        handler(b1, 1)
+        assert _rows(read_rollup(store, "agg")) == before
+        _assert_matches_full(store)
