@@ -59,15 +59,21 @@ def _paths(store: TimeseriesStore, name: str) -> tuple[str, str]:
     return f"{base}/data", f"{base}/{META_NAME}"
 
 
+def _raw_members(store: TimeseriesStore) -> DataFrame:
+    """hot ∪ cold WITHOUT the identity dedup: the at-least-once
+    duplicate window (same member snapshotted to cold but not yet
+    acked out of hot) is still present. Use for aggregates that are
+    INVARIANT under exact duplicates — max(ingest_ts), DISTINCT
+    (tag, bucket) — where paying the full-corpus dedup shuffle would
+    be pure waste."""
+    return store.hot().unionByName(store.cold())
+
+
 def _members(store: TimeseriesStore) -> DataFrame:
-    """The logical member view: hot ∪ cold, exact duplicates (same
-    member snapshotted but not yet acked) dropped by identity —
-    the same base relation ``read_range(include_cold=True)`` merges."""
-    return (
-        store.hot()
-        .unionByName(store.cold())
-        .dropDuplicates(MEMBER_IDENTITY_COLS)
-    )
+    """The logical member view: hot ∪ cold, exact duplicates dropped
+    by identity — the same base relation
+    ``read_range(include_cold=True)`` merges."""
+    return _raw_members(store).dropDuplicates(MEMBER_IDENTITY_COLS)
 
 
 def _bucket(step: int):
@@ -132,10 +138,12 @@ def _refresh_locked(
     store: TimeseriesStore, name: str, step: int
 ) -> RollupMetrics:
     data_path, meta_path = _paths(store, name)
-    members = _members(store)
-    new_watermark = members.agg(
-        F.max("ingest_ts").alias("w")
-    ).first().w
+    # Duplicate-invariant probes run on the RAW union — no full-corpus
+    # identity-dedup shuffle for a watermark max or a distinct
+    # touched-set; only the (touched-bucket-bounded) recompute slice
+    # pays the dedup, after the semi-join has shrunk it.
+    raw = _raw_members(store)
+    new_watermark = raw.agg(F.max("ingest_ts").alias("w")).first().w
     if new_watermark is None:
         new_watermark = -1
 
@@ -163,7 +171,7 @@ def _refresh_locked(
         )
     w = meta["watermark_ingest_ts"]
     touched = (
-        members.where(F.col("ingest_ts") > F.lit(int(w)))
+        raw.where(F.col("ingest_ts") > F.lit(int(w)))
         .select("tag", _bucket(step).alias("bucket_start"))
         .distinct()
         .localCheckpoint()
@@ -172,10 +180,13 @@ def _refresh_locked(
     if n_touched == 0:
         return RollupMetrics(0, 0, int(w))
 
-    # Recompute ONLY touched buckets: members semi-joined on the
-    # (small) touched set, LWW per key, re-aggregated.
-    in_touched = members.withColumn("bucket_start", _bucket(step)).join(
-        F.broadcast(touched), ["tag", "bucket_start"], "left_semi"
+    # Recompute ONLY touched buckets: raw members semi-joined on the
+    # (small) touched set FIRST, identity-deduped on the shrunken
+    # slice, LWW per key, re-aggregated.
+    in_touched = (
+        raw.withColumn("bucket_start", _bucket(step))
+        .join(F.broadcast(touched), ["tag", "bucket_start"], "left_semi")
+        .dropDuplicates(MEMBER_IDENTITY_COLS)
     )
     recomputed = _aggregate(lww_latest(in_touched), step)
 
