@@ -159,10 +159,20 @@ def near_dup_admitting_batch(
     )
 
     def _read_or_empty(spark, path, schema):
+        # ONLY a missing path reads as empty (first run). Any other
+        # failure — corrupt files, permissions — must propagate: an
+        # unreadable index treated as empty would silently re-admit
+        # every duplicate.
+        from pyspark.errors import AnalysisException
+
         try:
             return spark.read.schema(schema).parquet(path)
-        except Exception:
-            return spark.createDataFrame([], schema)
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(
+                exc
+            ):
+                return spark.createDataFrame([], schema)
+            raise
 
     def process(batch_df, batch_id: int) -> None:
         if not batch_df.columns:
