@@ -534,7 +534,13 @@ class TimeseriesStore:
 
     def cold(self) -> DataFrame:
         self._require_init()
-        if not self.fs.exists(self.config.cold_path):
+        # A cold root emptied by retention (directories without data
+        # files) would fail partition-schema inference — treat "no
+        # parquet files" the same as "never written".
+        if not self.fs.exists(self.config.cold_path) or (
+            self.fs.count_files_with_suffix(self.config.cold_path, ".parquet")
+            == 0
+        ):
             return self.spark.createDataFrame([], SAMPLE_SCHEMA)
         df = self.spark.read.parquet(self.config.cold_path)
         return df.select(*[f.name for f in SAMPLE_SCHEMA.fields])

@@ -522,3 +522,83 @@ def purge_payload(store: TimeseriesStore, purge_id: str) -> DataFrame:
         .select(*[f.name for f in SAMPLE_SCHEMA.fields])
     )
     return lww_latest(snap).select("tag", "ts", "value")
+
+
+@dataclass(frozen=True)
+class RetentionMetrics:
+    partitions_dropped: int
+    rows_dropped: int
+
+
+@_serialized_maintenance
+def apply_retention(
+    store: TimeseriesStore,
+    older_than_ms: int,
+    drop_cold: bool = False,
+) -> RetentionMetrics:
+    """Retention sweep (the TimescaleDB ``drop_chunks`` analog, and
+    the hard-delete the reference sketches but never implements —
+    ``recipe:22-23``): drop every HOT partition that lies ENTIRELY
+    before the cutoff — ``part_start + W <= older_than_ms`` — as a
+    whole-directory delete. A partition straddling the cutoff is
+    KEPT in full: retention is partition-granular (chunk-granular in
+    Timescale terms), never a row rewrite, so the sweep costs one
+    metadata-narrow aggregate plus directory removals regardless of
+    data volume.
+
+    ``drop_cold=True`` extends the sweep to cold-tier snapshots whose
+    partition lies before the cutoff (the archive is otherwise
+    retained — tiering is not deletion). L0 is folded first so no
+    pre-cutoff rows survive in the staging tier.
+
+    Idempotent (a second sweep finds nothing) and serialized by the
+    maintenance lease like every other mutation job. Interplay with
+    the purge protocol: a marked-but-unacked partition that retention
+    removes simply acks to an empty remainder later — the ack's
+    anti-join sees no matching hot rows and the idempotency gate
+    still records it."""
+    store._require_init()
+    if older_than_ms < 0:
+        raise ValidationError("older_than_ms must be >= 0")
+    w = store.config.partition_width
+    store.flush_l0()
+    doomed = (
+        store.hot()
+        .where(F.col("part_start") + F.lit(w) <= F.lit(int(older_than_ms)))
+        .groupBy("tag", "part_start")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    rows = 0
+    for r in doomed:
+        store.commit.drop_partition_dir(
+            store,
+            f"{store.config.hot_path}/tag={r.tag}/part_start={r.part_start}",
+        )
+        rows += r.n
+    if doomed:
+        store.invalidate_hot_cache()
+    if (
+        drop_cold
+        and store.fs.exists(store.config.cold_path)
+        and store.fs.count_files_with_suffix(
+            store.config.cold_path, ".parquet"
+        )
+        > 0
+    ):
+        cold_doomed = (
+            store.spark.read.parquet(store.config.cold_path)
+            .where(
+                F.col("part_start") + F.lit(w) <= F.lit(int(older_than_ms))
+            )
+            .select("purge_id", "tag", "part_start")
+            .distinct()
+            .collect()
+        )
+        for r in cold_doomed:
+            store.commit.drop_partition_dir(
+                store,
+                f"{store.config.cold_path}/purge_id={r.purge_id}"
+                f"/tag={r.tag}/part_start={r.part_start}",
+            )
+    return RetentionMetrics(len(doomed), rows)

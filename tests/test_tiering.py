@@ -492,3 +492,70 @@ class TestCommitSeam:
             for r in s.read_range({"GapTag": (0, 100)}).collect()
         }
         assert vals[("GapTag", 11)] == "Eleven"
+
+
+class TestRetention:
+    """apply_retention = drop_chunks: partition-granular hard delete."""
+
+    def test_exact_semantics(self, store):
+        """W=5 corpus spans partitions 0/10/20 (GapTag) and 0
+        (SerialTag); cutoff 12 drops only partitions wholly before it
+        (part_start + W <= 12 -> the two part-0s; part 10 straddles
+        and is kept in full)."""
+        from redis_lsm_timeseries_spark.tiering import apply_retention
+
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        m = apply_retention(store, older_than_ms=12)
+        assert m.partitions_dropped == 2  # GapTag-0, SerialTag-0
+        assert m.rows_dropped == 6  # ts 1,2 (Gap) + 1,2,3,4 (Serial)
+        left = _read_all(store)
+        assert set(left) == {("GapTag", 10), ("GapTag", 20)}
+        # idempotent
+        m2 = apply_retention(store, older_than_ms=12)
+        assert m2.partitions_dropped == 0 and m2.rows_dropped == 0
+
+    def test_l0_folded_before_sweep(self, store):
+        from redis_lsm_timeseries_spark.tiering import apply_retention
+
+        store.write([("T", 1, "old")], ingest_ts=T0)  # lands in L0
+        m = apply_retention(store, older_than_ms=100)
+        assert m.partitions_dropped == 1 and m.rows_dropped == 1
+        assert _read_all_tag(store, "T") == {}
+
+    def test_cold_retention_optional(self, store):
+        from redis_lsm_timeseries_spark.tiering import (
+            apply_retention,
+            purge_ack_many,
+            purge_scan,
+        )
+
+        store.write(GAP_SERIAL, ingest_ts=T0)
+        marks = purge_scan(store, 0, 10, now_ms=T0 + 1_000)
+        purge_ack_many(store, [m.purge_id for m in marks])
+        # data now lives in cold; hot sweep alone keeps the archive
+        apply_retention(store, older_than_ms=1_000)
+        cold_before = store.cold().count()
+        assert cold_before > 0
+        apply_retention(store, older_than_ms=1_000, drop_cold=True)
+        assert store.cold().count() == 0
+
+    def test_interplay_with_unacked_mark(self, store):
+        """Retention removing a marked-but-unacked partition: the later
+        ack finds nothing to delete and still completes idempotently."""
+        from redis_lsm_timeseries_spark.tiering import (
+            apply_retention,
+            purge_ack_many,
+            purge_scan,
+        )
+
+        store.write([("R", 1, "a"), ("R", 50, "b")], ingest_ts=T0)
+        marks = purge_scan(store, 0, 1, now_ms=T0 + 1_000)
+        assert len(marks) == 1
+        apply_retention(store, older_than_ms=10_000)
+        acked = purge_ack_many(store, [m.purge_id for m in marks])
+        assert acked[marks[0].purge_id] is True
+
+
+def _read_all_tag(store, tag):
+    df = store.read_range({tag: (0, 1_000_000)})
+    return {(r.tag, r.ts): r.value for r in df.collect()}
