@@ -535,6 +535,7 @@ def apply_retention(
     store: TimeseriesStore,
     older_than_ms: int,
     drop_cold: bool = False,
+    max_partitions: int = 10_000,
 ) -> RetentionMetrics:
     """Retention sweep (the TimescaleDB ``drop_chunks`` analog, and
     the hard-delete the reference sketches but never implements —
@@ -556,10 +557,17 @@ def apply_retention(
     the purge protocol: a marked-but-unacked partition that retention
     removes simply acks to an empty remainder later — the ack's
     anti-join sees no matching hot rows and the idempotency gate
-    still records it."""
+    still records it.
+
+    ``max_partitions`` bounds one run's driver-side state (the
+    collected drop list), like ``purge_scan``'s coldest-K and
+    ``compact``'s cap — oldest partitions drop first, the rest on
+    later runs."""
     store._require_init()
     if older_than_ms < 0:
         raise ValidationError("older_than_ms must be >= 0")
+    if max_partitions < 1:
+        raise ValidationError("max_partitions must be >= 1")
     w = store.config.partition_width
     store.flush_l0()
     doomed = (
@@ -567,6 +575,8 @@ def apply_retention(
         .where(F.col("part_start") + F.lit(w) <= F.lit(int(older_than_ms)))
         .groupBy("tag", "part_start")
         .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("part_start", "tag")
+        .limit(int(max_partitions))
         .collect()
     )
     rows = 0

@@ -559,3 +559,20 @@ class TestRetention:
 def _read_all_tag(store, tag):
     df = store.read_range({tag: (0, 1_000_000)})
     return {(r.tag, r.ts): r.value for r in df.collect()}
+
+
+def test_retention_cap_bounds_one_run(spark, store):
+    from redis_lsm_timeseries_spark.tiering import apply_retention
+
+    store.write(
+        [("C", t, f"v{t}") for t in (1, 11, 21, 31)], ingest_ts=T0
+    )  # four W=5 partitions: 0, 10, 20, 30
+    m = apply_retention(store, older_than_ms=1_000, max_partitions=2)
+    assert m.partitions_dropped == 2  # oldest first: parts 0 and 10
+    left = {
+        r.ts for r in store.read_range({"C": (0, 100)}).collect()
+    }
+    assert left == {21, 31}
+    m2 = apply_retention(store, older_than_ms=1_000, max_partitions=2)
+    assert m2.partitions_dropped == 2
+    assert store.read_range({"C": (0, 100)}).count() == 0
