@@ -942,7 +942,13 @@ WITH e AS (
 )
 SELECT tag,
        CAST(n AS BIGINT) AS n_points,
-       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       -- the final int->double conversions go THROUGH VARCHAR:
+       -- DuckDB's direct HUGEINT->DOUBLE cast is not round-to-nearest
+       -- for all 128-bit values (observed one-ulp drift at sf0.001),
+       -- while its string->double parse is correctly rounded, matching
+       -- Python's int->float on the Spark side bit for bit.
+       CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
          AS slope
 FROM s
 """,
