@@ -232,7 +232,11 @@ def extras_bench(spark, sf_dir: str) -> dict:
     from redis_lsm_timeseries_spark.operators.lm import (
         bigram_quality_scores,
     )
-    from redis_lsm_timeseries_spark.operators.pipeline import curate_corpus
+    from redis_lsm_timeseries_spark.operators.pipeline import (
+        curate_corpus,
+        dedup_rewrite,
+    )
+    from redis_lsm_timeseries_spark.operators.resample import with_ewma
     from redis_lsm_timeseries_spark.operators.resample import (
         m4_downsample,
         resample_gapfill,
@@ -284,6 +288,10 @@ def extras_bench(spark, sf_dir: str) -> dict:
         "m4_downsample": lambda: m4_downsample(events, 3_600_000),
         "paragraph_dedup": lambda: paragraph_dedup(docs),
         "substring_dedup": lambda: substring_dedup(docs),
+        "dedup_rewrite": lambda: dedup_rewrite(docs),
+        "ewma_events": lambda: with_ewma(
+            events.where(F.col("value").isNotNull()), 0.3
+        ),
     }
     out: dict[str, object] = {}
     for name, fn in workloads.items():
