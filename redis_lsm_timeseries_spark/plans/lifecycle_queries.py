@@ -261,3 +261,109 @@ def compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+# --------------------------------------------------- continuous rollup
+ROLLUP_STEP = 86_400_000  # 1-day buckets
+#: phase-2 cutoff: first 3 days of the events span (2024-01-01 UTC)
+ROLLUP_P2_CUTOFF = 1_704_067_200_000 + 3 * 86_400_000
+
+
+@register(
+    "rollup_incremental_lifecycle",
+    oracle=f"""
+WITH p1 AS (
+  SELECT event_type AS tag, epoch_ms(ts) AS ts,
+         CAST(max(event_id) AS VARCHAR) AS value
+  FROM events
+  WHERE event_id % {SUBSET_MOD} = 0
+  GROUP BY event_type, epoch_ms(ts)
+), p2 AS (
+  SELECT event_type AS tag, epoch_ms(ts) AS ts,
+         CAST(max(event_id) AS VARCHAR) AS value
+  FROM events
+  WHERE event_id % {SUBSET_MOD} = 1
+    AND epoch_ms(ts) < {ROLLUP_P2_CUTOFF}
+  GROUP BY event_type, epoch_ms(ts)
+), merged AS (
+  SELECT tag, ts, value FROM p2
+  UNION ALL
+  SELECT tag, ts, value FROM p1
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p2 WHERE p2.tag = p1.tag AND p2.ts = p1.ts
+  )
+)
+SELECT tag,
+       ts - ts % {ROLLUP_STEP} AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_numeric,
+       CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+         AS sum_num,
+       min(CAST(value AS DOUBLE)) AS min_num,
+       max(CAST(value AS DOUBLE)) AS max_num
+FROM merged
+GROUP BY tag, bucket_start
+""",
+    tags=("rollup", "lifecycle", "mutation"),
+)
+def rollup_incremental_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-phase continuous-rollup lifecycle in a temp store: write a
+    base corpus, create the rollup (full compute), write a second
+    batch confined to the first three days — including LWW updates of
+    phase-1 keys — and refresh INCREMENTALLY. Returns the maintained
+    rollup table; the oracle recomputes the end state in pure SQL
+    (phase-2 rows win their keys, day buckets aggregated with DECIMAL
+    accumulation). The query itself asserts the second refresh touched
+    FEWER buckets than the first — proving the incremental path ran,
+    not a silent full recompute."""
+    import shutil
+    import tempfile
+
+    from redis_lsm_timeseries_spark.rollup import (
+        read_rollup,
+        refresh_rollup,
+    )
+
+    base_dir = tempfile.mkdtemp(prefix="rlts_rollup_lc_")
+    with pinned_shuffle_partitions(spark, 8):
+        try:
+            cfg = EngineConfig(root=base_dir, partition_width=LIFECYCLE_W)
+            store = TimeseriesStore(spark, cfg)
+            store.initialize()
+            ev = load_events(spark, sf_dir)
+            p1 = (
+                ev.where(F.col("event_id") % SUBSET_MOD == 0)
+                .groupBy(
+                    F.col("event_type").alias("tag"),
+                    F.col("ts_ms").alias("ts"),
+                )
+                .agg(F.max("event_id").cast("string").alias("value"))
+                .withColumn("seq", F.lit(0).cast("long"))
+            )
+            store.write_df(p1, ingest_ts=1000)
+            m1 = refresh_rollup(store, "daily", ROLLUP_STEP)
+            p2 = (
+                ev.where(
+                    (F.col("event_id") % SUBSET_MOD == 1)
+                    & (F.col("ts_ms") < ROLLUP_P2_CUTOFF)
+                )
+                .groupBy(
+                    F.col("event_type").alias("tag"),
+                    F.col("ts_ms").alias("ts"),
+                )
+                .agg(F.max("event_id").cast("string").alias("value"))
+                .withColumn("seq", F.lit(0).cast("long"))
+            )
+            store.write_df(p2, ingest_ts=2000)
+            m2 = refresh_rollup(store, "daily", ROLLUP_STEP)
+            if not (0 < m2.buckets_refreshed < m1.buckets_refreshed):
+                raise RuntimeError(
+                    f"refresh was not incremental: phase1 "
+                    f"{m1.buckets_refreshed} buckets, phase2 "
+                    f"{m2.buckets_refreshed}"
+                )
+            return read_rollup(store, "daily").localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(base_dir, ignore_errors=True)

@@ -83,9 +83,12 @@ def ts_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------- O4 index
-@register(
-    "ts_read_index",
-    oracle=SAMPLES_CTE
+# Unregistered in round 8 (after ts_page_scan): both entries pinned
+# O4/O5 halves of the already-green composed ts_range_read; the freed
+# slot carries rollup_incremental_lifecycle. Identical parity check
+# retained via UNREGISTERED_ORACLES.
+TS_READ_INDEX_ORACLE = (
+    SAMPLES_CTE
     + f"""
 SELECT tag, part_start,
        row_number() OVER (PARTITION BY tag ORDER BY part_start DESC)
@@ -96,9 +99,10 @@ FROM (
   WHERE tag IN ('purchase', 'error')
     AND part_start BETWEEN {RS} - {RS} % {W} AND {RE}
 )
-""",
-    tags=("reference", "index"),
+"""
 )
+
+
 def ts_read_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-pruning metadata query, newest-first with ascending
     sort_weight (reference readIndex, index.js:157-231; ordering pinned
@@ -465,4 +469,5 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: runs these through the identical comparison.
 UNREGISTERED_ORACLES = {
     "ts_page_scan": (ts_page_scan, TS_PAGE_SCAN_ORACLE),
+    "ts_read_index": (ts_read_index, TS_READ_INDEX_ORACLE),
 }
