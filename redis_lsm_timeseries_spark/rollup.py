@@ -143,6 +143,13 @@ def _refresh_locked(
     # touched-set; only the (touched-bucket-bounded) recompute slice
     # pays the dedup, after the semi-join has shrunk it.
     raw = _raw_members(store)
+    # Watermark captured BEFORE the recompute scans, deliberately: a
+    # write landing mid-refresh either misses this refresh entirely or
+    # is partially seen, and in both cases its ingest_ts exceeds the
+    # RECORDED watermark, so the next refresh re-touches its bucket —
+    # at-least-once recompute, idempotent by construction. Capturing
+    # the max afterwards could record a timestamp whose rows were
+    # never aggregated.
     new_watermark = raw.agg(F.max("ingest_ts").alias("w")).first().w
     if new_watermark is None:
         new_watermark = -1
@@ -206,7 +213,18 @@ def _refresh_locked(
         .repartition("tag")
         .localCheckpoint()  # materialize before overwriting its source
     )
-    store.commit.overwrite_partitions(store, merged, data_path, ["tag"])
+    # Dynamic overwrite only rewrites tag partitions PRESENT in
+    # merged: a touched tag whose every bucket emptied (fully
+    # tombstoned) would otherwise keep its stale rollup rows — drop
+    # those tag directories explicitly (bounded by touched tags).
+    present = {r.tag for r in merged.select("tag").distinct().collect()}
+    for r in touched_tags.collect():
+        if r.tag not in present:
+            store.commit.drop_partition_dir(
+                store, f"{data_path}/tag={r.tag}"
+            )
+    if present:
+        store.commit.overwrite_partitions(store, merged, data_path, ["tag"])
     store.fs.write_text(
         meta_path,
         json.dumps({"step": step, "watermark_ingest_ts": int(new_watermark)}),

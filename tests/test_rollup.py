@@ -165,3 +165,22 @@ class TestStreamingPiggyback:
         handler(b1, 1)
         assert _rows(read_rollup(store, "agg")) == before
         _assert_matches_full(store)
+
+
+def test_fully_tombstoned_tag_disappears_from_rollup(store):
+    """The dynamic-overwrite gap: a touched tag whose EVERY bucket
+    emptied must lose its partition directory, not keep stale rows."""
+    store.write(
+        [("gone", 5, "1.0"), ("gone", 15, "2.0"), ("kept", 3, "9.0")],
+        ingest_ts=T0,
+    )
+    refresh_rollup(store, "agg", STEP)
+    assert read_rollup(store, "agg").where("tag = 'gone'").count() == 2
+    store.write(
+        [("gone", 5, None), ("gone", 15, None)], ingest_ts=T0 + 1_000
+    )
+    refresh_rollup(store, "agg", STEP)
+    _assert_matches_full(store)
+    out = read_rollup(store, "agg")
+    assert out.where("tag = 'gone'").count() == 0
+    assert out.where("tag = 'kept'").count() == 1
