@@ -113,3 +113,93 @@ def corpus_report(
             / F.count(F.lit(1)).cast("double"),
         ).alias("dup_rate"),
     )
+
+
+def corpus_report_by(
+    df: DataFrame,
+    group_cols: list[str] | tuple[str, ...] = ("source",),
+    text_col: str = "text",
+    exact: bool = False,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """The report card per group (source, language, split, ...): one
+    row per distinct ``group_cols`` tuple with document/token totals,
+    length distribution, and duplicate-content rate WITHIN the group.
+    The per-source view is what a mixing decision actually reads —
+    the global one-row card hides a single bad source.
+
+    Same plan shape as ``corpus_report``: one partial-aggregated pass,
+    HLL distincts by default (no Expand), group count = output rows."""
+    n_tok = F.size(nonempty_tokens(text_col)).cast("long")
+    digest = content_digest(text_col)
+
+    def distinct(col: str):
+        return (
+            F.countDistinct(col)
+            if exact
+            else F.approx_count_distinct(col, rsd=float(rsd))
+        )
+
+    return (
+        df.select(
+            *[F.col(c) for c in group_cols],
+            n_tok.alias("_nt"),
+            digest.alias("_dg"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("total_tokens"),
+            F.min("_nt").cast("long").alias("min_tokens"),
+            F.expr("percentile_approx(_nt, 0.5)").cast("long").alias(
+                "median_tokens"
+            ),
+            F.max("_nt").cast("long").alias("max_tokens"),
+            distinct("_dg").cast("long").alias("n_distinct_contents"),
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0)
+                - distinct("_dg").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions, content-aware: one
+    row per document id present in either, with a verdict —
+      'added'     id only in new
+      'removed'   id only in old
+      'changed'   id in both, content digest differs
+      'unchanged' id in both, identical content
+    The audit a pipeline owner runs between curation runs ("what did
+    this config change actually do?").
+
+    Plan: each side reduces to (id, digest) map-side — the text never
+    crosses the exchange — then one full outer join keyed by id.
+    Output: (id, status, old_digest, new_digest)."""
+    o = old.select(
+        F.col(id_col), content_digest(text_col).alias("old_digest")
+    )
+    n = new.select(
+        F.col(id_col), content_digest(text_col).alias("new_digest")
+    )
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_digest") == F.col("new_digest"), F.lit("unchanged")
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        o.join(n, id_col, "full_outer")
+        .withColumn("status", status)
+        .select(id_col, "status", "old_digest", "new_digest")
+    )

@@ -215,3 +215,118 @@ class TestCorpusReport:
         )
         assert "Expand" not in approx_plan
         assert "Expand" in exact_plan
+
+
+class TestCorpusReportBy:
+    ORACLE = """
+        WITH base AS (
+            SELECT source, md5(text) AS dg,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t != '')) AS nt
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS total_tokens,
+               CAST(min(nt) AS BIGINT) AS min_tokens,
+               CAST(max(nt) AS BIGINT) AS max_tokens,
+               CAST(count(DISTINCT dg) AS BIGINT) AS n_distinct
+        FROM base GROUP BY source ORDER BY source
+    """
+
+    def test_matches_duckdb(self, spark, duck, docs):
+        from redis_lsm_timeseries_spark.operators.filtering import (
+            corpus_report_by,
+        )
+
+        got = {
+            r.source: r
+            for r in corpus_report_by(docs, ("source",), exact=True)
+            .collect()
+        }
+        want = duck.execute(self.ORACLE).fetchall()
+        assert len(got) == len(want) > 1
+        for src, n, tot, mn, mx, nd in want:
+            g = got[src]
+            assert (g.n_docs, g.total_tokens, g.min_tokens, g.max_tokens,
+                    g.n_distinct_contents) == (n, tot, mn, mx, nd)
+            assert 0.0 <= g.dup_rate < 1.0
+
+    def test_no_expand_in_approx_plan(self, spark, docs):
+        from redis_lsm_timeseries_spark.operators.filtering import (
+            corpus_report_by,
+        )
+
+        plan = (
+            corpus_report_by(docs)._jdf.queryExecution().executedPlan()
+            .toString()
+        )
+        assert "Expand" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+class TestCorpusDiff:
+    def test_verdicts(self, spark):
+        from redis_lsm_timeseries_spark.operators.filtering import (
+            corpus_diff,
+        )
+
+        old = spark.createDataFrame(
+            [(1, "same text"), (2, "will change"), (3, "will vanish")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, "same text"), (2, "has changed"), (4, "brand new")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+        assert out == {
+            1: "unchanged", 2: "changed", 3: "removed", 4: "added"
+        }
+
+    def test_matches_duckdb_on_documents(self, spark, duck, docs, tmp_path):
+        from redis_lsm_timeseries_spark.operators.filtering import (
+            corpus_diff,
+        )
+
+        # new snapshot: drop ids % 7 == 0, rewrite ids % 5 == 0, add
+        # shifted copies
+        import pyspark.sql.functions as F
+
+        new = (
+            docs.where("doc_id % 7 != 0")
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(F.col("text"), F.lit(" [edited]")),
+                ).otherwise(F.col("text")),
+            )
+            .select("doc_id", "text")
+            .unionByName(
+                docs.limit(3).select(
+                    (F.col("doc_id") + 900_000).alias("doc_id"), "text"
+                )
+            )
+        )
+        newp = str(tmp_path / "new.parquet")
+        new.toPandas().to_parquet(newp)
+        want = dict(
+            duck.execute(f"""
+                WITH o AS (SELECT doc_id, md5(text) AS d FROM documents),
+                n AS (SELECT doc_id, md5(text) AS d FROM '{newp}')
+                SELECT coalesce(o.doc_id, n.doc_id),
+                       CASE WHEN o.d IS NULL THEN 'added'
+                            WHEN n.d IS NULL THEN 'removed'
+                            WHEN o.d = n.d THEN 'unchanged'
+                            ELSE 'changed' END
+                FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+            """).fetchall()
+        )
+        got = {
+            r.doc_id: r.status
+            for r in corpus_diff(docs, spark.read.parquet(newp)).collect()
+        }
+        assert got == want
+        assert "added" in got.values() and "removed" in got.values()
+        assert "changed" in got.values()
