@@ -218,7 +218,11 @@ def extras_bench(spark, sf_dir: str) -> dict:
         incremental_exact_dedup,
         incremental_near_dup,
     )
-    from redis_lsm_timeseries_spark.operators.filtering import corpus_report
+    from redis_lsm_timeseries_spark.operators.filtering import (
+        corpus_diff,
+        corpus_report,
+        corpus_report_by,
+    )
     from redis_lsm_timeseries_spark.operators.lm import lm_quality_scores
     from redis_lsm_timeseries_spark.operators.packing import (
         pack_documents,
@@ -291,6 +295,10 @@ def extras_bench(spark, sf_dir: str) -> dict:
         "dedup_rewrite": lambda: dedup_rewrite(docs),
         "ewma_events": lambda: with_ewma(
             events.where(F.col("value").isNotNull()), 0.3
+        ),
+        "corpus_report_by_source": lambda: corpus_report_by(docs),
+        "corpus_diff": lambda: corpus_diff(
+            corpus, docs.where("doc_id % 3 != 0")
         ),
     }
     out: dict[str, object] = {}
