@@ -732,3 +732,68 @@ def substring_dedup(
             "dup_frac", "text_deduped",
         )
     )
+
+
+def multi_eval_contamination(
+    corpus: DataFrame,
+    eval_grams: DataFrame,
+    id_col: str = "doc_id",
+    sh_col: str = "sh",
+    set_col: str = "eval_set",
+) -> DataFrame:
+    """Benchmark decontamination against MANY eval sets at once, with
+    per-set attribution — the shape a release pipeline actually runs
+    (dozens of benchmarks, and the audit needs to know WHICH one a
+    document overlaps, not just that something matched).
+
+    ``eval_grams`` is a two-column relation (set_col, gram): each eval
+    set's distinct shingle hashes, the same hashes
+    ``ngram_overlap_contamination`` probes. Output, one row per
+    (document, eval set) WITH AT LEAST ONE HIT — contamination-bounded,
+    not |corpus| x |sets|:
+      (id, eval_set, n_shingles, n_eval_hits, contam_frac)
+    Zero-hit documents are clean by absence; join back against the
+    corpus id list when a dense verdict is needed (the single-set
+    operator already provides that shape).
+
+    100 TB shape: identical to the single-set probe — all eval sets
+    TOGETHER are still orders of magnitude smaller than the corpus, so
+    the (set, gram) relation broadcasts once and the corpus explodes
+    its distinct shingles exactly once regardless of how many
+    benchmarks are checked; per-(doc, set) hit counts partial-aggregate
+    map-side. Running the single-set operator N times would pay N
+    corpus passes for the same answer."""
+    empty = "CAST(array() AS ARRAY<BIGINT>)"
+    base = corpus.select(
+        F.col(id_col),
+        F.coalesce(F.array_distinct(F.col(sh_col)), F.expr(empty)).alias(
+            "_dsh"
+        ),
+    ).localCheckpoint(eager=False)
+    grams = eval_grams.select(
+        F.col(set_col).alias("_set"),
+        F.col(
+            [c for c in eval_grams.columns if c != set_col][0]
+        ).alias("g"),
+    ).distinct()
+    hits = (
+        base.select(id_col, F.size("_dsh").alias("_n"), F.explode("_dsh").alias("g"))
+        .join(F.broadcast(grams), "g")
+        .groupBy(id_col, "_set")
+        .agg(
+            F.max("_n").cast("long").alias("n_shingles"),
+            F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
+        )
+    )
+    return hits.select(
+        F.col(id_col),
+        F.col("_set").alias(set_col),
+        "n_shingles",
+        "n_eval_hits",
+        F.when(
+            F.col("n_shingles") > 0,
+            F.col("n_eval_hits").cast("double") / F.col("n_shingles"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contam_frac"),
+    )
