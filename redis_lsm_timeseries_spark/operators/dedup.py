@@ -39,6 +39,40 @@ def content_digest(text_col: str = "text") -> Column:
     return F.md5(F.col(text_col))
 
 
+def mark_first_occurrence(
+    occ: DataFrame,
+    digest_col: str,
+    id_col: str,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Skew-safe first-occurrence marking: adds a boolean ``_keep``
+    column that is true exactly on each digest's winner row — the
+    minimum ``(id, pos)`` struct among its occurrences.
+
+    Implementation is groupBy(digest).agg(min(struct(id, pos))) + join
+    back on the digest, NOT ``min(...).over(Window.partitionBy(digest))``.
+    The difference is the whole point: window functions get no map-side
+    partial aggregation, so the hottest digest — by definition the
+    most-duplicated content, the very thing dedup hunts — lands every
+    occurrence in a single WindowExec task with a sort (a license block
+    repeated 10^8 times at 100 TB is one straggler task). The groupBy
+    collapses each mapper's hot-digest rows to ONE pre-shuffle row
+    (partial_min), and the join back is a plain equi-join that AQE's
+    skew-join handling splits, unlike WindowExec."""
+    winners = occ.groupBy(digest_col).agg(
+        F.min(F.struct(F.col(id_col), F.col(pos_col))).alias("_first")
+    )
+    return (
+        occ.join(winners, digest_col)
+        .withColumn(
+            "_keep",
+            (F.col(id_col) == F.col("_first")[id_col])
+            & (F.col(pos_col) == F.col("_first")[pos_col]),
+        )
+        .drop("_first")
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups: one row per distinct content, winner =
     min id, n_copies = group size."""
@@ -509,11 +543,13 @@ def paragraph_dedup(
     the caller's length filter (already part of every curation
     pipeline here) removes them.
 
-    100 TB shape: one explode to (digest, id, pos) rows — the window
-    that picks each digest's winner and the groupBy that reassembles
-    documents both shuffle paragraph-sized payloads keyed by digest /
-    id, the same bytes a rewrite must move; nothing all-pairs, no
-    driver state."""
+    100 TB shape: one explode to (digest, id, pos) rows — the winner
+    pick is the skew-safe groupBy-min + join back of
+    ``mark_first_occurrence`` (partial aggregation collapses hot
+    digests map-side; a repeated boilerplate paragraph never funnels
+    into one WindowExec task), and the groupBy that reassembles
+    documents shuffles paragraph-sized payloads keyed by id, the same
+    bytes a rewrite must move; nothing all-pairs, no driver state."""
     paras = (
         df.select(
             F.col(id_col),
@@ -529,13 +565,7 @@ def paragraph_dedup(
         )
         .withColumn("pdigest", F.md5(F.col("para")))
     )
-    w = Window.partitionBy("pdigest")
-    first_owner = F.min(F.struct(F.col(id_col), F.col("pos"))).over(w)
-    kept = paras.withColumn(
-        "_keep",
-        (F.col(id_col) == first_owner[id_col])
-        & (F.col("pos") == first_owner["pos"]),
-    )
+    kept = mark_first_occurrence(paras, "pdigest", id_col, "pos")
     reassembled = (
         kept.groupBy(id_col)
         .agg(
@@ -606,25 +636,22 @@ def duplicate_substring_spans(
     the nonempty token stream, end-exclusive.
 
     100 TB shape: the explode emits ~n_tokens rows per document (same
-    order as the MinHash shingle table), the winner window shuffles
-    (digest, id, pos) triples — digests and ints, never text — and the
-    span merge shuffles only the DUPLICATED windows keyed by id.
-    Nothing all-pairs; cost is linear in corpus tokens, the floor for
-    any exact-substring method."""
+    order as the MinHash shingle table); the winner pick is the
+    skew-safe groupBy-min + join back of ``mark_first_occurrence``
+    shuffling (digest, id, pos) triples — digests and ints, never
+    text, and hot digests collapse to one row map-side — and the span
+    merge shuffles only the DUPLICATED windows keyed by id. Nothing
+    all-pairs; cost is linear in corpus tokens, the floor for any
+    exact-substring method."""
     wins = df.select(
         F.col(id_col),
         F.posexplode(
             hashed_windows_expr(text_col, int(span_tokens))
         ).alias("pos", "wdigest"),
     )
-    w = Window.partitionBy("wdigest")
-    first_owner = F.min(F.struct(F.col(id_col), F.col("pos"))).over(w)
     dups = (
-        wins.withColumn("_first", first_owner)
-        .where(
-            (F.col(id_col) != F.col("_first")[id_col])
-            | (F.col("pos") != F.col("_first")["pos"])
-        )
+        mark_first_occurrence(wins, "wdigest", id_col, "pos")
+        .where(~F.col("_keep"))
         .select(id_col, "pos")
     )
     lw = Window.partitionBy(id_col).orderBy("pos")

@@ -140,6 +140,58 @@ class TestPlanShape:
         df = substring_dedup(docs)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
-        # digest window + per-doc span merge + join back: the text
+        # digest groupBy-min + join back + per-doc span merge: the text
         # never crosses more than the span machinery's exchanges
-        assert plan.count("Exchange") <= 5, plan
+        assert plan.count("Exchange") <= 6, plan
+
+    def test_winner_pick_is_not_a_digest_window(self, spark):
+        """The first-occurrence winner must be groupBy-min + join back,
+        never a window partitioned by the digest: WindowExec gets no
+        map-side partial aggregation, so the hottest (= most duplicated)
+        digest would land every occurrence in one straggler task. The
+        only windows allowed are the per-document span-merge ones keyed
+        by doc id."""
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        for df, digest in (
+            (duplicate_substring_spans(docs), "wdigest"),
+            (paragraph_dedup(docs), "pdigest"),
+        ):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            for line in plan.splitlines():
+                if "windowspecdefinition" in line:
+                    assert digest not in line, line
+            # partial aggregation collapses hot digests map-side
+            assert "partial_min" in plan, plan
+
+
+class TestPlantedSkew:
+    def test_hot_digest_majority_of_rows(self, spark):
+        """One window digest planted in >= 50% of all rows — the shape
+        that makes Window.partitionBy(digest) a single straggler task.
+        The groupBy-min path must still produce the exact winner rule
+        (min (id, pos)) and cut every later copy."""
+        hot = " ".join(f"tok{i}" for i in range(4))  # 4-token hot run
+        rows = [(0, hot)]  # winner: doc 0, pos 0
+        rows += [(i, f"unique{i}a unique{i}b {hot}") for i in range(1, 401)]
+        rows += [
+            (i, f"fresh{i}x fresh{i}y fresh{i}z fresh{i}w")
+            for i in range(401, 501)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        spans = {
+            r.doc_id: r
+            for r in duplicate_substring_spans(df, span_tokens=4).collect()
+        }
+        assert 0 not in spans  # first occurrence wins
+        assert set(spans) == set(range(1, 401))
+        assert all(
+            (s.span_start, s.span_end) == (2, 6) for s in spans.values()
+        )
+        para = paragraph_dedup(
+            spark.createDataFrame(
+                [(i, hot) for i in range(500)], "doc_id long, text string"
+            )
+        ).collect()
+        kept = [r for r in para if r.n_kept == 1]
+        assert [r.doc_id for r in kept] == [0]
+        assert all(r.text_deduped == "" for r in para if r.doc_id != 0)
