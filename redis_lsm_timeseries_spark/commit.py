@@ -25,10 +25,16 @@ snapshot_rewrite       write-tmp + two renames     OPTIMIZE / rewrite
 ``ParquetLeaseCommit`` is the default and preserves the exact protocol
 the engine has shipped since round 5 — correct under the enforced
 single-writer maintenance regime, with crash repair for the one
-non-atomic window (the two-rename swap). A Delta/Iceberg
-implementation would make each method a single table transaction and
-turn ``maintenance_lock`` into a no-op (the commit itself detects
-conflicts).
+non-atomic window (the two-rename swap).
+
+``ManifestCommit`` is the transactional implementation of the same
+seam: a Delta-``_delta_log``-style put-if-absent version log per
+table, exact-file manifests, snapshot isolation for readers, and
+atomic multi-member appends (``append_tables``). It is the
+right-hand column of the table above as code, self-contained (no
+delta-spark dependency, which this environment does not ship); a real
+Delta/Iceberg binding would subclass ``TableCommit`` the same way and
+delegate to the table format's transaction API.
 """
 
 from __future__ import annotations
@@ -52,9 +58,11 @@ def _now_ms() -> int:
 
 
 class TableCommit:
-    """Interface. Subclasses provide the five operations above; every
-    maintenance entry point in ``tiering.py`` routes through the
-    store's instance (``store.commit``)."""
+    """Interface. Subclasses provide the operations above plus the
+    read-side resolution (a transactional backend decides WHAT a
+    reader sees, so reads route through the seam too); every
+    maintenance entry point in ``tiering.py``/``rollup.py`` routes
+    through the store's instance (``store.commit``)."""
 
     @contextmanager
     def maintenance_lock(self, store, ttl_s: float = 900.0,
@@ -62,6 +70,11 @@ class TableCommit:
         raise NotImplementedError
 
     def append_rows(self, store, rows: list[tuple], schema, path: str) -> None:
+        raise NotImplementedError
+
+    def append_partitioned(
+        self, store, df: DataFrame, path: str, partition_cols
+    ) -> None:
         raise NotImplementedError
 
     def overwrite_partitions(
@@ -76,6 +89,29 @@ class TableCommit:
         raise NotImplementedError
 
     def repair_interrupted_rewrite(self, store, path: str) -> None:
+        raise NotImplementedError
+
+    def read_table(self, store, path: str, schema=None) -> DataFrame:
+        """Current committed snapshot of a table. ``schema`` doubles as
+        the never-written fallback: with it, an absent table reads as
+        an empty DataFrame; without it, absence raises."""
+        raise NotImplementedError
+
+    def table_exists(self, store, path: str) -> bool:
+        raise NotImplementedError
+
+    def table_file_count(self, store, path: str) -> int:
+        raise NotImplementedError
+
+    def append_tables(
+        self, store, root: str, dfs: dict[str, DataFrame]
+    ) -> None:
+        """Append several member tables under one root in ONE logical
+        commit. Transactional backends make this atomic (all members
+        visible together or not at all — the streaming-admission
+        output/digest/band triple rides on it); directory backends
+        degrade to ordered per-member appends and document the crash
+        window."""
         raise NotImplementedError
 
 
@@ -185,6 +221,16 @@ class ParquetLeaseCommit(TableCommit):
         df = store.spark.createDataFrame(rdd, schema)
         df.write.mode("append").parquet(path)
 
+    def append_partitioned(self, store, df, path, partition_cols) -> None:
+        """Partitioned append (the cold-snapshot write): plain file
+        append into the hive layout — atomic per file, job-level
+        visibility via the committer's rename."""
+        (
+            df.write.mode("append")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+
     def overwrite_partitions(self, store, df, path, partition_cols) -> None:
         """Dynamic partition overwrite: only partitions present in
         ``df`` are replaced. Set per-write (not just session-wide) —
@@ -241,6 +287,429 @@ class ParquetLeaseCommit(TableCommit):
             # back.
             store.fs.remove_tree(tmp)
             store.fs.rename(old, path)
+
+    def read_table(self, store, path: str, schema=None) -> DataFrame:
+        """Directory snapshot read. A table mid-``snapshot_rewrite``
+        (live dir absent between the two renames) falls back to the
+        pre-swap copy at ``.compact-old`` so a crash in the maintenance
+        job never loses reader-visible state. A root emptied down to
+        zero data files (retention can do this) reads as never-written
+        — partition-schema inference would otherwise fail."""
+        live = (
+            store.fs.exists(path)
+            and store.fs.count_files_with_suffix(path, ".parquet") > 0
+        )
+        if not live:
+            old = path + OLD_SUFFIX
+            if (
+                store.fs.exists(old)
+                and store.fs.count_files_with_suffix(old, ".parquet") > 0
+            ):
+                path = old
+            elif schema is not None:
+                return store.spark.createDataFrame([], schema)
+            else:
+                raise FileNotFoundError(path)
+        reader = store.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(path)
+
+    def table_exists(self, store, path: str) -> bool:
+        return store.fs.exists(path) or store.fs.exists(path + OLD_SUFFIX)
+
+    def table_file_count(self, store, path: str) -> int:
+        if not store.fs.exists(path):
+            return 0
+        return store.fs.count_files_with_suffix(path, ".parquet")
+
+    def append_tables(self, store, root: str, dfs) -> None:
+        """Ordered per-member appends — NOT atomic across members.
+        Members append in the iteration order of ``dfs``; a crash
+        between appends leaves a prefix committed. Callers that need
+        all-or-nothing (the streaming admission triple) must order
+        members so a committed prefix is safe to replay, or use
+        ``ManifestCommit``, whose override is one atomic log entry."""
+        for member, df in dfs.items():
+            df.write.mode("append").parquet(f"{root}/{member}")
+
+
+LOG_DIR = "_log"
+DATA_DIR = "data"
+STAGE_DIR = "_stage"
+
+
+class ManifestCommit(ParquetLeaseCommit):
+    """Transactional manifest-pointer backend — the documented
+    Delta/Iceberg mapping as code, self-contained on any filesystem
+    whose seam offers create-if-absent (local ``O_EXCL``; conditional
+    put on object stores).
+
+    Layout of a managed table root::
+
+        {root}/_log/{version:020d}.json   # the commit log
+        {root}/data[/{member}]/...        # immutable data files
+        {root}/_stage/{uuid}/             # in-flight writes (invisible)
+
+    Protocol (the Delta ``_delta_log`` idiom):
+
+    - every commit writes ONE log entry via put-if-absent of the next
+      version number — optimistic concurrency: of two racing
+      committers exactly one wins, the loser re-reads and retries, and
+      a lost race after exhausting retries raises
+      ``ConcurrentMaintenanceError`` (conflict DETECTION, not a lock);
+    - each entry carries the complete file list per member table, so
+      the newest entry alone defines the snapshot — readers resolve
+      the max version and scan exactly those files (never a directory
+      listing), giving snapshot isolation: an in-flight read holds its
+      file list and is unaffected by any commit that lands under it;
+    - data files are immutable and writes stage under ``_stage`` (an
+      underscore path Spark readers skip) before their files move into
+      ``data/``, so a crash pre-commit leaves only invisible orphans
+      that ``vacuum`` collects. Physical deletes happen ONLY in
+      ``vacuum`` (called by ``snapshot_rewrite``, same timing as the
+      Parquet backend's old-copy removal) — overwrites and drops just
+      change the manifest.
+
+    Mode selection: a table this backend CREATES is manifest-managed
+    end to end. A pre-existing plain directory — the hot LSM tier,
+    whose files are written by the ingest/streaming path with its own
+    L0-staging and file-sink commit protocols — keeps the inherited
+    directory semantics; wrapping a manifest around files committed
+    outside the log would be a lie. The transactional surface covers
+    the PROTOCOL and DERIVED tables (purge log, cold snapshots,
+    rollups, admission indexes), which is where multi-writer
+    deployments need it.
+
+    ``append_tables`` is the multi-table payoff: N member tables under
+    one root appended in ONE log entry — all visible together or not
+    at all (the streaming-admission output/digest/band triple)."""
+
+    MAX_COMMIT_ATTEMPTS = 8
+
+    # -- protocol plumbing -------------------------------------------------
+    def _is_root(self, store, path: str) -> bool:
+        return store.fs.is_dir(f"{path}/{LOG_DIR}")
+
+    def _resolve(self, store, path: str):
+        """(root, member) for a managed path; None if unmanaged.
+        ``path`` is either a table root (member '') or ``root/member``."""
+        if self._is_root(store, path):
+            return path, ""
+        parent = path.rsplit("/", 1)[0]
+        if "/" in path and self._is_root(store, parent):
+            return parent, path.rsplit("/", 1)[1]
+        return None
+
+    def _resolve_walk(self, store, path: str):
+        """Walk UP from ``path`` to the nearest managed root (partition
+        paths sit up to three levels below it). Returns (root, relpath)
+        or None."""
+        probe = path
+        for _ in range(6):
+            if self._is_root(store, probe):
+                return probe, path[len(probe) + 1:]
+            if "/" not in probe:
+                break
+            probe = probe.rsplit("/", 1)[0]
+        return None
+
+    def _target_for_write(self, store, path: str):
+        """Manifest (root, member) for a mutation — creating the root
+        for a brand-new table — or None for a pre-existing plain
+        directory (directory mode, see class docstring)."""
+        resolved = self._resolve(store, path)
+        if resolved is not None:
+            return resolved
+        if store.fs.exists(path):
+            return None
+        store.fs.makedirs(f"{path}/{LOG_DIR}")
+        return path, ""
+
+    def _current(self, store, root: str):
+        """(version, {member: [relpaths]}); (-1, {}) if never committed."""
+        best = -1
+        for name in store.fs.listdir(f"{root}/{LOG_DIR}"):
+            if name.endswith(".json"):
+                try:
+                    best = max(best, int(name[:-5]))
+                except ValueError:
+                    continue
+        if best < 0:
+            return -1, {}
+        entry = json.loads(
+            store.fs.read_text(f"{root}/{LOG_DIR}/{best:020d}.json")
+        )
+        return best, entry["tables"]
+
+    def _commit(self, store, root: str, mutate) -> int:
+        """Optimistic commit: re-reads the current manifest and retries
+        ``mutate`` on every lost race, so the applied change is always
+        derived from the state it lands on."""
+        for _ in range(self.MAX_COMMIT_ATTEMPTS):
+            version, tables = self._current(store, root)
+            new_tables = mutate(dict(tables))
+            entry = json.dumps(
+                {"version": version + 1, "tables": new_tables}
+            )
+            target = f"{root}/{LOG_DIR}/{version + 1:020d}.json"
+            if store.fs.create_exclusive(target, entry):
+                return version + 1
+        raise ConcurrentMaintenanceError(
+            f"lost {self.MAX_COMMIT_ATTEMPTS} optimistic-commit races on "
+            + root
+        )
+
+    def _member_root(self, root: str, member: str) -> str:
+        return f"{root}/{DATA_DIR}/{member}" if member else f"{root}/{DATA_DIR}"
+
+    def _walk_parquet(self, store, base: str, rel: str = "") -> list[str]:
+        out: list[str] = []
+        full = f"{base}/{rel}" if rel else base
+        if not store.fs.exists(full):
+            return out
+        for name in sorted(store.fs.listdir(full)):
+            child_rel = f"{rel}/{name}" if rel else name
+            if store.fs.is_dir(f"{base}/{child_rel}"):
+                out.extend(self._walk_parquet(store, base, child_rel))
+            elif name.endswith(".parquet"):
+                out.append(child_rel)
+        return out
+
+    def _stage_in(self, store, root: str, member: str, write_fn) -> list[str]:
+        """Run ``write_fn(tmp_dir)`` (a Spark write), then move its
+        parquet files into the member's data root, keeping partition
+        subpaths and uniquifying file names. Returns the new relpaths —
+        invisible until a manifest entry references them."""
+        token = uuid.uuid4().hex[:12]
+        stage = f"{root}/{STAGE_DIR}/{token}"
+        write_fn(stage)
+        dest_root = self._member_root(root, member)
+        moved = []
+        for rel in self._walk_parquet(store, stage):
+            parts = rel.rsplit("/", 1)
+            new_rel = (
+                f"{parts[0]}/{token}-{parts[1]}"
+                if len(parts) == 2
+                else f"{token}-{rel}"
+            )
+            dest = f"{dest_root}/{new_rel}"
+            store.fs.makedirs(dest.rsplit("/", 1)[0])
+            store.fs.rename(f"{stage}/{rel}", dest)
+            moved.append(new_rel)
+        store.fs.remove_tree(stage)
+        return moved
+
+    @staticmethod
+    def _partition_prefix(rel: str, n_cols: int) -> str | None:
+        segs = rel.split("/")
+        if len(segs) <= n_cols:
+            return None
+        return "/".join(segs[:n_cols])
+
+    # -- TableCommit operations --------------------------------------------
+    def append_rows(self, store, rows, schema, path: str) -> None:
+        target = self._target_for_write(store, path)
+        if target is None:
+            return super().append_rows(store, rows, schema, path)
+        root, member = target
+        rdd = store.spark.sparkContext.parallelize(rows, 1)
+        df = store.spark.createDataFrame(rdd, schema)
+        files = self._stage_in(
+            store, root, member,
+            lambda tmp: df.write.mode("overwrite").parquet(tmp),
+        )
+        self._commit(
+            store, root,
+            lambda t: {**t, member: t.get(member, []) + files},
+        )
+
+    def append_partitioned(self, store, df, path, partition_cols) -> None:
+        target = self._target_for_write(store, path)
+        if target is None:
+            return super().append_partitioned(
+                store, df, path, partition_cols
+            )
+        root, member = target
+        files = self._stage_in(
+            store, root, member,
+            lambda tmp: (
+                df.write.mode("overwrite")
+                .partitionBy(*partition_cols)
+                .parquet(tmp)
+            ),
+        )
+        self._commit(
+            store, root,
+            lambda t: {**t, member: t.get(member, []) + files},
+        )
+
+    def overwrite_partitions(self, store, df, path, partition_cols) -> None:
+        target = self._target_for_write(store, path)
+        if target is None:
+            return super().overwrite_partitions(
+                store, df, path, partition_cols
+            )
+        root, member = target
+        files = self._stage_in(
+            store, root, member,
+            lambda tmp: (
+                df.write.mode("overwrite")
+                .partitionBy(*partition_cols)
+                .parquet(tmp)
+            ),
+        )
+        n = len(partition_cols)
+        new_parts = {self._partition_prefix(f, n) for f in files}
+        new_parts.discard(None)
+
+        def mutate(tables):
+            old = tables.get(member, [])
+            kept = [
+                f for f in old
+                if self._partition_prefix(f, n) not in new_parts
+            ]
+            return {**tables, member: kept + files}
+
+        self._commit(store, root, mutate)
+
+    def drop_partition_dir(self, store, path: str) -> None:
+        found = self._resolve_walk(store, path)
+        if found is None:
+            return super().drop_partition_dir(store, path)
+        root, rel = found
+        _, tables = self._current(store, root)
+        member = ""
+        if rel.split("/", 1)[0] in tables:
+            member, rel = rel.split("/", 1)
+
+        def mutate(tables):
+            old = tables.get(member, [])
+            return {
+                **tables,
+                member: [
+                    f for f in old
+                    if f != rel and not f.startswith(rel + "/")
+                ],
+            }
+
+        self._commit(store, root, mutate)
+
+    def snapshot_rewrite(self, store, path: str, write_snapshot) -> None:
+        """Compaction: stage the snapshot, commit a manifest that
+        references ONLY it, vacuum the now-unreferenced files. Readers
+        that resolved the previous manifest before the vacuum hold the
+        same exposure window the Parquet backend's old-copy removal
+        has; a retention delay belongs in vacuum policy, not here."""
+        target = self._target_for_write(store, path)
+        if target is None:
+            return super().snapshot_rewrite(store, path, write_snapshot)
+        root, member = target
+        files = self._stage_in(store, root, member, write_snapshot)
+        self._commit(store, root, lambda t: {**t, member: files})
+        self.vacuum(store, root)
+
+    def repair_interrupted_rewrite(self, store, path: str) -> None:
+        """Manifest commits are atomic — a crash mid-job leaves only
+        invisible staged orphans (vacuum's job), never a half-visible
+        table. Directory-mode tables keep the inherited repair."""
+        if self._resolve(store, path) is None:
+            return super().repair_interrupted_rewrite(store, path)
+
+    def vacuum(self, store, root: str) -> int:
+        """Delete data files referenced by NO current manifest member,
+        plus abandoned staging dirs. Runs under the maintenance lock
+        (single vacuumer); returns the number of files removed."""
+        resolved = self._resolve(store, root)
+        if resolved is None or resolved[0] != root:
+            return 0
+        _, tables = self._current(store, root)
+        removed = 0
+        data_root = f"{root}/{DATA_DIR}"
+        live = {
+            f"{self._member_root(root, m)}/{f}"
+            for m, fs_ in tables.items()
+            for f in fs_
+        }
+        for rel in self._walk_parquet(store, data_root):
+            full = f"{data_root}/{rel}"
+            if full not in live:
+                store.fs.remove_file(full)
+                removed += 1
+        store.fs.remove_tree(f"{root}/{STAGE_DIR}")
+        self._prune_empty_dirs(store, data_root)
+        return removed
+
+    def _prune_empty_dirs(self, store, base: str) -> None:
+        if not store.fs.exists(base) or not store.fs.is_dir(base):
+            return
+        for name in store.fs.listdir(base):
+            child = f"{base}/{name}"
+            if store.fs.is_dir(child):
+                self._prune_empty_dirs(store, child)
+                store.fs.rmdir_if_empty(child)
+
+    # -- read side ----------------------------------------------------------
+    def read_table(self, store, path: str, schema=None) -> DataFrame:
+        resolved = self._resolve(store, path)
+        if resolved is None:
+            return super().read_table(store, path, schema)
+        root, member = resolved
+        _, tables = self._current(store, root)
+        files = tables.get(member, [])
+        if not files:
+            if schema is not None:
+                return store.spark.createDataFrame([], schema)
+            raise FileNotFoundError(path)
+        base = self._member_root(root, member)
+        reader = store.spark.read.option("basePath", base)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*[f"{base}/{f}" for f in files])
+
+    def table_exists(self, store, path: str) -> bool:
+        resolved = self._resolve(store, path)
+        if resolved is None:
+            return super().table_exists(store, path)
+        root, member = resolved
+        version, tables = self._current(store, root)
+        return version >= 0 and bool(tables.get(member))
+
+    def table_file_count(self, store, path: str) -> int:
+        resolved = self._resolve(store, path)
+        if resolved is None:
+            return super().table_file_count(store, path)
+        root, member = resolved
+        _, tables = self._current(store, root)
+        return len(tables.get(member, []))
+
+    def append_tables(self, store, root: str, dfs) -> None:
+        """N member appends, ONE atomic log entry: either every
+        member's new files are visible or none are. This is the
+        transactional closure for the streaming-admission triple —
+        a crash between stage writes leaves only invisible orphans,
+        and replay re-runs the whole batch."""
+        target = self._target_for_write(store, root)
+        if target is None or target != (root, ""):
+            raise ValueError(
+                f"{root!r} is not a manifest root; append_tables needs "
+                "end-to-end manifest management"
+            )
+        staged = {
+            member: self._stage_in(
+                store, root, member,
+                lambda tmp, d=df: d.write.mode("overwrite").parquet(tmp),
+            )
+            for member, df in dfs.items()
+        }
+
+        def mutate(tables):
+            out = dict(tables)
+            for member, files in staged.items():
+                out[member] = out.get(member, []) + files
+            return out
+
+        self._commit(store, root, mutate)
 
 
 DEFAULT_COMMIT = ParquetLeaseCommit()

@@ -198,9 +198,7 @@ def _refresh_locked(
     recomputed = _aggregate(lww_latest(in_touched), step)
 
     touched_tags = touched.select("tag").distinct()
-    old = store.spark.read.parquet(data_path) if store.fs.exists(
-        data_path
-    ) else store.spark.createDataFrame([], recomputed.schema)
+    old = store.commit.read_table(store, data_path, recomputed.schema)
     # Touched tags' new content: untouched old buckets + recomputed
     # buckets (a touched bucket whose members became all-tombstone
     # simply has no recomputed row — the deletion case).
@@ -243,13 +241,8 @@ def read_rollup(store: TimeseriesStore, name: str) -> DataFrame:
     data_path, meta_path = _paths(store, name)
     if not store.fs.exists(meta_path):
         raise ValidationError(f"rollup {name!r} does not exist")
-    if not store.fs.exists(data_path):
-        return _aggregate(
-            lww_latest(
-                store.spark.createDataFrame(
-                    [], store.hot().schema
-                )
-            ),
-            json.loads(store.fs.read_text(meta_path))["step"],
-        )
-    return store.spark.read.parquet(data_path)
+    empty = _aggregate(
+        lww_latest(store.spark.createDataFrame([], store.hot().schema)),
+        json.loads(store.fs.read_text(meta_path))["step"],
+    )
+    return store.commit.read_table(store, data_path, empty.schema)

@@ -68,3 +68,12 @@ PURGE_LOG_SCHEMA = T.StructType(
         T.StructField("n_rows", T.LongType(), nullable=False),
     ]
 )
+
+# Cold-tier snapshot rows: the purge snapshot id plus the full sample.
+# (purge_id, tag, part_start are the hive partition columns of the cold
+# layout; an explicit schema keeps their types stable regardless of
+# partition-value inference.)
+COLD_SNAPSHOT_SCHEMA = T.StructType(
+    [T.StructField("purge_id", T.StringType(), nullable=False)]
+    + list(SAMPLE_SCHEMA.fields)
+)

@@ -534,15 +534,14 @@ class TimeseriesStore:
 
     def cold(self) -> DataFrame:
         self._require_init()
-        # A cold root emptied by retention (directories without data
-        # files) would fail partition-schema inference — treat "no
-        # parquet files" the same as "never written".
-        if not self.fs.exists(self.config.cold_path) or (
-            self.fs.count_files_with_suffix(self.config.cold_path, ".parquet")
-            == 0
-        ):
-            return self.spark.createDataFrame([], SAMPLE_SCHEMA)
-        df = self.spark.read.parquet(self.config.cold_path)
+        # Seam-routed snapshot read: the commit backend resolves what
+        # is visible (directory scan vs manifest file list); a
+        # never-written or retention-emptied table reads as empty.
+        from redis_lsm_timeseries_spark.schema import COLD_SNAPSHOT_SCHEMA
+
+        df = self.commit.read_table(
+            self, self.config.cold_path, COLD_SNAPSHOT_SCHEMA
+        )
         return df.select(*[f.name for f in SAMPLE_SCHEMA.fields])
 
     # ------------------------------------------------------------------ O4

@@ -48,9 +48,9 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from redis_lsm_timeseries_spark.commit import OLD_SUFFIX
 from redis_lsm_timeseries_spark.errors import ValidationError
 from redis_lsm_timeseries_spark.schema import (
+    COLD_SNAPSHOT_SCHEMA,
     MEMBER_IDENTITY_COLS,
     PURGE_LOG_SCHEMA,
     SAMPLE_SCHEMA,
@@ -105,19 +105,23 @@ def _serialized_maintenance(fn):
 def purge_log(store: TimeseriesStore) -> DataFrame:
     """The append-only protocol table (the purge stream analog). Reads
     as empty only when never written; other read failures propagate.
-
-    If a ``compact_purge_log`` swap was interrupted between its two
-    renames, the live directory is briefly absent but the pre-swap copy
-    survives at ``<path>.compact-old`` — fall back to it so a crash in
-    the maintenance job never loses protocol state."""
+    The snapshot resolution (including the Parquet backend's
+    mid-compaction ``.compact-old`` fallback and the manifest backend's
+    versioned file list) lives in ``TableCommit.read_table``."""
     store._require_init()
-    path = store.config.purge_log_path
-    if not store.fs.exists(path):
-        old = path + OLD_SUFFIX
-        if store.fs.exists(old):
-            return store.spark.read.schema(PURGE_LOG_SCHEMA).parquet(old)
-        return store.spark.createDataFrame([], PURGE_LOG_SCHEMA)
-    return store.spark.read.schema(PURGE_LOG_SCHEMA).parquet(path)
+    return store.commit.read_table(
+        store, store.config.purge_log_path, PURGE_LOG_SCHEMA
+    )
+
+
+def cold_snapshots(store: TimeseriesStore) -> DataFrame:
+    """The cold tier WITH its purge-snapshot id — the raw eviction
+    payloads (``enqueue-purge.lua:17-18``'s serialized partitions).
+    ``store.cold()`` is this minus the id column."""
+    store._require_init()
+    return store.commit.read_table(
+        store, store.config.cold_path, COLD_SNAPSHOT_SCHEMA
+    )
 
 
 def _append_log(store: TimeseriesStore, rows: list[tuple]) -> None:
@@ -219,12 +223,13 @@ def purge_scan(
         "purge_id string, tag string, part_start long",
     )
     snap = store.hot().join(F.broadcast(mark_df), ["tag", "part_start"])
-    (
-        snap.select("purge_id", *[f.name for f in SAMPLE_SCHEMA.fields])
-        .repartition("purge_id")
-        .write.mode("append")
-        .partitionBy("purge_id", "tag", "part_start")
-        .parquet(store.config.cold_path)
+    store.commit.append_partitioned(
+        store,
+        snap.select(
+            "purge_id", *[f.name for f in SAMPLE_SCHEMA.fields]
+        ).repartition("purge_id"),
+        store.config.cold_path,
+        ["purge_id", "tag", "part_start"],
     )
     _append_log(
         store,
@@ -322,7 +327,7 @@ def purge_ack_many(
     store.flush_l0()
 
     snapshot = (
-        store.spark.read.parquet(store.config.cold_path)
+        cold_snapshots(store)
         .where(F.col("purge_id").isin(valid))
         .select(*MEMBER_IDENTITY_COLS)
     )
@@ -395,16 +400,17 @@ def compact_purge_log(store: TimeseriesStore) -> int:
     store._require_init()
     path = store.config.purge_log_path
     store.commit.repair_interrupted_rewrite(store, path)
-    if not store.fs.exists(path):
+    if not store.commit.table_exists(store, path):
         return 0
-    n_files = store.fs.count_files_with_suffix(path, ".parquet")
+    n_files = store.commit.table_file_count(store, path)
     if n_files <= 1:
         return 0
 
     def write_snapshot(tmp: str) -> None:
+        # Seam-routed read: the CURRENT committed snapshot regardless
+        # of backend (directory vs manifest file list).
         (
-            store.spark.read.schema(PURGE_LOG_SCHEMA)
-            .parquet(path)
+            purge_log(store)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(tmp)
@@ -517,7 +523,7 @@ def purge_payload(store: TimeseriesStore, purge_id: str) -> DataFrame:
 
     store._require_init()
     snap = (
-        store.spark.read.parquet(store.config.cold_path)
+        cold_snapshots(store)
         .where(F.col("purge_id") == purge_id)
         .select(*[f.name for f in SAMPLE_SCHEMA.fields])
     )
@@ -588,16 +594,9 @@ def apply_retention(
         rows += r.n
     if doomed:
         store.invalidate_hot_cache()
-    if (
-        drop_cold
-        and store.fs.exists(store.config.cold_path)
-        and store.fs.count_files_with_suffix(
-            store.config.cold_path, ".parquet"
-        )
-        > 0
-    ):
+    if drop_cold:
         cold_doomed = (
-            store.spark.read.parquet(store.config.cold_path)
+            cold_snapshots(store)
             .where(
                 F.col("part_start") + F.lit(w) <= F.lit(int(older_than_ms))
             )

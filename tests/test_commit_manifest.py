@@ -1,0 +1,281 @@
+"""ManifestCommit protocol tests: the transactional TableCommit
+backend (VERDICT r8 #2) — put-if-absent versioned log, exact-file
+manifests, snapshot isolation, atomic multi-member appends, vacuum.
+
+The behavioral parity layer (same tiering/rollup semantics as the
+Parquet backend) lives in test_tiering.py / test_rollup.py via the
+parameterized store fixture; this file tests what is NEW: the commit
+protocol's crash and concurrency properties.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from redis_lsm_timeseries_spark.commit import (
+    LOG_DIR,
+    ManifestCommit,
+    ParquetLeaseCommit,
+)
+from redis_lsm_timeseries_spark.config import EngineConfig
+from redis_lsm_timeseries_spark.errors import ConcurrentMaintenanceError
+from redis_lsm_timeseries_spark.store import TimeseriesStore
+
+SCHEMA = "k string, v long"
+
+
+@pytest.fixture()
+def mstore(spark, tmp_path):
+    cfg = EngineConfig(root=str(tmp_path / "engine"), partition_width=5)
+    s = TimeseriesStore(spark, cfg, commit=ManifestCommit())
+    s.initialize()
+    return s
+
+
+def _table(mstore, name="t"):
+    return f"{mstore.config.base_path}/{name}"
+
+
+def _read(mstore, path):
+    return {
+        (r.k, r.v)
+        for r in mstore.commit.read_table(mstore, path, SCHEMA).collect()
+    }
+
+
+class TestCommitLog:
+    def test_append_creates_versioned_log(self, mstore):
+        c, path = mstore.commit, _table(mstore)
+        c.append_rows(mstore, [("a", 1)], SCHEMA, path)
+        c.append_rows(mstore, [("b", 2)], SCHEMA, path)
+        assert _read(mstore, path) == {("a", 1), ("b", 2)}
+        logs = sorted(os.listdir(f"{path}/{LOG_DIR}"))
+        assert [int(f[:-5]) for f in logs] == [0, 1]
+        # each entry is the COMPLETE snapshot: newest alone suffices
+        entry = json.loads(open(f"{path}/{LOG_DIR}/{logs[-1]}").read())
+        assert len(entry["tables"][""]) == 2
+
+    def test_lost_race_retries_on_fresh_state(self, mstore):
+        """A competing commit landing first must not be clobbered: the
+        loser re-reads and re-derives its change on top (optimistic
+        concurrency, the Delta conflict-detection idiom)."""
+        c, path = mstore.commit, _table(mstore)
+        c.append_rows(mstore, [("a", 1)], SCHEMA, path)
+        real = c._current
+
+        def racing_current(store, root):
+            version, tables = real(store, root)
+            if not racing_current.done:
+                racing_current.done = True
+                # another writer commits version+1 under our feet
+                store.fs.create_exclusive(
+                    f"{root}/{LOG_DIR}/{version + 1:020d}.json",
+                    json.dumps(
+                        {"version": version + 1, "tables": tables}
+                    ),
+                )
+            return version, tables
+
+        racing_current.done = False
+        c._current = racing_current
+        try:
+            c.append_rows(mstore, [("b", 2)], SCHEMA, path)
+        finally:
+            c._current = real
+        assert _read(mstore, path) == {("a", 1), ("b", 2)}
+        assert max(
+            int(f[:-5]) for f in os.listdir(f"{path}/{LOG_DIR}")
+        ) == 2  # landed at version 2, past the interloper
+
+    def test_exhausted_races_raise(self, mstore):
+        c, path = mstore.commit, _table(mstore)
+        c.append_rows(mstore, [("a", 1)], SCHEMA, path)
+        real = mstore.fs.create_exclusive
+        mstore.fs.create_exclusive = lambda p, t: (
+            False if LOG_DIR in p else real(p, t)
+        )
+        try:
+            with pytest.raises(ConcurrentMaintenanceError):
+                c.append_rows(mstore, [("b", 2)], SCHEMA, path)
+        finally:
+            mstore.fs.create_exclusive = real
+
+
+class TestCrashWindows:
+    def test_staged_but_uncommitted_write_is_invisible(self, mstore):
+        """Crash between the stage write and the log entry: readers see
+        the previous snapshot, and vacuum collects the orphans."""
+        c, path = mstore.commit, _table(mstore)
+        c.append_rows(mstore, [("a", 1)], SCHEMA, path)
+        real = c._commit
+
+        def crash(store, root, mutate):
+            raise RuntimeError("crashed before the log entry")
+
+        c._commit = crash
+        try:
+            with pytest.raises(RuntimeError):
+                c.append_rows(mstore, [("b", 2)], SCHEMA, path)
+        finally:
+            c._commit = real
+        assert _read(mstore, path) == {("a", 1)}
+        removed = c.vacuum(mstore, path)
+        assert removed >= 1  # the orphaned staged file
+        assert _read(mstore, path) == {("a", 1)}
+
+    def test_repair_is_a_noop_on_manifest_tables(self, mstore):
+        c, path = mstore.commit, _table(mstore)
+        c.append_rows(mstore, [("a", 1)], SCHEMA, path)
+        c.repair_interrupted_rewrite(mstore, path)
+        assert _read(mstore, path) == {("a", 1)}
+
+
+class TestSnapshotIsolation:
+    def test_resolved_reader_pins_its_file_list(self, mstore):
+        """A DataFrame resolved before a commit scans exactly the files
+        of ITS snapshot; a re-resolve sees the new one."""
+        c, path = mstore.commit, _table(mstore)
+        c.append_rows(mstore, [("a", 1)], SCHEMA, path)
+        pinned = mstore.commit.read_table(mstore, path, SCHEMA)
+        c.append_rows(mstore, [("b", 2)], SCHEMA, path)
+        assert {(r.k, r.v) for r in pinned.collect()} == {("a", 1)}
+        assert _read(mstore, path) == {("a", 1), ("b", 2)}
+
+    def test_snapshot_rewrite_compacts_to_one_file(self, mstore):
+        c, path = mstore.commit, _table(mstore)
+        for i in range(5):
+            c.append_rows(mstore, [(f"k{i}", i)], SCHEMA, path)
+        assert c.table_file_count(mstore, path) == 5
+        before = _read(mstore, path)
+
+        def write_snapshot(tmp):
+            c.read_table(mstore, path, SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+
+        c.snapshot_rewrite(mstore, path, write_snapshot)
+        assert c.table_file_count(mstore, path) == 1
+        assert _read(mstore, path) == before
+        # vacuum ran: exactly one physical data file remains
+        n_physical = sum(
+            1
+            for _r, _d, files in os.walk(f"{path}/data")
+            for f in files
+            if f.endswith(".parquet")
+        )
+        assert n_physical == 1
+
+
+class TestPartitionOps:
+    def _overwrite(self, mstore, path, rows):
+        df = mstore.spark.createDataFrame(rows, "p string, v long")
+        mstore.commit.overwrite_partitions(mstore, df, path, ["p"])
+
+    def _vals(self, mstore, path):
+        return {
+            (r.p, r.v)
+            for r in mstore.commit.read_table(
+                mstore, path, "p string, v long"
+            ).collect()
+        }
+
+    def test_overwrite_replaces_only_present_partitions(self, mstore):
+        path = _table(mstore, "part")
+        self._overwrite(mstore, path, [("x", 1), ("y", 2)])
+        self._overwrite(mstore, path, [("y", 20)])
+        assert self._vals(mstore, path) == {("x", 1), ("y", 20)}
+
+    def test_drop_partition_is_a_manifest_edit(self, mstore):
+        path = _table(mstore, "part")
+        self._overwrite(mstore, path, [("x", 1), ("y", 2)])
+        mstore.commit.drop_partition_dir(mstore, f"{path}/p=x")
+        assert self._vals(mstore, path) == {("y", 2)}
+        # physical file still on disk until vacuum (immutable data,
+        # in-flight readers unaffected), then collected
+        assert mstore.commit.vacuum(mstore, path) >= 1
+        assert self._vals(mstore, path) == {("y", 2)}
+
+    def test_preexisting_plain_directory_stays_directory_mode(
+        self, mstore
+    ):
+        """The hot LSM tier's files are committed by the ingest path,
+        not the seam — wrapping a manifest around them would lie about
+        what is committed. A pre-existing plain dir keeps inherited
+        directory semantics and grows no _log."""
+        path = _table(mstore, "plain")
+        df = mstore.spark.createDataFrame([("x", 1)], "p string, v long")
+        df.write.partitionBy("p").parquet(path)  # outside the seam
+        self._overwrite(mstore, path, [("x", 10)])
+        assert not os.path.exists(f"{path}/{LOG_DIR}")
+        assert self._vals(mstore, path) == {("x", 10)}
+
+
+class TestAtomicMultiTableAppend:
+    def test_all_members_visible_together(self, mstore):
+        root = _table(mstore, "group")
+        c = mstore.commit
+        mk = lambda rows: mstore.spark.createDataFrame(rows, SCHEMA)
+        c.append_tables(
+            mstore, root, {"out": mk([("o", 1)]), "idx": mk([("i", 1)])}
+        )
+        assert _read(mstore, f"{root}/out") == {("o", 1)}
+        assert _read(mstore, f"{root}/idx") == {("i", 1)}
+        # ONE log entry covers both members
+        assert len(os.listdir(f"{root}/{LOG_DIR}")) == 1
+
+    def test_crash_mid_stage_commits_nothing(self, mstore):
+        """The exactly-once property the streaming admission needs: a
+        crash after SOME members staged leaves every member unchanged
+        — no output-without-index window."""
+        root = _table(mstore, "group")
+        c = mstore.commit
+        mk = lambda rows: mstore.spark.createDataFrame(rows, SCHEMA)
+        c.append_tables(mstore, root, {"out": mk([("o", 1)])})
+        real = c._stage_in
+        calls = {"n": 0}
+
+        def crashy(store, r, member, fn):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("crash after first member staged")
+            return real(store, r, member, fn)
+
+        c._stage_in = crashy
+        try:
+            with pytest.raises(RuntimeError):
+                c.append_tables(
+                    mstore,
+                    root,
+                    {"out": mk([("o", 2)]), "idx": mk([("i", 2)])},
+                )
+        finally:
+            c._stage_in = real
+        assert _read(mstore, f"{root}/out") == {("o", 1)}
+        assert _read(mstore, f"{root}/idx") == set()
+        c.vacuum(mstore, root)
+        assert _read(mstore, f"{root}/out") == {("o", 1)}
+
+    def test_parquet_backend_append_tables_is_ordered(
+        self, spark, tmp_path
+    ):
+        """Directory backend degrades to ordered appends (documented
+        non-atomicity) — members land in iteration order."""
+        cfg = EngineConfig(root=str(tmp_path / "e2"), partition_width=5)
+        s = TimeseriesStore(spark, cfg, commit=ParquetLeaseCommit())
+        s.initialize()
+        root = f"{s.config.base_path}/group"
+        mk = lambda rows: spark.createDataFrame(rows, SCHEMA)
+        s.commit.append_tables(
+            s, root, {"a": mk([("x", 1)]), "b": mk([("y", 2)])}
+        )
+        assert {
+            (r.k, r.v)
+            for r in s.commit.read_table(s, f"{root}/a", SCHEMA).collect()
+        } == {("x", 1)}
+        assert {
+            (r.k, r.v)
+            for r in s.commit.read_table(s, f"{root}/b", SCHEMA).collect()
+        } == {("y", 2)}

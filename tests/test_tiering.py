@@ -7,6 +7,10 @@ import os
 
 import pytest
 
+from redis_lsm_timeseries_spark.commit import (
+    ManifestCommit,
+    ParquetLeaseCommit,
+)
 from redis_lsm_timeseries_spark.errors import ConcurrentMaintenanceError
 from redis_lsm_timeseries_spark.tiering import (
     LEASE_FILE,
@@ -33,6 +37,25 @@ GAP_SERIAL = [
 ]
 
 T0 = 1_000_000
+
+
+@pytest.fixture(params=["parquet", "manifest"])
+def store(spark, tmp_path, request):
+    """Every tiering lifecycle test runs against BOTH commit backends:
+    the directory-mode ParquetLeaseCommit and the transactional
+    ManifestCommit (VERDICT r8 #2) — identical observable semantics is
+    the seam's contract."""
+    from redis_lsm_timeseries_spark.config import EngineConfig
+    from redis_lsm_timeseries_spark.store import TimeseriesStore
+
+    commit = (
+        ManifestCommit() if request.param == "manifest"
+        else ParquetLeaseCommit()
+    )
+    cfg = EngineConfig(root=str(tmp_path / "engine"), partition_width=5)
+    s = TimeseriesStore(spark, cfg, commit=commit)
+    s.initialize()
+    return s
 
 
 def _read_all(store, **kw):
@@ -413,7 +436,11 @@ class TestPurgeLogCompaction:
 
     def test_reader_falls_back_to_old_copy_mid_swap(self, store):
         """Crash between the two renames: live dir absent, .compact-old
-        present — purge_log must still see every row."""
+        present — purge_log must still see every row. (Parquet-backend
+        crash shape only: the manifest backend has no rename swap — its
+        atomic-commit equivalents live in test_commit_manifest.py.)"""
+        if isinstance(store.commit, ManifestCommit):
+            pytest.skip("no rename-swap window under ManifestCommit")
         store.write(GAP_SERIAL, ingest_ts=T0)
         _append_log(store, [("id-x", "GapTag", 0, "marked", T0, 2)])
         path = store.config.purge_log_path
