@@ -712,4 +712,18 @@ class ManifestCommit(ParquetLeaseCommit):
         self._commit(store, root, mutate)
 
 
+class CommitHost:
+    """Minimal store-shaped adapter for driving a ``TableCommit``
+    outside a ``TimeseriesStore`` — the streaming admission sink and
+    other standalone manifest tables need only ``spark`` + ``fs``
+    (``maintenance_lock``, which needs a store's config and writer id,
+    is not usable through this)."""
+
+    def __init__(self, spark, fs=None):
+        from redis_lsm_timeseries_spark.fs import LOCAL_FS
+
+        self.spark = spark
+        self.fs = fs if fs is not None else LOCAL_FS
+
+
 DEFAULT_COMMIT = ParquetLeaseCommit()

@@ -97,17 +97,74 @@ def curate_stream(
 # micro-batch via `incremental_near_dup` — wrapped in foreachBatch,
 # because the probe joins against a growing external table, which the
 # declarative streaming operators cannot express.
+#
+# Exactly-once: the admitted rows, their digests, and their band rows
+# all live under ONE ManifestCommit root (members "output"/"digests"/
+# "bands") and each micro-batch lands as ONE atomic log entry via
+# `append_tables`. A crash anywhere inside the batch leaves only
+# invisible staged orphans; on replay the exact guard sees precisely
+# the committed digests, so either the whole batch re-admits (nothing
+# was visible) or the whole batch drops (everything was) — no window
+# where output exists without its index rows, which under the old
+# three-separate-appends layout re-admitted content on replay.
 
 MIN_SHINGLE_TOKENS = 3  # word-3-shingles need >= 3 tokens to exist
 
+OUTPUT_MEMBER = "output"
+DIGESTS_MEMBER = "digests"
+BANDS_MEMBER = "bands"
+
+
+def _bands_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("corpus_id", T.LongType()),
+            T.StructField("band_idx", T.IntegerType()),
+            T.StructField("band_key", T.StringType()),
+            T.StructField("mhs", T.ArrayType(T.LongType())),
+        ]
+    )
+
+
+def _host(spark, fs=None):
+    from redis_lsm_timeseries_spark.commit import CommitHost
+
+    return CommitHost(spark, fs)
+
+
+def read_admission_table(spark, admission_path: str, member: str,
+                         fs=None) -> DataFrame:
+    """Committed snapshot of one admission member table (``output`` /
+    ``digests`` / ``bands``)."""
+    from pyspark.sql import types as T
+
+    from redis_lsm_timeseries_spark.commit import ManifestCommit
+
+    schema = None
+    if member == DIGESTS_MEMBER:
+        schema = T.StructType([T.StructField("digest", T.StringType())])
+    elif member == BANDS_MEMBER:
+        schema = _bands_schema()
+    return ManifestCommit().read_table(
+        _host(spark, fs), f"{admission_path}/{member}", schema
+    )
+
+
+def read_admitted(spark, admission_path: str, fs=None) -> DataFrame:
+    """The admitted-documents table (committed snapshots only —
+    in-flight or crashed batches are invisible by construction)."""
+    return read_admission_table(spark, admission_path, OUTPUT_MEMBER, fs)
+
 
 def near_dup_admitting_batch(
-    output_path: str,
-    index_path: str,
+    admission_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
     num_hashes: int | None = None,
+    fs=None,
 ):
     """Build the ``foreachBatch`` function for near-dup-aware
     streaming admission. For each micro-batch:
@@ -123,13 +180,19 @@ def near_dup_admitting_batch(
        >= ``threshold`` drop. Documents too short to shingle
        (< 3 tokens) skip this stage — their max-init signatures would
        all collide — and rely on the exact guard alone.
-    3. Admit the remainder: append rows to ``output_path``, their
-       digests and band rows (signatures included) to the index.
+    3. Admit the remainder: ONE atomic ``append_tables`` commit adds
+       the rows to ``output``, their digests to ``digests``, and their
+       band rows (signatures included) to ``bands`` — all visible
+       together or not at all, which with the content-keyed guard in
+       (1) makes admission EXACTLY-ONCE across crashes and replays
+       (a crash mid-commit leaves nothing visible, so the replay
+       re-admits once; a crash after the commit makes the replay drop
+       everything at the exact guard).
 
     Batch-internal NEAR dups (two first-seen variants arriving in one
     micro-batch) both admit — the idempotent batch dedup downstream
     remains the backstop, the same two-tier posture as the exact
-    stage. State lives entirely in the two index tables, not the
+    stage. State lives entirely in the manifest tables, not the
     streaming state store, so it survives restarts and is shared with
     batch admission jobs using the same index.
 
@@ -137,54 +200,31 @@ def near_dup_admitting_batch(
     digests against the digest index, band keys against the band index
     — and the indexes are scanned, never shuffled; appends are
     batch-sized. At deployment scale the band index is stored bucketed
-    by (band_idx, band_key) so the probe is bucket-pruned."""
-    from pyspark.sql import types as T
-
+    by (band_idx, band_key) so the probe is bucket-pruned
+    (``compact_admission_index`` is the local stand-in)."""
+    from redis_lsm_timeseries_spark.commit import ManifestCommit
     from redis_lsm_timeseries_spark.functions.portable import (
         nonempty_tokens as _net,
     )
     from redis_lsm_timeseries_spark.operators import dedup as D
 
     nh = D.NUM_HASHES if num_hashes is None else int(num_hashes)
-    digests_path = f"{index_path}/digests"
-    bands_path = f"{index_path}/bands"
-
-    bands_schema = T.StructType(
-        [
-            T.StructField("corpus_id", T.LongType()),
-            T.StructField("band_idx", T.IntegerType()),
-            T.StructField("band_key", T.StringType()),
-            T.StructField("mhs", T.ArrayType(T.LongType())),
-        ]
-    )
-
-    def _read_or_empty(spark, path, schema):
-        # ONLY a missing path reads as empty (first run). Any other
-        # failure — corrupt files, permissions — must propagate: an
-        # unreadable index treated as empty would silently re-admit
-        # every duplicate.
-        from pyspark.errors import AnalysisException
-
-        try:
-            return spark.read.schema(schema).parquet(path)
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(
-                exc
-            ):
-                return spark.createDataFrame([], schema)
-            raise
 
     def process(batch_df, batch_id: int) -> None:
         if not batch_df.columns:
             return
         spark = batch_df.sparkSession
+        commit = ManifestCommit()
+        host = _host(spark, fs)
         batch = batch_df.localCheckpoint(eager=True)
         if batch.isEmpty():
             return
-        digest_idx = _read_or_empty(
-            spark, digests_path, T.StructType(
-                [T.StructField("digest", T.StringType())]
-            ),
+        # Committed snapshots ONLY: a crashed batch's staged files are
+        # invisible, so the guards see exactly what readers see. A
+        # corrupt index propagates as an error — treated as empty it
+        # would silently re-admit every duplicate.
+        digest_idx = read_admission_table(
+            spark, admission_path, DIGESTS_MEMBER, fs
         )
         exact = D.incremental_exact_dedup(batch, digest_idx, text_col, id_col)
         novel_ids = exact.where("admit").select(id_col)
@@ -196,7 +236,9 @@ def near_dup_admitting_batch(
         long_enough = novel.where(
             F.size(_net(text_col)) >= MIN_SHINGLE_TOKENS
         )
-        band_idx_df = _read_or_empty(spark, bands_path, bands_schema)
+        band_idx_df = read_admission_table(
+            spark, admission_path, BANDS_MEMBER, fs
+        )
         near = D.incremental_near_dup(
             long_enough.select(id_col, text_col),
             band_idx_df,
@@ -211,30 +253,30 @@ def near_dup_admitting_batch(
         )
         if admitted.isEmpty():
             return
-        admitted.write.mode("append").parquet(output_path)
-        (
-            admitted.select(D.content_digest(text_col).alias("digest"))
-            .distinct()
-            .write.mode("append")
-            .parquet(digests_path)
-        )
+        digests = admitted.select(
+            D.content_digest(text_col).alias("digest")
+        ).distinct()
+        # enforce the index schema (band_idx is int, ids long) so a
+        # later probe's signature-width/type guard stays meaningful
         new_bands = D.build_band_index(
             admitted.where(F.size(_net(text_col)) >= MIN_SHINGLE_TOKENS),
             text_col,
             id_col,
             nh,
+        ).select(
+            F.col("corpus_id").cast("long"),
+            F.col("band_idx").cast("int"),
+            F.col("band_key"),
+            F.col("mhs"),
         )
-        # enforce the index schema (band_idx is int, ids long) so a
-        # later probe's signature-width/type guard stays meaningful
-        (
-            new_bands.select(
-                F.col("corpus_id").cast("long"),
-                F.col("band_idx").cast("int"),
-                F.col("band_key"),
-                F.col("mhs"),
-            )
-            .write.mode("append")
-            .parquet(bands_path)
+        commit.append_tables(
+            host,
+            admission_path,
+            {
+                OUTPUT_MEMBER: admitted,
+                DIGESTS_MEMBER: digests,
+                BANDS_MEMBER: new_bands,
+            },
         )
 
     return process
@@ -242,8 +284,7 @@ def near_dup_admitting_batch(
 
 def curate_stream_near_dup(
     stream: DataFrame,
-    output_path: str,
-    index_path: str,
+    admission_path: str,
     checkpoint_path: str,
     event_time_col: str = "event_time",
     text_col: str = "text",
@@ -257,17 +298,19 @@ def curate_stream_near_dup(
     """The near-dup-aware streaming curation pipeline: the stateless
     ``curate_stream`` stages (score, filter, scrub, watermark-bounded
     exact dedup) feed a ``foreachBatch`` admission sink that drops
-    near-duplicates of everything previously admitted and appends the
-    rest to ``output_path``. Returns the started StreamingQuery.
-    ``trigger`` passes through to ``writeStream.trigger`` (e.g.
-    ``{"availableNow": True}`` for drain-and-stop runs)."""
+    near-duplicates of everything previously admitted and commits the
+    rest — rows, digests, and band rows in one atomic manifest entry —
+    under ``admission_path`` (read back via ``read_admitted``).
+    Returns the started StreamingQuery. ``trigger`` passes through to
+    ``writeStream.trigger`` (e.g. ``{"availableNow": True}`` for
+    drain-and-stop runs)."""
     curated = curate_stream(
         stream, event_time_col, text_col, min_quality, min_tokens,
         watermark, scrub,
     )
     writer = curated.writeStream.foreachBatch(
         near_dup_admitting_batch(
-            output_path, index_path, text_col, threshold=threshold
+            admission_path, text_col, threshold=threshold
         )
     ).option("checkpointLocation", checkpoint_path)
     if trigger:
@@ -277,62 +320,51 @@ def curate_stream_near_dup(
 
 def compact_admission_index(
     spark,
-    index_path: str,
+    admission_path: str,
     fs=None,
     target_files: int = 1,
+    members: tuple = (DIGESTS_MEMBER, BANDS_MEMBER),
 ) -> dict:
-    """Small-file hygiene for the admission index: every micro-batch
-    appends one file to ``digests`` and ``bands``, so after N batches
-    each probe pays N file opens — the same accretion the purge log
-    suffers (``tiering.compact_purge_log``), handled the same way:
-    rewrite each table clustered into ``target_files`` files via a
-    crash-safe tmp-write + two-rename swap (full copy on disk at
-    every instant; an interrupted swap leaves ``.compact-old`` to
-    fall back to, repaired on the next run). The bands rewrite also
-    clusters by (band_idx, band_key), so probes touch co-located
-    row groups — the local-FS stand-in for the bucketed layout a
-    deployment stores the index in.
+    """Small-file hygiene for the admission tables: every micro-batch
+    commits one file per member, so after N batches each probe pays N
+    file opens — the same accretion the purge log suffers
+    (``tiering.compact_purge_log``). Each member rewrites into
+    ``target_files`` files through ``ManifestCommit.snapshot_rewrite``
+    — one atomic manifest entry replaces the file list, then vacuum
+    collects the old files, so a crash at ANY point leaves the table
+    readable (a staged-but-uncommitted snapshot is invisible). The
+    bands rewrite clusters by (band_idx, band_key), so probes touch
+    co-located row groups — the local-FS stand-in for the bucketed
+    layout a deployment stores the index in.
 
-    Run this between streaming runs (the admission sink reads the
-    index at the start of each micro-batch; swapping mid-batch would
-    race it — same single-writer maintenance posture as tiering).
-    Returns {"digests": files_before, "bands": files_before} (0 =
-    nothing to do)."""
-    from redis_lsm_timeseries_spark.fs import LOCAL_FS
+    Run this between streaming runs (same single-writer maintenance
+    posture as tiering). Returns {member: files_before} (0 = nothing
+    to do)."""
+    from redis_lsm_timeseries_spark.commit import ManifestCommit
 
-    fs = fs if fs is not None else LOCAL_FS
+    commit = ManifestCommit()
+    host = _host(spark, fs)
+    cluster = {DIGESTS_MEMBER: ["digest"],
+               BANDS_MEMBER: ["band_idx", "band_key"]}
     done = {}
-    for name, cluster in (("digests", ["digest"]),
-                          ("bands", ["band_idx", "band_key"])):
-        path = f"{index_path}/{name}"
-        tmp, old = path + ".compact-tmp", path + ".compact-old"
-        # repair an interrupted swap first (same protocol as
-        # commit.ParquetLeaseCommit.repair_interrupted_rewrite)
-        if not fs.exists(path):
-            if fs.exists(tmp) and fs.exists(f"{tmp}/_SUCCESS"):
-                fs.rename(tmp, path)
-                fs.remove_tree(old)
-            elif fs.exists(old):
-                fs.remove_tree(tmp)
-                fs.rename(old, path)
-        if not fs.exists(path):
-            done[name] = 0
-            continue
-        n = fs.count_files_with_suffix(path, ".parquet")
+    for name in members:
+        path = f"{admission_path}/{name}"
+        n = commit.table_file_count(host, path)
         if n <= target_files:
             done[name] = 0
             continue
-        fs.remove_tree(tmp)
-        fs.remove_tree(old)
-        (
-            spark.read.parquet(path)
-            .repartition(target_files, *cluster)
-            .sortWithinPartitions(*cluster)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        fs.rename(path, old)
-        fs.rename(tmp, path)
-        fs.remove_tree(old)
+        cur = read_admission_table(spark, admission_path, name, fs)
+        cols = cluster.get(name)
+
+        def write_snapshot(tmp, cur=cur, cols=cols):
+            w = (
+                cur.repartition(target_files, *cols)
+                .sortWithinPartitions(*cols)
+                if cols
+                else cur.repartition(target_files)
+            )
+            w.write.mode("overwrite").parquet(tmp)
+
+        commit.snapshot_rewrite(host, path, write_snapshot)
         done[name] = n
     return done

@@ -1,5 +1,7 @@
 """Streaming near-dup admission: the foreachBatch sink drops near
-duplicates of previously-admitted content, replays are idempotent, and
+duplicates of previously-admitted content, replays are idempotent, a
+crash at ANY point inside a micro-batch cannot double-admit (the
+output/digests/bands triple commits as ONE atomic manifest entry), and
 the end-to-end pipeline equals the batch reasoning over the same
 micro-batches. Vocabulary is synthetic — the natural documents table
 contains cross-id near-dups, so fixtures must own their collisions."""
@@ -11,9 +13,14 @@ from datetime import datetime, timezone
 import pytest
 from pyspark.sql import functions as F, types as T
 
+from redis_lsm_timeseries_spark.commit import CommitHost, ManifestCommit
 from redis_lsm_timeseries_spark.streaming.curation import (
+    BANDS_MEMBER,
+    DIGESTS_MEMBER,
     curate_stream_near_dup,
     near_dup_admitting_batch,
+    read_admission_table,
+    read_admitted,
 )
 
 WORDS = (
@@ -34,59 +41,159 @@ def _df(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def _out_ids(spark, root):
+    return {r.doc_id for r in read_admitted(spark, root).collect()}
+
+
+def _count(spark, root, member):
+    return read_admission_table(spark, root, member).count()
+
+
 class TestForeachBatchUnit:
     """Drive the foreachBatch function directly with static frames —
     the same code path the streaming engine calls."""
 
     @pytest.fixture()
     def sink(self, tmp_path):
-        out = str(tmp_path / "out")
-        idx = str(tmp_path / "idx")
-        return out, idx, near_dup_admitting_batch(out, idx)
+        root = str(tmp_path / "admission")
+        return root, near_dup_admitting_batch(root)
 
     def test_first_batch_admits_and_indexes(self, spark, sink):
-        out, idx, process = sink
+        root, process = sink
         process(_df(spark, [(1, WORDS), (2, NOVEL)]), 0)
-        admitted = spark.read.parquet(out)
-        assert {r.doc_id for r in admitted.collect()} == {1, 2}
-        assert spark.read.parquet(f"{idx}/digests").count() == 2
-        assert spark.read.parquet(f"{idx}/bands").count() > 0
+        assert _out_ids(spark, root) == {1, 2}
+        assert _count(spark, root, DIGESTS_MEMBER) == 2
+        assert _count(spark, root, BANDS_MEMBER) > 0
 
     def test_exact_and_near_dups_dropped(self, spark, sink):
-        out, idx, process = sink
+        root, process = sink
         process(_df(spark, [(1, WORDS)]), 0)
         # batch 2: exact dup (10), near dup (11), novel (12)
         process(_df(spark, [(10, WORDS), (11, VARIANT), (12, NOVEL)]), 1)
-        admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
-        assert admitted == {1, 12}
+        assert _out_ids(spark, root) == {1, 12}
 
     def test_replay_is_idempotent(self, spark, sink):
-        out, idx, process = sink
+        root, process = sink
         batch = _df(spark, [(1, WORDS), (2, NOVEL)])
         process(batch, 0)
-        n_out = spark.read.parquet(out).count()
-        n_dig = spark.read.parquet(f"{idx}/digests").count()
-        n_bands = spark.read.parquet(f"{idx}/bands").count()
+        n_out = read_admitted(spark, root).count()
+        n_dig = _count(spark, root, DIGESTS_MEMBER)
+        n_bands = _count(spark, root, BANDS_MEMBER)
         # re-delivered micro-batch: same content, same digests
         process(batch, 0)
-        assert spark.read.parquet(out).count() == n_out
-        assert spark.read.parquet(f"{idx}/digests").count() == n_dig
-        assert spark.read.parquet(f"{idx}/bands").count() == n_bands
+        assert read_admitted(spark, root).count() == n_out
+        assert _count(spark, root, DIGESTS_MEMBER) == n_dig
+        assert _count(spark, root, BANDS_MEMBER) == n_bands
 
     def test_short_docs_use_exact_guard_only(self, spark, sink):
-        out, idx, process = sink
+        root, process = sink
         process(_df(spark, [(1, SHORT)]), 0)
         process(_df(spark, [(2, SHORT), (3, "tiny other")]), 1)
-        admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
-        assert admitted == {1, 3}  # exact dup dropped, no band pollution
-        bands = spark.read.parquet(f"{idx}/bands")
-        assert bands.count() == 0  # sub-shingle docs never banded
+        assert _out_ids(spark, root) == {1, 3}
+        # sub-shingle docs never banded
+        assert _count(spark, root, BANDS_MEMBER) == 0
 
     def test_in_batch_exact_dup_admits_once(self, spark, sink):
-        out, idx, process = sink
+        root, process = sink
         process(_df(spark, [(5, WORDS), (6, WORDS)]), 0)
-        admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
-        assert admitted == {5}  # min id wins, the dedup_exact rule
+        assert _out_ids(spark, root) == {5}  # min id, the dedup_exact rule
+
+
+class TestCrashExactlyOnce:
+    """VERDICT r8 #3: kill the batch at every internal stage, replay,
+    and require the final state to equal the uninterrupted run — no
+    double-admitted output rows, no index divergence."""
+
+    def _final_state(self, spark, root):
+        return (
+            _out_ids(spark, root),
+            {
+                r.digest
+                for r in read_admission_table(
+                    spark, root, DIGESTS_MEMBER
+                ).collect()
+            },
+            _count(spark, root, BANDS_MEMBER),
+        )
+
+    def _uninterrupted(self, spark, tmp_path):
+        root = str(tmp_path / "clean")
+        process = near_dup_admitting_batch(root)
+        process(_df(spark, [(1, WORDS), (2, NOVEL)]), 0)
+        process(_df(spark, [(3, VARIANT), (4, SHORT)]), 1)
+        return self._final_state(spark, root)
+
+    @pytest.mark.parametrize("crash_at_stage", [1, 2, 3])
+    def test_crash_during_member_staging_then_replay(
+        self, spark, tmp_path, crash_at_stage
+    ):
+        """Crash after 0, 1, or 2 of the three member tables have been
+        STAGED (the analog of the old layout's crash between separate
+        appends): nothing of the crashed batch may be visible, and the
+        replay must converge to the uninterrupted state."""
+        want = self._uninterrupted(spark, tmp_path)
+        root = str(tmp_path / "crashy")
+        process = near_dup_admitting_batch(root)
+        process(_df(spark, [(1, WORDS), (2, NOVEL)]), 0)
+
+        real = ManifestCommit._stage_in
+        calls = {"n": 0}
+
+        def crashy(self, store, r, member, fn):
+            calls["n"] += 1
+            if calls["n"] == crash_at_stage:
+                raise RuntimeError(f"killed at stage {crash_at_stage}")
+            return real(self, store, r, member, fn)
+
+        ManifestCommit._stage_in = crashy
+        try:
+            with pytest.raises(RuntimeError):
+                process(_df(spark, [(3, VARIANT), (4, SHORT)]), 1)
+        finally:
+            ManifestCommit._stage_in = real
+        # crashed batch fully invisible
+        assert _out_ids(spark, root) == {1, 2}
+        # replay (the streaming engine redelivers batch 1)
+        process(_df(spark, [(3, VARIANT), (4, SHORT)]), 1)
+        assert self._final_state(spark, root) == want
+
+    def test_crash_before_log_entry_then_replay(self, spark, tmp_path):
+        """All three members staged, crash before the put-if-absent
+        log entry: still invisible, replay converges."""
+        want = self._uninterrupted(spark, tmp_path)
+        root = str(tmp_path / "crashy2")
+        process = near_dup_admitting_batch(root)
+        process(_df(spark, [(1, WORDS), (2, NOVEL)]), 0)
+
+        real = ManifestCommit._commit
+
+        def crashy(self, store, r, mutate):
+            raise RuntimeError("killed before the log entry")
+
+        ManifestCommit._commit = crashy
+        try:
+            with pytest.raises(RuntimeError):
+                process(_df(spark, [(3, VARIANT), (4, SHORT)]), 1)
+        finally:
+            ManifestCommit._commit = real
+        assert _out_ids(spark, root) == {1, 2}
+        process(_df(spark, [(3, VARIANT), (4, SHORT)]), 1)
+        assert self._final_state(spark, root) == want
+
+    def test_crash_after_commit_replay_drops_everything(
+        self, spark, tmp_path
+    ):
+        """Crash AFTER the atomic commit (before the checkpoint
+        advances): the replayed batch hits the exact guard and admits
+        nothing — same state as the uninterrupted run."""
+        want = self._uninterrupted(spark, tmp_path)
+        root = str(tmp_path / "crashy3")
+        process = near_dup_admitting_batch(root)
+        process(_df(spark, [(1, WORDS), (2, NOVEL)]), 0)
+        batch = _df(spark, [(3, VARIANT), (4, SHORT)])
+        process(batch, 1)  # committed; pretend the crash was after this
+        process(batch, 1)  # replay
+        assert self._final_state(spark, root) == want
 
 
 DOC_SCHEMA = T.StructType(
@@ -109,6 +216,7 @@ class TestEndToEnd:
         variant of each near-dup family survives, across batch
         boundaries and restarts."""
         input_dir = str(tmp_path / "in")
+        root = str(tmp_path / "admission")
         batches = [
             [(1, WORDS, _t(0)), (2, "junk", _t(0))],
             [(3, VARIANT, _t(2)), (4, NOVEL, _t(2))],
@@ -129,26 +237,19 @@ class TestEndToEnd:
             )
             q = curate_stream_near_dup(
                 stream,
-                output_path=str(tmp_path / "out"),
-                index_path=str(tmp_path / "idx"),
+                admission_path=root,
                 checkpoint_path=str(tmp_path / "ckpt"),
                 trigger={"availableNow": True},
             )
             q.awaitTermination(120)
 
         run()
-        admitted = {
-            r.doc_id
-            for r in spark.read.parquet(str(tmp_path / "out")).collect()
-        }
+        admitted = _out_ids(spark, root)
         # 2 fails quality; 3 is a near-dup of 1; 5 an exact dup of 1
         assert admitted == {1, 4}
         # restart over the same input: checkpoint + content idempotency
         run()
-        assert (
-            spark.read.parquet(str(tmp_path / "out")).count()
-            == len(admitted)
-        )
+        assert read_admitted(spark, root).count() == len(admitted)
 
 
 class TestIndexCompaction:
@@ -159,9 +260,8 @@ class TestIndexCompaction:
             compact_admission_index,
         )
 
-        out = str(tmp_path / "out")
-        idx = str(tmp_path / "idx")
-        process = near_dup_admitting_batch(out, idx)
+        root = str(tmp_path / "admission")
+        process = near_dup_admitting_batch(root)
         # several batches -> several small files per index table
         process(_df(spark, [(1, WORDS)]), 0)
         process(_df(spark, [(2, NOVEL)]), 1)
@@ -171,49 +271,63 @@ class TestIndexCompaction:
                             "apples into cider every autumn weekend")]),
             2,
         )
-        dig_before = spark.read.parquet(f"{idx}/digests").collect()
-        bands_before = spark.read.parquet(f"{idx}/bands").collect()
-        n_files = len(
-            [f for f in __import__("os").listdir(f"{idx}/digests")
-             if f.endswith(".parquet")]
-        )
-        assert n_files >= 3
-        done = compact_admission_index(spark, idx)
-        assert done["digests"] >= 3 and done["bands"] >= 3
-        # contents identical
-        assert sorted(r.digest for r in dig_before) == sorted(
+        commit = ManifestCommit()
+        host = CommitHost(spark)
+        dig_before = sorted(
             r.digest
-            for r in spark.read.parquet(f"{idx}/digests").collect()
+            for r in read_admission_table(
+                spark, root, DIGESTS_MEMBER
+            ).collect()
         )
-        assert len(bands_before) == spark.read.parquet(
-            f"{idx}/bands"
-        ).count()
-        # single file each now; second run is a no-op
-        assert compact_admission_index(spark, idx) == {
+        n_bands = _count(spark, root, BANDS_MEMBER)
+        assert commit.table_file_count(host, f"{root}/digests") >= 3
+        done = compact_admission_index(spark, root)
+        assert done["digests"] >= 3 and done["bands"] >= 3
+        # contents identical, one manifest file each now
+        assert dig_before == sorted(
+            r.digest
+            for r in read_admission_table(
+                spark, root, DIGESTS_MEMBER
+            ).collect()
+        )
+        assert _count(spark, root, BANDS_MEMBER) == n_bands
+        assert commit.table_file_count(host, f"{root}/digests") == 1
+        # second run is a no-op
+        assert compact_admission_index(spark, root) == {
             "digests": 0, "bands": 0
         }
         # admission semantics unchanged through the compacted index:
-        # replay of batch 1 still admits nothing
+        # replay of batch 1 content still admits nothing
         process(_df(spark, [(10, WORDS), (11, VARIANT)]), 3)
-        admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+        admitted = _out_ids(spark, root)
         assert 10 not in admitted and 11 not in admitted
 
-    def test_interrupted_swap_repaired(self, spark, tmp_path):
-        import os
-
+    def test_interrupted_compaction_is_invisible(self, spark, tmp_path):
+        """Crash before the compaction's log entry: the table still
+        reads from the pre-compaction manifest; the next compaction
+        run finishes the job."""
         from redis_lsm_timeseries_spark.streaming.curation import (
             compact_admission_index,
         )
 
-        out = str(tmp_path / "out")
-        idx = str(tmp_path / "idx")
-        process = near_dup_admitting_batch(out, idx)
+        root = str(tmp_path / "admission")
+        process = near_dup_admitting_batch(root)
         process(_df(spark, [(1, WORDS)]), 0)
         process(_df(spark, [(2, NOVEL)]), 1)
-        n = spark.read.parquet(f"{idx}/digests").count()
-        # simulate a crash between the two renames: live dir gone,
-        # pre-swap copy parked at .compact-old
-        os.rename(f"{idx}/digests", f"{idx}/digests.compact-old")
-        compact_admission_index(spark, idx)
-        assert spark.read.parquet(f"{idx}/digests").count() == n
-        assert not os.path.exists(f"{idx}/digests.compact-old")
+        n = _count(spark, root, DIGESTS_MEMBER)
+
+        real = ManifestCommit._commit
+
+        def crashy(self, store, r, mutate):
+            raise RuntimeError("killed mid-compaction")
+
+        ManifestCommit._commit = crashy
+        try:
+            with pytest.raises(RuntimeError):
+                compact_admission_index(spark, root)
+        finally:
+            ManifestCommit._commit = real
+        assert _count(spark, root, DIGESTS_MEMBER) == n
+        done = compact_admission_index(spark, root)
+        assert done["digests"] >= 2
+        assert _count(spark, root, DIGESTS_MEMBER) == n
