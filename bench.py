@@ -117,16 +117,37 @@ def main() -> int:
     # Full-detail record first (for the log)...
     print(json.dumps(result), flush=True)
     # ...then the compact duplicate as the LAST line, kept under the
-    # driver's ~2,000-char tail capture: 2-decimal query times, no
-    # extras; progressively shed optional sections if still too long.
+    # driver's ~2,000-char tail capture: 2-decimal query times and
+    # extras INCLUDED (r8 ask: the captured record must preserve the
+    # pytest-tier timings). If too long, degrade gracefully: extras
+    # collapse to a {n, ok, total_sec} summary first, then the other
+    # optional sections shed.
     compact = dict(result)
     compact["queries"] = {k: round(v, 2) for k, v in per_query.items()}
-    compact.pop("extras", None)
-    for drop in ("normalized_vs_prev", "calibration", None):
+    ok_times = [v for v in extras.values() if isinstance(v, (int, float))]
+    compact["extras"] = {
+        k: (round(v, 2) if isinstance(v, (int, float)) else "ERR")
+        for k, v in extras.items()
+    }
+    extras_summary = {
+        "n": len(extras),
+        "ok": len(ok_times),
+        "total_sec": round(sum(ok_times), 2),
+    }
+    shed = [
+        ("extras", extras_summary),
+        ("normalized_vs_prev", None),
+        ("calibration", None),
+        (None, None),
+    ]
+    for key, replacement in shed:
         line = json.dumps(compact, separators=(",", ":"))
-        if len(line) <= 1900 or drop is None:
+        if len(line) <= 1900 or key is None:
             break
-        compact.pop(drop, None)
+        if replacement is not None:
+            compact[key] = replacement
+        else:
+            compact.pop(key, None)
     print(line, flush=True)
     return 1 if failures else 0
 

@@ -407,9 +407,18 @@ def pack_documents_nosplit(
         pdf["oversize"] = pd.Series(oversize, dtype="bool")
         return pdf
 
-    out_schema = (
-        f"{id_col} long, {source_col} string, shard long, n_tokens long, "
-        f"pack_id long, win_offset long, oversize boolean"
+    # Output schema derived from the ACTUAL input field types (string
+    # doc ids, non-string sources) — hard-coding `long`/`string` here
+    # miscast or failed at runtime for such corpora (ADVICE r8).
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(slim.schema.fields)
+        + [
+            T.StructField("pack_id", T.LongType()),
+            T.StructField("win_offset", T.LongType()),
+            T.StructField("oversize", T.BooleanType()),
+        ]
     )
     return (
         slim.groupBy(source_col, "shard")

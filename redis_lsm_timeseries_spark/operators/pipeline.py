@@ -203,18 +203,29 @@ def dedup_rewrite(
         )
     if substring:
         s = substring_dedup(out, text_col, id_col, span_tokens)
+        # _mod_s is BYTE-EXACT against the stage input (ADVICE r8):
+        # substring_dedup normalizes (lowercase, whitespace-collapse)
+        # even with zero spans cut, and a dup_tokens-based flag would
+        # report was_modified=False for normalization-only changes —
+        # callers gating rewrites on the flag would persist a
+        # mixed-normalization corpus. Mirrors paragraph_dedup's
+        # eqNullSafe semantics.
         out = (
-            out.drop(text_col)
+            out.withColumnRenamed(text_col, "_pre_substring")
             .join(
                 s.select(
                     F.col(id_col),
                     F.col("text_deduped").alias(text_col),
                     F.col("n_spans").alias("n_spans_cut"),
                     F.col("dup_tokens").alias("dup_tokens_cut"),
-                    (F.col("dup_tokens") > 0).alias("_mod_s"),
                 ),
                 id_col,
             )
+            .withColumn(
+                "_mod_s",
+                ~F.col(text_col).eqNullSafe(F.col("_pre_substring")),
+            )
+            .drop("_pre_substring")
         )
     else:
         out = out.withColumn(

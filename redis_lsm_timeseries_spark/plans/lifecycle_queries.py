@@ -300,7 +300,8 @@ SELECT tag,
        CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
          AS sum_num,
        min(CAST(value AS DOUBLE)) AS min_num,
-       max(CAST(value AS DOUBLE)) AS max_num
+       max(CAST(value AS DOUBLE)) AS max_num,
+       CAST(count(DISTINCT value) AS BIGINT) AS n_distinct
 FROM merged
 GROUP BY tag, bucket_start
 """,

@@ -52,6 +52,10 @@ class RollupMetrics:
     buckets_refreshed: int
     tags_touched: int
     watermark_ingest_ts: int
+    #: True when ``max_tags`` capped this run — more touched work is
+    #: pending and the recorded watermark did NOT advance past it;
+    #: call ``refresh_rollup`` again to continue the backlog.
+    backlog: bool = False
 
 
 def _paths(store: TimeseriesStore, name: str) -> tuple[str, str]:
@@ -80,14 +84,38 @@ def _bucket(step: int):
     return (F.col("ts") - F.pmod(F.col("ts"), F.lit(int(step)))).cast("long")
 
 
-def _aggregate(winners: DataFrame, step: int) -> DataFrame:
+def _aggregate(
+    winners: DataFrame, step: int, with_sketch: bool = False
+) -> DataFrame:
     """Per-(tag, bucket) aggregate over LWW winners (tombstones —
     NULL-value winners — excluded, mirroring the read path). Values
-    are opaque strings; numeric stats cover the castable subset."""
+    are opaque strings; numeric stats cover the castable subset.
+
+    ``n_distinct`` is the distinct-members shape (TimescaleDB's
+    distinct-users continuous aggregate): every touched bucket is
+    recomputed FROM THE BASE SLICE, so count-distinct needs no
+    mergeable state — incremental == full by construction, the same
+    discipline as every other column. ``with_sketch`` adds a
+    ``distinct_sketch`` HLL blob (``hll_sketch_agg``) per bucket:
+    MERGEABLE across buckets, for rollup-over-rollup consumers
+    (``hll_union_agg`` over day buckets gives a month's distinct
+    estimate without touching base data)."""
     # try_cast, not cast: values are OPAQUE strings (reference
     # semantics) and ANSI mode makes a plain cast throw on the first
     # non-numeric one; the numeric stats cover the castable subset
     num = F.col("value").try_cast("double")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("_num").cast("long").alias("n_numeric"),
+        F.sum(F.col("_num").cast(SUM_DECIMAL))
+        .cast("double")
+        .alias("sum_num"),
+        F.min("_num").alias("min_num"),
+        F.max("_num").alias("max_num"),
+        F.countDistinct("value").cast("long").alias("n_distinct"),
+    ]
+    if with_sketch:
+        aggs.append(F.hll_sketch_agg("value").alias("distinct_sketch"))
     return (
         winners.where(F.col("value").isNotNull())
         .select(
@@ -97,45 +125,96 @@ def _aggregate(winners: DataFrame, step: int) -> DataFrame:
             num.alias("_num"),
         )
         .groupBy("tag", "bucket_start")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.count("_num").cast("long").alias("n_numeric"),
-            F.sum(F.col("_num").cast(SUM_DECIMAL))
-            .cast("double")
-            .alias("sum_num"),
-            F.min("_num").alias("min_num"),
-            F.max("_num").alias("max_num"),
-        )
+        .agg(*aggs)
     )
 
 
-def rollup_full(store: TimeseriesStore, step: int) -> DataFrame:
+def rollup_full(
+    store: TimeseriesStore, step: int, with_sketch: bool = False
+) -> DataFrame:
     """The full recompute — the semantic definition the incremental
     path must equal (and the test oracle for it)."""
-    return _aggregate(lww_latest(_members(store)), step)
+    return _aggregate(lww_latest(_members(store)), step, with_sketch)
+
+
+#: default bound on one refresh's driver-side state (collected tag
+#: lists) and rewrite blast radius — same posture as
+#: ``apply_retention``'s ``max_partitions``.
+DEFAULT_MAX_TAGS = 10_000
 
 
 def refresh_rollup(
-    store: TimeseriesStore, name: str, step: int
+    store: TimeseriesStore,
+    name: str,
+    step: int,
+    max_tags: int = DEFAULT_MAX_TAGS,
+    with_sketch: bool = False,
 ) -> RollupMetrics:
     """Create or incrementally refresh the named rollup.
 
-    First call: full compute, persist, record the ingest watermark.
+    First call: full compute, persist, record the ingest watermark
+    (``with_sketch`` fixes whether the rollup carries mergeable HLL
+    distinct sketches — like ``step``, it is a creation-time property
+    and a mismatched refresh raises).
     Later calls: find members with ``ingest_ts`` past the watermark,
     recompute ONLY their (tag, bucket) groups, and rewrite only the
     touched tag partitions (old buckets of those tags carried over,
     touched buckets replaced — deletions of now-empty buckets
     included). Refreshing with a different ``step`` than the rollup
-    was created with raises."""
+    was created with raises.
+
+    ``max_tags`` bounds one run: when more tags are touched, the run
+    processes the ``max_tags`` with the OLDEST new work (by min new
+    ``ingest_ts``), records a backlog cursor, and leaves the watermark
+    where it was — the recorded watermark only ever advances past
+    fully-processed work. Subsequent calls continue the backlog from
+    the cursor until it drains (``RollupMetrics.backlog`` False), then
+    resume normal watermark advancement. Correctness of the cursor
+    relies on the same contract the watermark itself does: ``ingest_ts``
+    is wall-clock at write and does not travel backwards below a
+    captured maximum."""
     if step <= 0:
         raise ValidationError("step must be positive")
+    if max_tags < 1:
+        raise ValidationError("max_tags must be >= 1")
     store._require_init()
     with maintenance_lease(store):
-        return _refresh_locked(store, name, int(step))
+        return _refresh_locked(
+            store, name, int(step), int(max_tags), bool(with_sketch)
+        )
+
+
+def _boundary_rows(raw: DataFrame, w: int) -> int:
+    """Distinct member count exactly AT the watermark — the tie-break
+    guard: a write landing mid-refresh with ``ingest_ts`` EQUAL to the
+    captured max (caller-supplied or ms-resolution timestamps tie)
+    would be invisible to a strictly-greater probe forever. Recording
+    how many members sit at the boundary lets the next refresh detect
+    a changed boundary and re-probe ``>=`` — the re-touch recompute is
+    idempotent, so over-inclusion is harmless and under-inclusion
+    cannot happen. Identity-distinct so a member snapshotted to cold
+    but not yet acked out of hot (the at-least-once tier window)
+    counts once."""
+    if w is None or int(w) < 0:
+        return 0
+    return (
+        raw.where(F.col("ingest_ts") == int(w))
+        .select(*MEMBER_IDENTITY_COLS)
+        .distinct()
+        .count()
+    )
+
+
+def _write_meta(store, meta_path: str, **fields) -> None:
+    store.fs.write_text(meta_path, json.dumps(fields))
 
 
 def _refresh_locked(
-    store: TimeseriesStore, name: str, step: int
+    store: TimeseriesStore,
+    name: str,
+    step: int,
+    max_tags: int,
+    with_sketch: bool,
 ) -> RollupMetrics:
     data_path, meta_path = _paths(store, name)
     # Duplicate-invariant probes run on the RAW union — no full-corpus
@@ -143,32 +222,36 @@ def _refresh_locked(
     # touched-set; only the (touched-bucket-bounded) recompute slice
     # pays the dedup, after the semi-join has shrunk it.
     raw = _raw_members(store)
-    # Watermark captured BEFORE the recompute scans, deliberately: a
-    # write landing mid-refresh either misses this refresh entirely or
-    # is partially seen, and in both cases its ingest_ts exceeds the
-    # RECORDED watermark, so the next refresh re-touches its bucket —
-    # at-least-once recompute, idempotent by construction. Capturing
-    # the max afterwards could record a timestamp whose rows were
-    # never aggregated.
-    new_watermark = raw.agg(F.max("ingest_ts").alias("w")).first().w
-    if new_watermark is None:
-        new_watermark = -1
 
     if not store.fs.exists(meta_path):
-        full = rollup_full(store, step).repartition("tag").localCheckpoint()
+        # Watermark captured BEFORE the recompute scans, deliberately:
+        # a write landing mid-refresh either misses this refresh
+        # entirely or is partially seen, and in both cases its
+        # ingest_ts (or the boundary-row count at the captured max)
+        # ensures the next refresh re-touches its bucket —
+        # at-least-once recompute, idempotent by construction.
+        new_watermark = raw.agg(F.max("ingest_ts").alias("w")).first().w
+        new_watermark = -1 if new_watermark is None else int(new_watermark)
+        full = (
+            rollup_full(store, step, with_sketch)
+            .repartition("tag")
+            .localCheckpoint()
+        )
         n_buckets = full.count()
         n_tags = full.select("tag").distinct().count()
         if n_buckets:
             store.commit.overwrite_partitions(
                 store, full, data_path, ["tag"]
             )
-        store.fs.write_text(
-            meta_path,
-            json.dumps(
-                {"step": step, "watermark_ingest_ts": int(new_watermark)}
-            ),
+        _write_meta(
+            store, meta_path,
+            step=step,
+            watermark_ingest_ts=new_watermark,
+            boundary_rows=_boundary_rows(raw, new_watermark),
+            partial=None,
+            with_sketch=with_sketch,
         )
-        return RollupMetrics(n_buckets, n_tags, int(new_watermark))
+        return RollupMetrics(n_buckets, n_tags, new_watermark)
 
     meta = json.loads(store.fs.read_text(meta_path))
     if meta["step"] != step:
@@ -176,16 +259,83 @@ def _refresh_locked(
             f"rollup {name!r} was created with step={meta['step']}, "
             f"refresh requested step={step}"
         )
-    w = meta["watermark_ingest_ts"]
+    stored_sketch = bool(meta.get("with_sketch", False))
+    if stored_sketch != with_sketch:
+        raise ValidationError(
+            f"rollup {name!r} was created with "
+            f"with_sketch={stored_sketch}, refresh requested "
+            f"with_sketch={with_sketch}"
+        )
+    w = int(meta["watermark_ingest_ts"])
+    boundary = meta.get("boundary_rows")
+    partial = meta.get("partial")
+
+    if partial is None:
+        new_watermark = raw.agg(F.max("ingest_ts").alias("w")).first().w
+        new_watermark = -1 if new_watermark is None else int(new_watermark)
+        upper = new_watermark
+        upper_boundary = _boundary_rows(raw, upper)
+        # ADVICE r8: a boundary write that tied the recorded watermark
+        # mid-refresh widens the probe to >= once; idempotent recompute
+        # makes the re-touch harmless.
+        include_eq = boundary is None or (
+            _boundary_rows(raw, w) != int(boundary)
+        )
+        probe = raw.where(
+            F.col("ingest_ts") >= w if include_eq
+            else F.col("ingest_ts") > w
+        )
+        cursor = None
+    else:
+        # Backlog continuation: the closed interval (w, upper] was
+        # captured by an earlier capped run; rows inside it are
+        # immutable under the monotone-ingest_ts contract, so no
+        # boundary re-check is needed and the cursor is stable.
+        upper = int(partial["upper"])
+        upper_boundary = int(partial["boundary_rows"])
+        probe = raw.where(
+            (F.col("ingest_ts") > w) & (F.col("ingest_ts") <= upper)
+        )
+        cursor = partial["cursor"]  # [min_new_ingest, tag]
+
+    # Oldest-new-work-first tag selection, bounded to max_tags (+1 to
+    # detect overflow). Driver state = this list — the cap's point.
+    tag_stats = probe.groupBy("tag").agg(
+        F.min("ingest_ts").alias("_mi")
+    )
+    if cursor is not None:
+        c_mi, c_tag = int(cursor[0]), cursor[1]
+        tag_stats = tag_stats.where(
+            (F.col("_mi") > c_mi)
+            | ((F.col("_mi") == c_mi) & (F.col("tag") > c_tag))
+        )
+    selected = tag_stats.orderBy("_mi", "tag").limit(max_tags + 1).collect()
+
+    if not selected:
+        if partial is not None:
+            # backlog drained: the interval is fully processed — NOW
+            # the watermark may advance to its upper edge.
+            _write_meta(
+                store, meta_path,
+                step=step, watermark_ingest_ts=upper,
+                boundary_rows=upper_boundary, partial=None,
+                with_sketch=stored_sketch,
+            )
+            return RollupMetrics(0, 0, upper)
+        return RollupMetrics(0, 0, w)
+
+    capped = len(selected) > max_tags
+    selected = selected[:max_tags]
+    sel_df = store.spark.createDataFrame(
+        [(r.tag,) for r in selected], "tag string"
+    )
     touched = (
-        raw.where(F.col("ingest_ts") > F.lit(int(w)))
+        probe.join(F.broadcast(sel_df), ["tag"], "left_semi")
         .select("tag", _bucket(step).alias("bucket_start"))
         .distinct()
         .localCheckpoint()
     )
     n_touched = touched.count()
-    if n_touched == 0:
-        return RollupMetrics(0, 0, int(w))
 
     # Recompute ONLY touched buckets: raw members semi-joined on the
     # (small) touched set FIRST, identity-deduped on the shrunken
@@ -195,7 +345,7 @@ def _refresh_locked(
         .join(F.broadcast(touched), ["tag", "bucket_start"], "left_semi")
         .dropDuplicates(MEMBER_IDENTITY_COLS)
     )
-    recomputed = _aggregate(lww_latest(in_touched), step)
+    recomputed = _aggregate(lww_latest(in_touched), step, stored_sketch)
 
     touched_tags = touched.select("tag").distinct()
     old = store.commit.read_table(store, data_path, recomputed.schema)
@@ -214,35 +364,50 @@ def _refresh_locked(
     # Dynamic overwrite only rewrites tag partitions PRESENT in
     # merged: a touched tag whose every bucket emptied (fully
     # tombstoned) would otherwise keep its stale rollup rows — drop
-    # those tag directories explicitly (bounded by touched tags).
+    # those tag directories explicitly (bounded by max_tags).
     present = {r.tag for r in merged.select("tag").distinct().collect()}
-    for r in touched_tags.collect():
+    for r in selected:
         if r.tag not in present:
             store.commit.drop_partition_dir(
                 store, f"{data_path}/tag={r.tag}"
             )
     if present:
         store.commit.overwrite_partitions(store, merged, data_path, ["tag"])
-    store.fs.write_text(
-        meta_path,
-        json.dumps({"step": step, "watermark_ingest_ts": int(new_watermark)}),
+
+    if capped:
+        last = selected[-1]
+        _write_meta(
+            store, meta_path,
+            step=step, watermark_ingest_ts=w, boundary_rows=boundary,
+            partial={
+                "upper": upper,
+                "boundary_rows": upper_boundary,
+                "cursor": [int(last._mi), last.tag],
+            },
+            with_sketch=stored_sketch,
+        )
+        return RollupMetrics(n_touched, len(selected), w, backlog=True)
+
+    _write_meta(
+        store, meta_path,
+        step=step, watermark_ingest_ts=upper,
+        boundary_rows=upper_boundary, partial=None,
+        with_sketch=stored_sketch,
     )
-    return RollupMetrics(
-        n_touched,
-        touched_tags.count(),
-        int(new_watermark),
-    )
+    return RollupMetrics(n_touched, len(selected), upper)
 
 
 def read_rollup(store: TimeseriesStore, name: str) -> DataFrame:
     """The maintained rollup table (tag, bucket_start, n, n_numeric,
-    sum_num, min_num, max_num)."""
+    sum_num, min_num, max_num, n_distinct[, distinct_sketch])."""
     store._require_init()
     data_path, meta_path = _paths(store, name)
     if not store.fs.exists(meta_path):
         raise ValidationError(f"rollup {name!r} does not exist")
+    meta = json.loads(store.fs.read_text(meta_path))
     empty = _aggregate(
         lww_latest(store.spark.createDataFrame([], store.hot().schema)),
-        json.loads(store.fs.read_text(meta_path))["step"],
+        meta["step"],
+        bool(meta.get("with_sketch", False)),
     )
     return store.commit.read_table(store, data_path, empty.schema)

@@ -87,6 +87,14 @@ def write_curated(
     # Small (split, source, n_files) dimension — broadcast onto the
     # keep-set to derive each row's shard. One input slice: a spread
     # createDataFrame costs a task per default-parallelism partition.
+    # Join-key schema derived from the ACTUAL curated column types
+    # (ADVICE r8): hard-coded strings made non-string split/source
+    # columns miskey the equi-join, and the left join's null _n_files
+    # coalesced to 1 — silently restoring the single-writer funnel
+    # the shard key exists to avoid.
+    from pyspark.sql import types as T
+
+    _ctypes = {f.name: f.dataType for f in curated.schema.fields}
     shards_df = spark.createDataFrame(
         spark.sparkContext.parallelize(
             [
@@ -96,7 +104,13 @@ def write_curated(
             ],
             1,
         ),
-        f"{split_col} string, {source_col} string, _n_files int",
+        T.StructType(
+            [
+                T.StructField(split_col, _ctypes[split_col]),
+                T.StructField(source_col, _ctypes[source_col]),
+                T.StructField("_n_files", T.IntegerType()),
+            ]
+        ),
     )
     kept = curated.where(F.col(keep_col))
     shard_src = (

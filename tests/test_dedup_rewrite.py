@@ -49,9 +49,14 @@ def test_both_granularities_cut(rewritten):
     assert "tok0" not in rewritten[3].text
     assert rewritten[3].n_spans_cut == 1
     assert rewritten[3].dup_tokens_cut >= 20
-    # first owner keeps everything
+    # first owner keeps everything (no cuts) — but its newline was
+    # normalized away by the substring stage, so the byte-exact flag
+    # is True (ADVICE r8: normalization-only changes count)
     assert "tok0" in rewritten[1].text and "rights reserved" in rewritten[1].text
-    assert not rewritten[1].was_modified
+    assert rewritten[1].n_spans_cut == 0
+    assert rewritten[1].n_paragraphs_kept == rewritten[1].n_paragraphs
+    assert rewritten[1].was_modified
+    # single-paragraph, already-normalized doc: bytes untouched
     assert not rewritten[4].was_modified
 
 
@@ -96,3 +101,24 @@ def test_scale_smoke_on_documents(spark):
     assert out.count() == docs.count()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_normalization_only_change_sets_modified_flag(spark):
+    """ADVICE r8: the substring stage normalizes (lowercase,
+    whitespace-collapse) even with zero spans cut — a doc whose bytes
+    changed by normalization alone must report was_modified=True, or
+    callers gating rewrites on the flag persist a mixed-normalization
+    corpus. An already-normalized unique doc stays False."""
+    df = spark.createDataFrame(
+        [
+            (1, "Hello World From The Rewriter"),
+            (2, "already normalized unique content here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_rewrite(df).collect()}
+    assert out[1].dup_tokens_cut == 0
+    assert out[1].was_modified  # bytes changed: lowercased
+    assert out[1].text == "hello world from the rewriter"
+    assert not out[2].was_modified
+    assert out[2].text == "already normalized unique content here"

@@ -186,3 +186,36 @@ class TestPlanShape:
         assert plan.count("Exchange") <= 1, plan
         assert "FlatMapGroupsInPandas" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestNonLongIds:
+    def test_string_ids_and_int_sources(self, spark):
+        """ADVICE r8: the output schema derives from the input field
+        types — a corpus with string doc ids and integer sources packs
+        without miscasts, and placement still matches the recurrence
+        over the (string) sort order."""
+        rows = [
+            (f"doc-{i:03d}", "w " * (i % 5 + 1), i % 2)
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id string, text string, source int"
+        )
+        packed = pack_documents_nosplit(df, window_tokens=8, num_shards=2)
+        assert dict(packed.dtypes)["doc_id"] == "string"
+        assert dict(packed.dtypes)["source"] == "int"
+        got = {
+            (r.source, r.shard, r.doc_id): (r.pack_id, r.win_offset,
+                                            r.oversize)
+            for r in packed.collect()
+        }
+        assert len(got) == 40
+        streams = {}
+        for (src, shard, did), _ in got.items():
+            streams.setdefault((src, shard), []).append(
+                (did, did.count("-") and (int(did.split("-")[1]) % 5 + 1))
+            )
+        for key, members in streams.items():
+            want = _reference_place(members, wt=8)
+            for did, _n in members:
+                assert got[(key[0], key[1], did)] == want[did]
