@@ -683,6 +683,17 @@ class ManifestCommit(ParquetLeaseCommit):
         _, tables = self._current(store, root)
         return len(tables.get(member, []))
 
+    def member_files(self, store, path: str) -> list[str] | None:
+        """Current committed file relpaths of a member table (None for
+        an unmanaged path) — lets consumers do file-set-aware probes
+        (e.g. the admission Bloom sidecar's compacted-vs-tail split)."""
+        resolved = self._resolve(store, path)
+        if resolved is None:
+            return None
+        root, member = resolved
+        _, tables = self._current(store, root)
+        return list(tables.get(member, []))
+
     def append_tables(self, store, root: str, dfs) -> None:
         """N member appends, ONE atomic log entry: either every
         member's new files are visible or none are. This is the

@@ -158,6 +158,104 @@ def read_admitted(spark, admission_path: str, fs=None) -> DataFrame:
     return read_admission_table(spark, admission_path, OUTPUT_MEMBER, fs)
 
 
+# ------------------------------------------------- Bloom pre-probe
+#
+# LSM posture for the exact guard: compaction builds a Bloom sidecar
+# over every admitted digest (false negatives impossible by
+# construction), so a micro-batch whose digests ALL miss the filter
+# only scans the small post-compaction tail files instead of the full
+# digest index. Any hit, an oversized batch, or a missing/stale
+# sidecar falls back to the full scan — the filter is purely an
+# optimization, never a correctness dependency. This sidecar is the
+# local stand-in for what a lakehouse deployment gets from per-file
+# Bloom metadata (Parquet bloom filters / Delta stats); positions are
+# md5-derived in plain Python on both build and probe, so there is no
+# cross-engine hash to keep consistent.
+
+BLOOM_SIDECAR = "_bloom_digests.json"
+BLOOM_BITS_PER_KEY = 10
+BLOOM_K = 7
+#: batches with more distinct digests than this skip the Bloom path
+#: (collecting them driver-side would defeat the point)
+BLOOM_PROBE_MAX = 100_000
+
+
+def _bloom_positions(digest: str, m: int) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{digest}|{i}".encode()).hexdigest()[:15], 16) % m
+        for i in range(BLOOM_K)
+    ]
+
+
+def _bloom_hit(bloom: dict, digest: str) -> bool:
+    bits = bloom["_bits"]
+    return all(
+        bits[p >> 3] & (1 << (p & 7))
+        for p in _bloom_positions(digest, bloom["m"])
+    )
+
+
+def build_digest_bloom(spark, admission_path: str, fs=None) -> dict:
+    """Build (or rebuild) the Bloom sidecar over the CURRENT digest
+    index, recording the exact file set it covers — probes treat files
+    outside that set as the uncovered tail. Called by
+    ``compact_admission_index`` right after the digests rewrite, so
+    the covered set is the freshly-compacted file. Collecting the
+    digests driver-side is the local-scale trade-off (documented
+    above); returns the sidecar metadata."""
+    import base64
+    import json as _json
+
+    from redis_lsm_timeseries_spark.commit import ManifestCommit
+    from redis_lsm_timeseries_spark.fs import LOCAL_FS
+
+    fs = fs if fs is not None else LOCAL_FS
+    host = _host(spark, fs)
+    files = ManifestCommit().member_files(
+        host, f"{admission_path}/{DIGESTS_MEMBER}"
+    ) or []
+    digests = [
+        r.digest
+        for r in read_admission_table(
+            spark, admission_path, DIGESTS_MEMBER, fs
+        ).collect()
+    ]
+    m = max(1024, BLOOM_BITS_PER_KEY * max(1, len(digests)))
+    bits = bytearray((m + 7) // 8)
+    for d in digests:
+        for p in _bloom_positions(d, m):
+            bits[p >> 3] |= 1 << (p & 7)
+    payload = {
+        "m": m,
+        "k": BLOOM_K,
+        "n": len(digests),
+        "files": files,
+        "bits": base64.b64encode(bytes(bits)).decode("ascii"),
+    }
+    fs.write_text(
+        f"{admission_path}/{BLOOM_SIDECAR}", _json.dumps(payload)
+    )
+    return {"n": len(digests), "m": m, "files": len(files)}
+
+
+def _load_bloom(admission_path: str, fs) -> dict | None:
+    import base64
+    import json as _json
+
+    path = f"{admission_path}/{BLOOM_SIDECAR}"
+    if not fs.exists(path):
+        return None
+    try:
+        bloom = _json.loads(fs.read_text(path))
+        bloom["_bits"] = base64.b64decode(bloom["bits"])
+        return bloom
+    except Exception:
+        # An unreadable sidecar only disables the optimization.
+        return None
+
+
 def near_dup_admitting_batch(
     admission_path: str,
     text_col: str = "text",
@@ -209,6 +307,46 @@ def near_dup_admitting_batch(
     from redis_lsm_timeseries_spark.operators import dedup as D
 
     nh = D.NUM_HASHES if num_hashes is None else int(num_hashes)
+    stats = {"bloom_skips": 0, "full_scans": 0}
+
+    def _digest_index(spark, commit, host, batch):
+        """The exact guard's probe side. With a Bloom sidecar whose
+        digests ALL miss the batch, only the post-compaction tail
+        files are scanned (false-negative-free: the sidecar covers the
+        compacted set exactly, by file list); otherwise the full
+        committed index."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType([T.StructField("digest", T.StringType())])
+        bloom = _load_bloom(admission_path, host.fs)
+        if bloom is not None:
+            current = commit.member_files(
+                host, f"{admission_path}/{DIGESTS_MEMBER}"
+            )
+            if current is not None:
+                covered = set(bloom["files"])
+                tail = [f for f in current if f not in covered]
+                sample = batch.select(
+                    D.content_digest(text_col).alias("d")
+                ).distinct().limit(BLOOM_PROBE_MAX + 1).collect()
+                if len(sample) <= BLOOM_PROBE_MAX and not any(
+                    _bloom_hit(bloom, r.d) for r in sample
+                ):
+                    stats["bloom_skips"] += 1
+                    if not tail:
+                        return spark.createDataFrame([], schema)
+                    base = f"{admission_path}/data/{DIGESTS_MEMBER}"
+                    return spark.read.schema(schema).parquet(
+                        *[f"{base}/{f}" for f in tail]
+                    )
+        stats["full_scans"] += 1
+        # Committed snapshots ONLY: a crashed batch's staged files are
+        # invisible, so the guards see exactly what readers see. A
+        # corrupt index propagates as an error — treated as empty it
+        # would silently re-admit every duplicate.
+        return read_admission_table(
+            spark, admission_path, DIGESTS_MEMBER, host.fs
+        )
 
     def process(batch_df, batch_id: int) -> None:
         if not batch_df.columns:
@@ -219,13 +357,7 @@ def near_dup_admitting_batch(
         batch = batch_df.localCheckpoint(eager=True)
         if batch.isEmpty():
             return
-        # Committed snapshots ONLY: a crashed batch's staged files are
-        # invisible, so the guards see exactly what readers see. A
-        # corrupt index propagates as an error — treated as empty it
-        # would silently re-admit every duplicate.
-        digest_idx = read_admission_table(
-            spark, admission_path, DIGESTS_MEMBER, fs
-        )
+        digest_idx = _digest_index(spark, commit, host, batch)
         exact = D.incremental_exact_dedup(batch, digest_idx, text_col, id_col)
         novel_ids = exact.where("admit").select(id_col)
         novel = batch.join(novel_ids, id_col, "left_semi").localCheckpoint(
@@ -279,6 +411,7 @@ def near_dup_admitting_batch(
             },
         )
 
+    process.stats = stats
     return process
 
 
@@ -337,6 +470,10 @@ def compact_admission_index(
     co-located row groups — the local-FS stand-in for the bucketed
     layout a deployment stores the index in.
 
+    After a digests rewrite the Bloom sidecar is rebuilt over the
+    fresh (compacted) file set, so subsequent micro-batches can skip
+    the full index scan (see ``build_digest_bloom``).
+
     Run this between streaming runs (same single-writer maintenance
     posture as tiering). Returns {member: files_before} (0 = nothing
     to do)."""
@@ -367,4 +504,8 @@ def compact_admission_index(
 
         commit.snapshot_rewrite(host, path, write_snapshot)
         done[name] = n
+    if DIGESTS_MEMBER in members and commit.table_exists(
+        host, f"{admission_path}/{DIGESTS_MEMBER}"
+    ):
+        build_digest_bloom(spark, admission_path, fs)
     return done

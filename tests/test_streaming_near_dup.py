@@ -331,3 +331,96 @@ class TestIndexCompaction:
         done = compact_admission_index(spark, root)
         assert done["digests"] >= 2
         assert _count(spark, root, DIGESTS_MEMBER) == n
+
+
+class TestBloomPreProbe:
+    """VERDICT r8 stretch: the per-compaction Bloom sidecar lets
+    novel-content micro-batches skip the full digest-index scan —
+    false-negative-free by construction, pure optimization on any
+    miss/stale/oversize condition."""
+
+    def _novel(self, i):
+        return (
+            f"entirely fresh passage number {i} about topic{i} with "
+            f"its own unrepeated vocabulary trail{i}"
+        )
+
+    def test_skips_full_scan_after_compaction(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.streaming.curation import (
+            compact_admission_index,
+        )
+
+        root = str(tmp_path / "admission")
+        process = near_dup_admitting_batch(root)
+        process(_df(spark, [(1, WORDS), (2, NOVEL)]), 0)
+        process(_df(spark, [(3, self._novel(3))]), 1)
+        assert process.stats == {"bloom_skips": 0, "full_scans": 2}
+        compact_admission_index(spark, root)  # builds the sidecar
+        # novel batches after compaction: tail is empty, all digests
+        # miss the bloom -> no digest-index scan at all
+        process(_df(spark, [(4, self._novel(4))]), 2)
+        process(_df(spark, [(5, self._novel(5))]), 3)
+        assert process.stats["bloom_skips"] == 2
+        assert process.stats["full_scans"] == 2  # unchanged
+        assert _out_ids(spark, root) == {1, 2, 3, 4, 5}
+
+    def test_duplicate_content_hits_bloom_and_is_blocked(
+        self, spark, tmp_path
+    ):
+        from redis_lsm_timeseries_spark.streaming.curation import (
+            compact_admission_index,
+        )
+
+        root = str(tmp_path / "admission")
+        process = near_dup_admitting_batch(root)
+        process(_df(spark, [(1, WORDS)]), 0)
+        compact_admission_index(spark, root)
+        # exact dup of compacted content: bloom HITS -> full scan ->
+        # correctly dropped (no false admission, ever)
+        process(_df(spark, [(2, WORDS), (3, self._novel(3))]), 1)
+        assert process.stats["full_scans"] == 2
+        assert _out_ids(spark, root) == {1, 3}
+
+    def test_tail_files_still_probed_on_bloom_miss(
+        self, spark, tmp_path
+    ):
+        """Content admitted AFTER the sidecar was built lives in tail
+        files outside the covered set — a bloom-missing batch must
+        still be checked against the tail, or post-compaction
+        admissions would re-admit."""
+        from redis_lsm_timeseries_spark.streaming.curation import (
+            compact_admission_index,
+        )
+
+        root = str(tmp_path / "admission")
+        process = near_dup_admitting_batch(root)
+        process(_df(spark, [(1, WORDS)]), 0)
+        compact_admission_index(spark, root)
+        tail_doc = self._novel(7)
+        process(_df(spark, [(7, tail_doc)]), 1)   # bloom skip, admitted
+        assert process.stats["bloom_skips"] == 1
+        # exact dup of the TAIL doc: misses the bloom (built before
+        # doc 7), so the tail scan is what must block it
+        process(_df(spark, [(8, tail_doc)]), 2)
+        assert _out_ids(spark, root) == {1, 7}
+
+    def test_stale_or_missing_sidecar_is_safe(self, spark, tmp_path):
+        import os
+
+        from redis_lsm_timeseries_spark.streaming.curation import (
+            BLOOM_SIDECAR,
+            compact_admission_index,
+        )
+
+        root = str(tmp_path / "admission")
+        process = near_dup_admitting_batch(root)
+        process(_df(spark, [(1, WORDS)]), 0)
+        compact_admission_index(spark, root)
+        # corrupt the sidecar: optimization silently disabled
+        with open(f"{root}/{BLOOM_SIDECAR}", "w") as fh:
+            fh.write("not json {")
+        process(_df(spark, [(2, WORDS), (3, self._novel(3))]), 1)
+        assert _out_ids(spark, root) == {1, 3}
+        os.remove(f"{root}/{BLOOM_SIDECAR}")
+        process(_df(spark, [(4, WORDS)]), 2)
+        assert _out_ids(spark, root) == {1, 3}
