@@ -352,8 +352,12 @@ def host_calibration(spark, sf_dir: str) -> dict:
     code, so the numbers move only when the host does."""
 
     def timed(fn):
+        # min-of-4: the host-speed denominator must be stable —
+        # measured min-of-2 still swung ~1.7x between back-to-back
+        # solo runs (GC/JIT state left by the catalog), which dominated
+        # the normalized cross-round medians it exists to de-noise.
         vals = []
-        for _ in range(2):
+        for _ in range(4):
             t0 = time.perf_counter()
             fn()
             vals.append(time.perf_counter() - t0)

@@ -616,10 +616,19 @@ class ManifestCommit(ParquetLeaseCommit):
         if self._resolve(store, path) is None:
             return super().repair_interrupted_rewrite(store, path)
 
+    #: log entries kept by vacuum beyond the newest — each entry is a
+    #: complete snapshot, so only the max matters for reads; the
+    #: margin exists for debuggability and for any reader that listed
+    #: the log a few commits ago.
+    KEEP_LOG_ENTRIES = 10
+
     def vacuum(self, store, root: str) -> int:
         """Delete data files referenced by NO current manifest member,
-        plus abandoned staging dirs. Runs under the maintenance lock
-        (single vacuumer); returns the number of files removed."""
+        plus abandoned staging dirs, and prune the commit log down to
+        the newest ``KEEP_LOG_ENTRIES`` (every entry is a full
+        snapshot, so old entries are history, not state). Runs under
+        the maintenance lock (single vacuumer); returns the number of
+        data files removed."""
         resolved = self._resolve(store, root)
         if resolved is None or resolved[0] != root:
             return 0
@@ -638,6 +647,13 @@ class ManifestCommit(ParquetLeaseCommit):
                 removed += 1
         store.fs.remove_tree(f"{root}/{STAGE_DIR}")
         self._prune_empty_dirs(store, data_root)
+        versions = sorted(
+            int(name[:-5])
+            for name in store.fs.listdir(f"{root}/{LOG_DIR}")
+            if name.endswith(".json") and name[:-5].isdigit()
+        )
+        for v in versions[:-self.KEEP_LOG_ENTRIES]:
+            store.fs.remove_file(f"{root}/{LOG_DIR}/{v:020d}.json")
         return removed
 
     def _prune_empty_dirs(self, store, base: str) -> None:

@@ -58,16 +58,33 @@ def mark_first_occurrence(
     repeated 10^8 times at 100 TB is one straggler task). The groupBy
     collapses each mapper's hot-digest rows to ONE pre-shuffle row
     (partial_min), and the join back is a plain equi-join that AQE's
-    skew-join handling splits, unlike WindowExec."""
-    winners = occ.groupBy(digest_col).agg(
-        F.min(F.struct(F.col(id_col), F.col(pos_col))).alias("_first")
+    skew-join handling splits, unlike WindowExec.
+
+    The winner table keeps only digests with MORE than one occurrence
+    (a count==1 row is trivially its own winner), so the join probe is
+    a LEFT join against the duplicated-content subset — usually a tiny
+    fraction of the corpus, which AQE's runtime join selection turns
+    into a broadcast, eliminating the second shuffle of ``occ``
+    entirely; when duplication is massive the same plan degrades to a
+    skew-split shuffle join, never a straggler window."""
+    winners = (
+        occ.groupBy(digest_col)
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col(pos_col))).alias("_first"),
+            F.count(F.lit(1)).alias("_n_occ"),
+        )
+        .where(F.col("_n_occ") > 1)
+        .drop("_n_occ")
     )
     return (
-        occ.join(winners, digest_col)
+        occ.join(winners, digest_col, "left")
         .withColumn(
             "_keep",
-            (F.col(id_col) == F.col("_first")[id_col])
-            & (F.col(pos_col) == F.col("_first")[pos_col]),
+            F.col("_first").isNull()
+            | (
+                (F.col(id_col) == F.col("_first")[id_col])
+                & (F.col(pos_col) == F.col("_first")[pos_col])
+            ),
         )
         .drop("_first")
     )

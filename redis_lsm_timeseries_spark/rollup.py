@@ -271,15 +271,30 @@ def _refresh_locked(
     partial = meta.get("partial")
 
     if partial is None:
-        new_watermark = raw.agg(F.max("ingest_ts").alias("w")).first().w
-        new_watermark = -1 if new_watermark is None else int(new_watermark)
+        # ONE narrow scan fuses the new watermark with the distinct
+        # member count AT the recorded one (the tie-race check):
+        # countDistinct over a when() counts only boundary rows.
+        head = raw.agg(
+            F.max("ingest_ts").alias("w_new"),
+            F.countDistinct(
+                F.when(
+                    F.col("ingest_ts") == int(w),
+                    F.struct(*MEMBER_IDENTITY_COLS),
+                )
+            ).alias("cnt_at_w"),
+        ).first()
+        new_watermark = -1 if head.w_new is None else int(head.w_new)
         upper = new_watermark
-        upper_boundary = _boundary_rows(raw, upper)
+        upper_boundary = (
+            int(head.cnt_at_w)
+            if upper == w
+            else _boundary_rows(raw, upper)
+        )
         # ADVICE r8: a boundary write that tied the recorded watermark
         # mid-refresh widens the probe to >= once; idempotent recompute
         # makes the re-touch harmless.
         include_eq = boundary is None or (
-            _boundary_rows(raw, w) != int(boundary)
+            int(head.cnt_at_w) != int(boundary)
         )
         probe = raw.where(
             F.col("ingest_ts") >= w if include_eq

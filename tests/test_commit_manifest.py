@@ -279,3 +279,26 @@ class TestAtomicMultiTableAppend:
             (r.k, r.v)
             for r in s.commit.read_table(s, f"{root}/b", SCHEMA).collect()
         } == {("y", 2)}
+
+
+class TestLogPruning:
+    def test_vacuum_prunes_old_log_entries(self, mstore):
+        """Every entry is a complete snapshot, so vacuum keeps only
+        the newest KEEP_LOG_ENTRIES — the log cannot grow without
+        bound between compactions — and the table still reads in
+        full from the surviving max entry."""
+        c, path = mstore.commit, _table(mstore)
+        for i in range(15):
+            c.append_rows(mstore, [(f"k{i}", i)], SCHEMA, path)
+        logs = [f for f in os.listdir(f"{path}/{LOG_DIR}")
+                if f.endswith(".json")]
+        assert len(logs) == 15
+        c.vacuum(mstore, path)
+        logs = sorted(f for f in os.listdir(f"{path}/{LOG_DIR}")
+                      if f.endswith(".json"))
+        assert len(logs) == c.KEEP_LOG_ENTRIES
+        assert int(logs[-1][:-5]) == 14  # newest survives
+        assert _read(mstore, path) == {(f"k{i}", i) for i in range(15)}
+        # further commits continue from the surviving max version
+        c.append_rows(mstore, [("k15", 15)], SCHEMA, path)
+        assert len(_read(mstore, path)) == 16
