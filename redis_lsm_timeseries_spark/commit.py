@@ -114,6 +114,13 @@ class TableCommit:
         window."""
         raise NotImplementedError
 
+    def vacuum(self, store, root: str) -> int:
+        """Collect physically-present data no current snapshot
+        references. Directory backends have none (overwrites and drops
+        delete eagerly) — no-op returning 0; ManifestCommit overrides
+        (its mutations are manifest edits, deletes are deferred)."""
+        return 0
+
 
 class ParquetLeaseCommit(TableCommit):
     """Plain-Parquet implementation: lease-file mutual exclusion +
@@ -446,7 +453,11 @@ class ManifestCommit(ParquetLeaseCommit):
         """Optimistic commit: re-reads the current manifest and retries
         ``mutate`` on every lost race, so the applied change is always
         derived from the state it lands on."""
-        for _ in range(self.MAX_COMMIT_ATTEMPTS):
+        for attempt in range(self.MAX_COMMIT_ATTEMPTS):
+            if attempt:
+                # linear backoff so N racing committers don't lock-step
+                # through the same version numbers
+                time.sleep(0.05 * attempt)
             version, tables = self._current(store, root)
             new_tables = mutate(dict(tables))
             entry = json.dumps(

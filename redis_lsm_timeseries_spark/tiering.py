@@ -420,6 +420,21 @@ def compact_purge_log(store: TimeseriesStore) -> int:
     return n_files
 
 
+def _vacuum_locked(store: TimeseriesStore) -> dict:
+    """Collect unreferenced physical files across every seam-managed
+    table (purge log, cold snapshots, rollup stores). Deferred-delete
+    backends (ManifestCommit) reclaim here; the directory backend's
+    inherited no-op returns 0 everywhere. Caller holds the lease."""
+    roots = [store.config.purge_log_path, store.config.cold_path]
+    rollups_dir = f"{store.config.base_path}/rollups"
+    if store.fs.exists(rollups_dir):
+        roots.extend(
+            f"{rollups_dir}/{name}/data"
+            for name in store.fs.listdir(rollups_dir)
+        )
+    return {root: store.commit.vacuum(store, root) for root in roots}
+
+
 @dataclass(frozen=True)
 class CompactionMetrics:
     partitions_compacted: int
@@ -459,6 +474,11 @@ def compact(
     # Same hygiene for the protocol table: one file per mark/ack append
     # otherwise accrues forever.
     compact_purge_log(store)
+    # Under a manifest backend, rollup overwrites and retention drops
+    # are manifest edits with deferred physical deletes — compaction
+    # is the maintenance job that collects the orphans (no-op on the
+    # directory backend, which deletes eagerly).
+    _vacuum_locked(store)
     hot = store.hot()
     # One pass detects dup-holding partitions AND their row/key counts
     # (rows_before, dup excess) — a separate count() of the target

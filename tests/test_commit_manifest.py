@@ -302,3 +302,44 @@ class TestLogPruning:
         # further commits continue from the surviving max version
         c.append_rows(mstore, [("k15", 15)], SCHEMA, path)
         assert len(_read(mstore, path)) == 16
+
+
+class TestConcurrentWriters:
+    def test_two_threads_append_without_loss(self, mstore):
+        """Two writers racing real appends against one manifest table:
+        the put-if-absent protocol serializes them — every append
+        survives, versions are contiguous, no commit is clobbered."""
+        import threading
+
+        c, path = mstore.commit, _table(mstore, "race")
+        c.append_rows(mstore, [("seed", -1)], SCHEMA, path)
+        errors = []
+
+        def writer(tag, n):
+            try:
+                for i in range(n):
+                    c.append_rows(
+                        mstore, [(f"{tag}{i}", i)], SCHEMA, path
+                    )
+            except Exception as exc:  # surfaced after join
+                errors.append(exc)
+
+        threads = [
+            threading.Thread(target=writer, args=("a", 6)),
+            threading.Thread(target=writer, args=("b", 6)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        got = _read(mstore, path)
+        want = {("seed", -1)} | {
+            (f"{t}{i}", i) for t in "ab" for i in range(6)
+        }
+        assert got == want
+        versions = sorted(
+            int(f[:-5]) for f in os.listdir(f"{path}/{LOG_DIR}")
+            if f.endswith(".json")
+        )
+        assert versions == list(range(13))  # 1 seed + 12 racing commits

@@ -336,3 +336,36 @@ class TestBacklogCap:
         _assert_matches_full(store)
         m5 = refresh_rollup(store, "agg", STEP, max_tags=2)
         assert m5.buckets_refreshed == 0 and not m5.backlog
+
+
+class TestManifestOrphanCollection:
+    def test_compact_vacuums_rollup_orphans(self, store):
+        """Under ManifestCommit, every refresh's overwrite leaves the
+        replaced files on disk as invisible orphans (deferred delete);
+        compact() is the maintenance job that collects them — and the
+        rollup still reads identically afterwards."""
+        import os
+
+        from redis_lsm_timeseries_spark.commit import ManifestCommit
+        from redis_lsm_timeseries_spark.tiering import compact
+
+        if not isinstance(store.commit, ManifestCommit):
+            pytest.skip("eager deletes on the directory backend")
+        for i in range(4):
+            store.write([("t", 5, f"{i}.0")], ingest_ts=T0 + i * 1000)
+            refresh_rollup(store, "agg", STEP)
+        data_path = f"{store.config.base_path}/rollups/agg/data"
+        n_physical = sum(
+            1 for _r, _d, fs_ in os.walk(data_path)
+            for f in fs_ if f.endswith(".parquet")
+        )
+        live = store.commit.table_file_count(store, data_path)
+        assert n_physical > live  # orphans accumulated
+        before = _rows(read_rollup(store, "agg"))
+        compact(store)
+        n_after = sum(
+            1 for _r, _d, fs_ in os.walk(data_path)
+            for f in fs_ if f.endswith(".parquet")
+        )
+        assert n_after == store.commit.table_file_count(store, data_path)
+        assert _rows(read_rollup(store, "agg")) == before
