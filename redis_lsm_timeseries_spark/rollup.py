@@ -285,11 +285,6 @@ def _refresh_locked(
         ).first()
         new_watermark = -1 if head.w_new is None else int(head.w_new)
         upper = new_watermark
-        upper_boundary = (
-            int(head.cnt_at_w)
-            if upper == w
-            else _boundary_rows(raw, upper)
-        )
         # ADVICE r8: a boundary write that tied the recorded watermark
         # mid-refresh widens the probe to >= once; idempotent recompute
         # makes the re-touch harmless.
@@ -301,22 +296,54 @@ def _refresh_locked(
             else F.col("ingest_ts") > w
         )
         cursor = None
+        known_upper_boundary = (
+            int(head.cnt_at_w) if upper == w else None
+        )
     else:
         # Backlog continuation: the closed interval (w, upper] was
         # captured by an earlier capped run; rows inside it are
         # immutable under the monotone-ingest_ts contract, so no
         # boundary re-check is needed and the cursor is stable.
         upper = int(partial["upper"])
-        upper_boundary = int(partial["boundary_rows"])
+        known_upper_boundary = int(partial["boundary_rows"])
         probe = raw.where(
             (F.col("ingest_ts") > w) & (F.col("ingest_ts") <= upper)
         )
         cursor = partial["cursor"]  # [min_new_ingest, tag]
 
+    # ONE probe scan materializes everything the planning needs at
+    # (tag, bucket) granularity: the oldest-new-work ordering key and
+    # (when still unknown) the upper-boundary distinct count. The
+    # materialized frame is touched-set-sized, so the tag rollup, the
+    # boundary sum, and the selection below are trivial re-reads of
+    # the checkpoint, not re-scans of the corpus.
+    bucket_aggs = [F.min("ingest_ts").alias("_mi")]
+    if known_upper_boundary is None:
+        bucket_aggs.append(
+            F.countDistinct(
+                F.when(
+                    F.col("ingest_ts") == int(upper),
+                    F.struct(*MEMBER_IDENTITY_COLS),
+                )
+            ).alias("_cb")
+        )
+    bucket_stats = (
+        probe.groupBy("tag", _bucket(step).alias("bucket_start"))
+        .agg(*bucket_aggs)
+        .localCheckpoint(eager=True)
+    )
+    if known_upper_boundary is None:
+        # members are tag-scoped, so the global distinct-at-upper is
+        # the sum of the per-bucket counts
+        s = bucket_stats.agg(F.sum("_cb").alias("s")).first().s
+        upper_boundary = int(s or 0)
+    else:
+        upper_boundary = known_upper_boundary
+
     # Oldest-new-work-first tag selection, bounded to max_tags (+1 to
     # detect overflow). Driver state = this list — the cap's point.
-    tag_stats = probe.groupBy("tag").agg(
-        F.min("ingest_ts").alias("_mi")
+    tag_stats = bucket_stats.groupBy("tag").agg(
+        F.min("_mi").alias("_mi")
     )
     if cursor is not None:
         c_mi, c_tag = int(cursor[0]), cursor[1]
@@ -344,12 +371,9 @@ def _refresh_locked(
     sel_df = store.spark.createDataFrame(
         [(r.tag,) for r in selected], "tag string"
     )
-    touched = (
-        probe.join(F.broadcast(sel_df), ["tag"], "left_semi")
-        .select("tag", _bucket(step).alias("bucket_start"))
-        .distinct()
-        .localCheckpoint()
-    )
+    touched = bucket_stats.join(
+        F.broadcast(sel_df), ["tag"], "left_semi"
+    ).select("tag", "bucket_start")
     n_touched = touched.count()
 
     # Recompute ONLY touched buckets: raw members semi-joined on the
