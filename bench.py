@@ -251,6 +251,7 @@ def extras_bench(spark, sf_dir: str) -> dict:
         window_manifest,
     )
     from redis_lsm_timeseries_spark.operators.dedup import (
+        decontaminate_rewrite,
         paragraph_dedup,
         substring_dedup,
     )
@@ -320,6 +321,12 @@ def extras_bench(spark, sf_dir: str) -> dict:
         "corpus_report_by_source": lambda: corpus_report_by(docs),
         "corpus_diff": lambda: corpus_diff(
             corpus, docs.where("doc_id % 3 != 0")
+        ),
+        "decontaminate_rewrite": lambda: decontaminate_rewrite(
+            docs.where("doc_id % 50 != 0"),
+            docs.where("doc_id % 50 = 0").select(
+                (F.col("doc_id") + 10_000_000).alias("eval_id"), "text"
+            ),
         ),
     }
     out: dict[str, object] = {}

@@ -671,16 +671,29 @@ def duplicate_substring_spans(
         .where(~F.col("_keep"))
         .select(id_col, "pos")
     )
+    return merge_flagged_windows(dups, id_col, span_tokens)
+
+
+def merge_flagged_windows(
+    flagged: DataFrame, id_col: str, span_tokens: int
+) -> DataFrame:
+    """Merge flagged stride-1 window starts into maximal spans: a run
+    of window positions whose [pos, pos + k) coverage overlaps or
+    abuts folds into one [start, end) interval per document. Input is
+    (id, pos) rows; output one row per merged span
+    (id, span_id, span_start, span_end, n_windows). The window here is
+    keyed by the DOCUMENT id over only its flagged positions — small
+    per-document groups, not a corpus-wide skew risk."""
     lw = Window.partitionBy(id_col).orderBy("pos")
     prev = F.lag("pos").over(lw)
     # windows cover [pos, pos + k): a gap opens only when the next
-    # duplicated window starts past the previous one's end
+    # flagged window starts past the previous one's end
     new_span = F.when(
         prev.isNull() | (F.col("pos") > prev + F.lit(int(span_tokens))),
         F.lit(1),
     ).otherwise(F.lit(0))
     return (
-        dups.withColumn("_new", new_span)
+        flagged.withColumn("_new", new_span)
         .withColumn(
             "span_id",
             F.sum("_new")
@@ -721,6 +734,21 @@ def substring_dedup(
     token array with pure Column expressions — no shuffle beyond the
     span machinery's."""
     spans = duplicate_substring_spans(df, text_col, id_col, span_tokens)
+    return cut_spans_rewrite(df, spans, text_col, id_col)
+
+
+def cut_spans_rewrite(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut the given (id, span_start, span_end, n_windows) token spans
+    out of each document's NONEMPTY token stream and rejoin the
+    remainder with single spaces — the shared rewrite tail of
+    ``substring_dedup`` and ``decontaminate_rewrite``. Documents with
+    no spans pass through (normalized). Offsets are token indexes into
+    the nonempty token stream, end-exclusive."""
     per_doc = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum("n_windows").cast("long").alias("n_dup_windows"),
@@ -775,6 +803,91 @@ def substring_dedup(
             id_col, "n_tokens", "n_spans", "n_dup_windows", "dup_tokens",
             "dup_frac", "text_deduped",
         )
+    )
+
+
+DECON_SPAN_TOKENS = 8
+
+
+def contamination_spans(
+    df: DataFrame,
+    eval_df: DataFrame,
+    span_tokens: int = DECON_SPAN_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Token spans of corpus documents that reproduce any
+    ``span_tokens``-gram of the evaluation texts — the span-level
+    complement of document-level decontamination
+    (``ngram_overlap_contamination`` flags/drops whole documents;
+    this locates the exact contaminated regions so they can be CUT,
+    keeping the rest of the document in the training set).
+
+    Mechanics: both sides hash every stride-1 window of
+    ``span_tokens`` nonempty tokens with the portable window digest;
+    corpus windows that match ANY eval window are flagged and merged
+    into maximal [start, end) spans per document
+    (``merge_flagged_windows``). Output one row per span:
+      (id, span_id, span_start, span_end, n_windows)
+
+    100 TB shape: the eval side reduces to a distinct digest set —
+    benchmarks are small, so it BROADCASTS — and the corpus explode
+    is the same linear-in-tokens window table every other pass here
+    uses; the only shuffle is the per-document span merge over
+    FLAGGED windows (normally a tiny fraction)."""
+    first = eval_text_col or text_col
+    grams = (
+        eval_df.select(
+            F.explode(
+                hashed_windows_expr(first, int(span_tokens))
+            ).alias("wdigest")
+        )
+        .distinct()
+    )
+    wins = df.select(
+        F.col(id_col),
+        F.posexplode(
+            hashed_windows_expr(text_col, int(span_tokens))
+        ).alias("pos", "wdigest"),
+    )
+    hits = wins.join(F.broadcast(grams), "wdigest").select(id_col, "pos")
+    return merge_flagged_windows(hits, id_col, span_tokens)
+
+
+def decontaminate_rewrite(
+    df: DataFrame,
+    eval_df: DataFrame,
+    span_tokens: int = DECON_SPAN_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Span-level benchmark decontamination with text rewrite: cut
+    every contaminated span (see ``contamination_spans``) out of each
+    document's nonempty token stream instead of dropping the whole
+    document — the redact-don't-discard policy large pipelines apply
+    when a crawl page merely QUOTES a benchmark item (dropping the
+    page loses good tokens; keeping it verbatim leaks the answer key).
+
+    Output, one row per input document:
+      (id, n_tokens, n_spans, n_contam_windows, contam_tokens,
+       contam_frac, text_clean)
+    ``text_clean`` is over the NORMALIZED token stream (lowercased,
+    whitespace-collapsed), the same convention as ``substring_dedup``;
+    a fully-contaminated document comes back empty for the caller's
+    length filter to drop."""
+    spans = contamination_spans(
+        df, eval_df, span_tokens, text_col, id_col, eval_text_col
+    )
+    return cut_spans_rewrite(df, spans, text_col, id_col).select(
+        F.col(id_col),
+        "n_tokens",
+        "n_spans",
+        F.col("n_dup_windows").alias("n_contam_windows"),
+        F.col("dup_tokens").alias("contam_tokens"),
+        F.col("dup_frac").alias("contam_frac"),
+        F.col("text_deduped").alias("text_clean"),
     )
 
 
