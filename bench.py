@@ -196,14 +196,28 @@ def normalized_vs_prev(per_query: dict, calibration: dict) -> dict:
         if not (prev_cal and isinstance(prev_cal, dict)):
             continue
         try:
-            ratios = [
-                calibration[k] / prev_cal[k]
+            keyed = {
+                k: (calibration[k] / prev_cal[k],
+                    min(calibration[k], prev_cal[k]))
                 for k in ("cpu_hash_sec", "shuffle_sec", "scan_sec")
-                if prev_cal.get(k)
-            ]
-            if not ratios:
+                if prev_cal.get(k) and isinstance(
+                    calibration.get(k), (int, float)
+                )
+            }
+            if not keyed:
                 continue
-            cal_ratio = statistics.median(ratios)
+            # Duration-weighted geometric mean: the sub-second
+            # microbenches (cpu_hash ~0.15s) swing ~2x between
+            # back-to-back solo runs while the ~2s shuffle workload
+            # repeats within ~5% — weighting each key's log-ratio by
+            # its duration lets the reliable estimate dominate instead
+            # of a 3-way median that an outlier microbench can drag.
+            import math
+
+            wsum = sum(w for _, w in keyed.values())
+            cal_ratio = math.exp(
+                sum(w * math.log(r) for r, w in keyed.values()) / wsum
+            )
             q_ratios = [
                 per_query[k] / prev_queries[k]
                 for k in per_query
@@ -212,6 +226,9 @@ def normalized_vs_prev(per_query: dict, calibration: dict) -> dict:
             out = {
                 "prev": os.path.basename(path),
                 "cal_ratio": round(cal_ratio, 3),
+                "cal_ratio_per_key": {
+                    k: round(r, 3) for k, (r, _) in keyed.items()
+                },
             }
             if q_ratios:
                 med = statistics.median(q_ratios)
