@@ -166,3 +166,50 @@ def canonical_docs(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, on=id_col, how="left_anti")
+
+
+def canonical_docs_by(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+) -> DataFrame:
+    """Quality-aware canonicalization: keep, per duplicate cluster,
+    the member with the HIGHEST ``score_col`` (ties -> minimum id),
+    and every document in no candidate pair. ``canonical_docs`` keeps
+    the min id — fine when copies are interchangeable, but near-dup
+    clusters usually aren't (a clean article vs its ad-littered
+    scrape): production pipelines keep the best copy, which is this.
+
+    NULL scores sort below every real score; an all-NULL cluster
+    falls back to the min id. Two-phase winner pick (per-cluster max
+    score, then min id among the score-tied) keeps every aggregation
+    partial-aggregated — no per-cluster window, the same skew posture
+    as ``mark_first_occurrence``.
+
+    Scale: the component table holds only CLUSTERED nodes (small
+    relative to the corpus); scores join onto it, never the reverse,
+    and the final anti-join against the loser set is the only contact
+    with the full corpus."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    scored = comp.join(
+        docs.select(
+            F.col(id_col).alias("node"), F.col(score_col).alias("_s")
+        ),
+        "node",
+    )
+    best = scored.groupBy("component").agg(F.max("_s").alias("_best"))
+    winners = (
+        scored.join(best, "component")
+        .where(F.col("_s").eqNullSafe(F.col("_best")))
+        .groupBy("component")
+        .agg(F.min("node").alias("_keep"))
+    )
+    losers = (
+        comp.join(winners, "component")
+        .where(F.col("node") != F.col("_keep"))
+        .select(F.col("node").alias(id_col))
+    )
+    return docs.join(losers, on=id_col, how="left_anti")

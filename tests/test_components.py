@@ -158,3 +158,68 @@ class TestCanonicalDocs:
         assert all(
             c < 10_000_000 for n, c in got.items() if n >= 10_000_000
         )
+
+
+class TestQualityCanonical:
+    """canonical_docs_by: keep the best-scored member per cluster."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "ad littered scrape", 0.2),
+                (2, "clean article", 0.9),
+                (3, "middling copy", 0.5),
+                (10, "tie a", 0.7),
+                (11, "tie b", 0.7),
+                (20, "all null a", None),
+                (21, "all null b", None),
+                (30, "singleton untouched", 0.1),
+            ],
+            "doc_id long, text string, quality double",
+        )
+
+    @pytest.fixture(scope="class")
+    def pairs(self, spark):
+        return spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21)],
+            "doc_id_a long, doc_id_b long",
+        )
+
+    def test_best_score_wins(self, corpus, pairs):
+        from redis_lsm_timeseries_spark.operators.components import (
+            canonical_docs_by,
+        )
+
+        kept = {
+            r.doc_id
+            for r in canonical_docs_by(corpus, pairs, "quality").collect()
+        }
+        # cluster {1,2,3}: 2 (0.9) wins; {10,11}: tie -> min id 10;
+        # {20,21}: all NULL -> min id 20; singleton 30 untouched
+        assert kept == {2, 10, 20, 30}
+
+    def test_constant_scores_match_min_id_rule(self, spark, corpus, pairs):
+        from redis_lsm_timeseries_spark.operators.components import (
+            canonical_docs,
+            canonical_docs_by,
+        )
+
+        flat = corpus.withColumn("quality", F.lit(1.0))
+        a = {r.doc_id for r in canonical_docs(corpus, pairs).collect()}
+        b = {
+            r.doc_id
+            for r in canonical_docs_by(flat, pairs, "quality").collect()
+        }
+        assert a == b
+
+    def test_no_window_in_plan(self, corpus, pairs):
+        from redis_lsm_timeseries_spark.operators.components import (
+            canonical_docs_by,
+        )
+
+        df = canonical_docs_by(corpus, pairs, "quality")
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "windowspecdefinition" not in plan  # skew posture
+        assert "CartesianProduct" not in plan
