@@ -424,11 +424,15 @@ class ManifestCommit(ParquetLeaseCommit):
     def _target_for_write(self, store, path: str):
         """Manifest (root, member) for a mutation — creating the root
         for a brand-new table — or None for a pre-existing plain
-        directory (directory mode, see class docstring)."""
+        directory (directory mode, see class docstring). An existing
+        but EMPTY directory (an mkdir side effect, not a data table)
+        is manifest-creatable."""
         resolved = self._resolve(store, path)
         if resolved is not None:
             return resolved
-        if store.fs.exists(path):
+        if store.fs.exists(path) and (
+            not store.fs.is_dir(path) or store.fs.listdir(path)
+        ):
             return None
         store.fs.makedirs(f"{path}/{LOG_DIR}")
         return path, ""

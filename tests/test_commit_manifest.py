@@ -343,3 +343,60 @@ class TestConcurrentWriters:
             if f.endswith(".json")
         )
         assert versions == list(range(13))  # 1 seed + 12 racing commits
+
+
+class TestWriteTargetEdges:
+    def test_preexisting_empty_dir_becomes_manifest_table(self, mstore):
+        """An mkdir side effect (empty dir) is not a data table — a
+        first write through the seam manifest-manages it rather than
+        falling into directory mode or refusing."""
+        path = _table(mstore, "premade")
+        os.makedirs(path, exist_ok=True)
+        mstore.commit.append_rows(mstore, [("a", 1)], SCHEMA, path)
+        assert os.path.isdir(f"{path}/{LOG_DIR}")
+        assert _read(mstore, path) == {("a", 1)}
+
+    def test_overwrite_racing_append_preserves_both(self, mstore):
+        """A partition overwrite whose commit loses the race to a
+        concurrent append must re-derive its manifest edit on the
+        fresh state: the appended files survive, the overwritten
+        partition is replaced."""
+        c, path = mstore.commit, _table(mstore, "race2")
+        df0 = mstore.spark.createDataFrame(
+            [("x", 1), ("y", 2)], "p string, v long"
+        )
+        c.overwrite_partitions(mstore, df0, path, ["p"])
+        real = c._current
+        state = {"done": False}
+
+        def racing(store, root):
+            version, tables = real(store, root)
+            if not state["done"]:
+                state["done"] = True
+                # a concurrent append of partition z lands first
+                zdf = mstore.spark.createDataFrame(
+                    [("z", 9)], "p string, v long"
+                )
+                c._current = real
+                try:
+                    c.append_partitioned(mstore, zdf, path, ["p"])
+                finally:
+                    c._current = racing
+                version, tables = real(store, root)
+            return version, tables
+
+        c._current = racing
+        try:
+            df1 = mstore.spark.createDataFrame(
+                [("y", 20)], "p string, v long"
+            )
+            c.overwrite_partitions(mstore, df1, path, ["p"])
+        finally:
+            c._current = real
+        got = {
+            (r.p, r.v)
+            for r in c.read_table(
+                mstore, path, "p string, v long"
+            ).collect()
+        }
+        assert got == {("x", 1), ("y", 20), ("z", 9)}
