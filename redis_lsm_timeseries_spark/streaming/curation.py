@@ -240,6 +240,39 @@ def build_digest_bloom(spark, admission_path: str, fs=None) -> dict:
     return {"n": len(digests), "m": m, "files": len(files)}
 
 
+def admission_stats(spark, admission_path: str, fs=None) -> dict:
+    """Operational snapshot of an admission root — manifest version,
+    per-member committed file counts, and Bloom sidecar coverage —
+    without scanning any data (pure metadata reads), for monitoring
+    and for deciding when to run ``compact_admission_index``."""
+    from redis_lsm_timeseries_spark.commit import ManifestCommit
+    from redis_lsm_timeseries_spark.fs import LOCAL_FS
+
+    fs = fs if fs is not None else LOCAL_FS
+    host = _host(spark, fs)
+    commit = ManifestCommit()
+    resolved = commit._resolve(host, admission_path)
+    if resolved is None:
+        return {"exists": False}
+    version, tables = commit._current(host, admission_path)
+    bloom = _load_bloom(admission_path, fs)
+    out = {
+        "exists": True,
+        "version": version,
+        "files": {m: len(fs_) for m, fs_ in tables.items()},
+    }
+    if bloom is not None:
+        covered = set(bloom["files"])
+        current = set(tables.get(DIGESTS_MEMBER, []))
+        out["bloom"] = {
+            "n_digests": bloom["n"],
+            "m_bits": bloom["m"],
+            "covered_files": len(covered & current),
+            "tail_files": len(current - covered),
+        }
+    return out
+
+
 def _load_bloom(admission_path: str, fs) -> dict | None:
     import base64
     import json as _json

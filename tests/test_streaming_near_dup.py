@@ -424,3 +424,29 @@ class TestBloomPreProbe:
         os.remove(f"{root}/{BLOOM_SIDECAR}")
         process(_df(spark, [(4, WORDS)]), 2)
         assert _out_ids(spark, root) == {1, 3}
+
+
+class TestAdmissionStats:
+    def test_metadata_snapshot(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.streaming.curation import (
+            admission_stats,
+            compact_admission_index,
+        )
+
+        root = str(tmp_path / "admission")
+        assert admission_stats(spark, root) == {"exists": False}
+        process = near_dup_admitting_batch(root)
+        process(_df(spark, [(1, WORDS)]), 0)
+        process(_df(spark, [(2, NOVEL)]), 1)
+        s = admission_stats(spark, root)
+        assert s["exists"] and s["version"] == 1
+        assert s["files"]["digests"] == 2 and s["files"]["output"] == 2
+        assert "bloom" not in s  # not built yet
+        compact_admission_index(spark, root)
+        process(_df(spark, [(3, "a separate new passage about canals "
+                               "and the locks that lift the barges")]), 2)
+        s = admission_stats(spark, root)
+        assert s["files"]["digests"] == 2  # 1 compacted + 1 tail
+        assert s["bloom"]["n_digests"] == 2
+        assert s["bloom"]["covered_files"] == 1
+        assert s["bloom"]["tail_files"] == 1
