@@ -59,6 +59,17 @@ def main() -> int:
         except Exception as exc:
             log(f"warm-up on {warm_dir} failed: {exc}")
 
+    # Host speed on this box drifts up to ~2x WITHIN a session
+    # (shared/bursty CPU): a single calibration draw after the catalog
+    # can reflect a different machine than the one the queries ran on.
+    # Calibrate BEFORE and AFTER and average per key, bracketing the
+    # measurement window.
+    try:
+        pre_cal = host_calibration(spark, sf_dir)
+    except Exception as exc:
+        pre_cal = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    log(f"calibration (pre): {pre_cal}")
+
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}
     total_t0 = time.perf_counter()
@@ -85,10 +96,22 @@ def main() -> int:
     # Auxiliary sections must never cost us the headline JSON line —
     # the catalog numbers above are already measured at this point.
     try:
-        calibration = host_calibration(spark, sf_dir)
+        post_cal = host_calibration(spark, sf_dir)
     except Exception as exc:
-        calibration = {"error": f"{type(exc).__name__}: {exc}"[:200]}
-    log(f"calibration: {calibration}")
+        post_cal = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    log(f"calibration (post): {post_cal}")
+    keys = ("cpu_hash_sec", "shuffle_sec", "scan_sec")
+    if all(
+        isinstance(c.get(k), (int, float))
+        for c in (pre_cal, post_cal)
+        for k in keys
+    ):
+        calibration = {
+            k: round((pre_cal[k] + post_cal[k]) / 2, 3) for k in keys
+        }
+    else:
+        calibration = post_cal if "error" not in post_cal else pre_cal
+    log(f"calibration (bracketed mean): {calibration}")
 
     try:
         extras = extras_bench(spark, sf_dir)
@@ -111,6 +134,8 @@ def main() -> int:
         "point_read_qps": round(read_qps, 2),
         "bulk_ingest_rows_per_s": round(bulk_rps, 1),
         "calibration": calibration,
+        "calibration_pre": pre_cal,
+        "calibration_post": post_cal,
         "extras": extras,
         "normalized_vs_prev": norm,
     }
@@ -124,6 +149,8 @@ def main() -> int:
     # optional sections shed.
     compact = dict(result)
     compact["queries"] = {k: round(v, 2) for k, v in per_query.items()}
+    compact.pop("calibration_pre", None)
+    compact.pop("calibration_post", None)
     ok_times = [v for v in extras.values() if isinstance(v, (int, float))]
     compact["extras"] = {
         k: (round(v, 2) if isinstance(v, (int, float)) else "ERR")
@@ -223,12 +250,21 @@ def normalized_vs_prev(per_query: dict, calibration: dict) -> dict:
                 for k in per_query
                 if prev_queries.get(k)
             ]
+            per_key = [r for r, _ in keyed.values()]
             out = {
                 "prev": os.path.basename(path),
                 "cal_ratio": round(cal_ratio, 3),
                 "cal_ratio_per_key": {
                     k: round(r, 3) for k, (r, _) in keyed.items()
                 },
+                # When the independent host-speed estimates disagree by
+                # >1.5x, the denominator is noise (this box's throughput
+                # drifts ~2x between sessions) — flag it so the
+                # normalized median is read with the raw one, not
+                # instead of it.
+                "cal_unreliable": bool(
+                    max(per_key) / min(per_key) > 1.5
+                ),
             }
             if q_ratios:
                 med = statistics.median(q_ratios)
