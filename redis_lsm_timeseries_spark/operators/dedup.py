@@ -377,7 +377,13 @@ def incremental_exact_dedup(
     corpus, so the corpus index is SCANNED, never shuffled — the hit
     set comes from a left-semi join of the index against the
     BROADCAST batch digests, and the (tiny, contamination-bounded)
-    hit set broadcasts back onto the batch. The corpus never moves."""
+    hit set broadcasts back onto the batch. The corpus never moves.
+    The in-batch first-occurrence winner goes through the skew-safe
+    ``mark_first_occurrence`` (groupBy partial-min + join back), never
+    a digest-keyed window: a "daily batch" here can itself be billions
+    of rows, and a hot digest under ``Window.partitionBy(digest)``
+    would be one straggler WindowExec task — the exact shape the
+    content-rewrite passes already eliminated."""
     digests = batch.select(
         F.col(id_col), content_digest(text_col).alias("digest")
     )
@@ -390,13 +396,18 @@ def incremental_exact_dedup(
         .distinct()
         .withColumn("_in_corpus", F.lit(True))
     )
-    first = F.min(id_col).over(Window.partitionBy("digest"))
+    marked = mark_first_occurrence(
+        digests.withColumn("_pos", F.col(id_col)),
+        "digest",
+        id_col,
+        pos_col="_pos",
+    )
     return (
-        digests.join(F.broadcast(hits), "digest", "left")
+        marked.join(F.broadcast(hits), "digest", "left")
         .withColumn(
             "dup_of_corpus", F.coalesce(F.col("_in_corpus"), F.lit(False))
         )
-        .withColumn("dup_in_batch", F.col(id_col) != first)
+        .withColumn("dup_in_batch", ~F.col("_keep"))
         .withColumn(
             "admit", ~F.col("dup_of_corpus") & ~F.col("dup_in_batch")
         )

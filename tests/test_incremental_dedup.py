@@ -117,6 +117,49 @@ class TestIncrementalExact:
         )
         assert "BroadcastExchange" in plan
 
+    def test_in_batch_winner_is_not_a_digest_window(
+        self, spark, corpus, batch
+    ):
+        """The in-batch first-occurrence winner must be groupBy-min +
+        join back, never ``Window.partitionBy(digest)``: the daily
+        admission batch can be billions of rows, and a hot digest under
+        a window is one straggler WindowExec task (same gate as the
+        substring/paragraph rewrite passes)."""
+        idx = corpus.select(content_digest("text").alias("digest"))
+        plan = (
+            incremental_exact_dedup(batch, idx)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line:
+                assert "digest" not in line, line
+        assert "partial_min" in plan, plan
+
+    def test_planted_hot_digest_in_batch(self, spark):
+        """One content value planted in >= 50% of batch rows — the
+        shape a digest-keyed window turns into a single straggler
+        task. The skew-safe winner must still pick exactly the min-id
+        row and mark every later copy dup_in_batch."""
+        hot = "hot content repeated everywhere"
+        rows = [(i, hot) for i in range(600)]
+        rows += [(1000 + i, f"unique doc {i}") for i in range(400)]
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        idx = spark.createDataFrame(
+            [("unmatched doc",)], "text string"
+        ).select(content_digest("text").alias("digest"))
+        out = {
+            r.doc_id: r for r in incremental_exact_dedup(batch, idx).collect()
+        }
+        assert len(out) == 1000
+        assert out[0].admit and not out[0].dup_in_batch
+        assert all(
+            out[i].dup_in_batch and not out[i].admit for i in range(1, 600)
+        )
+        assert all(out[1000 + i].admit for i in range(400))
+        assert not any(r.dup_of_corpus for r in out.values())
+
 
 class TestIncrementalNearDup:
     def test_near_dups_flag_and_fresh_pass(self, spark, corpus, docs):
