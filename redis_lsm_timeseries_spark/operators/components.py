@@ -36,11 +36,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _sym(e: DataFrame) -> DataFrame:
+    return e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def _star(e: DataFrame, large: bool) -> DataFrame:
+    # Per node: m = min(N(u) ∪ {u}), then re-point each closed-
+    # neighborhood member x of u at m. The min MUST include u
+    # itself — after a contraction round the component minimum
+    # appears only on the v side, and a min over neighbors alone
+    # would hand its neighbors a wrong (larger) label; folding the
+    # self-loop (u, u) into the symmetric edge set gives both the
+    # self-inclusive min and small-star's u->m edge for free.
+    #
+    # Re-pointing is a JOIN of the edge rows against the per-node
+    # min table — NEVER a collect_set of the neighborhood: one
+    # viral template node with 10^7 candidate pairs would
+    # materialize a 10^7-element array in a single row (an
+    # unsplittable straggler and an OOM risk), while the same hot
+    # key under groupBy(min) collapses map-side to one row and
+    # under the equi-join gets split by AQE skew-join handling.
+    closed = _sym(e).unionByName(
+        _sym(e).select("u", F.col("u").alias("v")).distinct()
+    )
+    mins = closed.groupBy("u").agg(F.min("v").alias("m"))
+    cond = (
+        (F.col("v") > F.col("u"))  # larger neighbors -> min
+        if large
+        else (F.col("v") <= F.col("u"))  # smaller + self -> min
+    )
+    return (
+        closed.join(mins, "u")
+        .where(cond & (F.col("v") != F.col("m")))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_id_a",
     dst: str = "doc_id_b",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve candidate pairs to components.
 
@@ -51,7 +91,14 @@ def connected_components(
 
     Raises if the iteration hasn't converged after ``max_iter`` rounds
     (pathological graphs; raise the cap) rather than returning a
-    silently-wrong partial closure."""
+    silently-wrong partial closure.
+
+    When ``stats`` is passed (a plain dict), it is populated with
+    ``{"cc_rounds": r, "cc_edges_per_round": [...]}`` — the iteration
+    count and post-contraction edge count per round. Iteration cost is
+    rounds x per-round fixed overhead, so separating "more rounds"
+    from "slower rounds" needs these recorded (bench extras carries
+    them for the catalog workload)."""
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
@@ -70,44 +117,6 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    def _sym(e: DataFrame) -> DataFrame:
-        return e.unionByName(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-
-    def _star(e: DataFrame, large: bool) -> DataFrame:
-        # Per node: neighbors and m = min(N(u) ∪ {u}). The min MUST
-        # include u itself — after a contraction round the component
-        # minimum appears only on the v side, and a min over neighbors
-        # alone would hand its neighbors a wrong (larger) label.
-        agg = (
-            _sym(e)
-            .groupBy("u")
-            .agg(F.min("v").alias("mn"), F.collect_set("v").alias("vs"))
-            .select(
-                "u", F.least(F.col("mn"), F.col("u")).alias("m"), "vs"
-            )
-        )
-        # Explode the CLOSED neighborhood (u folded into its own
-        # neighbor set) so small-star's u->m edge needs no second
-        # branch (a union sharing agg's lineage trips attribute
-        # resolution under checkpointing).
-        exploded = agg.select(
-            "u",
-            "m",
-            F.explode(F.array_union("vs", F.array("u"))).alias("x"),
-        )
-        cond = (
-            (F.col("x") > F.col("u"))  # larger neighbors -> min
-            if large
-            else (F.col("x") <= F.col("u"))  # smaller + self -> min
-        )
-        return (
-            exploded.where(cond & (F.col("x") != F.col("m")))
-            .select(F.col("x").alias("u"), F.col("m").alias("v"))
-            .distinct()
-        )
-
     # Terminate on EDGE-SET stability (the paper's criterion: a round
     # that changes nothing means the graph is fully contracted into
     # stars). Checking edges is cheaper than labeling every round —
@@ -115,15 +124,22 @@ def connected_components(
     # exceptAll only runs when counts already agree.
     prev: tuple[DataFrame, int] | None = None
     converged = False
+    edges_per_round: list[int] = []
+    rounds = 0
     for _ in range(max_iter):
         edges = _star(edges, large=True)
         edges = _star(edges, large=False).localCheckpoint(eager=True)
         n = edges.count()
+        rounds += 1
+        edges_per_round.append(n)
         if prev is not None and n == prev[1]:
             if edges.exceptAll(prev[0]).limit(1).count() == 0:
                 converged = True
                 break
         prev = (edges, n)
+    if stats is not None:
+        stats["cc_rounds"] = rounds
+        stats["cc_edges_per_round"] = edges_per_round
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"

@@ -89,6 +89,44 @@ class TestConnectedComponents:
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(df, max_iter=0)
 
+    def test_planted_super_node(self, spark):
+        """One viral-template node in >= 50% of all pairs — the shape
+        that used to materialize a single multi-million-element
+        collect_set row. The join-based re-point must converge and
+        agree with union-find, and the per-round plan must carry no
+        per-node neighborhood array at all."""
+        hub = 500
+        edges = [(hub, 1000 + i) for i in range(600)]  # hub degree 600
+        edges += [(2000 + i, 2000 + i + 1) for i in range(0, 400, 2)]
+        stats: dict = {}
+        df = spark.createDataFrame(edges, ["doc_id_a", "doc_id_b"])
+        got = {
+            r.node: r.component
+            for r in connected_components(df, stats=stats).collect()
+        }
+        assert got == _uf_oracle(edges)
+        assert all(got[1000 + i] == hub for i in range(600))
+        assert stats["cc_rounds"] >= 1
+        assert len(stats["cc_edges_per_round"]) == stats["cc_rounds"]
+
+    def test_star_round_plan_has_no_neighborhood_array(self, spark):
+        """Plan gate on one contraction round: the neighborhood is
+        re-pointed via groupBy(min) + equi-join (partial-aggregated,
+        AQE-skew-splittable), never collected into an array row."""
+        from redis_lsm_timeseries_spark.operators.components import _star
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 4)], ["u", "v"]
+        )
+        for large in (True, False):
+            df = _star(edges, large=large)
+            df.count()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "collect_set" not in plan, plan
+            assert "collect_list" not in plan, plan
+            assert "partial_min" in plan, plan
+            assert "windowspecdefinition" not in plan, plan
+
 
 class TestCanonicalDocs:
     def test_keeps_min_per_cluster_and_all_unpaired(self, spark):
