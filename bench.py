@@ -70,21 +70,38 @@ def main() -> int:
         pre_cal = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     log(f"calibration (pre): {pre_cal}")
 
+    # Per-query min-of-2 (r9 verdict ask #1): this host's throughput
+    # drifts up to ~2x WITHIN a session, and a single draw per query
+    # made genuine regressions indistinguishable from drift (r9:
+    # untouched tpch_q1 read 2.62x slower, cal_unreliable). Each query
+    # runs twice from a FRESH DataFrame (same noop sink); the headline
+    # number is the min (steady-state JIT/page-cache), and both draws
+    # are retained in queries_draws for the full record. Mutation-style
+    # lifecycle entries build a fresh temp store per call, so the
+    # second draw measures the same work, not a warm-state shortcut.
     per_query: dict[str, float] = {}
+    query_draws: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
     total_t0 = time.perf_counter()
     for name in names:
         spec = catalog.REGISTRY[name]
-        t0 = time.perf_counter()
+        draws: list[float] = []
         try:
-            df = spec.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            per_query[name] = round(dt, 3)
-            log(f"{name}: {dt:.3f}s")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                draws.append(time.perf_counter() - t0)
+            per_query[name] = round(min(draws), 3)
+            query_draws[name] = [round(d, 3) for d in draws]
+            log(f"{name}: {min(draws):.3f}s (draws: "
+                + ", ".join(f"{d:.3f}" for d in draws) + ")")
         except Exception as exc:  # keep benching; report the failure
             failures[name] = f"{type(exc).__name__}: {exc}"[:300]
             log(f"{name}: FAILED {failures[name]}")
+            if draws:  # first draw succeeded — keep it
+                per_query[name] = round(min(draws), 3)
+                query_draws[name] = [round(d, 3) for d in draws]
     total = time.perf_counter() - total_t0
 
     ingest_rps, read_qps, bulk_rps = ingest_read_bench(spark)
@@ -126,6 +143,7 @@ def main() -> int:
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
+        "queries_draws": query_draws,
         "sf": sf,
         "n_queries": len(per_query),
         "failures": failures,
@@ -151,7 +169,15 @@ def main() -> int:
     compact["queries"] = {k: round(v, 2) for k, v in per_query.items()}
     compact.pop("calibration_pre", None)
     compact.pop("calibration_post", None)
-    ok_times = [v for v in extras.values() if isinstance(v, (int, float))]
+    compact.pop("queries_draws", None)  # full record keeps both draws
+    # timings are rounded floats; int-valued extras (cc_rounds,
+    # cc_edges_round_N) are metrics, not durations — keep them out of
+    # the shed-path total_sec
+    ok_times = [
+        v
+        for k, v in extras.items()
+        if isinstance(v, float) and not isinstance(v, bool)
+    ]
     compact["extras"] = {
         k: (round(v, 2) if isinstance(v, (int, float)) else "ERR")
         for k, v in extras.items()
@@ -251,8 +277,23 @@ def normalized_vs_prev(per_query: dict, calibration: dict) -> dict:
                 if prev_queries.get(k)
             ]
             per_key = [r for r, _ in keyed.values()]
+            m = re.search(r"BENCH_r(\d+)", os.path.basename(path))
+            prev_round = int(m.group(1)) if m else None
             out = {
                 "prev": os.path.basename(path),
+                # Rounds <= 9 recorded a single draw per query; from
+                # r10 the headline is min-of-2. Comparing min-of-2
+                # against a single draw biases the ratio DOWN by up to
+                # the host's intra-session drift — flagged so the
+                # cross-round median is read accordingly.
+                "draw_protocol": {
+                    "cur": "min_of_2",
+                    "prev": (
+                        "min_of_2"
+                        if prev_round is not None and prev_round >= 10
+                        else "single_draw"
+                    ),
+                },
                 "cal_ratio": round(cal_ratio, 3),
                 "cal_ratio_per_key": {
                     k: round(r, 3) for k, (r, _) in keyed.items()
@@ -390,6 +431,35 @@ def extras_bench(spark, sf_dir: str) -> dict:
             out[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:
             out[name] = f"FAILED {type(exc).__name__}: {exc}"[:200]
+
+    # Iteration metrics for the catalog's most expensive entry
+    # (dedup_cluster_canonical): contraction rounds x per-round fixed
+    # overhead dominate its cost, so record rounds + edge counts to
+    # separate "more rounds" from "slower rounds" across rounds. Fresh
+    # connected_components run (the catalog entry caches per app).
+    try:
+        from redis_lsm_timeseries_spark.operators.components import (
+            connected_components,
+        )
+        from redis_lsm_timeseries_spark.plans.llm_queries import (
+            dedup_minhash_lsh_pairs,
+        )
+        from redis_lsm_timeseries_spark.session import (
+            pinned_shuffle_partitions,
+        )
+
+        cc_stats: dict = {}
+        pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+        t0 = time.perf_counter()
+        with pinned_shuffle_partitions(spark, 8):
+            connected_components(pairs, src="a", dst="b", stats=cc_stats) \
+                .write.format("noop").mode("overwrite").save()
+        out["cc_iterate_sec"] = round(time.perf_counter() - t0, 3)
+        out["cc_rounds"] = cc_stats.get("cc_rounds")
+        for i, n in enumerate(cc_stats.get("cc_edges_per_round", []), 1):
+            out[f"cc_edges_round_{i}"] = n
+    except Exception as exc:
+        out["cc_rounds"] = f"FAILED {type(exc).__name__}: {exc}"[:200]
     return out
 
 
