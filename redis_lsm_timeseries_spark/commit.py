@@ -46,7 +46,10 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
-from redis_lsm_timeseries_spark.errors import ConcurrentMaintenanceError
+from redis_lsm_timeseries_spark.errors import (
+    ConcurrentMaintenanceError,
+    VersionNotFoundError,
+)
 
 LEASE_FILE = "_maintenance_lease"
 TMP_SUFFIX = ".compact-tmp"
@@ -91,10 +94,16 @@ class TableCommit:
     def repair_interrupted_rewrite(self, store, path: str) -> None:
         raise NotImplementedError
 
-    def read_table(self, store, path: str, schema=None) -> DataFrame:
+    def read_table(
+        self, store, path: str, schema=None, version: int | None = None
+    ) -> DataFrame:
         """Current committed snapshot of a table. ``schema`` doubles as
         the never-written fallback: with it, an absent table reads as
-        an empty DataFrame; without it, absence raises."""
+        an empty DataFrame; without it, absence raises. ``version``
+        requests a time-travel read of a retained historical snapshot —
+        only version-logged backends support it (``ManifestCommit``);
+        directory backends raise ``VersionNotFoundError`` (they keep no
+        history)."""
         raise NotImplementedError
 
     def table_exists(self, store, path: str) -> bool:
@@ -295,13 +304,21 @@ class ParquetLeaseCommit(TableCommit):
             store.fs.remove_tree(tmp)
             store.fs.rename(old, path)
 
-    def read_table(self, store, path: str, schema=None) -> DataFrame:
+    def read_table(
+        self, store, path: str, schema=None, version: int | None = None
+    ) -> DataFrame:
         """Directory snapshot read. A table mid-``snapshot_rewrite``
         (live dir absent between the two renames) falls back to the
         pre-swap copy at ``.compact-old`` so a crash in the maintenance
         job never loses reader-visible state. A root emptied down to
         zero data files (retention can do this) reads as never-written
         — partition-schema inference would otherwise fail."""
+        if version is not None:
+            raise VersionNotFoundError(
+                f"time travel to version {version} of {path!r}: the "
+                "directory backend keeps no version history (use "
+                "ManifestCommit)"
+            )
         live = (
             store.fs.exists(path)
             and store.fs.count_files_with_suffix(path, ".parquet") > 0
@@ -612,16 +629,41 @@ class ManifestCommit(ParquetLeaseCommit):
 
     def snapshot_rewrite(self, store, path: str, write_snapshot) -> None:
         """Compaction: stage the snapshot, commit a manifest that
-        references ONLY it, vacuum the now-unreferenced files. Readers
-        that resolved the previous manifest before the vacuum hold the
-        same exposure window the Parquet backend's old-copy removal
-        has; a retention delay belongs in vacuum policy, not here."""
+        references ONLY it, vacuum files past the retention horizon.
+
+        Conflict DETECTION, not blind replacement: the member's file
+        list is captured before the snapshot source is read, and the
+        commit raises ``ConcurrentMaintenanceError`` if the list the
+        commit would land on differs — a concurrent append (e.g. the
+        streaming admission sink, which commits leaseless) would
+        otherwise be silently dropped from the manifest and then
+        vacuumed: a lost update plus data loss. This is the Delta-style
+        rewrite/append conflict rule; the caller retries the whole
+        rewrite on fresh state. ``overwrite_partitions`` needs no such
+        check — its mutate re-derives from current state.
+
+        The trailing vacuum keeps the default retention margin (files
+        of every retained log version), so a reader that resolved the
+        pre-rewrite snapshot keeps scanning valid files — the snapshot
+        isolation the class docstring advertises."""
         target = self._target_for_write(store, path)
         if target is None:
             return super().snapshot_rewrite(store, path, write_snapshot)
         root, member = target
+        _, tables0 = self._current(store, root)
+        base = list(tables0.get(member, []))
         files = self._stage_in(store, root, member, write_snapshot)
-        self._commit(store, root, lambda t: {**t, member: files})
+
+        def mutate(tables):
+            if list(tables.get(member, [])) != base:
+                raise ConcurrentMaintenanceError(
+                    f"snapshot_rewrite of {path!r} conflicts with a "
+                    "concurrent commit to the same member; retry the "
+                    "rewrite on fresh state"
+                )
+            return {**tables, member: files}
+
+        self._commit(store, root, mutate)
         self.vacuum(store, root)
 
     def repair_interrupted_rewrite(self, store, path: str) -> None:
@@ -631,30 +673,58 @@ class ManifestCommit(ParquetLeaseCommit):
         if self._resolve(store, path) is None:
             return super().repair_interrupted_rewrite(store, path)
 
-    #: log entries kept by vacuum beyond the newest — each entry is a
-    #: complete snapshot, so only the max matters for reads; the
-    #: margin exists for debuggability and for any reader that listed
-    #: the log a few commits ago.
+    #: snapshots kept by vacuum: log entries AND the data files they
+    #: reference. Every retained version is fully readable — a reader
+    #: that resolved any retained snapshot keeps scanning valid files
+    #: mid-commit (snapshot isolation with a margin), and
+    #: ``read_table(version=...)`` time-travels to it exactly. Older
+    #: versions are pruned log + collected files: unrecoverable.
     KEEP_LOG_ENTRIES = 10
 
-    def vacuum(self, store, root: str) -> int:
-        """Delete data files referenced by NO current manifest member,
-        plus abandoned staging dirs, and prune the commit log down to
-        the newest ``KEEP_LOG_ENTRIES`` (every entry is a full
-        snapshot, so old entries are history, not state). Runs under
-        the maintenance lock (single vacuumer); returns the number of
-        data files removed."""
+    def vacuum(
+        self, store, root: str, retain_versions: int | None = None
+    ) -> int:
+        """Prune the commit log to the newest ``retain_versions``
+        entries (default ``KEEP_LOG_ENTRIES``), then delete every data
+        file referenced by NO retained entry, plus abandoned staging
+        dirs. Files of retained historical snapshots stay on disk even
+        when the CURRENT snapshot no longer references them — that is
+        the retention margin protecting in-flight readers of recent
+        snapshots and backing time travel; ``retain_versions=1``
+        collects everything but the live snapshot (the aggressive
+        reclaim for space-bound maintenance). Runs under the
+        maintenance lock (single vacuumer); returns the number of data
+        files removed."""
+        retain = (
+            self.KEEP_LOG_ENTRIES
+            if retain_versions is None
+            else max(1, int(retain_versions))
+        )
         resolved = self._resolve(store, root)
         if resolved is None or resolved[0] != root:
             return 0
-        _, tables = self._current(store, root)
+        versions = sorted(
+            int(name[:-5])
+            for name in store.fs.listdir(f"{root}/{LOG_DIR}")
+            if name.endswith(".json") and name[:-5].isdigit()
+        )
+        for v in versions[:-retain]:
+            store.fs.remove_file(f"{root}/{LOG_DIR}/{v:020d}.json")
         removed = 0
         data_root = f"{root}/{DATA_DIR}"
-        live = {
-            f"{self._member_root(root, m)}/{f}"
-            for m, fs_ in tables.items()
-            for f in fs_
-        }
+        live: set[str] = set()
+        for v in versions[-retain:]:
+            try:
+                entry = json.loads(
+                    store.fs.read_text(f"{root}/{LOG_DIR}/{v:020d}.json")
+                )
+            except Exception:
+                continue
+            live.update(
+                f"{self._member_root(root, m)}/{f}"
+                for m, fs_ in entry["tables"].items()
+                for f in fs_
+            )
         for rel in self._walk_parquet(store, data_root):
             full = f"{data_root}/{rel}"
             if full not in live:
@@ -662,13 +732,6 @@ class ManifestCommit(ParquetLeaseCommit):
                 removed += 1
         store.fs.remove_tree(f"{root}/{STAGE_DIR}")
         self._prune_empty_dirs(store, data_root)
-        versions = sorted(
-            int(name[:-5])
-            for name in store.fs.listdir(f"{root}/{LOG_DIR}")
-            if name.endswith(".json") and name[:-5].isdigit()
-        )
-        for v in versions[:-self.KEEP_LOG_ENTRIES]:
-            store.fs.remove_file(f"{root}/{LOG_DIR}/{v:020d}.json")
         return removed
 
     def _prune_empty_dirs(self, store, base: str) -> None:
@@ -681,12 +744,46 @@ class ManifestCommit(ParquetLeaseCommit):
                 store.fs.rmdir_if_empty(child)
 
     # -- read side ----------------------------------------------------------
-    def read_table(self, store, path: str, schema=None) -> DataFrame:
+    def table_versions(self, store, path: str) -> list[int]:
+        """Retained (fully-readable) manifest versions of a managed
+        table, oldest first; [] for an unmanaged path. Each retained
+        version's files survive vacuum, so any listed version is a
+        valid ``read_table(version=...)`` target."""
         resolved = self._resolve(store, path)
         if resolved is None:
-            return super().read_table(store, path, schema)
+            return []
+        root, _ = resolved
+        return sorted(
+            int(name[:-5])
+            for name in store.fs.listdir(f"{root}/{LOG_DIR}")
+            if name.endswith(".json") and name[:-5].isdigit()
+        )
+
+    def read_table(
+        self, store, path: str, schema=None, version: int | None = None
+    ) -> DataFrame:
+        resolved = self._resolve(store, path)
+        if resolved is None:
+            return super().read_table(store, path, schema, version=version)
         root, member = resolved
-        _, tables = self._current(store, root)
+        if version is None:
+            _, tables = self._current(store, root)
+        else:
+            # Time travel: resolve the named log entry exactly. Vacuum
+            # keeps files for every retained entry, so a resolvable
+            # version is fully scannable; past the horizon the entry is
+            # gone and the read errors by name rather than scanning a
+            # half-vacuumed file list.
+            entry_path = f"{root}/{LOG_DIR}/{version:020d}.json"
+            if not store.fs.exists(entry_path):
+                avail = self.table_versions(store, path)
+                lo = f"{avail[0]}..{avail[-1]}" if avail else "none"
+                raise VersionNotFoundError(
+                    f"version {version} of {path!r} is not retained "
+                    f"(vacuum keeps the newest {self.KEEP_LOG_ENTRIES} "
+                    f"by default; retained: {lo})"
+                )
+            tables = json.loads(store.fs.read_text(entry_path))["tables"]
         files = tables.get(member, [])
         if not files:
             if schema is not None:

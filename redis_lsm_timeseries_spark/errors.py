@@ -42,3 +42,10 @@ class ConcurrentMaintenanceError(EngineError):
     reference serializes these through Redis single-threaded Lua
     (``enqueue-purge.lua`` / ``ack-purge.lua``); here the lease file is
     the guard (see ``tiering.maintenance_lease``)."""
+
+
+class VersionNotFoundError(EngineError):
+    """A time-travel read named a manifest version that does not exist
+    or whose log entry was pruned by vacuum (``ManifestCommit.vacuum``
+    keeps the newest ``retain_versions`` entries; older snapshots are
+    unrecoverable history). Carries the retained range in the message."""

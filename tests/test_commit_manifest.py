@@ -159,14 +159,23 @@ class TestSnapshotIsolation:
         c.snapshot_rewrite(mstore, path, write_snapshot)
         assert c.table_file_count(mstore, path) == 1
         assert _read(mstore, path) == before
-        # vacuum ran: exactly one physical data file remains
-        n_physical = sum(
-            1
-            for _r, _d, files in os.walk(f"{path}/data")
-            for f in files
-            if f.endswith(".parquet")
-        )
-        assert n_physical == 1
+
+        def n_physical():
+            return sum(
+                1
+                for _r, _d, files in os.walk(f"{path}/data")
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        # default vacuum RETAINS the pre-rewrite files (they back the
+        # retained historical snapshots an in-flight reader may hold /
+        # time travel targets); aggressive retain_versions=1 reclaims
+        # down to the live snapshot only
+        assert n_physical() == 6
+        c.vacuum(mstore, path, retain_versions=1)
+        assert n_physical() == 1
+        assert _read(mstore, path) == before
 
 
 class TestPartitionOps:
@@ -193,9 +202,10 @@ class TestPartitionOps:
         self._overwrite(mstore, path, [("x", 1), ("y", 2)])
         mstore.commit.drop_partition_dir(mstore, f"{path}/p=x")
         assert self._vals(mstore, path) == {("y", 2)}
-        # physical file still on disk until vacuum (immutable data,
-        # in-flight readers unaffected), then collected
-        assert mstore.commit.vacuum(mstore, path) >= 1
+        # physical file still on disk until an aggressive vacuum
+        # (immutable data; default retention keeps it for readers of
+        # the pre-drop snapshot), then collected
+        assert mstore.commit.vacuum(mstore, path, retain_versions=1) >= 1
         assert self._vals(mstore, path) == {("y", 2)}
 
     def test_preexisting_plain_directory_stays_directory_mode(
@@ -343,6 +353,136 @@ class TestConcurrentWriters:
             if f.endswith(".json")
         )
         assert versions == list(range(13))  # 1 seed + 12 racing commits
+
+
+class TestTimeTravel:
+    def test_each_retained_version_reads_exactly(self, mstore):
+        """Three commits -> three snapshots; version=N resolves log
+        entry N verbatim (the Delta/Iceberg feature the retained log
+        already stores)."""
+        from redis_lsm_timeseries_spark.commit import ManifestCommit
+
+        c, path = mstore.commit, _table(mstore, "tt")
+        c.append_rows(mstore, [("a", 1)], SCHEMA, path)
+        c.append_rows(mstore, [("b", 2)], SCHEMA, path)
+        c.append_rows(mstore, [("c", 3)], SCHEMA, path)
+        want = [
+            {("a", 1)},
+            {("a", 1), ("b", 2)},
+            {("a", 1), ("b", 2), ("c", 3)},
+        ]
+        assert c.table_versions(mstore, path) == [0, 1, 2]
+        for v, exp in enumerate(want):
+            got = {
+                (r.k, r.v)
+                for r in c.read_table(
+                    mstore, path, SCHEMA, version=v
+                ).collect()
+            }
+            assert got == exp, v
+        # current read unchanged
+        assert _read(mstore, path) == want[-1]
+        assert isinstance(c, ManifestCommit)
+
+    def test_unknown_and_pruned_versions_raise_named_error(self, mstore):
+        from redis_lsm_timeseries_spark.errors import VersionNotFoundError
+
+        c, path = mstore.commit, _table(mstore, "tt")
+        for i in range(3):
+            c.append_rows(mstore, [(f"k{i}", i)], SCHEMA, path)
+        with pytest.raises(VersionNotFoundError, match="version 99"):
+            c.read_table(mstore, path, SCHEMA, version=99)
+        # aggressive vacuum prunes versions 0-1 past the horizon
+        c.vacuum(mstore, path, retain_versions=1)
+        with pytest.raises(VersionNotFoundError, match="version 0"):
+            c.read_table(mstore, path, SCHEMA, version=0)
+        assert c.table_versions(mstore, path) == [2]
+        assert len(_read(mstore, path)) == 3
+
+    def test_directory_backend_has_no_history(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.errors import VersionNotFoundError
+
+        cfg = EngineConfig(root=str(tmp_path / "e3"), partition_width=5)
+        s = TimeseriesStore(spark, cfg, commit=ParquetLeaseCommit())
+        s.initialize()
+        path = f"{s.config.base_path}/t"
+        s.commit.append_rows(s, [("a", 1)], SCHEMA, path)
+        with pytest.raises(VersionNotFoundError, match="no version"):
+            s.commit.read_table(s, path, SCHEMA, version=0)
+
+    def test_retained_snapshot_files_survive_default_vacuum(self, mstore):
+        """Snapshot isolation with a margin: a DataFrame resolved
+        against the pre-rewrite snapshot still collects AFTER a
+        snapshot_rewrite + default vacuum, because vacuum keeps the
+        files of every retained log entry — the exposure window the
+        immediate-delete policy had is closed."""
+        c, path = mstore.commit, _table(mstore, "iso")
+        for i in range(4):
+            c.append_rows(mstore, [(f"k{i}", i)], SCHEMA, path)
+        pinned = c.read_table(mstore, path, SCHEMA)
+
+        def write_snapshot(tmp):
+            c.read_table(mstore, path, SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+
+        c.snapshot_rewrite(mstore, path, write_snapshot)  # vacuums
+        got = {(r.k, r.v) for r in pinned.collect()}
+        assert got == {(f"k{i}", i) for i in range(4)}
+
+
+class TestRewriteConflictDetection:
+    def test_concurrent_append_fails_the_rewrite_not_the_append(
+        self, mstore
+    ):
+        """ADVICE r9: a leaseless append (the streaming admission sink)
+        landing between the rewrite's snapshot read and its commit must
+        NOT be silently replaced out of the manifest and vacuumed —
+        the rewrite detects the conflict and raises; the appended rows
+        survive."""
+        c, path = mstore.commit, _table(mstore, "conf")
+        for i in range(3):
+            c.append_rows(mstore, [(f"k{i}", i)], SCHEMA, path)
+
+        def write_snapshot(tmp):
+            # a concurrent append lands while the snapshot is staged
+            c.append_rows(mstore, [("late", 99)], SCHEMA, path)
+            mstore.spark.createDataFrame(
+                [(f"k{i}", i) for i in range(3)], SCHEMA
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+
+        with pytest.raises(ConcurrentMaintenanceError, match="conflict"):
+            c.snapshot_rewrite(mstore, path, write_snapshot)
+        assert _read(mstore, path) == {
+            ("k0", 0), ("k1", 1), ("k2", 2), ("late", 99)
+        }
+        # the retried rewrite on fresh state succeeds
+        def write_snapshot2(tmp):
+            c.read_table(mstore, path, SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+
+        c.snapshot_rewrite(mstore, path, write_snapshot2)
+        assert c.table_file_count(mstore, path) == 1
+        assert _read(mstore, path) == {
+            ("k0", 0), ("k1", 1), ("k2", 2), ("late", 99)
+        }
+
+    def test_append_to_other_member_does_not_conflict(self, mstore):
+        """The conflict rule is per-member: rewriting member 'a' while
+        'b' gains files commits cleanly and keeps b's files."""
+        root = _table(mstore, "multi")
+        c = mstore.commit
+        mk = lambda rows: mstore.spark.createDataFrame(rows, SCHEMA)
+        c.append_tables(mstore, root, {"a": mk([("a0", 0)])})
+
+        def write_snapshot(tmp):
+            c.append_tables(mstore, root, {"b": mk([("b0", 0)])})
+            mk([("a0", 0)]).coalesce(1).write.mode("overwrite").parquet(tmp)
+
+        c.snapshot_rewrite(mstore, f"{root}/a", write_snapshot)
+        assert _read(mstore, f"{root}/a") == {("a0", 0)}
+        assert _read(mstore, f"{root}/b") == {("b0", 0)}
 
 
 class TestWriteTargetEdges:

@@ -338,6 +338,57 @@ class TestBacklogCap:
         assert m5.buckets_refreshed == 0 and not m5.backlog
 
 
+class TestBoundaryTieUnderCap:
+    def test_tied_tags_beyond_cap_survive_continuations(self, store):
+        """ADVICE r9: a capped run that probed >= w (boundary tie)
+        must keep probing >= w in every continuation — otherwise tags
+        whose oldest new work ties exactly at w but missed the cap are
+        excluded from the whole backlog drain, and the watermark then
+        advances past them forever."""
+        store.write([("t", 1, "1.0")], ingest_ts=T0)
+        refresh_rollup(store, "agg", STEP)  # watermark=T0, boundary=1
+        # three MORE tags land tied exactly at the watermark
+        for tag in ("a", "b", "c"):
+            store.write([(tag, 1, "2.0")], ingest_ts=T0)
+        # cap of 1: the widened (>= w) first run takes only 'a'; 'b'
+        # and 'c' sit in (w, upper] = an EMPTY strict interval — the
+        # continuations must replay the >= bound to see them
+        m1 = refresh_rollup(store, "agg", STEP, max_tags=1)
+        assert m1.backlog and m1.watermark_ingest_ts == T0
+        for _ in range(6):
+            m = refresh_rollup(store, "agg", STEP, max_tags=1)
+            if not m.backlog:
+                break
+        assert not m.backlog
+        _assert_matches_full(store)
+        tags = {r.tag for r in read_rollup(store, "agg").collect()}
+        assert tags == {"t", "a", "b", "c"}
+        # converged: no perpetual re-touch
+        m_last = refresh_rollup(store, "agg", STEP, max_tags=1)
+        assert m_last.buckets_refreshed == 0 and not m_last.backlog
+
+
+class TestFormatVersioning:
+    def test_pre_widening_meta_raises_instead_of_null_merge(self, store):
+        """ADVICE r9: a rollup whose meta predates the n_distinct
+        widening must refuse to read/refresh (explicit-schema reads
+        would surface NULL n_distinct and the refresh would persist a
+        null/real mix) — recompute is the remedy, not silent nulls."""
+        import json as _json
+
+        store.write([("t", 1, "1.0")], ingest_ts=T0)
+        refresh_rollup(store, "agg", STEP)
+        meta_path = f"{store.config.base_path}/rollups/agg/_rollup_meta.json"
+        meta = _json.loads(store.fs.read_text(meta_path))
+        assert meta["format"] == 2
+        del meta["format"]  # simulate a pre-widening rollup
+        store.fs.write_text(meta_path, _json.dumps(meta))
+        with pytest.raises(ValidationError, match="format"):
+            read_rollup(store, "agg")
+        with pytest.raises(ValidationError, match="format"):
+            refresh_rollup(store, "agg", STEP)
+
+
 class TestManifestOrphanCollection:
     def test_compact_vacuums_rollup_orphans(self, store):
         """Under ManifestCommit, every refresh's overwrite leaves the
@@ -362,6 +413,10 @@ class TestManifestOrphanCollection:
         live = store.commit.table_file_count(store, data_path)
         assert n_physical > live  # orphans accumulated
         before = _rows(read_rollup(store, "agg"))
+        # default vacuum retention keeps files of every retained log
+        # version (reader margin / time travel); shrink the horizon so
+        # this test observes full collection
+        store.commit.KEEP_LOG_ENTRIES = 1
         compact(store)
         n_after = sum(
             1 for _r, _d, fs_ in os.walk(data_path)

@@ -401,6 +401,14 @@ class TestPurgeLogCompaction:
     def test_log_collapses_to_one_file_content_preserved(self, store):
         """VERDICT #7: N mark/ack cycles leave N log files; compaction
         must collapse them without losing protocol state."""
+        from redis_lsm_timeseries_spark.commit import ManifestCommit
+
+        if isinstance(store.commit, ManifestCommit):
+            # default vacuum retention keeps retained-version files on
+            # disk (reader margin / time travel); this test asserts
+            # PHYSICAL collapse, so shrink the horizon to the live
+            # snapshot only
+            store.commit.KEEP_LOG_ENTRIES = 1
         store.write(GAP_SERIAL, ingest_ts=T0)
         # Simulate 60 maintenance cycles' worth of appends directly
         # (each _append_log is one commit = one file, same as a cycle).
