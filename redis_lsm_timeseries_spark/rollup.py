@@ -205,8 +205,32 @@ def _boundary_rows(raw: DataFrame, w: int) -> int:
     )
 
 
+#: on-disk rollup schema format. 2 = the r9 widening that added exact
+#: ``n_distinct`` (and optional ``distinct_sketch``) columns. A rollup
+#: whose meta predates the current format would read back NULL
+#: n_distinct under an explicit-schema read and then MERGE nulls with
+#: real counts on refresh — silently wrong; reads and refreshes raise
+#: instead, directing a full recompute (drop + re-create backfills).
+ROLLUP_FORMAT = 2
+
+
 def _write_meta(store, meta_path: str, **fields) -> None:
-    store.fs.write_text(meta_path, json.dumps(fields))
+    store.fs.write_text(
+        meta_path, json.dumps({"format": ROLLUP_FORMAT, **fields})
+    )
+
+
+def _load_meta(store, meta_path: str, name: str) -> dict:
+    meta = json.loads(store.fs.read_text(meta_path))
+    fmt = meta.get("format")
+    if fmt != ROLLUP_FORMAT:
+        raise ValidationError(
+            f"rollup {name!r} was written with on-disk format "
+            f"{fmt!r}; this engine reads format {ROLLUP_FORMAT} "
+            "(n_distinct columns). Recompute it: delete the rollup "
+            "and refresh from scratch."
+        )
+    return meta
 
 
 def _refresh_locked(
@@ -253,7 +277,7 @@ def _refresh_locked(
         )
         return RollupMetrics(n_buckets, n_tags, new_watermark)
 
-    meta = json.loads(store.fs.read_text(meta_path))
+    meta = _load_meta(store, meta_path, name)
     if meta["step"] != step:
         raise ValidationError(
             f"rollup {name!r} was created with step={meta['step']}, "
@@ -300,14 +324,29 @@ def _refresh_locked(
             int(head.cnt_at_w) if upper == w else None
         )
     else:
-        # Backlog continuation: the closed interval (w, upper] was
+        # Backlog continuation: the interval up to ``upper`` was
         # captured by an earlier capped run; rows inside it are
         # immutable under the monotone-ingest_ts contract, so no
         # boundary re-check is needed and the cursor is stable.
+        # ADVICE r9: the capped run that created this partial may have
+        # probed >= w (a boundary tie widened it) — if more than
+        # max_tags tags had their oldest new work tied exactly at w, a
+        # strictly-greater continuation would exclude the unselected
+        # tied tags' boundary rows from every continuation, and the
+        # drain would advance the watermark past them unaggregated. The
+        # recorded include_eq flag replays the capped run's own lower
+        # bound; the (min_ingest, tag) cursor already skips processed
+        # tags, so re-including the boundary is safe and idempotent.
         upper = int(partial["upper"])
         known_upper_boundary = int(partial["boundary_rows"])
+        include_eq = bool(partial.get("include_eq", False))
         probe = raw.where(
-            (F.col("ingest_ts") > w) & (F.col("ingest_ts") <= upper)
+            (
+                F.col("ingest_ts") >= w
+                if include_eq
+                else F.col("ingest_ts") > w
+            )
+            & (F.col("ingest_ts") <= upper)
         )
         cursor = partial["cursor"]  # [min_new_ingest, tag]
 
@@ -422,6 +461,10 @@ def _refresh_locked(
                 "upper": upper,
                 "boundary_rows": upper_boundary,
                 "cursor": [int(last._mi), last.tag],
+                # lower-bound replay for continuations (see the
+                # backlog branch): a capped run that probed >= w must
+                # keep probing >= w until the interval drains
+                "include_eq": bool(include_eq),
             },
             with_sketch=stored_sketch,
         )
@@ -443,7 +486,7 @@ def read_rollup(store: TimeseriesStore, name: str) -> DataFrame:
     data_path, meta_path = _paths(store, name)
     if not store.fs.exists(meta_path):
         raise ValidationError(f"rollup {name!r} does not exist")
-    meta = json.loads(store.fs.read_text(meta_path))
+    meta = _load_meta(store, meta_path, name)
     empty = _aggregate(
         lww_latest(store.spark.createDataFrame([], store.hot().schema)),
         meta["step"],
