@@ -541,6 +541,57 @@ def build_band_index(
     )
 
 
+def in_batch_near_dup_losers(
+    bands: DataFrame,
+    id_col: str = "corpus_id",
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """Near-dup LOSERS within one band table: ids whose bands collide
+    with a SMALLER id at signature agreement >= ``threshold`` — the
+    first-occurrence-wins rule ``incremental_exact_dedup`` applies to
+    exact in-batch dups, extended to near dups. Output: one column,
+    the distinct loser ids.
+
+    This closes the streaming-admission wart where two first-seen
+    near-variants arriving in ONE micro-batch both admitted (each was
+    novel against the persisted index; only the exact guard looked
+    inside the batch). Deterministic given the batch content, so a
+    replayed batch recomputes the same losers.
+
+    Pairwise, not transitive: a chain a~b~c with a~c never banding
+    drops b (pairs with a) and c (pairs with b) — a loser can eliminate
+    a later doc, which over-drops relative to clustering but never
+    under-drops; downstream batch-level clustering remains the
+    backstop. Scale: the input is one micro-batch's band rows (small
+    by definition), so the self-join broadcasts; band-key bucketing
+    bounds the candidate pairs exactly as in the index probe."""
+    left = bands.select(
+        F.col(id_col).alias("_a"), "band_idx", "band_key",
+        F.col("mhs").alias("_amhs"),
+    )
+    right = bands.select(
+        F.col(id_col).alias("_b"), "band_idx", "band_key",
+        F.col("mhs").alias("_bmhs"),
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("_amhs", "_bmhs", lambda x, y: x == y),
+                lambda e: e,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        left.join(F.broadcast(right), ["band_idx", "band_key"])
+        .where(F.col("_a") < F.col("_b"))
+        .where(est >= F.lit(threshold))
+        .select(F.col("_b").alias(id_col))
+        .distinct()
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -321,11 +321,14 @@ def near_dup_admitting_batch(
        everything at the exact guard).
 
     Batch-internal NEAR dups (two first-seen variants arriving in one
-    micro-batch) both admit — the idempotent batch dedup downstream
-    remains the backstop, the same two-tier posture as the exact
-    stage. State lives entirely in the manifest tables, not the
-    streaming state store, so it survives restarts and is shared with
-    batch admission jobs using the same index.
+    micro-batch) admit ONCE: after the index probes, the surviving
+    set's own band rows self-join (``in_batch_near_dup_losers``) and
+    any doc agreeing with a smaller-id batchmate at >= ``threshold``
+    drops — the near-dup extension of the exact guard's in-batch
+    min-id rule. Deterministic per batch content, so replays recompute
+    the same winners. State lives entirely in the manifest tables, not
+    the streaming state store, so it survives restarts and is shared
+    with batch admission jobs using the same index.
 
     100 TB shape: per batch, the (small) batch side broadcasts twice —
     digests against the digest index, band keys against the band index
@@ -418,9 +421,6 @@ def near_dup_admitting_batch(
         )
         if admitted.isEmpty():
             return
-        digests = admitted.select(
-            D.content_digest(text_col).alias("digest")
-        ).distinct()
         # enforce the index schema (band_idx is int, ids long) so a
         # later probe's signature-width/type guard stays meaningful
         new_bands = D.build_band_index(
@@ -434,6 +434,24 @@ def near_dup_admitting_batch(
             F.col("band_key"),
             F.col("mhs"),
         )
+        # batch-internal near-dup closure: among the survivors, a doc
+        # agreeing with a smaller-id batchmate drops (min-id wins,
+        # same rule as the exact guard's in-batch stage)
+        losers = D.in_batch_near_dup_losers(
+            new_bands, "corpus_id", threshold, nh
+        ).localCheckpoint(eager=True)
+        if not losers.isEmpty():
+            admitted = admitted.join(
+                losers.select(F.col("corpus_id").alias(id_col)),
+                id_col,
+                "left_anti",
+            ).localCheckpoint(eager=True)
+            if admitted.isEmpty():
+                return
+            new_bands = new_bands.join(losers, "corpus_id", "left_anti")
+        digests = admitted.select(
+            D.content_digest(text_col).alias("digest")
+        ).distinct()
         commit.append_tables(
             host,
             admission_path,

@@ -98,6 +98,39 @@ class TestForeachBatchUnit:
         process(_df(spark, [(5, WORDS), (6, WORDS)]), 0)
         assert _out_ids(spark, root) == {5}  # min id, the dedup_exact rule
 
+    def test_in_batch_near_dup_admits_once(self, spark, sink):
+        """VERDICT r9 #3: two first-seen NEAR variants in ONE
+        micro-batch — each novel against the persisted index — must
+        admit once (min id), and the loser must leave no digest or
+        band rows behind."""
+        root, process = sink
+        process(_df(spark, [(7, WORDS), (8, VARIANT), (9, NOVEL)]), 0)
+        assert _out_ids(spark, root) == {7, 9}
+        assert _count(spark, root, DIGESTS_MEMBER) == 2
+        # the loser's bands were filtered out of the committed index
+        bands = read_admission_table(spark, root, BANDS_MEMBER)
+        assert {r.corpus_id for r in bands.collect()} == {7, 9}
+        # and a LATER delivery of the same variant still drops against
+        # the winner's persisted bands
+        process(_df(spark, [(20, VARIANT)]), 1)
+        assert _out_ids(spark, root) == {7, 9}
+
+    def test_in_batch_near_dup_replay_is_idempotent(self, spark, sink):
+        root, process = sink
+        batch = _df(spark, [(7, WORDS), (8, VARIANT)])
+        process(batch, 0)
+        assert _out_ids(spark, root) == {7}
+        state = (
+            _count(spark, root, DIGESTS_MEMBER),
+            _count(spark, root, BANDS_MEMBER),
+        )
+        process(batch, 0)  # replay: same winners recomputed, all drop
+        assert _out_ids(spark, root) == {7}
+        assert (
+            _count(spark, root, DIGESTS_MEMBER),
+            _count(spark, root, BANDS_MEMBER),
+        ) == state
+
 
 class TestCrashExactlyOnce:
     """VERDICT r8 #3: kill the batch at every internal stage, replay,
