@@ -49,3 +49,15 @@ class VersionNotFoundError(EngineError):
     or whose log entry was pruned by vacuum (``ManifestCommit.vacuum``
     keeps the newest ``retain_versions`` entries; older snapshots are
     unrecoverable history). Carries the retained range in the message."""
+
+
+class SinkManagedHotTierError(EngineError):
+    """The hot table root carries a streaming file-sink commit log
+    (``_spark_metadata``), which makes the sink the EXCLUSIVE committer
+    of the L1 layout: batch reads of such a directory list files from
+    the sink's log, so files appended by any other writer (bulk
+    ``write_df``, an L0 fold, a compaction rewrite) are silently
+    invisible — and a rewrite would physically delete log-referenced
+    files. Batch L1 mutators refuse instead. Use
+    ``start_hot_ingest_with_maintenance`` (foreachBatch -> ``write_df``)
+    for a stream that must coexist with batch writes and maintenance."""

@@ -55,6 +55,7 @@ from redis_lsm_timeseries_spark.errors import (
     InvalidRangeError,
     KeyTooLongError,
     NotInitializedError,
+    SinkManagedHotTierError,
     TooManyTagsError,
     ValidationError,
 )
@@ -124,6 +125,29 @@ class TimeseriesStore:
         the table. Called by every in-module mutator; call it manually
         after writing hot/L0 files outside the Spark writer paths."""
         self._hot_cache = None
+
+    def _require_l1_batch_writable(self) -> None:
+        """Refuse batch mutation of an L1 layout owned by a streaming
+        file sink. When ``start_hot_ingest``'s parquet sink has written
+        ``_spark_metadata`` under the hot root, Spark's batch reads of
+        that directory list files from the SINK's commit log — a file
+        appended by any other writer is committed-but-invisible
+        (verified: a plain append after a sink batch reads back zero
+        rows), and a compaction rewrite would physically delete
+        log-referenced files. So in file-sink mode the sink is the
+        exclusive L1 committer; ``write()`` is still fine (L0 is a
+        separate directory, unioned by ``hot()``), and the
+        maintenance-compatible streaming mode is
+        ``start_hot_ingest_with_maintenance`` (foreachBatch ->
+        ``write_df``), which leaves no sink log."""
+        if self.fs.exists(f"{self.config.hot_path}/_spark_metadata"):
+            raise SinkManagedHotTierError(
+                f"{self.config.hot_path} is managed by a streaming "
+                "file sink (_spark_metadata present): batch L1 writes "
+                "would be invisible to readers and rewrites would "
+                "orphan the sink's commit log. Stop the sink and "
+                "migrate, or use start_hot_ingest_with_maintenance."
+            )
 
     def _layout_token(self) -> tuple:
         """Cheap staleness token for the hot layout.
@@ -260,8 +284,21 @@ class TimeseriesStore:
         partition directory gets ONE file per batch instead of one per
         input task — without it a 32-task batch over P partitions emits
         up to 32*P small files, and small-file explosion is what kills
-        partitioned stores at scale. Disable for pre-clustered input."""
+        partitioned stores at scale. Disable for pre-clustered input.
+
+        Multi-writer posture: the append runs under the maintenance
+        lease. A direct L1 append racing a compaction/retention
+        partition overwrite is the one lost-update window the
+        directory-mode hot tier has (the overwrite's committer replaces
+        the partition's contents, wiping an append that landed after
+        the rewrite's scan) — serializing bulk loads against
+        maintenance closes it, at the cost of
+        ``ConcurrentMaintenanceError`` under contention (retry, or
+        schedule bulk loads off the maintenance window). The chatty
+        ``write()`` path needs no lease: it lands in L0, which
+        maintenance folds via the rename protocol, never overwrites."""
         self._require_init()
+        self._require_l1_batch_writable()
         cols = set(df.columns)
         if not {"tag", "ts", "value"} <= cols:
             raise ValidationError("write_df needs columns tag, ts, value")
@@ -287,7 +324,8 @@ class TimeseriesStore:
             out = out.repartition(
                 self.spark.sparkContext.defaultParallelism, "tag", "part_start"
             )
-        self._append_hot(out)
+        with self.commit.maintenance_lock(self):
+            self._append_hot(out)
 
     def _append_hot(self, df: DataFrame) -> None:
         writer = df
@@ -344,8 +382,30 @@ class TimeseriesStore:
         local file create), vs. the previous design's whole
         many-file L0 tree removal; LWW hides any duplicates from that
         residual window and ``compact`` removes them physically.
+
+        Runs under the maintenance lease (reentrant when ``compact``
+        already holds it): the fold's L1 append must not race a
+        concurrent partition overwrite — see ``write_df``'s posture
+        note. A no-op flush (nothing staged, no segments) returns
+        without touching the lease.
         """
         self._require_init()
+        staging = self.config.l0_staging_path
+        pending_staging = self.fs.exists(staging) and any(
+            self.fs.is_dir(f"{staging}/{n}")
+            for n in self.fs.listdir(staging)
+        )
+        pending_l0 = self.fs.exists(self.config.l0_path) and any(
+            not n.startswith(("_", "."))
+            for n in self.fs.listdir(self.config.l0_path)
+        )
+        if not (pending_staging or pending_l0):
+            return False
+        self._require_l1_batch_writable()
+        with self.commit.maintenance_lock(self):
+            return self._flush_l0_locked()
+
+    def _flush_l0_locked(self) -> bool:
         did = self._recover_staging()
         if not self.fs.exists(self.config.l0_path):
             return did

@@ -271,6 +271,9 @@ def purge_ack_many(
     1/N the job count. On a lakehouse table this whole function is one
     Delta ``MERGE ... WHEN MATCHED DELETE``."""
     store._require_init()
+    # the ack's anti-join rewrites hot partitions — refuse under a
+    # file-sink-managed L1 (see _require_l1_batch_writable)
+    store._require_l1_batch_writable()
     if now_ms is None:
         now_ms = _now_ms()
     result = {pid: False for pid in purge_ids}
@@ -467,6 +470,7 @@ def compact(
     older members in the cold tier on hot-union-cold reads.
     """
     store._require_init()
+    store._require_l1_batch_writable()
     # Fold L0 row-batch segments into the partitioned layout first —
     # compaction IS the file-count hygiene for the chatty write() path,
     # and the duplicate rewrite below operates on L1 directories.
@@ -594,6 +598,7 @@ def apply_retention(
         raise ValidationError("older_than_ms must be >= 0")
     if max_partitions < 1:
         raise ValidationError("max_partitions must be >= 1")
+    store._require_l1_batch_writable()
     w = store.config.partition_width
     store.flush_l0()
     doomed = (

@@ -1,0 +1,240 @@
+"""Hot-tier multi-writer posture (VERDICT r9 #5) — the final answer,
+pinned by tests:
+
+- Row-batch ``write()`` is LEASELESS and always safe concurrent with
+  maintenance: it lands in the L0 directory, which maintenance folds
+  via the rename protocol and never overwrites.
+- Bulk ``write_df`` (direct L1 append) runs under the maintenance
+  lease: an append racing a compaction/retention partition overwrite
+  is the one lost-update window directory mode has, so bulk loads
+  serialize against maintenance and fail fast with
+  ``ConcurrentMaintenanceError`` under contention.
+- ``start_hot_ingest``'s parquet file sink makes the SINK the
+  exclusive L1 committer (its ``_spark_metadata`` log governs batch
+  reads — a file appended by anyone else is committed-but-invisible,
+  verified below); every batch L1 mutator refuses with
+  ``SinkManagedHotTierError``. The maintenance-compatible streaming
+  mode is ``start_hot_ingest_with_maintenance`` (foreachBatch ->
+  ``write_df``), which leaves no sink log.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from redis_lsm_timeseries_spark.config import EngineConfig
+from redis_lsm_timeseries_spark.errors import (
+    ConcurrentMaintenanceError,
+    SinkManagedHotTierError,
+)
+from redis_lsm_timeseries_spark.store import TimeseriesStore
+from redis_lsm_timeseries_spark.tiering import compact, maintenance_lease
+
+T0 = 1_000_000
+
+
+def _mk(spark, tmp_path, name="engine"):
+    cfg = EngineConfig(root=str(tmp_path / name), partition_width=1_000)
+    s = TimeseriesStore(spark, cfg)
+    s.initialize()
+    return s
+
+
+def _second_writer(spark, store):
+    """Another writer process on the SAME namespace (fresh writer_id,
+    fresh lease state)."""
+    s = TimeseriesStore(spark, store.config)
+    s.initialize()
+    return s
+
+
+class TestRowBatchWritesVsMaintenance:
+    def test_concurrent_writes_and_compaction_lose_nothing(
+        self, spark, tmp_path
+    ):
+        """Writer B hammers leaseless row-batch writes (with LWW
+        updates) while writer A runs compaction cycles. Every key must
+        read back with its latest value — the L0 protocol's guarantee
+        under real concurrency."""
+        a = _mk(spark, tmp_path)
+        b = _second_writer(spark, a)
+        n_batches, keys_per_batch = 8, 20
+        compact_errors: list[Exception] = []
+
+        def maintenance():
+            try:
+                for _ in range(4):
+                    compact(a)
+            except Exception as exc:  # surfaced after join
+                compact_errors.append(exc)
+
+        t = threading.Thread(target=maintenance)
+        t.start()
+        try:
+            for i in range(n_batches):
+                # round i rewrites every key (LWW update churn for the
+                # compactor) and adds a fresh key per round
+                batch = [
+                    (f"tag{k % 4}", k * 100, f"v{i}")
+                    for k in range(keys_per_batch)
+                ]
+                batch.append((f"round{i}", 50, f"r{i}"))
+                b.write(batch, ingest_ts=T0 + i)
+        finally:
+            t.join()
+        assert not compact_errors, compact_errors
+        b.flush_l0()
+        rows = {
+            (r.tag, r.ts): r.value
+            for r in b.read_all().collect()
+        }
+        for k in range(keys_per_batch):
+            assert rows[(f"tag{k % 4}", k * 100)] == f"v{n_batches - 1}"
+        for i in range(n_batches):
+            assert rows[(f"round{i}", 50)] == f"r{i}"
+
+    def test_write_after_compaction_scan_survives(self, spark, tmp_path):
+        """A row-batch write landing while compaction is mid-flight
+        (after its hot scan) is in L0, not L1 — the partition overwrite
+        cannot touch it."""
+        a = _mk(spark, tmp_path)
+        b = _second_writer(spark, a)
+        # seed duplicates so compaction has work
+        a.write([("t", 100, "old")], ingest_ts=T0)
+        a.write([("t", 100, "new")], ingest_ts=T0 + 1)
+        a.flush_l0()
+        real = a.commit.overwrite_partitions
+
+        def racing_overwrite(store, df, path, cols):
+            # B's write lands between compaction's scan and its commit
+            b.write([("t", 100, "latest"), ("u", 5, "x")], ingest_ts=T0 + 2)
+            return real(store, df, path, cols)
+
+        a.commit.overwrite_partitions = racing_overwrite
+        try:
+            compact(a)
+        finally:
+            a.commit.overwrite_partitions = real
+        got = {
+            (r.tag, r.ts): r.value for r in b.read_all().collect()
+        }
+        assert got == {("t", 100): "latest", ("u", 5): "x"}
+
+
+class TestBulkLoadLease:
+    def _df(self, spark, tag="bulk", n=10):
+        return spark.range(n).select(
+            F.lit(tag).alias("tag"),
+            (F.col("id") * 100).alias("ts"),
+            F.col("id").cast("string").alias("value"),
+        )
+
+    def test_write_df_contends_with_maintenance(self, spark, tmp_path):
+        a = _mk(spark, tmp_path)
+        b = _second_writer(spark, a)
+        with maintenance_lease(a):
+            with pytest.raises(ConcurrentMaintenanceError):
+                b.write_df(self._df(spark), ingest_ts=T0)
+        b.write_df(self._df(spark), ingest_ts=T0)  # after release
+        assert b.read_all().count() == 10
+
+    def test_maintenance_contends_with_bulk_lease(self, spark, tmp_path):
+        """Symmetric: while a bulk load holds the lease, maintenance
+        fails fast instead of overwriting under the append."""
+        a = _mk(spark, tmp_path)
+        b = _second_writer(spark, a)
+        with b.commit.maintenance_lock(b):
+            with pytest.raises(ConcurrentMaintenanceError):
+                compact(a)
+
+    def test_crashed_bulk_load_releases_lease_and_commits_nothing(
+        self, spark, tmp_path
+    ):
+        a = _mk(spark, tmp_path)
+        real = a._append_hot
+
+        def crash(df):
+            raise RuntimeError("bulk job died")
+
+        a._append_hot = crash
+        try:
+            with pytest.raises(RuntimeError, match="bulk job died"):
+                a.write_df(self._df(spark), ingest_ts=T0)
+        finally:
+            a._append_hot = real
+        # lease released: the retry needs no steal, and no partial rows
+        a.write_df(self._df(spark), ingest_ts=T0)
+        assert a.read_all().count() == 10
+
+    def test_row_batch_write_never_touches_the_lease(self, spark, tmp_path):
+        a = _mk(spark, tmp_path)
+        b = _second_writer(spark, a)
+        with maintenance_lease(a):
+            b.write([("t", 1, "v")], ingest_ts=T0)  # no contention
+        assert b.read_all().count() == 1
+
+
+class TestFileSinkExclusivity:
+    @pytest.fixture()
+    def sink_store(self, spark, tmp_path):
+        """A store whose hot tier was written by the parquet file sink
+        (``start_hot_ingest``) — ``_spark_metadata`` present."""
+        from redis_lsm_timeseries_spark.streaming.ingest import (
+            read_sample_stream,
+            start_hot_ingest,
+        )
+
+        s = _mk(spark, tmp_path)
+        incoming = str(tmp_path / "incoming")
+        spark.createDataFrame(
+            [("t", 100, "sink")], "tag string, ts long, value string"
+        ).coalesce(1).write.parquet(incoming)
+        q = start_hot_ingest(
+            s,
+            read_sample_stream(spark, incoming),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        assert q.awaitTermination(300)
+        assert s.fs.exists(f"{s.config.hot_path}/_spark_metadata")
+        return s
+
+    def test_batch_append_would_be_invisible(self, spark, sink_store):
+        """The reason for the guard, demonstrated on the real layout:
+        a file appended outside the sink's commit log does not show up
+        in a batch read of the hot directory."""
+        s = sink_store
+        spark.createDataFrame(
+            [("t", 200, "ghost", T0, "w", 0, 0)],
+            "tag string, ts long, value string, ingest_ts long, "
+            "writer_id string, seq long, part_start long",
+        ).write.mode("append").partitionBy("tag", "part_start").parquet(
+            s.config.hot_path
+        )
+        s.invalidate_hot_cache()
+        vals = {r.value for r in s.read_all().collect()}
+        assert "ghost" not in vals and "sink" in vals
+
+    def test_l1_mutators_refuse(self, spark, sink_store):
+        from redis_lsm_timeseries_spark.tiering import apply_retention
+
+        s = sink_store
+        df = spark.createDataFrame(
+            [("b", 1, "x")], "tag string, ts long, value string"
+        )
+        with pytest.raises(SinkManagedHotTierError):
+            s.write_df(df, ingest_ts=T0)
+        with pytest.raises(SinkManagedHotTierError):
+            compact(s)
+        with pytest.raises(SinkManagedHotTierError):
+            apply_retention(s, older_than_ms=10**15)
+        # write() is still fine (L0 is the sink-independent tier and
+        # hot() unions it) ...
+        s.write([("w", 5, "l0row")], ingest_ts=T0)
+        vals = {r.value for r in s.read_all().collect()}
+        assert vals == {"sink", "l0row"}
+        # ... but folding it into the sink-owned L1 refuses
+        with pytest.raises(SinkManagedHotTierError):
+            s.flush_l0()
