@@ -123,6 +123,18 @@ class TableCommit:
         window."""
         raise NotImplementedError
 
+    def replace_tables(
+        self, store, root: str, dfs: dict[str, DataFrame]
+    ) -> None:
+        """Replace several member tables under one root in ONE logical
+        commit (the REBUILD analog of ``append_tables`` — each member's
+        content becomes exactly ``dfs[member]``). Transactional
+        backends make the swap atomic across members (a derived index
+        whose parts must stay mutually consistent, e.g. IVF centroids
+        + their assignments); directory backends degrade to ordered
+        per-member overwrites."""
+        raise NotImplementedError
+
     def vacuum(self, store, root: str) -> int:
         """Collect physically-present data no current snapshot
         references. Directory backends have none (overwrites and drops
@@ -356,6 +368,13 @@ class ParquetLeaseCommit(TableCommit):
         ``ManifestCommit``, whose override is one atomic log entry."""
         for member, df in dfs.items():
             df.write.mode("append").parquet(f"{root}/{member}")
+
+    def replace_tables(self, store, root: str, dfs) -> None:
+        """Ordered per-member overwrites — NOT atomic across members
+        (a crash between overwrites leaves a mixed-generation index);
+        ``ManifestCommit`` makes the swap one log entry."""
+        for member, df in dfs.items():
+            df.write.mode("overwrite").parquet(f"{root}/{member}")
 
 
 LOG_DIR = "_log"
@@ -849,6 +868,33 @@ class ManifestCommit(ParquetLeaseCommit):
             return out
 
         self._commit(store, root, mutate)
+
+    def replace_tables(self, store, root: str, dfs) -> None:
+        """N member REPLACEMENTS, ONE atomic log entry: after the
+        commit every listed member's content is exactly its new
+        snapshot, and no reader can observe a mix of generations —
+        the rebuild path for derived multi-member indexes (IVF
+        centroids + assignments). Blind replacement is correct here
+        because the members are derived wholesale from an external
+        source, not from their own prior state (unlike
+        ``snapshot_rewrite``, which conflict-checks). Old files stay
+        on disk for retained-snapshot readers until vacuum's horizon
+        passes them."""
+        target = self._target_for_write(store, root)
+        if target is None or target != (root, ""):
+            raise ValueError(
+                f"{root!r} is not a manifest root; replace_tables needs "
+                "end-to-end manifest management"
+            )
+        staged = {
+            member: self._stage_in(
+                store, root, member,
+                lambda tmp, d=df: d.write.mode("overwrite").parquet(tmp),
+            )
+            for member, df in dfs.items()
+        }
+        self._commit(store, root, lambda t: {**t, **staged})
+        self.vacuum(store, root)
 
 
 class CommitHost:

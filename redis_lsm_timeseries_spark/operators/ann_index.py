@@ -1,0 +1,164 @@
+"""Persistent IVF ANN index through the ``TableCommit`` seam
+(VERDICT r9 stretch): the trained coarse quantizer AND the corpus's
+inverted-list assignment live as member tables of ONE manifest root,
+committed together in one atomic log entry — the serving path survives
+restarts (all state on disk, nothing cached in objects) and a rebuild
+under a live reader is snapshot-isolated (the reader's resolved file
+list stays valid through the manifest's vacuum retention; new readers
+see the new generation).
+
+Members of ``{index_path}``:
+
+- ``centroids``: (list_id int, centroid array<double>) — n_list rows,
+  the spherical k-means quantizer (collected to the driver at serve
+  time: n_list x dim doubles, the same bounded collect the in-memory
+  path uses);
+- ``vectors``: (<id>, list_id int, nv array<double>) — one row per
+  usable corpus vector, UNIT-NORMALIZED at build time and clustered by
+  ``list_id``, so serving never rescans or renormalizes the corpus:
+  the index IS the searchable copy. At 100 TB this member is written
+  bucketed by list_id so a probe reads only its ~(n_probe / n_list)
+  slice.
+
+The two members must agree (assignments are meaningless under another
+generation's centroids) — which is exactly what
+``ManifestCommit.replace_tables``'s atomic multi-member swap
+guarantees; the plain-directory fallback degrades to ordered
+overwrites with a documented mixed-generation crash window.
+
+Same posture as the streaming admission index (streaming/curation.py):
+a standalone manifest table driven through ``CommitHost``, no
+``TimeseriesStore`` required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from redis_lsm_timeseries_spark.commit import CommitHost, ManifestCommit
+from redis_lsm_timeseries_spark.operators.similarity import (
+    _assign_expr,
+    _probe_expr,
+    _unit_rows,
+    dot,
+    train_ivf_centroids,
+)
+
+CENTROIDS_MEMBER = "centroids"
+VECTORS_MEMBER = "vectors"
+
+
+def _host(spark: SparkSession, fs=None) -> CommitHost:
+    return CommitHost(spark, fs)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_path: str,
+    n_list: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fs=None,
+) -> dict:
+    """Train the quantizer on ``corpus`` and commit centroids +
+    normalized assignments as one atomic manifest entry. Rebuilding
+    over an existing index REPLACES both members together; a reader
+    that resolved the previous generation keeps scanning its retained
+    files. Returns {n_list, n_vectors, version}."""
+    spark = corpus.sparkSession
+    centroids = train_ivf_centroids(
+        corpus, n_list=n_list, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    unit = _unit_rows(corpus, id_col, vec_col)
+    vectors = unit.select(
+        F.col("_id").alias(id_col),
+        _assign_expr("_nv", centroids).cast("int").alias("list_id"),
+        F.col("_nv").alias("nv"),
+    ).repartition(max(1, min(n_list, 8)), "list_id")
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "list_id int, centroid array<double>",
+    )
+    host = _host(spark, fs)
+    commit = ManifestCommit()
+    commit.replace_tables(
+        host,
+        index_path,
+        {CENTROIDS_MEMBER: cent_df, VECTORS_MEMBER: vectors},
+    )
+    version, tables = commit._current(host, index_path)
+    n_vectors = vectors.count()
+    return {"n_list": n_list, "n_vectors": n_vectors, "version": version}
+
+
+def load_ivf_centroids(
+    spark: SparkSession, index_path: str, fs=None
+) -> list[list[float]]:
+    """The committed quantizer, ordered by list_id — a bounded
+    (n_list x dim) collect, same as the in-memory training path."""
+    host = _host(spark, fs)
+    rows = (
+        ManifestCommit()
+        .read_table(host, f"{index_path}/{CENTROIDS_MEMBER}")
+        .orderBy("list_id")
+        .collect()
+    )
+    return [list(r.centroid) for r in rows]
+
+
+def read_ivf_vectors(
+    spark: SparkSession, index_path: str, fs=None
+) -> DataFrame:
+    """The committed (id, list_id, nv) member — a snapshot: the
+    returned DataFrame pins its manifest file list, unaffected by a
+    concurrent rebuild."""
+    host = _host(spark, fs)
+    return ManifestCommit().read_table(
+        host, f"{index_path}/{VECTORS_MEMBER}"
+    )
+
+
+def ivf_index_topk(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fs=None,
+) -> DataFrame:
+    """Serve top-k from the PERSISTED index — no corpus scan, no
+    re-normalization, no retraining: centroids load as literals
+    (map-only probe assignment for the queries) and the stored
+    normalized vectors join on list_id, exactly
+    ``similarity.ivf_topk``'s plan shape and output schema
+    (query_id, list_id, neighbor_id, cosine_sim, rnk)."""
+    spark = queries.sparkSession
+    centroids = load_ivf_centroids(spark, index_path, fs)
+    vectors = read_ivf_vectors(spark, index_path, fs).select(
+        F.col(id_col).alias("neighbor_id"),
+        "list_id",
+        F.col("nv").alias("cv"),
+    )
+    q = _unit_rows(queries, id_col, vec_col).select(
+        F.col("_id").alias("query_id"),
+        F.col("_nv").alias("qv"),
+        # _probe_expr yields int list ids, matching the stored member's
+        # list_id type; explode cannot be nested under a cast
+        F.explode(_probe_expr("_nv", centroids, n_probe)).alias("list_id"),
+    )
+    scored = (
+        vectors.join(F.broadcast(q), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", dot("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "list_id", "neighbor_id", "cosine_sim", "rnk")
+    )
