@@ -88,6 +88,10 @@ def main() -> int:
         draws: list[float] = []
         try:
             for _ in range(2):
+                # clear the shared per-app derivation caches so both
+                # draws execute the full query (a cached draw measures
+                # a dict lookup, not the engine)
+                redis_lsm_timeseries_spark.plans.clear_query_caches()
                 t0 = time.perf_counter()
                 df = spec.fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
@@ -138,12 +142,26 @@ def main() -> int:
 
     norm = normalized_vs_prev(per_query, calibration)
 
+    # value = sum of per-query minima: commensurate with prior rounds
+    # (one measured execution per query), while the raw loop wall now
+    # covers TWO draws of everything and is recorded separately.
     result = {
         "metric": "catalog_wall_time",
-        "value": round(total, 3),
+        "value": round(sum(per_query.values()), 3),
+        "loop_wall_sec": round(total, 3),
         "unit": "sec",
         "queries": per_query,
         "queries_draws": query_draws,
+        # r10 protocol: 2 draws/query, min reported, shared derivation
+        # caches cleared before every draw (standalone cost per entry —
+        # earlier rounds let later dedup entries reuse the first
+        # entry's cached MinHash signatures, so those entries read
+        # higher now by the shared-derivation amount)
+        "draw_policy": {
+            "draws": 2,
+            "stat": "min",
+            "caches_cleared_per_draw": True,
+        },
         "sf": sf,
         "n_queries": len(per_query),
         "failures": failures,
@@ -460,6 +478,35 @@ def extras_bench(spark, sf_dir: str) -> dict:
             out[f"cc_edges_round_{i}"] = n
     except Exception as exc:
         out["cc_rounds"] = f"FAILED {type(exc).__name__}: {exc}"[:200]
+
+    # Persistent IVF index (r10): build (train + atomic two-member
+    # manifest commit) and serve (probe from disk, no corpus scan)
+    # timed separately — the serving number is what a restarted
+    # deployment pays.
+    try:
+        import shutil
+        import tempfile
+
+        from redis_lsm_timeseries_spark.operators.ann_index import (
+            build_ivf_index,
+            ivf_index_topk,
+        )
+
+        d = tempfile.mkdtemp(prefix="rlts_ann_")
+        try:
+            t0 = time.perf_counter()
+            build_ivf_index(emb, f"{d}/ivf", n_list=16, iters=2)
+            out["ann_index_build"] = round(time.perf_counter() - t0, 3)
+            probes = emb.where("vec_id % 100 = 0")
+            t0 = time.perf_counter()
+            ivf_index_topk(probes, f"{d}/ivf", k=10, n_probe=4).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            out["ann_index_serve"] = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    except Exception as exc:
+        out["ann_index_build"] = f"FAILED {type(exc).__name__}: {exc}"[:200]
     return out
 
 

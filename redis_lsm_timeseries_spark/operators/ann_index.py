@@ -10,9 +10,9 @@ see the new generation).
 Members of ``{index_path}``:
 
 - ``centroids``: (list_id int, centroid array<double>) — n_list rows,
-  the spherical k-means quantizer (collected to the driver at serve
-  time: n_list x dim doubles, the same bounded collect the in-memory
-  path uses);
+  the spherical k-means quantizer (broadcast at serve time; never
+  inlined as plan literals, so n_list can grow to the thousands a
+  100 TB corpus needs);
 - ``vectors``: (<id>, list_id int, nv array<double>) — one row per
   usable corpus vector, UNIT-NORMALIZED at build time and clustered by
   ``list_id``, so serving never rescans or renormalizes the corpus:
@@ -38,10 +38,11 @@ from pyspark.sql.window import Window
 
 from redis_lsm_timeseries_spark.commit import CommitHost, ManifestCommit
 from redis_lsm_timeseries_spark.operators.similarity import (
-    _assign_expr,
-    _probe_expr,
     _unit_rows,
+    assign_lists_join,
+    centroids_df,
     dot,
+    probe_lists_join,
     train_ivf_centroids,
 )
 
@@ -71,16 +72,16 @@ def build_ivf_index(
     centroids = train_ivf_centroids(
         corpus, n_list=n_list, iters=iters, id_col=id_col, vec_col=vec_col
     )
+    cent_df = centroids_df(spark, centroids)
+    # broadcast-join assignment (scales in n_list; the literal
+    # expression path compiles O(n_list x dim) literals — see
+    # assign_lists_join)
     unit = _unit_rows(corpus, id_col, vec_col)
-    vectors = unit.select(
+    vectors = assign_lists_join(unit, cent_df).select(
         F.col("_id").alias(id_col),
-        _assign_expr("_nv", centroids).cast("int").alias("list_id"),
+        F.col("list_id"),
         F.col("_nv").alias("nv"),
     ).repartition(max(1, min(n_list, 8)), "list_id")
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)],
-        "list_id int, centroid array<double>",
-    )
     host = _host(spark, fs)
     commit = ManifestCommit()
     commit.replace_tables(
@@ -89,7 +90,12 @@ def build_ivf_index(
         {CENTROIDS_MEMBER: cent_df, VECTORS_MEMBER: vectors},
     )
     version, tables = commit._current(host, index_path)
-    n_vectors = vectors.count()
+    # count from the COMMITTED files (parquet footer metadata), not the
+    # build pipeline — counting `vectors` would re-run the whole
+    # normalize+assign derivation a second time
+    n_vectors = commit.read_table(
+        host, f"{index_path}/{VECTORS_MEMBER}"
+    ).count()
     return {"n_list": n_list, "n_vectors": n_vectors, "version": version}
 
 
@@ -130,24 +136,31 @@ def ivf_index_topk(
     fs=None,
 ) -> DataFrame:
     """Serve top-k from the PERSISTED index — no corpus scan, no
-    re-normalization, no retraining: centroids load as literals
-    (map-only probe assignment for the queries) and the stored
-    normalized vectors join on list_id, exactly
-    ``similarity.ivf_topk``'s plan shape and output schema
+    re-normalization, no retraining: the committed centroids broadcast
+    against the (small) query batch to pick each query's n_probe
+    lists, and the stored normalized vectors join on list_id. Output
+    schema matches ``similarity.ivf_topk``:
     (query_id, list_id, neighbor_id, cosine_sim, rnk)."""
     spark = queries.sparkSession
-    centroids = load_ivf_centroids(spark, index_path, fs)
+    host = _host(spark, fs)
+    cent_df = ManifestCommit().read_table(
+        host, f"{index_path}/{CENTROIDS_MEMBER}"
+    )
     vectors = read_ivf_vectors(spark, index_path, fs).select(
         F.col(id_col).alias("neighbor_id"),
         "list_id",
         F.col("nv").alias("cv"),
     )
-    q = _unit_rows(queries, id_col, vec_col).select(
+    # probe-list expansion via the broadcast-join path — the committed
+    # centroids never leave the cluster, and the plan stays small at
+    # any n_list (the literal-expression probe compiles n_list x dim
+    # literals per query projection)
+    q = probe_lists_join(
+        _unit_rows(queries, id_col, vec_col), cent_df, n_probe
+    ).select(
         F.col("_id").alias("query_id"),
         F.col("_nv").alias("qv"),
-        # _probe_expr yields int list ids, matching the stored member's
-        # list_id type; explode cannot be nested under a cast
-        F.explode(_probe_expr("_nv", centroids, n_probe)).alias("list_id"),
+        "list_id",
     )
     scored = (
         vectors.join(F.broadcast(q), "list_id")

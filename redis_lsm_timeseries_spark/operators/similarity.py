@@ -329,6 +329,63 @@ def _probe_expr(vec_col: str, centroids: list[list[float]], n_probe: int) -> Col
     )
 
 
+def centroids_df(spark, centroids: list[list[float]]) -> DataFrame:
+    """The quantizer as a (list_id int, centroid array<double>) table —
+    the join-path twin of the literal expressions above."""
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "list_id int, centroid array<double>",
+    )
+
+
+def assign_lists_join(unit: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment via a BROADCAST join against the
+    centroids table: (_id, list_id, _nv). Same scoring and tie-break
+    (max sim, then lowest list id) as ``_assign_expr`` — but the plan
+    scales in n_list. The literal-expression path compiles
+    O(n_list x dim) literals into the plan: ~20 s of driver analysis
+    at a mere 16x64, minutes-to-intractable at the thousands of lists
+    a 100 TB corpus needs (n_list ~ sqrt(N)). Here the centroids are
+    DATA (one broadcast of n_list x dim doubles), the score is one
+    small zip_with, and the arg-max is a partial-aggregated
+    ``max_by`` — no shuffle of the corpus beyond the per-id combine."""
+    sim = F.aggregate(
+        F.zip_with("_nv", "centroid", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = unit.crossJoin(F.broadcast(cdf)).withColumn("_sim", sim)
+    return scored.groupBy("_id").agg(
+        F.max_by(
+            "list_id", F.struct(F.col("_sim"), (-F.col("list_id")))
+        ).alias("list_id"),
+        F.first("_nv").alias("_nv"),  # constant within the group
+    )
+
+
+def probe_lists_join(
+    unit_queries: DataFrame, cdf: DataFrame, n_probe: int
+) -> DataFrame:
+    """Each query's n_probe nearest lists via the same broadcast join:
+    (_id, _nv, list_id) with one row per probed list. Ranking is a
+    per-query window over n_list scored rows — queries are the small
+    side by definition, so the sort is bounded."""
+    sim = F.aggregate(
+        F.zip_with("_nv", "centroid", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = unit_queries.crossJoin(F.broadcast(cdf)).withColumn("_sim", sim)
+    w = Window.partitionBy("_id").orderBy(
+        F.col("_sim").desc(), F.col("list_id").asc()
+    )
+    return (
+        scored.withColumn("_pr", F.row_number().over(w))
+        .where(F.col("_pr") <= n_probe)
+        .select("_id", "_nv", "list_id")
+    )
+
+
 def _unit_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, unit-norm vector) — normalizing once makes every later
     cosine a plain dot and makes centroid similarity spherical.
@@ -369,17 +426,26 @@ def train_ivf_centroids(
     partition (map-side combine), and only n_list x dim tiny rows reach
     the driver. Train on a SAMPLE at 100 TB — the quantizer doesn't
     need the full corpus."""
-    unit = _unit_rows(corpus, id_col, vec_col)
+    # Materialize the normalized rows once: seeds + every Lloyd
+    # iteration each trigger an action, and without the checkpoint each
+    # one re-runs the scan+normalize from the corpus (iters+1 times).
+    unit = _unit_rows(corpus, id_col, vec_col).localCheckpoint(eager=False)
     seeds = (
         unit.orderBy(F.xxhash64(F.col("_id").cast("string")))
         .limit(n_list)
         .collect()
     )
     centroids = [list(r._nv) for r in seeds]
+    spark = corpus.sparkSession
     for _ in range(iters):
-        assigned = unit.select(
-            _assign_expr("_nv", centroids).alias("list_id"),
-            F.posexplode("_nv").alias("dim", "x"),
+        # Assignment via the broadcast-join path, NOT the literal
+        # expression: scoring against literal centroids compiles
+        # O(n_list x dim) literals into the plan — measured ~20 s of
+        # driver analysis PER ITERATION at just 16x64, and intractable
+        # at the thousands of lists a 100 TB quantizer needs. Identical
+        # scoring and tie-break, so centroid evolution is unchanged.
+        assigned = assign_lists_join(unit, centroids_df(spark, centroids)).select(
+            "list_id", F.posexplode("_nv").alias("dim", "x")
         )
         sums = (
             assigned.groupBy("list_id", "dim")

@@ -19,4 +19,17 @@ from redis_lsm_timeseries_spark.plans import llm_queries  # noqa: F401, E402
 from redis_lsm_timeseries_spark.plans import reference_queries  # noqa: F401, E402
 from redis_lsm_timeseries_spark.plans import analytics_queries  # noqa: F401, E402
 
-__all__ = ["REGISTRY", "QuerySpec", "register"]
+def clear_query_caches() -> None:
+    """Empty every per-application derivation cache the catalog queries
+    share (_NEAR_SIG_CACHE, _CLUSTER_CACHE, _LIFECYCLE_CACHE). The
+    caches exist because parity tests, recall tests, and the bench all
+    invoke the same expensive derivations within one session — but a
+    bench draw that hits them measures a dictionary lookup, not the
+    query. bench.py clears them before EVERY timed draw so min-of-2 is
+    two honest executions."""
+    lifecycle_queries._LIFECYCLE_CACHE.clear()
+    llm_queries._NEAR_SIG_CACHE.clear()
+    llm_queries._CLUSTER_CACHE.clear()
+
+
+__all__ = ["REGISTRY", "QuerySpec", "register", "clear_query_caches"]

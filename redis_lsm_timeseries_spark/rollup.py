@@ -479,9 +479,21 @@ def _refresh_locked(
     return RollupMetrics(n_touched, len(selected), upper)
 
 
-def read_rollup(store: TimeseriesStore, name: str) -> DataFrame:
+def read_rollup(
+    store: TimeseriesStore, name: str, version: int | None = None
+) -> DataFrame:
     """The maintained rollup table (tag, bucket_start, n, n_numeric,
-    sum_num, min_num, max_num, n_distinct[, distinct_sketch])."""
+    sum_num, min_num, max_num, n_distinct[, distinct_sketch]).
+
+    ``version`` time-travels to a retained manifest snapshot of the
+    rollup data (debugging a bad refresh / auditing a maintenance
+    run): available under ``ManifestCommit``, where every retained log
+    version stays fully readable until vacuum's horizon; the directory
+    backend raises ``VersionNotFoundError`` (no history). The meta
+    (step, sketch flag) is always the CURRENT one — the schema-shaping
+    fields are immutable after creation (step/sketch mismatches raise
+    on refresh), so a historical snapshot reads under the same
+    schema."""
     store._require_init()
     data_path, meta_path = _paths(store, name)
     if not store.fs.exists(meta_path):
@@ -492,4 +504,6 @@ def read_rollup(store: TimeseriesStore, name: str) -> DataFrame:
         meta["step"],
         bool(meta.get("with_sketch", False)),
     )
-    return store.commit.read_table(store, data_path, empty.schema)
+    return store.commit.read_table(
+        store, data_path, empty.schema, version=version
+    )

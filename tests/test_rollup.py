@@ -389,6 +389,29 @@ class TestFormatVersioning:
             refresh_rollup(store, "agg", STEP)
 
 
+class TestRollupTimeTravel:
+    def test_version_reads_prior_refresh_state(self, store):
+        """read_rollup(version=N) resolves the rollup data's retained
+        manifest snapshot — auditing what a refresh changed — under
+        ManifestCommit; the directory backend raises the named error."""
+        from redis_lsm_timeseries_spark.commit import ManifestCommit
+        from redis_lsm_timeseries_spark.errors import VersionNotFoundError
+
+        store.write([("t", 5, "1.0")], ingest_ts=T0)
+        refresh_rollup(store, "agg", STEP)  # data version 0
+        state0 = _rows(read_rollup(store, "agg"))
+        store.write([("t", 6, "2.0")], ingest_ts=T0 + 1000)
+        refresh_rollup(store, "agg", STEP)  # data version 1
+        state1 = _rows(read_rollup(store, "agg"))
+        assert state1 != state0
+        if isinstance(store.commit, ManifestCommit):
+            assert _rows(read_rollup(store, "agg", version=0)) == state0
+            assert _rows(read_rollup(store, "agg", version=1)) == state1
+        else:
+            with pytest.raises(VersionNotFoundError):
+                read_rollup(store, "agg", version=0)
+
+
 class TestManifestOrphanCollection:
     def test_compact_vacuums_rollup_orphans(self, store):
         """Under ManifestCommit, every refresh's overwrite leaves the
