@@ -525,10 +525,20 @@ def compact_admission_index(
     fresh (compacted) file set, so subsequent micro-batches can skip
     the full index scan (see ``build_digest_bloom``).
 
-    Run this between streaming runs (same single-writer maintenance
-    posture as tiering). Returns {member: files_before} (0 = nothing
-    to do)."""
+    Safe to run concurrently with the streaming sink (r10): the sink
+    commits leaselessly, so ``snapshot_rewrite``'s conflict detection
+    guards the race — a micro-batch landing between this job's
+    snapshot read and its commit raises
+    ``ConcurrentMaintenanceError`` instead of being silently dropped
+    from the manifest, and the rewrite retries on fresh state. The
+    snapshot source is resolved INSIDE the write callback (i.e. after
+    the conflict baseline is captured), so an append in the
+    capture-to-read window surfaces as a conflict too, never as data
+    loss. Returns {member: files_before} (0 = nothing to do)."""
     from redis_lsm_timeseries_spark.commit import ManifestCommit
+    from redis_lsm_timeseries_spark.errors import (
+        ConcurrentMaintenanceError,
+    )
 
     commit = ManifestCommit()
     host = _host(spark, fs)
@@ -541,10 +551,10 @@ def compact_admission_index(
         if n <= target_files:
             done[name] = 0
             continue
-        cur = read_admission_table(spark, admission_path, name, fs)
         cols = cluster.get(name)
 
-        def write_snapshot(tmp, cur=cur, cols=cols):
+        def write_snapshot(tmp, name=name, cols=cols):
+            cur = read_admission_table(spark, admission_path, name, fs)
             w = (
                 cur.repartition(target_files, *cols)
                 .sortWithinPartitions(*cols)
@@ -553,7 +563,13 @@ def compact_admission_index(
             )
             w.write.mode("overwrite").parquet(tmp)
 
-        commit.snapshot_rewrite(host, path, write_snapshot)
+        for attempt in range(3):
+            try:
+                commit.snapshot_rewrite(host, path, write_snapshot)
+                break
+            except ConcurrentMaintenanceError:
+                if attempt == 2:
+                    raise
         done[name] = n
     if DIGESTS_MEMBER in members and commit.table_exists(
         host, f"{admission_path}/{DIGESTS_MEMBER}"

@@ -335,6 +335,55 @@ class TestIndexCompaction:
         admitted = _out_ids(spark, root)
         assert 10 not in admitted and 11 not in admitted
 
+    def test_concurrent_sink_append_survives_compaction(
+        self, spark, tmp_path
+    ):
+        """r10 conflict detection end-to-end: a micro-batch committing
+        (leaselessly) between the compaction's conflict-baseline
+        capture and its commit must never be dropped from the manifest
+        — the rewrite conflicts, retries on fresh state, and the
+        appended digest survives compacted."""
+        from redis_lsm_timeseries_spark.streaming import curation as C
+
+        root = str(tmp_path / "admission")
+        process = near_dup_admitting_batch(root)
+        process(_df(spark, [(1, WORDS)]), 0)
+        process(_df(spark, [(2, NOVEL)]), 1)
+
+        real_read = C.read_admission_table
+        state = {"injected": False}
+
+        def racing_read(spark_, path, member, fs=None):
+            # the first snapshot read of the digests member races a
+            # sink batch landing RIGHT after the baseline was captured
+            if member == DIGESTS_MEMBER and not state["injected"]:
+                state["injected"] = True
+                process(
+                    _df(
+                        spark,
+                        [(3, "an unrelated report on tidal energy "
+                             "projects along the estuary and the "
+                             "turbines installed there last spring")],
+                    ),
+                    2,
+                )
+            return real_read(spark_, path, member, fs)
+
+        C.read_admission_table = racing_read
+        try:
+            done = C.compact_admission_index(spark, root)
+        finally:
+            C.read_admission_table = real_read
+        assert done["digests"] >= 2
+        digests = read_admission_table(
+            spark, root, DIGESTS_MEMBER
+        ).count()
+        assert digests == 3  # the racing batch's digest survived
+        assert _out_ids(spark, root) == {1, 2, 3}
+        commit = ManifestCommit()
+        host = CommitHost(spark)
+        assert commit.table_file_count(host, f"{root}/digests") == 1
+
     def test_interrupted_compaction_is_invisible(self, spark, tmp_path):
         """Crash before the compaction's log entry: the table still
         reads from the pre-compaction manifest; the next compaction
