@@ -700,8 +700,22 @@ class ManifestCommit(ParquetLeaseCommit):
     #: versions are pruned log + collected files: unrecoverable.
     KEEP_LOG_ENTRIES = 10
 
+    #: deletion grace for UNREFERENCED files: a leaseless committer
+    #: (the streaming admission sink) has a window between moving its
+    #: staged files into ``data/`` and landing its log entry, and an
+    #: in-flight stage dir under ``_stage/`` — in both, its files are
+    #: physically present but referenced by no entry. Vacuum skips
+    #: unreferenced files/stage-dirs younger than this many seconds
+    #: (a later vacuum collects true orphans once they age out); a
+    #: commit slower than the grace window is outside the guarantee.
+    VACUUM_GRACE_S = 900.0
+
     def vacuum(
-        self, store, root: str, retain_versions: int | None = None
+        self,
+        store,
+        root: str,
+        retain_versions: int | None = None,
+        grace_s: float | None = None,
     ) -> int:
         """Prune the commit log to the newest ``retain_versions``
         entries (default ``KEEP_LOG_ENTRIES``), then delete every data
@@ -711,13 +725,19 @@ class ManifestCommit(ParquetLeaseCommit):
         the retention margin protecting in-flight readers of recent
         snapshots and backing time travel; ``retain_versions=1``
         collects everything but the live snapshot (the aggressive
-        reclaim for space-bound maintenance). Runs under the
-        maintenance lock (single vacuumer); returns the number of data
-        files removed."""
+        reclaim for space-bound maintenance). Unreferenced files
+        younger than ``grace_s`` (default ``VACUUM_GRACE_S``) are
+        SKIPPED — they may be a leaseless commit in flight (see the
+        class attribute); pass 0 to collect immediately when no
+        concurrent writer can exist. Runs under the maintenance lock
+        (single vacuumer); returns the number of data files removed."""
         retain = (
             self.KEEP_LOG_ENTRIES
             if retain_versions is None
             else max(1, int(retain_versions))
+        )
+        grace = (
+            self.VACUUM_GRACE_S if grace_s is None else max(0.0, grace_s)
         )
         resolved = self._resolve(store, root)
         if resolved is None or resolved[0] != root:
@@ -744,12 +764,25 @@ class ManifestCommit(ParquetLeaseCommit):
                 for m, fs_ in entry["tables"].items()
                 for f in fs_
             )
+
+        def _in_grace(path: str) -> bool:
+            if grace <= 0:
+                return False
+            age = store.fs.age_seconds(path)
+            return age is not None and age < grace
+
         for rel in self._walk_parquet(store, data_root):
             full = f"{data_root}/{rel}"
-            if full not in live:
+            if full not in live and not _in_grace(full):
                 store.fs.remove_file(full)
                 removed += 1
-        store.fs.remove_tree(f"{root}/{STAGE_DIR}")
+        stage_root = f"{root}/{STAGE_DIR}"
+        if store.fs.exists(stage_root):
+            for name in store.fs.listdir(stage_root):
+                child = f"{stage_root}/{name}"
+                if not _in_grace(child):
+                    store.fs.remove_tree(child)
+            store.fs.rmdir_if_empty(stage_root)
         self._prune_empty_dirs(store, data_root)
         return removed
 

@@ -107,6 +107,23 @@ class StorageFilesystem:
         except OSError:
             return None
 
+    def age_seconds(self, path: str) -> float | None:
+        """Seconds since the path was last modified; None if absent or
+        unknowable. ``ManifestCommit.vacuum`` treats an unreferenced
+        file younger than its grace window as possibly in-flight (a
+        leaseless committer between its stage/move and its log entry)
+        and skips it until a later vacuum. A remote implementation that
+        cannot answer should return None — vacuum then treats the file
+        as old (pre-grace behavior), so such deployments must fall
+        back to the run-maintenance-alone convention for leaseless
+        writers."""
+        try:
+            import time as _time
+
+            return max(0.0, _time.time() - os.stat(path).st_mtime)
+        except OSError:
+            return None
+
     def count_files_with_suffix(self, path: str, suffix: str) -> int:
         """Recursive count of data files under a table root (purge-log
         compaction's should-I-run check)."""

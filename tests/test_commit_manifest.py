@@ -122,8 +122,47 @@ class TestCrashWindows:
         finally:
             c._commit = real
         assert _read(mstore, path) == {("a", 1)}
-        removed = c.vacuum(mstore, path)
+        removed = c.vacuum(mstore, path, grace_s=0)
         assert removed >= 1  # the orphaned staged file
+        assert _read(mstore, path) == {("a", 1)}
+
+    def test_vacuum_grace_protects_inflight_leaseless_commit(
+        self, mstore
+    ):
+        """r10: a leaseless committer (the streaming admission sink)
+        has moved its staged files into data/ but not yet landed its
+        log entry — a concurrent vacuum must NOT collect those young
+        unreferenced files (they are a commit in flight, not orphans).
+        With the default grace they survive; grace_s=0 (the
+        no-concurrent-writer maintenance call) collects them."""
+        c, path = mstore.commit, _table(mstore)
+        c.append_rows(mstore, [("a", 1)], SCHEMA, path)
+        real = c._commit
+
+        def crash(store, root, mutate):
+            raise RuntimeError("killed between move and log entry")
+
+        c._commit = crash
+        try:
+            with pytest.raises(RuntimeError):
+                c.append_rows(mstore, [("b", 2)], SCHEMA, path)
+        finally:
+            c._commit = real
+
+        def n_physical():
+            return sum(
+                1
+                for _r, _d, files in os.walk(f"{path}/data")
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        before = n_physical()
+        assert before == 2  # committed + in-flight
+        assert c.vacuum(mstore, path) == 0  # default grace: untouched
+        assert n_physical() == before
+        assert c.vacuum(mstore, path, grace_s=0) >= 1
+        assert n_physical() == 1
         assert _read(mstore, path) == {("a", 1)}
 
     def test_repair_is_a_noop_on_manifest_tables(self, mstore):
@@ -173,7 +212,7 @@ class TestSnapshotIsolation:
         # time travel targets); aggressive retain_versions=1 reclaims
         # down to the live snapshot only
         assert n_physical() == 6
-        c.vacuum(mstore, path, retain_versions=1)
+        c.vacuum(mstore, path, retain_versions=1, grace_s=0)
         assert n_physical() == 1
         assert _read(mstore, path) == before
 
@@ -205,7 +244,7 @@ class TestPartitionOps:
         # physical file still on disk until an aggressive vacuum
         # (immutable data; default retention keeps it for readers of
         # the pre-drop snapshot), then collected
-        assert mstore.commit.vacuum(mstore, path, retain_versions=1) >= 1
+        assert mstore.commit.vacuum(mstore, path, retain_versions=1, grace_s=0) >= 1
         assert self._vals(mstore, path) == {("y", 2)}
 
     def test_preexisting_plain_directory_stays_directory_mode(
@@ -265,7 +304,7 @@ class TestAtomicMultiTableAppend:
             c._stage_in = real
         assert _read(mstore, f"{root}/out") == {("o", 1)}
         assert _read(mstore, f"{root}/idx") == set()
-        c.vacuum(mstore, root)
+        c.vacuum(mstore, root, grace_s=0)
         assert _read(mstore, f"{root}/out") == {("o", 1)}
 
     def test_parquet_backend_append_tables_is_ordered(
@@ -393,7 +432,7 @@ class TestTimeTravel:
         with pytest.raises(VersionNotFoundError, match="version 99"):
             c.read_table(mstore, path, SCHEMA, version=99)
         # aggressive vacuum prunes versions 0-1 past the horizon
-        c.vacuum(mstore, path, retain_versions=1)
+        c.vacuum(mstore, path, retain_versions=1, grace_s=0)
         with pytest.raises(VersionNotFoundError, match="version 0"):
             c.read_table(mstore, path, SCHEMA, version=0)
         assert c.table_versions(mstore, path) == [2]

@@ -440,6 +440,7 @@ class TestManifestOrphanCollection:
         # version (reader margin / time travel); shrink the horizon so
         # this test observes full collection
         store.commit.KEEP_LOG_ENTRIES = 1
+        store.commit.VACUUM_GRACE_S = 0
         compact(store)
         n_after = sum(
             1 for _r, _d, fs_ in os.walk(data_path)

@@ -409,6 +409,7 @@ class TestPurgeLogCompaction:
             # PHYSICAL collapse, so shrink the horizon to the live
             # snapshot only
             store.commit.KEEP_LOG_ENTRIES = 1
+            store.commit.VACUUM_GRACE_S = 0
         store.write(GAP_SERIAL, ingest_ts=T0)
         # Simulate 60 maintenance cycles' worth of appends directly
         # (each _append_log is one commit = one file, same as a cycle).
