@@ -103,8 +103,11 @@ def main() -> int:
         except Exception as exc:  # keep benching; report the failure
             failures[name] = f"{type(exc).__name__}: {exc}"[:300]
             log(f"{name}: FAILED {failures[name]}")
-            if draws:  # first draw succeeded — keep it
-                per_query[name] = round(min(draws), 3)
+            if draws:
+                # partial draws are DIAGNOSTIC only: a failed entry
+                # must not contribute a (single-draw) timing to
+                # queries/value under a min-of-2 protocol — failures
+                # wins, queries_draws keeps what was measured
                 query_draws[name] = [round(d, 3) for d in draws]
     total = time.perf_counter() - total_t0
 

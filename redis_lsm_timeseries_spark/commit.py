@@ -168,19 +168,57 @@ class ParquetLeaseCommit(TableCommit):
         expired holder exiting late cannot delete a stealer's fresh
         lease. A read-back/act window remains (this is a best-effort
         local-FS guard); a lakehouse deployment replaces the file with
-        the table format's optimistic commit. Reentrant per store
-        instance (``compact`` calls ``compact_purge_log``), and a
-        lease left by a crashed run of the SAME instance re-acquires
-        immediately."""
+        the table format's optimistic commit.
+
+        Reentrancy is PER THREAD (``compact`` calls
+        ``compact_purge_log`` on the same thread); a SECOND thread of
+        the same process/instance raises ``ConcurrentMaintenanceError``
+        instead of silently sharing the lease — the lease file cannot
+        arbitrate intra-process threads (same writer id, and the
+        crashed-same-writer re-acquire path would let the second
+        thread steal its sibling's lease), so an in-process
+        non-blocking ``threading.Lock`` does. A lease left by a
+        crashed run of the SAME writer id (a fresh process/instance)
+        still re-acquires immediately.
+
+        If the lease is STOLEN mid-operation (the operation outlived
+        ``ttl_s`` and another job took over), the exit raises
+        ``ConcurrentMaintenanceError`` after completing the body: the
+        violation cannot be prevented retroactively, but it must not
+        pass silently — the caller's writes may have raced the
+        stealer's and need verification/retry."""
         store._require_init()
-        depth = getattr(store, "_lease_depth", 0)
+        import threading
+
+        tls = getattr(store, "_lease_tls", None)
+        if tls is None:
+            tls = store._lease_tls = threading.local()
+        depth = getattr(tls, "depth", 0)
         if depth > 0:
-            store._lease_depth = depth + 1
+            tls.depth = depth + 1
             try:
                 yield
             finally:
-                store._lease_depth -= 1
+                tls.depth -= 1
             return
+        plock = getattr(store, "_lease_plock", None)
+        if plock is None:
+            plock = store._lease_plock = threading.Lock()
+        if not plock.acquire(blocking=False):
+            raise ConcurrentMaintenanceError(
+                "maintenance lease held by another thread of this "
+                "process for " + store.config.base_path
+            )
+        try:
+            yield from self._locked_file_lease(
+                store, tls, ttl_s=ttl_s, now_ms=now_ms
+            )
+        finally:
+            plock.release()
+
+    def _locked_file_lease(self, store, tls, ttl_s: float, now_ms):
+        """The lease-file protocol, entered with the in-process thread
+        lock already held (see ``maintenance_lock``)."""
         path = f"{store.config.base_path}/{LEASE_FILE}"
         if now_ms is None:
             now_ms = _now_ms()
@@ -229,13 +267,21 @@ class ParquetLeaseCommit(TableCommit):
             raise ConcurrentMaintenanceError(
                 "lost the lease-steal race for " + path
             )
-        store._lease_depth = 1
+        tls.depth = 1
+        stolen = False
         try:
             yield
+            stolen = not _held_by_me()
         finally:
-            store._lease_depth = 0
+            tls.depth = 0
             if _held_by_me():
                 store.fs.remove_file(path)
+        if stolen:
+            raise ConcurrentMaintenanceError(
+                f"maintenance lease for {path} was stolen mid-operation "
+                f"(held past ttl_s={ttl_s}); this job's writes may have "
+                "raced the stealer's — verify state and retry"
+            )
 
     def append_rows(self, store, rows, schema, path: str) -> None:
         """One appended file per call — the one-stream-entry-per-Lua-
@@ -753,11 +799,24 @@ class ManifestCommit(ParquetLeaseCommit):
         data_root = f"{root}/{DATA_DIR}"
         live: set[str] = set()
         for v in versions[-retain:]:
+            entry_path = f"{root}/{LOG_DIR}/{v:020d}.json"
             try:
-                entry = json.loads(
-                    store.fs.read_text(f"{root}/{LOG_DIR}/{v:020d}.json")
-                )
-            except Exception:
+                entry = json.loads(store.fs.read_text(entry_path))
+            except Exception as exc:
+                # A retained entry that cannot be read must ABORT the
+                # vacuum, not be skipped: skipping the NEWEST entry
+                # would drop every current file from `live` and delete
+                # the live table on a transient read error. The one
+                # benign case is an entry a CONCURRENT vacuum pruned
+                # between our listing and this read — then the file is
+                # now absent and its exclusive files are past that
+                # vacuum's horizon anyway.
+                if store.fs.exists(entry_path):
+                    raise ConcurrentMaintenanceError(
+                        f"vacuum aborted: retained log entry {entry_path}"
+                        f" is unreadable ({type(exc).__name__}: {exc}); "
+                        "refusing to treat its files as dead"
+                    ) from exc
                 continue
             live.update(
                 f"{self._member_root(root, m)}/{f}"
@@ -825,17 +884,22 @@ class ManifestCommit(ParquetLeaseCommit):
             # keeps files for every retained entry, so a resolvable
             # version is fully scannable; past the horizon the entry is
             # gone and the read errors by name rather than scanning a
-            # half-vacuumed file list.
+            # half-vacuumed file list. The read itself is try-guarded:
+            # a concurrent vacuum can prune the entry between the
+            # exists probe and the read, and the caller contract is the
+            # TYPED error, never a raw FileNotFoundError.
             entry_path = f"{root}/{LOG_DIR}/{version:020d}.json"
-            if not store.fs.exists(entry_path):
+            try:
+                tables = json.loads(store.fs.read_text(entry_path))[
+                    "tables"
+                ]
+            except Exception as exc:
                 avail = self.table_versions(store, path)
                 lo = f"{avail[0]}..{avail[-1]}" if avail else "none"
                 raise VersionNotFoundError(
                     f"version {version} of {path!r} is not retained "
-                    f"(vacuum keeps the newest {self.KEEP_LOG_ENTRIES} "
-                    f"by default; retained: {lo})"
-                )
-            tables = json.loads(store.fs.read_text(entry_path))["tables"]
+                    f"(vacuum prunes old snapshots; retained: {lo})"
+                ) from exc
         files = tables.get(member, [])
         if not files:
             if schema is not None:

@@ -575,6 +575,12 @@ def cascade_rollup(
             )
 
     with maintenance_lease(store):
+        # A previous cascade may have crashed between snapshot_rewrite's
+        # two renames (directory backend): complete or roll back FIRST,
+        # like every other rewrite caller — without this, the next
+        # rewrite's remove_tree(old) would delete the only surviving
+        # copy and then fail renaming the absent live dir.
+        store.commit.repair_interrupted_rewrite(store, dst_data)
         fine_df = read_rollup(store, src)
         coarse_bucket = (
             F.col("bucket_start")

@@ -294,9 +294,14 @@ class TimeseriesStore:
         the rewrite's scan) — serializing bulk loads against
         maintenance closes it, at the cost of
         ``ConcurrentMaintenanceError`` under contention (retry, or
-        schedule bulk loads off the maintenance window). The chatty
-        ``write()`` path needs no lease: it lands in L0, which
-        maintenance folds via the rename protocol, never overwrites."""
+        schedule bulk loads off the maintenance window). The lease TTL
+        is sized for a long bulk job (4 h — a load outliving the
+        default 15-min maintenance TTL would have its lease silently
+        stolen mid-append, reopening the window); if it is stolen
+        anyway, the lock's exit raises rather than succeeding
+        silently. The chatty ``write()`` path needs no lease: it lands
+        in L0, which maintenance folds via the rename protocol, never
+        overwrites."""
         self._require_init()
         self._require_l1_batch_writable()
         cols = set(df.columns)
@@ -324,7 +329,7 @@ class TimeseriesStore:
             out = out.repartition(
                 self.spark.sparkContext.defaultParallelism, "tag", "part_start"
             )
-        with self.commit.maintenance_lock(self):
+        with self.commit.maintenance_lock(self, ttl_s=4 * 3600.0):
             self._append_hot(out)
 
     def _append_hot(self, df: DataFrame) -> None:

@@ -394,6 +394,52 @@ class TestConcurrentWriters:
         assert versions == list(range(13))  # 1 seed + 12 racing commits
 
 
+class TestVacuumSafety:
+    def test_unreadable_retained_entry_aborts_instead_of_deleting(
+        self, mstore
+    ):
+        """r10 review: vacuum must never treat a retained entry's read
+        failure as 'no files live' — skipping the newest entry would
+        delete the live table. It aborts with the typed error and
+        removes nothing."""
+        c, path = mstore.commit, _table(mstore)
+        for i in range(3):
+            c.append_rows(mstore, [(f"k{i}", i)], SCHEMA, path)
+        logs = sorted(
+            f for f in os.listdir(f"{path}/{LOG_DIR}") if f.endswith(".json")
+        )
+        newest = f"{path}/{LOG_DIR}/{logs[-1]}"
+        with open(newest, "w") as fh:
+            fh.write("{corrupt json")
+
+        def n_physical():
+            return sum(
+                1
+                for _r, _d, files in os.walk(f"{path}/data")
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        before = n_physical()
+        with pytest.raises(ConcurrentMaintenanceError, match="unreadable"):
+            c.vacuum(mstore, path, retain_versions=1, grace_s=0)
+        assert n_physical() == before  # nothing deleted
+
+    def test_time_travel_read_race_raises_typed_error(self, mstore):
+        """An entry pruned (or corrupted) between the exists probe and
+        the read surfaces as VersionNotFoundError, never a raw
+        FileNotFoundError/JSONDecodeError."""
+        from redis_lsm_timeseries_spark.errors import VersionNotFoundError
+
+        c, path = mstore.commit, _table(mstore)
+        c.append_rows(mstore, [("a", 1)], SCHEMA, path)
+        c.append_rows(mstore, [("b", 2)], SCHEMA, path)
+        with open(f"{path}/{LOG_DIR}/{0:020d}.json", "w") as fh:
+            fh.write("{not json")
+        with pytest.raises(VersionNotFoundError):
+            c.read_table(mstore, path, SCHEMA, version=0)
+
+
 class TestTimeTravel:
     def test_each_retained_version_reads_exactly(self, mstore):
         """Three commits -> three snapshots; version=N resolves log

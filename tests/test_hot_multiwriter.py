@@ -177,6 +177,71 @@ class TestBulkLoadLease:
         assert b.read_all().count() == 1
 
 
+class TestThreadLevelLease:
+    def test_second_thread_of_same_store_is_rejected(self, spark, tmp_path):
+        """r10 review: lease reentrancy is per THREAD, not per
+        instance — a foreachBatch write_df on the stream thread must
+        not silently share the lease a main-thread compact holds on
+        the same store object (same writer id, so the lease FILE
+        cannot arbitrate; the in-process lock does)."""
+        a = _mk(spark, tmp_path)
+        a.write([("t", 1, "v")], ingest_ts=T0)
+        results: list = []
+
+        def other_thread():
+            try:
+                with a.commit.maintenance_lock(a):
+                    results.append("acquired")
+            except ConcurrentMaintenanceError:
+                results.append("rejected")
+
+        with maintenance_lease(a):
+            t = threading.Thread(target=other_thread)
+            t.start()
+            t.join()
+        assert results == ["rejected"]
+        # and after release the same thread-call succeeds
+        t2 = threading.Thread(target=other_thread)
+        t2.start()
+        t2.join()
+        assert results[-1] == "acquired"
+
+    def test_same_thread_reentrancy_still_nests(self, spark, tmp_path):
+        a = _mk(spark, tmp_path)
+        a.write([("t", 1, "old"), ("t", 1, "new")], ingest_ts=T0)
+        with maintenance_lease(a):
+            compact(a)  # nested acquisitions on the same thread
+        assert a.read_all().count() == 1
+
+    def test_steal_mid_operation_raises_on_exit(self, spark, tmp_path):
+        """A lease stolen while the operation runs (TTL outlived) must
+        not pass silently: the writes may have raced the stealer's."""
+        import json
+
+        a = _mk(spark, tmp_path)
+        a.write([("t", 1, "v")], ingest_ts=T0)
+        lease_path = f"{a.config.base_path}/_maintenance_lease"
+        with pytest.raises(ConcurrentMaintenanceError, match="stolen"):
+            with a.commit.maintenance_lock(a):
+                # a stealer replaces the lease under us
+                a.fs.write_text(
+                    lease_path,
+                    json.dumps(
+                        {
+                            "holder": "stealer",
+                            "nonce": "x",
+                            "expires_ms": 10**15,
+                        }
+                    ),
+                )
+        # the stealer's lease was NOT deleted by our exit
+        import json as _json
+
+        cur = _json.loads(a.fs.read_text(lease_path))
+        assert cur["holder"] == "stealer"
+        a.fs.remove_file(lease_path)
+
+
 class TestFileSinkExclusivity:
     @pytest.fixture()
     def sink_store(self, spark, tmp_path):

@@ -129,6 +129,38 @@ class TestCascade:
         for k in want:
             assert got[k].n == want[k].n
 
+    def test_interrupted_rewrite_recovers(self, store):
+        """r10 review: a cascade that crashed between the directory
+        backend's two renames (live dir absent, copy at .compact-old)
+        must be repaired by the next cascade, not destroyed by its
+        remove_tree(old)."""
+        from redis_lsm_timeseries_spark.commit import ManifestCommit
+
+        if isinstance(store.commit, ManifestCommit):
+            pytest.skip("manifest commits atomically — no rename swap")
+        _seed(store)
+        refresh_rollup(store, "fine", FINE, with_sketch=True)
+        cascade_rollup(store, "fine", "coarse", COARSE)
+        before = {
+            (r.tag, r.bucket_start, r.n)
+            for r in read_rollup(store, "coarse").collect()
+        }
+        data = f"{store.config.base_path}/rollups/coarse/data"
+        # simulate the crash window: live promoted to old, nothing live
+        store.fs.rename(data, data + ".compact-old")
+        # reads fall back to the old copy meanwhile
+        assert {
+            (r.tag, r.bucket_start, r.n)
+            for r in read_rollup(store, "coarse").collect()
+        } == before
+        m = cascade_rollup(store, "fine", "coarse", COARSE)
+        assert m.buckets_refreshed == len(before)
+        assert {
+            (r.tag, r.bucket_start, r.n)
+            for r in read_rollup(store, "coarse").collect()
+        } == before
+        assert not store.fs.exists(data + ".compact-old")
+
     def test_validation(self, store):
         _seed(store)
         refresh_rollup(store, "plain", FINE)  # no sketches
