@@ -46,10 +46,18 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
+import threading
+
 from redis_lsm_timeseries_spark.errors import (
     ConcurrentMaintenanceError,
+    RewriteConflictError,
     VersionNotFoundError,
 )
+
+#: guards the one-time lazy creation of a host's in-process lease
+#: primitives (check-then-set on the host attribute would otherwise be
+#: the very first-acquisition race the thread lock exists to prevent)
+_LEASE_SETUP_LOCK = threading.Lock()
 
 LEASE_FILE = "_maintenance_lease"
 TMP_SUFFIX = ".compact-tmp"
@@ -181,18 +189,32 @@ class ParquetLeaseCommit(TableCommit):
         crashed run of the SAME writer id (a fresh process/instance)
         still re-acquires immediately.
 
-        If the lease is STOLEN mid-operation (the operation outlived
-        ``ttl_s`` and another job took over), the exit raises
-        ``ConcurrentMaintenanceError`` after completing the body: the
-        violation cannot be prevented retroactively, but it must not
-        pass silently — the caller's writes may have raced the
-        stealer's and need verification/retry."""
-        store._require_init()
-        import threading
+        While held, a daemon HEARTBEAT re-extends ``expires_ms`` every
+        ``ttl_s / 3`` (real clock, nonce-guarded), so an operation
+        longer than the TTL — a multi-hour bulk ``write_df`` — keeps
+        its lease without inflating the crash-recovery horizon: a dead
+        holder stops renewing and expires within one ``ttl_s``. The
+        heartbeat also covers NESTED acquisitions (an outer
+        maintenance lease around a long bulk load renews itself), so
+        the reentrant fast path can ignore the inner call's ``ttl_s``.
 
+        If the lease is STOLEN mid-operation anyway (e.g. the process
+        was suspended past the TTL between heartbeats), the exit
+        raises ``ConcurrentMaintenanceError`` after completing the
+        body: the violation cannot be prevented retroactively, but it
+        must not pass silently — the caller's writes may have raced
+        the stealer's and need verification/retry."""
+        store._require_init()
         tls = getattr(store, "_lease_tls", None)
-        if tls is None:
-            tls = store._lease_tls = threading.local()
+        plock = getattr(store, "_lease_plock", None)
+        if tls is None or plock is None:
+            with _LEASE_SETUP_LOCK:
+                tls = getattr(store, "_lease_tls", None)
+                if tls is None:
+                    tls = store._lease_tls = threading.local()
+                plock = getattr(store, "_lease_plock", None)
+                if plock is None:
+                    plock = store._lease_plock = threading.Lock()
         depth = getattr(tls, "depth", 0)
         if depth > 0:
             tls.depth = depth + 1
@@ -201,9 +223,6 @@ class ParquetLeaseCommit(TableCommit):
             finally:
                 tls.depth -= 1
             return
-        plock = getattr(store, "_lease_plock", None)
-        if plock is None:
-            plock = store._lease_plock = threading.Lock()
         if not plock.acquire(blocking=False):
             raise ConcurrentMaintenanceError(
                 "maintenance lease held by another thread of this "
@@ -267,12 +286,43 @@ class ParquetLeaseCommit(TableCommit):
             raise ConcurrentMaintenanceError(
                 "lost the lease-steal race for " + path
             )
+
+        # Heartbeat: extend expires_ms at ttl/3 cadence while held
+        # (real clock — a caller-supplied fake now_ms only shapes the
+        # ACQUISITION decision). Best-effort and nonce-guarded: if the
+        # lease was stolen, renewal stops touching it and the exit
+        # check reports the violation.
+        import threading as _threading
+
+        stop_renewal = _threading.Event()
+
+        def _renew():
+            while not stop_renewal.wait(max(1.0, ttl_s / 3.0)):
+                try:
+                    if _held_by_me():
+                        store.fs.write_text(
+                            path,
+                            json.dumps(
+                                {
+                                    "holder": store.writer_id,
+                                    "nonce": nonce,
+                                    "expires_ms": _now_ms()
+                                    + int(ttl_s * 1000),
+                                }
+                            ),
+                        )
+                except Exception:
+                    pass  # next beat retries; exit check is the backstop
+
+        renewer = _threading.Thread(target=_renew, daemon=True)
+        renewer.start()
         tls.depth = 1
         stolen = False
         try:
             yield
             stolen = not _held_by_me()
         finally:
+            stop_renewal.set()
             tls.depth = 0
             if _held_by_me():
                 store.fs.remove_file(path)
@@ -721,7 +771,7 @@ class ManifestCommit(ParquetLeaseCommit):
 
         def mutate(tables):
             if list(tables.get(member, [])) != base:
-                raise ConcurrentMaintenanceError(
+                raise RewriteConflictError(
                     f"snapshot_rewrite of {path!r} conflicts with a "
                     "concurrent commit to the same member; retry the "
                     "rewrite on fresh state"
@@ -896,6 +946,15 @@ class ManifestCommit(ParquetLeaseCommit):
             except Exception as exc:
                 avail = self.table_versions(store, path)
                 lo = f"{avail[0]}..{avail[-1]}" if avail else "none"
+                if store.fs.exists(entry_path):
+                    # present but unreadable: corruption / IO error,
+                    # NOT retention pruning — say so (vacuum treats
+                    # the identical condition as fatal)
+                    raise VersionNotFoundError(
+                        f"version {version} of {path!r} exists but its "
+                        f"log entry is unreadable "
+                        f"({type(exc).__name__}: {exc})"
+                    ) from exc
                 raise VersionNotFoundError(
                     f"version {version} of {path!r} is not retained "
                     f"(vacuum prunes old snapshots; retained: {lo})"

@@ -61,3 +61,13 @@ class SinkManagedHotTierError(EngineError):
     files. Batch L1 mutators refuse instead. Use
     ``start_hot_ingest_with_maintenance`` (foreachBatch -> ``write_df``)
     for a stream that must coexist with batch writes and maintenance."""
+
+
+class RewriteConflictError(ConcurrentMaintenanceError):
+    """A snapshot rewrite detected that a concurrent commit changed the
+    member it was about to replace (``ManifestCommit.snapshot_rewrite``
+    captures the file list before reading its source and refuses to
+    land on different state). RETRYABLE by re-running the whole rewrite
+    on fresh state — unlike its parent, which also covers
+    non-retryable conditions (lease contention, exhausted CAS races,
+    unreadable retained log entries)."""

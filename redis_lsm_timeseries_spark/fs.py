@@ -108,19 +108,27 @@ class StorageFilesystem:
             return None
 
     def age_seconds(self, path: str) -> float | None:
-        """Seconds since the path was last modified; None if absent or
+        """Seconds since the path's last ACTIVITY; None if absent or
         unknowable. ``ManifestCommit.vacuum`` treats an unreferenced
         file younger than its grace window as possibly in-flight (a
         leaseless committer between its stage/move and its log entry)
-        and skips it until a later vacuum. A remote implementation that
-        cannot answer should return None — vacuum then treats the file
-        as old (pre-grace behavior), so such deployments must fall
-        back to the run-maintenance-alone convention for leaseless
-        writers."""
+        and skips it until a later vacuum.
+
+        Activity = max(mtime, ctime), not mtime alone: a rename
+        preserves mtime but bumps ctime (inode change), so a file whose
+        Spark stage WRITE outlived the grace window still re-enters it
+        the moment ``_stage_in`` moves it into ``data/`` — the
+        move-to-log-entry window is exactly what the grace protects.
+
+        A remote implementation that cannot answer should return None —
+        vacuum then treats the file as old (pre-grace behavior), so
+        such deployments must fall back to the run-maintenance-alone
+        convention for leaseless writers."""
         try:
             import time as _time
 
-            return max(0.0, _time.time() - os.stat(path).st_mtime)
+            st = os.stat(path)
+            return max(0.0, _time.time() - max(st.st_mtime, st.st_ctime))
         except OSError:
             return None
 

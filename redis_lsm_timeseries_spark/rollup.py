@@ -278,6 +278,16 @@ def _refresh_locked(
         return RollupMetrics(n_buckets, n_tags, new_watermark)
 
     meta = _load_meta(store, meta_path, name)
+    if meta.get("cascade_of") is not None:
+        # A cascade target is DERIVED from its source rollup; a base-
+        # data refresh would silently mix exact countDistinct buckets
+        # into an HLL-estimated table and strip the cascade_of marker,
+        # breaking every later cascade_rollup call.
+        raise ValidationError(
+            f"rollup {name!r} is a cascade of {meta['cascade_of']!r}; "
+            "refresh the source and re-run cascade_rollup instead of "
+            "refreshing the cascade from base data"
+        )
     if meta["step"] != step:
         raise ValidationError(
             f"rollup {name!r} was created with step={meta['step']}, "

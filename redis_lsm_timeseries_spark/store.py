@@ -119,6 +119,14 @@ class TimeseriesStore:
         # subdirectory bumps none of the watched mtimes; call
         # invalidate_hot_cache() after such writes.
         self._hot_cache: tuple[tuple, DataFrame] | None = None
+        # In-process lease primitives, created EAGERLY so the first
+        # concurrent maintenance_lock acquisitions never race a lazy
+        # check-then-set (commit.py keeps a module-lock fallback for
+        # hosts that skip this).
+        import threading
+
+        self._lease_tls = threading.local()
+        self._lease_plock = threading.Lock()
 
     def invalidate_hot_cache(self) -> None:
         """Drop the cached hot-table handle so the next read re-lists
@@ -294,11 +302,11 @@ class TimeseriesStore:
         the rewrite's scan) — serializing bulk loads against
         maintenance closes it, at the cost of
         ``ConcurrentMaintenanceError`` under contention (retry, or
-        schedule bulk loads off the maintenance window). The lease TTL
-        is sized for a long bulk job (4 h — a load outliving the
-        default 15-min maintenance TTL would have its lease silently
-        stolen mid-append, reopening the window); if it is stolen
-        anyway, the lock's exit raises rather than succeeding
+        schedule bulk loads off the maintenance window). A load longer
+        than the lease TTL is covered by the lock's heartbeat (the
+        holder re-extends expires_ms while alive, so a crashed load
+        still frees the namespace within one TTL); if the lease is
+        stolen anyway, the lock's exit raises rather than succeeding
         silently. The chatty ``write()`` path needs no lease: it lands
         in L0, which maintenance folds via the rename protocol, never
         overwrites."""
@@ -329,7 +337,7 @@ class TimeseriesStore:
             out = out.repartition(
                 self.spark.sparkContext.defaultParallelism, "tag", "part_start"
             )
-        with self.commit.maintenance_lock(self, ttl_s=4 * 3600.0):
+        with self.commit.maintenance_lock(self):
             self._append_hot(out)
 
     def _append_hot(self, df: DataFrame) -> None:

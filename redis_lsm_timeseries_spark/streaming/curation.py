@@ -536,9 +536,7 @@ def compact_admission_index(
     capture-to-read window surfaces as a conflict too, never as data
     loss. Returns {member: files_before} (0 = nothing to do)."""
     from redis_lsm_timeseries_spark.commit import ManifestCommit
-    from redis_lsm_timeseries_spark.errors import (
-        ConcurrentMaintenanceError,
-    )
+    from redis_lsm_timeseries_spark.errors import RewriteConflictError
 
     commit = ManifestCommit()
     host = _host(spark, fs)
@@ -563,11 +561,16 @@ def compact_admission_index(
             )
             w.write.mode("overwrite").parquet(tmp)
 
+        # retry ONLY the typed rewrite conflict (a batch landed between
+        # our snapshot read and commit) — other maintenance errors
+        # (lease contention, exhausted CAS races, a vacuum abort on an
+        # unreadable retained entry) are not fixed by re-staging a full
+        # snapshot and would just orphan more files per attempt
         for attempt in range(3):
             try:
                 commit.snapshot_rewrite(host, path, write_snapshot)
                 break
-            except ConcurrentMaintenanceError:
+            except RewriteConflictError:
                 if attempt == 2:
                     raise
         done[name] = n

@@ -213,6 +213,25 @@ class TestThreadLevelLease:
             compact(a)  # nested acquisitions on the same thread
         assert a.read_all().count() == 1
 
+    def test_heartbeat_extends_lease_during_long_operations(
+        self, spark, tmp_path
+    ):
+        """r10 review: a holder outliving its TTL keeps the lease via
+        the nonce-guarded heartbeat (expires_ms re-extends while
+        alive) — long bulk loads stay protected without inflating the
+        crash-recovery horizon (a dead holder stops renewing)."""
+        import json, time
+
+        a = _mk(spark, tmp_path)
+        a.write([("t", 1, "v")], ingest_ts=T0)
+        lease_path = f"{a.config.base_path}/_maintenance_lease"
+        with a.commit.maintenance_lock(a, ttl_s=1.5):
+            first = json.loads(a.fs.read_text(lease_path))["expires_ms"]
+            time.sleep(1.4)  # past one heartbeat interval (ttl/3 -> 1s)
+            renewed = json.loads(a.fs.read_text(lease_path))["expires_ms"]
+            assert renewed > first
+        assert not a.fs.exists(lease_path)  # clean release, no raise
+
     def test_steal_mid_operation_raises_on_exit(self, spark, tmp_path):
         """A lease stolen while the operation runs (TTL outlived) must
         not pass silently: the writes may have raced the stealer's."""

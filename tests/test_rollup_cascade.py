@@ -179,3 +179,10 @@ class TestCascade:
         # re-targeting an existing cascade with different params raises
         with pytest.raises(ValidationError, match="exists"):
             cascade_rollup(store, "fine", "c", COARSE * 2)
+        # r10 review: a base-data refresh of a cascade target would mix
+        # exact distincts into the HLL-estimated table and strip
+        # cascade_of — it refuses
+        with pytest.raises(ValidationError, match="cascade"):
+            refresh_rollup(store, "c", COARSE, with_sketch=True)
+        # and the cascade still works afterwards
+        cascade_rollup(store, "fine", "c", COARSE)
