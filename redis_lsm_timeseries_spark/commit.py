@@ -292,9 +292,7 @@ class ParquetLeaseCommit(TableCommit):
         # ACQUISITION decision). Best-effort and nonce-guarded: if the
         # lease was stolen, renewal stops touching it and the exit
         # check reports the violation.
-        import threading as _threading
-
-        stop_renewal = _threading.Event()
+        stop_renewal = threading.Event()
 
         def _renew():
             while not stop_renewal.wait(max(1.0, ttl_s / 3.0)):
@@ -314,7 +312,7 @@ class ParquetLeaseCommit(TableCommit):
                 except Exception:
                     pass  # next beat retries; exit check is the backstop
 
-        renewer = _threading.Thread(target=_renew, daemon=True)
+        renewer = threading.Thread(target=_renew, daemon=True)
         renewer.start()
         tls.depth = 1
         stolen = False
