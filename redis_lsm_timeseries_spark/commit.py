@@ -156,6 +156,11 @@ class ParquetLeaseCommit(TableCommit):
     directory-level commit idioms. See the module docstring for the
     lakehouse drop-in mapping."""
 
+    #: minimum heartbeat cadence (seconds). Production floor of 1 s
+    #: keeps the daemon cheap; tests shrink it to run the renewer hot
+    #: against the release path (the resurrection-race stress).
+    HEARTBEAT_FLOOR_S = 1.0
+
     @contextmanager
     def maintenance_lock(
         self, store, ttl_s: float = 900.0, now_ms: int | None = None
@@ -293,22 +298,34 @@ class ParquetLeaseCommit(TableCommit):
         # lease was stolen, renewal stops touching it and the exit
         # check reports the violation.
         stop_renewal = threading.Event()
+        # Serializes the renewer's {check, write} against the exit
+        # path's {set, check, remove}: without it the renewer can pass
+        # _held_by_me() just as the holder releases, then write_text
+        # resurrects the removed lease file with a fresh expires_ms,
+        # blocking other writers for up to ttl_s. Both sides are
+        # in-process, so a plain mutex closes the window exactly.
+        renew_mutex = threading.Lock()
 
         def _renew():
-            while not stop_renewal.wait(max(1.0, ttl_s / 3.0)):
+            while not stop_renewal.wait(
+                max(self.HEARTBEAT_FLOOR_S, ttl_s / 3.0)
+            ):
                 try:
-                    if _held_by_me():
-                        store.fs.write_text(
-                            path,
-                            json.dumps(
-                                {
-                                    "holder": store.writer_id,
-                                    "nonce": nonce,
-                                    "expires_ms": _now_ms()
-                                    + int(ttl_s * 1000),
-                                }
-                            ),
-                        )
+                    with renew_mutex:
+                        if stop_renewal.is_set():
+                            return
+                        if _held_by_me():
+                            store.fs.write_text(
+                                path,
+                                json.dumps(
+                                    {
+                                        "holder": store.writer_id,
+                                        "nonce": nonce,
+                                        "expires_ms": _now_ms()
+                                        + int(ttl_s * 1000),
+                                    }
+                                ),
+                            )
                 except Exception:
                     pass  # next beat retries; exit check is the backstop
 
@@ -320,10 +337,11 @@ class ParquetLeaseCommit(TableCommit):
             yield
             stolen = not _held_by_me()
         finally:
-            stop_renewal.set()
-            tls.depth = 0
-            if _held_by_me():
-                store.fs.remove_file(path)
+            with renew_mutex:
+                stop_renewal.set()
+                tls.depth = 0
+                if _held_by_me():
+                    store.fs.remove_file(path)
         if stolen:
             raise ConcurrentMaintenanceError(
                 f"maintenance lease for {path} was stolen mid-operation "
@@ -841,11 +859,15 @@ class ManifestCommit(ParquetLeaseCommit):
             for name in store.fs.listdir(f"{root}/{LOG_DIR}")
             if name.endswith(".json") and name[:-5].isdigit()
         )
-        for v in versions[:-retain]:
-            store.fs.remove_file(f"{root}/{LOG_DIR}/{v:020d}.json")
         removed = 0
         data_root = f"{root}/{DATA_DIR}"
         live: set[str] = set()
+        # Read-validate EVERY retained entry before pruning anything:
+        # if a retained entry (worst case the newest manifest) is
+        # corrupt, the abort below must leave the older, still-readable
+        # snapshot entries on disk — they are the only recovery /
+        # time-travel fallback for a table whose current manifest is
+        # unreadable. Prune-first would destroy them before noticing.
         for v in versions[-retain:]:
             entry_path = f"{root}/{LOG_DIR}/{v:020d}.json"
             try:
@@ -871,12 +893,38 @@ class ManifestCommit(ParquetLeaseCommit):
                 for m, fs_ in entry["tables"].items()
                 for f in fs_
             )
+        # Every retained entry parsed — only now is it safe to drop
+        # the older log history.
+        for v in versions[:-retain]:
+            store.fs.remove_file(f"{root}/{LOG_DIR}/{v:020d}.json")
 
         def _in_grace(path: str) -> bool:
             if grace <= 0:
                 return False
             age = store.fs.age_seconds(path)
             return age is not None and age < grace
+
+        def _stage_in_grace(path: str) -> bool:
+            # A Spark stage writing DEEPER than the token dir (e.g.
+            # _temporary subtrees) does not refresh the token dir's
+            # own mtime, so judge the stage by its NEWEST content: the
+            # minimum age across the dir and everything under it. A
+            # stage still being written always has a recent file.
+            if grace <= 0:
+                return False
+            ages = [store.fs.age_seconds(path)]
+            stack = [path]
+            while stack:
+                cur = stack.pop()
+                if not store.fs.is_dir(cur):
+                    continue
+                for name in store.fs.listdir(cur):
+                    child = f"{cur}/{name}"
+                    ages.append(store.fs.age_seconds(child))
+                    if store.fs.is_dir(child):
+                        stack.append(child)
+            known = [a for a in ages if a is not None]
+            return bool(known) and min(known) < grace
 
         for rel in self._walk_parquet(store, data_root):
             full = f"{data_root}/{rel}"
@@ -887,7 +935,7 @@ class ManifestCommit(ParquetLeaseCommit):
         if store.fs.exists(stage_root):
             for name in store.fs.listdir(stage_root):
                 child = f"{stage_root}/{name}"
-                if not _in_grace(child):
+                if not _stage_in_grace(child):
                     store.fs.remove_tree(child)
             store.fs.rmdir_if_empty(stage_root)
         self._prune_empty_dirs(store, data_root)

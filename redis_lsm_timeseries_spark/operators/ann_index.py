@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from redis_lsm_timeseries_spark.commit import CommitHost, ManifestCommit
+from redis_lsm_timeseries_spark.errors import ValidationError
 from redis_lsm_timeseries_spark.operators.similarity import (
     _unit_rows,
     assign_lists_join,
@@ -69,6 +70,15 @@ def build_ivf_index(
     that resolved the previous generation keeps scanning its retained
     files. Returns {n_list, n_vectors, version}."""
     spark = corpus.sparkSession
+    if corpus.limit(1).count() == 0:
+        # Fail the validatable precondition with a typed error instead
+        # of committing an empty vectors member whose schema-less
+        # read-back raises a raw FileNotFoundError (and before
+        # train_ivf_centroids would seed zero centroids).
+        raise ValidationError(
+            f"build_ivf_index: corpus for {index_path!r} is empty — "
+            "an IVF index needs at least one vector to train on"
+        )
     centroids = train_ivf_centroids(
         corpus, n_list=n_list, iters=iters, id_col=id_col, vec_col=vec_col
     )

@@ -31,6 +31,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from redis_lsm_timeseries_spark.errors import ConcurrentMaintenanceError
 from redis_lsm_timeseries_spark.schema import SAMPLE_SCHEMA, WRITE_SCHEMA
 from redis_lsm_timeseries_spark.store import TimeseriesStore
 
@@ -178,7 +179,20 @@ def make_maintenance_batch_handler(
                 F.struct(*[f.name for f in SAMPLE_SCHEMA.fields]), F.col("seq")
             ).alias("m")
         ).select("m.*")
-        store.write_df(collapsed, cluster_by_partition=False)
+        # write_df takes the maintenance lease per micro-batch; another
+        # lease holder (a concurrent compact, a bulk load) would
+        # otherwise turn transient contention into a terminated
+        # streaming query. Bounded retry with backoff; the terminal
+        # raise is safe because micro-batch replay is idempotent (the
+        # content-hash seq makes a re-run byte-identical).
+        for attempt in range(3):
+            try:
+                store.write_df(collapsed, cluster_by_partition=False)
+                break
+            except ConcurrentMaintenanceError:
+                if attempt == 2:
+                    raise
+                time.sleep(0.5 * (attempt + 1))
         if batch_id % maintenance_every == 0:
             marks = purge_scan(
                 store,

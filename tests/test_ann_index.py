@@ -173,3 +173,19 @@ class TestRebuild:
         assert len(old_cents) == 4
         new_cents = c.read_table(host, f"{path}/{CENTROIDS_MEMBER}")
         assert new_cents.count() == N_LIST
+
+
+class TestEmptyCorpus:
+    def test_build_on_empty_corpus_raises_typed_error(
+        self, spark, emb, tmp_path
+    ):
+        """ADVICE r10: an empty corpus used to commit an empty vectors
+        member whose read-back raised a raw FileNotFoundError; the
+        precondition now fails fast with a typed ValidationError."""
+        from redis_lsm_timeseries_spark.errors import ValidationError
+
+        path = str(tmp_path / "ivf-empty")
+        with pytest.raises(ValidationError, match="empty"):
+            build_ivf_index(emb.limit(0), path, n_list=N_LIST)
+        # nothing half-committed on disk
+        assert not os.path.exists(f"{path}/{LOG_DIR}")

@@ -625,3 +625,70 @@ class TestWriteTargetEdges:
             ).collect()
         }
         assert got == {("x", 1), ("y", 20), ("z", 9)}
+
+
+class TestRound11VacuumHardening:
+    """ADVICE r10: vacuum ordering + stage-dir grace anchoring."""
+
+    def test_vacuum_abort_preserves_older_log_history(self, mstore):
+        """When a retained entry (worst case: the newest manifest) is
+        corrupt, the abort must leave the OLDER, still-readable
+        snapshot entries on disk — pruning them first would destroy
+        the only recovery / time-travel fallback for a table whose
+        current manifest is unreadable."""
+        c, path = mstore.commit, _table(mstore)
+        for i in range(3):
+            c.append_rows(mstore, [(f"k{i}", i)], SCHEMA, path)
+        logs = sorted(
+            f for f in os.listdir(f"{path}/{LOG_DIR}") if f.endswith(".json")
+        )
+        assert [int(f[:-5]) for f in logs] == [0, 1, 2]
+        with open(f"{path}/{LOG_DIR}/{logs[-1]}", "w") as fh:
+            fh.write("{corrupt json")
+        with pytest.raises(ConcurrentMaintenanceError, match="unreadable"):
+            c.vacuum(mstore, path, retain_versions=1, grace_s=0)
+        survivors = sorted(
+            f for f in os.listdir(f"{path}/{LOG_DIR}") if f.endswith(".json")
+        )
+        # versions 0 and 1 survive the abort — recovery stays possible
+        assert [int(f[:-5]) for f in survivors] == [0, 1, 2]
+        got = {
+            (r.k, r.v)
+            for r in c.read_table(mstore, path, SCHEMA, version=1).collect()
+        }
+        assert got == {("k0", 0), ("k1", 1)}
+
+    def test_stage_dir_grace_judged_by_newest_content(
+        self, mstore, monkeypatch
+    ):
+        """A Spark stage writing DEEPER than the stage token dir (e.g.
+        a _temporary subtree) does not refresh the token dir's own
+        mtime — the grace check must anchor on the NEWEST file within
+        the tree, so a long-running stage with fresh deep output is
+        never collected mid-write."""
+        c, path = mstore.commit, _table(mstore)
+        c.append_rows(mstore, [("a", 1)], SCHEMA, path)
+        stage = f"{path}/_stage/tok-longstage"
+        deep = f"{stage}/_temporary/0"
+        os.makedirs(deep)
+        deep_file = f"{deep}/part-000.parquet"
+        with open(deep_file, "wb") as fh:
+            fh.write(b"in-flight")
+        ages = {stage: 7200.0, f"{stage}/_temporary": 7200.0, deep: 7200.0}
+        real_age = type(mstore.fs).age_seconds
+
+        def fake_age(self, p):
+            if p in ages:
+                return ages[p]
+            if p == deep_file:
+                return ages.get(deep_file, 3.0)
+            return real_age(self, p)
+
+        monkeypatch.setattr(type(mstore.fs), "age_seconds", fake_age)
+        # stale dirs, FRESH deep file: the stage is alive -> kept
+        c.vacuum(mstore, path, grace_s=900.0)
+        assert os.path.exists(deep_file)
+        # everything in the tree aged out -> a true orphan, collected
+        ages[deep_file] = 7200.0
+        c.vacuum(mstore, path, grace_s=900.0)
+        assert not os.path.exists(stage)

@@ -322,3 +322,29 @@ class TestFileSinkExclusivity:
         # ... but folding it into the sink-owned L1 refuses
         with pytest.raises(SinkManagedHotTierError):
             s.flush_l0()
+
+
+class TestLeaseReleaseRace:
+    def test_release_never_resurrects_lease(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """ADVICE r10: the renewer thread passing _held_by_me() just as
+        the holder releases must not recreate the removed lease file
+        with a fresh expires_ms (which would block other writers for a
+        full TTL). The renew/release mutex closes the interleave; this
+        stress runs the heartbeat hot against rapid acquire/release
+        cycles and asserts the lease never survives a release."""
+        import time
+
+        a = _mk(spark, tmp_path)
+        a.write([("t", 1, "v")], ingest_ts=T0)
+        lease_path = f"{a.config.base_path}/_maintenance_lease"
+        monkeypatch.setattr(
+            type(a.commit), "HEARTBEAT_FLOOR_S", 0.001
+        )
+        for _ in range(40):
+            with a.commit.maintenance_lock(a, ttl_s=0.02):
+                time.sleep(0.003)  # let at least one heartbeat fire
+            assert not a.fs.exists(lease_path)
+            time.sleep(0.005)  # a straggler beat would resurrect here
+            assert not a.fs.exists(lease_path)

@@ -354,3 +354,45 @@ class TestColdArchiveSink:
 
         dirs = {d for d in _os.listdir(out_dir) if d.startswith("file=")}
         assert dirs == {"file=GapTag-0", "file=GapTag-10"}
+
+
+class TestIngestLeaseContention:
+    def test_transient_lease_contention_retries_not_fails(
+        self, spark, store, stream_dirs, monkeypatch
+    ):
+        """ADVICE r10: write_df takes the maintenance lease per
+        micro-batch, so a foreachBatch append racing another lease
+        holder used to terminate the streaming query on first
+        contention. The handler now retries a bounded number of times
+        before surfacing the error."""
+        from redis_lsm_timeseries_spark.errors import (
+            ConcurrentMaintenanceError,
+        )
+        from redis_lsm_timeseries_spark.streaming.ingest import (
+            make_maintenance_batch_handler,
+        )
+
+        _, ckpt = stream_dirs
+        handler = make_maintenance_batch_handler(
+            store, ckpt, partition_age_threshold_s=3600.0
+        )
+        real = store.write_df
+        calls = {"n": 0}
+
+        def flaky(df, **kw):
+            calls["n"] += 1
+            if calls["n"] <= 2:
+                raise ConcurrentMaintenanceError("lease held by other")
+            return real(df, **kw)
+
+        monkeypatch.setattr(store, "write_df", flaky)
+        batch = spark.createDataFrame(
+            [("T", 1, "a"), ("T", 2, "b")], WRITE_SCHEMA
+        )
+        handler(batch, 0)  # two transient failures, third attempt lands
+        assert calls["n"] == 3
+        assert store.hot().count() == 2
+
+        calls["n"] = -10_000  # every attempt fails -> bounded raise
+        with pytest.raises(ConcurrentMaintenanceError):
+            handler(batch, 1)
