@@ -114,6 +114,21 @@ class TableCommit:
         history)."""
         raise NotImplementedError
 
+    def read_table_pruned(
+        self,
+        store,
+        path: str,
+        schema=None,
+        predicates: dict | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """``read_table`` narrowed by data skipping where the backend
+        keeps per-file statistics (``ManifestCommit``); backends
+        without stats return the full snapshot — the caller's row
+        filter carries the semantics either way, skipping only changes
+        how many files the scan plans over."""
+        return self.read_table(store, path, schema, version=version)
+
     def table_exists(self, store, path: str) -> bool:
         raise NotImplementedError
 
@@ -542,6 +557,17 @@ class ManifestCommit(ParquetLeaseCommit):
 
     MAX_COMMIT_ATTEMPTS = 8
 
+    #: per-file column statistics are recorded for at most this many
+    #: leading schema columns (the Delta ``dataSkippingNumIndexedCols``
+    #: idiom) — wide tables index their leading columns, not all
+    #: hundreds, keeping log entries small.
+    STATS_MAX_COLS = 32
+
+    #: string min/max longer than this are NOT recorded (a truncated
+    #: max would need round-up semantics to stay a safe bound; skipping
+    #: the stat keeps pruning trivially correct and entries bounded).
+    STATS_MAX_STR = 64
+
     # -- protocol plumbing -------------------------------------------------
     def _is_root(self, store, path: str) -> bool:
         return store.fs.is_dir(f"{path}/{LOG_DIR}")
@@ -604,17 +630,50 @@ class ManifestCommit(ParquetLeaseCommit):
     def _commit(self, store, root: str, mutate) -> int:
         """Optimistic commit: re-reads the current manifest and retries
         ``mutate`` on every lost race, so the applied change is always
-        derived from the state it lands on."""
+        derived from the state it lands on.
+
+        Per-file column statistics ride along: a caller that staged new
+        files attaches their stats as ``mutate.stats_add`` (a function
+        attribute, so the three-arg seam tests monkeypatch stays
+        valid); the committed entry carries the current stats map
+        merged with the additions and PRUNED to exactly the files the
+        new manifest lists — a rewrite/drop sheds its dead files' stats
+        in the same atomic entry."""
+        add = getattr(mutate, "stats_add", None) or {}
         for attempt in range(self.MAX_COMMIT_ATTEMPTS):
             if attempt:
                 # linear backoff so N racing committers don't lock-step
                 # through the same version numbers
                 time.sleep(0.05 * attempt)
             version, tables = self._current(store, root)
+            cur_stats: dict = {}
+            if version >= 0:
+                try:
+                    cur_stats = json.loads(
+                        store.fs.read_text(
+                            f"{root}/{LOG_DIR}/{version:020d}.json"
+                        )
+                    ).get("stats", {})
+                except Exception:
+                    cur_stats = {}  # stats are an optimization only
             new_tables = mutate(dict(tables))
-            entry = json.dumps(
-                {"version": version + 1, "tables": new_tables}
-            )
+            merged = {
+                m: {**cur_stats.get(m, {}), **add.get(m, {})}
+                for m in set(new_tables) | set(add)
+            }
+            stats_out = {
+                m: {
+                    f: s
+                    for f, s in merged.get(m, {}).items()
+                    if f in set(new_tables.get(m, []))
+                }
+                for m in merged
+            }
+            stats_out = {m: v for m, v in stats_out.items() if v}
+            payload: dict = {"version": version + 1, "tables": new_tables}
+            if stats_out:
+                payload["stats"] = stats_out
+            entry = json.dumps(payload)
             target = f"{root}/{LOG_DIR}/{version + 1:020d}.json"
             if store.fs.create_exclusive(target, entry):
                 return version + 1
@@ -622,6 +681,106 @@ class ManifestCommit(ParquetLeaseCommit):
             f"lost {self.MAX_COMMIT_ATTEMPTS} optimistic-commit races on "
             + root
         )
+
+    @staticmethod
+    def _stat_value(v, max_str: int):
+        """JSON-safe stat scalar, or None when the type has no safe
+        total order across the JSON round-trip (timestamps, decimals,
+        nested) or the string exceeds the recorded bound."""
+        if isinstance(v, bool) or v is None:
+            return None  # bool min/max never prunes anything useful
+        if isinstance(v, int) or isinstance(v, float):
+            return v
+        if isinstance(v, bytes):
+            try:
+                v = v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, str) and len(v) <= max_str:
+            return v
+        return None
+
+    def _file_stats(self, store, root: str, member: str, files) -> dict:
+        """Per-file ``{"rows": n, "cols": {column: {min, max, nulls}}}``
+        from the parquet footers of freshly staged files (driver-side,
+        one footer read per file — the same cost profile as Delta's
+        stats-on-write; commits stage a handful of files, never the
+        whole table). Hive partition path segments (``col=val``)
+        become exact min==max stats, so partition-valued predicates
+        prune too; a zero-row file records ``rows: 0`` and is
+        unconditionally prunable. Stats are strictly an optimization:
+        any failure records nothing, and a file without stats is
+        never pruned."""
+        try:
+            import pyarrow.parquet as pq
+        except Exception:
+            return {}
+        base = self._member_root(root, member)
+        out: dict = {}
+        for rel in files:
+            colstats: dict = {}
+            for seg in rel.split("/")[:-1]:
+                if "=" in seg:
+                    k, raw = seg.split("=", 1)
+                    val: object = raw
+                    try:
+                        val = int(raw)
+                    except ValueError:
+                        try:
+                            val = float(raw)
+                        except ValueError:
+                            pass
+                    v = self._stat_value(val, self.STATS_MAX_STR)
+                    if v is not None:
+                        colstats[k] = {"min": v, "max": v, "nulls": 0}
+            try:
+                md = pq.ParquetFile(f"{base}/{rel}").metadata
+                ncols = min(md.num_columns, self.STATS_MAX_COLS)
+                agg: dict = {}
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    for ci in range(ncols):
+                        col = row_group.column(ci)
+                        name = col.path_in_schema
+                        if "." in name:
+                            continue  # nested leaves: no safe bound
+                        cur = agg.setdefault(
+                            name, {"min": None, "max": None, "nulls": 0,
+                                   "ok": True}
+                        )
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            cur["ok"] = False
+                            continue
+                        mn = self._stat_value(st.min, self.STATS_MAX_STR)
+                        mx = self._stat_value(st.max, self.STATS_MAX_STR)
+                        if mn is None or mx is None:
+                            cur["ok"] = False
+                            continue
+                        cur["min"] = (
+                            mn if cur["min"] is None
+                            else min(cur["min"], mn)
+                        )
+                        cur["max"] = (
+                            mx if cur["max"] is None
+                            else max(cur["max"], mx)
+                        )
+                        if st.null_count is not None:
+                            cur["nulls"] += st.null_count
+                for name, cur in agg.items():
+                    if cur["ok"] and cur["min"] is not None:
+                        colstats[name] = {
+                            "min": cur["min"],
+                            "max": cur["max"],
+                            "nulls": cur["nulls"],
+                        }
+                out[rel] = {"rows": md.num_rows, "cols": colstats}
+            except Exception:
+                # footer unreadable through this seam: keep any
+                # path-derived stats, with unknown row count
+                if colstats:
+                    out[rel] = {"rows": None, "cols": colstats}
+        return {member: out} if out else {}
 
     def _member_root(self, root: str, member: str) -> str:
         return f"{root}/{DATA_DIR}/{member}" if member else f"{root}/{DATA_DIR}"
@@ -682,10 +841,9 @@ class ManifestCommit(ParquetLeaseCommit):
             store, root, member,
             lambda tmp: df.write.mode("overwrite").parquet(tmp),
         )
-        self._commit(
-            store, root,
-            lambda t: {**t, member: t.get(member, []) + files},
-        )
+        mutate = lambda t: {**t, member: t.get(member, []) + files}  # noqa: E731
+        mutate.stats_add = self._file_stats(store, root, member, files)
+        self._commit(store, root, mutate)
 
     def append_partitioned(self, store, df, path, partition_cols) -> None:
         target = self._target_for_write(store, path)
@@ -702,10 +860,9 @@ class ManifestCommit(ParquetLeaseCommit):
                 .parquet(tmp)
             ),
         )
-        self._commit(
-            store, root,
-            lambda t: {**t, member: t.get(member, []) + files},
-        )
+        mutate = lambda t: {**t, member: t.get(member, []) + files}  # noqa: E731
+        mutate.stats_add = self._file_stats(store, root, member, files)
+        self._commit(store, root, mutate)
 
     def overwrite_partitions(self, store, df, path, partition_cols) -> None:
         target = self._target_for_write(store, path)
@@ -734,6 +891,7 @@ class ManifestCommit(ParquetLeaseCommit):
             ]
             return {**tables, member: kept + files}
 
+        mutate.stats_add = self._file_stats(store, root, member, files)
         self._commit(store, root, mutate)
 
     def drop_partition_dir(self, store, path: str) -> None:
@@ -794,6 +952,7 @@ class ManifestCommit(ParquetLeaseCommit):
                 )
             return {**tables, member: files}
 
+        mutate.stats_add = self._file_stats(store, root, member, files)
         self._commit(store, root, mutate)
         self.vacuum(store, root)
 
@@ -966,6 +1125,48 @@ class ManifestCommit(ParquetLeaseCommit):
             if name.endswith(".json") and name[:-5].isdigit()
         )
 
+    def _load_entry(self, store, path: str, root: str,
+                    version: int | None = None) -> dict:
+        """Full parsed log entry ({'version', 'tables', 'stats'?}) —
+        the current snapshot, or an exact retained version (time
+        travel). Never-committed current state is an empty entry;
+        a NAMED version that cannot be read raises the typed error.
+
+        A concurrent vacuum can prune the entry between the exists
+        probe and the read; the caller contract is the TYPED error,
+        never a raw FileNotFoundError. Vacuum keeps files for every
+        retained entry, so any resolvable version is fully scannable."""
+        if version is None:
+            best = -1
+            for name in store.fs.listdir(f"{root}/{LOG_DIR}"):
+                if name.endswith(".json"):
+                    try:
+                        best = max(best, int(name[:-5]))
+                    except ValueError:
+                        continue
+            if best < 0:
+                return {"version": -1, "tables": {}}
+            version = best
+        entry_path = f"{root}/{LOG_DIR}/{version:020d}.json"
+        try:
+            return json.loads(store.fs.read_text(entry_path))
+        except Exception as exc:
+            avail = self.table_versions(store, path)
+            lo = f"{avail[0]}..{avail[-1]}" if avail else "none"
+            if store.fs.exists(entry_path):
+                # present but unreadable: corruption / IO error, NOT
+                # retention pruning — say so (vacuum treats the
+                # identical condition as fatal)
+                raise VersionNotFoundError(
+                    f"version {version} of {path!r} exists but its "
+                    f"log entry is unreadable "
+                    f"({type(exc).__name__}: {exc})"
+                ) from exc
+            raise VersionNotFoundError(
+                f"version {version} of {path!r} is not retained "
+                f"(vacuum prunes old snapshots; retained: {lo})"
+            ) from exc
+
     def read_table(
         self, store, path: str, schema=None, version: int | None = None
     ) -> DataFrame:
@@ -973,39 +1174,8 @@ class ManifestCommit(ParquetLeaseCommit):
         if resolved is None:
             return super().read_table(store, path, schema, version=version)
         root, member = resolved
-        if version is None:
-            _, tables = self._current(store, root)
-        else:
-            # Time travel: resolve the named log entry exactly. Vacuum
-            # keeps files for every retained entry, so a resolvable
-            # version is fully scannable; past the horizon the entry is
-            # gone and the read errors by name rather than scanning a
-            # half-vacuumed file list. The read itself is try-guarded:
-            # a concurrent vacuum can prune the entry between the
-            # exists probe and the read, and the caller contract is the
-            # TYPED error, never a raw FileNotFoundError.
-            entry_path = f"{root}/{LOG_DIR}/{version:020d}.json"
-            try:
-                tables = json.loads(store.fs.read_text(entry_path))[
-                    "tables"
-                ]
-            except Exception as exc:
-                avail = self.table_versions(store, path)
-                lo = f"{avail[0]}..{avail[-1]}" if avail else "none"
-                if store.fs.exists(entry_path):
-                    # present but unreadable: corruption / IO error,
-                    # NOT retention pruning — say so (vacuum treats
-                    # the identical condition as fatal)
-                    raise VersionNotFoundError(
-                        f"version {version} of {path!r} exists but its "
-                        f"log entry is unreadable "
-                        f"({type(exc).__name__}: {exc})"
-                    ) from exc
-                raise VersionNotFoundError(
-                    f"version {version} of {path!r} is not retained "
-                    f"(vacuum prunes old snapshots; retained: {lo})"
-                ) from exc
-        files = tables.get(member, [])
+        entry = self._load_entry(store, path, root, version)
+        files = entry["tables"].get(member, [])
         if not files:
             if schema is not None:
                 return store.spark.createDataFrame([], schema)
@@ -1015,6 +1185,121 @@ class ManifestCommit(ParquetLeaseCommit):
         if schema is not None:
             reader = reader.schema(schema)
         return reader.parquet(*[f"{base}/{f}" for f in files])
+
+    @staticmethod
+    def _stat_overlaps(stat: dict, lo, hi) -> bool:
+        """May any value in [file.min, file.max] fall in [lo, hi]?
+        Incomparable types (schema drift, string stat vs numeric
+        bound) answer True — pruning must never be wrong, only
+        incomplete."""
+
+        def comparable(a, b) -> bool:
+            num = (
+                lambda x: isinstance(x, (int, float))
+                and not isinstance(x, bool)
+            )
+            return (num(a) and num(b)) or (
+                isinstance(a, str) and isinstance(b, str)
+            )
+
+        mn, mx = stat.get("min"), stat.get("max")
+        if mn is None or mx is None:
+            return True
+        if lo is not None:
+            if not comparable(mx, lo):
+                return True
+            if mx < lo:
+                return False
+        if hi is not None:
+            if not comparable(mn, hi):
+                return True
+            if mn > hi:
+                return False
+        return True
+
+    def prune_files(
+        self,
+        store,
+        path: str,
+        predicates: dict,
+        version: int | None = None,
+    ):
+        """Data skipping over the manifest's per-file column stats:
+        the committed file list filtered to files that MAY satisfy
+        every predicate. ``predicates`` maps column name to an
+        inclusive ``(lo, hi)`` bound (either side None = unbounded).
+        Returns ``(kept_relpaths, total_files)``; None for an
+        unmanaged path (directory mode has no stats).
+
+        Guarantees: a file is dropped only when its recorded min/max
+        PROVE no row can match — files without stats (pre-stats
+        entries, unreadable footers, unindexed columns) always
+        survive, so the result is a superset of the matching files and
+        the caller's real filter stays mandatory."""
+        resolved = self._resolve(store, path)
+        if resolved is None:
+            return None
+        root, member = resolved
+        entry = self._load_entry(store, path, root, version)
+        files = entry["tables"].get(member, [])
+        stats = entry.get("stats", {}).get(member, {})
+        kept = []
+        for f in files:
+            fstats = stats.get(f)
+            if fstats is None:
+                kept.append(f)
+                continue
+            if fstats.get("rows") == 0:
+                continue  # provably empty: no predicate needed
+            colstats = fstats.get("cols", {})
+            survives = True
+            for col, bounds in (predicates or {}).items():
+                st = colstats.get(col)
+                if st is None:
+                    continue
+                lo, hi = bounds
+                if not self._stat_overlaps(st, lo, hi):
+                    survives = False
+                    break
+            if survives:
+                kept.append(f)
+        return kept, len(files)
+
+    def read_table_pruned(
+        self,
+        store,
+        path: str,
+        schema=None,
+        predicates: dict | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """``read_table`` with manifest-stats file skipping: plans the
+        scan over only the files whose stats overlap ``predicates``
+        (see ``prune_files``). At 100 TB this is the difference
+        between listing/opening every cold snapshot ever written and
+        touching the handful overlapping the query's range — pruning
+        happens at PLAN time from the log entry, before any file IO.
+        The caller must still apply the real row filter (skipping is
+        file-granular)."""
+        pruned = (
+            None if not predicates
+            else self.prune_files(store, path, predicates, version=version)
+        )
+        if pruned is None:
+            return self.read_table(store, path, schema, version=version)
+        kept, total = pruned
+        if not kept:
+            if schema is not None:
+                return store.spark.createDataFrame([], schema)
+            # no schema and everything pruned: derive the schema from
+            # the full (unpruned) table, returning its empty slice
+            return self.read_table(store, path, None, version=version).limit(0)
+        root, member = self._resolve(store, path)
+        base = self._member_root(root, member)
+        reader = store.spark.read.option("basePath", base)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*[f"{base}/{f}" for f in kept])
 
     def table_exists(self, store, path: str) -> bool:
         resolved = self._resolve(store, path)
@@ -1069,6 +1354,11 @@ class ManifestCommit(ParquetLeaseCommit):
                 out[member] = out.get(member, []) + files
             return out
 
+        mutate.stats_add = {
+            m: s
+            for member, files in staged.items()
+            for m, s in self._file_stats(store, root, member, files).items()
+        }
         self._commit(store, root, mutate)
 
     def replace_tables(self, store, root: str, dfs) -> None:
@@ -1095,7 +1385,13 @@ class ManifestCommit(ParquetLeaseCommit):
             )
             for member, df in dfs.items()
         }
-        self._commit(store, root, lambda t: {**t, **staged})
+        mutate = lambda t: {**t, **staged}  # noqa: E731
+        mutate.stats_add = {
+            m: s
+            for member, files in staged.items()
+            for m, s in self._file_stats(store, root, member, files).items()
+        }
+        self._commit(store, root, mutate)
         self.vacuum(store, root)
 
 

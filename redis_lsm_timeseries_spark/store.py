@@ -605,15 +605,26 @@ class TimeseriesStore:
         self._hot_cache = (token, df)
         return df
 
-    def cold(self) -> DataFrame:
+    def cold(self, predicates: Mapping | None = None) -> DataFrame:
+        """The cold tier. ``predicates`` ({col: (lo, hi)} inclusive
+        bounds) enables manifest-stats data skipping on transactional
+        backends: at 100 TB the cold tier holds every snapshot ever
+        evicted, and a range read should PLAN over only the files
+        whose (tag, part_start) stats overlap the request — file
+        pruning from the log entry, before any storage IO. Pruning is
+        a superset guard; callers apply the real row filter as
+        always (directory backends return the full snapshot)."""
         self._require_init()
         # Seam-routed snapshot read: the commit backend resolves what
         # is visible (directory scan vs manifest file list); a
         # never-written or retention-emptied table reads as empty.
         from redis_lsm_timeseries_spark.schema import COLD_SNAPSHOT_SCHEMA
 
-        df = self.commit.read_table(
-            self, self.config.cold_path, COLD_SNAPSHOT_SCHEMA
+        df = self.commit.read_table_pruned(
+            self,
+            self.config.cold_path,
+            COLD_SNAPSHOT_SCHEMA,
+            predicates=dict(predicates) if predicates else None,
         )
         return df.select(*[f.name for f in SAMPLE_SCHEMA.fields])
 
@@ -710,7 +721,9 @@ class TimeseriesStore:
 
         df = self.hot()
         if include_cold:
-            df = df.unionByName(self.cold()).dropDuplicates(MEMBER_IDENTITY_COLS)
+            df = df.unionByName(
+                self.cold(predicates=self._range_file_predicates(parsed))
+            ).dropDuplicates(MEMBER_IDENTITY_COLS)
         out = lww_latest(df.where(pred & residual))
         if not with_tombstones:
             out = out.where(F.col("value").isNotNull())
@@ -778,6 +791,21 @@ class TimeseriesStore:
             raise InvalidRangeError(
                 f"inverted range for tag {tag!r}: {start} > {end} (index.js:196-199)"
             )
+
+    def _range_file_predicates(self, parsed: list[tuple]) -> dict:
+        """File-skipping bounds covering the UNION of the requested
+        ranges — a safe superset (per-range exactness belongs to the
+        row predicate): tag within the lexical envelope of requested
+        tags, part_start within [min floored start, max end] (same
+        flooring rule as ``_prune_predicate``)."""
+        w = self.config.partition_width
+        tags = sorted(t for t, _, _ in parsed)
+        lo = min(s - (s % w) for _, s, _ in parsed)
+        hi = max(e for _, _, e in parsed)
+        return {
+            "tag": (tags[0], tags[-1]),
+            "part_start": (lo, hi),
+        }
 
     def _prune_predicate(self, parsed: list[tuple]):
         """Partition-pruning predicate over the partition columns only.

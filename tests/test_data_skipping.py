@@ -1,0 +1,231 @@
+"""Manifest per-file column statistics + data skipping (round 11).
+
+Every ``ManifestCommit`` mutation records min/max/null-count per file
+(parquet footers + hive path segments) in the SAME atomic log entry as
+the file list — the Delta ``stats``-per-add-action idiom — and
+``read_table_pruned``/``prune_files`` plan scans over only the files
+whose stats overlap a predicate. At 100 TB this is what keeps a
+narrow range read over years of cold snapshots from listing/opening
+every file ever evicted.
+
+Contract under test: pruning is a SUPERSET guard — a file is dropped
+only when its stats prove no row matches; files without stats always
+survive; the caller's row filter is still mandatory and results are
+bit-identical with and without skipping.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from redis_lsm_timeseries_spark.commit import LOG_DIR, ManifestCommit
+from redis_lsm_timeseries_spark.config import EngineConfig
+from redis_lsm_timeseries_spark.store import TimeseriesStore
+
+SCHEMA = "k string, v long"
+
+
+@pytest.fixture()
+def mstore(spark, tmp_path):
+    cfg = EngineConfig(root=str(tmp_path / "engine"), partition_width=5)
+    s = TimeseriesStore(spark, cfg, commit=ManifestCommit())
+    s.initialize()
+    return s
+
+
+def _table(mstore, name="t"):
+    return f"{mstore.config.base_path}/{name}"
+
+
+def _newest_entry(path):
+    logs = sorted(
+        f for f in os.listdir(f"{path}/{LOG_DIR}") if f.endswith(".json")
+    )
+    return json.loads(open(f"{path}/{LOG_DIR}/{logs[-1]}").read())
+
+
+class TestStatsRecording:
+    def test_append_records_min_max_nulls(self, mstore):
+        c, path = mstore.commit, _table(mstore)
+        c.append_rows(
+            mstore, [("a", 1), ("b", 2), (None, 3)], SCHEMA, path
+        )
+        entry = _newest_entry(path)
+        (rel,) = entry["tables"][""]
+        fstats = entry["stats"][""][rel]
+        assert fstats["rows"] == 3
+        st = fstats["cols"]
+        assert st["v"] == {"min": 1, "max": 3, "nulls": 0}
+        assert st["k"]["min"] == "a" and st["k"]["max"] == "b"
+        assert st["k"]["nulls"] == 1
+
+    def test_hive_partition_segments_become_stats(self, mstore):
+        c, path = mstore.commit, _table(mstore)
+        df = mstore.spark.createDataFrame(
+            [("x", 1, 10), ("y", 2, 20)], "k string, p long, v long"
+        )
+        c.append_partitioned(mstore, df, path, ["p"])
+        entry = _newest_entry(path)
+        for rel in entry["tables"][""]:
+            st = entry["stats"][""][rel]["cols"]
+            pval = int(rel.split("/")[0].split("=")[1])
+            assert st["p"] == {"min": pval, "max": pval, "nulls": 0}
+
+    def test_rewrite_sheds_dead_files_stats(self, mstore):
+        """Stats keys track the file list exactly through a rewrite —
+        no stats entries for vacuum-dead files accumulate in the log."""
+        c, path = mstore.commit, _table(mstore)
+        c.append_rows(mstore, [("a", 1)], SCHEMA, path)
+        c.append_rows(mstore, [("b", 2)], SCHEMA, path)
+
+        def write_snapshot(tmp):
+            c.read_table(mstore, path, SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+
+        c.snapshot_rewrite(mstore, path, write_snapshot)
+        entry = _newest_entry(path)
+        assert set(entry["stats"][""]) == set(entry["tables"][""])
+        assert len(entry["tables"][""]) == 1
+
+    def test_append_tables_stats_cover_every_member(self, mstore):
+        c, root = mstore.commit, _table(mstore, "multi")
+        a = mstore.spark.createDataFrame([("a", 1)], SCHEMA)
+        b = mstore.spark.createDataFrame([("b", 9)], SCHEMA)
+        c.append_tables(mstore, root, {"out": a, "digests": b})
+        entry = _newest_entry(root)
+        for member in ("out", "digests"):
+            assert set(entry["stats"][member]) == set(
+                entry["tables"][member]
+            )
+        # the empty shuffle files are provably prunable by row count
+        kept, total = c.prune_files(mstore, f"{root}/out", {})
+        assert total == len(entry["tables"]["out"]) and len(kept) == 1
+
+
+class TestPruning:
+    def _two_file_table(self, mstore):
+        c, path = mstore.commit, _table(mstore)
+        c.append_rows(mstore, [("a", 1), ("b", 2)], SCHEMA, path)
+        c.append_rows(mstore, [("y", 100), ("z", 200)], SCHEMA, path)
+        return c, path
+
+    def test_prunes_provably_disjoint_files(self, mstore):
+        c, path = self._two_file_table(mstore)
+        kept, total = c.prune_files(mstore, path, {"v": (50, None)})
+        assert total == 2 and len(kept) == 1
+        kept, total = c.prune_files(mstore, path, {"v": (None, 10)})
+        assert len(kept) == 1
+        # string column bounds prune too
+        kept, _ = c.prune_files(mstore, path, {"k": ("x", "zz")})
+        assert len(kept) == 1
+        # both predicates together: empty intersection
+        kept, _ = c.prune_files(
+            mstore, path, {"v": (50, None), "k": ("a", "c")}
+        )
+        assert kept == []
+
+    def test_pruned_read_equals_filtered_full_read(self, mstore):
+        c, path = self._two_file_table(mstore)
+        pred = {"v": (50, None)}
+        full = {
+            (r.k, r.v)
+            for r in c.read_table(mstore, path, SCHEMA)
+            .where("v >= 50")
+            .collect()
+        }
+        pruned = {
+            (r.k, r.v)
+            for r in c.read_table_pruned(
+                mstore, path, SCHEMA, predicates=pred
+            )
+            .where("v >= 50")
+            .collect()
+        }
+        assert pruned == full == {("y", 100), ("z", 200)}
+
+    def test_file_without_stats_always_survives(self, mstore):
+        """Backward compatibility: entries written before the stats
+        feature (or whose footers were unreadable) have no stats map —
+        their files must never be pruned."""
+        c, path = self._two_file_table(mstore)
+        logs = sorted(
+            f for f in os.listdir(f"{path}/{LOG_DIR}") if f.endswith(".json")
+        )
+        newest = f"{path}/{LOG_DIR}/{logs[-1]}"
+        entry = json.loads(open(newest).read())
+        del entry["stats"]
+        with open(newest, "w") as fh:
+            fh.write(json.dumps(entry))
+        kept, total = c.prune_files(mstore, path, {"v": (10_000, None)})
+        assert kept == entry["tables"][""] and total == 2
+
+    def test_incomparable_predicate_type_keeps_file(self, mstore):
+        c, path = self._two_file_table(mstore)
+        # numeric bound against a string column: never prunes
+        kept, total = c.prune_files(mstore, path, {"k": (0, 5)})
+        assert len(kept) == total
+        # unindexed column: never prunes
+        kept, _ = c.prune_files(mstore, path, {"nope": (0, 5)})
+        assert len(kept) == total
+
+    def test_all_files_pruned_reads_empty_with_schema(self, mstore):
+        c, path = self._two_file_table(mstore)
+        df = c.read_table_pruned(
+            mstore, path, SCHEMA, predicates={"v": (10_000, None)}
+        )
+        assert df.count() == 0
+        assert [f.name for f in df.schema.fields] == ["k", "v"]
+
+    def test_time_travel_prunes_against_that_versions_stats(self, mstore):
+        c, path = self._two_file_table(mstore)
+        # version 0 has only the low-v file: the high-v predicate
+        # prunes everything AT THAT VERSION
+        kept, total = c.prune_files(
+            mstore, path, {"v": (50, None)}, version=0
+        )
+        assert total == 1 and kept == []
+        kept, total = c.prune_files(
+            mstore, path, {"v": (None, 10)}, version=0
+        )
+        assert total == 1 and len(kept) == 1
+
+
+class TestColdTierSkipping:
+    def test_range_read_plans_over_pruned_cold_files(self, spark, tmp_path):
+        """The consumer integration: a hot∪cold range read passes its
+        (tag, part_start) envelope to the cold read, and the manifest
+        prunes cold snapshot files wholly outside it — correctness
+        identical, file count strictly smaller."""
+        from redis_lsm_timeseries_spark.tiering import (
+            purge_ack_many,
+            purge_scan,
+        )
+
+        cfg = EngineConfig(root=str(tmp_path / "e"), partition_width=10)
+        s = TimeseriesStore(spark, cfg, commit=ManifestCommit())
+        s.initialize()
+        # two tags, far-apart time ranges, evicted to cold
+        s.write([("A", t, f"a{t}") for t in range(0, 20)], ingest_ts=1)
+        s.write(
+            [("B", t, f"b{t}") for t in range(1000, 1020)], ingest_ts=2
+        )
+        marks = purge_scan(
+            s, partition_age_threshold_s=0.0, max_partitions_to_mark=10
+        )
+        assert marks
+        purge_ack_many(s, [m.purge_id for m in marks])
+        # the A-range request must not plan over B's cold files
+        parsed = [("A", 0, 19)]
+        preds = s._range_file_predicates(parsed)
+        kept, total = s.commit.prune_files(s, cfg.cold_path, preds)
+        assert total >= 2 and len(kept) < total
+        got = {
+            (r.tag, r.ts): r.value
+            for r in s.read_range({"A": (0, 19)}, include_cold=True)
+            .collect()
+        }
+        assert got == {("A", t): f"a{t}" for t in range(0, 20)}
