@@ -50,7 +50,9 @@ import threading
 
 from redis_lsm_timeseries_spark.errors import (
     ConcurrentMaintenanceError,
+    NonAppendHistoryError,
     RewriteConflictError,
+    ValidationError,
     VersionNotFoundError,
 )
 
@@ -1300,6 +1302,71 @@ class ManifestCommit(ParquetLeaseCommit):
         if schema is not None:
             reader = reader.schema(schema)
         return reader.parquet(*[f"{base}/{f}" for f in kept])
+
+    def read_changes(
+        self,
+        store,
+        path: str,
+        since_version: int,
+        to_version: int | None = None,
+        schema=None,
+    ) -> DataFrame:
+        """Change feed: the rows APPENDED to a member table between two
+        retained manifest versions — exactly the files present in
+        ``to_version`` (default: current) but not in ``since_version``.
+
+        This is the incremental-consumer primitive: a downstream job
+        records the version it last processed and reads only the delta
+        on its next run — no full-table diff, no re-scan, O(new data)
+        — the Delta CDF / Iceberg incremental-scan idiom on the log
+        the manifest already keeps.
+
+        Correct only while history is append-only across the range:
+        data files are immutable, so new files ARE the new rows. A
+        range in which any ``since`` file DISAPPEARED (compaction
+        rewrite, partition overwrite, drop) raises the typed
+        ``NonAppendHistoryError`` — the consumer falls back to a full
+        recompute from the newer snapshot, never silently double- or
+        under-counts. Versions outside vacuum's retained horizon raise
+        ``VersionNotFoundError`` (``table_versions`` lists the valid
+        range)."""
+        resolved = self._resolve(store, path)
+        if resolved is None:
+            raise VersionNotFoundError(
+                f"{path!r} is not a manifest-managed table; change "
+                "feeds need the version log"
+            )
+        root, member = resolved
+        e0 = self._load_entry(store, path, root, since_version)
+        e1 = self._load_entry(store, path, root, to_version)
+        if to_version is not None and to_version < since_version:
+            raise ValidationError(
+                f"read_changes: to_version {to_version} precedes "
+                f"since_version {since_version}"
+            )
+        files0 = set(e0["tables"].get(member, []))
+        files1 = e1["tables"].get(member, [])
+        removed = sorted(files0 - set(files1))
+        if removed:
+            raise NonAppendHistoryError(
+                f"history of {path!r} between versions {since_version} "
+                f"and {to_version if to_version is not None else 'current'}"
+                f" is not append-only: {len(removed)} file(s) removed "
+                f"(first: {removed[0]}); recompute from the newer "
+                "snapshot instead"
+            )
+        added = [f for f in files1 if f not in files0]
+        if not added:
+            if schema is not None:
+                return store.spark.createDataFrame([], schema)
+            return self.read_table(
+                store, path, None, version=to_version
+            ).limit(0)
+        base = self._member_root(root, member)
+        reader = store.spark.read.option("basePath", base)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*[f"{base}/{f}" for f in added])
 
     def table_exists(self, store, path: str) -> bool:
         resolved = self._resolve(store, path)

@@ -51,6 +51,16 @@ class VersionNotFoundError(EngineError):
     unrecoverable history). Carries the retained range in the message."""
 
 
+class NonAppendHistoryError(EngineError):
+    """A change-feed read (``ManifestCommit.read_changes``) spanned a
+    version range that REMOVED files (a compaction rewrite, partition
+    overwrite, or drop) — the added-files diff no longer equals the
+    logical row delta, so the incremental consumer must fall back to a
+    full recompute from the newer snapshot. Carries the first removed
+    file in the message (the Delta change-data-feed posture for
+    non-append commits without CDF)."""
+
+
 class SinkManagedHotTierError(EngineError):
     """The hot table root carries a streaming file-sink commit log
     (``_spark_metadata``), which makes the sink the EXCLUSIVE committer

@@ -692,3 +692,111 @@ class TestRound11VacuumHardening:
         ages[deep_file] = 7200.0
         c.vacuum(mstore, path, grace_s=900.0)
         assert not os.path.exists(stage)
+
+
+class TestChangeFeed:
+    """read_changes: incremental consumption of the manifest log
+    (round 11) — new files between retained versions ARE the new rows
+    while history is append-only; anything else fails typed."""
+
+    def test_appended_rows_between_versions(self, mstore):
+        c, path = mstore.commit, _table(mstore)
+        for i in range(3):
+            c.append_rows(mstore, [(f"k{i}", i)], SCHEMA, path)
+        got = {
+            (r.k, r.v)
+            for r in c.read_changes(mstore, path, 0, schema=SCHEMA).collect()
+        }
+        assert got == {("k1", 1), ("k2", 2)}
+        got01 = {
+            (r.k, r.v)
+            for r in c.read_changes(
+                mstore, path, 0, to_version=1, schema=SCHEMA
+            ).collect()
+        }
+        assert got01 == {("k1", 1)}
+        assert (
+            c.read_changes(mstore, path, 2, schema=SCHEMA).count() == 0
+        )
+
+    def test_incremental_consumer_loop_sees_each_row_once(self, mstore):
+        """The consumer pattern the primitive exists for: record the
+        last processed version, read only the delta next run — every
+        row seen exactly once across runs."""
+        c, path = mstore.commit, _table(mstore)
+        c.append_rows(mstore, [("a", 1)], SCHEMA, path)
+        seen: list[tuple] = []
+        cursor = c.table_versions(mstore, path)[-1]
+        # run 1: two new commits land, consumer drains them
+        c.append_rows(mstore, [("b", 2)], SCHEMA, path)
+        c.append_rows(mstore, [("c", 3)], SCHEMA, path)
+        head = c.table_versions(mstore, path)[-1]
+        seen += [
+            (r.k, r.v)
+            for r in c.read_changes(
+                mstore, path, cursor, to_version=head, schema=SCHEMA
+            ).collect()
+        ]
+        cursor = head
+        # run 2: one more commit
+        c.append_rows(mstore, [("d", 4)], SCHEMA, path)
+        head = c.table_versions(mstore, path)[-1]
+        seen += [
+            (r.k, r.v)
+            for r in c.read_changes(
+                mstore, path, cursor, to_version=head, schema=SCHEMA
+            ).collect()
+        ]
+        assert sorted(seen) == [("b", 2), ("c", 3), ("d", 4)]
+
+    def test_non_append_range_raises_typed(self, mstore):
+        from redis_lsm_timeseries_spark.errors import NonAppendHistoryError
+
+        c, path = mstore.commit, _table(mstore)
+        c.append_rows(mstore, [("a", 1)], SCHEMA, path)
+        c.append_rows(mstore, [("b", 2)], SCHEMA, path)
+
+        def write_snapshot(tmp):
+            c.read_table(mstore, path, SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+
+        c.snapshot_rewrite(mstore, path, write_snapshot)
+        with pytest.raises(NonAppendHistoryError, match="not append-only"):
+            c.read_changes(mstore, path, 0, schema=SCHEMA)
+        # …but a range STARTING at the rewrite is append-only again
+        rewrite_v = c.table_versions(mstore, path)[-1]
+        c.append_rows(mstore, [("c", 3)], SCHEMA, path)
+        got = {
+            (r.k, r.v)
+            for r in c.read_changes(
+                mstore, path, rewrite_v, schema=SCHEMA
+            ).collect()
+        }
+        assert got == {("c", 3)}
+
+    def test_pruned_since_version_raises_named(self, mstore):
+        from redis_lsm_timeseries_spark.errors import VersionNotFoundError
+
+        c, path = mstore.commit, _table(mstore)
+        for i in range(4):
+            c.append_rows(mstore, [(f"k{i}", i)], SCHEMA, path)
+        c.vacuum(mstore, path, retain_versions=1, grace_s=0)
+        with pytest.raises(VersionNotFoundError, match="not retained"):
+            c.read_changes(mstore, path, 0, schema=SCHEMA)
+
+    def test_invalid_inputs_raise(self, mstore, spark, tmp_path):
+        from redis_lsm_timeseries_spark.errors import (
+            ValidationError,
+            VersionNotFoundError,
+        )
+
+        c, path = mstore.commit, _table(mstore)
+        c.append_rows(mstore, [("a", 1)], SCHEMA, path)
+        c.append_rows(mstore, [("b", 2)], SCHEMA, path)
+        with pytest.raises(ValidationError, match="precedes"):
+            c.read_changes(mstore, path, 1, to_version=0, schema=SCHEMA)
+        plain = str(tmp_path / "plain")
+        spark.createDataFrame([("x", 1)], SCHEMA).write.parquet(plain)
+        with pytest.raises(VersionNotFoundError, match="version log"):
+            c.read_changes(mstore, plain, 0, schema=SCHEMA)
