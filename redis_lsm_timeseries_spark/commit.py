@@ -1228,8 +1228,11 @@ class ManifestCommit(ParquetLeaseCommit):
     ):
         """Data skipping over the manifest's per-file column stats:
         the committed file list filtered to files that MAY satisfy
-        every predicate. ``predicates`` maps column name to an
-        inclusive ``(lo, hi)`` bound (either side None = unbounded).
+        every predicate. ``predicates`` maps column name to either an
+        inclusive ``(lo, hi)`` bound (tuple/list, either side None =
+        unbounded) or a ``set``/``frozenset`` of values (membership:
+        the file survives if ANY value falls within its min/max —
+        exact for hive-partition columns, whose stats are min==max).
         Returns ``(kept_relpaths, total_files)``; None for an
         unmanaged path (directory mode has no stats).
 
@@ -1258,6 +1261,13 @@ class ManifestCommit(ParquetLeaseCommit):
             for col, bounds in (predicates or {}).items():
                 st = colstats.get(col)
                 if st is None:
+                    continue
+                if isinstance(bounds, (set, frozenset)):
+                    if not any(
+                        self._stat_overlaps(st, v, v) for v in bounds
+                    ):
+                        survives = False
+                        break
                     continue
                 lo, hi = bounds
                 if not self._stat_overlaps(st, lo, hi):

@@ -436,7 +436,20 @@ def _refresh_locked(
     recomputed = _aggregate(lww_latest(in_touched), step, stored_sketch)
 
     touched_tags = touched.select("tag").distinct()
-    old = store.commit.read_table(store, data_path, recomputed.schema)
+    # Carried-bucket source: only the SELECTED tags' partitions matter
+    # (the semi-join below keeps nothing else), and the tag set is the
+    # bounded driver-side list the cap already collected — manifest
+    # stats prune every other tag's files at PLAN time. On a 100 TB
+    # rollup store with millions of tags, the refresh reads max_tags
+    # partitions, not the table; hive min==max tag stats make the
+    # membership prune exact (directory backends read the full table
+    # and the semi-join carries the semantics unchanged).
+    old = store.commit.read_table_pruned(
+        store,
+        data_path,
+        recomputed.schema,
+        predicates={"tag": {r.tag for r in selected}},
+    )
     # Touched tags' new content: untouched old buckets + recomputed
     # buckets (a touched bucket whose members became all-tombstone
     # simply has no recomputed row — the deletion case).

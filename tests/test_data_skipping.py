@@ -229,3 +229,52 @@ class TestColdTierSkipping:
             .collect()
         }
         assert got == {("A", t): f"a{t}" for t in range(0, 20)}
+
+
+class TestMembershipPredicates:
+    def test_set_predicate_prunes_nonmatching_partitions(self, mstore):
+        c, path = mstore.commit, _table(mstore)
+        df = mstore.spark.createDataFrame(
+            [(f"k{i}", i % 4, i) for i in range(8)],
+            "k string, p long, v long",
+        )
+        c.append_partitioned(mstore, df, path, ["p"])
+        kept, total = c.prune_files(mstore, path, {"p": {1, 3}})
+        assert total >= 4 and 0 < len(kept) < total
+        got = {
+            r.p
+            for r in c.read_table_pruned(
+                mstore, path, predicates={"p": {1, 3}}
+            )
+            .select("p")
+            .distinct()
+            .collect()
+        }
+        assert got == {1, 3}
+
+    def test_rollup_refresh_carried_read_is_pruned(self, spark, tmp_path):
+        """refresh_rollup's carried-bucket read plans over only the
+        selected tags' partitions on a manifest backend — results
+        identical to the full-table read the semi-join implied."""
+        from redis_lsm_timeseries_spark.rollup import (
+            read_rollup,
+            refresh_rollup,
+        )
+
+        cfg = EngineConfig(root=str(tmp_path / "e"), partition_width=10)
+        s = TimeseriesStore(spark, cfg, commit=ManifestCommit())
+        s.initialize()
+        s.write(
+            [(f"T{i}", t, f"v{t}") for i in range(4) for t in range(5)],
+            ingest_ts=1,
+        )
+        refresh_rollup(s, "r1", 10)
+        # second refresh touches ONLY T0's bucket
+        s.write([("T0", 6, "new")], ingest_ts=2)
+        refresh_rollup(s, "r1", 10)
+        rows = {
+            (r.tag, r.bucket_start): r.n
+            for r in read_rollup(s, "r1").collect()
+        }
+        assert rows[("T0", 0)] == 6
+        assert all(rows[(f"T{i}", 0)] == 5 for i in (1, 2, 3))
