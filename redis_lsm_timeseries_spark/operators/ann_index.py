@@ -14,11 +14,14 @@ Members of ``{index_path}``:
   inlined as plan literals, so n_list can grow to the thousands a
   100 TB corpus needs);
 - ``vectors``: (<id>, list_id int, nv array<double>) — one row per
-  usable corpus vector, UNIT-NORMALIZED at build time and clustered by
-  ``list_id``, so serving never rescans or renormalizes the corpus:
-  the index IS the searchable copy. At 100 TB this member is written
-  bucketed by list_id so a probe reads only its ~(n_probe / n_list)
-  slice.
+  usable corpus vector, UNIT-NORMALIZED at build time and
+  RANGE-clustered by ``list_id``, so serving never rescans or
+  renormalizes the corpus: the index IS the searchable copy. Each
+  file covers a contiguous band of lists, so its manifest min/max
+  stats are tight and a probe's list set prunes files at plan time
+  (``read_table_pruned``) — a probe reads only its
+  ~(probed / n_list) file slice, at 100 TB the difference between
+  touching the whole member and a handful of files.
 
 The two members must agree (assignments are meaningless under another
 generation's centroids) — which is exactly what
@@ -49,6 +52,12 @@ from redis_lsm_timeseries_spark.operators.similarity import (
 
 CENTROIDS_MEMBER = "centroids"
 VECTORS_MEMBER = "vectors"
+
+#: serve-time file skipping collects the query batch's distinct
+#: probed list_ids (bounded by n_queries x n_probe) to prune vector
+#: files; a batch probing more lists than this reads the full member
+#: (at that fan-out the full scan is the right plan regardless).
+PROBE_PRUNE_MAX = 256
 
 
 def _host(spark: SparkSession, fs=None) -> CommitHost:
@@ -87,11 +96,16 @@ def build_ivf_index(
     # expression path compiles O(n_list x dim) literals — see
     # assign_lists_join)
     unit = _unit_rows(corpus, id_col, vec_col)
+    # Range-cluster by list_id (not hash): each written file then
+    # covers a CONTIGUOUS narrow band of lists, so its manifest
+    # min/max list_id stats are tight and a probe's list set prunes
+    # files at plan time (hash clustering would spread e.g. lists
+    # {0, 9} into one file, giving useless min=0/max=9 spans).
     vectors = assign_lists_join(unit, cent_df).select(
         F.col("_id").alias(id_col),
         F.col("list_id"),
         F.col("_nv").alias("nv"),
-    ).repartition(max(1, min(n_list, 8)), "list_id")
+    ).repartitionByRange(max(1, min(n_list, 8)), "list_id")
     host = _host(spark, fs)
     commit = ManifestCommit()
     commit.replace_tables(
@@ -153,14 +167,8 @@ def ivf_index_topk(
     (query_id, list_id, neighbor_id, cosine_sim, rnk)."""
     spark = queries.sparkSession
     host = _host(spark, fs)
-    cent_df = ManifestCommit().read_table(
-        host, f"{index_path}/{CENTROIDS_MEMBER}"
-    )
-    vectors = read_ivf_vectors(spark, index_path, fs).select(
-        F.col(id_col).alias("neighbor_id"),
-        "list_id",
-        F.col("nv").alias("cv"),
-    )
+    commit = ManifestCommit()
+    cent_df = commit.read_table(host, f"{index_path}/{CENTROIDS_MEMBER}")
     # probe-list expansion via the broadcast-join path — the committed
     # centroids never leave the cluster, and the plan stays small at
     # any n_list (the literal-expression probe compiles n_list x dim
@@ -171,6 +179,29 @@ def ivf_index_topk(
         F.col("_id").alias("query_id"),
         F.col("_nv").alias("qv"),
         "list_id",
+    )
+    # Plan-time file skipping on the probed lists: the query side is
+    # small by contract (it broadcasts below), so collecting its
+    # distinct probed list_ids is bounded by n_queries x n_probe and
+    # capped at PROBE_PRUNE_MAX + 1 rows — within the cap, the
+    # range-clustered vectors member is read through the manifest's
+    # stats prune and a probe scans only its ~(probed/n_list) file
+    # slice; past the cap (a huge query batch probing most lists) the
+    # full member is read, which is then the right plan anyway.
+    probed = (
+        q.select("list_id").distinct().limit(PROBE_PRUNE_MAX + 1).collect()
+    )
+    predicates = (
+        {"list_id": {r.list_id for r in probed}}
+        if len(probed) <= PROBE_PRUNE_MAX
+        else None
+    )
+    vectors = commit.read_table_pruned(
+        host, f"{index_path}/{VECTORS_MEMBER}", predicates=predicates
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        "list_id",
+        F.col("nv").alias("cv"),
     )
     scored = (
         vectors.join(F.broadcast(q), "list_id")
