@@ -1241,6 +1241,8 @@ class ManifestCommit(ParquetLeaseCommit):
         entries, unreadable footers, unindexed columns) always
         survive, so the result is a superset of the matching files and
         the caller's real filter stays mandatory."""
+        import bisect
+
         resolved = self._resolve(store, path)
         if resolved is None:
             return None
@@ -1248,6 +1250,42 @@ class ManifestCommit(ParquetLeaseCommit):
         entry = self._load_entry(store, path, root, version)
         files = entry["tables"].get(member, [])
         stats = entry.get("stats", {}).get(member, {})
+        # membership sets pre-sort by type once, so the per-file check
+        # is a bisect into [min, max] rather than O(|set|) — a 100k-key
+        # probe set over a large file list stays cheap driver-side
+        sorted_sets: dict = {}
+        for col, bounds in (predicates or {}).items():
+            if isinstance(bounds, (set, frozenset)):
+                nums = sorted(
+                    v for v in bounds
+                    if isinstance(v, (int, float))
+                    and not isinstance(v, bool)
+                )
+                strs = sorted(v for v in bounds if isinstance(v, str))
+                sorted_sets[col] = (nums, strs)
+
+        def _set_overlaps(st: dict, col: str) -> bool:
+            mn, mx = st.get("min"), st.get("max")
+            if mn is None or mx is None:
+                return True
+            nums, strs = sorted_sets[col]
+            if isinstance(mn, str) and isinstance(mx, str):
+                vals = strs
+            elif isinstance(mn, (int, float)) and isinstance(
+                mx, (int, float)
+            ):
+                vals = nums
+            else:
+                return True  # mixed/unknown stat types: never prune
+            if not vals:
+                # no value of the column's type in the set: the
+                # predicate is incomparable with this file's stats —
+                # keep (superset-safe; also covers the degenerate
+                # empty set)
+                return True
+            i = bisect.bisect_left(vals, mn)
+            return i < len(vals) and vals[i] <= mx
+
         kept = []
         for f in files:
             fstats = stats.get(f)
@@ -1262,10 +1300,8 @@ class ManifestCommit(ParquetLeaseCommit):
                 st = colstats.get(col)
                 if st is None:
                     continue
-                if isinstance(bounds, (set, frozenset)):
-                    if not any(
-                        self._stat_overlaps(st, v, v) for v in bounds
-                    ):
+                if col in sorted_sets:
+                    if not _set_overlaps(st, col):
                         survives = False
                         break
                     continue

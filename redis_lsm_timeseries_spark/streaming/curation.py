@@ -135,9 +135,12 @@ def _host(spark, fs=None):
 
 
 def read_admission_table(spark, admission_path: str, member: str,
-                         fs=None) -> DataFrame:
+                         fs=None, predicates=None) -> DataFrame:
     """Committed snapshot of one admission member table (``output`` /
-    ``digests`` / ``bands``)."""
+    ``digests`` / ``bands``). ``predicates`` enables manifest-stats
+    file skipping (see ``ManifestCommit.prune_files``) — a probe that
+    knows its key set plans over only the files that may contain it;
+    pruning is a superset guard, so join semantics are unchanged."""
     from pyspark.sql import types as T
 
     from redis_lsm_timeseries_spark.commit import ManifestCommit
@@ -147,8 +150,11 @@ def read_admission_table(spark, admission_path: str, member: str,
         schema = T.StructType([T.StructField("digest", T.StringType())])
     elif member == BANDS_MEMBER:
         schema = _bands_schema()
-    return ManifestCommit().read_table(
-        _host(spark, fs), f"{admission_path}/{member}", schema
+    return ManifestCommit().read_table_pruned(
+        _host(spark, fs),
+        f"{admission_path}/{member}",
+        schema,
+        predicates=predicates,
     )
 
 
@@ -343,43 +349,67 @@ def near_dup_admitting_batch(
     from redis_lsm_timeseries_spark.operators import dedup as D
 
     nh = D.NUM_HASHES if num_hashes is None else int(num_hashes)
-    stats = {"bloom_skips": 0, "full_scans": 0}
+    stats = {"bloom_skips": 0, "full_scans": 0, "pruned_scans": 0}
+
+    def _digest_sample(batch):
+        """The batch's distinct content digests, or None past the
+        driver-side cap — shared by the Bloom probe and the stats
+        prune (one bounded collect per micro-batch)."""
+        rows = (
+            batch.select(D.content_digest(text_col).alias("d"))
+            .distinct()
+            .limit(BLOOM_PROBE_MAX + 1)
+            .collect()
+        )
+        if len(rows) > BLOOM_PROBE_MAX:
+            return None
+        return [r.d for r in rows]
 
     def _digest_index(spark, commit, host, batch):
         """The exact guard's probe side. With a Bloom sidecar whose
         digests ALL miss the batch, only the post-compaction tail
         files are scanned (false-negative-free: the sidecar covers the
-        compacted set exactly, by file list); otherwise the full
-        committed index."""
+        compacted set exactly, by file list); otherwise the committed
+        index, stats-pruned to the files that may contain the batch's
+        digests (the compacted file is range-clustered by digest, so
+        a small batch touches a narrow digest band)."""
         from pyspark.sql import types as T
 
         schema = T.StructType([T.StructField("digest", T.StringType())])
+        sample = _digest_sample(batch)
         bloom = _load_bloom(admission_path, host.fs)
-        if bloom is not None:
+        if bloom is not None and sample is not None:
             current = commit.member_files(
                 host, f"{admission_path}/{DIGESTS_MEMBER}"
             )
-            if current is not None:
+            if current is not None and not any(
+                _bloom_hit(bloom, d) for d in sample
+            ):
                 covered = set(bloom["files"])
                 tail = [f for f in current if f not in covered]
-                sample = batch.select(
-                    D.content_digest(text_col).alias("d")
-                ).distinct().limit(BLOOM_PROBE_MAX + 1).collect()
-                if len(sample) <= BLOOM_PROBE_MAX and not any(
-                    _bloom_hit(bloom, r.d) for r in sample
-                ):
-                    stats["bloom_skips"] += 1
-                    if not tail:
-                        return spark.createDataFrame([], schema)
-                    base = f"{admission_path}/data/{DIGESTS_MEMBER}"
-                    return spark.read.schema(schema).parquet(
-                        *[f"{base}/{f}" for f in tail]
-                    )
-        stats["full_scans"] += 1
+                stats["bloom_skips"] += 1
+                if not tail:
+                    return spark.createDataFrame([], schema)
+                base = f"{admission_path}/data/{DIGESTS_MEMBER}"
+                return spark.read.schema(schema).parquet(
+                    *[f"{base}/{f}" for f in tail]
+                )
         # Committed snapshots ONLY: a crashed batch's staged files are
         # invisible, so the guards see exactly what readers see. A
         # corrupt index propagates as an error — treated as empty it
-        # would silently re-admit every duplicate.
+        # would silently re-admit every duplicate. The exact guard
+        # only ever JOINS this index against the batch's digests, so
+        # pruning to files that may contain them changes nothing.
+        if sample is not None:
+            stats["pruned_scans"] += 1
+            return read_admission_table(
+                spark,
+                admission_path,
+                DIGESTS_MEMBER,
+                host.fs,
+                predicates={"digest": set(sample)},
+            )
+        stats["full_scans"] += 1
         return read_admission_table(
             spark, admission_path, DIGESTS_MEMBER, host.fs
         )
@@ -404,8 +434,40 @@ def near_dup_admitting_batch(
         long_enough = novel.where(
             F.size(_net(text_col)) >= MIN_SHINGLE_TOKENS
         )
+        # Stats-prune the band index to files that may hold the
+        # batch's band keys (compaction range-clusters by band_key).
+        # The near-dup guard only ever JOINS the index on those keys,
+        # so pruning is semantics-free; the key collection is bounded
+        # by batch_rows x n_bands and capped. The batch's MinHash is
+        # recomputed inside incremental_near_dup — accepted double
+        # work on the (small) batch side to keep the index read, the
+        # scale-dominant cost, to its matching file slice.
+        probe_keys = None
+        key_rows = (
+            D.lsh_bands(
+                D.with_minhash(
+                    long_enough.select(id_col, text_col), text_col, nh
+                ).select(id_col, "mhs"),
+                id_col,
+                nh,
+            )
+            .select("band_key")
+            .distinct()
+            .limit(BLOOM_PROBE_MAX + 1)
+            .collect()
+        )
+        if len(key_rows) <= BLOOM_PROBE_MAX:
+            probe_keys = {r.band_key for r in key_rows}
         band_idx_df = read_admission_table(
-            spark, admission_path, BANDS_MEMBER, fs
+            spark,
+            admission_path,
+            BANDS_MEMBER,
+            fs,
+            predicates=(
+                {"band_key": probe_keys}
+                if probe_keys is not None
+                else None
+            ),
         )
         near = D.incremental_near_dup(
             long_enough.select(id_col, text_col),
@@ -540,8 +602,13 @@ def compact_admission_index(
 
     commit = ManifestCommit()
     host = _host(spark, fs)
+    # RANGE clustering (not hash): each compacted file then covers a
+    # contiguous key band, so its manifest min/max stats are tight and
+    # a probe's key set prunes files at plan time — hash clustering
+    # would give every file a full-span min/max. band_key leads for
+    # the bands member because probes filter on it.
     cluster = {DIGESTS_MEMBER: ["digest"],
-               BANDS_MEMBER: ["band_idx", "band_key"]}
+               BANDS_MEMBER: ["band_key", "band_idx"]}
     done = {}
     for name in members:
         path = f"{admission_path}/{name}"
@@ -554,7 +621,7 @@ def compact_admission_index(
         def write_snapshot(tmp, name=name, cols=cols):
             cur = read_admission_table(spark, admission_path, name, fs)
             w = (
-                cur.repartition(target_files, *cols)
+                cur.repartitionByRange(target_files, *cols)
                 .sortWithinPartitions(*cols)
                 if cols
                 else cur.repartition(target_files)

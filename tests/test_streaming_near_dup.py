@@ -353,7 +353,8 @@ class TestIndexCompaction:
         real_read = C.read_admission_table
         state = {"injected": False}
 
-        def racing_read(spark_, path, member, fs=None):
+        def racing_read(spark_, path, member, fs=None,
+                        predicates=None):
             # the first snapshot read of the digests member races a
             # sink batch landing RIGHT after the baseline was captured
             if member == DIGESTS_MEMBER and not state["injected"]:
@@ -367,7 +368,8 @@ class TestIndexCompaction:
                     ),
                     2,
                 )
-            return real_read(spark_, path, member, fs)
+            return real_read(spark_, path, member, fs,
+                             predicates=predicates)
 
         C.read_admission_table = racing_read
         try:
@@ -436,14 +438,18 @@ class TestBloomPreProbe:
         process = near_dup_admitting_batch(root)
         process(_df(spark, [(1, WORDS), (2, NOVEL)]), 0)
         process(_df(spark, [(3, self._novel(3))]), 1)
-        assert process.stats == {"bloom_skips": 0, "full_scans": 2}
+        # pre-sidecar, small batches scan the digest index through
+        # the stats prune (r11) — the Bloom skip counter stays 0
+        assert process.stats == {
+            "bloom_skips": 0, "full_scans": 0, "pruned_scans": 2
+        }
         compact_admission_index(spark, root)  # builds the sidecar
         # novel batches after compaction: tail is empty, all digests
         # miss the bloom -> no digest-index scan at all
         process(_df(spark, [(4, self._novel(4))]), 2)
         process(_df(spark, [(5, self._novel(5))]), 3)
         assert process.stats["bloom_skips"] == 2
-        assert process.stats["full_scans"] == 2  # unchanged
+        assert process.stats["pruned_scans"] == 2  # unchanged
         assert _out_ids(spark, root) == {1, 2, 3, 4, 5}
 
     def test_duplicate_content_hits_bloom_and_is_blocked(
@@ -460,7 +466,10 @@ class TestBloomPreProbe:
         # exact dup of compacted content: bloom HITS -> full scan ->
         # correctly dropped (no false admission, ever)
         process(_df(spark, [(2, WORDS), (3, self._novel(3))]), 1)
-        assert process.stats["full_scans"] == 2
+        # both scans (pre-compaction + bloom-hit fallback) went
+        # through the pruned path; neither was skipped
+        assert process.stats["pruned_scans"] == 2
+        assert process.stats["bloom_skips"] == 0
         assert _out_ids(spark, root) == {1, 3}
 
     def test_tail_files_still_probed_on_bloom_miss(
