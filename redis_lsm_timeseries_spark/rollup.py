@@ -63,14 +63,32 @@ def _paths(store: TimeseriesStore, name: str) -> tuple[str, str]:
     return f"{base}/data", f"{base}/{META_NAME}"
 
 
-def _raw_members(store: TimeseriesStore) -> DataFrame:
+def _raw_members(
+    store: TimeseriesStore, ingest_floor: int | None = None
+) -> DataFrame:
     """hot ∪ cold WITHOUT the identity dedup: the at-least-once
     duplicate window (same member snapshotted to cold but not yet
     acked out of hot) is still present. Use for aggregates that are
     INVARIANT under exact duplicates — max(ingest_ts), DISTINCT
     (tag, bucket) — where paying the full-corpus dedup shuffle would
-    be pure waste."""
-    return store.hot().unionByName(store.cold())
+    be pure waste.
+
+    ``ingest_floor`` (inclusive) enables manifest-stats file skipping
+    on the COLD member: the refresh's new-work probe only cares about
+    rows with ``ingest_ts`` at/past the watermark, and on a manifest
+    backend the cold tier's per-file ``ingest_ts`` stats prune every
+    snapshot file wholly below it at PLAN time — which at 100 TB is
+    nearly all of them, since eviction moves OLD data cold while new
+    work lands hot. Superset guard only: the caller's real
+    ``ingest_ts`` row filter stays mandatory."""
+    cold = store.cold(
+        predicates=(
+            {"ingest_ts": (int(ingest_floor), None)}
+            if ingest_floor is not None
+            else None
+        )
+    )
+    return store.hot().unionByName(cold)
 
 
 def _members(store: TimeseriesStore) -> DataFrame:
@@ -304,11 +322,18 @@ def _refresh_locked(
     boundary = meta.get("boundary_rows")
     partial = meta.get("partial")
 
+    # Every scan below this point only needs rows with ingest_ts
+    # at/past the recorded watermark — plan it over the stats-pruned
+    # union so wholly-older cold snapshot files never enter the scan.
+    # (`raw` stays the FULL union for the touched-bucket recompute,
+    # which must see a bucket's entire history.)
+    raw_new = _raw_members(store, ingest_floor=w)
+
     if partial is None:
         # ONE narrow scan fuses the new watermark with the distinct
         # member count AT the recorded one (the tie-race check):
         # countDistinct over a when() counts only boundary rows.
-        head = raw.agg(
+        head = raw_new.agg(
             F.max("ingest_ts").alias("w_new"),
             F.countDistinct(
                 F.when(
@@ -317,7 +342,9 @@ def _refresh_locked(
                 )
             ).alias("cnt_at_w"),
         ).first()
-        new_watermark = -1 if head.w_new is None else int(head.w_new)
+        # the pruned union sees every row >= w, so an empty max means
+        # "nothing at/past the watermark" — hold at w, never regress
+        new_watermark = int(w) if head.w_new is None else int(head.w_new)
         upper = new_watermark
         # ADVICE r8: a boundary write that tied the recorded watermark
         # mid-refresh widens the probe to >= once; idempotent recompute
@@ -325,7 +352,7 @@ def _refresh_locked(
         include_eq = boundary is None or (
             int(head.cnt_at_w) != int(boundary)
         )
-        probe = raw.where(
+        probe = raw_new.where(
             F.col("ingest_ts") >= w if include_eq
             else F.col("ingest_ts") > w
         )
@@ -350,7 +377,7 @@ def _refresh_locked(
         upper = int(partial["upper"])
         known_upper_boundary = int(partial["boundary_rows"])
         include_eq = bool(partial.get("include_eq", False))
-        probe = raw.where(
+        probe = raw_new.where(
             (
                 F.col("ingest_ts") >= w
                 if include_eq

@@ -278,3 +278,71 @@ class TestMembershipPredicates:
         }
         assert rows[("T0", 0)] == 6
         assert all(rows[(f"T{i}", 0)] == 5 for i in (1, 2, 3))
+
+    def test_rollup_new_work_probe_prunes_old_cold_files(
+        self, spark, tmp_path
+    ):
+        """refresh_rollup's new-work probe passes the watermark as an
+        ``ingest_ts`` floor to the cold read, so snapshot files wholly
+        below it are skipped at plan time — at 100 TB that is nearly
+        every cold file, since eviction moves OLD data cold. Results
+        must equal a full recompute."""
+        from redis_lsm_timeseries_spark.rollup import (
+            read_rollup,
+            refresh_rollup,
+            rollup_full,
+        )
+        from redis_lsm_timeseries_spark.tiering import (
+            purge_ack_many,
+            purge_scan,
+        )
+
+        cfg = EngineConfig(root=str(tmp_path / "e"), partition_width=10)
+        s = TimeseriesStore(spark, cfg, commit=ManifestCommit())
+        s.initialize()
+        # old history, evicted cold in two separate snapshots
+        s.write([("A", t, f"a{t}") for t in range(0, 10)], ingest_ts=1)
+        marks = purge_scan(
+            s, partition_age_threshold_s=0.0, max_partitions_to_mark=10
+        )
+        purge_ack_many(s, [m.purge_id for m in marks])
+        s.write([("B", t, f"b{t}") for t in range(0, 10)], ingest_ts=2)
+        marks = purge_scan(
+            s, partition_age_threshold_s=0.0, max_partitions_to_mark=10
+        )
+        purge_ack_many(s, [m.purge_id for m in marks])
+        refresh_rollup(s, "r1", 10)  # watermark now 2
+        # the probe's floor predicate prunes the wholly-older cold file
+        kept, total = s.commit.prune_files(
+            s, cfg.cold_path, {"ingest_ts": (2, None)}
+        )
+        assert total >= 2 and 0 < len(kept) < total
+        # new work for ONE tag; incremental == full recompute
+        s.write([("B", 11, "new")], ingest_ts=5)
+        refresh_rollup(s, "r1", 10)
+        got = {
+            (r.tag, r.bucket_start): (r.n, r.n_distinct)
+            for r in read_rollup(s, "r1").collect()
+        }
+        want = {
+            (r.tag, r.bucket_start): (r.n, r.n_distinct)
+            for r in rollup_full(s, 10).collect()
+        }
+        assert got == want
+
+    def test_refresh_holds_watermark_when_no_new_work(
+        self, spark, tmp_path
+    ):
+        """With the probe pruned to ingest_ts >= watermark, a refresh
+        with no new rows must hold the watermark (never regress it to
+        the pruned frame's empty max)."""
+        from redis_lsm_timeseries_spark.rollup import refresh_rollup
+
+        cfg = EngineConfig(root=str(tmp_path / "e"), partition_width=10)
+        s = TimeseriesStore(spark, cfg, commit=ManifestCommit())
+        s.initialize()
+        s.write([("A", t, f"a{t}") for t in range(5)], ingest_ts=7)
+        m1 = refresh_rollup(s, "r1", 10)
+        m2 = refresh_rollup(s, "r1", 10)
+        assert m2.watermark_ingest_ts == m1.watermark_ingest_ts == 7
+        assert m2.buckets_refreshed == 0
