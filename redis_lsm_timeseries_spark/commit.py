@@ -958,6 +958,65 @@ class ManifestCommit(ParquetLeaseCommit):
         self._commit(store, root, mutate)
         self.vacuum(store, root)
 
+    def rewrite_files(
+        self, store, path: str, remove, write_fn
+    ) -> list[str]:
+        """File-granular copy-on-write: atomically replace the
+        ``remove`` subset of a member's files with ``write_fn``'s
+        staged output, leaving every other file untouched — the
+        primitive under row-level MERGE/DELETE (``operators/merge``).
+        At 100 TB an upsert touching a handful of keys rewrites the
+        handful of files whose stats overlap them, not the table.
+
+        Conflict rule, deliberately NARROWER than
+        ``snapshot_rewrite``'s whole-list check: only the files being
+        REPLACED must still be listed at commit time (a concurrent
+        rewrite that already replaced one raises
+        ``RewriteConflictError`` — retry on fresh state); concurrent
+        appends of unrelated files land in the same entry untouched,
+        so a streaming sink never loses an append to a racing merge.
+
+        ``remove`` may be empty (pure insert of new files) and
+        ``write_fn`` may be None (pure delete). Returns the new
+        relpaths. The trailing vacuum keeps the retention margin, so
+        readers of retained snapshots stay valid."""
+        target = self._target_for_write(store, path)
+        if target is None:
+            raise ValidationError(
+                f"{path!r} is not manifest-managed; file-granular "
+                "rewrite needs the commit log (use snapshot_rewrite "
+                "for directory tables)"
+            )
+        root, member = target
+        remove = list(remove)
+        files = (
+            self._stage_in(store, root, member, write_fn)
+            if write_fn is not None
+            else []
+        )
+
+        def mutate(tables):
+            old = list(tables.get(member, []))
+            present = set(old)
+            missing = [f for f in remove if f not in present]
+            if missing:
+                raise RewriteConflictError(
+                    f"rewrite_files of {path!r}: {len(missing)} of "
+                    f"{len(remove)} files to replace are no longer in "
+                    f"the manifest (first: {missing[0]}); a concurrent "
+                    "rewrite landed — retry on fresh state"
+                )
+            rm = set(remove)
+            return {
+                **tables,
+                member: [f for f in old if f not in rm] + files,
+            }
+
+        mutate.stats_add = self._file_stats(store, root, member, files)
+        self._commit(store, root, mutate)
+        self.vacuum(store, root)
+        return files
+
     def repair_interrupted_rewrite(self, store, path: str) -> None:
         """Manifest commits are atomic — a crash mid-job leaves only
         invisible staged orphans (vacuum's job), never a half-visible

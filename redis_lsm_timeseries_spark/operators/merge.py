@@ -1,0 +1,334 @@
+"""Row-level MERGE / DELETE on seam-managed tables — copy-on-write at
+FILE granularity.
+
+The reference's write path is a content-keyed upsert: a second write to
+the same (tag, timestamp) supersedes the first on read
+(``index.js:123``, LWW pick at ``index.js:240-258``). The engine
+carries that posture on the hot tier (append + LWW merge-on-read,
+compaction folds winners). Derived and cold MANIFEST tables get the
+complementary eager form here: ``merge_into`` rewrites matched rows in
+place, Delta-``MERGE``-style, so readers need no merge-on-read and a
+correction to yesterday's corpus does not wait for a full compaction.
+
+100 TB shape — the whole point is what does NOT get read or written:
+
+- the source's key envelope (bounded distinct set, else per-column
+  min/max) is pruned against the manifest's per-file stats, so only
+  the files that MAY contain a matched key are read or rewritten;
+  every other file's manifest entry is carried forward byte-untouched;
+- the rewrite commits through ``ManifestCommit.rewrite_files`` — ONE
+  atomic log entry that drops exactly the affected files and adds
+  their replacements. Concurrent appends of unrelated files survive
+  (the conflict check covers only the replaced files), concurrent
+  rewrites of the SAME files raise ``RewriteConflictError``;
+- replacement files are range-clustered on the key, so their stats
+  stay tight and the NEXT merge prunes just as well;
+- a directory-mode table (no manifest, no stats) falls back to a
+  whole-table ``snapshot_rewrite`` with identical row-level semantics
+  — callers get one API, transactional backends get the scale path.
+
+Deletes (``delete_rows`` by key set, ``delete_range`` by an inclusive
+column interval — the GDPR erasure / row-level retention primitives)
+ride the same machinery: files whose stats PROVE no row matches are
+never touched, a file whose every row matches is dropped without a
+replacement write.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from redis_lsm_timeseries_spark.errors import ValidationError
+
+#: distinct-key collection cap for membership predicates; past it the
+#: envelope degrades to per-column min/max ranges (still superset-safe,
+#: just coarser pruning) rather than an unbounded driver collect.
+KEY_SET_MAX = 100_000
+
+
+@dataclass(frozen=True)
+class MergeStats:
+    #: files read + replaced (manifest mode; directory mode = all)
+    files_rewritten: int
+    #: committed file count of the member before the merge
+    files_total: int
+    #: rows written from the source (after in-source LWW, if any)
+    rows_upserted: int
+
+
+@dataclass(frozen=True)
+class DeleteStats:
+    files_rewritten: int
+    files_total: int
+
+
+def _key_predicates(source: DataFrame, keys: list[str]) -> dict:
+    """Superset-safe per-column prune envelope of the source's keys:
+    a bounded distinct-value set per key column (exact membership
+    pruning), degrading to an inclusive (min, max) range past the cap.
+    Per-column independence is safe — a file is only dropped when some
+    column's values provably never appear in it."""
+    preds: dict = {}
+    for col in keys:
+        vals = [
+            r[0]
+            for r in source.select(col)
+            .distinct()
+            .limit(KEY_SET_MAX + 1)
+            .collect()
+        ]
+        if len(vals) <= KEY_SET_MAX:
+            preds[col] = set(vals)
+        else:
+            lo_hi = source.agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).first()
+            preds[col] = (lo_hi.lo, lo_hi.hi)
+    return preds
+
+
+def _resolve_source(
+    source: DataFrame, keys: list[str], order_col: str | None
+) -> DataFrame:
+    """One row per key: last-writer-wins within the source when
+    ``order_col`` names the ordering (ties broken by the remaining
+    columns, deterministically), else duplicate keys are an error —
+    silently picking one would hide a bug in the caller's pipeline.
+    NULL keys are rejected on every backend: NULL never equals a
+    target key, so the row could neither match nor be looked up
+    again."""
+    null_pred = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_pred = c if null_pred is None else (null_pred | c)
+    if not source.where(null_pred).isEmpty():
+        raise ValidationError(
+            f"merge: source key column(s) {keys!r} contain NULL — "
+            "NULL never equals a target key, so the row could "
+            "neither match nor be looked up again"
+        )
+    others = [c for c in source.columns if c not in keys]
+    if order_col is not None:
+        if order_col not in others:
+            raise ValidationError(
+                f"merge: order_col {order_col!r} must be a non-key "
+                "source column"
+            )
+        rest = [c for c in others if c != order_col]
+        picked = source.groupBy(*keys).agg(
+            F.max(F.struct(order_col, *rest)).alias("_w")
+        )
+        return picked.select(*keys, *[f"_w.{c}" for c in others])
+    dup = (
+        source.groupBy(*keys)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        key_repr = ", ".join(f"{k}={dup[0][k]!r}" for k in keys)
+        raise ValidationError(
+            f"merge: duplicate source key ({key_repr}); pass "
+            "order_col to resolve in-source conflicts by LWW"
+        )
+    return source
+
+
+def _affected_df(host, commit, path: str, files: list[str]) -> DataFrame:
+    root, member = commit._resolve(host, path)
+    base = commit._member_root(root, member)
+    return host.spark.read.option("basePath", base).parquet(
+        *[f"{base}/{f}" for f in files]
+    )
+
+
+def _clustered_write(out: DataFrame, keys: list[str], n_files: int):
+    """Replacement-file writer: range-clustered on the key so each
+    file covers a contiguous key band and its manifest stats prune
+    the NEXT merge as tightly as this one."""
+    clustered = out.repartitionByRange(
+        max(1, n_files), *keys
+    ).sortWithinPartitions(*keys)
+    return lambda tmp: clustered.write.mode("overwrite").parquet(tmp)
+
+
+def merge_into(
+    host,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+    commit=None,
+    target_files: int | None = None,
+) -> MergeStats:
+    """Upsert ``source`` into the table at ``path``: target rows whose
+    ``keys`` match a source row are REPLACED by it, unmatched source
+    rows are inserted, every other target row is untouched — and on a
+    manifest backend, every file the key envelope cannot reach is
+    untouched as a FILE (carried forward in the log entry, never read).
+
+    ``host`` is anything store-shaped (``CommitHost``, a
+    ``TimeseriesStore``). The source schema must equal the target's
+    column set. Returns ``MergeStats``; raises
+    ``RewriteConflictError`` if a concurrent rewrite replaced an
+    affected file first (retry on fresh state)."""
+    from redis_lsm_timeseries_spark.commit import ManifestCommit
+
+    commit = commit if commit is not None else ManifestCommit()
+    src = _resolve_source(source, keys, order_col)
+    n_upserts = src.count()
+    if n_upserts == 0:
+        total = commit.table_file_count(host, path)
+        return MergeStats(0, total, 0)
+
+    managed = (
+        commit.member_files(host, path)
+        if isinstance(commit, ManifestCommit)
+        else None
+    )
+    if managed is None:
+        # directory mode: same semantics, whole-table rewrite
+        cur = commit.read_table(host, path, None)
+        _check_columns(cur, src, path)
+        cur = cur.select(*src.columns)
+        out = cur.join(
+            src.select(*keys).distinct(), keys, "left_anti"
+        ).unionByName(src)
+        n = target_files or out.sparkSession.sparkContext.defaultParallelism
+        commit.snapshot_rewrite(
+            host, path, _clustered_write(out, keys, n)
+        )
+        return MergeStats(-1, -1, n_upserts)
+
+    total = len(managed)
+    preds = _key_predicates(src, keys)
+    affected, _ = commit.prune_files(host, path, preds)
+    if not affected:
+        # pure insert: no file can contain a matched key
+        commit.rewrite_files(
+            host, path, [],
+            _clustered_write(src, keys, target_files or 1),
+        )
+        return MergeStats(0, total, n_upserts)
+
+    cur = _affected_df(host, commit, path, affected)
+    _check_columns(cur, src, path)
+    survivors = cur.select(*src.columns).join(
+        src.select(*keys).distinct(), keys, "left_anti"
+    )
+    out = survivors.unionByName(src)
+    n = target_files or len(affected)
+    commit.rewrite_files(
+        host, path, affected, _clustered_write(out, keys, n)
+    )
+    return MergeStats(len(affected), total, n_upserts)
+
+
+def delete_rows(
+    host,
+    path: str,
+    delete_keys: DataFrame,
+    keys: list[str],
+    commit=None,
+) -> DeleteStats:
+    """Row-level delete by key set — the GDPR-erasure primitive: files
+    whose stats prove no key matches are never read or rewritten; a
+    file whose every row matches is dropped with no replacement. Same
+    conflict + fallback posture as ``merge_into``. Idempotent: keys
+    already absent delete zero rows."""
+    from redis_lsm_timeseries_spark.commit import ManifestCommit
+
+    commit = commit if commit is not None else ManifestCommit()
+    dk = delete_keys.select(*keys).distinct()
+
+    managed = (
+        commit.member_files(host, path)
+        if isinstance(commit, ManifestCommit)
+        else None
+    )
+    if managed is None:
+        cur = commit.read_table(host, path, None)
+        out = cur.join(dk, keys, "left_anti")
+        n = out.sparkSession.sparkContext.defaultParallelism
+        commit.snapshot_rewrite(host, path, _clustered_write(out, keys, n))
+        return DeleteStats(-1, -1)
+
+    total = len(managed)
+    preds = _key_predicates(dk, keys)
+    affected, _ = commit.prune_files(host, path, preds)
+    if not affected:
+        return DeleteStats(0, total)
+    cur = _affected_df(host, commit, path, affected)
+    survivors = cur.join(dk, keys, "left_anti")
+    # a fully-deleted slice drops its files with no replacement write
+    write_fn = (
+        None
+        if survivors.isEmpty()
+        else _clustered_write(survivors, keys, len(affected))
+    )
+    commit.rewrite_files(host, path, affected, write_fn)
+    return DeleteStats(len(affected), total)
+
+
+def delete_range(
+    host,
+    path: str,
+    column: str,
+    lo=None,
+    hi=None,
+    commit=None,
+) -> DeleteStats:
+    """Delete every row with ``lo <= column <= hi`` (either bound may
+    be None = unbounded) — row-level retention sharper than partition
+    granularity. The prune envelope IS the delete predicate, so a
+    skipped file provably holds no matching row."""
+    from redis_lsm_timeseries_spark.commit import ManifestCommit
+
+    if lo is None and hi is None:
+        raise ValidationError("delete_range: at least one bound required")
+    commit = commit if commit is not None else ManifestCommit()
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(column) >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(column) <= F.lit(hi))
+
+    managed = (
+        commit.member_files(host, path)
+        if isinstance(commit, ManifestCommit)
+        else None
+    )
+    if managed is None:
+        cur = commit.read_table(host, path, None)
+        out = cur.where(~cond | F.col(column).isNull())
+        n = out.sparkSession.sparkContext.defaultParallelism
+        commit.snapshot_rewrite(
+            host, path, _clustered_write(out, [column], n)
+        )
+        return DeleteStats(-1, -1)
+
+    total = len(managed)
+    affected, _ = commit.prune_files(host, path, {column: (lo, hi)})
+    if not affected:
+        return DeleteStats(0, total)
+    cur = _affected_df(host, commit, path, affected)
+    survivors = cur.where(~cond | F.col(column).isNull())
+    write_fn = (
+        None
+        if survivors.isEmpty()
+        else _clustered_write(survivors, [column], len(affected))
+    )
+    commit.rewrite_files(host, path, affected, write_fn)
+    return DeleteStats(len(affected), total)
+
+
+def _check_columns(target: DataFrame, source: DataFrame, path: str):
+    if set(target.columns) != set(source.columns):
+        raise ValidationError(
+            f"merge into {path!r}: source columns "
+            f"{sorted(source.columns)} != target columns "
+            f"{sorted(target.columns)}"
+        )

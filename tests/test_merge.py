@@ -1,0 +1,333 @@
+"""Row-level MERGE / DELETE (``operators/merge.py``): upsert and
+erase with identical semantics on both commit backends, and — on the
+manifest backend — copy-on-write at FILE granularity: files whose
+stats prove no key matches are carried forward byte-untouched, a
+concurrent unrelated append survives the merge commit, and racing
+rewrites of the same files conflict loudly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from redis_lsm_timeseries_spark.commit import (
+    CommitHost,
+    ManifestCommit,
+    ParquetLeaseCommit,
+)
+from redis_lsm_timeseries_spark.errors import (
+    RewriteConflictError,
+    ValidationError,
+)
+from redis_lsm_timeseries_spark.operators.merge import (
+    delete_range,
+    delete_rows,
+    merge_into,
+)
+
+SCHEMA = "k long, v string"
+
+
+def _seed(spark, host, commit, path, n=100, files=4):
+    """n rows keyed 0..n-1, range-clustered into ``files`` files so
+    each covers a contiguous key band (tight stats)."""
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(n)], SCHEMA
+    ).repartitionByRange(files, "k").sortWithinPartitions("k")
+    if isinstance(commit, ManifestCommit):
+        commit.rewrite_files(
+            host, path, [],
+            lambda tmp: df.write.mode("overwrite").parquet(tmp),
+        )
+    else:
+        df.write.mode("overwrite").parquet(path)
+
+
+def _rows(spark, host, commit, path):
+    return {
+        r.k: r.v for r in commit.read_table(host, path, SCHEMA).collect()
+    }
+
+
+@pytest.fixture(params=["manifest", "directory"])
+def env(request, spark, tmp_path):
+    commit = (
+        ManifestCommit() if request.param == "manifest"
+        else ParquetLeaseCommit()
+    )
+    host = CommitHost(spark)
+    path = str(tmp_path / "t")
+    _seed(spark, host, commit, path)
+    return host, commit, path
+
+
+class TestMergeSemantics:
+    def test_upsert_replaces_matches_and_inserts_rest(self, spark, env):
+        host, commit, path = env
+        src = spark.createDataFrame(
+            [(3, "NEW3"), (7, "NEW7"), (200, "NEW200")], SCHEMA
+        )
+        st = merge_into(host, path, src, ["k"], commit=commit)
+        assert st.rows_upserted == 3
+        got = _rows(spark, host, commit, path)
+        want = {i: f"v{i}" for i in range(100)}
+        want.update({3: "NEW3", 7: "NEW7", 200: "NEW200"})
+        assert got == want
+
+    def test_empty_source_is_a_noop(self, spark, env):
+        host, commit, path = env
+        src = spark.createDataFrame([], SCHEMA)
+        st = merge_into(host, path, src, ["k"], commit=commit)
+        assert st.rows_upserted == 0
+        assert _rows(spark, host, commit, path) == {
+            i: f"v{i}" for i in range(100)
+        }
+
+    def test_duplicate_source_keys_raise_without_order_col(
+        self, spark, env
+    ):
+        host, commit, path = env
+        src = spark.createDataFrame([(3, "a"), (3, "b")], SCHEMA)
+        with pytest.raises(ValidationError, match="duplicate source key"):
+            merge_into(host, path, src, ["k"], commit=commit)
+
+    def test_order_col_resolves_in_source_lww(self, spark, tmp_path):
+        host = CommitHost(spark)
+        commit = ManifestCommit()
+        path = str(tmp_path / "t")
+        spark_df = spark.createDataFrame(
+            [(i, f"v{i}", 0) for i in range(10)],
+            "k long, v string, seq long",
+        )
+        commit.rewrite_files(
+            host, path, [],
+            lambda tmp: spark_df.write.mode("overwrite").parquet(tmp),
+        )
+        src = spark.createDataFrame(
+            [(3, "old", 1), (3, "new", 2), (4, "only", 1)],
+            "k long, v string, seq long",
+        )
+        merge_into(host, path, src, ["k"], order_col="seq", commit=commit)
+        got = {
+            r.k: (r.v, r.seq)
+            for r in commit.read_table(host, path, None).collect()
+        }
+        assert got[3] == ("new", 2)
+        assert got[4] == ("only", 1)
+        assert got[5] == ("v5", 0)
+
+    def test_null_source_key_raises(self, spark, env):
+        host, commit, path = env
+        src = spark.createDataFrame([(None, "x")], SCHEMA)
+        with pytest.raises(ValidationError, match="NULL"):
+            merge_into(host, path, src, ["k"], commit=commit)
+
+    def test_schema_mismatch_raises(self, spark, env):
+        host, commit, path = env
+        src = spark.createDataFrame([(1, "x", 9)], "k long, v string, extra long")
+        with pytest.raises(ValidationError, match="columns"):
+            merge_into(host, path, src, ["k"], commit=commit)
+
+
+class TestFileGranularity:
+    """Manifest backend only: what the merge must NOT touch."""
+
+    def _mfx(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        _seed(spark, host, commit, path)
+        return host, commit, path
+
+    def test_untouched_files_carried_forward_verbatim(
+        self, spark, tmp_path
+    ):
+        host, commit, path = self._mfx(spark, tmp_path)
+        before = set(commit.member_files(host, path))
+        assert len(before) == 4
+        # keys 1..3 live in the first band only
+        src = spark.createDataFrame([(1, "N1"), (2, "N2")], SCHEMA)
+        st = merge_into(host, path, src, ["k"], commit=commit)
+        assert st.files_total == 4
+        assert 1 <= st.files_rewritten < 4
+        after = set(commit.member_files(host, path))
+        # every non-affected file survives with the same relpath
+        assert len(before & after) == 4 - st.files_rewritten
+        got = _rows(spark, host, commit, path)
+        assert got[1] == "N1" and got[2] == "N2" and got[99] == "v99"
+
+    def test_pure_insert_outside_all_bands_rewrites_nothing(
+        self, spark, tmp_path
+    ):
+        host, commit, path = self._mfx(spark, tmp_path)
+        before = set(commit.member_files(host, path))
+        src = spark.createDataFrame([(1000, "far")], SCHEMA)
+        st = merge_into(host, path, src, ["k"], commit=commit)
+        assert st.files_rewritten == 0
+        assert before <= set(commit.member_files(host, path))
+        assert _rows(spark, host, commit, path)[1000] == "far"
+
+    def test_concurrent_unrelated_append_survives_merge(
+        self, spark, tmp_path
+    ):
+        """An append landing between the merge's read and its commit
+        must survive — the conflict check covers only replaced
+        files."""
+        host, commit, path = self._mfx(spark, tmp_path)
+        real_stage = ManifestCommit._stage_in
+        raced = {"done": False}
+
+        def racing_stage(self_, store, root, member, write_fn):
+            files = real_stage(self_, store, root, member, write_fn)
+            if not raced["done"]:
+                raced["done"] = True
+                # a second committer appends while our files are staged
+                ManifestCommit().append_rows(
+                    store, [(5000, "racer")], SCHEMA, path
+                )
+            return files
+
+        ManifestCommit._stage_in = racing_stage
+        try:
+            src = spark.createDataFrame([(1, "N1")], SCHEMA)
+            merge_into(host, path, src, ["k"], commit=commit)
+        finally:
+            ManifestCommit._stage_in = real_stage
+        got = _rows(spark, host, commit, path)
+        assert got[5000] == "racer" and got[1] == "N1"
+
+    def test_racing_rewrite_of_same_files_conflicts(
+        self, spark, tmp_path
+    ):
+        host, commit, path = self._mfx(spark, tmp_path)
+        files = commit.member_files(host, path)
+        df = spark.createDataFrame([(0, "x")], SCHEMA)
+        w = lambda tmp: df.write.mode("overwrite").parquet(tmp)  # noqa: E731
+        commit.rewrite_files(host, path, files, w)
+        with pytest.raises(RewriteConflictError):
+            commit.rewrite_files(host, path, files, w)
+
+    def test_merge_preserves_time_travel(self, spark, tmp_path):
+        host, commit, path = self._mfx(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        src = spark.createDataFrame([(1, "N1")], SCHEMA)
+        merge_into(host, path, src, ["k"], commit=commit)
+        old = {
+            r.k: r.v
+            for r in commit.read_table(
+                host, path, SCHEMA, version=v0
+            ).collect()
+        }
+        assert old[1] == "v1"  # pre-merge snapshot intact
+
+    def test_next_merge_prunes_as_tightly(self, spark, tmp_path):
+        """Replacement files are range-clustered, so a SECOND merge in
+        the same band still rewrites a strict file subset."""
+        host, commit, path = self._mfx(spark, tmp_path)
+        merge_into(
+            host, path,
+            spark.createDataFrame([(1, "N1")], SCHEMA),
+            ["k"], commit=commit,
+        )
+        st2 = merge_into(
+            host, path,
+            spark.createDataFrame([(2, "N2")], SCHEMA),
+            ["k"], commit=commit,
+        )
+        assert st2.files_rewritten < st2.files_total
+
+
+class TestDelete:
+    def test_delete_rows_by_key(self, spark, env):
+        host, commit, path = env
+        dk = spark.createDataFrame([(3,), (7,), (999,)], "k long")
+        delete_rows(host, path, dk, ["k"], commit=commit)
+        got = _rows(spark, host, commit, path)
+        assert 3 not in got and 7 not in got and len(got) == 98
+        # idempotent
+        delete_rows(host, path, dk, ["k"], commit=commit)
+        assert len(_rows(spark, host, commit, path)) == 98
+
+    def test_delete_rows_is_file_granular(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        _seed(spark, host, commit, path)
+        before = set(commit.member_files(host, path))
+        dk = spark.createDataFrame([(1,), (2,)], "k long")
+        st = delete_rows(host, path, dk, ["k"], commit=commit)
+        assert 1 <= st.files_rewritten < st.files_total == 4
+        after = set(commit.member_files(host, path))
+        assert len(before & after) == 4 - st.files_rewritten
+
+    def test_fully_deleted_band_drops_files_without_replacement(
+        self, spark, tmp_path
+    ):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        _seed(spark, host, commit, path)
+        # wipe one whole quarter of the key space
+        dk = spark.createDataFrame([(i,) for i in range(0, 25)], "k long")
+        n_before = len(commit.member_files(host, path))
+        st = delete_rows(host, path, dk, ["k"], commit=commit)
+        n_after = len(commit.member_files(host, path))
+        assert st.files_rewritten >= 1
+        assert n_after < n_before  # dropped, nothing written back
+        got = _rows(spark, host, commit, path)
+        assert set(got) == set(range(25, 100))
+
+    def test_delete_range_inclusive_bounds(self, spark, env):
+        host, commit, path = env
+        delete_range(host, path, "k", lo=10, hi=19, commit=commit)
+        got = _rows(spark, host, commit, path)
+        assert set(got) == set(range(10)) | set(range(20, 100))
+
+    def test_delete_range_keeps_null_column_rows(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "a"), (None, "keepme"), (50, "b")], SCHEMA
+        )
+        commit.rewrite_files(
+            host, path, [],
+            lambda tmp: df.write.mode("overwrite").parquet(tmp),
+        )
+        delete_range(host, path, "k", lo=0, hi=100, commit=commit)
+        vals = {
+            r.v for r in commit.read_table(host, path, SCHEMA).collect()
+        }
+        assert vals == {"keepme"}
+
+    def test_delete_range_requires_a_bound(self, spark, env):
+        host, commit, path = env
+        with pytest.raises(ValidationError, match="bound"):
+            delete_range(host, path, "k", commit=commit)
+
+
+class TestOracleAgreement:
+    """DuckDB differential: merge == anti-join ∪ source, delete ==
+    anti-join, on identical inputs."""
+
+    def test_merge_matches_sql_semantics(self, spark, tmp_path):
+        import duckdb
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        _seed(spark, host, commit, path, n=50, files=3)
+        src_rows = [(3, "X3"), (17, "X17"), (60, "X60"), (61, "X61")]
+        src = spark.createDataFrame(src_rows, SCHEMA)
+        merge_into(host, path, src, ["k"], commit=commit)
+        got = _rows(spark, host, commit, path)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (SELECT unnest(range(50)) k)"
+        )
+        want_rows = con.execute(
+            """
+            WITH tgt AS (SELECT k, 'v' || CAST(k AS VARCHAR) v
+                         FROM range(50) t(k)),
+                 src(k, v) AS (VALUES (3, 'X3'), (17, 'X17'),
+                                      (60, 'X60'), (61, 'X61'))
+            SELECT k, v FROM tgt WHERE k NOT IN (SELECT k FROM src)
+            UNION ALL SELECT k, v FROM src
+            """
+        ).fetchall()
+        assert got == {k: v for k, v in want_rows}
