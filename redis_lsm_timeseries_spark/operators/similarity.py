@@ -661,3 +661,113 @@ def cluster_profile(assigned: DataFrame) -> DataFrame:
         .drop("_n")
         .orderBy("cluster_id")
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int = 100_000,
+) -> DataFrame:
+    """Cluster-scoped exact duplicate pairs — the SemDeDup posture
+    (Abbas et al. 2023, arXiv:2303.09540): semantic duplicates are
+    found by EXACT pairwise cosine, but only WITHIN each k-means
+    cluster, so the quadratic term is (corpus/k)^2 per cluster instead
+    of corpus^2 — the clustering is the blocking structure, playing
+    the role LSH bands play for MinHash.
+
+    Output: (cluster_id, {id}_a, {id}_b, cosine_sim) for every
+    within-cluster pair at/above ``threshold``, a < b. Assignment uses
+    the broadcast-join path (scales in n_list); the self-join shuffles
+    on cluster_id only. The deliberate approximation — near-dups
+    assigned to DIFFERENT clusters are never compared — is the
+    algorithm's published trade, not an implementation shortcut.
+
+    ``max_cluster_size`` is the scale guard: one mega-cluster would
+    quietly reintroduce the all-pairs blowup, so a cluster exceeding
+    the cap raises ``ValidationError`` (train more centroids —
+    n_list ~ sqrt(corpus) keeps expected occupancy at sqrt(corpus))."""
+    from redis_lsm_timeseries_spark.errors import ValidationError
+
+    spark = corpus.sparkSession
+    unit = _unit_rows(corpus, id_col, vec_col)
+    assigned = assign_lists_join(
+        unit, centroids_df(spark, centroids)
+    ).localCheckpoint(eager=False)  # both join sides + the guard scan
+    top = (
+        assigned.groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .first()
+        .m
+    )
+    if top is not None and top > max_cluster_size:
+        raise ValidationError(
+            f"semantic_dedup: largest cluster holds {top} vectors "
+            f"(> max_cluster_size={max_cluster_size}); the within-"
+            "cluster pair join would blow up quadratically — train "
+            "more centroids (n_list ~ sqrt(corpus)) or raise the cap"
+        )
+    a = assigned.select(
+        F.col("list_id").alias("cluster_id"),
+        F.col("_id").alias(f"{id_col}_a"),
+        F.col("_nv").alias("_va"),
+    )
+    b = assigned.select(
+        F.col("list_id").alias("cluster_id"),
+        F.col("_id").alias(f"{id_col}_b"),
+        F.col("_nv").alias("_vb"),
+    )
+    return (
+        a.join(b, "cluster_id")
+        .where(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .withColumn("cosine_sim", dot("_va", "_vb"))
+        .where(F.col("cosine_sim") >= float(threshold))
+        .select("cluster_id", f"{id_col}_a", f"{id_col}_b", "cosine_sim")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int = 100_000,
+) -> DataFrame:
+    """SemDeDup end to end: corpus rows surviving semantic
+    deduplication. Duplicate groups are the connected components of
+    the within-cluster pair graph; the kept member is the one with the
+    LOWEST centroid similarity (the paper's rule — the most atypical
+    copy carries the most information; boilerplate variants hug the
+    centroid), ties broken by minimum id. Vectors in no pair — and
+    zero/NaN-norm vectors, which never enter the graph — survive
+    unchanged.
+
+    Composition of already-skew-hardened pieces: cluster-scoped pairs
+    (blocking), join-based large/small-star components (no per-node
+    arrays), and the two-phase partial-aggregated winner pick of
+    ``canonical_docs_by`` — no per-cluster window anywhere."""
+    from redis_lsm_timeseries_spark.operators.components import (
+        canonical_docs_by,
+    )
+
+    spark = corpus.sparkSession
+    pairs = semantic_dedup_pairs(
+        corpus, centroids, threshold, id_col, vec_col, max_cluster_size
+    )
+    unit = _unit_rows(corpus, id_col, vec_col)
+    cdf = centroids_df(spark, centroids)
+    scored = (
+        assign_lists_join(unit, cdf)
+        .join(F.broadcast(cdf), "list_id")
+        .withColumn("_negsim", -dot("_nv", "centroid"))
+        .select(F.col("_id").alias(id_col), "_negsim")
+    )
+    docs = corpus.join(scored, id_col, "left")
+    return canonical_docs_by(
+        docs, pairs, "_negsim",
+        id_col=id_col, src=f"{id_col}_a", dst=f"{id_col}_b",
+    ).drop("_negsim")
