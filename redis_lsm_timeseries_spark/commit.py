@@ -640,8 +640,17 @@ class ManifestCommit(ParquetLeaseCommit):
         valid); the committed entry carries the current stats map
         merged with the additions and PRUNED to exactly the files the
         new manifest lists — a rewrite/drop sheds its dead files' stats
-        in the same atomic entry."""
+        in the same atomic entry.
+
+        Application metadata rides the same way (the Delta ``txn``
+        action idiom): ``mutate.app_meta`` is a small dict merged into
+        the entry's ``app`` map, and every commit CARRIES the current
+        ``app`` map forward — an unrelated append can never wipe a
+        consumer's cursor. Because the cursor and the data change land
+        in ONE atomic entry, an incremental consumer that records its
+        source position here is exactly-once by construction."""
         add = getattr(mutate, "stats_add", None) or {}
+        app_add = getattr(mutate, "app_meta", None) or {}
         for attempt in range(self.MAX_COMMIT_ATTEMPTS):
             if attempt:
                 # linear backoff so N racing committers don't lock-step
@@ -649,15 +658,19 @@ class ManifestCommit(ParquetLeaseCommit):
                 time.sleep(0.05 * attempt)
             version, tables = self._current(store, root)
             cur_stats: dict = {}
+            cur_app: dict = {}
             if version >= 0:
                 try:
-                    cur_stats = json.loads(
+                    prev = json.loads(
                         store.fs.read_text(
                             f"{root}/{LOG_DIR}/{version:020d}.json"
                         )
-                    ).get("stats", {})
+                    )
+                    cur_stats = prev.get("stats", {})
+                    cur_app = prev.get("app", {})
                 except Exception:
                     cur_stats = {}  # stats are an optimization only
+                    cur_app = {}
             new_tables = mutate(dict(tables))
             merged = {
                 m: {**cur_stats.get(m, {}), **add.get(m, {})}
@@ -675,6 +688,9 @@ class ManifestCommit(ParquetLeaseCommit):
             payload: dict = {"version": version + 1, "tables": new_tables}
             if stats_out:
                 payload["stats"] = stats_out
+            app_out = {**cur_app, **app_add}
+            if app_out:
+                payload["app"] = app_out
             entry = json.dumps(payload)
             target = f"{root}/{LOG_DIR}/{version + 1:020d}.json"
             if store.fs.create_exclusive(target, entry):
@@ -1472,6 +1488,79 @@ class ManifestCommit(ParquetLeaseCommit):
         if schema is not None:
             reader = reader.schema(schema)
         return reader.parquet(*[f"{base}/{f}" for f in added])
+
+    def read_app_meta(self, store, path: str) -> dict:
+        """The root's application-metadata map (``app`` in the newest
+        log entry) — consumer cursors recorded via
+        ``append_table_with_meta``'s atomic commit. Empty for a table
+        with no entries (or an unmanaged path)."""
+        resolved = self._resolve(store, path)
+        if resolved is None:
+            return {}
+        root, _ = resolved
+        version, _ = self._current(store, root)
+        if version < 0:
+            return {}
+        return json.loads(
+            store.fs.read_text(f"{root}/{LOG_DIR}/{version:020d}.json")
+        ).get("app", {})
+
+    def append_table_with_meta(
+        self, store, path: str, df, app_meta: dict
+    ) -> None:
+        """Append ``df``'s rows AND merge ``app_meta`` into the ``app``
+        map in ONE atomic log entry — the Delta ``txn`` idiom: a
+        consumer records the source position it just processed in the
+        same commit as the rows it derived, so a crash leaves either
+        both or neither, and replay is exactly-once (see
+        ``changefeed.mirror_changes``). ``df=None`` commits metadata
+        only (an empty delta still advances the cursor)."""
+        target = self._target_for_write(store, path)
+        if target is None:
+            raise ValidationError(
+                f"{path!r} is not manifest-managed; atomic app-meta "
+                "commits need the log"
+            )
+        root, member = target
+        files = (
+            self._stage_in(
+                store, root, member,
+                lambda tmp: df.write.mode("overwrite").parquet(tmp),
+            )
+            if df is not None
+            else []
+        )
+        mutate = lambda t: {**t, member: t.get(member, []) + files}  # noqa: E731
+        mutate.stats_add = self._file_stats(store, root, member, files)
+        mutate.app_meta = dict(app_meta)
+        self._commit(store, root, mutate)
+
+    def replace_table_with_meta(
+        self, store, path: str, df, app_meta: dict
+    ) -> None:
+        """Replace the member's content with ``df`` AND merge
+        ``app_meta``, one atomic entry — the full-resync twin of
+        ``append_table_with_meta`` (a mirror rebuilding from a source
+        snapshot). Deliberately unconditional (no rewrite-conflict
+        check): the destination is owned by its consumer, which is the
+        single writer for its member. Vacuums with the retention
+        margin afterwards."""
+        target = self._target_for_write(store, path)
+        if target is None:
+            raise ValidationError(
+                f"{path!r} is not manifest-managed; atomic app-meta "
+                "commits need the log"
+            )
+        root, member = target
+        files = self._stage_in(
+            store, root, member,
+            lambda tmp: df.write.mode("overwrite").parquet(tmp),
+        )
+        mutate = lambda t: {**t, member: files}  # noqa: E731
+        mutate.stats_add = self._file_stats(store, root, member, files)
+        mutate.app_meta = dict(app_meta)
+        self._commit(store, root, mutate)
+        self.vacuum(store, root)
 
     def table_exists(self, store, path: str) -> bool:
         resolved = self._resolve(store, path)
