@@ -1,0 +1,136 @@
+"""Z-order clustering (``operators/zorder.py``): the Morton key
+matches a pure-Python bit-interleave reference, and a Z-ordered
+rewrite makes manifest stats prune on BOTH dimensions — where 1-D
+range clustering prunes on only one."""
+
+from __future__ import annotations
+
+import pytest
+
+from redis_lsm_timeseries_spark.commit import CommitHost, ManifestCommit
+from redis_lsm_timeseries_spark.errors import ValidationError
+from redis_lsm_timeseries_spark.operators.zorder import (
+    column_bounds,
+    zorder_key,
+    zorder_rewrite,
+)
+
+SCHEMA = "x long, y long, payload string"
+
+
+def _grid(spark, n=32):
+    rows = [
+        (i, j, f"p{i}-{j}") for i in range(n) for j in range(n)
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _py_morton(vals, bounds, bits, cols):
+    top = (1 << bits) - 1
+    key = 0
+    n = len(cols)
+    for j, c in enumerate(cols):
+        lo, hi = float(bounds[c][0]), float(bounds[c][1])
+        span = hi - lo
+        v = vals[c]
+        if span <= 0 or v is None:
+            rank = 0
+        else:
+            rank = min(top, max(0, int((float(v) - lo) / span * top)))
+        for i in range(bits):
+            key |= ((rank >> i) & 1) << (i * n + j)
+    return key
+
+
+class TestKey:
+    def test_matches_python_reference(self, spark):
+        df = _grid(spark, n=16)
+        b = {"x": (0, 15), "y": (0, 15)}
+        got = {
+            (r.x, r.y): r.z
+            for r in df.select(
+                "x", "y", zorder_key(["x", "y"], b, bits=8).alias("z")
+            ).collect()
+        }
+        for (x, y), z in got.items():
+            assert z == _py_morton(
+                {"x": x, "y": y}, b, 8, ["x", "y"]
+            ), (x, y)
+
+    def test_nulls_and_out_of_bounds_clamp(self, spark):
+        df = spark.createDataFrame(
+            [(None, 5, "a"), (999, 5, "b"), (-999, 5, "c")], SCHEMA
+        )
+        b = {"x": (0, 10), "y": (0, 10)}
+        rows = df.select(
+            "payload", zorder_key(["x", "y"], b, bits=4).alias("z")
+        ).collect()
+        z = {r.payload: r.z for r in rows}
+        assert z["a"] == z["c"]  # NULL ranks 0, like the clamped min
+        assert all(0 <= v < 1 << 8 for v in z.values())
+
+    def test_single_column_rejected(self, spark):
+        with pytest.raises(ValidationError, match=">= 2"):
+            zorder_key(["x"], {"x": (0, 1)})
+
+    def test_too_many_bits_rejected(self, spark):
+        with pytest.raises(ValidationError, match="bits"):
+            zorder_key(
+                ["a", "b", "c", "d"],
+                {c: (0, 1) for c in "abcd"},
+                bits=16,
+            )
+
+    def test_column_bounds_single_agg(self, spark):
+        df = _grid(spark, n=4)
+        assert column_bounds(df, ["x", "y"]) == {
+            "x": (0, 3), "y": (0, 3),
+        }
+
+
+class TestRewrite:
+    def test_prunes_on_both_dimensions(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        df = _grid(spark)  # 32x32
+        # seed range-clustered on x ONLY: y stats are full-span
+        seeded = df.repartitionByRange(16, "x").sortWithinPartitions("x")
+        commit.rewrite_files(
+            host, path, [],
+            lambda tmp: seeded.write.mode("overwrite").parquet(tmp),
+        )
+        kept_x, total = commit.prune_files(host, path, {"x": (0, 3)})
+        kept_y, _ = commit.prune_files(host, path, {"y": (0, 3)})
+        assert len(kept_x) < total      # x prunes...
+        assert len(kept_y) == total     # ...y cannot
+
+        zorder_rewrite(host, path, ["x", "y"], target_files=16)
+        kept_x2, total2 = commit.prune_files(host, path, {"x": (0, 3)})
+        kept_y2, _ = commit.prune_files(host, path, {"y": (0, 3)})
+        assert total2 == 16
+        assert len(kept_x2) < total2
+        assert len(kept_y2) < total2    # now BOTH dimensions prune
+        # content unchanged
+        got = {
+            (r.x, r.y, r.payload)
+            for r in commit.read_table(host, path, SCHEMA).collect()
+        }
+        assert got == {
+            (i, j, f"p{i}-{j}") for i in range(32) for j in range(32)
+        }
+        # and a pruned 2-D read returns the right slice
+        corner = commit.read_table_pruned(
+            host, path, SCHEMA,
+            predicates={"x": (0, 3), "y": (0, 3)},
+        ).where("x <= 3 AND y <= 3")
+        assert corner.count() == 16
+
+    def test_missing_column_raises(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        commit.rewrite_files(
+            host, path, [],
+            lambda tmp: _grid(spark, 4).write.parquet(tmp),
+        )
+        with pytest.raises(ValidationError, match="no column"):
+            zorder_rewrite(host, path, ["x", "nope"], target_files=2)
