@@ -510,6 +510,91 @@ def extras_bench(spark, sf_dir: str) -> dict:
             shutil.rmtree(d, ignore_errors=True)
     except Exception as exc:
         out["ann_index_build"] = f"FAILED {type(exc).__name__}: {exc}"[:200]
+
+    # Round-11 surface: SemDeDup, file-granular MERGE/DELETE, the
+    # exactly-once change-feed mirror, and a Z-order rewrite — the
+    # lakehouse-maintenance tier, timed over temp manifest tables.
+    try:
+        from redis_lsm_timeseries_spark.operators.similarity import (
+            semantic_dedup,
+            train_ivf_centroids,
+        )
+
+        cents = train_ivf_centroids(emb, n_list=8, iters=1)
+        t0 = time.perf_counter()
+        semantic_dedup(emb, cents, threshold=0.9).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out["semantic_dedup"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:
+        out["semantic_dedup"] = f"FAILED {type(exc).__name__}: {exc}"[:200]
+
+    try:
+        import shutil
+        import tempfile
+
+        from redis_lsm_timeseries_spark.changefeed import mirror_changes
+        from redis_lsm_timeseries_spark.commit import (
+            CommitHost,
+            ManifestCommit,
+        )
+        from redis_lsm_timeseries_spark.operators.merge import merge_into
+        from redis_lsm_timeseries_spark.operators.zorder import (
+            zorder_rewrite,
+        )
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        d = tempfile.mkdtemp(prefix="rlts_merge_")
+        try:
+            tbl = f"{d}/corpus"
+            seed = docs.select("doc_id", "text").repartitionByRange(
+                8, "doc_id"
+            ).sortWithinPartitions("doc_id")
+            commit.rewrite_files(
+                host, tbl, [],
+                lambda tmp: seed.write.mode("overwrite").parquet(tmp),
+            )
+            src = docs.select("doc_id", "text").where(
+                "doc_id % 37 = 0"
+            ).withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+            t0 = time.perf_counter()
+            st = merge_into(host, tbl, src, ["doc_id"], commit=commit)
+            out["merge_into"] = round(time.perf_counter() - t0, 3)
+            out["merge_files_rewritten"] = st.files_rewritten
+            out["merge_files_total"] = st.files_total
+
+            t0 = time.perf_counter()
+            mirror_changes(host, tbl, f"{d}/mirror")
+            out["mirror_initial"] = round(time.perf_counter() - t0, 3)
+            commit.append_table_with_meta(
+                host, tbl,
+                src.limit(50).withColumn(
+                    "doc_id", F.col("doc_id") + 90_000_000
+                ),
+                {},
+            )
+            t0 = time.perf_counter()
+            m = mirror_changes(host, tbl, f"{d}/mirror")
+            out["mirror_incremental"] = round(
+                time.perf_counter() - t0, 3
+            )
+            out["mirror_delta_rows"] = m.rows_mirrored
+
+            ev_tbl = f"{d}/events"
+            ev = events.where(F.col("value").isNotNull())
+            commit.rewrite_files(
+                host, ev_tbl, [],
+                lambda tmp: ev.write.mode("overwrite").parquet(tmp),
+            )
+            t0 = time.perf_counter()
+            zorder_rewrite(
+                host, ev_tbl, ["ts", "value"], target_files=8
+            )
+            out["zorder_rewrite"] = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    except Exception as exc:
+        out["merge_into"] = f"FAILED {type(exc).__name__}: {exc}"[:200]
     return out
 
 
