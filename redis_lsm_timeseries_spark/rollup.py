@@ -279,8 +279,12 @@ def _refresh_locked(
             .repartition("tag")
             .localCheckpoint()
         )
-        n_buckets = full.count()
-        n_tags = full.select("tag").distinct().count()
+        # one fused pass over the checkpointed rollup for both counts
+        head = full.agg(
+            F.count(F.lit(1)).alias("b"),
+            F.countDistinct("tag").alias("t"),
+        ).first()
+        n_buckets, n_tags = int(head.b), int(head.t)
         if n_buckets:
             store.commit.overwrite_partitions(
                 store, full, data_path, ["tag"]
@@ -289,7 +293,11 @@ def _refresh_locked(
             store, meta_path,
             step=step,
             watermark_ingest_ts=new_watermark,
-            boundary_rows=_boundary_rows(raw, new_watermark),
+            boundary_rows=_boundary_rows(
+                _raw_members(store, ingest_floor=new_watermark)
+                if new_watermark >= 0 else raw,
+                new_watermark,
+            ),
             partial=None,
             with_sketch=with_sketch,
         )
