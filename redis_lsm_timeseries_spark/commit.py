@@ -975,7 +975,7 @@ class ManifestCommit(ParquetLeaseCommit):
         self.vacuum(store, root)
 
     def rewrite_files(
-        self, store, path: str, remove, write_fn
+        self, store, path: str, remove, write_fn, app_meta: dict | None = None
     ) -> list[str]:
         """File-granular copy-on-write: atomically replace the
         ``remove`` subset of a member's files with ``write_fn``'s
@@ -993,9 +993,14 @@ class ManifestCommit(ParquetLeaseCommit):
         so a streaming sink never loses an append to a racing merge.
 
         ``remove`` may be empty (pure insert of new files) and
-        ``write_fn`` may be None (pure delete). Returns the new
-        relpaths. The trailing vacuum keeps the retention margin, so
-        readers of retained snapshots stay valid."""
+        ``write_fn`` may be None (pure delete). ``app_meta`` merges
+        into the entry's ``app`` map atomically with the file change;
+        a CALLABLE ``app_meta`` receives the freshly staged relpaths
+        and returns the dict — for cursors derived from the new files
+        themselves (the incremental Z-order pass records their stage
+        tokens). Returns the new relpaths. The trailing vacuum keeps
+        the retention margin, so readers of retained snapshots stay
+        valid."""
         target = self._target_for_write(store, path)
         if target is None:
             raise ValidationError(
@@ -1029,6 +1034,10 @@ class ManifestCommit(ParquetLeaseCommit):
             }
 
         mutate.stats_add = self._file_stats(store, root, member, files)
+        if callable(app_meta):
+            app_meta = app_meta(list(files))
+        if app_meta:
+            mutate.app_meta = dict(app_meta)
         self._commit(store, root, mutate)
         self.vacuum(store, root)
         return files
@@ -1578,14 +1587,22 @@ class ManifestCommit(ParquetLeaseCommit):
         _, tables = self._current(store, root)
         return len(tables.get(member, []))
 
-    def member_files(self, store, path: str) -> list[str] | None:
-        """Current committed file relpaths of a member table (None for
-        an unmanaged path) — lets consumers do file-set-aware probes
-        (e.g. the admission Bloom sidecar's compacted-vs-tail split)."""
+    def member_files(
+        self, store, path: str, version: int | None = None
+    ) -> list[str] | None:
+        """Committed file relpaths of a member table (None for an
+        unmanaged path) — lets consumers do file-set-aware probes
+        (e.g. the admission Bloom sidecar's compacted-vs-tail split,
+        the incremental Z-order pass's clustered-through diff).
+        ``version`` reads a retained historical entry
+        (``VersionNotFoundError`` past vacuum's horizon)."""
         resolved = self._resolve(store, path)
         if resolved is None:
             return None
         root, member = resolved
+        if version is not None:
+            entry = self._load_entry(store, path, root, version)
+            return list(entry["tables"].get(member, []))
         _, tables = self._current(store, root)
         return list(tables.get(member, []))
 

@@ -132,3 +132,96 @@ def zorder_rewrite(
         host, path,
         lambda tmp: clustered.write.mode("overwrite").parquet(tmp),
     )
+
+
+#: app-map key holding the stage tokens of files written by Z-order
+#: passes. Every manifest file's basename is ``{token}-...`` (the
+#: staging commit's token), so "is this file clustered?" is an exact
+#: basename-prefix test — immune to concurrent appends racing into
+#: the pass's own commit, which a version-number cursor would
+#: mis-mark as clustered forever.
+ZORDER_TOKENS = "zorder:tokens"
+
+
+def _file_token(rel: str) -> str:
+    return rel.rsplit("/", 1)[-1].split("-", 1)[0]
+
+
+def zorder_compact(
+    host,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    bounds: dict[str, tuple] | None = None,
+    min_files: int = 2,
+    target_files: int | None = None,
+    commit=None,
+) -> int:
+    """Incremental OPTIMIZE: Z-order-cluster only the files NOT
+    written by a previous pass — the steady-state maintenance loop
+    for a table that keeps ingesting. The cursor is the list of stage
+    tokens this job's own commits produced, kept in the ``app`` map
+    ATOMICALLY with each pass (tokens of files no longer current are
+    pruned from the list, so it stays bounded by the live clustered
+    file count). Files rewritten by other maintenance lose their
+    clustered token and get re-clustered next pass — the correct
+    posture, since the other job decided their layout.
+
+    Returns the number of files clustered this pass (0 = fewer than
+    ``min_files`` pending; nothing committed). Concurrent appends of
+    new files survive the pass untouched (they are next pass's tail);
+    a concurrent rewrite of a tail file raises
+    ``RewriteConflictError`` — re-run on fresh state.
+
+    ``bounds`` should be the caller's stable domain bounds at scale:
+    per-pass recomputed bounds (the default, one narrow aggregate
+    over the tail) shift the curve between passes, which costs
+    cross-file tightness but never correctness — and per-file stats
+    stay true bounds regardless."""
+    from redis_lsm_timeseries_spark.commit import ManifestCommit
+
+    commit = commit if commit is not None else ManifestCommit()
+    current = commit.member_files(host, path)
+    if current is None:
+        raise ValidationError(
+            f"zorder_compact: {path!r} is not manifest-managed"
+        )
+    tokens = set(commit.read_app_meta(host, path).get(ZORDER_TOKENS, []))
+    tail = [f for f in current if _file_token(f) not in tokens]
+    if len(tail) < max(1, int(min_files)):
+        return 0
+
+    root, member = commit._resolve(host, path)
+    base = commit._member_root(root, member)
+    cur = host.spark.read.option("basePath", base).parquet(
+        *[f"{base}/{f}" for f in tail]
+    )
+    for c in cols:
+        if c not in cur.columns:
+            raise ValidationError(f"zorder_compact: no column {c!r}")
+    b = bounds if bounds is not None else column_bounds(cur, cols)
+    n = target_files if target_files is not None else len(tail)
+    clustered = (
+        cur.withColumn("_zkey", zorder_key(cols, b, bits))
+        .repartitionByRange(max(1, int(n)), "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+    )
+    kept_tokens = sorted(
+        {_file_token(f) for f in current if f not in set(tail)}
+        & tokens
+    )
+
+    def cursor(new_files: list[str]) -> dict:
+        return {
+            ZORDER_TOKENS: sorted(
+                set(kept_tokens) | {_file_token(f) for f in new_files}
+            )
+        }
+
+    commit.rewrite_files(
+        host, path, tail,
+        lambda tmp: clustered.write.mode("overwrite").parquet(tmp),
+        app_meta=cursor,
+    )
+    return len(tail)

@@ -134,3 +134,120 @@ class TestRewrite:
         )
         with pytest.raises(ValidationError, match="no column"):
             zorder_rewrite(host, path, ["x", "nope"], target_files=2)
+
+
+class TestIncrementalCompact:
+    """zorder_compact: cluster only the unclustered tail, cursor =
+    stage tokens committed atomically with the pass."""
+
+    def _fx(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.operators.zorder import (
+            zorder_compact,
+        )
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        commit.rewrite_files(
+            host, path, [],
+            lambda tmp: _grid(spark, 16)
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(tmp),
+        )
+        return host, commit, path, zorder_compact
+
+    def test_first_pass_clusters_everything(self, spark, tmp_path):
+        host, commit, path, compact = self._fx(spark, tmp_path)
+        n = compact(host, path, ["x", "y"], commit=commit)
+        assert n == 4
+        # second pass: nothing pending
+        assert compact(host, path, ["x", "y"], commit=commit) == 0
+
+    def test_incremental_pass_leaves_clustered_files_alone(
+        self, spark, tmp_path
+    ):
+        host, commit, path, compact = self._fx(spark, tmp_path)
+        compact(host, path, ["x", "y"], commit=commit)
+        clustered = set(commit.member_files(host, path))
+        # new ingest lands unclustered
+        extra = spark.createDataFrame(
+            [(100 + i, 100 + i, f"n{i}") for i in range(8)], SCHEMA
+        ).repartition(2)
+        commit.rewrite_files(
+            host, path, [],
+            lambda tmp: extra.write.mode("overwrite").parquet(tmp),
+        )
+        n = compact(host, path, ["x", "y"], commit=commit)
+        assert n == 2  # only the tail
+        after = set(commit.member_files(host, path))
+        assert clustered <= after  # first pass's files untouched
+        # content intact
+        got = commit.read_table(host, path, SCHEMA).count()
+        assert got == 16 * 16 + 8
+
+    def test_min_files_threshold(self, spark, tmp_path):
+        host, commit, path, compact = self._fx(spark, tmp_path)
+        compact(host, path, ["x", "y"], commit=commit)
+        extra = spark.createDataFrame([(1, 1, "one")], SCHEMA)
+        commit.rewrite_files(
+            host, path, [],
+            lambda tmp: extra.coalesce(1).write.parquet(tmp),
+        )
+        assert (
+            compact(host, path, ["x", "y"], min_files=2, commit=commit)
+            == 0
+        )
+
+    def test_concurrent_append_during_pass_stays_pending(
+        self, spark, tmp_path
+    ):
+        """An append racing into the pass's own commit must NOT be
+        marked clustered — it is next pass's tail (the token cursor's
+        reason to exist)."""
+        host, commit, path, compact = self._fx(spark, tmp_path)
+        real_stage = ManifestCommit._stage_in
+        raced = {"done": False}
+
+        def racing_stage(self_, store, root, member, write_fn):
+            files = real_stage(self_, store, root, member, write_fn)
+            if not raced["done"]:
+                raced["done"] = True
+                ManifestCommit().append_rows(
+                    store, [(500, 500, "racer")],
+                    SCHEMA, path,
+                )
+            return files
+
+        ManifestCommit._stage_in = racing_stage
+        try:
+            compact(host, path, ["x", "y"], commit=commit)
+        finally:
+            ManifestCommit._stage_in = real_stage
+        # the racer's file is pending, min_files=1 picks it up
+        n = compact(host, path, ["x", "y"], min_files=1, commit=commit)
+        assert n == 1
+        got = commit.read_table(host, path, SCHEMA).count()
+        assert got == 16 * 16 + 1
+
+    def test_cursor_prunes_dead_tokens(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.operators.zorder import (
+            ZORDER_TOKENS,
+        )
+
+        host, commit, path, compact = self._fx(spark, tmp_path)
+        compact(host, path, ["x", "y"], commit=commit)
+        t1 = set(commit.read_app_meta(host, path)[ZORDER_TOKENS])
+        # a full snapshot rewrite replaces every clustered file
+        snap = commit.read_table(host, path, SCHEMA)
+        rows = [(r.x, r.y, r.payload) for r in snap.collect()]
+        commit.snapshot_rewrite(
+            host, path,
+            lambda tmp: spark.createDataFrame(rows, SCHEMA)
+            .repartition(3)
+            .write.mode("overwrite")
+            .parquet(tmp),
+        )
+        n = compact(host, path, ["x", "y"], commit=commit)
+        assert n == 3  # everything re-clusters
+        t2 = set(commit.read_app_meta(host, path)[ZORDER_TOKENS])
+        assert t1.isdisjoint(t2)  # dead tokens pruned, not hoarded
