@@ -179,3 +179,38 @@ class TestMirror:
         )
         with pytest.raises(ValidationError, match="ahead"):
             mirror_changes(host, src, dst)
+
+
+class TestAppMetaConcurrency:
+    def test_racing_meta_commits_both_survive(self, spark, env):
+        """Two writers racing commits with different app keys: the
+        optimistic-commit retry re-reads the current app map, so the
+        loser's entry carries the winner's cursor forward — neither
+        key is lost."""
+        import threading
+
+        host, commit, src, _ = env
+        errs = []
+
+        def writer(key):
+            try:
+                for i in range(3):
+                    ManifestCommit().append_table_with_meta(
+                        host, src,
+                        _df(spark, [(1000 + i, key)]),
+                        {key: i},
+                    )
+            except Exception as exc:  # pragma: no cover
+                errs.append(exc)
+
+        ts = [
+            threading.Thread(target=writer, args=(k,))
+            for k in ("cur:a", "cur:b")
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        app = commit.read_app_meta(host, src)
+        assert app.get("cur:a") == 2 and app.get("cur:b") == 2
