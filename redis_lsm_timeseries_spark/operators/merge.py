@@ -145,14 +145,39 @@ def _affected_df(host, commit, path: str, files: list[str]) -> DataFrame:
     )
 
 
-def _clustered_write(out: DataFrame, keys: list[str], n_files: int):
+def partition_cols_of(files: list[str]) -> list[str]:
+    """Hive partition column names encoded in a member file's
+    subpath (``tag=x/part_start=0/part-....parquet`` -> [tag,
+    part_start]); [] for an unpartitioned member. Replacement writes
+    MUST reproduce the layout — a file committed at a different depth
+    would corrupt partition discovery for the whole member."""
+    if not files:
+        return []
+    segs = files[0].split("/")[:-1]
+    return [s.split("=", 1)[0] for s in segs if "=" in s]
+
+
+def _clustered_write(
+    out: DataFrame,
+    keys: list[str],
+    n_files: int,
+    partition_cols: list[str] | None = None,
+):
     """Replacement-file writer: range-clustered on the key so each
     file covers a contiguous key band and its manifest stats prune
-    the NEXT merge as tightly as this one."""
+    the NEXT merge as tightly as this one. Hive-partitioned members
+    keep their directory layout (``partition_cols``)."""
     clustered = out.repartitionByRange(
         max(1, n_files), *keys
     ).sortWithinPartitions(*keys)
-    return lambda tmp: clustered.write.mode("overwrite").parquet(tmp)
+
+    def write(tmp):
+        w = clustered.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(tmp)
+
+    return write
 
 
 def merge_into(
@@ -206,11 +231,12 @@ def merge_into(
     total = len(managed)
     preds = _key_predicates(src, keys)
     affected, _ = commit.prune_files(host, path, preds)
+    pcols = partition_cols_of(managed)
     if not affected:
         # pure insert: no file can contain a matched key
         commit.rewrite_files(
             host, path, [],
-            _clustered_write(src, keys, target_files or 1),
+            _clustered_write(src, keys, target_files or 1, pcols),
         )
         return MergeStats(0, total, n_upserts)
 
@@ -222,7 +248,7 @@ def merge_into(
     out = survivors.unionByName(src)
     n = target_files or len(affected)
     commit.rewrite_files(
-        host, path, affected, _clustered_write(out, keys, n)
+        host, path, affected, _clustered_write(out, keys, n, pcols)
     )
     return MergeStats(len(affected), total, n_upserts)
 
@@ -267,7 +293,9 @@ def delete_rows(
     write_fn = (
         None
         if survivors.isEmpty()
-        else _clustered_write(survivors, keys, len(affected))
+        else _clustered_write(
+            survivors, keys, len(affected), partition_cols_of(affected)
+        )
     )
     commit.rewrite_files(host, path, affected, write_fn)
     return DeleteStats(len(affected), total)
@@ -319,7 +347,10 @@ def delete_range(
     write_fn = (
         None
         if survivors.isEmpty()
-        else _clustered_write(survivors, [column], len(affected))
+        else _clustered_write(
+            survivors, [column], len(affected),
+            partition_cols_of(affected),
+        )
     )
     commit.rewrite_files(host, path, affected, write_fn)
     return DeleteStats(len(affected), total)

@@ -116,22 +116,37 @@ def zorder_rewrite(
     (e.g. their hash) or leave them to the residual filter."""
     from redis_lsm_timeseries_spark.commit import ManifestCommit
 
+    from redis_lsm_timeseries_spark.operators.merge import (
+        partition_cols_of,
+    )
+
     commit = commit if commit is not None else ManifestCommit()
     cur = commit.read_table(host, path, None)
     for c in cols:
         if c not in cur.columns:
             raise ValidationError(f"zorder_rewrite: no column {c!r}")
     b = bounds if bounds is not None else column_bounds(cur, cols)
+    pcols = (
+        partition_cols_of(
+            (commit.member_files(host, path) or [])
+            if isinstance(commit, ManifestCommit)
+            else []
+        )
+    )
     clustered = (
         cur.withColumn("_zkey", zorder_key(cols, b, bits))
         .repartitionByRange(max(1, int(target_files)), "_zkey")
         .sortWithinPartitions("_zkey")
         .drop("_zkey")
     )
-    commit.snapshot_rewrite(
-        host, path,
-        lambda tmp: clustered.write.mode("overwrite").parquet(tmp),
-    )
+
+    def write(tmp):
+        w = clustered.write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(tmp)
+
+    commit.snapshot_rewrite(host, path, write)
 
 
 #: app-map key holding the stage tokens of files written by Z-order
@@ -180,6 +195,10 @@ def zorder_compact(
     stay true bounds regardless."""
     from redis_lsm_timeseries_spark.commit import ManifestCommit
 
+    from redis_lsm_timeseries_spark.operators.merge import (
+        partition_cols_of,
+    )
+
     commit = commit if commit is not None else ManifestCommit()
     current = commit.member_files(host, path)
     if current is None:
@@ -201,6 +220,7 @@ def zorder_compact(
             raise ValidationError(f"zorder_compact: no column {c!r}")
     b = bounds if bounds is not None else column_bounds(cur, cols)
     n = target_files if target_files is not None else len(tail)
+    pcols = partition_cols_of(tail)  # preserve hive layout
     clustered = (
         cur.withColumn("_zkey", zorder_key(cols, b, bits))
         .repartitionByRange(max(1, int(n)), "_zkey")
@@ -219,9 +239,11 @@ def zorder_compact(
             )
         }
 
-    commit.rewrite_files(
-        host, path, tail,
-        lambda tmp: clustered.write.mode("overwrite").parquet(tmp),
-        app_meta=cursor,
-    )
+    def write(tmp):
+        w = clustered.write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(tmp)
+
+    commit.rewrite_files(host, path, tail, write, app_meta=cursor)
     return len(tail)

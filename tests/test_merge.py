@@ -331,3 +331,63 @@ class TestOracleAgreement:
             """
         ).fetchall()
         assert got == {k: v for k, v in want_rows}
+
+
+class TestPartitionedMembers:
+    """Hive-partitioned members: replacement writes must reproduce the
+    directory layout — a flat file at a different depth would corrupt
+    partition discovery for the whole member."""
+
+    def _fx(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, i % 3, f"v{i}") for i in range(60)],
+            "k long, p long, v string",
+        )
+        commit.append_partitioned(host, df, path, ["p"])
+        return host, commit, path
+
+    def test_merge_preserves_hive_layout(self, spark, tmp_path):
+        host, commit, path = self._fx(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(3, 0, "NEW3"), (100, 1, "NEW100")],
+            "k long, p long, v string",
+        )
+        merge_into(host, path, src, ["k"], commit=commit)
+        # every committed file still sits under a p=... directory
+        for f in commit.member_files(host, path):
+            assert f.startswith("p="), f
+        got = {
+            r.k: (r.p, r.v)
+            for r in commit.read_table(host, path, None).collect()
+        }
+        assert got[3] == (0, "NEW3")
+        assert got[100] == (1, "NEW100")
+        assert got[4] == (1, "v4")
+        assert len(got) == 61
+        # partition-column stats survive for pruning
+        kept, total = commit.prune_files(host, path, {"p": {0}})
+        assert 0 < len(kept) < total
+
+    def test_delete_preserves_hive_layout(self, spark, tmp_path):
+        host, commit, path = self._fx(spark, tmp_path)
+        dk = spark.createDataFrame([(k,) for k in range(0, 10)], "k long")
+        delete_rows(host, path, dk, ["k"], commit=commit)
+        for f in commit.member_files(host, path):
+            assert f.startswith("p="), f
+        assert commit.read_table(host, path, None).count() == 50
+
+    def test_zorder_compact_preserves_hive_layout(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.operators.zorder import (
+            zorder_compact,
+        )
+
+        host, commit, path = self._fx(spark, tmp_path)
+        n = zorder_compact(
+            host, path, ["k", "p"], min_files=1, commit=commit
+        )
+        assert n >= 1
+        for f in commit.member_files(host, path):
+            assert f.startswith("p="), f
+        assert commit.read_table(host, path, None).count() == 60
