@@ -1606,6 +1606,24 @@ class ManifestCommit(ParquetLeaseCommit):
         _, tables = self._current(store, root)
         return list(tables.get(member, []))
 
+    def member_file_stats(
+        self, store, path: str, version: int | None = None
+    ) -> dict | None:
+        """{relpath: per-file stats dict or None} for a member — the
+        recorded ``{"rows": n, "cols": {...}}`` blocks, keyed by the
+        committed file list (files without stats map to None). The
+        driver-side input for size-aware maintenance (small-file
+        compaction groups by recorded row counts without touching
+        storage). None for an unmanaged path."""
+        resolved = self._resolve(store, path)
+        if resolved is None:
+            return None
+        root, member = resolved
+        entry = self._load_entry(store, path, root, version)
+        files = entry["tables"].get(member, [])
+        stats = entry.get("stats", {}).get(member, {})
+        return {f: stats.get(f) for f in files}
+
     def append_tables(self, store, root: str, dfs) -> None:
         """N member appends, ONE atomic log entry: either every
         member's new files are visible or none are. This is the

@@ -1,0 +1,119 @@
+"""Steady-state table maintenance for manifest tables: small-file
+compaction at FILE granularity.
+
+Every streaming sink and per-micro-batch commit accumulates small
+files; left alone, a year of micro-batches is a million tiny footers
+and a planning problem. The classic fix is bin-packing compaction
+(Delta OPTIMIZE, Iceberg rewrite_data_files) — and with per-file row
+counts already recorded in the manifest log, planning it costs ZERO
+storage reads: the driver groups undersized files from the stats map
+alone, then each group rewrites through ``rewrite_files`` as its own
+atomic commit.
+
+Why per-group commits rather than one big one: a crash mid-run leaves
+the completed groups durably compacted and the rest untouched — the
+next run continues where it stopped (the grouping is recomputed from
+fresh stats, so nothing is double-compacted). Concurrent appends of
+new small files are untouched by the conflict check and simply become
+next run's input; a racing rewrite of a grouped file aborts that one
+group (``RewriteConflictError``) without poisoning the others.
+
+Hive-partitioned members group WITHIN a partition directory only —
+merging across partitions would corrupt the layout, and a compacted
+file whose rows all share one partition value re-lands in that
+directory via ``partitionBy``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from redis_lsm_timeseries_spark.commit import ManifestCommit
+from redis_lsm_timeseries_spark.errors import (
+    RewriteConflictError,
+    ValidationError,
+)
+from redis_lsm_timeseries_spark.operators.merge import partition_cols_of
+
+
+@dataclass(frozen=True)
+class CompactStats:
+    #: groups committed (each = one atomic rewrite)
+    groups: int
+    #: small files folded into those groups
+    files_compacted: int
+    #: groups skipped because a concurrent rewrite replaced a member
+    conflicts: int
+
+
+def compact_small_files(
+    host,
+    path: str,
+    target_rows: int = 1_000_000,
+    min_group: int = 2,
+    max_groups: int | None = None,
+    commit: ManifestCommit | None = None,
+) -> CompactStats:
+    """Fold files recorded at fewer than ``target_rows`` rows into
+    ~``target_rows``-row files, partition-dir-local, one atomic
+    commit per group. Files without recorded stats are left alone
+    (conservative — pre-stats history compacts only via a full
+    ``snapshot_rewrite``). ``max_groups`` bounds one run's work, like
+    every other maintenance cap in the engine; the rest compacts on
+    later runs, oldest grouping first (deterministic file order)."""
+    commit = commit if commit is not None else ManifestCommit()
+    stats = commit.member_file_stats(host, path)
+    if stats is None:
+        raise ValidationError(
+            f"compact_small_files: {path!r} is not manifest-managed"
+        )
+
+    def pdir(rel: str) -> str:
+        return rel.rsplit("/", 1)[0] if "/" in rel else ""
+
+    small: dict[str, list[tuple[str, int]]] = {}
+    for f in sorted(stats):
+        s = stats[f]
+        rows = None if s is None else s.get("rows")
+        if rows is not None and rows < target_rows:
+            small.setdefault(pdir(f), []).append((f, int(rows)))
+
+    groups: list[list[str]] = []
+    for _, members in sorted(small.items()):
+        cur: list[str] = []
+        acc = 0
+        for f, rows in members:
+            if cur and acc + rows > target_rows:
+                if len(cur) >= min_group:
+                    groups.append(cur)
+                cur, acc = [], 0
+            cur.append(f)
+            acc += rows
+        if len(cur) >= min_group:
+            groups.append(cur)
+    if max_groups is not None:
+        groups = groups[: max(0, int(max_groups))]
+
+    root, member = commit._resolve(host, path)
+    base = commit._member_root(root, member)
+    done = files_done = conflicts = 0
+    for group in groups:
+        pcols = partition_cols_of(group)
+        df = host.spark.read.option("basePath", base).parquet(
+            *[f"{base}/{f}" for f in group]
+        )
+
+        def write(tmp, df=df, pcols=pcols):
+            w = df.coalesce(1).write.mode("overwrite")
+            if pcols:
+                w = w.partitionBy(*pcols)
+            w.parquet(tmp)
+
+        try:
+            commit.rewrite_files(host, path, group, write)
+        except RewriteConflictError:
+            conflicts += 1
+            continue
+        done += 1
+        files_done += len(group)
+    return CompactStats(done, files_done, conflicts)

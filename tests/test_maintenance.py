@@ -1,0 +1,128 @@
+"""Small-file compaction (``maintenance.compact_small_files``):
+bin-packs undersized files from the manifest's recorded row counts —
+zero storage reads to plan — one atomic commit per group, hive
+layout preserved, big files untouched."""
+
+from __future__ import annotations
+
+import pytest
+
+from redis_lsm_timeseries_spark.commit import CommitHost, ManifestCommit
+from redis_lsm_timeseries_spark.errors import ValidationError
+from redis_lsm_timeseries_spark.maintenance import compact_small_files
+
+SCHEMA = "k long, v string"
+
+
+def _append(spark, host, commit, path, rows):
+    commit.append_rows(host, rows, SCHEMA, path)
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    host, commit = CommitHost(spark), ManifestCommit()
+    path = str(tmp_path / "t")
+    # 6 tiny files + 1 big file
+    for i in range(6):
+        _append(spark, host, commit, path, [(i, f"v{i}")])
+    big = spark.createDataFrame(
+        [(100 + i, f"b{i}") for i in range(500)], SCHEMA
+    )
+    commit.rewrite_files(
+        host, path, [],
+        lambda tmp: big.coalesce(1).write.mode("overwrite").parquet(tmp),
+    )
+    return host, commit, path
+
+
+class TestCompaction:
+    def test_folds_small_files_leaves_big_alone(self, spark, env):
+        host, commit, path = env
+        before = commit.member_files(host, path)
+        big_files = [
+            f
+            for f, s in commit.member_file_stats(host, path).items()
+            if s and s["rows"] >= 100
+        ]
+        st = compact_small_files(host, path, target_rows=100, commit=commit)
+        assert st.groups == 1 and st.files_compacted == 6
+        after = commit.member_files(host, path)
+        assert len(after) == len(before) - 6 + 1
+        assert set(big_files) <= set(after)  # untouched
+        got = {
+            r.k: r.v
+            for r in commit.read_table(host, path, SCHEMA).collect()
+        }
+        assert len(got) == 506 and got[3] == "v3" and got[100] == "b0"
+
+    def test_second_run_is_a_noop(self, spark, env):
+        host, commit, path = env
+        compact_small_files(host, path, target_rows=100, commit=commit)
+        st = compact_small_files(host, path, target_rows=100, commit=commit)
+        assert st.groups == 0 and st.files_compacted == 0
+
+    def test_target_rows_splits_groups(self, spark, env):
+        host, commit, path = env
+        # each tiny file is 1 row; target 2 => groups of exactly 2
+        st = compact_small_files(host, path, target_rows=2, commit=commit)
+        assert st.groups == 3 and st.files_compacted == 6
+
+    def test_max_groups_bounds_one_run(self, spark, env):
+        host, commit, path = env
+        st = compact_small_files(
+            host, path, target_rows=2, max_groups=1, commit=commit
+        )
+        assert st.groups == 1
+        st2 = compact_small_files(
+            host, path, target_rows=2, commit=commit
+        )
+        assert st2.groups == 2  # the rest compacts on the next run
+        assert commit.read_table(host, path, SCHEMA).count() == 506
+
+    def test_partitioned_member_groups_within_partition(
+        self, spark, tmp_path
+    ):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        for i in range(4):
+            df = spark.createDataFrame(
+                [(i, i % 2, f"v{i}")], "k long, p long, v string"
+            )
+            commit.append_partitioned(host, df, path, ["p"])
+        st = compact_small_files(host, path, target_rows=100, commit=commit)
+        assert st.groups == 2 and st.files_compacted == 4
+        for f in commit.member_files(host, path):
+            assert f.startswith("p="), f
+        assert commit.read_table(host, path, None).count() == 4
+
+    def test_unmanaged_path_raises(self, spark, tmp_path):
+        host = CommitHost(spark)
+        plain = str(tmp_path / "plain")
+        spark.createDataFrame([(1, "a")], SCHEMA).write.parquet(plain)
+        with pytest.raises(ValidationError, match="manifest"):
+            compact_small_files(host, plain)
+
+    def test_concurrent_append_becomes_next_runs_input(self, spark, env):
+        host, commit, path = env
+        real_stage = ManifestCommit._stage_in
+        raced = {"done": False}
+
+        def racing_stage(self_, store, root, member, write_fn):
+            files = real_stage(self_, store, root, member, write_fn)
+            if not raced["done"]:
+                raced["done"] = True
+                ManifestCommit().append_rows(
+                    store, [(999, "racer")], SCHEMA, path
+                )
+            return files
+
+        ManifestCommit._stage_in = racing_stage
+        try:
+            compact_small_files(host, path, target_rows=100, commit=commit)
+        finally:
+            ManifestCommit._stage_in = real_stage
+        got = {
+            r.k: r.v
+            for r in commit.read_table(host, path, SCHEMA).collect()
+        }
+        assert got[999] == "racer" and len(got) == 507
