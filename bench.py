@@ -591,6 +591,21 @@ def extras_bench(spark, sf_dir: str) -> dict:
                 host, ev_tbl, ["ts", "value"], target_files=8
             )
             out["zorder_rewrite"] = round(time.perf_counter() - t0, 3)
+
+            # the corpus table accumulated small files from the merge
+            # + mirror-source appends above: fold them
+            from redis_lsm_timeseries_spark.maintenance import (
+                compact_small_files,
+            )
+
+            t0 = time.perf_counter()
+            cs = compact_small_files(
+                host, tbl, target_rows=1_000_000, commit=commit
+            )
+            out["compact_small_files"] = round(
+                time.perf_counter() - t0, 3
+            )
+            out["compact_groups"] = cs.groups
         finally:
             shutil.rmtree(d, ignore_errors=True)
     except Exception as exc:
