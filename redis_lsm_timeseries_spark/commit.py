@@ -1657,7 +1657,9 @@ class ManifestCommit(ParquetLeaseCommit):
         }
         self._commit(store, root, mutate)
 
-    def replace_tables(self, store, root: str, dfs) -> None:
+    def replace_tables(
+        self, store, root: str, dfs, app_meta: dict | None = None
+    ) -> None:
         """N member REPLACEMENTS, ONE atomic log entry: after the
         commit every listed member's content is exactly its new
         snapshot, and no reader can observe a mix of generations —
@@ -1667,7 +1669,9 @@ class ManifestCommit(ParquetLeaseCommit):
         source, not from their own prior state (unlike
         ``snapshot_rewrite``, which conflict-checks). Old files stay
         on disk for retained-snapshot readers until vacuum's horizon
-        passes them."""
+        passes them. ``app_meta`` merges into the ``app`` map in the
+        same entry — a rebuild driven by an external source records
+        the source position it covered atomically with the swap."""
         target = self._target_for_write(store, root)
         if target is None or target != (root, ""):
             raise ValueError(
@@ -1687,6 +1691,8 @@ class ManifestCommit(ParquetLeaseCommit):
             for member, files in staged.items()
             for m, s in self._file_stats(store, root, member, files).items()
         }
+        if app_meta:
+            mutate.app_meta = dict(app_meta)
         self._commit(store, root, mutate)
         self.vacuum(store, root)
 
