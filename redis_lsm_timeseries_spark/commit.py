@@ -685,7 +685,11 @@ class ManifestCommit(ParquetLeaseCommit):
                 for m in merged
             }
             stats_out = {m: v for m, v in stats_out.items() if v}
-            payload: dict = {"version": version + 1, "tables": new_tables}
+            payload: dict = {
+                "version": version + 1,
+                "ts_ms": _now_ms(),
+                "tables": new_tables,
+            }
             if stats_out:
                 payload["stats"] = stats_out
             app_out = {**cur_app, **app_add}
@@ -1605,6 +1609,52 @@ class ManifestCommit(ParquetLeaseCommit):
             return list(entry["tables"].get(member, []))
         _, tables = self._current(store, root)
         return list(tables.get(member, []))
+
+    def version_history(self, store, path: str) -> list[dict]:
+        """The retained commit history, oldest first: one
+        ``{"version", "ts_ms", "members": {name: n_files}, "app"}``
+        row per retained log entry (``ts_ms`` None for entries written
+        before timestamps were recorded). Driver-side metadata only —
+        no storage reads beyond the log."""
+        resolved = self._resolve(store, path)
+        if resolved is None:
+            return []
+        root, _ = resolved
+        out = []
+        for v in self.table_versions(store, path):
+            entry = json.loads(
+                store.fs.read_text(f"{root}/{LOG_DIR}/{v:020d}.json")
+            )
+            out.append(
+                {
+                    "version": v,
+                    "ts_ms": entry.get("ts_ms"),
+                    "members": {
+                        m: len(fs_)
+                        for m, fs_ in entry.get("tables", {}).items()
+                    },
+                    "app": entry.get("app", {}),
+                }
+            )
+        return out
+
+    def resolve_version_asof(self, store, path: str, ts_ms: int) -> int:
+        """The newest retained version committed at or before
+        ``ts_ms`` — the time-travel-by-timestamp resolver
+        (``read_table(version=resolve_version_asof(...))``). Raises
+        ``VersionNotFoundError`` when every retained entry is newer
+        (the wanted snapshot is past vacuum's horizon) or the history
+        predates timestamps."""
+        best = None
+        for h in self.version_history(store, path):
+            if h["ts_ms"] is not None and h["ts_ms"] <= int(ts_ms):
+                best = h["version"]
+        if best is None:
+            raise VersionNotFoundError(
+                f"no retained version of {path!r} at or before "
+                f"ts_ms={ts_ms} (vacuumed, or pre-timestamp history)"
+            )
+        return best
 
     def member_file_stats(
         self, store, path: str, version: int | None = None

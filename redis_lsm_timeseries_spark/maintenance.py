@@ -117,3 +117,59 @@ def compact_small_files(
         done += 1
         files_done += len(group)
     return CompactStats(done, files_done, conflicts)
+
+
+def table_report(host, path: str, commit: ManifestCommit | None = None):
+    """Health report for a manifest member, computed from the log
+    alone (no storage reads): file and row counts, stats coverage,
+    and per-column CLUSTERING HEALTH — the mean fraction of the
+    column's global domain each file spans. 1.0 means every file
+    covers everything (min/max pruning can never skip); ~1/n_files
+    means tight bands (range or Z-order clustered). The number that
+    tells you whether to run ``zorder_compact`` before the next
+    scan-heavy day, without scanning anything."""
+    commit = commit if commit is not None else ManifestCommit()
+    stats = commit.member_file_stats(host, path)
+    if stats is None:
+        raise ValidationError(
+            f"table_report: {path!r} is not manifest-managed"
+        )
+    n_files = len(stats)
+    with_stats = {f: s for f, s in stats.items() if s is not None}
+    rows = sum(s.get("rows", 0) for s in with_stats.values())
+    spans: dict[str, list[float]] = {}
+    bounds: dict[str, list[float]] = {}
+    for s in with_stats.values():
+        for col, cs in s.get("cols", {}).items():
+            mn, mx = cs.get("min"), cs.get("max")
+            num = (
+                lambda x: isinstance(x, (int, float))
+                and not isinstance(x, bool)
+            )
+            if num(mn) and num(mx):
+                b = bounds.setdefault(
+                    col, [float(mn), float(mx)]
+                )
+                b[0] = min(b[0], float(mn))
+                b[1] = max(b[1], float(mx))
+                spans.setdefault(col, []).append(
+                    (float(mn), float(mx))
+                )
+    clustering = {}
+    for col, pairs in spans.items():
+        lo, hi = bounds[col]
+        dom = hi - lo
+        if dom <= 0 or len(pairs) < 2:
+            continue
+        clustering[col] = round(
+            sum((b - a) / dom for a, b in pairs) / len(pairs), 4
+        )
+    return {
+        "files": n_files,
+        "files_with_stats": len(with_stats),
+        "rows": rows,
+        "avg_rows_per_file": (
+            round(rows / len(with_stats), 1) if with_stats else 0.0
+        ),
+        "clustering_span_fraction": clustering,
+    }

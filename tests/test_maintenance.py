@@ -126,3 +126,60 @@ class TestCompaction:
             for r in commit.read_table(host, path, SCHEMA).collect()
         }
         assert got[999] == "racer" and len(got) == 507
+
+
+class TestObservability:
+    def test_table_report_reads_only_the_log(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.maintenance import table_report
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], SCHEMA
+        ).repartitionByRange(4, "k").sortWithinPartitions("k")
+        commit.rewrite_files(
+            host, path, [],
+            lambda tmp: df.write.mode("overwrite").parquet(tmp),
+        )
+        r = table_report(host, path, commit=commit)
+        assert r["files"] == 4 and r["rows"] == 100
+        assert r["files_with_stats"] == 4
+        # range-clustered on k: each file spans ~1/4 of the domain
+        assert r["clustering_span_fraction"]["k"] < 0.5
+        # unclustered rewrite degrades the health number
+        shuffled = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], SCHEMA
+        ).repartition(4)
+        commit.snapshot_rewrite(
+            host, path,
+            lambda tmp: shuffled.write.mode("overwrite").parquet(tmp),
+        )
+        r2 = table_report(host, path, commit=commit)
+        assert r2["clustering_span_fraction"]["k"] > \
+            r["clustering_span_fraction"]["k"]
+
+    def test_version_history_and_asof(self, spark, tmp_path):
+        import time as _t
+
+        from redis_lsm_timeseries_spark.errors import (
+            VersionNotFoundError,
+        )
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        commit.append_rows(host, [(1, "a")], SCHEMA, path)
+        _t.sleep(0.05)
+        mid_ms = int(_t.time() * 1000)
+        _t.sleep(0.05)
+        commit.append_rows(host, [(2, "b")], SCHEMA, path)
+        hist = commit.version_history(host, path)
+        assert [h["version"] for h in hist] == [0, 1]
+        assert all(h["ts_ms"] is not None for h in hist)
+        assert hist[0]["members"][""] == 1
+        assert hist[1]["members"][""] == 2
+        v = commit.resolve_version_asof(host, path, mid_ms)
+        assert v == 0
+        asof = commit.read_table(host, path, SCHEMA, version=v)
+        assert [(r.k, r.v) for r in asof.collect()] == [(1, "a")]
+        with pytest.raises(VersionNotFoundError):
+            commit.resolve_version_asof(host, path, mid_ms - 10_000)
