@@ -28,6 +28,7 @@ from redis_lsm_timeseries_spark.commit import ManifestCommit
 from redis_lsm_timeseries_spark.errors import (
     NonAppendHistoryError,
     ValidationError,
+    VersionNotFoundError,
 )
 
 
@@ -105,9 +106,12 @@ def mirror_changes(
         delta = commit.read_changes(
             host, src_path, since, to_version=latest
         )
-    except NonAppendHistoryError:
-        # file diff can't express a rewrite: rebuild the mirror from
-        # the current snapshot, cursor riding the same atomic entry
+    except (NonAppendHistoryError, VersionNotFoundError):
+        # Two resync triggers, same remedy: the file diff can't
+        # express a rewrite, OR the consumer lagged so far behind
+        # that vacuum pruned its cursor version from the source log.
+        # Rebuild the mirror from the current snapshot, cursor riding
+        # the same atomic entry.
         snap = commit.read_table(host, src_path, None, version=latest)
         out = transform(snap) if transform is not None else snap
         commit.replace_table_with_meta(

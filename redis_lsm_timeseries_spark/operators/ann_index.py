@@ -252,8 +252,14 @@ def extend_ivf_index(
         F.col("_id").alias(id_col),
         F.col("list_id"),
         F.col("_nv").alias("nv"),
-    ).repartitionByRange(1, "list_id").sortWithinPartitions("list_id")
+    ).localCheckpoint(eager=False)  # count + clustered write below
     n = assigned.count()
+    # size the appended files to the batch (one tiny file for a
+    # micro-batch, several list-banded files for a bulk backfill)
+    n_files = max(1, min(64, n // 500_000 + 1))
+    assigned = assigned.repartitionByRange(
+        n_files, "list_id"
+    ).sortWithinPartitions("list_id")
     if n == 0 and app_meta is None:
         return 0
     commit.append_table_with_meta(
@@ -291,7 +297,10 @@ def sync_ivf_index(
     pinned version, cursor riding the same atomic swap. Returns
     {"mode": "build" | "incremental" | "noop", "n": vectors added
     or indexed}."""
-    from redis_lsm_timeseries_spark.errors import NonAppendHistoryError
+    from redis_lsm_timeseries_spark.errors import (
+        NonAppendHistoryError,
+        VersionNotFoundError,
+    )
 
     host = _host(spark, fs)
     commit = ManifestCommit()
@@ -330,7 +339,9 @@ def sync_ivf_index(
         delta = commit.read_changes(
             host, corpus_path, since, to_version=latest
         )
-    except NonAppendHistoryError:
+    except (NonAppendHistoryError, VersionNotFoundError):
+        # non-append history OR a cursor so stale vacuum pruned its
+        # version from the corpus log: rebuild from the snapshot
         return rebuild()
     n = extend_ivf_index(
         delta, index_path, id_col=id_col, vec_col=vec_col, fs=fs,

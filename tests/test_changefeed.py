@@ -214,3 +214,24 @@ class TestAppMetaConcurrency:
         assert not errs
         app = commit.read_app_meta(host, src)
         assert app.get("cur:a") == 2 and app.get("cur:b") == 2
+
+
+class TestVacuumedCursor:
+    def test_lagging_mirror_resyncs_after_source_vacuum(
+        self, spark, env
+    ):
+        """A mirror lagging past vacuum's retained horizon cannot
+        read its delta — it must full-resync, not crash."""
+        host, commit, src, dst = env
+        mirror_changes(host, src, dst)
+        # many source commits, then aggressive vacuum prunes history
+        for i in range(4):
+            commit.append_table_with_meta(
+                host, src, _df(spark, [(10 + i, f"v{i}")]), {}
+            )
+        commit.vacuum(host, src, retain_versions=1)
+        m = mirror_changes(host, src, dst)
+        assert m.mode == "resync"
+        assert _rows(spark, host, commit, dst) == _rows(
+            spark, host, commit, src
+        )

@@ -143,3 +143,20 @@ class TestSync:
         _vecs(spark, range(4)).write.parquet(plain)
         with pytest.raises(ValidationError, match="manifest"):
             sync_ivf_index(spark, index, plain)
+
+
+class TestVacuumedCursor:
+    def test_lagging_sync_rebuilds_after_corpus_vacuum(
+        self, spark, env
+    ):
+        host, commit, corpus, index = env
+        sync_ivf_index(spark, index, corpus, n_list=4)
+        for i in range(4):
+            commit.append_table_with_meta(
+                host, corpus, _vecs(spark, range(500 + i, 501 + i)), {}
+            )
+        commit.vacuum(host, corpus, retain_versions=1)
+        r = sync_ivf_index(spark, index, corpus, n_list=4)
+        assert r["mode"] == "build" and r["n"] == 44
+        ids = [x.vec_id for x in read_ivf_vectors(spark, index).collect()]
+        assert len(ids) == 44 and len(set(ids)) == 44
