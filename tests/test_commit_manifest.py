@@ -800,3 +800,38 @@ class TestChangeFeed:
         spark.createDataFrame([("x", 1)], SCHEMA).write.parquet(plain)
         with pytest.raises(VersionNotFoundError, match="version log"):
             c.read_changes(mstore, plain, 0, schema=SCHEMA)
+
+
+class TestSchemaEvolution:
+    """Additive-column posture: old files null-fill new columns under
+    an explicit-schema read — the supported evolution path. Reads of
+    an evolved member must pass the CURRENT schema (schema-less reads
+    take one file's footer and may miss late columns; at 100 TB
+    mergeSchema's every-footer scan is not a default we pay)."""
+
+    def test_added_column_null_fills_old_files(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.commit import (
+            CommitHost,
+            ManifestCommit,
+        )
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        commit.append_rows(host, [(1, "a")], "k long, v string", path)
+        df2 = spark.createDataFrame(
+            [(2, "b", 9.5)], "k long, v string, score double"
+        ).coalesce(1)
+        commit.append_table_with_meta(host, path, df2, {})
+        evolved = "k long, v string, score double"
+        got = {
+            r.k: (r.v, r.score)
+            for r in commit.read_table(host, path, evolved).collect()
+        }
+        assert got == {1: ("a", None), 2: ("b", 9.5)}
+        # stats for the new column exist on the new file only; a
+        # score predicate must keep the stat-less old file (superset)
+        kept, total = commit.prune_files(host, path, {"score": (0, 100)})
+        assert len(kept) == total == 2
+        # and pruning on the shared column still works
+        kept, total = commit.prune_files(host, path, {"k": (2, 2)})
+        assert len(kept) == 1
