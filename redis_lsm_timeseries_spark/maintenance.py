@@ -173,3 +173,51 @@ def table_report(host, path: str, commit: ManifestCommit | None = None):
         ),
         "clustering_span_fraction": clustering,
     }
+
+
+@dataclass(frozen=True)
+class OptimizeStats:
+    compacted_files: int
+    clustered_files: int
+    vacuumed: int
+    report: dict
+
+
+def optimize_table(
+    host,
+    path: str,
+    zorder_cols: list[str] | None = None,
+    target_rows: int = 1_000_000,
+    max_groups: int | None = None,
+    vacuum_retain: int | None = None,
+    commit: ManifestCommit | None = None,
+) -> OptimizeStats:
+    """One maintenance pass over a manifest member, in the order the
+    steps compose best: fold small files (so the Z-order pass
+    clusters real files, not droppings), cluster the unclustered tail
+    along ``zorder_cols`` (omit for single-key tables — compaction's
+    coalesce already keeps row order within groups), vacuum to the
+    retention horizon, and return the post-pass ``table_report``. The
+    cron-job entry point; each underlying step keeps its own crash /
+    conflict story, so the composition inherits them."""
+    from redis_lsm_timeseries_spark.operators.zorder import zorder_compact
+
+    commit = commit if commit is not None else ManifestCommit()
+    cs = compact_small_files(
+        host, path, target_rows=target_rows,
+        max_groups=max_groups, commit=commit,
+    )
+    clustered = 0
+    if zorder_cols:
+        clustered = zorder_compact(
+            host, path, zorder_cols, min_files=1, commit=commit
+        )
+    root, _ = commit._resolve(host, path)
+    vacuumed = commit.vacuum(
+        host, root,
+        retain_versions=vacuum_retain,
+    )
+    return OptimizeStats(
+        cs.files_compacted, clustered, vacuumed,
+        table_report(host, path, commit=commit),
+    )

@@ -538,20 +538,27 @@ def _refresh_locked(
 
 
 def read_rollup(
-    store: TimeseriesStore, name: str, version: int | None = None
+    store: TimeseriesStore,
+    name: str,
+    version: int | None = None,
+    tags: list[str] | None = None,
+    bucket_range: tuple | None = None,
 ) -> DataFrame:
     """The maintained rollup table (tag, bucket_start, n, n_numeric,
     sum_num, min_num, max_num, n_distinct[, distinct_sketch]).
 
-    ``version`` time-travels to a retained manifest snapshot of the
-    rollup data (debugging a bad refresh / auditing a maintenance
-    run): available under ``ManifestCommit``, where every retained log
-    version stays fully readable until vacuum's horizon; the directory
-    backend raises ``VersionNotFoundError`` (no history). The meta
-    (step, sketch flag) is always the CURRENT one — the schema-shaping
-    fields are immutable after creation (step/sketch mismatches raise
-    on refresh), so a historical snapshot reads under the same
-    schema."""
+    ``tags`` / ``bucket_range`` ((lo, hi) inclusive, either side None)
+    are both a ROW filter and a manifest-stats file-skipping envelope:
+    a dashboard asking for one tag's last day plans over that tag's
+    partition files only (hive min==max tag stats make the membership
+    prune exact), not the whole rollup — the serving-path payoff of
+    the tag-partitioned layout. ``version`` time-travels to a retained
+    manifest snapshot of the rollup data (debugging a bad refresh /
+    auditing a maintenance run); the directory backend raises
+    ``VersionNotFoundError`` (no history). The meta (step, sketch
+    flag) is always the CURRENT one — the schema-shaping fields are
+    immutable after creation (step/sketch mismatches raise on
+    refresh), so a historical snapshot reads under the same schema."""
     store._require_init()
     data_path, meta_path = _paths(store, name)
     if not store.fs.exists(meta_path):
@@ -562,9 +569,32 @@ def read_rollup(
         meta["step"],
         bool(meta.get("with_sketch", False)),
     )
-    return store.commit.read_table(
-        store, data_path, empty.schema, version=version
+    predicates: dict = {}
+    if tags is not None:
+        predicates["tag"] = {str(t) for t in tags}
+    if bucket_range is not None:
+        lo, hi = bucket_range
+        predicates["bucket_start"] = (
+            None if lo is None else int(lo),
+            None if hi is None else int(hi),
+        )
+    df = store.commit.read_table_pruned(
+        store,
+        data_path,
+        empty.schema,
+        predicates=predicates or None,
+        version=version,
     )
+    # pruning is a superset guard; the row filter is mandatory
+    if tags is not None:
+        df = df.where(F.col("tag").isin([str(t) for t in tags]))
+    if bucket_range is not None:
+        lo, hi = bucket_range
+        if lo is not None:
+            df = df.where(F.col("bucket_start") >= int(lo))
+        if hi is not None:
+            df = df.where(F.col("bucket_start") <= int(hi))
+    return df
 
 
 def cascade_rollup(

@@ -183,3 +183,21 @@ class TestObservability:
         assert [(r.k, r.v) for r in asof.collect()] == [(1, "a")]
         with pytest.raises(VersionNotFoundError):
             commit.resolve_version_asof(host, path, mid_ms - 10_000)
+
+    def test_optimize_table_composes_the_pass(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.maintenance import optimize_table
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        for i in range(5):
+            commit.append_rows(
+                host, [(i, f"v{i}")], SCHEMA, path
+            )
+        st = optimize_table(
+            host, path, zorder_cols=None, target_rows=100,
+            commit=commit,
+        )
+        assert st.compacted_files == 5
+        assert st.report["files"] == 1 and st.report["rows"] == 5
+        got = commit.read_table(host, path, SCHEMA).count()
+        assert got == 5

@@ -448,3 +448,36 @@ class TestManifestOrphanCollection:
         )
         assert n_after == store.commit.table_file_count(store, data_path)
         assert _rows(read_rollup(store, "agg")) == before
+
+
+class TestServingPrunedRead:
+    def test_read_rollup_tag_and_bucket_pruning(self, spark, tmp_path):
+        """A one-tag dashboard read plans over that tag's partition
+        files only (manifest backend) and returns exactly the
+        filtered rows."""
+        from redis_lsm_timeseries_spark.commit import ManifestCommit
+        from redis_lsm_timeseries_spark.config import EngineConfig
+        from redis_lsm_timeseries_spark.rollup import (
+            read_rollup,
+            refresh_rollup,
+        )
+        from redis_lsm_timeseries_spark.store import TimeseriesStore
+
+        cfg = EngineConfig(root=str(tmp_path / "e"), partition_width=10)
+        s = TimeseriesStore(spark, cfg, commit=ManifestCommit())
+        s.initialize()
+        s.write(
+            [(f"T{i}", t, f"v{t}") for i in range(4) for t in range(25)],
+            ingest_ts=1,
+        )
+        refresh_rollup(s, "r", 10)
+        data_path = f"{cfg.base_path}/rollups/r/data"
+        kept, total = s.commit.prune_files(
+            s, data_path, {"tag": {"T1"}}
+        )
+        assert total >= 4 and 0 < len(kept) < total
+        got = read_rollup(s, "r", tags=["T1"], bucket_range=(0, 10))
+        rows = {(r.tag, r.bucket_start) for r in got.collect()}
+        assert rows == {("T1", 0), ("T1", 10)}
+        full = read_rollup(s, "r")
+        assert full.select("tag").distinct().count() == 4
