@@ -613,8 +613,8 @@ class ManifestCommit(ParquetLeaseCommit):
         store.fs.makedirs(f"{path}/{LOG_DIR}")
         return path, ""
 
-    def _current(self, store, root: str):
-        """(version, {member: [relpaths]}); (-1, {}) if never committed."""
+    def _current_entry(self, store, root: str):
+        """(version, full entry dict); (-1, {}) if never committed."""
         best = -1
         for name in store.fs.listdir(f"{root}/{LOG_DIR}"):
             if name.endswith(".json"):
@@ -627,7 +627,12 @@ class ManifestCommit(ParquetLeaseCommit):
         entry = json.loads(
             store.fs.read_text(f"{root}/{LOG_DIR}/{best:020d}.json")
         )
-        return best, entry["tables"]
+        return best, entry
+
+    def _current(self, store, root: str):
+        """(version, {member: [relpaths]}); (-1, {}) if never committed."""
+        version, entry = self._current_entry(store, root)
+        return version, entry.get("tables", {})
 
     def _commit(self, store, root: str, mutate) -> int:
         """Optimistic commit: re-reads the current manifest and retries
@@ -656,21 +661,15 @@ class ManifestCommit(ParquetLeaseCommit):
                 # linear backoff so N racing committers don't lock-step
                 # through the same version numbers
                 time.sleep(0.05 * attempt)
-            version, tables = self._current(store, root)
-            cur_stats: dict = {}
-            cur_app: dict = {}
-            if version >= 0:
-                try:
-                    prev = json.loads(
-                        store.fs.read_text(
-                            f"{root}/{LOG_DIR}/{version:020d}.json"
-                        )
-                    )
-                    cur_stats = prev.get("stats", {})
-                    cur_app = prev.get("app", {})
-                except Exception:
-                    cur_stats = {}  # stats are an optimization only
-                    cur_app = {}
+            # ONE read+parse of the newest entry: tables, stats, and
+            # the app map all come from the same snapshot — a second
+            # read with a tolerant fallback could silently drop every
+            # consumer cursor on a transient failure, and stats/app
+            # must never diverge from the tables they describe.
+            version, prev = self._current_entry(store, root)
+            tables = prev.get("tables", {})
+            cur_stats = prev.get("stats", {})
+            cur_app = prev.get("app", {})
             new_tables = mutate(dict(tables))
             merged = {
                 m: {**cur_stats.get(m, {}), **add.get(m, {})}

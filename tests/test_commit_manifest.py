@@ -64,27 +64,30 @@ class TestCommitLog:
         concurrency, the Delta conflict-detection idiom)."""
         c, path = mstore.commit, _table(mstore)
         c.append_rows(mstore, [("a", 1)], SCHEMA, path)
-        real = c._current
+        real = c._current_entry
 
         def racing_current(store, root):
-            version, tables = real(store, root)
+            version, entry = real(store, root)
             if not racing_current.done:
                 racing_current.done = True
                 # another writer commits version+1 under our feet
                 store.fs.create_exclusive(
                     f"{root}/{LOG_DIR}/{version + 1:020d}.json",
                     json.dumps(
-                        {"version": version + 1, "tables": tables}
+                        {
+                            "version": version + 1,
+                            "tables": entry.get("tables", {}),
+                        }
                     ),
                 )
-            return version, tables
+            return version, entry
 
         racing_current.done = False
-        c._current = racing_current
+        c._current_entry = racing_current
         try:
             c.append_rows(mstore, [("b", 2)], SCHEMA, path)
         finally:
-            c._current = real
+            c._current_entry = real
         assert _read(mstore, path) == {("a", 1), ("b", 2)}
         assert max(
             int(f[:-5]) for f in os.listdir(f"{path}/{LOG_DIR}")
@@ -591,33 +594,33 @@ class TestWriteTargetEdges:
             [("x", 1), ("y", 2)], "p string, v long"
         )
         c.overwrite_partitions(mstore, df0, path, ["p"])
-        real = c._current
+        real = c._current_entry
         state = {"done": False}
 
         def racing(store, root):
-            version, tables = real(store, root)
+            version, entry = real(store, root)
             if not state["done"]:
                 state["done"] = True
                 # a concurrent append of partition z lands first
                 zdf = mstore.spark.createDataFrame(
                     [("z", 9)], "p string, v long"
                 )
-                c._current = real
+                c._current_entry = real
                 try:
                     c.append_partitioned(mstore, zdf, path, ["p"])
                 finally:
-                    c._current = racing
-                version, tables = real(store, root)
-            return version, tables
+                    c._current_entry = racing
+                version, entry = real(store, root)
+            return version, entry
 
-        c._current = racing
+        c._current_entry = racing
         try:
             df1 = mstore.spark.createDataFrame(
                 [("y", 20)], "p string, v long"
             )
             c.overwrite_partitions(mstore, df1, path, ["p"])
         finally:
-            c._current = real
+            c._current_entry = real
         got = {
             (r.p, r.v)
             for r in c.read_table(
