@@ -22,6 +22,10 @@ Layout:
 - ``functions``  portable scalar helpers (cross-checkable against DuckDB)
 - ``plans``      the query catalog: name -> (spark fn, duckdb oracle SQL)
 - ``streaming``  Structured Streaming ingest into the same hot layout
+- ``commit``     TableCommit seam: lease/manifest backends, stats, app map
+- ``changefeed`` exactly-once incremental mirroring over the change feed
+- ``maintenance`` small-file compaction, optimize pass, table reports
+- ``rollup``     continuous rollups and hierarchical cascades
 """
 
 from redis_lsm_timeseries_spark.config import EngineConfig

@@ -221,3 +221,90 @@ def optimize_table(
         cs.files_compacted, clustered, vacuumed,
         table_report(host, path, commit=commit),
     )
+
+
+def fast_count(
+    host,
+    path: str,
+    predicates: dict | None = None,
+    commit: ManifestCommit | None = None,
+):
+    """Exact ``count(*)`` from the manifest log alone — zero storage
+    reads — or None when the stats cannot PROVE the answer (caller
+    falls back to a scan). Without predicates this is the sum of
+    recorded per-file row counts (None if any file lacks stats).
+    With predicates ({col: (lo, hi)} or {col: {values}}), a file
+    counts fully when its stats prove EVERY row matches (min==max
+    inside the predicate for each column — hive partition columns by
+    construction), counts zero when no row can match, and anything
+    between returns None. The Delta metadata-only-count idiom:
+    answers ``how many rows in tag=X`` for a partitioned member
+    without touching a single parquet footer."""
+    commit = commit if commit is not None else ManifestCommit()
+    stats = commit.member_file_stats(host, path)
+    if stats is None:
+        return None
+
+    def point_in(v, bound) -> bool:
+        if isinstance(bound, (set, frozenset)):
+            return v in bound
+        lo, hi = bound
+        if lo is not None and v < lo:
+            return False
+        if hi is not None and v > hi:
+            return False
+        return True
+
+    def overlap(mn, mx, bound) -> bool:
+        if isinstance(bound, (set, frozenset)):
+            return any(
+                mn <= v <= mx
+                for v in bound
+                if isinstance(v, type(mn))
+                or (
+                    isinstance(v, (int, float))
+                    and isinstance(mn, (int, float))
+                )
+            )
+        lo, hi = bound
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+        return True
+
+    total = 0
+    for f, s in stats.items():
+        if s is None or s.get("rows") is None:
+            return None
+        rows = int(s["rows"])
+        if rows == 0:
+            continue
+        if not predicates:
+            total += rows
+            continue
+        cols = s.get("cols", {})
+        verdict = "all"
+        for col, bound in predicates.items():
+            cs = cols.get(col)
+            mn = None if cs is None else cs.get("min")
+            mx = None if cs is None else cs.get("max")
+            if mn is None or mx is None:
+                return None  # can't prove anything for this file
+            try:
+                if mn == mx and point_in(mn, bound):
+                    continue  # every row matches on this column
+                if not overlap(mn, mx, bound):
+                    verdict = "none"
+                    break
+            except TypeError:
+                return None  # incomparable types
+            verdict = "partial"
+            break
+        if verdict == "all":
+            total += rows
+        elif verdict == "none":
+            continue
+        else:
+            return None
+    return total

@@ -201,3 +201,33 @@ class TestObservability:
         assert st.report["files"] == 1 and st.report["rows"] == 5
         got = commit.read_table(host, path, SCHEMA).count()
         assert got == 5
+
+    def test_fast_count_from_log_alone(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.maintenance import fast_count
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, i % 3, f"v{i}") for i in range(90)],
+            "k long, p long, v string",
+        )
+        commit.append_partitioned(host, df, path, ["p"])
+        # unpredicated: exact sum of per-file rows
+        assert fast_count(host, path, commit=commit) == 90
+        # hive partition predicate: min==max per file -> provable
+        assert fast_count(
+            host, path, {"p": {1}}, commit=commit
+        ) == 30
+        assert fast_count(
+            host, path, {"p": (1, 2)}, commit=commit
+        ) == 60
+        assert fast_count(
+            host, path, {"p": {99}}, commit=commit
+        ) == 0
+        # data-column predicate that splits a file: not provable
+        assert fast_count(
+            host, path, {"k": (0, 10)}, commit=commit
+        ) is None
+        # agrees with the real scan where provable
+        real = commit.read_table(host, path, None).where("p = 1").count()
+        assert real == 30
