@@ -391,3 +391,51 @@ class TestPartitionedMembers:
         for f in commit.member_files(host, path):
             assert f.startswith("p="), f
         assert commit.read_table(host, path, None).count() == 60
+
+
+class TestConcurrentMerges:
+    def test_parallel_merges_of_disjoint_bands_both_apply(
+        self, spark, tmp_path
+    ):
+        """The narrower conflict rule's payoff: merges touching
+        DIFFERENT files commit concurrently without conflicting; a
+        racing pair on the same band retries and still converges.
+        Final state == both upserts applied."""
+        import threading
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        _seed(spark, host, commit, path, n=100, files=4)
+        errs = []
+
+        def upsert(lo, tag):
+            try:
+                src = spark.createDataFrame(
+                    [(lo + j, f"{tag}{j}") for j in range(3)], SCHEMA
+                )
+                for attempt in range(5):
+                    try:
+                        merge_into(
+                            host, path, src, ["k"], commit=commit
+                        )
+                        return
+                    except RewriteConflictError:
+                        continue
+                errs.append(f"{tag}: retries exhausted")
+            except Exception as exc:  # pragma: no cover
+                errs.append(f"{tag}: {exc}")
+
+        # keys 1.. (first band) and 90.. (last band): disjoint files
+        ts = [
+            threading.Thread(target=upsert, args=(1, "A")),
+            threading.Thread(target=upsert, args=(90, "B")),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+        got = _rows(spark, host, commit, path)
+        assert got[1] == "A0" and got[2] == "A1" and got[3] == "A2"
+        assert got[90] == "B0" and got[91] == "B1" and got[92] == "B2"
+        assert got[50] == "v50" and len(got) == 100
