@@ -85,16 +85,26 @@ class TestRowBatchWritesVsMaintenance:
                 b.write(batch, ingest_ts=T0 + i)
         finally:
             t.join()
-        assert not compact_errors, compact_errors
+        assert not compact_errors, [
+            f"{type(e).__name__}: {e}" for e in compact_errors
+        ]
         b.flush_l0()
         rows = {
             (r.tag, r.ts): r.value
             for r in b.read_all().collect()
         }
         for k in range(keys_per_batch):
-            assert rows[(f"tag{k % 4}", k * 100)] == f"v{n_batches - 1}"
+            key = (f"tag{k % 4}", k * 100)
+            assert rows.get(key) == f"v{n_batches - 1}", (
+                f"lost update at {key}: got {rows.get(key)!r}, "
+                f"total rows {len(rows)}"
+            )
         for i in range(n_batches):
-            assert rows[(f"round{i}", 50)] == f"r{i}"
+            key = (f"round{i}", 50)
+            assert rows.get(key) == f"r{i}", (
+                f"lost row at {key}: got {rows.get(key)!r}, "
+                f"total rows {len(rows)}"
+            )
 
     def test_write_after_compaction_scan_survives(self, spark, tmp_path):
         """A row-batch write landing while compaction is mid-flight
