@@ -439,3 +439,52 @@ class TestConcurrentMerges:
         assert got[1] == "A0" and got[2] == "A1" and got[3] == "A2"
         assert got[90] == "B0" and got[91] == "B1" and got[92] == "B2"
         assert got[50] == "v50" and len(got) == 100
+
+
+class TestKeyShapes:
+    def test_composite_key_merge(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i % 5, i // 5, f"v{i}") for i in range(50)],
+            "a long, b long, v string",
+        ).repartitionByRange(4, "a", "b").sortWithinPartitions("a", "b")
+        commit.rewrite_files(
+            host, path, [],
+            lambda tmp: df.write.mode("overwrite").parquet(tmp),
+        )
+        src = spark.createDataFrame(
+            [(0, 0, "NEW"), (4, 9, "NEW2"), (9, 9, "INS")],
+            "a long, b long, v string",
+        )
+        st = merge_into(host, path, src, ["a", "b"], commit=commit)
+        assert st.rows_upserted == 3
+        got = {
+            (r.a, r.b): r.v
+            for r in commit.read_table(host, path, None).collect()
+        }
+        assert got[(0, 0)] == "NEW" and got[(4, 9)] == "NEW2"
+        assert got[(9, 9)] == "INS" and got[(1, 0)] == "v1"
+        assert len(got) == 51
+
+    def test_string_key_merge_prunes_and_applies(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(f"doc-{i:04d}", f"v{i}") for i in range(100)],
+            "k string, v string",
+        ).repartitionByRange(4, "k").sortWithinPartitions("k")
+        commit.rewrite_files(
+            host, path, [],
+            lambda tmp: df.write.mode("overwrite").parquet(tmp),
+        )
+        src = spark.createDataFrame(
+            [("doc-0001", "NEW")], "k string, v string"
+        )
+        st = merge_into(host, path, src, ["k"], commit=commit)
+        assert 1 <= st.files_rewritten < st.files_total == 4
+        got = {
+            r.k: r.v
+            for r in commit.read_table(host, path, None).collect()
+        }
+        assert got["doc-0001"] == "NEW" and got["doc-0099"] == "v99"
