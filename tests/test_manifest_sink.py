@@ -141,3 +141,37 @@ class TestEndToEnd:
         )
         run()
         assert (9, "v9") in _rows(spark, out)
+
+
+class TestMemberPaths:
+    def test_two_sinks_on_members_of_one_root_share_the_app_map(
+        self, spark, tmp_path
+    ):
+        """Member tables of one manifest root: each sink keys its own
+        cursor in the SHARED root app map; commits interleave without
+        clobbering either cursor or either member's rows."""
+        root = str(tmp_path / "root")
+        a = manifest_sink(f"{root}/events", app_id="ev")
+        b = manifest_sink(f"{root}/metrics", app_id="me")
+        a(_df(spark, [(1, "e1")]), 0)
+        b(_df(spark, [(100, "m1")]), 0)
+        a(_df(spark, [(2, "e2")]), 1)
+        a(_df(spark, [(2, "e2")]), 1)  # replay skips
+        assert _rows(spark, f"{root}/events") == [(1, "e1"), (2, "e2")]
+        assert _rows(spark, f"{root}/metrics") == [(100, "m1")]
+        assert sink_cursor(spark, f"{root}/events", "ev") == 1
+        assert sink_cursor(spark, f"{root}/metrics", "me") == 0
+
+    def test_mirror_between_members_of_one_root(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.changefeed import mirror_changes
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        root = str(tmp_path / "root")
+        src, dst = f"{root}/src", f"{root}/dst"
+        commit.append_table_with_meta(host, src, _df(spark, [(1, "a")]), {})
+        m = mirror_changes(host, src, dst)
+        assert m.mode == "initial"
+        commit.append_table_with_meta(host, src, _df(spark, [(2, "b")]), {})
+        m = mirror_changes(host, src, dst)
+        assert (m.mode, m.rows_mirrored) == ("incremental", 1)
+        assert _rows(spark, dst) == [(1, "a"), (2, "b")]
