@@ -84,12 +84,20 @@ def mirror_changes(
     latest = versions[-1]
     cursor = commit.read_app_meta(host, dst_path).get(_cursor_key(app_id))
 
+    # Every commit below CASes on the cursor still holding the value
+    # read above: two concurrent runs sharing an app_id both pass the
+    # planning-time check, but only one can land — the other raises
+    # RewriteConflictError instead of double-appending the same delta
+    # (the Delta txn idiom's transactional version re-check).
+    cas = {_cursor_key(app_id): cursor}
+
     if cursor is None:
         snap = commit.read_table(host, src_path, None, version=latest)
         out = transform(snap) if transform is not None else snap
         n = out.count()
         commit.append_table_with_meta(
-            host, dst_path, out, {_cursor_key(app_id): latest}
+            host, dst_path, out, {_cursor_key(app_id): latest},
+            expected_app=cas,
         )
         return MirrorMetrics(latest, n, "initial")
 
@@ -115,7 +123,8 @@ def mirror_changes(
         snap = commit.read_table(host, src_path, None, version=latest)
         out = transform(snap) if transform is not None else snap
         commit.replace_table_with_meta(
-            host, dst_path, out, {_cursor_key(app_id): latest}
+            host, dst_path, out, {_cursor_key(app_id): latest},
+            expected_app=cas,
         )
         return MirrorMetrics(latest, -1, "resync")
 
@@ -125,5 +134,6 @@ def mirror_changes(
         host, dst_path,
         out if n else None,
         {_cursor_key(app_id): latest},
+        expected_app=cas,
     )
     return MirrorMetrics(latest, n, "incremental")

@@ -670,6 +670,17 @@ class ManifestCommit(ParquetLeaseCommit):
             tables = prev.get("tables", {})
             cur_stats = prev.get("stats", {})
             cur_app = prev.get("app", {})
+            guard = getattr(mutate, "entry_guard", None)
+            if guard is not None:
+                # CAS-style validation INSIDE the optimistic loop: the
+                # guard sees the exact entry this commit would land on
+                # (re-read on every retry), so a condition checked at
+                # planning time (a consumer cursor, a key envelope)
+                # cannot be invalidated by a commit that raced the
+                # planner. A guard failure raises a typed error to the
+                # caller — retrying here would re-read the same
+                # now-violated state forever.
+                guard(prev)
             new_tables = mutate(dict(tables))
             merged = {
                 m: {**cur_stats.get(m, {}), **add.get(m, {})}
@@ -702,6 +713,43 @@ class ManifestCommit(ParquetLeaseCommit):
             f"lost {self.MAX_COMMIT_ATTEMPTS} optimistic-commit races on "
             + root
         )
+
+    #: hive sentinel for a NULL partition value — carries no orderable
+    #: value, so no min/max stat is recorded for it (the file is simply
+    #: never pruned on that column)
+    HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+    @staticmethod
+    def _unescape_partition(raw: str) -> str:
+        """Inverse of Spark's partition-path escaping
+        (``ExternalCatalogUtils.unescapePathName``): the reserved
+        characters — ``:/#%=`` and friends — are written as ``%XX``
+        hex codes in the directory name, and ``%`` itself is escaped
+        as ``%25``, so every well-formed ``%XX`` decodes to exactly
+        one character. Recording the RAW segment as a stat would
+        compare escaped text against predicates built from real
+        column values (``'a:b'`` vs stat ``'a%3Ab'``) and could PROVE
+        a false non-overlap — wrongly pruning files that do hold
+        matching rows. A ``%`` not followed by two hex digits (a path
+        written by some other tool) is kept literally."""
+        if "%" not in raw:
+            return raw
+        out: list[str] = []
+        i, n = 0, len(raw)
+        while i < n:
+            ch = raw[i]
+            if (
+                ch == "%"
+                and i + 2 < n
+                and raw[i + 1] in "0123456789abcdefABCDEF"
+                and raw[i + 2] in "0123456789abcdefABCDEF"
+            ):
+                out.append(chr(int(raw[i + 1: i + 3], 16)))
+                i += 3
+            else:
+                out.append(ch)
+                i += 1
+        return "".join(out)
 
     @staticmethod
     def _stat_value(v, max_str: int):
@@ -743,6 +791,9 @@ class ManifestCommit(ParquetLeaseCommit):
             for seg in rel.split("/")[:-1]:
                 if "=" in seg:
                     k, raw = seg.split("=", 1)
+                    raw = self._unescape_partition(raw)
+                    if raw == self.HIVE_NULL:
+                        continue  # NULL partition: no orderable stat
                     val: object = raw
                     try:
                         val = int(raw)
@@ -767,7 +818,7 @@ class ManifestCommit(ParquetLeaseCommit):
                             continue  # nested leaves: no safe bound
                         cur = agg.setdefault(
                             name, {"min": None, "max": None, "nulls": 0,
-                                   "ok": True}
+                                   "ok": True, "nulls_ok": True}
                         )
                         st = col.statistics
                         if st is None or not st.has_min_max:
@@ -788,12 +839,20 @@ class ManifestCommit(ParquetLeaseCommit):
                         )
                         if st.null_count is not None:
                             cur["nulls"] += st.null_count
+                        else:
+                            # a footer without a null count makes the
+                            # file's total UNKNOWN, not zero — consumers
+                            # that need exactness (fast_count's
+                            # all-rows-match proof) must see None here
+                            cur["nulls_ok"] = False
                 for name, cur in agg.items():
                     if cur["ok"] and cur["min"] is not None:
                         colstats[name] = {
                             "min": cur["min"],
                             "max": cur["max"],
-                            "nulls": cur["nulls"],
+                            "nulls": (
+                                cur["nulls"] if cur["nulls_ok"] else None
+                            ),
                         }
                 out[rel] = {"rows": md.num_rows, "cols": colstats}
             except Exception:
@@ -978,7 +1037,8 @@ class ManifestCommit(ParquetLeaseCommit):
         self.vacuum(store, root)
 
     def rewrite_files(
-        self, store, path: str, remove, write_fn, app_meta: dict | None = None
+        self, store, path: str, remove, write_fn,
+        app_meta: dict | None = None, entry_guard=None,
     ) -> list[str]:
         """File-granular copy-on-write: atomically replace the
         ``remove`` subset of a member's files with ``write_fn``'s
@@ -1001,8 +1061,13 @@ class ManifestCommit(ParquetLeaseCommit):
         a CALLABLE ``app_meta`` receives the freshly staged relpaths
         and returns the dict — for cursors derived from the new files
         themselves (the incremental Z-order pass records their stage
-        tokens). Returns the new relpaths. The trailing vacuum keeps
-        the retention margin, so readers of retained snapshots stay
+        tokens). ``entry_guard``, if given, is called with the exact
+        log entry the commit would land on (inside the optimistic
+        retry loop, so it sees every racing commit) — callers use it
+        to harden the narrow conflict rule, e.g. a MERGE raising on
+        concurrent appends whose stats overlap its key envelope.
+        Returns the new relpaths. The trailing vacuum keeps the
+        retention margin, so readers of retained snapshots stay
         valid."""
         target = self._target_for_write(store, path)
         if target is None:
@@ -1041,6 +1106,8 @@ class ManifestCommit(ParquetLeaseCommit):
             app_meta = app_meta(list(files))
         if app_meta:
             mutate.app_meta = dict(app_meta)
+        if entry_guard is not None:
+            mutate.entry_guard = entry_guard
         self._commit(store, root, mutate)
         self.vacuum(store, root)
         return files
@@ -1306,6 +1373,74 @@ class ManifestCommit(ParquetLeaseCommit):
                 return False
         return True
 
+    @staticmethod
+    def _sorted_sets(predicates: dict) -> dict:
+        """Pre-sorted, type-split copies of every membership-set
+        predicate: membership checks become a bisect into [min, max]
+        rather than O(|set|) per file — a 100k-key probe set over a
+        large file list stays cheap driver-side."""
+        sorted_sets: dict = {}
+        for col, bounds in (predicates or {}).items():
+            if isinstance(bounds, (set, frozenset)):
+                nums = sorted(
+                    v for v in bounds
+                    if isinstance(v, (int, float))
+                    and not isinstance(v, bool)
+                )
+                strs = sorted(v for v in bounds if isinstance(v, str))
+                sorted_sets[col] = (nums, strs)
+        return sorted_sets
+
+    @classmethod
+    def _stats_may_match(
+        cls, fstats: dict | None, predicates: dict, sorted_sets: dict
+    ) -> bool:
+        """May the file described by ``fstats`` contain a row matching
+        every predicate? The single source of truth for skipping
+        semantics (``prune_files``, the merge key-envelope guard):
+        True is the safe answer — a file is excluded only when its
+        recorded min/max PROVE no row can match, so files without
+        stats, unindexed columns, and incomparable types all answer
+        True. ``sorted_sets`` is ``_sorted_sets(predicates)``."""
+        import bisect
+
+        if fstats is None:
+            return True
+        if fstats.get("rows") == 0:
+            return False  # provably empty: no predicate needed
+        colstats = fstats.get("cols", {})
+        for col, bounds in (predicates or {}).items():
+            st = colstats.get(col)
+            if st is None:
+                continue
+            if col in sorted_sets:
+                mn, mx = st.get("min"), st.get("max")
+                if mn is None or mx is None:
+                    continue
+                nums, strs = sorted_sets[col]
+                if isinstance(mn, str) and isinstance(mx, str):
+                    vals = strs
+                elif isinstance(mn, (int, float)) and isinstance(
+                    mx, (int, float)
+                ):
+                    vals = nums
+                else:
+                    continue  # mixed/unknown stat types: never prune
+                if not vals:
+                    # no value of the column's type in the set: the
+                    # predicate is incomparable with this file's stats
+                    # — keep (superset-safe; also covers the
+                    # degenerate empty set)
+                    continue
+                i = bisect.bisect_left(vals, mn)
+                if not (i < len(vals) and vals[i] <= mx):
+                    return False
+                continue
+            lo, hi = bounds
+            if not cls._stat_overlaps(st, lo, hi):
+                return False
+        return True
+
     def prune_files(
         self,
         store,
@@ -1328,8 +1463,6 @@ class ManifestCommit(ParquetLeaseCommit):
         entries, unreadable footers, unindexed columns) always
         survive, so the result is a superset of the matching files and
         the caller's real filter stays mandatory."""
-        import bisect
-
         resolved = self._resolve(store, path)
         if resolved is None:
             return None
@@ -1337,67 +1470,11 @@ class ManifestCommit(ParquetLeaseCommit):
         entry = self._load_entry(store, path, root, version)
         files = entry["tables"].get(member, [])
         stats = entry.get("stats", {}).get(member, {})
-        # membership sets pre-sort by type once, so the per-file check
-        # is a bisect into [min, max] rather than O(|set|) — a 100k-key
-        # probe set over a large file list stays cheap driver-side
-        sorted_sets: dict = {}
-        for col, bounds in (predicates or {}).items():
-            if isinstance(bounds, (set, frozenset)):
-                nums = sorted(
-                    v for v in bounds
-                    if isinstance(v, (int, float))
-                    and not isinstance(v, bool)
-                )
-                strs = sorted(v for v in bounds if isinstance(v, str))
-                sorted_sets[col] = (nums, strs)
-
-        def _set_overlaps(st: dict, col: str) -> bool:
-            mn, mx = st.get("min"), st.get("max")
-            if mn is None or mx is None:
-                return True
-            nums, strs = sorted_sets[col]
-            if isinstance(mn, str) and isinstance(mx, str):
-                vals = strs
-            elif isinstance(mn, (int, float)) and isinstance(
-                mx, (int, float)
-            ):
-                vals = nums
-            else:
-                return True  # mixed/unknown stat types: never prune
-            if not vals:
-                # no value of the column's type in the set: the
-                # predicate is incomparable with this file's stats —
-                # keep (superset-safe; also covers the degenerate
-                # empty set)
-                return True
-            i = bisect.bisect_left(vals, mn)
-            return i < len(vals) and vals[i] <= mx
-
-        kept = []
-        for f in files:
-            fstats = stats.get(f)
-            if fstats is None:
-                kept.append(f)
-                continue
-            if fstats.get("rows") == 0:
-                continue  # provably empty: no predicate needed
-            colstats = fstats.get("cols", {})
-            survives = True
-            for col, bounds in (predicates or {}).items():
-                st = colstats.get(col)
-                if st is None:
-                    continue
-                if col in sorted_sets:
-                    if not _set_overlaps(st, col):
-                        survives = False
-                        break
-                    continue
-                lo, hi = bounds
-                if not self._stat_overlaps(st, lo, hi):
-                    survives = False
-                    break
-            if survives:
-                kept.append(f)
+        sorted_sets = self._sorted_sets(predicates)
+        kept = [
+            f for f in files
+            if self._stats_may_match(stats.get(f), predicates, sorted_sets)
+        ]
         return kept, len(files)
 
     def read_table_pruned(
@@ -1517,8 +1594,34 @@ class ManifestCommit(ParquetLeaseCommit):
             store.fs.read_text(f"{root}/{LOG_DIR}/{version:020d}.json")
         ).get("app", {})
 
+    @staticmethod
+    def _app_cas_guard(expected_app: dict):
+        """Entry guard enforcing compare-and-set on ``app`` keys: the
+        commit lands only if every named key still holds the value the
+        caller read at planning time (None = must be absent). Checked
+        inside the optimistic-commit loop against the exact entry the
+        commit lands on, so two consumers that both read cursor v and
+        both try to advance it cannot BOTH succeed — the loser's
+        planning state is stale and it raises instead of
+        double-appending the same delta."""
+        exp = dict(expected_app)
+
+        def guard(prev):
+            cur = prev.get("app", {})
+            for k, v in exp.items():
+                if cur.get(k) != v:
+                    raise RewriteConflictError(
+                        f"app-meta CAS failed for {k!r}: expected "
+                        f"{v!r}, found {cur.get(k)!r} — a concurrent "
+                        "consumer advanced this cursor; re-plan from "
+                        "fresh state"
+                    )
+
+        return guard
+
     def append_table_with_meta(
-        self, store, path: str, df, app_meta: dict
+        self, store, path: str, df, app_meta: dict,
+        expected_app: dict | None = None,
     ) -> None:
         """Append ``df``'s rows AND merge ``app_meta`` into the ``app``
         map in ONE atomic log entry — the Delta ``txn`` idiom: a
@@ -1526,7 +1629,14 @@ class ManifestCommit(ParquetLeaseCommit):
         same commit as the rows it derived, so a crash leaves either
         both or neither, and replay is exactly-once (see
         ``changefeed.mirror_changes``). ``df=None`` commits metadata
-        only (an empty delta still advances the cursor)."""
+        only (an empty delta still advances the cursor).
+
+        ``expected_app`` adds the CAS leg of the idiom: the commit
+        succeeds only while each named ``app`` key still holds the
+        given value (None = absent), raising ``RewriteConflictError``
+        otherwise — without it, two concurrent consumers sharing an
+        app_id would both pass their planning-time cursor check and
+        both append the same delta."""
         target = self._target_for_write(store, path)
         if target is None:
             raise ValidationError(
@@ -1545,18 +1655,22 @@ class ManifestCommit(ParquetLeaseCommit):
         mutate = lambda t: {**t, member: t.get(member, []) + files}  # noqa: E731
         mutate.stats_add = self._file_stats(store, root, member, files)
         mutate.app_meta = dict(app_meta)
+        if expected_app is not None:
+            mutate.entry_guard = self._app_cas_guard(expected_app)
         self._commit(store, root, mutate)
 
     def replace_table_with_meta(
-        self, store, path: str, df, app_meta: dict
+        self, store, path: str, df, app_meta: dict,
+        expected_app: dict | None = None,
     ) -> None:
         """Replace the member's content with ``df`` AND merge
         ``app_meta``, one atomic entry — the full-resync twin of
         ``append_table_with_meta`` (a mirror rebuilding from a source
-        snapshot). Deliberately unconditional (no rewrite-conflict
-        check): the destination is owned by its consumer, which is the
-        single writer for its member. Vacuums with the retention
-        margin afterwards."""
+        snapshot). No rewrite-conflict check on the FILE list (the
+        destination is owned by its consumer), but ``expected_app``
+        gives the same cursor CAS as the append path — a racing
+        consumer with the same app_id raises instead of silently
+        interleaving. Vacuums with the retention margin afterwards."""
         target = self._target_for_write(store, path)
         if target is None:
             raise ValidationError(
@@ -1571,6 +1685,8 @@ class ManifestCommit(ParquetLeaseCommit):
         mutate = lambda t: {**t, member: files}  # noqa: E731
         mutate.stats_add = self._file_stats(store, root, member, files)
         mutate.app_meta = dict(app_meta)
+        if expected_app is not None:
+            mutate.entry_guard = self._app_cas_guard(expected_app)
         self._commit(store, root, mutate)
         self.vacuum(store, root)
 
@@ -1707,7 +1823,8 @@ class ManifestCommit(ParquetLeaseCommit):
         self._commit(store, root, mutate)
 
     def replace_tables(
-        self, store, root: str, dfs, app_meta: dict | None = None
+        self, store, root: str, dfs, app_meta: dict | None = None,
+        expected_app: dict | None = None,
     ) -> None:
         """N member REPLACEMENTS, ONE atomic log entry: after the
         commit every listed member's content is exactly its new
@@ -1742,6 +1859,8 @@ class ManifestCommit(ParquetLeaseCommit):
         }
         if app_meta:
             mutate.app_meta = dict(app_meta)
+        if expected_app is not None:
+            mutate.entry_guard = self._app_cas_guard(expected_app)
         self._commit(store, root, mutate)
         self.vacuum(store, root)
 

@@ -255,17 +255,32 @@ def fast_count(
             return False
         return True
 
-    def overlap(mn, mx, bound) -> bool:
+    def overlap(mn, mx, bound):
+        """True / False / None = cannot prove either way. Type
+        incomparability must be None, never False: a string predicate
+        against an int-parsed partition stat (a string column whose
+        values LOOK numeric) is not proof of absence — treating it as
+        'none' would silently undercount where ``prune_files``
+        conservatively keeps the file."""
+        num = (
+            lambda x: isinstance(x, (int, float))
+            and not isinstance(x, bool)
+        )
         if isinstance(bound, (set, frozenset)):
-            return any(
-                mn <= v <= mx
-                for v in bound
-                if isinstance(v, type(mn))
-                or (
-                    isinstance(v, (int, float))
-                    and isinstance(mn, (int, float))
-                )
-            )
+            if not bound:
+                return False  # empty set provably matches nothing
+            if num(mn) and num(mx):
+                comp = [v for v in bound if num(v)]
+            elif isinstance(mn, str) and isinstance(mx, str):
+                comp = [v for v in bound if isinstance(v, str)]
+            else:
+                return None  # stat type outside the comparable pair
+            if any(mn <= v <= mx for v in comp):
+                return True
+            # values of OTHER types might still match rows (the stat
+            # may be an int-parsed string partition value), so a set
+            # that isn't fully comparable can never prove absence
+            return False if len(comp) == len(bound) else None
         lo, hi = bound
         if lo is not None and mx < lo:
             return False
@@ -292,9 +307,21 @@ def fast_count(
             if mn is None or mx is None:
                 return None  # can't prove anything for this file
             try:
-                if mn == mx and point_in(mn, bound):
+                # 'every row matches' additionally requires a KNOWN
+                # zero null count: NULL rows never satisfy a predicate,
+                # so min==max with nulls present (or unrecorded) can
+                # only prove the non-null rows match — not countable
+                # exactly here, fall through to the partial verdict.
+                if (
+                    mn == mx
+                    and point_in(mn, bound)
+                    and cs.get("nulls") == 0
+                ):
                     continue  # every row matches on this column
-                if not overlap(mn, mx, bound):
+                ov = overlap(mn, mx, bound)
+                if ov is None:
+                    return None  # incomparable: cannot prove
+                if not ov:
                     verdict = "none"
                     break
             except TypeError:

@@ -73,6 +73,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     fs=None,
     app_meta: dict | None = None,
+    expected_app: dict | None = None,
 ) -> dict:
     """Train the quantizer on ``corpus`` and commit centroids +
     normalized assignments as one atomic manifest entry. Rebuilding
@@ -114,6 +115,7 @@ def build_ivf_index(
         index_path,
         {CENTROIDS_MEMBER: cent_df, VECTORS_MEMBER: vectors},
         app_meta=app_meta,
+        expected_app=expected_app,
     )
     version, tables = commit._current(host, index_path)
     # count from the COMMITTED files (parquet footer metadata), not the
@@ -227,6 +229,7 @@ def extend_ivf_index(
     vec_col: str = "embedding",
     fs=None,
     app_meta: dict | None = None,
+    expected_app: dict | None = None,
 ) -> int:
     """Index a batch of NEW vectors under the COMMITTED quantizer —
     assign via the broadcast join, normalize once, append to the
@@ -267,6 +270,7 @@ def extend_ivf_index(
         f"{index_path}/{VECTORS_MEMBER}",
         assigned if n else None,
         app_meta or {},
+        expected_app=expected_app,
     )
     return n
 
@@ -321,6 +325,7 @@ def sync_ivf_index(
             snap, index_path, n_list=n_list, iters=iters,
             id_col=id_col, vec_col=vec_col, fs=fs,
             app_meta={IVF_CURSOR: latest},
+            expected_app={IVF_CURSOR: cursor},
         )
         return {"mode": "build", "n": r["n_vectors"]}
 
@@ -346,5 +351,6 @@ def sync_ivf_index(
     n = extend_ivf_index(
         delta, index_path, id_col=id_col, vec_col=vec_col, fs=fs,
         app_meta={IVF_CURSOR: latest},
+        expected_app={IVF_CURSOR: cursor},
     )
     return {"mode": "incremental", "n": n}

@@ -18,9 +18,12 @@ correction to yesterday's corpus does not wait for a full compaction.
   every other file's manifest entry is carried forward byte-untouched;
 - the rewrite commits through ``ManifestCommit.rewrite_files`` — ONE
   atomic log entry that drops exactly the affected files and adds
-  their replacements. Concurrent appends of unrelated files survive
-  (the conflict check covers only the replaced files), concurrent
-  rewrites of the SAME files raise ``RewriteConflictError``;
+  their replacements. Concurrent appends provably OUTSIDE the key
+  envelope survive untouched; an append whose stats MAY overlap it
+  raises ``RewriteConflictError`` (as does a concurrent rewrite of
+  the same files) — without that guard a key-overlapping append
+  landing between prune and commit would leave duplicate keys, the
+  Delta WriteSerializable merge/append conflict this mirrors;
 - replacement files are range-clustered on the key, so their stats
   stay tight and the NEXT merge prunes just as well;
 - a directory-mode table (no manifest, no stats) falls back to a
@@ -137,6 +140,44 @@ def _resolve_source(
     return source
 
 
+def _envelope_guard(
+    commit, member: str, planned: set[str], preds: dict
+):
+    """Entry guard closing the prune-to-commit race: the merge family
+    prunes files from one snapshot, but ``rewrite_files``' conflict
+    check covers only the REPLACED files — a concurrent append whose
+    rows match the key envelope would land between prune and commit
+    and survive untouched, leaving duplicate keys after a merge (or
+    undeleted rows after a delete). The guard runs inside the
+    optimistic-commit loop against the exact entry the commit lands
+    on: any file not in the planning snapshot whose stats MAY overlap
+    the envelope raises ``RewriteConflictError`` (retry re-plans on
+    fresh state and reaches the new file). Files without stats are
+    treated as overlapping — conservative, matching ``prune_files``.
+    This is the Delta WriteSerializable merge/append conflict rule;
+    appends provably OUTSIDE the envelope still land untouched."""
+    from redis_lsm_timeseries_spark.errors import RewriteConflictError
+
+    sorted_sets = commit._sorted_sets(preds)
+
+    def guard(prev):
+        stats = prev.get("stats", {}).get(member, {})
+        hits = [
+            f
+            for f in prev.get("tables", {}).get(member, [])
+            if f not in planned
+            and commit._stats_may_match(stats.get(f), preds, sorted_sets)
+        ]
+        if hits:
+            raise RewriteConflictError(
+                f"merge/delete key envelope conflicts with "
+                f"{len(hits)} file(s) committed since planning "
+                f"(first: {hits[0]}); retry on fresh state"
+            )
+
+    return guard
+
+
 def _affected_df(host, commit, path: str, files: list[str]) -> DataFrame:
     root, member = commit._resolve(host, path)
     base = commit._member_root(root, member)
@@ -231,12 +272,17 @@ def merge_into(
     total = len(managed)
     preds = _key_predicates(src, keys)
     affected, _ = commit.prune_files(host, path, preds)
+    _, member = commit._resolve(host, path)
+    guard = _envelope_guard(
+        commit, member, set(managed) | set(affected), preds
+    )
     pcols = partition_cols_of(managed)
     if not affected:
         # pure insert: no file can contain a matched key
         commit.rewrite_files(
             host, path, [],
             _clustered_write(src, keys, target_files or 1, pcols),
+            entry_guard=guard,
         )
         return MergeStats(0, total, n_upserts)
 
@@ -248,7 +294,8 @@ def merge_into(
     out = survivors.unionByName(src)
     n = target_files or len(affected)
     commit.rewrite_files(
-        host, path, affected, _clustered_write(out, keys, n, pcols)
+        host, path, affected, _clustered_write(out, keys, n, pcols),
+        entry_guard=guard,
     )
     return MergeStats(len(affected), total, n_upserts)
 
@@ -287,6 +334,10 @@ def delete_rows(
     affected, _ = commit.prune_files(host, path, preds)
     if not affected:
         return DeleteStats(0, total)
+    _, member = commit._resolve(host, path)
+    guard = _envelope_guard(
+        commit, member, set(managed) | set(affected), preds
+    )
     cur = _affected_df(host, commit, path, affected)
     survivors = cur.join(dk, keys, "left_anti")
     # a fully-deleted slice drops its files with no replacement write
@@ -297,7 +348,7 @@ def delete_rows(
             survivors, keys, len(affected), partition_cols_of(affected)
         )
     )
-    commit.rewrite_files(host, path, affected, write_fn)
+    commit.rewrite_files(host, path, affected, write_fn, entry_guard=guard)
     return DeleteStats(len(affected), total)
 
 
@@ -339,9 +390,14 @@ def delete_range(
         return DeleteStats(-1, -1)
 
     total = len(managed)
-    affected, _ = commit.prune_files(host, path, {column: (lo, hi)})
+    preds = {column: (lo, hi)}
+    affected, _ = commit.prune_files(host, path, preds)
     if not affected:
         return DeleteStats(0, total)
+    _, member = commit._resolve(host, path)
+    guard = _envelope_guard(
+        commit, member, set(managed) | set(affected), preds
+    )
     cur = _affected_df(host, commit, path, affected)
     survivors = cur.where(~cond | F.col(column).isNull())
     write_fn = (
@@ -352,7 +408,7 @@ def delete_range(
             partition_cols_of(affected),
         )
     )
-    commit.rewrite_files(host, path, affected, write_fn)
+    commit.rewrite_files(host, path, affected, write_fn, entry_guard=guard)
     return DeleteStats(len(affected), total)
 
 

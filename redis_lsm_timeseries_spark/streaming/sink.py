@@ -73,10 +73,14 @@ def manifest_sink(
                 return  # exact replay of the committed batch: skip
         out = transform(batch_df) if transform is not None else batch_df
         n = out.count()
+        # CAS on the cursor still holding the value read above: two
+        # queries sharing an app_id cannot both land the same batch —
+        # the loser raises instead of double-appending.
         commit.append_table_with_meta(
             host, path,
             out if n else None,
             {_cursor_key(app_id): bid},
+            expected_app={_cursor_key(app_id): cur},
         )
 
     process.path = path
