@@ -37,9 +37,11 @@ class MirrorMetrics:
     #: source version this run advanced the cursor to
     src_version: int
     #: rows appended to the mirror this run (-1: full resync, count
-    #: not taken — the mirror equals the source snapshot)
+    #: not taken — the mirror equals the source snapshot); for the
+    #: keyed path, upserts applied + keys deleted
     rows_mirrored: int
-    #: "initial" | "incremental" | "resync" | "noop"
+    #: "initial" | "incremental" | "row-incremental" | "resync" |
+    #: "noop"
     mode: str
 
 
@@ -54,6 +56,7 @@ def mirror_changes(
     app_id: str = "default",
     transform=None,
     commit: ManifestCommit | None = None,
+    keys: list[str] | None = None,
 ) -> MirrorMetrics:
     """One mirroring step: append to ``dst_path`` exactly the rows
     added to ``src_path`` since this consumer's recorded cursor, and
@@ -69,12 +72,33 @@ def mirror_changes(
     mirror's CONTENT equal a transform of the source snapshot).
 
     First call copies the source snapshot as-of its newest version
-    ("initial"). A non-append source history (compaction, overwrite,
-    partition drop since the cursor) triggers a full RESYNC: the
-    mirror is rewritten from the current source snapshot and the
-    cursor jumps forward — the documented fallback the typed error
-    exists for."""
+    ("initial").
+
+    Without ``keys`` the mirror is append-only: content-preserving
+    source rewrites (small-file compaction, Z-order) are skipped by
+    the file-level feed, and any OTHER rewrite (merge, delete, LWW
+    compaction, overwrite) triggers a full RESYNC — the mirror is
+    rewritten from the current source snapshot and the cursor jumps
+    forward, the documented fallback the typed error exists for.
+
+    With ``keys`` (the source's primary key) the mirror consumes the
+    ROW-level feed: merges and deletes apply as O(delta) keyed
+    upserts/deletes on the destination ("row-incremental") instead of
+    full resyncs — at 100 TB the difference between re-copying the
+    world after every maintenance pass and writing only what changed.
+    The applies are idempotent by key, so a crash between them and
+    the cursor commit replays to the same state (exactly-once
+    EFFECT); the trailing cursor commit still CASes. ``transform`` is
+    rejected with ``keys`` — a transform could rename or drop the key
+    columns the applies need. Only LWW-style compaction (content
+    actually changes without change metadata) still resyncs."""
     commit = commit if commit is not None else ManifestCommit()
+    if keys is not None and transform is not None:
+        raise ValidationError(
+            "mirror_changes: transform and keys are mutually "
+            "exclusive (the keyed applies need the source's key "
+            "columns verbatim)"
+        )
     versions = commit.table_versions(host, src_path)
     if not versions:
         raise ValidationError(
@@ -110,6 +134,11 @@ def mirror_changes(
             f"newest version {latest} — the source log was rebuilt; "
             "delete the mirror (or use a new app_id) to restart"
         )
+    if keys is not None:
+        return _apply_row_changes(
+            host, commit, src_path, dst_path, keys, since, latest, cas,
+            _cursor_key(app_id),
+        )
     try:
         delta = commit.read_changes(
             host, src_path, since, to_version=latest
@@ -137,3 +166,69 @@ def mirror_changes(
         expected_app=cas,
     )
     return MirrorMetrics(latest, n, "incremental")
+
+
+def _apply_row_changes(
+    host, commit, src_path, dst_path, keys, since, latest, cas,
+    cursor_key,
+) -> MirrorMetrics:
+    """Keyed incremental apply: fold the row-level feed to its NET
+    effect per key (last change in version order wins — a key merged
+    at v6 and deleted at v7 nets to a delete), then apply upserts and
+    deletes to the mirror through the same file-pruned merge machinery
+    the source used. Work is O(delta): the netting shuffles only the
+    changed rows, and the destination rewrites only files whose stats
+    overlap the changed keys. Falls back to a full resync exactly when
+    the source cannot express its history row-wise (an unmarked
+    content rewrite — LWW compaction) or the cursor fell past vacuum's
+    horizon."""
+    from pyspark.sql import Window, functions as F
+
+    from redis_lsm_timeseries_spark.operators.merge import (
+        delete_rows,
+        merge_into,
+    )
+
+    try:
+        changes = commit.read_row_changes(
+            host, src_path, since, to_version=latest
+        )
+    except (NonAppendHistoryError, VersionNotFoundError):
+        snap = commit.read_table(host, src_path, None, version=latest)
+        commit.replace_table_with_meta(
+            host, dst_path, snap, {cursor_key: latest},
+            expected_app=cas,
+        )
+        return MirrorMetrics(latest, -1, "resync")
+
+    if changes is None:
+        # metadata-only range (e.g. pure preserve commits): advance
+        # the cursor so the next run's walk starts past it
+        commit.append_table_with_meta(
+            host, dst_path, None, {cursor_key: latest},
+            expected_app=cas,
+        )
+        return MirrorMetrics(latest, 0, "row-incremental")
+
+    tcol, vcol = commit.CDF_TYPE_COL, commit.CDF_VERSION_COL
+    w = Window.partitionBy(*keys).orderBy(F.col(vcol).desc())
+    net = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    net = net.localCheckpoint(eager=False)  # consumed by two branches
+    upserts = net.where(F.col(tcol) != "delete").drop(tcol, vcol)
+    deletes = net.where(F.col(tcol) == "delete").select(*keys)
+    n_up = upserts.count()
+    n_del = deletes.count()
+    # idempotent keyed applies, cursor committed last: a crash between
+    # any two steps replays to the identical state
+    if n_up:
+        merge_into(host, dst_path, upserts, keys, commit=commit)
+    if n_del:
+        delete_rows(host, dst_path, deletes, keys, commit=commit)
+    commit.append_table_with_meta(
+        host, dst_path, None, {cursor_key: latest}, expected_app=cas
+    )
+    return MirrorMetrics(latest, n_up + n_del, "row-incremental")

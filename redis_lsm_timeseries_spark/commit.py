@@ -509,6 +509,7 @@ class ParquetLeaseCommit(TableCommit):
 LOG_DIR = "_log"
 DATA_DIR = "data"
 STAGE_DIR = "_stage"
+CHECKPOINT_SUFFIX = ".checkpoint.json"
 
 
 class ManifestCommit(ParquetLeaseCommit):
@@ -530,11 +531,22 @@ class ManifestCommit(ParquetLeaseCommit):
       committers exactly one wins, the loser re-reads and retries, and
       a lost race after exhausting retries raises
       ``ConcurrentMaintenanceError`` (conflict DETECTION, not a lock);
-    - each entry carries the complete file list per member table, so
-      the newest entry alone defines the snapshot — readers resolve
-      the max version and scan exactly those files (never a directory
-      listing), giving snapshot isolation: an in-flight read holds its
-      file list and is unaffected by any commit that lands under it;
+    - each entry records only the DELTA of the commit (files
+      added/removed per member, their stats, app-map updates), and
+      every ``CHECKPOINT_INTERVAL`` commits a full-state CHECKPOINT
+      file (``{version}.checkpoint.json``) is written alongside — the
+      Delta checkpoint / Iceberg manifest-list structure. Readers
+      reconstruct a snapshot from the newest checkpoint at or below
+      the wanted version plus the delta tail (never a directory
+      listing), giving snapshot isolation: an in-flight read holds
+      its reconstructed file list and is unaffected by any commit
+      that lands under it. Commit cost and entry size are therefore
+      O(change), not O(table) — at the documented ~100k-file / 100 TB
+      shape a per-micro-batch streaming append writes a few-hundred-
+      byte entry instead of re-serializing tens of MB of file lists.
+      Entries written by older engine versions carry the complete
+      per-member file list ("full" form); reconstruction treats any
+      full entry as an anchor, so mixed-history logs read correctly;
     - data files are immutable and writes stage under ``_stage`` (an
       underscore path Spark readers skip) before their files move into
       ``data/``, so a crash pre-commit leaves only invisible orphans
@@ -558,6 +570,12 @@ class ManifestCommit(ParquetLeaseCommit):
     at all (the streaming-admission output/digest/band triple)."""
 
     MAX_COMMIT_ATTEMPTS = 8
+
+    #: a full-state checkpoint file is written every this many commits
+    #: (the Delta default). Between checkpoints every entry is a
+    #: delta, so reconstruction reads at most INTERVAL small entries
+    #: plus one checkpoint, and commit writes are O(change).
+    CHECKPOINT_INTERVAL = 10
 
     #: per-file column statistics are recorded for at most this many
     #: leading schema columns (the Delta ``dataSkippingNumIndexedCols``
@@ -613,21 +631,177 @@ class ManifestCommit(ParquetLeaseCommit):
         store.fs.makedirs(f"{path}/{LOG_DIR}")
         return path, ""
 
-    def _current_entry(self, store, root: str):
-        """(version, full entry dict); (-1, {}) if never committed."""
-        best = -1
+    def _list_log(self, store, root: str):
+        """(entry versions, checkpoint versions), each sorted
+        ascending. Checkpoint files (``{v}.checkpoint.json``) are a
+        read-side acceleration, never part of the version sequence."""
+        evs: list[int] = []
+        cps: list[int] = []
         for name in store.fs.listdir(f"{root}/{LOG_DIR}"):
-            if name.endswith(".json"):
+            if name.endswith(CHECKPOINT_SUFFIX):
+                stem = name[: -len(CHECKPOINT_SUFFIX)]
+                if stem.isdigit():
+                    cps.append(int(stem))
+            elif name.endswith(".json") and name[:-5].isdigit():
+                evs.append(int(name[:-5]))
+        return sorted(evs), sorted(cps)
+
+    @staticmethod
+    def _apply_entry(state: dict, entry: dict) -> None:
+        """Fold one log entry (full or delta form) or checkpoint into
+        a reconstruction ``state`` ({'tables','stats','app'}). A full
+        entry RESETS the state (it is self-describing — the pre-delta
+        format, and the checkpoint format); a delta entry applies its
+        removes then its adds, keeping per-member file ORDER exactly
+        as the committer's mutate produced it (removals filter in
+        place, additions extend at the tail — the only shapes
+        ``_commit`` certifies as delta-expressible)."""
+        if "tables" in entry:
+            state["tables"] = {
+                m: list(fs) for m, fs in entry["tables"].items()
+            }
+            state["stats"] = {
+                m: dict(s) for m, s in entry.get("stats", {}).items()
+            }
+            state["app"] = dict(entry.get("app", {}))
+            return
+        delta = entry.get("delta", {})
+        for m, files in delta.get("remove", {}).items():
+            gone = set(files)
+            state["tables"][m] = [
+                f for f in state["tables"].get(m, []) if f not in gone
+            ]
+            mstats = state["stats"].get(m)
+            if mstats:
+                for f in files:
+                    mstats.pop(f, None)
+        for m, fmap in delta.get("add", {}).items():
+            state["tables"].setdefault(m, []).extend(fmap.keys())
+            for f, fstats in fmap.items():
+                if fstats is not None:
+                    state["stats"].setdefault(m, {})[f] = fstats
+        state["app"].update(entry.get("app_add", {}))
+
+    def _reconstruct(
+        self, store, root: str, version: int | None = None,
+        label: str | None = None,
+    ):
+        """(version, {'tables','stats','app'}) at ``version`` (default
+        newest); (-1, empty) for a never-committed root. Walks the log
+        BACKWARD from the target collecting delta entries until it
+        hits an anchor — a checkpoint file or a full entry — then
+        applies the chain forward; with ``CHECKPOINT_INTERVAL``
+        checkpoints the walk reads at most INTERVAL small deltas plus
+        one checkpoint. A version whose chain needs a pruned entry
+        raises ``VersionNotFoundError`` (``missing=True`` on the
+        error when the entry file is absent — retention pruning or a
+        racing vacuum — vs present-but-unreadable corruption)."""
+        name = label if label is not None else root
+        evs, cps = self._list_log(store, root)
+        if version is None:
+            if not evs:
+                return -1, {"tables": {}, "stats": {}, "app": {}}
+            version = evs[-1]
+        cpset = set(cps)
+        chain: list[dict] = []
+        anchor: dict | None = None
+        v = version
+        while v >= 0:
+            if v in cpset:
+                cp_path = f"{root}/{LOG_DIR}/{v:020d}{CHECKPOINT_SUFFIX}"
                 try:
-                    best = max(best, int(name[:-5]))
-                except ValueError:
-                    continue
-        if best < 0:
+                    anchor = json.loads(store.fs.read_text(cp_path))
+                    break
+                except Exception:
+                    # checkpoint vanished (racing vacuum) or corrupt:
+                    # the plain entry at this version still anchors or
+                    # continues the chain — checkpoints only
+                    # accelerate, never carry unique history
+                    pass
+            entry_path = f"{root}/{LOG_DIR}/{v:020d}.json"
+            try:
+                entry = json.loads(store.fs.read_text(entry_path))
+            except Exception as exc:
+                avail = [x for x in evs]
+                lo = f"{avail[0]}..{avail[-1]}" if avail else "none"
+                if store.fs.exists(entry_path):
+                    err = VersionNotFoundError(
+                        f"version {version} of {name!r} needs log "
+                        f"entry {v}, which exists but is unreadable "
+                        f"({type(exc).__name__}: {exc})"
+                    )
+                    err.missing = False
+                    raise err from exc
+                err = VersionNotFoundError(
+                    f"version {version} of {name!r} is not "
+                    f"reconstructible: entry {v} is not retained "
+                    f"(vacuum prunes old snapshots; retained: {lo})"
+                )
+                err.missing = True
+                raise err from exc
+            chain.append(entry)
+            if "tables" in entry:
+                break  # full entry: self-describing anchor
+            v -= 1
+        state = {"tables": {}, "stats": {}, "app": {}}
+        if anchor is not None:
+            self._apply_entry(state, anchor)
+        for entry in reversed(chain):
+            self._apply_entry(state, entry)
+        return version, state
+
+    def _write_checkpoint(
+        self, store, root: str, version: int, tables, stats, app
+    ) -> bool:
+        """Best-effort full-state checkpoint at ``version`` — losers
+        of the put-if-absent race and IO failures are harmless (the
+        next interval or vacuum writes one); readers fall back to the
+        entry chain either way."""
+        payload = {
+            "version": version,
+            "ts_ms": _now_ms(),
+            "tables": tables,
+        }
+        if stats:
+            payload["stats"] = stats
+        if app:
+            payload["app"] = app
+        path = f"{root}/{LOG_DIR}/{version:020d}{CHECKPOINT_SUFFIX}"
+        try:
+            return store.fs.create_exclusive(path, json.dumps(payload))
+        except Exception:
+            return False
+
+    def _read_entry_raw(self, store, root: str, v: int, label: str):
+        """One raw log entry (full or delta form), with the typed
+        error contract (``missing=True`` when the file is absent)."""
+        entry_path = f"{root}/{LOG_DIR}/{v:020d}.json"
+        try:
+            return json.loads(store.fs.read_text(entry_path))
+        except Exception as exc:
+            if store.fs.exists(entry_path):
+                err = VersionNotFoundError(
+                    f"log entry {v} of {label!r} exists but is "
+                    f"unreadable ({type(exc).__name__}: {exc})"
+                )
+                err.missing = False
+                raise err from exc
+            err = VersionNotFoundError(
+                f"log entry {v} of {label!r} is not retained (vacuum "
+                "prunes old snapshots)"
+            )
+            err.missing = True
+            raise err from exc
+
+    def _current_entry(self, store, root: str):
+        """(version, reconstructed full entry dict); (-1, {}) if never
+        committed. The one read-side seam every commit attempt and
+        current-state read routes through (race-injection tests
+        monkeypatch it)."""
+        version, state = self._reconstruct(store, root, None)
+        if version < 0:
             return -1, {}
-        entry = json.loads(
-            store.fs.read_text(f"{root}/{LOG_DIR}/{best:020d}.json")
-        )
-        return best, entry
+        return version, {"version": version, **state}
 
     def _current(self, store, root: str):
         """(version, {member: [relpaths]}); (-1, {}) if never committed."""
@@ -695,20 +869,64 @@ class ManifestCommit(ParquetLeaseCommit):
                 for m in merged
             }
             stats_out = {m: v for m, v in stats_out.items() if v}
+            app_out = {**cur_app, **app_add}
             payload: dict = {
                 "version": version + 1,
                 "ts_ms": _now_ms(),
-                "tables": new_tables,
             }
-            if stats_out:
-                payload["stats"] = stats_out
-            app_out = {**cur_app, **app_add}
-            if app_out:
-                payload["app"] = app_out
+            # Express the commit as a DELTA when the new state is
+            # old-minus-removed + added-at-tail per member (every
+            # mutation this class performs) — the entry then costs
+            # O(change) to write and store instead of re-serializing
+            # the whole table's file lists + stats. Any other shape
+            # (a mutate that reorders or drops a member key) falls
+            # back to the self-describing full form, which doubles as
+            # a reconstruction anchor.
+            delta_add: dict = {}
+            delta_rm: dict = {}
+            expressible = set(tables) <= set(new_tables)
+            if expressible:
+                for m, new in new_tables.items():
+                    old = tables.get(m, [])
+                    olds, news = set(old), set(new)
+                    removed = [f for f in old if f not in news]
+                    added = [f for f in new if f not in olds]
+                    gone = set(removed)
+                    if [f for f in old if f not in gone] + added != list(
+                        new
+                    ):
+                        expressible = False
+                        break
+                    if removed:
+                        delta_rm[m] = removed
+                    if added:
+                        delta_add[m] = {
+                            f: stats_out.get(m, {}).get(f) for f in added
+                        }
+            change_meta = getattr(mutate, "change_meta", None)
+            if expressible:
+                payload["delta"] = {"add": delta_add, "remove": delta_rm}
+                if app_add:
+                    payload["app_add"] = app_add
+                if change_meta:
+                    payload["change"] = dict(change_meta)
+            else:
+                payload["tables"] = new_tables
+                if stats_out:
+                    payload["stats"] = stats_out
+                if app_out:
+                    payload["app"] = app_out
+                if change_meta:
+                    payload["change"] = dict(change_meta)
             entry = json.dumps(payload)
             target = f"{root}/{LOG_DIR}/{version + 1:020d}.json"
             if store.fs.create_exclusive(target, entry):
-                return version + 1
+                n = version + 1
+                if n > 0 and n % self.CHECKPOINT_INTERVAL == 0:
+                    self._write_checkpoint(
+                        store, root, n, new_tables, stats_out, app_out
+                    )
+                return n
         raise ConcurrentMaintenanceError(
             f"lost {self.MAX_COMMIT_ATTEMPTS} optimistic-commit races on "
             + root
@@ -996,9 +1214,16 @@ class ManifestCommit(ParquetLeaseCommit):
 
         self._commit(store, root, mutate)
 
-    def snapshot_rewrite(self, store, path: str, write_snapshot) -> None:
+    def snapshot_rewrite(
+        self, store, path: str, write_snapshot,
+        change: dict | None = None,
+    ) -> None:
         """Compaction: stage the snapshot, commit a manifest that
         references ONLY it, vacuum files past the retention horizon.
+        ``change={"kind": "preserve"}`` declares a content-identical
+        rewrite that change feeds skip (Z-order full passes); the LWW
+        compaction leaves it unset — its rewrite changes row content,
+        so incremental consumers must resync.
 
         Conflict DETECTION, not blind replacement: the member's file
         list is captured before the snapshot source is read, and the
@@ -1033,12 +1258,26 @@ class ManifestCommit(ParquetLeaseCommit):
             return {**tables, member: files}
 
         mutate.stats_add = self._file_stats(store, root, member, files)
+        if change:
+            mutate.change_meta = dict(change)
         self._commit(store, root, mutate)
         self.vacuum(store, root)
+
+    @staticmethod
+    def cdf_member_of(member: str) -> str:
+        """Change-file member name for a table member. Not underscore-
+        or dot-prefixed (Spark readers must open the files when named
+        explicitly); never part of the committed ``tables`` map — the
+        files are referenced only by their commit entry's ``change``
+        metadata, so vacuum retains them exactly as long as the entry
+        and the feed self-expires with the retention horizon (the
+        Delta ``_change_data`` lifecycle)."""
+        return f"{member}~cdf" if member else "~cdf"
 
     def rewrite_files(
         self, store, path: str, remove, write_fn,
         app_meta: dict | None = None, entry_guard=None,
+        cdf_df=None, change: dict | None = None,
     ) -> list[str]:
         """File-granular copy-on-write: atomically replace the
         ``remove`` subset of a member's files with ``write_fn``'s
@@ -1066,6 +1305,16 @@ class ManifestCommit(ParquetLeaseCommit):
         retry loop, so it sees every racing commit) — callers use it
         to harden the narrow conflict rule, e.g. a MERGE raising on
         concurrent appends whose stats overlap its key envelope.
+
+        ``change`` annotates the entry for incremental consumers:
+        ``{"kind": "preserve"}`` declares a content-identical rewrite
+        (compaction, Z-order) that change feeds skip outright.
+        ``cdf_df``, if given, stages row-level change files (the
+        caller's typed upsert/delete rows) in the SAME atomic commit
+        and records them in the entry's change metadata with
+        ``kind: "cdf"`` — ``read_row_changes`` serves them; see
+        ``cdf_member_of`` for their lifecycle.
+
         Returns the new relpaths. The trailing vacuum keeps the
         retention margin, so readers of retained snapshots stay
         valid."""
@@ -1083,6 +1332,18 @@ class ManifestCommit(ParquetLeaseCommit):
             if write_fn is not None
             else []
         )
+        cdf_files: list[str] = []
+        if cdf_df is not None:
+            cdf_files = self._stage_in(
+                store, root, self.cdf_member_of(member),
+                lambda tmp: cdf_df.write.mode("overwrite").parquet(tmp),
+            )
+            change = {
+                **(change or {}),
+                "kind": "cdf",
+                "cdf_member": self.cdf_member_of(member),
+                "files": cdf_files,
+            }
 
         def mutate(tables):
             old = list(tables.get(member, []))
@@ -1108,6 +1369,8 @@ class ManifestCommit(ParquetLeaseCommit):
             mutate.app_meta = dict(app_meta)
         if entry_guard is not None:
             mutate.entry_guard = entry_guard
+        if change:
+            mutate.change_meta = dict(change)
         self._commit(store, root, mutate)
         self.vacuum(store, root)
         return files
@@ -1169,49 +1432,106 @@ class ManifestCommit(ParquetLeaseCommit):
         resolved = self._resolve(store, root)
         if resolved is None or resolved[0] != root:
             return 0
-        versions = sorted(
-            int(name[:-5])
-            for name in store.fs.listdir(f"{root}/{LOG_DIR}")
-            if name.endswith(".json") and name[:-5].isdigit()
-        )
         removed = 0
         data_root = f"{root}/{DATA_DIR}"
-        live: set[str] = set()
-        # Read-validate EVERY retained entry before pruning anything:
-        # if a retained entry (worst case the newest manifest) is
-        # corrupt, the abort below must leave the older, still-readable
-        # snapshot entries on disk — they are the only recovery /
-        # time-travel fallback for a table whose current manifest is
-        # unreadable. Prune-first would destroy them before noticing.
-        for v in versions[-retain:]:
-            entry_path = f"{root}/{LOG_DIR}/{v:020d}.json"
+        # Read-validate EVERY retained snapshot before pruning
+        # anything: if a retained version (worst case the newest) is
+        # not reconstructible, the abort below must leave the older,
+        # still-readable history on disk — it is the only recovery /
+        # time-travel fallback. Prune-first would destroy it before
+        # noticing. A retry covers the one benign failure — a racing
+        # vacuum pruning an entry between our listing and the read
+        # (possible because rewrite_files vacuums leaselessly); its
+        # horizon was at least as new, so re-listing converges.
+        for attempt in range(3):
+            evs, cps = self._list_log(store, root)
+            retained = evs[-retain:] if evs else []
+            live: set[str] = set()
+
+            def _live_change_files(entry) -> None:
+                # row-level change files (merge/delete CDF) live
+                # exactly as long as the entry that recorded them —
+                # they are referenced by the change metadata, never by
+                # the tables map (the Delta _change_data lifecycle)
+                change = entry.get("change") or {}
+                if change.get("kind") == "cdf":
+                    base = self._member_root(root, change["cdf_member"])
+                    live.update(
+                        f"{base}/{f}" for f in change.get("files", [])
+                    )
+
             try:
-                entry = json.loads(store.fs.read_text(entry_path))
+                if retained:
+                    oldest = retained[0]
+                    _, state = self._reconstruct(store, root, oldest)
+                    live.update(
+                        f"{self._member_root(root, m)}/{f}"
+                        for m, fs_ in state["tables"].items()
+                        for f in fs_
+                    )
+                    head = json.loads(
+                        store.fs.read_text(
+                            f"{root}/{LOG_DIR}/{oldest:020d}.json"
+                        )
+                    )
+                    _live_change_files(head)
+                    # The oldest retained version must stay
+                    # reconstructible AFTER entries below it are
+                    # pruned: if its entry is a delta and no
+                    # checkpoint anchors it, write one now (from the
+                    # state just validated) BEFORE any pruning.
+                    if (
+                        evs
+                        and evs[0] < oldest
+                        and oldest not in set(cps)
+                        and "tables" not in head
+                    ):
+                        self._write_checkpoint(
+                            store, root, oldest,
+                            state["tables"], state["stats"],
+                            state["app"],
+                        )
+                    for v in retained[1:]:
+                        entry = json.loads(
+                            store.fs.read_text(
+                                f"{root}/{LOG_DIR}/{v:020d}.json"
+                            )
+                        )
+                        self._apply_entry(state, entry)
+                        _live_change_files(entry)
+                        live.update(
+                            f"{self._member_root(root, m)}/{f}"
+                            for m, fs_ in state["tables"].items()
+                            for f in fs_
+                        )
+                break
+            except VersionNotFoundError as exc:
+                if getattr(exc, "missing", False) and attempt < 2:
+                    continue  # racing vacuum: re-list and retry
+                raise ConcurrentMaintenanceError(
+                    f"vacuum aborted: retained history of {root} is "
+                    f"unreadable ({exc}); refusing to treat its files "
+                    "as dead"
+                ) from exc
             except Exception as exc:
-                # A retained entry that cannot be read must ABORT the
-                # vacuum, not be skipped: skipping the NEWEST entry
-                # would drop every current file from `live` and delete
-                # the live table on a transient read error. The one
-                # benign case is an entry a CONCURRENT vacuum pruned
-                # between our listing and this read — then the file is
-                # now absent and its exclusive files are past that
-                # vacuum's horizon anyway.
-                if store.fs.exists(entry_path):
-                    raise ConcurrentMaintenanceError(
-                        f"vacuum aborted: retained log entry {entry_path}"
-                        f" is unreadable ({type(exc).__name__}: {exc}); "
-                        "refusing to treat its files as dead"
-                    ) from exc
-                continue
-            live.update(
-                f"{self._member_root(root, m)}/{f}"
-                for m, fs_ in entry["tables"].items()
-                for f in fs_
-            )
-        # Every retained entry parsed — only now is it safe to drop
-        # the older log history.
-        for v in versions[:-retain]:
+                entry_missing = isinstance(exc, FileNotFoundError)
+                if entry_missing and attempt < 2:
+                    continue
+                raise ConcurrentMaintenanceError(
+                    f"vacuum aborted: retained log entry of {root} is "
+                    f"unreadable ({type(exc).__name__}: {exc}); "
+                    "refusing to treat its files as dead"
+                ) from exc
+        # Every retained snapshot validated (and anchored) — only now
+        # is it safe to drop the older log history and its stale
+        # checkpoints.
+        cut = retained[0] if retained else 0
+        for v in [x for x in evs if x < cut]:
             store.fs.remove_file(f"{root}/{LOG_DIR}/{v:020d}.json")
+        for cv in [x for x in cps if x < cut]:
+            store.fs.remove_file(
+                f"{root}/{LOG_DIR}/{cv:020d}{CHECKPOINT_SUFFIX}"
+            )
 
         def _in_grace(path: str) -> bool:
             if grace <= 0:
@@ -1283,45 +1603,19 @@ class ManifestCommit(ParquetLeaseCommit):
 
     def _load_entry(self, store, path: str, root: str,
                     version: int | None = None) -> dict:
-        """Full parsed log entry ({'version', 'tables', 'stats'?}) —
-        the current snapshot, or an exact retained version (time
-        travel). Never-committed current state is an empty entry;
-        a NAMED version that cannot be read raises the typed error.
-
-        A concurrent vacuum can prune the entry between the exists
-        probe and the read; the caller contract is the TYPED error,
-        never a raw FileNotFoundError. Vacuum keeps files for every
-        retained entry, so any resolvable version is fully scannable."""
-        if version is None:
-            best = -1
-            for name in store.fs.listdir(f"{root}/{LOG_DIR}"):
-                if name.endswith(".json"):
-                    try:
-                        best = max(best, int(name[:-5]))
-                    except ValueError:
-                        continue
-            if best < 0:
-                return {"version": -1, "tables": {}}
-            version = best
-        entry_path = f"{root}/{LOG_DIR}/{version:020d}.json"
-        try:
-            return json.loads(store.fs.read_text(entry_path))
-        except Exception as exc:
-            avail = self.table_versions(store, path)
-            lo = f"{avail[0]}..{avail[-1]}" if avail else "none"
-            if store.fs.exists(entry_path):
-                # present but unreadable: corruption / IO error, NOT
-                # retention pruning — say so (vacuum treats the
-                # identical condition as fatal)
-                raise VersionNotFoundError(
-                    f"version {version} of {path!r} exists but its "
-                    f"log entry is unreadable "
-                    f"({type(exc).__name__}: {exc})"
-                ) from exc
-            raise VersionNotFoundError(
-                f"version {version} of {path!r} is not retained "
-                f"(vacuum prunes old snapshots; retained: {lo})"
-            ) from exc
+        """Reconstructed snapshot ({'version', 'tables', 'stats',
+        'app'}) — the current state, or an exact retained version
+        (time travel). Never-committed current state is an empty
+        entry; a NAMED version that cannot be reconstructed raises
+        the typed error (a concurrent vacuum pruning the chain
+        mid-read surfaces the same way, never a raw
+        FileNotFoundError). Vacuum keeps files AND an anchor for
+        every retained entry, so any resolvable version is fully
+        scannable."""
+        v, state = self._reconstruct(store, root, version, label=path)
+        if v < 0:
+            return {"version": -1, "tables": {}}
+        return {"version": v, **state}
 
     def read_table(
         self, store, path: str, schema=None, version: int | None = None
@@ -1513,6 +1807,50 @@ class ManifestCommit(ParquetLeaseCommit):
             reader = reader.schema(schema)
         return reader.parquet(*[f"{base}/{f}" for f in kept])
 
+    def _change_walk(
+        self, store, path: str, root: str, member: str,
+        since: int, to: int | None,
+    ):
+        """Per-version change records for ``member`` over
+        ``(since, to]``: a list of ``(version, change_meta, added,
+        removed)``. Reconstructs once at ``since`` and folds each raw
+        entry forward — O(commits in range), each delta entry read is
+        O(its change). Raises the typed errors for invalid ranges."""
+        _, state = self._reconstruct(store, root, since, label=path)
+        cur = list(state["tables"].get(member, []))
+        if to is None:
+            to, _ = self._current(store, root)
+        if to < since:
+            raise ValidationError(
+                f"read_changes: to_version {to} precedes "
+                f"since_version {since}"
+            )
+        out = []
+        for v in range(since + 1, to + 1):
+            entry = self._read_entry_raw(store, root, v, path)
+            if "tables" in entry:
+                new = entry["tables"].get(member, [])
+                olds, news = set(cur), set(new)
+                added = [f for f in new if f not in olds]
+                removed = [f for f in cur if f not in news]
+                cur = list(new)
+            else:
+                delta = entry.get("delta", {})
+                added = list(delta.get("add", {}).get(member, {}))
+                removed = list(delta.get("remove", {}).get(member, []))
+                gone = set(removed)
+                cur = [f for f in cur if f not in gone] + added
+            out.append((v, entry.get("change") or {}, added, removed))
+        return out
+
+    def _files_reader(self, store, root: str, member: str, files,
+                      schema=None):
+        base = self._member_root(root, member)
+        reader = store.spark.read.option("basePath", base)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*[f"{base}/{f}" for f in files])
+
     def read_changes(
         self,
         store,
@@ -1522,8 +1860,9 @@ class ManifestCommit(ParquetLeaseCommit):
         schema=None,
     ) -> DataFrame:
         """Change feed: the rows APPENDED to a member table between two
-        retained manifest versions — exactly the files present in
-        ``to_version`` (default: current) but not in ``since_version``.
+        retained manifest versions — the files added by plain append
+        commits in the range (data files are immutable, so new files
+        ARE the new rows).
 
         This is the incremental-consumer primitive: a downstream job
         records the version it last processed and reads only the delta
@@ -1531,12 +1870,17 @@ class ManifestCommit(ParquetLeaseCommit):
         — the Delta CDF / Iceberg incremental-scan idiom on the log
         the manifest already keeps.
 
-        Correct only while history is append-only across the range:
-        data files are immutable, so new files ARE the new rows. A
-        range in which any ``since`` file DISAPPEARED (compaction
-        rewrite, partition overwrite, drop) raises the typed
-        ``NonAppendHistoryError`` — the consumer falls back to a full
-        recompute from the newer snapshot, never silently double- or
+        Content-preserving rewrites (small-file compaction, Z-order —
+        commits marked ``change: {"kind": "preserve"}``) neither add
+        nor remove rows and are SKIPPED, so routine maintenance never
+        breaks a feed: an in-range append whose file a later preserve
+        commit folded away still reads (retention keeps every retained
+        version's files), and the rewrite's own output files are not
+        double-counted. Any OTHER removal (LWW compaction, partition
+        overwrite, drop) or a row-level ``cdf`` commit (merge/delete —
+        consumable via ``read_row_changes``, not as plain appends)
+        raises the typed ``NonAppendHistoryError`` — the consumer
+        falls back to a full recompute, never silently double- or
         under-counts. Versions outside vacuum's retained horizon raise
         ``VersionNotFoundError`` (``table_versions`` lists the valid
         range)."""
@@ -1547,36 +1891,113 @@ class ManifestCommit(ParquetLeaseCommit):
                 "feeds need the version log"
             )
         root, member = resolved
-        e0 = self._load_entry(store, path, root, since_version)
-        e1 = self._load_entry(store, path, root, to_version)
-        if to_version is not None and to_version < since_version:
-            raise ValidationError(
-                f"read_changes: to_version {to_version} precedes "
-                f"since_version {since_version}"
-            )
-        files0 = set(e0["tables"].get(member, []))
-        files1 = e1["tables"].get(member, [])
-        removed = sorted(files0 - set(files1))
-        if removed:
-            raise NonAppendHistoryError(
-                f"history of {path!r} between versions {since_version} "
-                f"and {to_version if to_version is not None else 'current'}"
-                f" is not append-only: {len(removed)} file(s) removed "
-                f"(first: {removed[0]}); recompute from the newer "
-                "snapshot instead"
-            )
-        added = [f for f in files1 if f not in files0]
+        walk = self._change_walk(
+            store, path, root, member, since_version, to_version
+        )
+        added: list[str] = []
+        for v, change, adds, removes in walk:
+            kind = change.get("kind")
+            if kind == "preserve":
+                continue
+            if kind == "cdf" or removes:
+                detail = (
+                    "a row-level merge/delete landed (use "
+                    "read_row_changes to consume it)"
+                    if kind == "cdf"
+                    else f"{len(removes)} file(s) removed at version "
+                    f"{v} (first: {removes[0]})"
+                )
+                raise NonAppendHistoryError(
+                    f"history of {path!r} between versions "
+                    f"{since_version} and "
+                    f"{to_version if to_version is not None else 'current'}"
+                    f" is not append-only: {detail}; recompute from "
+                    "the newer snapshot instead"
+                )
+            added.extend(adds)
         if not added:
             if schema is not None:
                 return store.spark.createDataFrame([], schema)
             return self.read_table(
                 store, path, None, version=to_version
             ).limit(0)
-        base = self._member_root(root, member)
-        reader = store.spark.read.option("basePath", base)
-        if schema is not None:
-            reader = reader.schema(schema)
-        return reader.parquet(*[f"{base}/{f}" for f in added])
+        return self._files_reader(store, root, member, added, schema)
+
+    #: change-type column name in ``read_row_changes`` output (the
+    #: Delta CDF ``_change_type`` convention): 'insert' (plain
+    #: append), 'upsert' (merge source row), 'delete' (erased row)
+    CDF_TYPE_COL = "_change_type"
+    CDF_VERSION_COL = "_commit_version"
+
+    def read_row_changes(
+        self,
+        store,
+        path: str,
+        since_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame | None:
+        """ROW-level change feed over ``(since, to]`` — the Delta CDF
+        idiom: every commit contributes typed change rows, so an
+        incremental consumer survives merges and deletes, not just
+        appends. Returns the table's columns plus ``_change_type``
+        ('insert' | 'upsert' | 'delete') and ``_commit_version``, or
+        None when the range contributed no changes (caller treats as
+        empty).
+
+        Sources per commit kind: plain appends read their added files
+        as 'insert' rows; ``preserve`` rewrites contribute nothing;
+        ``cdf`` commits (merge_into / delete_rows / delete_range) read
+        the change files their entry recorded — written ATOMICALLY
+        with the rewrite, stored outside the table's member list and
+        vacuum-retained exactly as long as their entry, so the feed
+        self-expires with the retention horizon. Any unmarked removal
+        still raises ``NonAppendHistoryError`` (e.g. LWW compaction,
+        which rewrites content the feed cannot express)."""
+        from pyspark.sql import functions as F
+
+        resolved = self._resolve(store, path)
+        if resolved is None:
+            raise VersionNotFoundError(
+                f"{path!r} is not a manifest-managed table; change "
+                "feeds need the version log"
+            )
+        root, member = resolved
+        walk = self._change_walk(
+            store, path, root, member, since_version, to_version
+        )
+        parts = []
+        for v, change, adds, removes in walk:
+            kind = change.get("kind")
+            if kind == "preserve":
+                continue
+            if kind == "cdf":
+                files = change.get("files", [])
+                if files:
+                    parts.append(
+                        self._files_reader(
+                            store, root, change["cdf_member"], files
+                        ).withColumn(self.CDF_VERSION_COL, F.lit(v))
+                    )
+                continue
+            if removes:
+                raise NonAppendHistoryError(
+                    f"history of {path!r} at version {v} removed "
+                    f"{len(removes)} file(s) (first: {removes[0]}) "
+                    "without change metadata; recompute from the "
+                    "newer snapshot instead"
+                )
+            if adds:
+                parts.append(
+                    self._files_reader(store, root, member, adds)
+                    .withColumn(self.CDF_TYPE_COL, F.lit("insert"))
+                    .withColumn(self.CDF_VERSION_COL, F.lit(v))
+                )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read_app_meta(self, store, path: str) -> dict:
         """The root's application-metadata map (``app`` in the newest
@@ -1587,12 +2008,8 @@ class ManifestCommit(ParquetLeaseCommit):
         if resolved is None:
             return {}
         root, _ = resolved
-        version, _ = self._current(store, root)
-        if version < 0:
-            return {}
-        return json.loads(
-            store.fs.read_text(f"{root}/{LOG_DIR}/{version:020d}.json")
-        ).get("app", {})
+        _, entry = self._current_entry(store, root)
+        return entry.get("app", {})
 
     @staticmethod
     def _app_cas_guard(expected_app: dict):
@@ -1735,20 +2152,29 @@ class ManifestCommit(ParquetLeaseCommit):
         if resolved is None:
             return []
         root, _ = resolved
+        versions = self.table_versions(store, path)
+        if not versions:
+            return []
         out = []
-        for v in self.table_versions(store, path):
+        # one reconstruction for the oldest retained version, then the
+        # remaining entries fold forward incrementally — O(history),
+        # not O(history^2)
+        _, state = self._reconstruct(store, root, versions[0], label=path)
+        for i, v in enumerate(versions):
             entry = json.loads(
                 store.fs.read_text(f"{root}/{LOG_DIR}/{v:020d}.json")
             )
+            if i > 0:
+                self._apply_entry(state, entry)
             out.append(
                 {
                     "version": v,
                     "ts_ms": entry.get("ts_ms"),
                     "members": {
                         m: len(fs_)
-                        for m, fs_ in entry.get("tables", {}).items()
+                        for m, fs_ in state["tables"].items()
                     },
-                    "app": entry.get("app", {}),
+                    "app": dict(state["app"]),
                 }
             )
         return out

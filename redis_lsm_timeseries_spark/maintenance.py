@@ -110,7 +110,10 @@ def compact_small_files(
             w.parquet(tmp)
 
         try:
-            commit.rewrite_files(host, path, group, write)
+            # content-identical rewrite: change feeds skip it outright
+            commit.rewrite_files(
+                host, path, group, write, change={"kind": "preserve"}
+            )
         except RewriteConflictError:
             conflicts += 1
             continue

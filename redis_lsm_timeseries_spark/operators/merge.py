@@ -277,12 +277,19 @@ def merge_into(
         commit, member, set(managed) | set(affected), preds
     )
     pcols = partition_cols_of(managed)
+    # row-level change feed: the merge's source rows ARE its change
+    # set — staged as typed 'upsert' change files in the same atomic
+    # commit, so incremental consumers (mirror_changes with keys)
+    # apply the merge as O(delta) instead of full-resyncing
+    cdf = src.withColumn(
+        commit.CDF_TYPE_COL, F.lit("upsert")
+    ).coalesce(1)
     if not affected:
         # pure insert: no file can contain a matched key
         commit.rewrite_files(
             host, path, [],
             _clustered_write(src, keys, target_files or 1, pcols),
-            entry_guard=guard,
+            entry_guard=guard, cdf_df=cdf,
         )
         return MergeStats(0, total, n_upserts)
 
@@ -295,7 +302,7 @@ def merge_into(
     n = target_files or len(affected)
     commit.rewrite_files(
         host, path, affected, _clustered_write(out, keys, n, pcols),
-        entry_guard=guard,
+        entry_guard=guard, cdf_df=cdf,
     )
     return MergeStats(len(affected), total, n_upserts)
 
@@ -340,6 +347,12 @@ def delete_rows(
     )
     cur = _affected_df(host, commit, path, affected)
     survivors = cur.join(dk, keys, "left_anti")
+    # the erased rows are the commit's row-level change set
+    cdf = (
+        cur.join(dk, keys, "left_semi")
+        .withColumn(commit.CDF_TYPE_COL, F.lit("delete"))
+        .coalesce(1)
+    )
     # a fully-deleted slice drops its files with no replacement write
     write_fn = (
         None
@@ -348,7 +361,9 @@ def delete_rows(
             survivors, keys, len(affected), partition_cols_of(affected)
         )
     )
-    commit.rewrite_files(host, path, affected, write_fn, entry_guard=guard)
+    commit.rewrite_files(
+        host, path, affected, write_fn, entry_guard=guard, cdf_df=cdf
+    )
     return DeleteStats(len(affected), total)
 
 
@@ -400,6 +415,11 @@ def delete_range(
     )
     cur = _affected_df(host, commit, path, affected)
     survivors = cur.where(~cond | F.col(column).isNull())
+    cdf = (
+        cur.where(cond)
+        .withColumn(commit.CDF_TYPE_COL, F.lit("delete"))
+        .coalesce(1)
+    )
     write_fn = (
         None
         if survivors.isEmpty()
@@ -408,7 +428,9 @@ def delete_range(
             partition_cols_of(affected),
         )
     )
-    commit.rewrite_files(host, path, affected, write_fn, entry_guard=guard)
+    commit.rewrite_files(
+        host, path, affected, write_fn, entry_guard=guard, cdf_df=cdf
+    )
     return DeleteStats(len(affected), total)
 
 

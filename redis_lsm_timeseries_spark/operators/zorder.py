@@ -146,7 +146,13 @@ def zorder_rewrite(
             w = w.partitionBy(*pcols)
         w.parquet(tmp)
 
-    commit.snapshot_rewrite(host, path, write)
+    if isinstance(commit, ManifestCommit):
+        # content-identical reorder: change feeds skip it outright
+        commit.snapshot_rewrite(
+            host, path, write, change={"kind": "preserve"}
+        )
+    else:
+        commit.snapshot_rewrite(host, path, write)
 
 
 #: app-map key holding the stage tokens of files written by Z-order
@@ -245,5 +251,9 @@ def zorder_compact(
             w = w.partitionBy(*pcols)
         w.parquet(tmp)
 
-    commit.rewrite_files(host, path, tail, write, app_meta=cursor)
+    # content-identical reorder: change feeds skip it outright
+    commit.rewrite_files(
+        host, path, tail, write, app_meta=cursor,
+        change={"kind": "preserve"},
+    )
     return len(tail)

@@ -1,0 +1,344 @@
+"""Manifest checkpointing + delta log entries (round 12).
+
+Every commit records only its DELTA (files added/removed per member,
+their stats, app-map updates); a full-state checkpoint file lands
+every ``CHECKPOINT_INTERVAL`` commits. Readers reconstruct a snapshot
+from the newest anchor (checkpoint, or a legacy full entry) plus the
+delta tail — the Delta checkpoint / Iceberg manifest-list structure.
+
+Contract under test (the round-11 verdict's acceptance criterion):
+entry size is bounded by the CHANGE, not the table — 200 commits
+growing a member to ~5k files keep per-commit log writes O(delta) —
+and reconstruction is byte-identical across entry forms, checkpoint
+boundaries, vacuum horizons, and legacy full-entry history.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from redis_lsm_timeseries_spark.commit import (
+    CHECKPOINT_SUFFIX,
+    LOG_DIR,
+    CommitHost,
+    ManifestCommit,
+)
+from redis_lsm_timeseries_spark.errors import VersionNotFoundError
+
+SCHEMA = "k string, v long"
+
+
+def _fx(spark, tmp_path, name="t"):
+    host, commit = CommitHost(spark), ManifestCommit()
+    path = str(tmp_path / name)
+    commit._target_for_write(host, path)  # create the managed root
+    return host, commit, path
+
+
+def _raw_commit(commit, host, root, add_files, member="", stats=None):
+    """Protocol-level append of pre-named relpaths — exercises the log
+    layer (delta encoding, checkpoints, reconstruction) without paying
+    a Spark write per commit."""
+
+    def mutate(tables):
+        return {**tables, member: tables.get(member, []) + add_files}
+
+    if stats:
+        mutate.stats_add = {member: stats}
+    return commit._commit(host, root, mutate)
+
+
+def _log_files(path):
+    return sorted(os.listdir(f"{path}/{LOG_DIR}"))
+
+
+def _entries(path):
+    return [
+        f for f in _log_files(path)
+        if f.endswith(".json") and f[:-5].isdigit()
+    ]
+
+
+def _checkpoints(path):
+    return [f for f in _log_files(path) if f.endswith(CHECKPOINT_SUFFIX)]
+
+
+class TestDeltaEntries:
+    def test_200_commits_5k_files_entry_size_is_o_delta(
+        self, spark, tmp_path
+    ):
+        """The verdict's acceptance test: 200 appends growing one
+        member to 5,000 files. Every log entry's size must be bounded
+        by the DELTA it records (25 files + stats), never by the
+        accumulated table — the pre-r12 format re-serialized all ~5k
+        file lists + stats in every entry."""
+        host, commit, path = _fx(spark, tmp_path)
+        expected: list[str] = []
+        for i in range(200):
+            batch = [f"part-{i:03d}-{j:02d}.parquet" for j in range(25)]
+            stats = {
+                f: {"rows": 100, "cols": {"v": {
+                    "min": i * 100, "max": i * 100 + 99, "nulls": 0,
+                }}}
+                for f in batch
+            }
+            _raw_commit(commit, host, path, batch, stats=stats)
+            expected.extend(batch)
+
+        sizes = {
+            int(f[:-5]): os.path.getsize(f"{path}/{LOG_DIR}/{f}")
+            for f in _entries(path)
+        }
+        assert len(sizes) == 200
+        # every entry bounded by its delta: the LAST entry (table at
+        # ~5k files) must be no bigger than the FIRST (table at 25) —
+        # both record exactly 25 files
+        assert sizes[199] <= sizes[0] * 1.25
+        assert max(sizes.values()) < 8_000  # ~25 files + stats as JSON
+        # checkpoints exist and DO grow with the table (they carry the
+        # full state so readers never walk more than INTERVAL deltas)
+        cps = _checkpoints(path)
+        # versions 0..199: interval checkpoints at 10, 20, ..., 190
+        assert len(cps) == 19
+        cp_sizes = [
+            os.path.getsize(f"{path}/{LOG_DIR}/{f}") for f in cps
+        ]
+        assert cp_sizes[-1] > cp_sizes[0] * 10
+
+        # reconstruction returns all 5,000 files in commit order
+        files = commit.member_files(host, path)
+        assert files == expected
+        # stats survived reconstruction for skipping
+        kept, total = commit.prune_files(
+            host, path, {"v": (19_900, 19_950)}
+        )
+        assert total == 5_000 and kept == [
+            f"part-199-{j:02d}.parquet" for j in range(25)
+        ]
+
+    def test_checkpoint_written_every_interval(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        for i in range(21):
+            _raw_commit(commit, host, path, [f"f{i}.parquet"])
+        cps = _checkpoints(path)
+        assert [int(f[: -len(CHECKPOINT_SUFFIX)]) for f in cps] == [10, 20]
+        # a checkpoint is full state: it alone reconstructs version 10
+        cp = json.loads(
+            open(f"{path}/{LOG_DIR}/{10:020d}{CHECKPOINT_SUFFIX}").read()
+        )
+        assert len(cp["tables"][""]) == 11
+
+    def test_removal_deltas_and_order_preserved(self, spark, tmp_path):
+        """A rewrite_files-shaped mutate (filter + extend) round-trips
+        through the delta form preserving exact file order."""
+        host, commit, path = _fx(spark, tmp_path)
+        _raw_commit(commit, host, path, ["a.parquet", "b.parquet"])
+        _raw_commit(commit, host, path, ["c.parquet"])
+
+        def mutate(tables):
+            kept = [f for f in tables[""] if f != "b.parquet"]
+            return {**tables, "": kept + ["d.parquet"]}
+
+        commit._commit(host, path, mutate)
+        entry = json.loads(
+            open(f"{path}/{LOG_DIR}/{2:020d}.json").read()
+        )
+        assert entry["delta"]["remove"][""] == ["b.parquet"]
+        assert list(entry["delta"]["add"][""]) == ["d.parquet"]
+        assert commit.member_files(host, path) == [
+            "a.parquet", "c.parquet", "d.parquet"
+        ]
+
+    def test_inexpressible_mutate_falls_back_to_full_entry(
+        self, spark, tmp_path
+    ):
+        """A mutate that REORDERS a member's files (no engine mutation
+        does, but the protocol must stay correct for any mutate) is
+        not delta-expressible — the entry falls back to the
+        self-describing full form and anchors reconstruction."""
+        host, commit, path = _fx(spark, tmp_path)
+        _raw_commit(commit, host, path, ["a.parquet", "b.parquet"])
+        commit._commit(
+            host, path, lambda t: {**t, "": list(reversed(t[""]))}
+        )
+        entry = json.loads(
+            open(f"{path}/{LOG_DIR}/{1:020d}.json").read()
+        )
+        assert "delta" not in entry
+        assert entry["tables"][""] == ["b.parquet", "a.parquet"]
+        assert commit.member_files(host, path) == [
+            "b.parquet", "a.parquet"
+        ]
+
+
+class TestReconstruction:
+    def test_time_travel_across_checkpoint_boundary(
+        self, spark, tmp_path
+    ):
+        host, commit, path = _fx(spark, tmp_path)
+        for i in range(25):
+            _raw_commit(commit, host, path, [f"f{i}.parquet"])
+        for v in (0, 9, 10, 11, 19, 20, 24):
+            files = commit.member_files(host, path, version=v)
+            assert files == [f"f{i}.parquet" for i in range(v + 1)]
+
+    def test_corrupt_checkpoint_falls_back_to_entry_chain(
+        self, spark, tmp_path
+    ):
+        """Checkpoints are accelerators, not history: a corrupt one is
+        skipped and the (intact) entry chain reconstructs the same
+        state."""
+        host, commit, path = _fx(spark, tmp_path)
+        for i in range(12):
+            _raw_commit(commit, host, path, [f"f{i}.parquet"])
+        cp = f"{path}/{LOG_DIR}/{10:020d}{CHECKPOINT_SUFFIX}"
+        with open(cp, "w") as fh:
+            fh.write("{corrupt")
+        files = commit.member_files(host, path)
+        assert files == [f"f{i}.parquet" for i in range(12)]
+
+    def test_legacy_full_entry_history_reads_and_extends(
+        self, spark, tmp_path
+    ):
+        """A log written by the pre-r12 engine (every entry a full
+        snapshot, no checkpoints) reads unchanged, and new delta
+        commits stack on top of it."""
+        host, commit, path = _fx(spark, tmp_path)
+        legacy = {
+            "version": 0,
+            "ts_ms": 1,
+            "tables": {"": ["old0.parquet"]},
+            "stats": {"": {"old0.parquet": {"rows": 5, "cols": {}}}},
+            "app": {"cur": 7},
+        }
+        with open(f"{path}/{LOG_DIR}/{0:020d}.json", "w") as fh:
+            fh.write(json.dumps(legacy))
+        assert commit.member_files(host, path) == ["old0.parquet"]
+        assert commit.read_app_meta(host, path) == {"cur": 7}
+        _raw_commit(commit, host, path, ["new1.parquet"])
+        assert commit.member_files(host, path) == [
+            "old0.parquet", "new1.parquet"
+        ]
+        # legacy stats and app map carried through the delta commit
+        stats = commit.member_file_stats(host, path)
+        assert stats["old0.parquet"]["rows"] == 5
+        assert commit.read_app_meta(host, path) == {"cur": 7}
+
+    def test_app_map_merges_across_delta_entries(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+
+        def with_meta(meta):
+            def mutate(tables):
+                return tables
+            mutate.app_meta = meta
+            return mutate
+
+        commit._commit(host, path, with_meta({"a": 1}))
+        commit._commit(host, path, with_meta({"b": 2}))
+        commit._commit(host, path, with_meta({"a": 3}))
+        assert commit.read_app_meta(host, path) == {"a": 3, "b": 2}
+        # historical app states reconstruct too
+        assert commit._load_entry(host, path, path, 1)["app"] == {
+            "a": 1, "b": 2,
+        }
+
+
+class TestVacuumAnchoring:
+    def test_vacuum_writes_anchor_at_oldest_retained(
+        self, spark, tmp_path
+    ):
+        """Pruning entries below the horizon must leave the oldest
+        retained version reconstructible: vacuum writes a checkpoint
+        there first (delta entries alone cannot anchor)."""
+        host, commit, path = _fx(spark, tmp_path)
+        for i in range(15):
+            _raw_commit(commit, host, path, [f"f{i}.parquet"])
+        commit.vacuum(host, path, grace_s=0)
+        versions = commit.table_versions(host, path)
+        assert versions == list(range(5, 15))
+        # the anchor checkpoint exists at the oldest retained version
+        assert os.path.exists(
+            f"{path}/{LOG_DIR}/{5:020d}{CHECKPOINT_SUFFIX}"
+        )
+        # every retained version reconstructs exactly
+        for v in versions:
+            assert commit.member_files(host, path, version=v) == [
+                f"f{i}.parquet" for i in range(v + 1)
+            ]
+        with pytest.raises(VersionNotFoundError):
+            commit.member_files(host, path, version=4)
+
+    def test_vacuum_prunes_stale_checkpoints(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        for i in range(35):
+            _raw_commit(commit, host, path, [f"f{i}.parquet"])
+        assert [
+            int(f[: -len(CHECKPOINT_SUFFIX)]) for f in _checkpoints(path)
+        ] == [10, 20, 30]
+        commit.vacuum(host, path, grace_s=0)
+        # retained 25..34: checkpoint 30 survives, 10/20 are pruned,
+        # and a fresh anchor lands at 25
+        assert [
+            int(f[: -len(CHECKPOINT_SUFFIX)]) for f in _checkpoints(path)
+        ] == [25, 30]
+        assert commit.member_files(host, path, version=25) == [
+            f"f{i}.parquet" for i in range(26)
+        ]
+
+    def test_vacuum_respects_interval_checkpoint_anchor(
+        self, spark, tmp_path
+    ):
+        """When the oldest retained version already sits ON an
+        interval checkpoint, vacuum needs no extra anchor."""
+        host, commit, path = _fx(spark, tmp_path)
+        for i in range(20):
+            _raw_commit(commit, host, path, [f"f{i}.parquet"])
+        commit.vacuum(host, path, retain_versions=10, grace_s=0)
+        assert commit.table_versions(host, path) == list(range(10, 20))
+        assert [
+            int(f[: -len(CHECKPOINT_SUFFIX)]) for f in _checkpoints(path)
+        ] == [10]
+
+
+class TestEndToEndSpark:
+    def test_real_appends_read_identically_across_the_boundary(
+        self, spark, tmp_path
+    ):
+        """Twelve real Spark appends (spanning a checkpoint at v10),
+        then a vacuum: full read, pruned read, and a time-travel read
+        all reconstruct the same data as a plain union of the
+        appended batches."""
+        host, commit, path = _fx(spark, tmp_path)
+        want = set()
+        for i in range(12):
+            commit.append_rows(host, [(f"k{i}", i)], SCHEMA, path)
+            want.add((f"k{i}", i))
+        got = {
+            (r.k, r.v)
+            for r in commit.read_table(host, path, SCHEMA).collect()
+        }
+        assert got == want
+        # version 9 predates the checkpoint at 10
+        old = {
+            (r.k, r.v)
+            for r in commit.read_table(
+                host, path, SCHEMA, version=9
+            ).collect()
+        }
+        assert old == {(f"k{i}", i) for i in range(10)}
+        pruned = {
+            (r.k, r.v)
+            for r in commit.read_table_pruned(
+                host, path, SCHEMA, predicates={"v": (10, None)}
+            ).collect()
+        }
+        assert pruned == {("k10", 10), ("k11", 11)}
+        commit.vacuum(host, path, retain_versions=1, grace_s=0)
+        got = {
+            (r.k, r.v)
+            for r in commit.read_table(host, path, SCHEMA).collect()
+        }
+        assert got == want

@@ -54,9 +54,13 @@ class TestCommitLog:
         assert _read(mstore, path) == {("a", 1), ("b", 2)}
         logs = sorted(os.listdir(f"{path}/{LOG_DIR}"))
         assert [int(f[:-5]) for f in logs] == [0, 1]
-        # each entry is the COMPLETE snapshot: newest alone suffices
+        # each entry records only its DELTA (round 12): the second
+        # append adds one file; the reconstructed snapshot lists both
         entry = json.loads(open(f"{path}/{LOG_DIR}/{logs[-1]}").read())
-        assert len(entry["tables"][""]) == 2
+        assert "tables" not in entry
+        assert len(entry["delta"]["add"][""]) == 1
+        _, snap = c._current_entry(mstore, path)
+        assert len(snap["tables"][""]) == 2
 
     def test_lost_race_retries_on_fresh_state(self, mstore):
         """A competing commit landing first must not be clobbered: the
@@ -343,11 +347,11 @@ class TestLogPruning:
         for i in range(15):
             c.append_rows(mstore, [(f"k{i}", i)], SCHEMA, path)
         logs = [f for f in os.listdir(f"{path}/{LOG_DIR}")
-                if f.endswith(".json")]
+                if f.endswith(".json") and f[:-5].isdigit()]
         assert len(logs) == 15
         c.vacuum(mstore, path)
         logs = sorted(f for f in os.listdir(f"{path}/{LOG_DIR}")
-                      if f.endswith(".json"))
+                      if f.endswith(".json") and f[:-5].isdigit())
         assert len(logs) == c.KEEP_LOG_ENTRIES
         assert int(logs[-1][:-5]) == 14  # newest survives
         assert _read(mstore, path) == {(f"k{i}", i) for i in range(15)}
@@ -392,7 +396,7 @@ class TestConcurrentWriters:
         assert got == want
         versions = sorted(
             int(f[:-5]) for f in os.listdir(f"{path}/{LOG_DIR}")
-            if f.endswith(".json")
+            if f.endswith(".json") and f[:-5].isdigit()
         )
         assert versions == list(range(13))  # 1 seed + 12 racing commits
 

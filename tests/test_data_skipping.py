@@ -42,9 +42,20 @@ def _table(mstore, name="t"):
 
 def _newest_entry(path):
     logs = sorted(
-        f for f in os.listdir(f"{path}/{LOG_DIR}") if f.endswith(".json")
+        f for f in os.listdir(f"{path}/{LOG_DIR}")
+        if f.endswith(".json") and f[:-5].isdigit()
     )
     return json.loads(open(f"{path}/{LOG_DIR}/{logs[-1]}").read())
+
+
+def _snapshot(mstore, path):
+    """Reconstructed current snapshot ({'tables','stats','app'}): log
+    entries are DELTAS since round 12, so per-snapshot assertions go
+    through the commit API's reconstruction, the readers' source of
+    truth."""
+    c = mstore.commit
+    root, _ = c._resolve(mstore, path)
+    return c._load_entry(mstore, path, root)
 
 
 class TestStatsRecording:
@@ -53,7 +64,7 @@ class TestStatsRecording:
         c.append_rows(
             mstore, [("a", 1), ("b", 2), (None, 3)], SCHEMA, path
         )
-        entry = _newest_entry(path)
+        entry = _snapshot(mstore, path)
         (rel,) = entry["tables"][""]
         fstats = entry["stats"][""][rel]
         assert fstats["rows"] == 3
@@ -68,7 +79,7 @@ class TestStatsRecording:
             [("x", 1, 10), ("y", 2, 20)], "k string, p long, v long"
         )
         c.append_partitioned(mstore, df, path, ["p"])
-        entry = _newest_entry(path)
+        entry = _snapshot(mstore, path)
         for rel in entry["tables"][""]:
             st = entry["stats"][""][rel]["cols"]
             pval = int(rel.split("/")[0].split("=")[1])
@@ -87,7 +98,7 @@ class TestStatsRecording:
             ).parquet(tmp)
 
         c.snapshot_rewrite(mstore, path, write_snapshot)
-        entry = _newest_entry(path)
+        entry = _snapshot(mstore, path)
         assert set(entry["stats"][""]) == set(entry["tables"][""])
         assert len(entry["tables"][""]) == 1
 
@@ -96,7 +107,7 @@ class TestStatsRecording:
         a = mstore.spark.createDataFrame([("a", 1)], SCHEMA)
         b = mstore.spark.createDataFrame([("b", 9)], SCHEMA)
         c.append_tables(mstore, root, {"out": a, "digests": b})
-        entry = _newest_entry(root)
+        entry = _snapshot(mstore, root)
         for member in ("out", "digests"):
             assert set(entry["stats"][member]) == set(
                 entry["tables"][member]
@@ -152,16 +163,23 @@ class TestPruning:
         feature (or whose footers were unreadable) have no stats map —
         their files must never be pruned."""
         c, path = self._two_file_table(mstore)
+        # strip the stats from every raw entry, both forms (full
+        # entries carry a "stats" map, delta entries carry per-added-
+        # file stats inline)
         logs = sorted(
-            f for f in os.listdir(f"{path}/{LOG_DIR}") if f.endswith(".json")
+            f for f in os.listdir(f"{path}/{LOG_DIR}")
+            if f.endswith(".json") and f[:-5].isdigit()
         )
-        newest = f"{path}/{LOG_DIR}/{logs[-1]}"
-        entry = json.loads(open(newest).read())
-        del entry["stats"]
-        with open(newest, "w") as fh:
-            fh.write(json.dumps(entry))
+        for name in logs:
+            raw = f"{path}/{LOG_DIR}/{name}"
+            entry = json.loads(open(raw).read())
+            entry.pop("stats", None)
+            for m, fmap in entry.get("delta", {}).get("add", {}).items():
+                entry["delta"]["add"][m] = {f: None for f in fmap}
+            with open(raw, "w") as fh:
+                fh.write(json.dumps(entry))
         kept, total = c.prune_files(mstore, path, {"v": (10_000, None)})
-        assert kept == entry["tables"][""] and total == 2
+        assert kept == c.member_files(mstore, path) and total == 2
 
     def test_incomparable_predicate_type_keeps_file(self, mstore):
         c, path = self._two_file_table(mstore)
