@@ -580,8 +580,15 @@ class ManifestCommit(ParquetLeaseCommit):
     #: per-file column statistics are recorded for at most this many
     #: leading schema columns (the Delta ``dataSkippingNumIndexedCols``
     #: idiom) — wide tables index their leading columns, not all
-    #: hundreds, keeping log entries small.
+    #: hundreds, keeping log entries small. A predicate on a column
+    #: past the cap is SAFE but never prunes (no stat recorded) —
+    #: order probe/clustering keys into the leading columns, or raise
+    #: the cap per instance: ``ManifestCommit(stats_max_cols=64)``.
     STATS_MAX_COLS = 32
+
+    def __init__(self, stats_max_cols: int | None = None):
+        if stats_max_cols is not None:
+            self.STATS_MAX_COLS = max(0, int(stats_max_cols))
 
     #: string min/max longer than this are NOT recorded (a truncated
     #: max would need round-up semantics to stay a safe bound; skipping
@@ -970,14 +977,45 @@ class ManifestCommit(ParquetLeaseCommit):
         return "".join(out)
 
     @staticmethod
-    def _stat_value(v, max_str: int):
+    def _stat_value(v, max_str: int, side: str | None = None):
         """JSON-safe stat scalar, or None when the type has no safe
-        total order across the JSON round-trip (timestamps, decimals,
-        nested) or the string exceeds the recorded bound."""
+        total order across the JSON round-trip (nested, undecodable
+        bytes) or the string exceeds the recorded bound.
+
+        Temporal values are TYPE-TAGGED so they survive the JSON
+        round-trip in total order: a timestamp becomes
+        ``{"ts": epoch_micros}`` (naive = UTC; aware converted), a
+        date becomes ``{"d": proleptic_ordinal}`` — without this a
+        predicate on a raw TimestampType column could never prune
+        (the r11 gap). Decimals widen to the enclosing float bound
+        (``side`` says which way to round), staying a superset-safe
+        plain number."""
+        import datetime
+        import decimal
+        import math
+
         if isinstance(v, bool) or v is None:
             return None  # bool min/max never prunes anything useful
         if isinstance(v, int) or isinstance(v, float):
             return v
+        if isinstance(v, decimal.Decimal):
+            f = float(v)
+            if side == "min" and f > v:
+                f = math.nextafter(f, -math.inf)
+            elif side == "max" and f < v:
+                f = math.nextafter(f, math.inf)
+            return f
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
+            micros = (
+                v - datetime.datetime(1970, 1, 1)
+            ) // datetime.timedelta(microseconds=1)
+            return {"ts": micros}
+        if isinstance(v, datetime.date):
+            return {"d": v.toordinal()}
         if isinstance(v, bytes):
             try:
                 v = v.decode("utf-8")
@@ -987,66 +1025,106 @@ class ManifestCommit(ParquetLeaseCommit):
             return v
         return None
 
-    def _file_stats(self, store, root: str, member: str, files) -> dict:
-        """Per-file ``{"rows": n, "cols": {column: {min, max, nulls}}}``
-        from the parquet footers of freshly staged files (driver-side,
-        one footer read per file — the same cost profile as Delta's
-        stats-on-write; commits stage a handful of files, never the
-        whole table). Hive partition path segments (``col=val``)
-        become exact min==max stats, so partition-valued predicates
-        prune too; a zero-row file records ``rows: 0`` and is
-        unconditionally prunable. Stats are strictly an optimization:
-        any failure records nothing, and a file without stats is
-        never pruned."""
-        try:
-            import pyarrow.parquet as pq
-        except Exception:
-            return {}
-        base = self._member_root(root, member)
-        out: dict = {}
-        for rel in files:
-            colstats: dict = {}
-            for seg in rel.split("/")[:-1]:
-                if "=" in seg:
-                    k, raw = seg.split("=", 1)
-                    raw = self._unescape_partition(raw)
-                    if raw == self.HIVE_NULL:
-                        continue  # NULL partition: no orderable stat
-                    val: object = raw
+    @staticmethod
+    def _norm_scalar(v):
+        """Normalize a stat value (possibly type-tagged) or a
+        predicate value (possibly a live datetime/date/Decimal) to a
+        ``(kind, orderable)`` pair; None for unorderable values. Two
+        values compare iff their kinds match — cross-kind comparisons
+        answer 'cannot prove', so pruning stays superset-safe under
+        any schema drift."""
+        import datetime
+        import decimal
+
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, dict):
+            if set(v) == {"ts"}:
+                return ("ts", v["ts"])
+            if set(v) == {"d"}:
+                return ("d", v["d"])
+            return None
+        if isinstance(v, (int, float, decimal.Decimal)):
+            return ("n", v)
+        if isinstance(v, str):
+            return ("s", v)
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
+            return (
+                "ts",
+                (v - datetime.datetime(1970, 1, 1))
+                // datetime.timedelta(microseconds=1),
+            )
+        if isinstance(v, datetime.date):
+            return ("d", v.toordinal())
+        return None
+
+    #: footer reads of one commit's staged files run in a small thread
+    #: pool (pyarrow releases the GIL on IO) — serial per-file driver
+    #: reads were a measurable stall on many-file commits (r11 bench).
+    STATS_READ_THREADS = 8
+
+    def _one_file_stats(self, base: str, rel: str):
+        """Stats block for one staged file (path-derived partition
+        values + parquet footer min/max/nulls), or None."""
+        import pyarrow.parquet as pq
+
+        colstats: dict = {}
+        for seg in rel.split("/")[:-1]:
+            if "=" in seg:
+                k, raw = seg.split("=", 1)
+                raw = self._unescape_partition(raw)
+                if raw == self.HIVE_NULL:
+                    continue  # NULL partition: no orderable stat
+                val: object = raw
+                try:
+                    val = int(raw)
+                except ValueError:
                     try:
-                        val = int(raw)
+                        val = float(raw)
                     except ValueError:
-                        try:
-                            val = float(raw)
-                        except ValueError:
-                            pass
-                    v = self._stat_value(val, self.STATS_MAX_STR)
-                    if v is not None:
-                        colstats[k] = {"min": v, "max": v, "nulls": 0}
-            try:
-                md = pq.ParquetFile(f"{base}/{rel}").metadata
-                ncols = min(md.num_columns, self.STATS_MAX_COLS)
-                agg: dict = {}
-                for rg in range(md.num_row_groups):
-                    row_group = md.row_group(rg)
-                    for ci in range(ncols):
-                        col = row_group.column(ci)
-                        name = col.path_in_schema
-                        if "." in name:
-                            continue  # nested leaves: no safe bound
-                        cur = agg.setdefault(
-                            name, {"min": None, "max": None, "nulls": 0,
-                                   "ok": True, "nulls_ok": True}
-                        )
-                        st = col.statistics
-                        if st is None or not st.has_min_max:
-                            cur["ok"] = False
-                            continue
-                        mn = self._stat_value(st.min, self.STATS_MAX_STR)
-                        mx = self._stat_value(st.max, self.STATS_MAX_STR)
-                        if mn is None or mx is None:
-                            cur["ok"] = False
-                            continue
+                        pass
+                v = self._stat_value(val, self.STATS_MAX_STR)
+                if v is not None:
+                    colstats[k] = {"min": v, "max": v, "nulls": 0}
+        try:
+            md = pq.ParquetFile(f"{base}/{rel}").metadata
+            ncols = min(md.num_columns, self.STATS_MAX_COLS)
+            agg: dict = {}
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(ncols):
+                    col = row_group.column(ci)
+                    name = col.path_in_schema
+                    if "." in name:
+                        continue  # nested leaves: no safe bound
+                    cur = agg.setdefault(
+                        name, {"min": None, "max": None, "nulls": 0,
+                               "ok": True, "nulls_ok": True}
+                    )
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        cur["ok"] = False
+                        continue
+                    # aggregate RAW footer values across row groups
+                    # (timestamps order natively); encode to the
+                    # JSON-safe, type-tagged form once at the end.
+                    # The accessor itself can raise for physical
+                    # types pyarrow cannot decode (Spark's
+                    # fixed-len-byte-array decimals) — that must void
+                    # only THIS column's stats, not the whole file's.
+                    try:
+                        mn, mx = st.min, st.max
+                    except Exception:
+                        cur["ok"] = False
+                        continue
+                    if mn is None or mx is None:
+                        cur["ok"] = False
+                        continue
+                    try:
                         cur["min"] = (
                             mn if cur["min"] is None
                             else min(cur["min"], mn)
@@ -1055,29 +1133,78 @@ class ManifestCommit(ParquetLeaseCommit):
                             mx if cur["max"] is None
                             else max(cur["max"], mx)
                         )
-                        if st.null_count is not None:
-                            cur["nulls"] += st.null_count
-                        else:
-                            # a footer without a null count makes the
-                            # file's total UNKNOWN, not zero — consumers
-                            # that need exactness (fast_count's
-                            # all-rows-match proof) must see None here
-                            cur["nulls_ok"] = False
-                for name, cur in agg.items():
-                    if cur["ok"] and cur["min"] is not None:
-                        colstats[name] = {
-                            "min": cur["min"],
-                            "max": cur["max"],
-                            "nulls": (
-                                cur["nulls"] if cur["nulls_ok"] else None
-                            ),
-                        }
-                out[rel] = {"rows": md.num_rows, "cols": colstats}
-            except Exception:
-                # footer unreadable through this seam: keep any
-                # path-derived stats, with unknown row count
-                if colstats:
-                    out[rel] = {"rows": None, "cols": colstats}
+                    except TypeError:
+                        cur["ok"] = False
+                        continue
+                    if st.null_count is not None:
+                        cur["nulls"] += st.null_count
+                    else:
+                        # a footer without a null count makes the
+                        # file's total UNKNOWN, not zero — consumers
+                        # that need exactness (fast_count's
+                        # all-rows-match proof) must see None here
+                        cur["nulls_ok"] = False
+            for name, cur in agg.items():
+                if not (cur["ok"] and cur["min"] is not None):
+                    continue
+                mn = self._stat_value(
+                    cur["min"], self.STATS_MAX_STR, side="min"
+                )
+                mx = self._stat_value(
+                    cur["max"], self.STATS_MAX_STR, side="max"
+                )
+                if mn is None or mx is None:
+                    continue
+                colstats[name] = {
+                    "min": mn,
+                    "max": mx,
+                    "nulls": (
+                        cur["nulls"] if cur["nulls_ok"] else None
+                    ),
+                }
+            return {"rows": md.num_rows, "cols": colstats}
+        except Exception:
+            # footer unreadable through this seam: keep any
+            # path-derived stats, with unknown row count
+            return {"rows": None, "cols": colstats} if colstats else None
+
+    def _file_stats(self, store, root: str, member: str, files) -> dict:
+        """Per-file ``{"rows": n, "cols": {column: {min, max, nulls}}}``
+        from the parquet footers of freshly staged files (driver-side,
+        one footer read per file, parallelized across a small thread
+        pool — the same cost profile as Delta's stats-on-write;
+        commits stage a handful of files, never the whole table). Hive
+        partition path segments (``col=val``) become exact min==max
+        stats, so partition-valued predicates prune too; a zero-row
+        file records ``rows: 0`` and is unconditionally prunable.
+        Temporal columns record type-tagged stats (see
+        ``_stat_value``), so TimestampType predicates prune. Stats are
+        strictly an optimization: any failure records nothing, and a
+        file without stats is never pruned."""
+        try:
+            import pyarrow.parquet  # noqa: F401
+        except Exception:
+            return {}
+        files = list(files)
+        base = self._member_root(root, member)
+        out: dict = {}
+        if len(files) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(self.STATS_READ_THREADS, len(files))
+            ) as pool:
+                results = list(
+                    pool.map(
+                        lambda rel: self._one_file_stats(base, rel),
+                        files,
+                    )
+                )
+        else:
+            results = [self._one_file_stats(base, rel) for rel in files]
+        for rel, block in zip(files, results):
+            if block is not None:
+                out[rel] = block
         return {member: out} if out else {}
 
     def _member_root(self, root: str, member: str) -> str:
@@ -1636,53 +1763,50 @@ class ManifestCommit(ParquetLeaseCommit):
             reader = reader.schema(schema)
         return reader.parquet(*[f"{base}/{f}" for f in files])
 
-    @staticmethod
-    def _stat_overlaps(stat: dict, lo, hi) -> bool:
+    @classmethod
+    def _stat_overlaps(cls, stat: dict, lo, hi) -> bool:
         """May any value in [file.min, file.max] fall in [lo, hi]?
-        Incomparable types (schema drift, string stat vs numeric
+        Values normalize through ``_norm_scalar`` (so a tagged
+        timestamp stat compares against a live datetime bound);
+        incomparable kinds (schema drift, string stat vs numeric
         bound) answer True — pruning must never be wrong, only
         incomplete."""
-
-        def comparable(a, b) -> bool:
-            num = (
-                lambda x: isinstance(x, (int, float))
-                and not isinstance(x, bool)
-            )
-            return (num(a) and num(b)) or (
-                isinstance(a, str) and isinstance(b, str)
-            )
-
-        mn, mx = stat.get("min"), stat.get("max")
+        mn = cls._norm_scalar(stat.get("min"))
+        mx = cls._norm_scalar(stat.get("max"))
         if mn is None or mx is None:
             return True
+        nlo = cls._norm_scalar(lo)
+        nhi = cls._norm_scalar(hi)
         if lo is not None:
-            if not comparable(mx, lo):
+            if nlo is None or nlo[0] != mx[0]:
                 return True
-            if mx < lo:
+            if mx[1] < nlo[1]:
                 return False
         if hi is not None:
-            if not comparable(mn, hi):
+            if nhi is None or nhi[0] != mn[0]:
                 return True
-            if mn > hi:
+            if mn[1] > nhi[1]:
                 return False
         return True
 
-    @staticmethod
-    def _sorted_sets(predicates: dict) -> dict:
-        """Pre-sorted, type-split copies of every membership-set
-        predicate: membership checks become a bisect into [min, max]
-        rather than O(|set|) per file — a 100k-key probe set over a
-        large file list stays cheap driver-side."""
+    @classmethod
+    def _sorted_sets(cls, predicates: dict) -> dict:
+        """Pre-sorted, kind-bucketed copies of every membership-set
+        predicate (kinds from ``_norm_scalar``: numeric, string,
+        timestamp, date): membership checks become a bisect into
+        [min, max] rather than O(|set|) per file — a 100k-key probe
+        set over a large file list stays cheap driver-side."""
         sorted_sets: dict = {}
         for col, bounds in (predicates or {}).items():
             if isinstance(bounds, (set, frozenset)):
-                nums = sorted(
-                    v for v in bounds
-                    if isinstance(v, (int, float))
-                    and not isinstance(v, bool)
-                )
-                strs = sorted(v for v in bounds if isinstance(v, str))
-                sorted_sets[col] = (nums, strs)
+                buckets: dict = {}
+                for v in bounds:
+                    nv = cls._norm_scalar(v)
+                    if nv is not None:
+                        buckets.setdefault(nv[0], []).append(nv[1])
+                sorted_sets[col] = {
+                    k: sorted(vs) for k, vs in buckets.items()
+                }
         return sorted_sets
 
     @classmethod
@@ -1708,26 +1832,19 @@ class ManifestCommit(ParquetLeaseCommit):
             if st is None:
                 continue
             if col in sorted_sets:
-                mn, mx = st.get("min"), st.get("max")
-                if mn is None or mx is None:
+                mn = cls._norm_scalar(st.get("min"))
+                mx = cls._norm_scalar(st.get("max"))
+                if mn is None or mx is None or mn[0] != mx[0]:
                     continue
-                nums, strs = sorted_sets[col]
-                if isinstance(mn, str) and isinstance(mx, str):
-                    vals = strs
-                elif isinstance(mn, (int, float)) and isinstance(
-                    mx, (int, float)
-                ):
-                    vals = nums
-                else:
-                    continue  # mixed/unknown stat types: never prune
+                vals = sorted_sets[col].get(mn[0], [])
                 if not vals:
-                    # no value of the column's type in the set: the
+                    # no value of the stat's kind in the set: the
                     # predicate is incomparable with this file's stats
                     # — keep (superset-safe; also covers the
                     # degenerate empty set)
                     continue
-                i = bisect.bisect_left(vals, mn)
-                if not (i < len(vals) and vals[i] <= mx):
+                i = bisect.bisect_left(vals, mn[1])
+                if not (i < len(vals) and vals[i] <= mx[1]):
                     return False
                 continue
             lo, hi = bounds
@@ -1786,7 +1903,10 @@ class ManifestCommit(ParquetLeaseCommit):
         touching the handful overlapping the query's range — pruning
         happens at PLAN time from the log entry, before any file IO.
         The caller must still apply the real row filter (skipping is
-        file-granular)."""
+        file-granular). Stats cover only the leading
+        ``STATS_MAX_COLS`` schema columns: a predicate on a column
+        past the cap is correct but never skips — keep probe keys in
+        the leading columns (or raise the cap at construction)."""
         pruned = (
             None if not predicates
             else self.prune_files(store, path, predicates, version=version)

@@ -142,22 +142,23 @@ def table_report(host, path: str, commit: ManifestCommit | None = None):
     rows = sum(s.get("rows", 0) for s in with_stats.values())
     spans: dict[str, list[float]] = {}
     bounds: dict[str, list[float]] = {}
+    norm = ManifestCommit._norm_scalar
     for s in with_stats.values():
         for col, cs in s.get("cols", {}).items():
-            mn, mx = cs.get("min"), cs.get("max")
-            num = (
-                lambda x: isinstance(x, (int, float))
-                and not isinstance(x, bool)
-            )
-            if num(mn) and num(mx):
-                b = bounds.setdefault(
-                    col, [float(mn), float(mx)]
-                )
-                b[0] = min(b[0], float(mn))
-                b[1] = max(b[1], float(mx))
-                spans.setdefault(col, []).append(
-                    (float(mn), float(mx))
-                )
+            nmn, nmx = norm(cs.get("min")), norm(cs.get("max"))
+            # numeric AND type-tagged temporal stats both have a
+            # meaningful span fraction
+            if (
+                nmn is not None
+                and nmx is not None
+                and nmn[0] == nmx[0]
+                and nmn[0] in ("n", "ts", "d")
+            ):
+                mn, mx = float(nmn[1]), float(nmx[1])
+                b = bounds.setdefault(col, [mn, mx])
+                b[0] = min(b[0], mn)
+                b[1] = max(b[1], mx)
+                spans.setdefault(col, []).append((mn, mx))
     clustering = {}
     for col, pairs in spans.items():
         lo, hi = bounds[col]
@@ -248,47 +249,60 @@ def fast_count(
     if stats is None:
         return None
 
-    def point_in(v, bound) -> bool:
+    norm = ManifestCommit._norm_scalar
+
+    def point_in(nv, bound) -> bool:
+        """Is the normalized point ``nv`` provably inside ``bound``?"""
         if isinstance(bound, (set, frozenset)):
-            return v in bound
+            return any(norm(b) == nv for b in bound)
         lo, hi = bound
-        if lo is not None and v < lo:
-            return False
-        if hi is not None and v > hi:
-            return False
+        if lo is not None:
+            nlo = norm(lo)
+            if nlo is None or nlo[0] != nv[0]:
+                raise TypeError("incomparable bound")
+            if nv[1] < nlo[1]:
+                return False
+        if hi is not None:
+            nhi = norm(hi)
+            if nhi is None or nhi[0] != nv[0]:
+                raise TypeError("incomparable bound")
+            if nv[1] > nhi[1]:
+                return False
         return True
 
-    def overlap(mn, mx, bound):
-        """True / False / None = cannot prove either way. Type
+    def overlap(nmn, nmx, bound):
+        """True / False / None = cannot prove either way. Kind
         incomparability must be None, never False: a string predicate
         against an int-parsed partition stat (a string column whose
         values LOOK numeric) is not proof of absence — treating it as
         'none' would silently undercount where ``prune_files``
         conservatively keeps the file."""
-        num = (
-            lambda x: isinstance(x, (int, float))
-            and not isinstance(x, bool)
-        )
         if isinstance(bound, (set, frozenset)):
             if not bound:
                 return False  # empty set provably matches nothing
-            if num(mn) and num(mx):
-                comp = [v for v in bound if num(v)]
-            elif isinstance(mn, str) and isinstance(mx, str):
-                comp = [v for v in bound if isinstance(v, str)]
-            else:
-                return None  # stat type outside the comparable pair
-            if any(mn <= v <= mx for v in comp):
+            if nmn[0] != nmx[0]:
+                return None
+            nbs = [norm(b) for b in bound]
+            comp = [b[1] for b in nbs if b is not None and b[0] == nmn[0]]
+            if any(nmn[1] <= v <= nmx[1] for v in comp):
                 return True
-            # values of OTHER types might still match rows (the stat
+            # values of OTHER kinds might still match rows (the stat
             # may be an int-parsed string partition value), so a set
             # that isn't fully comparable can never prove absence
             return False if len(comp) == len(bound) else None
         lo, hi = bound
-        if lo is not None and mx < lo:
-            return False
-        if hi is not None and mn > hi:
-            return False
+        if lo is not None:
+            nlo = norm(lo)
+            if nlo is None or nlo[0] != nmx[0]:
+                return None
+            if nmx[1] < nlo[1]:
+                return False
+        if hi is not None:
+            nhi = norm(hi)
+            if nhi is None or nhi[0] != nmn[0]:
+                return None
+            if nmn[1] > nhi[1]:
+                return False
         return True
 
     total = 0
@@ -305,9 +319,9 @@ def fast_count(
         verdict = "all"
         for col, bound in predicates.items():
             cs = cols.get(col)
-            mn = None if cs is None else cs.get("min")
-            mx = None if cs is None else cs.get("max")
-            if mn is None or mx is None:
+            nmn = None if cs is None else norm(cs.get("min"))
+            nmx = None if cs is None else norm(cs.get("max"))
+            if nmn is None or nmx is None:
                 return None  # can't prove anything for this file
             try:
                 # 'every row matches' additionally requires a KNOWN
@@ -316,12 +330,12 @@ def fast_count(
                 # only prove the non-null rows match — not countable
                 # exactly here, fall through to the partial verdict.
                 if (
-                    mn == mx
-                    and point_in(mn, bound)
+                    nmn == nmx
+                    and point_in(nmn, bound)
                     and cs.get("nulls") == 0
                 ):
                     continue  # every row matches on this column
-                ov = overlap(mn, mx, bound)
+                ov = overlap(nmn, nmx, bound)
                 if ov is None:
                     return None  # incomparable: cannot prove
                 if not ov:

@@ -221,6 +221,97 @@ def _clustered_write(
     return write
 
 
+def _merge_outputs(
+    cur: DataFrame,
+    src: DataFrame,
+    keys: list[str],
+    when_matched: str | None,
+    matched_condition: str | None,
+    insert_unmatched: bool,
+    not_matched_condition: str | None,
+):
+    """(surviving-rows DataFrame, applied-upserts DataFrame,
+    deleted-rows DataFrame) for the merge clauses over the affected
+    target slice ``cur``. Conditions are SQL strings over aliases
+    ``t`` (target row) and ``s`` (source row), evaluated per matched
+    pair — the Delta ``whenMatched(condition)`` surface. The default
+    clause set (update-all-matched, insert-all-unmatched, no
+    conditions) reduces to the classic anti-join + union plan."""
+    from functools import reduce
+
+    cols = src.columns
+    deleted = None
+    if when_matched == "update" and matched_condition is None:
+        if insert_unmatched and not_matched_condition is None:
+            # the classic plan: every source row lands, one anti-join
+            out = cur.join(
+                src.select(*keys).distinct(), keys, "left_anti"
+            ).unionByName(src)
+            return out, src, None
+        survivors = cur.join(
+            src.select(*keys).distinct(), keys, "left_anti"
+        )
+        tkeys = cur.select(*keys).distinct()
+        applied = src.join(tkeys, keys, "left_semi")
+        inserts = src.join(tkeys, keys, "left_anti")
+    elif when_matched is None:
+        # no matched clause: every target row survives verbatim
+        survivors = cur
+        applied = None
+        inserts = src.join(
+            cur.select(*keys).distinct(), keys, "left_anti"
+        )
+    else:
+        t, s = cur.alias("t"), src.alias("s")
+        on = reduce(
+            lambda a, b: a & b,
+            [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+        )
+        joined = t.join(s, on, "left")
+        matched = F.col(f"s.{keys[0]}").isNotNull()
+        cond = (
+            F.expr(matched_condition)
+            if matched_condition is not None
+            else F.lit(True)
+        )
+        # null-safe: a condition evaluating to NULL must mean "clause
+        # does not apply" (target row survives), never "row vanishes"
+        action = F.coalesce(matched & cond, F.lit(False))
+        t_cols = [F.col(f"t.{c}").alias(c) for c in cols]
+        s_cols = [F.col(f"s.{c}").alias(c) for c in cols]
+        survivors = joined.where(~action).select(*t_cols)
+        applied = None
+        if when_matched == "update":
+            applied = (
+                joined.where(action).select(*s_cols)
+                .dropDuplicates(keys)
+            )
+        elif when_matched == "delete":
+            deleted = joined.where(action).select(*t_cols)
+        else:
+            raise ValidationError(
+                f"merge: when_matched must be 'update', 'delete' or "
+                f"None, got {when_matched!r}"
+            )
+        inserts = src.join(
+            cur.select(*keys).distinct(), keys, "left_anti"
+        )
+    if insert_unmatched:
+        if not_matched_condition is not None:
+            inserts = inserts.alias("s").where(
+                F.expr(not_matched_condition)
+            )
+    else:
+        inserts = None
+    parts = [p for p in (survivors, applied, inserts) if p is not None]
+    out = reduce(lambda a, b: a.unionByName(b), parts)
+    ups = [p for p in (applied, inserts) if p is not None]
+    upserts = (
+        reduce(lambda a, b: a.unionByName(b), ups) if ups else None
+    )
+    return out, upserts, deleted
+
+
 def merge_into(
     host,
     path: str,
@@ -229,12 +320,31 @@ def merge_into(
     order_col: str | None = None,
     commit=None,
     target_files: int | None = None,
+    when_matched: str | None = "update",
+    matched_condition: str | None = None,
+    insert_unmatched: bool = True,
+    not_matched_condition: str | None = None,
 ) -> MergeStats:
     """Upsert ``source`` into the table at ``path``: target rows whose
     ``keys`` match a source row are REPLACED by it, unmatched source
     rows are inserted, every other target row is untouched — and on a
     manifest backend, every file the key envelope cannot reach is
     untouched as a FILE (carried forward in the log entry, never read).
+
+    The Delta MERGE clause surface (r12):
+
+    - ``when_matched``: ``"update"`` (default — replace the matched
+      target row with the source row), ``"delete"`` (erase it), or
+      None (leave matched targets untouched);
+    - ``matched_condition``: SQL over aliases ``t`` (target) and
+      ``s`` (source), e.g. ``"s.ver > t.ver"`` — the clause applies
+      only to matched pairs where it holds, other matched targets
+      stay verbatim (``WHEN MATCHED AND <cond> THEN ...``);
+    - ``insert_unmatched`` / ``not_matched_condition``: ``WHEN NOT
+      MATCHED [AND <cond over s>] THEN INSERT``.
+
+    File-pruning posture is unchanged by the clauses: only files the
+    key envelope may reach are read or rewritten.
 
     ``host`` is anything store-shaped (``CommitHost``, a
     ``TimeseriesStore``). The source schema must equal the target's
@@ -260,9 +370,10 @@ def merge_into(
         cur = commit.read_table(host, path, None)
         _check_columns(cur, src, path)
         cur = cur.select(*src.columns)
-        out = cur.join(
-            src.select(*keys).distinct(), keys, "left_anti"
-        ).unionByName(src)
+        out, _, _ = _merge_outputs(
+            cur, src, keys, when_matched, matched_condition,
+            insert_unmatched, not_matched_condition,
+        )
         n = target_files or out.sparkSession.sparkContext.defaultParallelism
         commit.snapshot_rewrite(
             host, path, _clustered_write(out, keys, n)
@@ -277,28 +388,53 @@ def merge_into(
         commit, member, set(managed) | set(affected), preds
     )
     pcols = partition_cols_of(managed)
-    # row-level change feed: the merge's source rows ARE its change
-    # set — staged as typed 'upsert' change files in the same atomic
-    # commit, so incremental consumers (mirror_changes with keys)
-    # apply the merge as O(delta) instead of full-resyncing
-    cdf = src.withColumn(
-        commit.CDF_TYPE_COL, F.lit("upsert")
-    ).coalesce(1)
     if not affected:
-        # pure insert: no file can contain a matched key
+        # no file can contain a matched key: only the NOT MATCHED
+        # clause applies
+        if not insert_unmatched:
+            return MergeStats(0, total, 0)
+        ins = src
+        if not_matched_condition is not None:
+            ins = src.alias("s").where(F.expr(not_matched_condition))
+        n_ins = ins.count()
+        if n_ins == 0:
+            return MergeStats(0, total, 0)
+        cdf = ins.withColumn(
+            commit.CDF_TYPE_COL, F.lit("upsert")
+        ).coalesce(1)
         commit.rewrite_files(
             host, path, [],
-            _clustered_write(src, keys, target_files or 1, pcols),
+            _clustered_write(ins, keys, target_files or 1, pcols),
             entry_guard=guard, cdf_df=cdf,
         )
-        return MergeStats(0, total, n_upserts)
+        return MergeStats(0, total, n_ins)
 
     cur = _affected_df(host, commit, path, affected)
     _check_columns(cur, src, path)
-    survivors = cur.select(*src.columns).join(
-        src.select(*keys).distinct(), keys, "left_anti"
+    cur = cur.select(*src.columns)
+    out, upserts, deleted = _merge_outputs(
+        cur, src, keys, when_matched, matched_condition,
+        insert_unmatched, not_matched_condition,
     )
-    out = survivors.unionByName(src)
+    # row-level change feed: the rows the clauses actually applied —
+    # staged as typed change files in the same atomic commit, so
+    # incremental consumers (mirror_changes with keys) apply the merge
+    # as O(delta) instead of full-resyncing
+    cdf_parts = []
+    if upserts is not None:
+        cdf_parts.append(
+            upserts.withColumn(commit.CDF_TYPE_COL, F.lit("upsert"))
+        )
+    if deleted is not None:
+        cdf_parts.append(
+            deleted.withColumn(commit.CDF_TYPE_COL, F.lit("delete"))
+        )
+    cdf = None
+    if cdf_parts:
+        cdf = cdf_parts[0]
+        for p in cdf_parts[1:]:
+            cdf = cdf.unionByName(p)
+        cdf = cdf.coalesce(1)
     n = target_files or len(affected)
     commit.rewrite_files(
         host, path, affected, _clustered_write(out, keys, n, pcols),

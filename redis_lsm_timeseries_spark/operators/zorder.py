@@ -33,17 +33,34 @@ from redis_lsm_timeseries_spark.errors import ValidationError
 MAX_TOTAL_BITS = 60
 
 
+#: boundary cap for string-ranked columns — 255 boundaries = an 8-bit
+#: effective rank, plenty of locality for tag-like columns while the
+#: rank expression (one literal-array fold) stays codegen-friendly
+MAX_STRING_BOUNDARIES = 255
+
+
 def zorder_key(
     cols: list[str],
     bounds: dict[str, tuple],
     bits: int = 16,
 ) -> Column:
-    """Morton key over ``cols``: each column scales linearly from its
-    ``bounds`` (inclusive (lo, hi)) into a ``bits``-bit integer rank,
-    and the ranks' bits interleave round-robin (column 0 owns bit
-    positions 0, n, 2n, ...). NULLs rank 0 (they sort first, like a
-    NULLS FIRST cluster). Values outside the bounds clamp — the key
-    is a clustering aid, never a filter."""
+    """Morton key over ``cols``: each column maps into a ``bits``-bit
+    integer rank and the ranks' bits interleave round-robin (column 0
+    owns bit positions 0, n, 2n, ...). NULLs rank 0 (they sort first,
+    like a NULLS FIRST cluster); out-of-bounds values clamp — the key
+    is a clustering aid, never a filter.
+
+    Per-column rank, by the shape of ``bounds[col]``:
+
+    - ``(lo, hi)`` numeric tuple: linear scaling between the bounds
+      (assumes roughly uniform spread; skew keeps correctness, prunes
+      less);
+    - ``{"boundaries": [sorted strings]}``: the rank is how many
+      boundaries the value is >= — a range-partition rank over
+      sampled boundaries (the Delta ``range_partition_id`` idiom for
+      non-numeric ZORDER columns), computed as one literal-array fold
+      (``F.aggregate`` — JVM-side, no UDF). Locality is as good as
+      the boundary sample; correctness never depends on it."""
     n = len(cols)
     if n < 2:
         raise ValidationError(
@@ -58,7 +75,35 @@ def zorder_key(
     ranks = []
     top = (1 << bits) - 1
     for c in cols:
-        lo, hi = bounds[c]
+        bnd = bounds[c]
+        if isinstance(bnd, dict):
+            bl = list(bnd.get("boundaries") or [])
+            if not bl:
+                ranks.append(F.lit(0).cast("long"))
+                continue
+            if len(bl) > top:
+                bl = bl[:: len(bl) // top + 1]
+            arr = F.array(*[F.lit(b) for b in bl])
+            cnt = F.aggregate(
+                arr,
+                F.lit(0).cast("long"),
+                lambda acc, b: acc
+                + F.when(F.col(c) >= b, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long"),
+            )
+            # scale the boundary count (0..len(bl)) to the full
+            # bits-wide domain — an unscaled rank would leave this
+            # column's high interleave bits constant and let the
+            # other dimensions dominate the curve entirely
+            scaled = (
+                cnt.cast("double")
+                / F.lit(float(len(bl)))
+                * F.lit(float(top))
+            ).cast("long")
+            ranks.append(F.least(F.lit(top).cast("long"), scaled))
+            continue
+        lo, hi = bnd
         lo_f, hi_f = float(lo), float(hi)
         span = hi_f - lo_f
         if span <= 0:
@@ -82,19 +127,55 @@ def zorder_key(
     return key
 
 
+def string_boundaries(
+    df: DataFrame, col: str, max_boundaries: int = MAX_STRING_BOUNDARIES
+) -> list[str]:
+    """Sorted range boundaries for a string column's Z-order rank:
+    up to 10k distinct values collected (bounded driver-side), then
+    thinned to ``max_boundaries`` evenly spaced picks. Not a uniform
+    sample at scale — a skewed distinct set degrades LOCALITY, never
+    correctness (stats stay true bounds either way); (tag, time) style
+    columns have modest cardinality where this is exact."""
+    vals = sorted(
+        r[0]
+        for r in df.select(col)
+        .where(F.col(col).isNotNull())
+        .distinct()
+        .limit(10_000)
+        .collect()
+    )
+    if len(vals) <= max_boundaries:
+        return vals
+    step = len(vals) / max_boundaries
+    return [vals[int(i * step)] for i in range(max_boundaries)]
+
+
 def column_bounds(df: DataFrame, cols: list[str]) -> dict[str, tuple]:
-    """(min, max) per column in ONE narrow aggregate — the
-    normalization bounds for ``zorder_key`` when the caller doesn't
-    already know them. An all-NULL column gets (0, 0): its rank is
-    constant and it contributes nothing to the interleave."""
-    aggs = []
-    for c in cols:
-        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
-    r = df.agg(*aggs).first()
-    out = {}
-    for c in cols:
-        lo, hi = r[f"_lo_{c}"], r[f"_hi_{c}"]
-        out[c] = (0, 0) if lo is None else (lo, hi)
+    """Per-column normalization bounds for ``zorder_key`` when the
+    caller doesn't already know them: numeric (and temporal) columns
+    get (min, max) from ONE narrow aggregate; string columns get
+    sampled range boundaries (``{"boundaries": [...]}``). An all-NULL
+    column gets (0, 0): its rank is constant and it contributes
+    nothing to the interleave."""
+    str_cols = {
+        f.name
+        for f in df.schema.fields
+        if f.name in cols and f.dataType.typeName() == "string"
+    }
+    out: dict = {}
+    num_cols = [c for c in cols if c not in str_cols]
+    if num_cols:
+        aggs = []
+        for c in num_cols:
+            aggs += [
+                F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")
+            ]
+        r = df.agg(*aggs).first()
+        for c in num_cols:
+            lo, hi = r[f"_lo_{c}"], r[f"_hi_{c}"]
+            out[c] = (0, 0) if lo is None else (lo, hi)
+    for c in str_cols:
+        out[c] = {"boundaries": string_boundaries(df, c)}
     return out
 
 
@@ -111,9 +192,10 @@ def zorder_rewrite(
     ``cols`` — a compaction variant: content unchanged, file layout
     rewritten so per-file stats prune on every listed column. Commits
     through ``snapshot_rewrite`` (conflict-checked, crash-safe,
-    retention-margin vacuum). Numeric columns only — the linear rank
-    needs arithmetic; cluster strings by a leading numeric surrogate
-    (e.g. their hash) or leave them to the residual filter."""
+    retention-margin vacuum). Numeric columns rank by linear scaling;
+    STRING columns rank by sampled range boundaries (r12 — the
+    (tag, time) pair this engine's own predicates live on), see
+    ``zorder_key``."""
     from redis_lsm_timeseries_spark.commit import ManifestCommit
 
     from redis_lsm_timeseries_spark.operators.merge import (

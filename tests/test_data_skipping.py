@@ -364,3 +364,55 @@ class TestMembershipPredicates:
         m2 = refresh_rollup(s, "r1", 10)
         assert m2.watermark_ingest_ts == m1.watermark_ingest_ts == 7
         assert m2.buckets_refreshed == 0
+
+
+class TestStatsColumnCap:
+    """r12: the Delta dataSkippingNumIndexedCols idiom, gated — a
+    predicate on a column past the cap is SAFE (never prunes, results
+    exact), and the cap is raisable per commit instance."""
+
+    def _wide(self, mstore, commit=None):
+        c = commit if commit is not None else mstore.commit
+        path = _table(mstore, "wide")
+        n = 40
+        cols = ", ".join(f"c{i} long" for i in range(n))
+        rows = [tuple(100 * r + i for i in range(n)) for r in range(4)]
+        df = mstore.spark.createDataFrame(rows, cols).coalesce(1)
+        c.append_rows(
+            mstore, [tuple(r) for r in rows],
+            cols, path,
+        )
+        return c, path, rows
+
+    def test_column_past_cap_never_prunes_but_stays_correct(
+        self, mstore
+    ):
+        c, path, rows = self._wide(mstore)
+        stats = c.member_file_stats(mstore, path)
+        (s,) = stats.values()
+        assert "c31" in s["cols"] and "c35" not in s["cols"]
+        # predicate on an un-statted column: file survives (no proof)
+        kept, total = c.prune_files(mstore, path, {"c35": (10**9, None)})
+        assert len(kept) == total == 1
+        # and the pruned read still returns exact results
+        got = (
+            c.read_table_pruned(
+                mstore, path, None, predicates={"c35": (135, 135)}
+            )
+            .where("c35 = 135")
+            .count()
+        )
+        assert got == 1
+
+    def test_raised_cap_records_and_prunes_past_32(self, mstore):
+        from redis_lsm_timeseries_spark.commit import ManifestCommit
+
+        wide_commit = ManifestCommit(stats_max_cols=64)
+        c, path, rows = self._wide(mstore, commit=wide_commit)
+        stats = c.member_file_stats(mstore, path)
+        (s,) = stats.values()
+        assert "c35" in s["cols"]
+        kept, total = c.prune_files(
+            mstore, path, {"c35": (10**9, None)}
+        )
+        assert total == 1 and kept == []

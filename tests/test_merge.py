@@ -488,3 +488,179 @@ class TestKeyShapes:
             for r in commit.read_table(host, path, None).collect()
         }
         assert got["doc-0001"] == "NEW" and got["doc-0099"] == "v99"
+
+
+class TestMergeClauses:
+    """r12: the Delta MERGE clause surface — WHEN MATCHED [AND cond]
+    THEN UPDATE/DELETE, WHEN NOT MATCHED [AND cond] THEN INSERT — with
+    DuckDB differentials and unchanged file-pruning posture."""
+
+    def _fx(self, spark, tmp_path, n=50, files=3):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        _seed(spark, host, commit, path, n=n, files=files)
+        return host, commit, path
+
+    def test_conditional_update_matches_duckdb(self, spark, tmp_path):
+        """WHEN MATCHED AND s.v > t.v THEN UPDATE: only matched pairs
+        where the condition holds are replaced."""
+        import duckdb
+
+        host, commit, path = self._fx(spark, tmp_path)
+        # 'X3' > 'v3' is false, 'w17' > 'v17' is true (lexicographic)
+        src = spark.createDataFrame(
+            [(3, "X3"), (17, "w17"), (60, "w60")], SCHEMA
+        )
+        merge_into(
+            host, path, src, ["k"], commit=commit,
+            matched_condition="s.v > t.v",
+        )
+        got = _rows(spark, host, commit, path)
+        want = duckdb.connect().execute(
+            """
+            WITH tgt AS (SELECT k, 'v' || CAST(k AS VARCHAR) v
+                         FROM range(50) t(k)),
+                 src(k, v) AS (VALUES (3, 'X3'), (17, 'w17'),
+                                      (60, 'w60')),
+                 upd AS (SELECT s.k, s.v FROM src s JOIN tgt t
+                         USING (k) WHERE s.v > t.v)
+            SELECT t.k, t.v FROM tgt t
+            WHERE t.k NOT IN (SELECT k FROM upd)
+            UNION ALL SELECT k, v FROM upd
+            UNION ALL
+            SELECT s.k, s.v FROM src s
+            WHERE s.k NOT IN (SELECT k FROM tgt)
+            """
+        ).fetchall()
+        assert got == {k: v for k, v in want}
+        assert got[3] == "v3" and got[17] == "w17" and got[60] == "w60"
+
+    def test_matched_delete_matches_duckdb(self, spark, tmp_path):
+        """WHEN MATCHED THEN DELETE (no insert): the source is a list
+        of keys to erase where present."""
+        import duckdb
+
+        host, commit, path = self._fx(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(5, "ignored"), (49, "ignored"), (99, "ignored")], SCHEMA
+        )
+        st = merge_into(
+            host, path, src, ["k"], commit=commit,
+            when_matched="delete", insert_unmatched=False,
+        )
+        got = _rows(spark, host, commit, path)
+        want = duckdb.connect().execute(
+            """
+            WITH tgt AS (SELECT k, 'v' || CAST(k AS VARCHAR) v
+                         FROM range(50) t(k))
+            SELECT k, v FROM tgt WHERE k NOT IN (5, 49, 99)
+            """
+        ).fetchall()
+        assert got == {k: v for k, v in want}
+        assert st.files_rewritten < st.files_total  # pruning intact
+
+    def test_conditional_matched_delete(self, spark, tmp_path):
+        host, commit, path = self._fx(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(5, "del"), (6, "keep")], SCHEMA
+        )
+        merge_into(
+            host, path, src, ["k"], commit=commit,
+            when_matched="delete", matched_condition="s.v = 'del'",
+            insert_unmatched=False,
+        )
+        got = _rows(spark, host, commit, path)
+        assert 5 not in got and got[6] == "v6"
+
+    def test_not_matched_condition_filters_inserts(
+        self, spark, tmp_path
+    ):
+        host, commit, path = self._fx(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(100, "yes"), (101, "no"), (7, "upd")], SCHEMA
+        )
+        merge_into(
+            host, path, src, ["k"], commit=commit,
+            not_matched_condition="s.v = 'yes'",
+        )
+        got = _rows(spark, host, commit, path)
+        assert got[100] == "yes" and 101 not in got
+        assert got[7] == "upd"  # matched update unaffected
+
+    def test_when_matched_none_leaves_targets(self, spark, tmp_path):
+        """Insert-if-absent (WHEN NOT MATCHED THEN INSERT only)."""
+        host, commit, path = self._fx(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(3, "SHOULD-NOT-LAND"), (200, "new")], SCHEMA
+        )
+        merge_into(
+            host, path, src, ["k"], commit=commit, when_matched=None,
+        )
+        got = _rows(spark, host, commit, path)
+        assert got[3] == "v3" and got[200] == "new"
+
+    def test_clause_pruning_posture_unchanged(self, spark, tmp_path):
+        """A conditional merge still reads/rewrites only envelope
+        files — untouched files carried forward verbatim."""
+        host, commit, path = self._fx(spark, tmp_path)
+        before = set(commit.member_files(host, path))
+        src = spark.createDataFrame([(1, "zz1")], SCHEMA)
+        st = merge_into(
+            host, path, src, ["k"], commit=commit,
+            matched_condition="s.v > t.v",
+        )
+        after = set(commit.member_files(host, path))
+        assert 1 <= st.files_rewritten < st.files_total
+        assert len(before & after) == st.files_total - st.files_rewritten
+
+    def test_invalid_when_matched_raises(self, spark, tmp_path):
+        host, commit, path = self._fx(spark, tmp_path)
+        src = spark.createDataFrame([(1, "x")], SCHEMA)
+        with pytest.raises(ValidationError):
+            merge_into(
+                host, path, src, ["k"], commit=commit,
+                when_matched="upsert",
+            )
+
+    def test_directory_mode_clauses_match(self, spark, tmp_path):
+        """The directory backend gets identical clause semantics via
+        the whole-table rewrite."""
+        host, commit = CommitHost(spark), ParquetLeaseCommit()
+        path = str(tmp_path / "t")
+        _seed(spark, host, commit, path, n=20, files=2)
+        src = spark.createDataFrame([(5, "x"), (6, "keep")], SCHEMA)
+        merge_into(
+            host, path, src, ["k"], commit=commit,
+            when_matched="delete", matched_condition="s.v = 'x'",
+            insert_unmatched=False,
+        )
+        got = _rows(spark, host, commit, path)
+        assert 5 not in got and got[6] == "v6" and len(got) == 19
+
+    def test_clause_merge_row_changes_feed_mirror(
+        self, spark, tmp_path
+    ):
+        """Conditional clauses emit exactly the APPLIED rows as CDF:
+        a keyed mirror replays them to the same state."""
+        from redis_lsm_timeseries_spark.changefeed import mirror_changes
+
+        host, commit, path = self._fx(spark, tmp_path, n=20, files=2)
+        dst = str(tmp_path / "dst")
+        mirror_changes(host, path, dst, keys=["k"], commit=commit)
+        merge_into(
+            host, path,
+            spark.createDataFrame([(5, "del"), (6, "keep")], SCHEMA),
+            ["k"], commit=commit,
+            when_matched="delete", matched_condition="s.v = 'del'",
+            insert_unmatched=False,
+        )
+        merge_into(
+            host, path,
+            spark.createDataFrame([(7, "zz7"), (300, "new")], SCHEMA),
+            ["k"], commit=commit, matched_condition="s.v > t.v",
+        )
+        m = mirror_changes(host, path, dst, keys=["k"], commit=commit)
+        assert m.mode == "row-incremental"
+        assert _rows(spark, host, commit, dst) == _rows(
+            spark, host, commit, path
+        )

@@ -82,6 +82,86 @@ def test_pruning_is_always_a_superset(
     assert got == want, (bound, kept, total)
 
 
+_EPOCH = __import__("datetime").datetime(2024, 1, 1)
+
+
+def _dt(hours):
+    import datetime
+
+    return _EPOCH + datetime.timedelta(hours=int(hours))
+
+
+_ts_vals = st.one_of(
+    st.none(), st.integers(-500, 500).map(_dt)
+)
+_ts_rows = st.lists(
+    st.tuples(st.integers(0, 10**6), _ts_vals),
+    min_size=1,
+    max_size=30,
+)
+_ts_pred = st.one_of(
+    st.tuples(
+        st.just("range"),
+        st.one_of(st.none(), st.integers(-600, 600).map(_dt)),
+        st.one_of(st.none(), st.integers(-600, 600).map(_dt)),
+    ),
+    st.tuples(
+        st.just("set"),
+        st.sets(st.integers(-600, 600).map(_dt), max_size=5),
+    ),
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(rows=_ts_rows, pred=_ts_pred, n_files=st.integers(1, 4))
+def test_timestamp_pruning_is_always_a_superset(
+    spark, tmp_path_factory, rows, pred, n_files
+):
+    """r12: type-tagged timestamp stats obey the same superset law as
+    numeric stats — a pruned file never held a matching row, NULLs and
+    cross-file bands included."""
+    host, commit = CommitHost(spark), ManifestCommit()
+    path = str(tmp_path_factory.mktemp("tskip") / "t")
+    schema = "k long, ev timestamp_ntz"
+    df = spark.createDataFrame(rows, schema)
+    commit.rewrite_files(
+        host, path, [],
+        lambda tmp: df.repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    if pred[0] == "range":
+        bound = (pred[1], pred[2])
+    else:
+        bound = set(pred[1])
+    kept, total = commit.prune_files(host, path, {"ev": bound})
+
+    def matches(ev):
+        if ev is None:
+            return False
+        if isinstance(bound, set):
+            return ev in bound
+        lo, hi = bound
+        return (lo is None or ev >= lo) and (hi is None or ev <= hi)
+
+    want = sorted((k, ev) for k, ev in rows if matches(ev))
+    got_df = commit.read_table_pruned(
+        host, path, schema, predicates={"ev": bound}
+    )
+    got = sorted(
+        (r.k, r.ev) for r in got_df.collect() if matches(r.ev)
+    )
+    assert got == want, (bound, kept, total)
+
+
 @pytest.mark.slow
 @settings(
     max_examples=20,

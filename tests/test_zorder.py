@@ -251,3 +251,107 @@ class TestIncrementalCompact:
         assert n == 3  # everything re-clusters
         t2 = set(commit.read_app_meta(host, path)[ZORDER_TOKENS])
         assert t1.isdisjoint(t2)  # dead tokens pruned, not hoarded
+
+
+class TestStringZorder:
+    """r12: string columns rank by sampled range boundaries — the
+    (tag, time) predicate pair this engine's own tables live on."""
+
+    def test_string_rank_matches_bisect_reference(self, spark):
+        from bisect import bisect_right
+
+        from pyspark.sql import functions as F
+
+        tags = [f"host-{i:02d}" for i in range(40)]
+        rows = [(t, i) for i, t in enumerate(tags)] + [(None, 99)]
+        df = spark.createDataFrame(rows, "tag string, v long")
+        boundaries = [f"host-{i:02d}" for i in range(0, 40, 5)]
+        b = {"tag": {"boundaries": boundaries}, "v": (0, 99)}
+        got = {
+            r.tag: r.z
+            for r in df.select(
+                "tag",
+                zorder_key(["tag", "v"], b, bits=8).alias("z"),
+            ).collect()
+        }
+        top = (1 << 8) - 1
+        for t in tags:
+            cnt = bisect_right(boundaries, t)
+            want_rank = min(top, int(cnt / len(boundaries) * top))
+            # extract column 0's rank back out of the interleave
+            z = got[t]
+            rank = 0
+            for i in range(8):
+                rank |= ((z >> (i * 2)) & 1) << i
+            assert rank == want_rank, t
+        # NULL ranks 0
+        z_null = got[None]
+        assert all(((z_null >> (i * 2)) & 1) == 0 for i in range(8))
+
+    def test_string_dim_prunes_after_rewrite(self, spark, tmp_path):
+        """The 2-D prune demo with a STRING first dimension: after the
+        Z-order rewrite a tag-equality predicate skips files — before
+        it (insertion-ordered by time), every file spans all tags and
+        nothing prunes."""
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        rows = [
+            (f"host-{i % 16:02d}", t, float(i))
+            for t in range(64)
+            for i in range(16)
+        ]
+        df = spark.createDataFrame(
+            rows, "tag string, ts long, value double"
+        ).repartitionByRange(8, "ts")  # time-clustered, tag-spread
+        commit.rewrite_files(
+            host, path, [],
+            lambda tmp: df.write.mode("overwrite").parquet(tmp),
+        )
+        kept0, total0 = commit.prune_files(
+            host, path, {"tag": {"host-03"}}
+        )
+        assert len(kept0) == total0  # nothing prunes pre-rewrite
+        zorder_rewrite(host, path, ["tag", "ts"], target_files=8,
+                       commit=commit)
+        kept, total = commit.prune_files(host, path, {"tag": {"host-03"}})
+        assert total == 8 and len(kept) < total
+        # both dims together prune harder than either alone
+        kept2, _ = commit.prune_files(
+            host, path, {"tag": {"host-03"}, "ts": (0, 7)}
+        )
+        assert len(kept2) <= len(kept)
+        # correctness: pruned read == filtered full read
+        sch = "tag string, ts long, value double"
+        want = sorted(
+            (r.tag, r.ts)
+            for r in commit.read_table(host, path, sch)
+            .where("tag = 'host-03'").collect()
+        )
+        got = sorted(
+            (r.tag, r.ts)
+            for r in commit.read_table_pruned(
+                host, path, sch, predicates={"tag": {"host-03"}}
+            ).where("tag = 'host-03'").collect()
+        )
+        assert got == want and len(want) == 64
+
+    def test_column_bounds_mixes_kinds(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1), ("b", 9)], "tag string, v long"
+        )
+        b = column_bounds(df, ["tag", "v"])
+        assert b["v"] == (1, 9)
+        assert b["tag"] == {"boundaries": ["a", "b"]}
+
+    def test_boundary_thinning_caps_literals(self, spark):
+        from redis_lsm_timeseries_spark.operators.zorder import (
+            MAX_STRING_BOUNDARIES,
+            string_boundaries,
+        )
+
+        df = spark.createDataFrame(
+            [(f"k{i:05d}",) for i in range(1000)], "tag string"
+        )
+        bl = string_boundaries(df, "tag")
+        assert len(bl) <= MAX_STRING_BOUNDARIES
+        assert bl == sorted(bl)
