@@ -511,6 +511,18 @@ DATA_DIR = "data"
 STAGE_DIR = "_stage"
 CHECKPOINT_SUFFIX = ".checkpoint.json"
 
+#: reconstruction cache: (root, version, entry-file stat signature) ->
+#: snapshot state. Log entries are immutable once written (put-if-
+#: absent), so a cached reconstruction never goes stale for a live
+#: log; the stat signature invalidates the one mutation that happens
+#: in practice (a test or operator rewriting the entry file in
+#: place). Process-wide because ManifestCommit instances are created
+#: ad hoc at every call site.
+_RECON_CACHE: dict = {}
+_RECON_CACHE_ORDER: list = []
+_RECON_CACHE_MAX = 64
+_RECON_CACHE_LOCK = threading.Lock()
+
 
 class ManifestCommit(ParquetLeaseCommit):
     """Transactional manifest-pointer backend — the documented
@@ -689,6 +701,43 @@ class ManifestCommit(ParquetLeaseCommit):
                     state["stats"].setdefault(m, {})[f] = fstats
         state["app"].update(entry.get("app_add", {}))
 
+    @staticmethod
+    def _copy_state(state: dict) -> dict:
+        """Two-level copy of a reconstruction state: callers may fold
+        entries onto the returned dict (vacuum, version_history), so
+        the cached original must stay untouched. Per-file stat blocks
+        are shared read-only — nothing in the engine mutates them."""
+        return {
+            "tables": {m: list(fs) for m, fs in state["tables"].items()},
+            "stats": {m: dict(s) for m, s in state["stats"].items()},
+            "app": dict(state["app"]),
+        }
+
+    def _cache_get(self, store, root: str, version: int):
+        sig = store.fs.stat_signature(
+            f"{root}/{LOG_DIR}/{version:020d}.json"
+        )
+        if sig is None:
+            return None
+        key = (root, version, sig)
+        with _RECON_CACHE_LOCK:
+            state = _RECON_CACHE.get(key)
+            return self._copy_state(state) if state is not None else None
+
+    def _cache_put(self, store, root: str, version: int, state: dict):
+        sig = store.fs.stat_signature(
+            f"{root}/{LOG_DIR}/{version:020d}.json"
+        )
+        if sig is None:
+            return
+        key = (root, version, sig)
+        with _RECON_CACHE_LOCK:
+            if key not in _RECON_CACHE:
+                _RECON_CACHE_ORDER.append(key)
+                while len(_RECON_CACHE_ORDER) > _RECON_CACHE_MAX:
+                    _RECON_CACHE.pop(_RECON_CACHE_ORDER.pop(0), None)
+            _RECON_CACHE[key] = self._copy_state(state)
+
     def _reconstruct(
         self, store, root: str, version: int | None = None,
         label: str | None = None,
@@ -709,6 +758,9 @@ class ManifestCommit(ParquetLeaseCommit):
             if not evs:
                 return -1, {"tables": {}, "stats": {}, "app": {}}
             version = evs[-1]
+        cached = self._cache_get(store, root, version)
+        if cached is not None:
+            return version, cached
         cpset = set(cps)
         chain: list[dict] = []
         anchor: dict | None = None
@@ -755,6 +807,7 @@ class ManifestCommit(ParquetLeaseCommit):
             self._apply_entry(state, anchor)
         for entry in reversed(chain):
             self._apply_entry(state, entry)
+        self._cache_put(store, root, version, state)
         return version, state
 
     def _write_checkpoint(
@@ -929,6 +982,15 @@ class ManifestCommit(ParquetLeaseCommit):
             target = f"{root}/{LOG_DIR}/{version + 1:020d}.json"
             if store.fs.create_exclusive(target, entry):
                 n = version + 1
+                # seed the reconstruction cache with the state just
+                # committed: the next read or commit attempt resolves
+                # this version without replaying the entry chain —
+                # steady-state commit/read cycles do O(1) log IO
+                self._cache_put(
+                    store, root, n,
+                    {"tables": new_tables, "stats": stats_out,
+                     "app": app_out},
+                )
                 if n > 0 and n % self.CHECKPOINT_INTERVAL == 0:
                     self._write_checkpoint(
                         store, root, n, new_tables, stats_out, app_out
