@@ -795,15 +795,18 @@ class TimeseriesStore:
     def _range_file_predicates(self, parsed: list[tuple]) -> dict:
         """File-skipping bounds covering the UNION of the requested
         ranges — a safe superset (per-range exactness belongs to the
-        row predicate): tag within the lexical envelope of requested
-        tags, part_start within [min floored start, max end] (same
-        flooring rule as ``_prune_predicate``)."""
+        row predicate): tag by EXACT set membership (cold files are
+        hive-partitioned by tag, so their min==max stats make the
+        membership check exact — a sparse tag set skips every
+        unrequested tag's files, where a lexical range would keep
+        everything between the extremes), part_start within
+        [min floored start, max end] (same flooring rule as
+        ``_prune_predicate``)."""
         w = self.config.partition_width
-        tags = sorted(t for t, _, _ in parsed)
         lo = min(s - (s % w) for _, s, _ in parsed)
         hi = max(e for _, _, e in parsed)
         return {
-            "tag": (tags[0], tags[-1]),
+            "tag": {t for t, _, _ in parsed},
             "part_start": (lo, hi),
         }
 

@@ -20,6 +20,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from redis_lsm_timeseries_spark.commit import LOG_DIR, ManifestCommit
 from redis_lsm_timeseries_spark.config import EngineConfig
@@ -416,3 +417,98 @@ class TestStatsColumnCap:
             mstore, path, {"c35": (10**9, None)}
         )
         assert total == 1 and kept == []
+
+
+class TestReadRangePlanGate:
+    """r12 stretch gate: ``read_range(include_cold=True)`` at a larger
+    planted cold layout must PLAN over only the cold files whose
+    (tag, part_start) stats overlap the request — asserted on the
+    physical plan's input files, not just the row results."""
+
+    def _planted(self, mstore, tags=6, parts=8):
+        """A cold tier planted directly through the seam: one commit
+        per (tag, partition) — file-per-partition with exact stats."""
+        c, cold = mstore.commit, mstore.config.cold_path
+        w = mstore.config.partition_width
+        for t in range(tags):
+            for p in range(parts):
+                rows = [
+                    (
+                        f"pg-{t}-{p}", f"tag{t}", p * w,
+                        p * w + i, f"v{i}", 1000 + i, "w0", i,
+                    )
+                    for i in range(3)
+                ]
+                df = mstore.spark.createDataFrame(
+                    rows,
+                    "purge_id string, tag string, part_start long, "
+                    "ts long, value string, ingest_ts long, "
+                    "writer_id string, seq long",
+                ).coalesce(1)
+                c.append_partitioned(
+                    mstore, df, cold, ["purge_id", "tag", "part_start"]
+                )
+        return cold, w
+
+    def test_cold_union_read_scans_only_envelope_files(self, mstore):
+        cold, w = self._planted(mstore)
+        # hot tier: one row so the union is non-trivial
+        mstore.write({"tag1": {0: 1.0}})
+        total_cold = mstore.commit.table_file_count(mstore, cold)
+        assert total_cold == 6 * 8
+        df = mstore.read_range(
+            {"tag1": (0, w - 1), "tag4": (2 * w, 3 * w - 1)},
+            include_cold=True,
+        )
+        cold_inputs = [
+            f for f in df.inputFiles() if "/cold" in f
+        ]
+        # tag envelope: exactly the requested TAGS (set membership,
+        # not the lexical range tag1..tag4 which would include
+        # tag2/tag3), part_start envelope [0, 3w)
+        assert 0 < len(cold_inputs) < total_cold
+        for f in cold_inputs:
+            assert "/tag=tag1/" in f or "/tag=tag4/" in f
+            ps = int(f.split("/part_start=")[1].split("/")[0])
+            assert 0 <= ps <= 3 * w - 1
+        # and the read is still row-exact
+        rows = {(r.tag, r.ts) for r in df.collect()}
+        assert ("tag1", 0) in rows
+
+    def test_sparse_tag_set_skips_between_tags(self, mstore):
+        """The r12 upgrade from a lexical tag range to set membership:
+        requesting the two extreme tags must not scan the tags
+        between them."""
+        cold, w = self._planted(mstore, tags=5, parts=2)
+        mstore.write({"tag0": {0: 1.0}})
+        df = mstore.read_range(
+            {"tag0": (0, w - 1), "tag4": (0, w - 1)},
+            include_cold=True,
+        )
+        cold_inputs = [f for f in df.inputFiles() if "/cold" in f]
+        assert cold_inputs
+        for f in cold_inputs:
+            assert "/tag=tag0/" in f or "/tag=tag4/" in f
+
+    def test_results_identical_with_and_without_skipping(self, mstore):
+        """Superset law at the composed-read level: pruned cold union
+        equals the unpruned read filtered by the same ranges."""
+        cold, w = self._planted(mstore, tags=3, parts=4)
+        mstore.write({"tag2": {w: 42.0}})
+        ranges = {"tag2": (0, 2 * w - 1)}
+        pruned = {
+            (r.tag, r.ts, r.value)
+            for r in mstore.read_range(
+                ranges, include_cold=True
+            ).collect()
+        }
+        full = {
+            (r.tag, r.ts, r.value)
+            for r in mstore.read_all(include_cold=True)
+            .where(
+                (F.col("tag") == "tag2")
+                & F.col("ts").between(0, 2 * w - 1)
+            )
+            .collect()
+        }
+        assert pruned == full and pruned
