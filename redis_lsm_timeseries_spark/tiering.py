@@ -732,9 +732,22 @@ def delete_series(
                         cold_files += 1
     log_removed = 0
     if store.commit.table_exists(store, store.config.purge_log_path):
-        before = purge_log(store).where(
-            F.col("tag").isin([str(t) for t in tags])
-        ).count()
+        # metadata-first count: when every log file's stats PROVE its
+        # match count (tag-clustered files), no scan runs; anything
+        # unprovable falls back to the exact scan
+        before = None
+        if isinstance(store.commit, ManifestCommit):
+            from redis_lsm_timeseries_spark.maintenance import fast_count
+
+            before = fast_count(
+                store, store.config.purge_log_path,
+                {"tag": {str(t) for t in tags}},
+                commit=store.commit,
+            )
+        if before is None:
+            before = purge_log(store).where(
+                F.col("tag").isin([str(t) for t in tags])
+            ).count()
         if before:
             delete_rows(
                 store, store.config.purge_log_path, tag_df, ["tag"],
