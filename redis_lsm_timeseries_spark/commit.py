@@ -751,7 +751,28 @@ class ManifestCommit(ParquetLeaseCommit):
         one checkpoint. A version whose chain needs a pruned entry
         raises ``VersionNotFoundError`` (``missing=True`` on the
         error when the entry file is absent — retention pruning or a
-        racing vacuum — vs present-but-unreadable corruption)."""
+        racing vacuum — vs present-but-unreadable corruption).
+
+        A MISSING entry mid-walk is retried with a fresh listing
+        before surfacing: a racing vacuum prunes entries only after
+        anchoring the oldest retained version with a checkpoint, so
+        the re-walk finds the anchor the first listing predated —
+        without the retry a reader could fail on a version that is
+        perfectly retained."""
+        last_err = None
+        for _ in range(3):
+            try:
+                return self._reconstruct_once(store, root, version, label)
+            except VersionNotFoundError as exc:
+                if not getattr(exc, "missing", False):
+                    raise
+                last_err = exc
+        raise last_err
+
+    def _reconstruct_once(
+        self, store, root: str, version: int | None = None,
+        label: str | None = None,
+    ):
         name = label if label is not None else root
         evs, cps = self._list_log(store, root)
         if version is None:

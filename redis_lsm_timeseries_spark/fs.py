@@ -73,17 +73,33 @@ class StorageFilesystem:
             return fh.read()
 
     def create_exclusive(self, path: str, text: str) -> bool:
-        """Create-if-absent, atomically: False (and no write) if the
-        path already exists. The maintenance lease's mutual exclusion
-        rests on this — local ``O_EXCL``; an object-store
-        implementation maps it to a conditional put (If-None-Match) or
-        a DynamoDB/ZooKeeper-style lock entry."""
+        """Create-if-absent, atomically — in BOTH senses: False (and
+        no write) if the path already exists, and a created path is
+        visible only with its COMPLETE content. ``open(path, 'x')``
+        then write would expose an empty file to a concurrent reader
+        between the create and the write (a real race: a manifest
+        reader walking the log just as a commit lands parsed a
+        zero-byte entry); instead the content is written to a sibling
+        temp file and claimed via ``os.link`` — an atomic
+        publish-if-absent on POSIX. An object-store implementation
+        maps this to a conditional put (If-None-Match), which is
+        content-atomic by nature."""
+        import uuid as _uuid
+
+        tmp = f"{path}.claim-{_uuid.uuid4().hex[:12]}"
         try:
-            with open(path, "x", encoding="utf-8") as fh:
+            with open(tmp, "w", encoding="utf-8") as fh:
                 fh.write(text)
-            return True
-        except FileExistsError:
-            return False
+            try:
+                os.link(tmp, path)
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
     def remove_file(self, path: str) -> None:
         """Delete a single file; absent path is a no-op."""
