@@ -606,6 +606,58 @@ def extras_bench(spark, sf_dir: str) -> dict:
                 time.perf_counter() - t0, 3
             )
             out["compact_groups"] = cs.groups
+
+            # r12: keyed mirror consumes merges + compactions as
+            # O(delta) row changes — zero resyncs
+            t0 = time.perf_counter()
+            mirror_changes(
+                host, tbl, f"{d}/kmirror", keys=["doc_id"],
+                commit=commit,
+            )
+            out["mirror_keyed_initial"] = round(
+                time.perf_counter() - t0, 3
+            )
+            src2 = docs.select("doc_id", "text").where(
+                "doc_id % 53 = 0"
+            ).withColumn("text", F.upper(F.col("text")))
+            t0 = time.perf_counter()
+            merge_into(
+                host, tbl, src2, ["doc_id"], commit=commit,
+                matched_condition="s.text > t.text",
+            )
+            out["merge_conditional"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
+            mk = mirror_changes(
+                host, tbl, f"{d}/kmirror", keys=["doc_id"],
+                commit=commit,
+            )
+            out["mirror_keyed_incremental"] = round(
+                time.perf_counter() - t0, 3
+            )
+            out["mirror_keyed_mode"] = mk.mode
+
+            # r12: string Z-order — (source, doc_id) clusters and the
+            # string dimension prunes
+            sz = f"{d}/docs_sz"
+            commit.rewrite_files(
+                host, sz, [],
+                lambda tmp: docs.select("doc_id", "source", "text")
+                .repartition(8)
+                .write.mode("overwrite")
+                .parquet(tmp),
+            )
+            t0 = time.perf_counter()
+            zorder_rewrite(
+                host, sz, ["source", "doc_id"], target_files=8
+            )
+            out["zorder_string"] = round(time.perf_counter() - t0, 3)
+            one_source = docs.select("source").first()[0]
+            kept, total_f = commit.prune_files(
+                host, sz, {"source": {one_source}}
+            )
+            out["zorder_string_files_kept"] = f"{len(kept)}/{total_f}"
         finally:
             shutil.rmtree(d, ignore_errors=True)
     except Exception as exc:
