@@ -211,7 +211,20 @@ def _apply_row_changes(
         return MirrorMetrics(latest, 0, "row-incremental")
 
     tcol, vcol = commit.CDF_TYPE_COL, commit.CDF_VERSION_COL
-    w = Window.partitionBy(*keys).orderBy(F.col(vcol).desc())
+    # deterministic netting: latest commit version wins per key; ties
+    # WITHIN a version (an append commit carrying duplicate-key rows —
+    # keyed mirroring assumes the source keeps its key unique, but a
+    # violation must not make replay nondeterministic) break on the
+    # full row content, so every run and every crash replay picks the
+    # same survivor
+    data_cols = sorted(
+        c for c in changes.columns if c not in (tcol, vcol)
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(vcol).desc(),
+        *[F.col(c).desc_nulls_last() for c in data_cols],
+        F.col(tcol).desc(),
+    )
     net = (
         changes.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -222,12 +235,22 @@ def _apply_row_changes(
     deletes = net.where(F.col(tcol) == "delete").select(*keys)
     n_up = upserts.count()
     n_del = deletes.count()
-    # idempotent keyed applies, cursor committed last: a crash between
-    # any two steps replays to the identical state
+    # idempotent keyed applies, cursor committed LAST — and every
+    # data-mutating commit carries the cursor CAS as an entry guard:
+    # a racing consumer sharing the app_id conflicts BEFORE touching
+    # the destination (its planning state is stale), not merely at
+    # its trailing cursor commit after stale data already landed
+    cas_guard = commit._app_cas_guard(cas)
     if n_up:
-        merge_into(host, dst_path, upserts, keys, commit=commit)
+        merge_into(
+            host, dst_path, upserts, keys, commit=commit,
+            extra_guard=cas_guard,
+        )
     if n_del:
-        delete_rows(host, dst_path, deletes, keys, commit=commit)
+        delete_rows(
+            host, dst_path, deletes, keys, commit=commit,
+            extra_guard=cas_guard,
+        )
     commit.append_table_with_meta(
         host, dst_path, None, {cursor_key: latest}, expected_app=cas
     )

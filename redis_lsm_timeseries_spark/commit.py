@@ -1689,7 +1689,14 @@ class ManifestCommit(ParquetLeaseCommit):
                     # reconstructible AFTER entries below it are
                     # pruned: if its entry is a delta and no
                     # checkpoint anchors it, write one now (from the
-                    # state just validated) BEFORE any pruning.
+                    # state just validated) BEFORE any pruning — and
+                    # VERIFY it landed. _write_checkpoint is
+                    # best-effort by contract (interval checkpoints
+                    # may fail harmlessly), but here the anchor is
+                    # load-bearing: pruning without it would leave
+                    # every retained version unreconstructible, the
+                    # exact loss the read-validate-before-prune
+                    # design exists to prevent.
                     if (
                         evs
                         and evs[0] < oldest
@@ -1701,6 +1708,18 @@ class ManifestCommit(ParquetLeaseCommit):
                             state["tables"], state["stats"],
                             state["app"],
                         )
+                        anchor_path = (
+                            f"{root}/{LOG_DIR}/{oldest:020d}"
+                            f"{CHECKPOINT_SUFFIX}"
+                        )
+                        if not store.fs.exists(anchor_path):
+                            raise ConcurrentMaintenanceError(
+                                f"vacuum aborted: could not anchor the"
+                                f" oldest retained version {oldest} of"
+                                f" {root} with a checkpoint; pruning "
+                                "older entries would make every "
+                                "retained snapshot unreconstructible"
+                            )
                     for v in retained[1:]:
                         entry = json.loads(
                             store.fs.read_text(

@@ -95,6 +95,19 @@ class StorageFilesystem:
                 return True
             except FileExistsError:
                 return False
+            except OSError:
+                # filesystem without hard links (exFAT, some FUSE
+                # mounts): degrade to O_EXCL create + write. Still
+                # exclusive, but a concurrent reader may glimpse a
+                # partially-written file — the pre-r12 contract;
+                # remote seams use a conditional put, which is
+                # content-atomic natively.
+                try:
+                    with open(path, "x", encoding="utf-8") as fh:
+                        fh.write(text)
+                    return True
+                except FileExistsError:
+                    return False
         finally:
             try:
                 os.remove(tmp)

@@ -57,7 +57,10 @@ class MergeStats:
     files_rewritten: int
     #: committed file count of the member before the merge
     files_total: int
-    #: rows written from the source (after in-source LWW, if any)
+    #: rows the clauses actually APPLIED (updates + inserts) on the
+    #: manifest backend; directory mode reports the post-LWW source
+    #: row count (counting applied rows there would re-run the whole
+    #: rewrite plan a second time)
     rows_upserted: int
 
 
@@ -174,6 +177,21 @@ def _envelope_guard(
                 f"{len(hits)} file(s) committed since planning "
                 f"(first: {hits[0]}); retry on fresh state"
             )
+
+    return guard
+
+
+def _compose_guards(*guards):
+    """One entry guard running each non-None guard in order —
+    callers stack the key-envelope conflict check with their own CAS
+    (the keyed mirror guards its data-mutating commits on the
+    consumer cursor, so a racing consumer conflicts BEFORE mutating
+    the destination, not only at its trailing cursor commit)."""
+    live = [g for g in guards if g is not None]
+
+    def guard(prev):
+        for g in live:
+            g(prev)
 
     return guard
 
@@ -324,6 +342,7 @@ def merge_into(
     matched_condition: str | None = None,
     insert_unmatched: bool = True,
     not_matched_condition: str | None = None,
+    extra_guard=None,
 ) -> MergeStats:
     """Upsert ``source`` into the table at ``path``: target rows whose
     ``keys`` match a source row are REPLACED by it, unmatched source
@@ -384,8 +403,11 @@ def merge_into(
     preds = _key_predicates(src, keys)
     affected, _ = commit.prune_files(host, path, preds)
     _, member = commit._resolve(host, path)
-    guard = _envelope_guard(
-        commit, member, set(managed) | set(affected), preds
+    guard = _compose_guards(
+        _envelope_guard(
+            commit, member, set(managed) | set(affected), preds
+        ),
+        extra_guard,
     )
     pcols = partition_cols_of(managed)
     if not affected:
@@ -416,6 +438,19 @@ def merge_into(
         cur, src, keys, when_matched, matched_condition,
         insert_unmatched, not_matched_condition,
     )
+    default_clauses = (
+        when_matched == "update"
+        and matched_condition is None
+        and insert_unmatched
+        and not_matched_condition is None
+    )
+    # rows_upserted must report the rows the clauses ACTUALLY applied:
+    # a conditional update that filtered most pairs, or a matched
+    # delete, applies far fewer (or zero) rows than the source offered
+    n_applied = (
+        n_upserts if default_clauses
+        else (upserts.count() if upserts is not None else 0)
+    )
     # row-level change feed: the rows the clauses actually applied —
     # staged as typed change files in the same atomic commit, so
     # incremental consumers (mirror_changes with keys) apply the merge
@@ -440,7 +475,7 @@ def merge_into(
         host, path, affected, _clustered_write(out, keys, n, pcols),
         entry_guard=guard, cdf_df=cdf,
     )
-    return MergeStats(len(affected), total, n_upserts)
+    return MergeStats(len(affected), total, n_applied)
 
 
 def delete_rows(
@@ -449,6 +484,7 @@ def delete_rows(
     delete_keys: DataFrame,
     keys: list[str],
     commit=None,
+    extra_guard=None,
 ) -> DeleteStats:
     """Row-level delete by key set — the GDPR-erasure primitive: files
     whose stats prove no key matches are never read or rewritten; a
@@ -478,8 +514,11 @@ def delete_rows(
     if not affected:
         return DeleteStats(0, total)
     _, member = commit._resolve(host, path)
-    guard = _envelope_guard(
-        commit, member, set(managed) | set(affected), preds
+    guard = _compose_guards(
+        _envelope_guard(
+            commit, member, set(managed) | set(affected), preds
+        ),
+        extra_guard,
     )
     cur = _affected_df(host, commit, path, affected)
     survivors = cur.join(dk, keys, "left_anti")

@@ -55,6 +55,10 @@ def zorder_key(
     - ``(lo, hi)`` numeric tuple: linear scaling between the bounds
       (assumes roughly uniform spread; skew keeps correctness, prunes
       less);
+    - ``{"kind": "ts"|"d", "lo": .., "hi": ..}``: a temporal column —
+      linear scaling over its epoch numeric (micros for timestamps,
+      days for dates), so real TimestampType/DateType columns cluster
+      without the caller re-encoding them;
     - ``{"boundaries": [sorted strings]}``: the rank is how many
       boundaries the value is >= — a range-partition rank over
       sampled boundaries (the Delta ``range_partition_id`` idiom for
@@ -76,6 +80,24 @@ def zorder_key(
     top = (1 << bits) - 1
     for c in cols:
         bnd = bounds[c]
+        if isinstance(bnd, dict) and bnd.get("kind") in ("ts", "d"):
+            # temporal: linear scaling over the epoch numeric
+            lo_f, hi_f = float(bnd["lo"]), float(bnd["hi"])
+            span = hi_f - lo_f
+            if span <= 0:
+                ranks.append(F.lit(0).cast("long"))
+                continue
+            scaled = (
+                (_temporal_rank_expr(c, bnd["kind"]) - F.lit(lo_f))
+                / F.lit(span)
+                * F.lit(float(top))
+            )
+            rank = F.least(
+                F.lit(top).cast("long"),
+                F.greatest(F.lit(0).cast("long"), scaled.cast("long")),
+            )
+            ranks.append(F.coalesce(rank, F.lit(0).cast("long")))
+            continue
         if isinstance(bnd, dict):
             bl = list(bnd.get("boundaries") or [])
             if not bl:
@@ -150,32 +172,67 @@ def string_boundaries(
     return [vals[int(i * step)] for i in range(max_boundaries)]
 
 
+def _temporal_rank_expr(col: str, kind: str) -> Column:
+    """Numeric Column a temporal column ranks by: epoch micros for
+    timestamps (NTZ cast through the session clock — a uniform shift,
+    harmless for a clustering rank), days-since-epoch for dates."""
+    if kind == "ts":
+        return F.unix_micros(
+            F.col(col).cast("timestamp")
+        ).cast("double")
+    return F.datediff(
+        F.col(col), F.lit("1970-01-01").cast("date")
+    ).cast("double")
+
+
 def column_bounds(df: DataFrame, cols: list[str]) -> dict[str, tuple]:
     """Per-column normalization bounds for ``zorder_key`` when the
-    caller doesn't already know them: numeric (and temporal) columns
-    get (min, max) from ONE narrow aggregate; string columns get
-    sampled range boundaries (``{"boundaries": [...]}``). An all-NULL
-    column gets (0, 0): its rank is constant and it contributes
-    nothing to the interleave."""
-    str_cols = {
-        f.name
-        for f in df.schema.fields
-        if f.name in cols and f.dataType.typeName() == "string"
-    }
+    caller doesn't already know them: numeric columns get (min, max)
+    from ONE narrow aggregate; temporal columns rank by their epoch
+    numeric (``{"kind": "ts"|"d", "lo": .., "hi": ..}``, same
+    aggregate); string columns get sampled range boundaries
+    (``{"boundaries": [...]}`` — note this costs one extra
+    distinct+limit pass per string column; at scale pass caller-known
+    ``bounds`` instead, as the zorder entry points document). An
+    all-NULL column gets (0, 0): its rank is constant and it
+    contributes nothing to the interleave."""
+    kinds: dict[str, str] = {}
+    for f in df.schema.fields:
+        if f.name not in cols:
+            continue
+        tn = f.dataType.typeName()
+        if tn == "string":
+            kinds[f.name] = "s"
+        elif tn in ("timestamp", "timestamp_ntz"):
+            kinds[f.name] = "ts"
+        elif tn == "date":
+            kinds[f.name] = "d"
     out: dict = {}
-    num_cols = [c for c in cols if c not in str_cols]
-    if num_cols:
+    agg_cols = [c for c in cols if kinds.get(c) != "s"]
+    if agg_cols:
         aggs = []
-        for c in num_cols:
+        for c in agg_cols:
+            src = (
+                _temporal_rank_expr(c, kinds[c])
+                if c in kinds
+                else F.col(c)
+            )
             aggs += [
-                F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")
+                F.min(src).alias(f"_lo_{c}"),
+                F.max(src).alias(f"_hi_{c}"),
             ]
         r = df.agg(*aggs).first()
-        for c in num_cols:
+        for c in agg_cols:
             lo, hi = r[f"_lo_{c}"], r[f"_hi_{c}"]
-            out[c] = (0, 0) if lo is None else (lo, hi)
-    for c in str_cols:
-        out[c] = {"boundaries": string_boundaries(df, c)}
+            if lo is None:
+                lo = hi = 0
+            if c in kinds:
+                out[c] = {"kind": kinds[c], "lo": lo, "hi": hi}
+            else:
+                out[c] = (lo, hi)
+    for c in cols:
+        if kinds.get(c) == "s":
+            out[c] = {"boundaries": string_boundaries(df, c)}
     return out
 
 
