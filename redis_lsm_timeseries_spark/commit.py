@@ -1624,8 +1624,10 @@ class ManifestCommit(ParquetLeaseCommit):
         when the CURRENT snapshot no longer references them — that is
         the retention margin protecting in-flight readers of recent
         snapshots and backing time travel; ``retain_versions=1``
-        collects everything but the live snapshot (the aggressive
-        reclaim for space-bound maintenance). Unreferenced files
+        collects down to the live snapshot (the aggressive reclaim
+        for space-bound maintenance), modulo the anchor alignment
+        below, which may keep up to one checkpoint-interval of
+        trailing history readable. Unreferenced files
         younger than ``grace_s`` (default ``VACUUM_GRACE_S``) are
         SKIPPED — they may be a leaseless commit in flight (see the
         class attribute); pass 0 to collect immediately when no
@@ -1657,6 +1659,7 @@ class ManifestCommit(ParquetLeaseCommit):
             evs, cps = self._list_log(store, root)
             retained = evs[-retain:] if evs else []
             live: set[str] = set()
+            cut = 0
 
             def _live_change_files(entry) -> None:
                 # row-level change files (merge/delete CDF) live
@@ -1673,7 +1676,27 @@ class ManifestCommit(ParquetLeaseCommit):
             try:
                 if retained:
                     oldest = retained[0]
-                    _, state = self._reconstruct(store, root, oldest)
+                    # Align the prune cut DOWN to the newest existing
+                    # anchor at or below the horizon when it is within
+                    # one checkpoint interval: vacuum then prunes in
+                    # interval-sized bursts and never pays an O(table)
+                    # anchor-checkpoint write per run — the
+                    # steady-state cost the delta log exists to avoid
+                    # (with KEEP_LOG_ENTRIES == CHECKPOINT_INTERVAL,
+                    # an exact cut would need a fresh anchor on ~9 of
+                    # 10 vacuums). At most one interval of trailing
+                    # versions stays readable past the horizon — a
+                    # bounded bonus, not a violation.
+                    cut = oldest
+                    anchors = [cv for cv in cps if cv <= oldest]
+                    if (
+                        anchors
+                        and oldest - anchors[-1]
+                        <= self.CHECKPOINT_INTERVAL
+                    ):
+                        cut = anchors[-1]
+                    kept = [v for v in evs if v >= cut]
+                    _, state = self._reconstruct(store, root, cut)
                     live.update(
                         f"{self._member_root(root, m)}/{f}"
                         for m, fs_ in state["tables"].items()
@@ -1681,46 +1704,46 @@ class ManifestCommit(ParquetLeaseCommit):
                     )
                     head = json.loads(
                         store.fs.read_text(
-                            f"{root}/{LOG_DIR}/{oldest:020d}.json"
+                            f"{root}/{LOG_DIR}/{cut:020d}.json"
                         )
                     )
                     _live_change_files(head)
-                    # The oldest retained version must stay
-                    # reconstructible AFTER entries below it are
-                    # pruned: if its entry is a delta and no
-                    # checkpoint anchors it, write one now (from the
-                    # state just validated) BEFORE any pruning — and
-                    # VERIFY it landed. _write_checkpoint is
-                    # best-effort by contract (interval checkpoints
-                    # may fail harmlessly), but here the anchor is
-                    # load-bearing: pruning without it would leave
-                    # every retained version unreconstructible, the
-                    # exact loss the read-validate-before-prune
-                    # design exists to prevent.
+                    # The cut version must stay reconstructible AFTER
+                    # entries below it are pruned: if its entry is a
+                    # delta and no checkpoint anchors it, write one
+                    # now (from the state just validated) BEFORE any
+                    # pruning — and VERIFY it landed.
+                    # _write_checkpoint is best-effort by contract
+                    # (interval checkpoints may fail harmlessly), but
+                    # here the anchor is load-bearing: pruning without
+                    # it would leave every retained version
+                    # unreconstructible, the exact loss the
+                    # read-validate-before-prune design exists to
+                    # prevent.
                     if (
                         evs
-                        and evs[0] < oldest
-                        and oldest not in set(cps)
+                        and evs[0] < cut
+                        and cut not in set(cps)
                         and "tables" not in head
                     ):
                         self._write_checkpoint(
-                            store, root, oldest,
+                            store, root, cut,
                             state["tables"], state["stats"],
                             state["app"],
                         )
                         anchor_path = (
-                            f"{root}/{LOG_DIR}/{oldest:020d}"
+                            f"{root}/{LOG_DIR}/{cut:020d}"
                             f"{CHECKPOINT_SUFFIX}"
                         )
                         if not store.fs.exists(anchor_path):
                             raise ConcurrentMaintenanceError(
                                 f"vacuum aborted: could not anchor the"
-                                f" oldest retained version {oldest} of"
-                                f" {root} with a checkpoint; pruning "
-                                "older entries would make every "
-                                "retained snapshot unreconstructible"
+                                f" prune cut {cut} of {root} with a "
+                                "checkpoint; pruning older entries "
+                                "would make every retained snapshot "
+                                "unreconstructible"
                             )
-                    for v in retained[1:]:
+                    for v in kept[1:]:
                         entry = json.loads(
                             store.fs.read_text(
                                 f"{root}/{LOG_DIR}/{v:020d}.json"
@@ -1753,8 +1776,7 @@ class ManifestCommit(ParquetLeaseCommit):
                 ) from exc
         # Every retained snapshot validated (and anchored) — only now
         # is it safe to drop the older log history and its stale
-        # checkpoints.
-        cut = retained[0] if retained else 0
+        # checkpoints (``cut`` is anchor-aligned, see above).
         for v in [x for x in evs if x < cut]:
             store.fs.remove_file(f"{root}/{LOG_DIR}/{v:020d}.json")
         for cv in [x for x in cps if x < cut]:

@@ -271,7 +271,13 @@ class TestVacuumAnchoring:
         with pytest.raises(VersionNotFoundError):
             commit.member_files(host, path, version=4)
 
-    def test_vacuum_prunes_stale_checkpoints(self, spark, tmp_path):
+    def test_vacuum_aligns_cut_to_existing_anchor(self, spark, tmp_path):
+        """The prune cut aligns DOWN to the newest checkpoint at or
+        below the retention horizon (25 -> 20): vacuum prunes in
+        interval-sized bursts and writes NO fresh anchor — the
+        steady-state vacuum never pays an O(table) checkpoint write.
+        The trailing versions 20..24 stay readable (a bounded bonus
+        past the horizon)."""
         host, commit, path = _fx(spark, tmp_path)
         for i in range(35):
             _raw_commit(commit, host, path, [f"f{i}.parquet"])
@@ -279,14 +285,16 @@ class TestVacuumAnchoring:
             int(f[: -len(CHECKPOINT_SUFFIX)]) for f in _checkpoints(path)
         ] == [10, 20, 30]
         commit.vacuum(host, path, grace_s=0)
-        # retained 25..34: checkpoint 30 survives, 10/20 are pruned,
-        # and a fresh anchor lands at 25
+        # horizon is 25, but the cut aligns to checkpoint 20: 10 is
+        # pruned, 20/30 survive, no new checkpoint appears
         assert [
             int(f[: -len(CHECKPOINT_SUFFIX)]) for f in _checkpoints(path)
-        ] == [25, 30]
-        assert commit.member_files(host, path, version=25) == [
-            f"f{i}.parquet" for i in range(26)
-        ]
+        ] == [20, 30]
+        assert commit.table_versions(host, path) == list(range(20, 35))
+        for v in (20, 25, 34):
+            assert commit.member_files(host, path, version=v) == [
+                f"f{i}.parquet" for i in range(v + 1)
+            ]
 
     def test_vacuum_respects_interval_checkpoint_anchor(
         self, spark, tmp_path
