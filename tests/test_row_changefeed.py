@@ -323,3 +323,48 @@ class TestKeyedMirror:
                 host, src, dst, keys=["k"],
                 transform=lambda d: d, commit=commit,
             )
+
+
+class TestPartitionedSourceMirror:
+    def test_keyed_mirror_over_hive_partitioned_source(
+        self, spark, tmp_path
+    ):
+        """Merges on a hive-partitioned member write replacements in
+        the partition layout but CDF files flat (partition values as
+        data columns); the keyed mirror must reassemble both kinds
+        into the same rows the source serves."""
+        host, commit = CommitHost(spark), ManifestCommit()
+        src, dst = str(tmp_path / "psrc"), str(tmp_path / "pdst")
+        sch = "k long, tag string, v string"
+        df = spark.createDataFrame(
+            [(i, f"t{i % 3}", f"v{i}") for i in range(30)], sch
+        ).coalesce(1)
+        commit.append_partitioned(host, df, src, ["tag"])
+        mirror_changes(host, src, dst, keys=["k"], commit=commit)
+
+        merge_into(
+            host, src,
+            spark.createDataFrame(
+                [(1, "t1", "M1"), (99, "t0", "new")], sch
+            ),
+            ["k"], commit=commit,
+        )
+        delete_rows(
+            host, src, spark.createDataFrame([(2,)], "k long"),
+            ["k"], commit=commit,
+        )
+        compact_small_files(host, src, commit=commit)
+        m = mirror_changes(host, src, dst, keys=["k"], commit=commit)
+        assert m.mode == "row-incremental"
+
+        def rows(path):
+            return sorted(
+                (r.k, r.tag, r.v)
+                for r in commit.read_table(host, path, sch).collect()
+            )
+
+        got_src, got_dst = rows(src), rows(dst)
+        assert got_dst == got_src
+        assert (1, "t1", "M1") in got_dst
+        assert (99, "t0", "new") in got_dst
+        assert all(k != 2 for k, _, _ in got_dst)
