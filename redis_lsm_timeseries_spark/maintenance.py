@@ -401,3 +401,65 @@ def optimize_store(
                 commit=commit,
             )
     return out
+
+
+def fast_min_max(
+    host,
+    path: str,
+    column: str,
+    commit: ManifestCommit | None = None,
+):
+    """Exact ``(min, max)`` of a column from the manifest log alone —
+    zero storage reads — or None when the stats cannot prove it (a
+    file without the column's stats, or mixed stat kinds; caller
+    falls back to a scan). SQL min/max ignore NULLs, so null counts
+    don't gate this the way they gate ``fast_count``; a table whose
+    every row is NULL in the column answers None (no stat recorded —
+    the scan fallback returns NULL, matching SQL). Type-tagged
+    temporal stats decode back to datetimes/dates. The Delta
+    metadata-only-aggregate idiom: answers "what time range does this
+    table cover" for a 100k-file table without opening a footer."""
+    import datetime
+
+    commit = commit if commit is not None else ManifestCommit()
+    stats = commit.member_file_stats(host, path)
+    if stats is None:
+        return None
+    norm = ManifestCommit._norm_scalar
+    lo = hi = None
+    saw_rows = False
+    for f, s in stats.items():
+        if s is None:
+            return None  # a file without stats could hold the extremum
+        if s.get("rows") == 0:
+            continue
+        saw_rows = True
+        cs = s.get("cols", {}).get(column)
+        nmn = None if cs is None else norm(cs.get("min"))
+        nmx = None if cs is None else norm(cs.get("max"))
+        if nmn is None or nmx is None:
+            # rows present but the column unstatted: cannot prove —
+            # UNLESS every row is null in this file, which the stats
+            # cannot distinguish from "stat dropped"; stay safe
+            return None
+        if lo is None:
+            lo, hi = nmn, nmx
+            continue
+        if nmn[0] != lo[0] or nmx[0] != hi[0]:
+            return None  # mixed stat kinds across files
+        lo = min(lo, nmn, key=lambda t: t[1])
+        hi = max(hi, nmx, key=lambda t: t[1])
+    if not saw_rows or lo is None:
+        return None
+
+    def decode(t):
+        kind, v = t
+        if kind == "ts":
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                microseconds=v
+            )
+        if kind == "d":
+            return datetime.date.fromordinal(v)
+        return v
+
+    return decode(lo), decode(hi)

@@ -366,3 +366,66 @@ class TestOptimizeStore:
 
         s = self._store(spark, tmp_path, manifest=False)
         assert optimize_store(s) == {}
+
+
+class TestFastMinMax:
+    """r12: exact column min/max from the log alone — the
+    what-time-range-does-this-table-cover question at zero storage
+    reads."""
+
+    def _t(self, spark, tmp_path, rows, schema):
+        from redis_lsm_timeseries_spark.commit import CommitHost
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        for band in rows:
+            df = spark.createDataFrame(band, schema).coalesce(1)
+            commit.rewrite_files(
+                host, path, [],
+                lambda tmp, d=df: d.write.mode("overwrite").parquet(tmp),
+            )
+        return host, commit, path
+
+    def test_numeric_and_string(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.maintenance import fast_min_max
+
+        host, commit, path = self._t(
+            spark, tmp_path,
+            [[("a", 5), ("m", 9)], [("c", -2), ("z", 7)]],
+            "k string, v long",
+        )
+        assert fast_min_max(host, path, "v", commit=commit) == (-2, 9)
+        assert fast_min_max(host, path, "k", commit=commit) == ("a", "z")
+        # unstatted column: scan fallback
+        assert fast_min_max(host, path, "nope", commit=commit) is None
+
+    def test_timestamps_decode(self, spark, tmp_path):
+        import datetime
+
+        from redis_lsm_timeseries_spark.maintenance import fast_min_max
+
+        t0 = datetime.datetime(2024, 1, 1)
+        t1 = datetime.datetime(2024, 6, 1)
+        host, commit, path = self._t(
+            spark, tmp_path,
+            [[(1, t0)], [(2, t1)]],
+            "k long, ev timestamp_ntz",
+        )
+        assert fast_min_max(host, path, "ev", commit=commit) == (t0, t1)
+
+    def test_nulls_do_not_gate_min_max(self, spark, tmp_path):
+        """SQL min/max ignore NULLs — a file with some NULLs still
+        answers exactly from its non-null min/max."""
+        from redis_lsm_timeseries_spark.maintenance import fast_min_max
+
+        host, commit, path = self._t(
+            spark, tmp_path,
+            [[("a", 5), ("b", None)]],
+            "k string, v long",
+        )
+        assert fast_min_max(host, path, "v", commit=commit) == (5, 5)
+        real = (
+            commit.read_table(host, path)
+            .agg({"v": "min"}).first()[0]
+        )
+        assert real == 5
