@@ -2057,9 +2057,13 @@ class ManifestCommit(ParquetLeaseCommit):
     ):
         """Per-version change records for ``member`` over
         ``(since, to]``: a list of ``(version, change_meta, added,
-        removed)``. Reconstructs once at ``since`` and folds each raw
-        entry forward — O(commits in range), each delta entry read is
-        O(its change). Raises the typed errors for invalid ranges."""
+        removed, added_stats)`` where ``added_stats`` maps each added
+        relpath to its recorded stats block (or None) — delta entries
+        carry them inline, full entries in their stats map, so feed
+        consumers can data-skip added files without touching storage.
+        Reconstructs once at ``since`` and folds each raw entry
+        forward — O(commits in range), each delta entry read is O(its
+        change). Raises the typed errors for invalid ranges."""
         _, state = self._reconstruct(store, root, since, label=path)
         cur = list(state["tables"].get(member, []))
         if to is None:
@@ -2078,13 +2082,20 @@ class ManifestCommit(ParquetLeaseCommit):
                 added = [f for f in new if f not in olds]
                 removed = [f for f in cur if f not in news]
                 cur = list(new)
+                estats = entry.get("stats", {}).get(member, {})
+                added_stats = {f: estats.get(f) for f in added}
             else:
                 delta = entry.get("delta", {})
-                added = list(delta.get("add", {}).get(member, {}))
+                add_map = delta.get("add", {}).get(member, {})
+                added = list(add_map)
                 removed = list(delta.get("remove", {}).get(member, []))
                 gone = set(removed)
                 cur = [f for f in cur if f not in gone] + added
-            out.append((v, entry.get("change") or {}, added, removed))
+                added_stats = dict(add_map)
+            out.append(
+                (v, entry.get("change") or {}, added, removed,
+                 added_stats)
+            )
         return out
 
     def _files_reader(self, store, root: str, member: str, files,
@@ -2102,6 +2113,7 @@ class ManifestCommit(ParquetLeaseCommit):
         since_version: int,
         to_version: int | None = None,
         schema=None,
+        predicates: dict | None = None,
     ) -> DataFrame:
         """Change feed: the rows APPENDED to a member table between two
         retained manifest versions — the files added by plain append
@@ -2127,7 +2139,13 @@ class ManifestCommit(ParquetLeaseCommit):
         falls back to a full recompute, never silently double- or
         under-counts. Versions outside vacuum's retained horizon raise
         ``VersionNotFoundError`` (``table_versions`` lists the valid
-        range)."""
+        range).
+
+        ``predicates`` (same shape as ``prune_files``) data-skips the
+        ADDED files from the stats the entries already carry — a
+        consumer following one key band plans over only the delta
+        files whose stats overlap it, zero extra log or storage IO;
+        the caller's row filter stays mandatory (superset guard)."""
         resolved = self._resolve(store, path)
         if resolved is None:
             raise VersionNotFoundError(
@@ -2138,8 +2156,9 @@ class ManifestCommit(ParquetLeaseCommit):
         walk = self._change_walk(
             store, path, root, member, since_version, to_version
         )
+        sorted_sets = self._sorted_sets(predicates or {})
         added: list[str] = []
-        for v, change, adds, removes in walk:
+        for v, change, adds, removes, astats in walk:
             kind = change.get("kind")
             if kind == "preserve":
                 continue
@@ -2158,7 +2177,13 @@ class ManifestCommit(ParquetLeaseCommit):
                     f" is not append-only: {detail}; recompute from "
                     "the newer snapshot instead"
                 )
-            added.extend(adds)
+            added.extend(
+                f for f in adds
+                if not predicates
+                or self._stats_may_match(
+                    astats.get(f), predicates, sorted_sets
+                )
+            )
         if not added:
             if schema is not None:
                 return store.spark.createDataFrame([], schema)
@@ -2179,6 +2204,7 @@ class ManifestCommit(ParquetLeaseCommit):
         path: str,
         since_version: int,
         to_version: int | None = None,
+        predicates: dict | None = None,
     ) -> DataFrame | None:
         """ROW-level change feed over ``(since, to]`` — the Delta CDF
         idiom: every commit contributes typed change rows, so an
@@ -2209,8 +2235,9 @@ class ManifestCommit(ParquetLeaseCommit):
         walk = self._change_walk(
             store, path, root, member, since_version, to_version
         )
+        sorted_sets = self._sorted_sets(predicates or {})
         parts = []
-        for v, change, adds, removes in walk:
+        for v, change, adds, removes, astats in walk:
             kind = change.get("kind")
             if kind == "preserve":
                 continue
@@ -2230,6 +2257,16 @@ class ManifestCommit(ParquetLeaseCommit):
                     "without change metadata; recompute from the "
                     "newer snapshot instead"
                 )
+            if predicates:
+                # insert files data-skip on the stats the entries
+                # carry; CDF files (above) are tiny and read whole —
+                # the caller's row filter stays mandatory either way
+                adds = [
+                    f for f in adds
+                    if self._stats_may_match(
+                        astats.get(f), predicates, sorted_sets
+                    )
+                ]
             if adds:
                 parts.append(
                     self._files_reader(store, root, member, adds)

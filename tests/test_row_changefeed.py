@@ -368,3 +368,63 @@ class TestPartitionedSourceMirror:
         assert (1, "t1", "M1") in got_dst
         assert (99, "t0", "new") in got_dst
         assert all(k != 2 for k, _, _ in got_dst)
+
+
+class TestFeedPredicates:
+    """r12: data skipping INSIDE the change feed — an incremental
+    consumer following one key band plans over only the delta files
+    whose stats overlap it, from the stats the log entries already
+    carry."""
+
+    def _banded_source(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        src = str(tmp_path / "src")
+        commit.append_table_with_meta(
+            host, src, _df(spark, [(0, "seed")]).coalesce(1), {}
+        )
+        v0 = commit.table_versions(host, src)[-1]
+        # two appends, each one tight-banded file
+        commit.append_table_with_meta(
+            host, src,
+            _df(spark, [(10, "a"), (19, "b")]).coalesce(1), {},
+        )
+        commit.append_table_with_meta(
+            host, src,
+            _df(spark, [(1000, "c"), (1009, "d")]).coalesce(1), {},
+        )
+        return host, commit, src, v0
+
+    def test_read_changes_skips_disjoint_added_files(
+        self, spark, tmp_path
+    ):
+        host, commit, src, v0 = self._banded_source(spark, tmp_path)
+        delta = commit.read_changes(
+            host, src, v0, predicates={"k": (0, 100)}
+        )
+        assert len(delta.inputFiles()) == 1  # the 1000-band skipped
+        assert sorted(r.k for r in delta.collect()) == [10, 19]
+        # superset law: pruned+filtered == unpruned+filtered
+        full = commit.read_changes(host, src, v0)
+        assert sorted(
+            r.k for r in full.where("k <= 100").collect()
+        ) == [10, 19]
+
+    def test_row_feed_skips_insert_files_but_reads_cdf(
+        self, spark, tmp_path
+    ):
+        host, commit, src, v0 = self._banded_source(spark, tmp_path)
+        merge_into(
+            host, src, _df(spark, [(10, "A10")]), ["k"], commit=commit
+        )
+        changes = commit.read_row_changes(
+            host, src, v0, predicates={"k": (0, 100)}
+        )
+        got = sorted(
+            (r.k, r[commit.CDF_TYPE_COL]) for r in changes.collect()
+        )
+        # the 1000-band insert file was skipped at plan time; the
+        # merge's CDF row still arrives (CDF files are read whole —
+        # the caller's filter is mandatory as always)
+        assert (10, "insert") in got and (19, "insert") in got
+        assert (10, "upsert") in got
+        assert all(k <= 100 for k, _ in got)
