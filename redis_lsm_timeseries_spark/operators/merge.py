@@ -181,6 +181,16 @@ def _envelope_guard(
     return guard
 
 
+
+def _cdf_sized(df: DataFrame, approx_rows: int) -> DataFrame:
+    """Size a change-file write to its delta: ~1M rows per file,
+    capped — a small merge stays one tiny self-expiring file, a bulk
+    backfill's change set fans out instead of funneling through one
+    task."""
+    n = max(1, min(32, int(approx_rows) // 1_000_000 + 1))
+    return df.coalesce(n)
+
+
 def _compose_guards(*guards):
     """One entry guard running each non-None guard in order —
     callers stack the key-envelope conflict check with their own CAS
@@ -421,9 +431,10 @@ def merge_into(
         n_ins = ins.count()
         if n_ins == 0:
             return MergeStats(0, total, 0)
-        cdf = ins.withColumn(
-            commit.CDF_TYPE_COL, F.lit("upsert")
-        ).coalesce(1)
+        cdf = _cdf_sized(
+            ins.withColumn(commit.CDF_TYPE_COL, F.lit("upsert")),
+            n_ins,
+        )
         commit.rewrite_files(
             host, path, [],
             _clustered_write(ins, keys, target_files or 1, pcols),
@@ -469,7 +480,7 @@ def merge_into(
         cdf = cdf_parts[0]
         for p in cdf_parts[1:]:
             cdf = cdf.unionByName(p)
-        cdf = cdf.coalesce(1)
+        cdf = _cdf_sized(cdf, n_applied if not default_clauses else n_upserts)
     n = target_files or len(affected)
     commit.rewrite_files(
         host, path, affected, _clustered_write(out, keys, n, pcols),
@@ -523,10 +534,11 @@ def delete_rows(
     cur = _affected_df(host, commit, path, affected)
     survivors = cur.join(dk, keys, "left_anti")
     # the erased rows are the commit's row-level change set
-    cdf = (
+    # deleted rows are bounded by the affected files' contents
+    cdf = _cdf_sized(
         cur.join(dk, keys, "left_semi")
-        .withColumn(commit.CDF_TYPE_COL, F.lit("delete"))
-        .coalesce(1)
+        .withColumn(commit.CDF_TYPE_COL, F.lit("delete")),
+        len(affected) * 250_000,
     )
     # a fully-deleted slice drops its files with no replacement write
     write_fn = (
@@ -590,10 +602,10 @@ def delete_range(
     )
     cur = _affected_df(host, commit, path, affected)
     survivors = cur.where(~cond | F.col(column).isNull())
-    cdf = (
+    cdf = _cdf_sized(
         cur.where(cond)
-        .withColumn(commit.CDF_TYPE_COL, F.lit("delete"))
-        .coalesce(1)
+        .withColumn(commit.CDF_TYPE_COL, F.lit("delete")),
+        len(affected) * 250_000,
     )
     write_fn = (
         None
