@@ -90,8 +90,12 @@ def mirror_changes(
     the cursor commit replays to the same state (exactly-once
     EFFECT); the trailing cursor commit still CASes. ``transform`` is
     rejected with ``keys`` — a transform could rename or drop the key
-    columns the applies need. Only LWW-style compaction (content
-    actually changes without change metadata) still resyncs."""
+    columns the applies need. The engine's own maintenance is fully
+    feed-transparent (r13): LWW compaction stages its losing
+    duplicates and purge-ack its evicted members as CDF delete rows
+    in the same atomic commit, so only an EXTERNAL unmarked content
+    rewrite (a raw ``snapshot_rewrite`` without change metadata)
+    still resyncs."""
     commit = commit if commit is not None else ManifestCommit()
     if keys is not None and transform is not None:
         raise ValidationError(
@@ -180,7 +184,7 @@ def _apply_row_changes(
     changed rows, and the destination rewrites only files whose stats
     overlap the changed keys. Falls back to a full resync exactly when
     the source cannot express its history row-wise (an unmarked
-    content rewrite — LWW compaction) or the cursor fell past vacuum's
+    external content rewrite) or the cursor fell past vacuum's
     horizon."""
     from pyspark.sql import Window, functions as F
 

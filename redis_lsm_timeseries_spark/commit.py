@@ -91,12 +91,19 @@ class TableCommit:
         raise NotImplementedError
 
     def overwrite_partitions(
-        self, store, df: DataFrame, path: str, partition_cols
+        self, store, df: DataFrame, path: str, partition_cols,
+        cdf_df: DataFrame | None = None,
     ) -> None:
         raise NotImplementedError
 
     def drop_partition_dir(self, store, path: str) -> None:
         raise NotImplementedError
+
+    def tracks_changes(self, store, path: str) -> bool:
+        """True when writes to ``path`` land in a version log whose
+        change feeds can serve row-level CDF — callers use it to skip
+        computing change rows a backend would only throw away."""
+        return False
 
     def snapshot_rewrite(self, store, path: str, write_snapshot) -> None:
         raise NotImplementedError
@@ -388,12 +395,17 @@ class ParquetLeaseCommit(TableCommit):
             .parquet(path)
         )
 
-    def overwrite_partitions(self, store, df, path, partition_cols) -> None:
+    def overwrite_partitions(self, store, df, path, partition_cols,
+                             cdf_df=None) -> None:
         """Dynamic partition overwrite: only partitions present in
         ``df`` are replaced. Set per-write (not just session-wide) —
         with a static-overwrite session default this writer would
         silently DELETE every other partition. On Delta this whole
-        method is ``MERGE ... WHEN MATCHED`` / ``replaceWhere``."""
+        method is ``MERGE ... WHEN MATCHED`` / ``replaceWhere``.
+
+        ``cdf_df`` is accepted for signature parity and IGNORED: the
+        directory backend keeps no version log, so there is no change
+        feed to serve the rows to."""
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -1372,34 +1384,69 @@ class ManifestCommit(ParquetLeaseCommit):
         mutate.stats_add = self._file_stats(store, root, member, files)
         self._commit(store, root, mutate)
 
-    def overwrite_partitions(self, store, df, path, partition_cols) -> None:
+    def overwrite_partitions(self, store, df, path, partition_cols,
+                             cdf_df=None, drop_prefixes=None) -> None:
+        """Dynamic partition overwrite as one manifest commit.
+
+        ``cdf_df``, if given, stages row-level change files (typed
+        with ``CDF_TYPE_COL``) ATOMICALLY with the overwrite and marks
+        the entry ``kind: "cdf"`` so ``read_row_changes`` serves them
+        — the hook LWW compaction and purge-ack use to tell keyed
+        mirrors exactly which rows were removed (compaction's winners
+        are content-identical, so its feed nets to pure deletes)
+        instead of forcing a full resync. Without it the entry is an
+        unmarked rewrite and row-feed consumers over the range resync
+        — the safe default for a content-changing overwrite.
+
+        ``drop_prefixes`` (member-relative partition dirs, e.g.
+        ``["tag=a/part_start=0"]``) removes FULLY-EMPTIED partitions'
+        files in the same entry — dynamic overwrite only replaces
+        partitions present in ``df``, so without this an eviction that
+        empties a partition needs a second commit and the feed sees a
+        torn change. ``df`` may be None when every affected partition
+        emptied (pure drop + change rows)."""
         target = self._target_for_write(store, path)
         if target is None:
             return super().overwrite_partitions(
                 store, df, path, partition_cols
             )
         root, member = target
-        files = self._stage_in(
-            store, root, member,
-            lambda tmp: (
-                df.write.mode("overwrite")
-                .partitionBy(*partition_cols)
-                .parquet(tmp)
-            ),
+        files = (
+            self._stage_in(
+                store, root, member,
+                lambda tmp: (
+                    df.write.mode("overwrite")
+                    .partitionBy(*partition_cols)
+                    .parquet(tmp)
+                ),
+            )
+            if df is not None
+            else []
         )
         n = len(partition_cols)
         new_parts = {self._partition_prefix(f, n) for f in files}
         new_parts.discard(None)
+        drops = tuple(drop_prefixes or [])
+        change = (
+            self._stage_cdf(store, root, member, cdf_df, None)
+            if cdf_df is not None
+            else None
+        )
 
         def mutate(tables):
             old = tables.get(member, [])
             kept = [
                 f for f in old
                 if self._partition_prefix(f, n) not in new_parts
+                and not any(
+                    f == p or f.startswith(p + "/") for p in drops
+                )
             ]
             return {**tables, member: kept + files}
 
         mutate.stats_add = self._file_stats(store, root, member, files)
+        if change:
+            mutate.change_meta = change
         self._commit(store, root, mutate)
 
     def drop_partition_dir(self, store, path: str) -> None:
@@ -1473,6 +1520,12 @@ class ManifestCommit(ParquetLeaseCommit):
         self._commit(store, root, mutate)
         self.vacuum(store, root)
 
+    def tracks_changes(self, store, path: str) -> bool:
+        # _resolve, not _target_for_write: a capability probe must not
+        # mkdir a log for a not-yet-existing table. A path with no
+        # version log YET has no feed consumers to serve either.
+        return self._resolve(store, path) is not None
+
     @staticmethod
     def cdf_member_of(member: str) -> str:
         """Change-file member name for a table member. Not underscore-
@@ -1483,6 +1536,26 @@ class ManifestCommit(ParquetLeaseCommit):
         and the feed self-expires with the retention horizon (the
         Delta ``_change_data`` lifecycle)."""
         return f"{member}~cdf" if member else "~cdf"
+
+    def _stage_cdf(
+        self, store, root: str, member: str, cdf_df,
+        change: dict | None,
+    ) -> dict:
+        """Stage a typed row-level change DataFrame for ``member`` and
+        return the ``change`` metadata block (``kind: "cdf"``) the
+        commit entry must carry — the files live under
+        ``cdf_member_of(member)``, outside the committed table map, and
+        vacuum retains them exactly as long as their entry."""
+        cdf_files = self._stage_in(
+            store, root, self.cdf_member_of(member),
+            lambda tmp: cdf_df.write.mode("overwrite").parquet(tmp),
+        )
+        return {
+            **(change or {}),
+            "kind": "cdf",
+            "cdf_member": self.cdf_member_of(member),
+            "files": cdf_files,
+        }
 
     def rewrite_files(
         self, store, path: str, remove, write_fn,
@@ -1542,18 +1615,8 @@ class ManifestCommit(ParquetLeaseCommit):
             if write_fn is not None
             else []
         )
-        cdf_files: list[str] = []
         if cdf_df is not None:
-            cdf_files = self._stage_in(
-                store, root, self.cdf_member_of(member),
-                lambda tmp: cdf_df.write.mode("overwrite").parquet(tmp),
-            )
-            change = {
-                **(change or {}),
-                "kind": "cdf",
-                "cdf_member": self.cdf_member_of(member),
-                "files": cdf_files,
-            }
+            change = self._stage_cdf(store, root, member, cdf_df, change)
 
         def mutate(tables):
             old = list(tables.get(member, []))
@@ -2160,6 +2223,13 @@ class ManifestCommit(ParquetLeaseCommit):
         added: list[str] = []
         for v, change, adds, removes, astats in walk:
             kind = change.get("kind")
+            if kind == "cdf" and change.get(
+                "cdf_member"
+            ) != self.cdf_member_of(member):
+                # change metadata is entry-global: a row-level commit
+                # on a SIBLING member of the same root must be read as
+                # this member's plain file diff, not as its changes
+                kind = None
             if kind == "preserve":
                 continue
             if kind == "cdf" or removes:
@@ -2239,6 +2309,12 @@ class ManifestCommit(ParquetLeaseCommit):
         parts = []
         for v, change, adds, removes, astats in walk:
             kind = change.get("kind")
+            if kind == "cdf" and change.get(
+                "cdf_member"
+            ) != self.cdf_member_of(member):
+                # sibling member's row-level commit (entry-global
+                # metadata): treat as this member's plain file diff
+                kind = None
             if kind == "preserve":
                 continue
             if kind == "cdf":

@@ -183,6 +183,10 @@ class TimeseriesStore:
         for path in (
             self.config.hot_path,
             f"{self.config.hot_path}/_spark_metadata",
+            # manifest-hot mode: every commit adds a _log entry, so the
+            # log listing is the staleness signal for ALL mutations
+            # (appends into existing partition dirs included)
+            f"{self.config.hot_path}/_log",
             self.config.l0_path,
             self.config.l0_staging_path,
         ):
@@ -340,15 +344,42 @@ class TimeseriesStore:
         with self.commit.maintenance_lock(self):
             self._append_hot(out)
 
+    def _hot_is_manifest(self) -> bool:
+        """True when the L1 hot table is (or should become) managed by
+        the commit backend's version log. STICKY: once a hot manifest
+        log exists, every writer commits through it regardless of its
+        own ``manifest_hot`` flag — mixed-mode writes would make files
+        invisible to manifest readers. A pre-existing PLAIN hot
+        directory stays directory-mode even under the flag (the seam
+        refuses to adopt a layout it didn't create)."""
+        if self.commit.tracks_changes(self, self.config.hot_path):
+            return True
+        if not self.config.manifest_hot:
+            return False
+        # the flag asks for manifest mode on a NEW table only
+        hot = self.config.hot_path
+        return not (
+            self.fs.exists(hot)
+            and (not self.fs.is_dir(hot) or self.fs.listdir(hot))
+        )
+
     def _append_hot(self, df: DataFrame) -> None:
         writer = df
         if self.config.sort_within_partitions:
             writer = df.sortWithinPartitions("tag", "ts")
-        (
-            writer.write.mode("append")
-            .partitionBy(*self.config.partition_cols)
-            .parquet(self.config.hot_path)
-        )
+        if self._hot_is_manifest():
+            # Transactional L1: one atomic manifest commit per append
+            # (creates the version log on the first write).
+            self.commit.append_partitioned(
+                self, writer, self.config.hot_path,
+                list(self.config.partition_cols),
+            )
+        else:
+            (
+                writer.write.mode("append")
+                .partitionBy(*self.config.partition_cols)
+                .parquet(self.config.hot_path)
+            )
         self.invalidate_hot_cache()
 
     def _append_l0(self, df: DataFrame) -> None:
@@ -564,7 +595,17 @@ class TimeseriesStore:
             return self._hot_cache[1]
         field_names = [f.name for f in SAMPLE_SCHEMA.fields]
         tiers = []
-        if self.fs.exists(self.config.hot_path):
+        if self.commit.tracks_changes(self, self.config.hot_path):
+            # Manifest-managed L1 (see EngineConfig.manifest_hot): the
+            # snapshot is the COMMITTED file list — a raw directory
+            # scan would double-read superseded files a rewrite left
+            # for deferred vacuum.
+            tiers.append(
+                self.commit.read_table(
+                    self, self.config.hot_path, SAMPLE_SCHEMA
+                ).select(*field_names)
+            )
+        elif self.fs.exists(self.config.hot_path):
             tiers.append(
                 self.spark.read.schema(SAMPLE_SCHEMA)
                 .parquet(self.config.hot_path)

@@ -74,6 +74,18 @@ def start_hot_ingest(
     route through ``start_hot_ingest_with_maintenance``, which collapses
     intra-batch duplicates per micro-batch.
     """
+    if store.commit.tracks_changes(store, store.config.hot_path) or (
+        store.config.manifest_hot
+    ):
+        from redis_lsm_timeseries_spark.errors import ValidationError
+
+        raise ValidationError(
+            "start_hot_ingest writes raw files under the hot root, "
+            "which a manifest-managed hot tier (EngineConfig."
+            "manifest_hot) would never see — use "
+            "start_hot_ingest_with_maintenance (foreachBatch -> "
+            "write_df commits through the log)"
+        )
     w = store.config.partition_width
     enriched = (
         stream.withColumn(

@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, functions as F
 from redis_lsm_timeseries_spark.errors import ValidationError
 from redis_lsm_timeseries_spark.schema import (
     COLD_SNAPSHOT_SCHEMA,
+    LWW_ORDER_COLS,
     MEMBER_IDENTITY_COLS,
     PURGE_LOG_SCHEMA,
     SAMPLE_SCHEMA,
@@ -238,6 +239,32 @@ def purge_scan(
     return marks
 
 
+def _hot_partition_prefixes(
+    store: TimeseriesStore, parts: set[tuple]
+) -> list[str]:
+    """Member-relative hive prefixes of the given (tag, part_start)
+    hot partitions, derived from the manifest's OWN file paths (so
+    hive ``%XX``-escaped tag values match byte-for-byte — a
+    hand-built ``tag={tag}`` string would miss them)."""
+    if not parts:
+        return []
+    from redis_lsm_timeseries_spark.commit import ManifestCommit
+
+    want = {(str(t), str(p)) for t, p in parts}
+    prefixes: set[str] = set()
+    for f in store.commit.member_files(store, store.config.hot_path) or []:
+        segs = f.split("/")
+        if len(segs) < 3:
+            continue
+        vals = tuple(
+            ManifestCommit._unescape_partition(s.partition("=")[2])
+            for s in segs[:2]
+        )
+        if vals in want:
+            prefixes.add("/".join(segs[:2]))
+    return sorted(prefixes)
+
+
 def purge_ack(
     store: TimeseriesStore, purge_id: str, now_ms: int | None = None
 ) -> bool:
@@ -353,21 +380,42 @@ def purge_ack_many(
         (r.tag, r.part_start)
         for r in remaining.select("tag", "part_start").distinct().collect()
     }
-    for tag, part_start in affected - nonempty:
-        # Partition fully evicted: dynamic overwrite rewrites only
-        # partitions present in the output, so drop emptied ones here.
-        store.commit.drop_partition_dir(
-            store,
-            f"{store.config.hot_path}/tag={tag}/part_start={part_start}",
-        )
-    if nonempty:
-        # Only the acked partitions' directories are replaced — see
-        # ParquetLeaseCommit.overwrite_partitions for the per-write
-        # dynamic-overwrite requirement.
+    if store.commit.tracks_changes(store, store.config.hot_path):
+        # Manifest backend: ONE atomic commit carries the partition
+        # rewrites, the emptied-partition drops, AND the evicted rows
+        # as typed CDF deletes — a keyed mirror of the hot table
+        # consumes the eviction as O(evicted) row deletes instead of
+        # a full resync, and no feed version ever shows a torn ack
+        # (rows gone from one partition but not yet another).
+        evicted = hot_parts.join(
+            F.broadcast(snapshot), on=MEMBER_IDENTITY_COLS, how="left_semi"
+        ).withColumn(store.commit.CDF_TYPE_COL, F.lit("delete"))
+        n_rows = sum(marks[pid][2] for pid in valid)
         store.commit.overwrite_partitions(
-            store, remaining, store.config.hot_path,
+            store,
+            remaining if nonempty else None,
+            store.config.hot_path,
             store.config.partition_cols,
+            cdf_df=evicted.coalesce(max(1, min(32, n_rows // 1_000_000 + 1))),
+            drop_prefixes=_hot_partition_prefixes(store, affected - nonempty),
         )
+    else:
+        for tag, part_start in affected - nonempty:
+            # Partition fully evicted: dynamic overwrite rewrites only
+            # partitions present in the output, so drop emptied ones
+            # here.
+            store.commit.drop_partition_dir(
+                store,
+                f"{store.config.hot_path}/tag={tag}/part_start={part_start}",
+            )
+        if nonempty:
+            # Only the acked partitions' directories are replaced — see
+            # ParquetLeaseCommit.overwrite_partitions for the per-write
+            # dynamic-overwrite requirement.
+            store.commit.overwrite_partitions(
+                store, remaining, store.config.hot_path,
+                store.config.partition_cols,
+            )
     store.invalidate_hot_cache()
     _append_log(
         store,
@@ -429,6 +477,10 @@ def _vacuum_locked(store: TimeseriesStore) -> dict:
     backends (ManifestCommit) reclaim here; the directory backend's
     inherited no-op returns 0 everywhere. Caller holds the lease."""
     roots = [store.config.purge_log_path, store.config.cold_path]
+    if store.commit.tracks_changes(store, store.config.hot_path):
+        # manifest-hot mode (r13): L1 rewrites defer physical deletes
+        # to vacuum like every other manifest table
+        roots.append(store.config.hot_path)
     rollups_dir = f"{store.config.base_path}/rollups"
     if store.fs.exists(rollups_dir):
         roots.extend(
@@ -528,8 +580,27 @@ def compact(
         .localCheckpoint()
     )
     rows_after = winners.count()
+    cdf = None
+    if store.commit.tracks_changes(store, store.config.hot_path):
+        # Tell row-level change feeds exactly which duplicates lost
+        # the LWW race, staged ATOMICALLY with the rewrite: the
+        # winners are content-identical to rows the feed already
+        # delivered, so the change set nets to pure deletes and a
+        # keyed mirror applies O(losers) work instead of a full
+        # resync after every compaction pass. The anti-join keys on
+        # the non-nullable member identity (key + full LWW order
+        # tuple — `value` is nullable and equality-join-unsafe);
+        # a physically duplicated identical member compacts with no
+        # change rows, which is right: its content never changed.
+        identity = ["tag", "ts", *LWW_ORDER_COLS]
+        losers = target.join(
+            winners.select(*identity), identity, "left_anti"
+        ).withColumn(store.commit.CDF_TYPE_COL, F.lit("delete"))
+        excess = max(0, rows_before - rows_after)
+        cdf = losers.coalesce(max(1, min(32, excess // 1_000_000 + 1)))
     store.commit.overwrite_partitions(
-        store, winners, store.config.hot_path, store.config.partition_cols
+        store, winners, store.config.hot_path,
+        store.config.partition_cols, cdf_df=cdf,
     )
     store.invalidate_hot_cache()
     return CompactionMetrics(

@@ -43,6 +43,37 @@ def _mk(spark, tmp_path, name="engine"):
     return s
 
 
+def _dump_state(store, key):
+    """Forensic dump for the rare lose-nothing flake (VERDICT r12 #2):
+    the physical layout plus every raw member for the lost key, so one
+    captured failure distinguishes (a) a segment that vanished from
+    L0/staging, (b) a fold that never reached L1, (c) an overwrite
+    that dropped a folded row, (d) a stale read of present data."""
+    import os
+
+    lines = [f"--- state dump for key {key} ---"]
+    for label, path in (
+        ("l0", store.config.l0_path),
+        ("staging", store.config.l0_staging_path),
+        ("hot", store.config.hot_path),
+    ):
+        if not os.path.exists(path):
+            lines.append(f"{label}: <absent>")
+            continue
+        for root, _dirs, files in os.walk(path):
+            rel = os.path.relpath(root, path)
+            for f in sorted(files):
+                sz = os.path.getsize(os.path.join(root, f))
+                lines.append(f"{label}: {rel}/{f} ({sz}B)")
+    tag, ts = key
+    store.invalidate_hot_cache()
+    raw = store.hot().where(
+        (F.col("tag") == tag) & (F.col("ts") == ts)
+    ).collect()
+    lines.append(f"raw members for {key} (fresh hot scan): {raw}")
+    return "\n".join(lines)
+
+
 def _second_writer(spark, store):
     """Another writer process on the SAME namespace (fresh writer_id,
     fresh lease state)."""
@@ -97,13 +128,13 @@ class TestRowBatchWritesVsMaintenance:
             key = (f"tag{k % 4}", k * 100)
             assert rows.get(key) == f"v{n_batches - 1}", (
                 f"lost update at {key}: got {rows.get(key)!r}, "
-                f"total rows {len(rows)}"
+                f"total rows {len(rows)}\n" + _dump_state(b, key)
             )
         for i in range(n_batches):
             key = (f"round{i}", 50)
             assert rows.get(key) == f"r{i}", (
                 f"lost row at {key}: got {rows.get(key)!r}, "
-                f"total rows {len(rows)}"
+                f"total rows {len(rows)}\n" + _dump_state(b, key)
             )
 
     def test_write_after_compaction_scan_survives(self, spark, tmp_path):
