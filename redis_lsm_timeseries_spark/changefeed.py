@@ -49,6 +49,20 @@ def _cursor_key(app_id: str) -> str:
     return f"mirror:{app_id}"
 
 
+def _checked_transform(transform, df, keys):
+    """Apply a user transform on the keyed path, failing loudly if it
+    dropped or renamed a key column (the applies would silently match
+    nothing otherwise)."""
+    out = transform(df)
+    missing = [k for k in keys if k not in out.columns]
+    if missing:
+        raise ValidationError(
+            f"mirror_changes: transform dropped key column(s) "
+            f"{missing} — the keyed applies need them verbatim"
+        )
+    return out
+
+
 def mirror_changes(
     host,
     src_path: str,
@@ -88,21 +102,20 @@ def mirror_changes(
     world after every maintenance pass and writing only what changed.
     The applies are idempotent by key, so a crash between them and
     the cursor commit replays to the same state (exactly-once
-    EFFECT); the trailing cursor commit still CASes. ``transform`` is
-    rejected with ``keys`` — a transform could rename or drop the key
-    columns the applies need. The engine's own maintenance is fully
+    EFFECT); the trailing cursor commit still CASes. ``transform``
+    composes with ``keys`` (r13): it must be row-local
+    (project/filter/enrich), DETERMINISTIC, and must preserve the key
+    columns — it is applied to the netted upsert rows (and the
+    initial/resync snapshot), and a row the transform FILTERS OUT is
+    applied as a key delete, so a per-tenant filtered mirror tracks
+    rows leaving its subset. A transform that drops a key column
+    raises ``ValidationError``. The engine's own maintenance is fully
     feed-transparent (r13): LWW compaction stages its losing
     duplicates and purge-ack its evicted members as CDF delete rows
     in the same atomic commit, so only an EXTERNAL unmarked content
     rewrite (a raw ``snapshot_rewrite`` without change metadata)
     still resyncs."""
     commit = commit if commit is not None else ManifestCommit()
-    if keys is not None and transform is not None:
-        raise ValidationError(
-            "mirror_changes: transform and keys are mutually "
-            "exclusive (the keyed applies need the source's key "
-            "columns verbatim)"
-        )
     versions = commit.table_versions(host, src_path)
     if not versions:
         raise ValidationError(
@@ -121,7 +134,12 @@ def mirror_changes(
 
     if cursor is None:
         snap = commit.read_table(host, src_path, None, version=latest)
-        out = transform(snap) if transform is not None else snap
+        if transform is None:
+            out = snap
+        elif keys is not None:
+            out = _checked_transform(transform, snap, keys)
+        else:
+            out = transform(snap)
         n = out.count()
         commit.append_table_with_meta(
             host, dst_path, out, {_cursor_key(app_id): latest},
@@ -141,7 +159,7 @@ def mirror_changes(
     if keys is not None:
         return _apply_row_changes(
             host, commit, src_path, dst_path, keys, since, latest, cas,
-            _cursor_key(app_id),
+            _cursor_key(app_id), transform,
         )
     try:
         delta = commit.read_changes(
@@ -174,7 +192,7 @@ def mirror_changes(
 
 def _apply_row_changes(
     host, commit, src_path, dst_path, keys, since, latest, cas,
-    cursor_key,
+    cursor_key, transform=None,
 ) -> MirrorMetrics:
     """Keyed incremental apply: fold the row-level feed to its NET
     effect per key (last change in version order wins — a key merged
@@ -199,6 +217,8 @@ def _apply_row_changes(
         )
     except (NonAppendHistoryError, VersionNotFoundError):
         snap = commit.read_table(host, src_path, None, version=latest)
+        if transform is not None:
+            snap = _checked_transform(transform, snap, keys)
         commit.replace_table_with_meta(
             host, dst_path, snap, {cursor_key: latest},
             expected_app=cas,
@@ -237,6 +257,21 @@ def _apply_row_changes(
     net = net.localCheckpoint(eager=False)  # consumed by two branches
     upserts = net.where(F.col(tcol) != "delete").drop(tcol, vcol)
     deletes = net.where(F.col(tcol) == "delete").select(*keys)
+    if transform is not None:
+        # Row-local reshape of the netted upserts. A row the transform
+        # FILTERS OUT left the mirrored subset — apply it as a key
+        # delete, so a filtered mirror converges to
+        # transform(snapshot) exactly. Deletes carry keys only and
+        # pass through untouched (the contract requires the transform
+        # to preserve key columns).
+        shaped = _checked_transform(
+            transform, upserts, keys
+        ).localCheckpoint(eager=False)
+        left_subset = upserts.select(*keys).subtract(
+            shaped.select(*keys)
+        )
+        deletes = deletes.unionByName(left_subset)
+        upserts = shaped
     n_up = upserts.count()
     n_del = deletes.count()
     # idempotent keyed applies, cursor committed LAST — and every

@@ -39,6 +39,7 @@ delegate to the table format's transaction API.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import time
 import uuid
@@ -522,6 +523,9 @@ LOG_DIR = "_log"
 DATA_DIR = "data"
 STAGE_DIR = "_stage"
 CHECKPOINT_SUFFIX = ".checkpoint.json"
+#: content-addressed per-member checkpoint parts live under
+#: ``_log/parts/{sha}.json`` (r13) — see _write_checkpoint
+PARTS_DIR = "parts"
 
 #: reconstruction cache: (root, version, entry-file stat signature) ->
 #: snapshot state. Log entries are immutable once written (put-if-
@@ -800,9 +804,8 @@ class ManifestCommit(ParquetLeaseCommit):
         v = version
         while v >= 0:
             if v in cpset:
-                cp_path = f"{root}/{LOG_DIR}/{v:020d}{CHECKPOINT_SUFFIX}"
                 try:
-                    anchor = json.loads(store.fs.read_text(cp_path))
+                    anchor = self._load_checkpoint(store, root, v)
                     break
                 except Exception:
                     # checkpoint vanished (racing vacuum) or corrupt:
@@ -843,27 +846,138 @@ class ManifestCommit(ParquetLeaseCommit):
         self._cache_put(store, root, version, state)
         return version, state
 
+    def _changed_members_since(
+        self, store, root: str, prev_v: int, version: int
+    ) -> set | None:
+        """Members whose file lists changed in ``(prev_v, version]``,
+        from the delta entries alone — or None when the range contains
+        a full (self-describing) entry, whose change cannot be
+        attributed per member. O(interval) small reads."""
+        touched: set = set()
+        for v in range(prev_v + 1, version + 1):
+            entry = json.loads(
+                store.fs.read_text(f"{root}/{LOG_DIR}/{v:020d}.json")
+            )
+            if "tables" in entry:
+                return None
+            delta = entry.get("delta", {})
+            touched |= set(delta.get("add", {}))
+            touched |= set(delta.get("remove", {}))
+        return touched
+
     def _write_checkpoint(
         self, store, root: str, version: int, tables, stats, app
     ) -> bool:
         """Best-effort full-state checkpoint at ``version`` — losers
         of the put-if-absent race and IO failures are harmless (the
         next interval or vacuum writes one); readers fall back to the
-        entry chain either way."""
-        payload = {
-            "version": version,
-            "ts_ms": _now_ms(),
+        entry chain either way.
+
+        MEMBER-PART format (r13): the checkpoint manifest records one
+        content-addressed part reference per member
+        (``_log/parts/{sha}.json`` holding that member's file list +
+        stats); a member unchanged since the previous checkpoint is
+        REUSED by reference — neither serialized nor rewritten — so
+        the every-INTERVAL write costs O(members that changed), not
+        O(table). A ~100k-file member sitting next to a busy small
+        member stops paying tens of MB of synchronous JSON every 10
+        commits (the Delta multi-part / Iceberg manifest-list idea,
+        keyed by content instead of position). Legacy single-blob
+        checkpoints still load (``_load_checkpoint``)."""
+        try:
+            _, cps = self._list_log(store, root)
+            prev_parts: dict = {}
+            touched: set | None = None
+            prev = max((c for c in cps if c < version), default=None)
+            if prev is not None:
+                try:
+                    pm = json.loads(
+                        store.fs.read_text(
+                            f"{root}/{LOG_DIR}/{prev:020d}"
+                            f"{CHECKPOINT_SUFFIX}"
+                        )
+                    )
+                    prev_parts = pm.get("parts", {})
+                    if prev_parts:
+                        touched = self._changed_members_since(
+                            store, root, prev, version
+                        )
+                except Exception:
+                    prev_parts, touched = {}, None
+            parts_dir = f"{root}/{LOG_DIR}/{PARTS_DIR}"
+            store.fs.makedirs(parts_dir)
+            refs: dict = {}
+            for m, files in tables.items():
+                if (
+                    touched is not None
+                    and m not in touched
+                    and m in prev_parts
+                    and store.fs.exists(
+                        f"{parts_dir}/{prev_parts[m]}.json"
+                    )
+                ):
+                    refs[m] = prev_parts[m]
+                    continue
+                part = json.dumps(
+                    {
+                        "member": m,
+                        "files": list(files),
+                        "stats": (stats or {}).get(m, {}),
+                    },
+                    sort_keys=True,
+                )
+                sha = hashlib.sha256(part.encode("utf-8")).hexdigest()[
+                    :16
+                ]
+                ppath = f"{parts_dir}/{sha}.json"
+                if not store.fs.exists(ppath):
+                    store.fs.create_exclusive(ppath, part)
+                refs[m] = sha
+            manifest: dict = {
+                "version": version,
+                "ts_ms": _now_ms(),
+                "parts": refs,
+            }
+            if app:
+                manifest["app"] = app
+            path = f"{root}/{LOG_DIR}/{version:020d}{CHECKPOINT_SUFFIX}"
+            return store.fs.create_exclusive(path, json.dumps(manifest))
+        except Exception:
+            return False
+
+    def _load_checkpoint(self, store, root: str, v: int) -> dict:
+        """Load a checkpoint into anchor form ({'tables','stats',
+        'app'} + version), assembling member parts for the r13 format
+        and passing the legacy single-blob form through. Raises on any
+        missing/corrupt piece — callers treat a failed load as
+        'checkpoint absent' and fall back to the entry chain."""
+        payload = json.loads(
+            store.fs.read_text(
+                f"{root}/{LOG_DIR}/{v:020d}{CHECKPOINT_SUFFIX}"
+            )
+        )
+        if "tables" in payload or "parts" not in payload:
+            return payload
+        tables: dict = {}
+        stats: dict = {}
+        for m, sha in payload["parts"].items():
+            part = json.loads(
+                store.fs.read_text(
+                    f"{root}/{LOG_DIR}/{PARTS_DIR}/{sha}.json"
+                )
+            )
+            tables[m] = list(part["files"])
+            if part.get("stats"):
+                stats[m] = dict(part["stats"])
+        out: dict = {
+            "version": payload.get("version", v),
             "tables": tables,
         }
         if stats:
-            payload["stats"] = stats
-        if app:
-            payload["app"] = app
-        path = f"{root}/{LOG_DIR}/{version:020d}{CHECKPOINT_SUFFIX}"
-        try:
-            return store.fs.create_exclusive(path, json.dumps(payload))
-        except Exception:
-            return False
+            out["stats"] = stats
+        if payload.get("app"):
+            out["app"] = payload["app"]
+        return out
 
     def _read_entry_raw(self, store, root: str, v: int, label: str):
         """One raw log entry (full or delta form), with the typed
@@ -1794,18 +1908,19 @@ class ManifestCommit(ParquetLeaseCommit):
                             state["tables"], state["stats"],
                             state["app"],
                         )
-                        anchor_path = (
-                            f"{root}/{LOG_DIR}/{cut:020d}"
-                            f"{CHECKPOINT_SUFFIX}"
-                        )
-                        if not store.fs.exists(anchor_path):
+                        # verify LOADABLE, not merely present: the
+                        # parts format means existence of the manifest
+                        # alone doesn't prove the anchor reconstructs
+                        try:
+                            self._load_checkpoint(store, root, cut)
+                        except Exception as exc:
                             raise ConcurrentMaintenanceError(
                                 f"vacuum aborted: could not anchor the"
                                 f" prune cut {cut} of {root} with a "
-                                "checkpoint; pruning older entries "
-                                "would make every retained snapshot "
-                                "unreconstructible"
-                            )
+                                f"readable checkpoint ({exc}); pruning"
+                                " older entries would make every "
+                                "retained snapshot unreconstructible"
+                            ) from exc
                     for v in kept[1:]:
                         entry = json.loads(
                             store.fs.read_text(
@@ -1852,6 +1967,52 @@ class ManifestCommit(ParquetLeaseCommit):
                 return False
             age = store.fs.age_seconds(path)
             return age is not None and age < grace
+
+        # GC checkpoint parts referenced by NO remaining manifest —
+        # re-list after the prune so a part shared across checkpoint
+        # generations survives exactly as long as any referencing
+        # manifest; grace protects an in-flight checkpoint writer
+        # (parts land before its manifest does).
+        parts_dir = f"{root}/{LOG_DIR}/{PARTS_DIR}"
+        if store.fs.exists(parts_dir):
+            referenced: set = set()
+            refs_complete = True
+            _, live_cps = self._list_log(store, root)
+            for cv in live_cps:
+                try:
+                    manifest = json.loads(
+                        store.fs.read_text(
+                            f"{root}/{LOG_DIR}/{cv:020d}"
+                            f"{CHECKPOINT_SUFFIX}"
+                        )
+                    )
+                    referenced.update(
+                        manifest.get("parts", {}).values()
+                    )
+                except Exception:
+                    # can't know this manifest's parts — skip part GC
+                    # this run rather than guess (claims still sweep)
+                    refs_complete = False
+            for name in store.fs.listdir(parts_dir):
+                p = f"{parts_dir}/{name}"
+                if (
+                    refs_complete
+                    and name.endswith(".json")
+                    and name[:-5] not in referenced
+                    and not _in_grace(p)
+                ):
+                    store.fs.remove_file(p)
+                elif ".claim-" in name and not _in_grace(p):
+                    # orphan create_exclusive temp from a crashed part
+                    # write (ADVICE r12)
+                    store.fs.remove_file(p)
+            store.fs.rmdir_if_empty(parts_dir)
+        # same sweep for crashed entry/checkpoint claims in _log
+        for name in store.fs.listdir(f"{root}/{LOG_DIR}"):
+            if ".claim-" in name:
+                p = f"{root}/{LOG_DIR}/{name}"
+                if not _in_grace(p):
+                    store.fs.remove_file(p)
 
         def _stage_in_grace(path: str) -> bool:
             # A Spark stage writing DEEPER than the token dir (e.g.

@@ -391,7 +391,24 @@ class TimeseriesStore:
         writer = df.coalesce(1)
         if self.config.sort_within_partitions:
             writer = writer.sortWithinPartitions("tag", "ts")
-        writer.write.mode("append").parquet(self.config.l0_path)
+        (
+            writer.write.mode("append")
+            # No _SUCCESS marker for L0 segments: nothing reads it
+            # (hot() lists segment files; staleness tokens hash the
+            # listing) and flush_l0 deletes it — which RACED a
+            # concurrent write()'s job commit creating it (Hadoop's
+            # committer creates the marker then chmods it; the delete
+            # landing between the two fails the whole write job with
+            # "chmod: cannot access .../_SUCCESS"). Root cause of the
+            # ~1/40 multiwriter lose-nothing flake (r13): the leaseless
+            # write()-vs-maintenance contract was broken not by data
+            # loss but by maintenance failing the writer's commit.
+            .option(
+                "mapreduce.fileoutputcommitter.marksuccessfuljobs",
+                "false",
+            )
+            .parquet(self.config.l0_path)
+        )
         self.invalidate_hot_cache()
 
     def flush_l0(self) -> bool:
@@ -473,7 +490,11 @@ class TimeseriesStore:
                 )
         # The _SUCCESS marker (and its sidecar) describe batches that
         # were ALL just moved out — inert now, and they'd block the
-        # rmdir below. _temporary (an in-flight append) is never
+        # rmdir below. New L0 writes no longer create the marker (r13:
+        # deleting it here raced a concurrent write()'s job commit,
+        # which creates-then-chmods it — the captured root cause of
+        # the multiwriter flake), so this removal only tidies legacy
+        # layouts. _temporary (an in-flight append) is never
         # touched: it keeps the dir alive, as it must.
         for marker in ("_SUCCESS", "._SUCCESS.crc"):
             if self.fs.exists(f"{self.config.l0_path}/{marker}"):

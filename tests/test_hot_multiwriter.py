@@ -102,6 +102,17 @@ class TestRowBatchWritesVsMaintenance:
             except Exception as exc:  # surfaced after join
                 compact_errors.append(exc)
 
+        # r13 root cause of the ~1/40 flake: write()'s L0 job commit
+        # CREATES hot_l0/_SUCCESS (create, then chmod) while flush_l0
+        # DELETES it — the delete landing between the two fails the
+        # whole write job ("chmod: cannot access .../_SUCCESS"). The
+        # L0 writer now suppresses the marker entirely (nothing reads
+        # it); this pins that it stays suppressed.
+        b.write([("seed", 0, "s")], ingest_ts=T0 - 1)
+        assert not b.fs.exists(f"{b.config.l0_path}/_SUCCESS"), (
+            "L0 append produced a _SUCCESS marker — the "
+            "flush-vs-commit chmod race is back"
+        )
         t = threading.Thread(target=maintenance)
         t.start()
         try:
@@ -149,10 +160,10 @@ class TestRowBatchWritesVsMaintenance:
         a.flush_l0()
         real = a.commit.overwrite_partitions
 
-        def racing_overwrite(store, df, path, cols):
+        def racing_overwrite(store, df, path, cols, **kw):
             # B's write lands between compaction's scan and its commit
             b.write([("t", 100, "latest"), ("u", 5, "x")], ingest_ts=T0 + 2)
-            return real(store, df, path, cols)
+            return real(store, df, path, cols, **kw)
 
         a.commit.overwrite_partitions = racing_overwrite
         try:

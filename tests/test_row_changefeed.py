@@ -316,12 +316,17 @@ class TestKeyedMirror:
         assert m.mode == "resync"
         assert _rows(spark, host, commit, dst) == [(1, "a")]
 
-    def test_transform_with_keys_rejected(self, spark, tmp_path):
+    def test_transform_dropping_key_column_rejected(
+        self, spark, tmp_path
+    ):
+        """transform composes with keys (r13), but one that drops a
+        key column would make every apply silently match nothing —
+        loud failure instead."""
         host, commit, src, dst = _fx(spark, tmp_path)
-        with pytest.raises(ValidationError):
+        with pytest.raises(ValidationError, match="key column"):
             mirror_changes(
                 host, src, dst, keys=["k"],
-                transform=lambda d: d, commit=commit,
+                transform=lambda d: d.select("v"), commit=commit,
             )
 
 
@@ -558,4 +563,134 @@ class TestEngineMaintenanceFeedTransparency:
         assert got == self._hot_rows(store)
         assert [(r[0], r[1], r[2]) for r in got] == [
             ("GapTag", 2, "PostMark")
+        ]
+
+
+class TestKeyedMirrorTransform:
+    """r13 (VERDICT r12 #6): transform composes with keys — a mirror
+    can reshape (column subset, per-tenant filter) AND survive
+    merges/deletes row-incrementally; a row the transform filters out
+    is applied as a key delete."""
+
+    SCH3 = "k long, v string, extra string"
+
+    def _fx3(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        commit.append_table_with_meta(
+            host, src,
+            spark.createDataFrame(
+                [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")], self.SCH3
+            ).coalesce(1),
+            {},
+        )
+        return host, commit, src, dst
+
+    @staticmethod
+    def _prune(d):
+        return d.select("k", "v")
+
+    def test_column_pruning_transform_through_merge_and_delete(
+        self, spark, tmp_path
+    ):
+        host, commit, src, dst = self._fx3(spark, tmp_path)
+        m0 = mirror_changes(
+            host, src, dst, keys=["k"], transform=self._prune,
+            commit=commit,
+        )
+        assert m0.mode == "initial"
+        merge_into(
+            host, src,
+            spark.createDataFrame(
+                [(1, "A1", "xx"), (9, "new", "w")], self.SCH3
+            ),
+            ["k"], commit=commit,
+        )
+        delete_rows(
+            host, src, spark.createDataFrame([(2,)], "k long"),
+            ["k"], commit=commit,
+        )
+        compact_small_files(host, src, commit=commit)
+        m1 = mirror_changes(
+            host, src, dst, keys=["k"], transform=self._prune,
+            commit=commit,
+        )
+        assert m1.mode == "row-incremental"
+        got = commit.read_table(host, dst, "k long, v string")
+        assert sorted(got.columns) == ["k", "v"]
+        assert sorted((r.k, r.v) for r in got.collect()) == [
+            (1, "A1"), (3, "c"), (9, "new"),
+        ]
+        assert mirror_changes(
+            host, src, dst, keys=["k"], transform=self._prune,
+            commit=commit,
+        ).mode == "noop"
+
+    def test_filtering_transform_deletes_rows_leaving_the_subset(
+        self, spark, tmp_path
+    ):
+        host, commit, src, dst = _fx(spark, tmp_path)  # (1,a),(2,b)
+        keep = lambda d: d.where(F.col("v") != "hidden")  # noqa: E731
+        mirror_changes(
+            host, src, dst, keys=["k"], transform=keep, commit=commit
+        )
+        # key 2's new version leaves the filtered subset; key 5 enters
+        merge_into(
+            host, src, _df(spark, [(2, "hidden"), (5, "vis")]),
+            ["k"], commit=commit,
+        )
+        m = mirror_changes(
+            host, src, dst, keys=["k"], transform=keep, commit=commit
+        )
+        assert m.mode == "row-incremental"
+        assert _rows(spark, host, commit, dst) == [(1, "a"), (5, "vis")]
+        # and re-entry works too
+        merge_into(host, src, _df(spark, [(2, "back")]), ["k"],
+                   commit=commit)
+        mirror_changes(
+            host, src, dst, keys=["k"], transform=keep, commit=commit
+        )
+        assert _rows(spark, host, commit, dst) == [
+            (1, "a"), (2, "back"), (5, "vis"),
+        ]
+
+    def test_transformed_keyed_mirror_replays_exactly_once(
+        self, spark, tmp_path
+    ):
+        host, commit, src, dst = self._fx3(spark, tmp_path)
+        mirror_changes(
+            host, src, dst, keys=["k"], transform=self._prune,
+            commit=commit,
+        )
+        merge_into(
+            host, src,
+            spark.createDataFrame([(1, "A1", "q")], self.SCH3),
+            ["k"], commit=commit,
+        )
+        real = ManifestCommit.append_table_with_meta
+        crash = {"armed": True}
+
+        def crashy(self_, store, path_, df, app_meta, **kw):
+            if crash["armed"] and path_ == dst and df is None:
+                crash["armed"] = False
+                raise RuntimeError("crash before cursor commit")
+            return real(self_, store, path_, df, app_meta, **kw)
+
+        ManifestCommit.append_table_with_meta = crashy
+        try:
+            with pytest.raises(RuntimeError):
+                mirror_changes(
+                    host, src, dst, keys=["k"], transform=self._prune,
+                    commit=commit,
+                )
+        finally:
+            ManifestCommit.append_table_with_meta = real
+        m = mirror_changes(
+            host, src, dst, keys=["k"], transform=self._prune,
+            commit=commit,
+        )
+        assert m.mode == "row-incremental"
+        got = commit.read_table(host, dst, "k long, v string")
+        assert sorted((r.k, r.v) for r in got.collect()) == [
+            (1, "A1"), (2, "b"), (3, "c"),
         ]
