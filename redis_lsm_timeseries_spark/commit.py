@@ -175,6 +175,51 @@ class TableCommit:
         (its mutations are manifest edits, deletes are deferred)."""
         return 0
 
+    #: read-side widening targets supported by ``widen_column``
+    WIDEN_TYPES = {"long", "double"}
+
+    def rename_column(self, store, path: str, old: str, new: str) -> None:
+        """Rename a column. Directory backends have no metadata store,
+        so this is an EAGER whole-table rewrite (read, rename, snapshot
+        swap) — correct, O(table); ``ManifestCommit`` overrides with a
+        metadata-only logical mapping (the Delta column-mapping idiom:
+        physical file schemas never change)."""
+        df = self.read_table(store, path, None)
+        if old not in df.columns:
+            raise ValidationError(
+                f"rename_column: {old!r} not in {df.columns}"
+            )
+        if new in df.columns:
+            raise ValidationError(
+                f"rename_column: {new!r} already exists"
+            )
+        out = df.withColumnRenamed(old, new)
+        self.snapshot_rewrite(
+            store, path,
+            lambda tmp: out.write.mode("overwrite").parquet(tmp),
+        )
+
+    def widen_column(self, store, path: str, column: str, to_type: str) -> None:
+        """Widen a column's read type (int->long, float->double).
+        Directory backends rewrite eagerly; ``ManifestCommit``
+        overrides with a metadata-only cast applied at read (old files
+        keep their narrow physical type; new writes land widened)."""
+        if to_type not in self.WIDEN_TYPES:
+            raise ValidationError(
+                f"widen_column: to_type must be one of "
+                f"{sorted(self.WIDEN_TYPES)}, got {to_type!r}"
+            )
+        df = self.read_table(store, path, None)
+        if column not in df.columns:
+            raise ValidationError(
+                f"widen_column: {column!r} not in {df.columns}"
+            )
+        out = df.withColumn(column, df[column].cast(to_type))
+        self.snapshot_rewrite(
+            store, path,
+            lambda tmp: out.write.mode("overwrite").parquet(tmp),
+        )
+
 
 class ParquetLeaseCommit(TableCommit):
     """Plain-Parquet implementation: lease-file mutual exclusion +
@@ -1470,7 +1515,9 @@ class ManifestCommit(ParquetLeaseCommit):
             return super().append_rows(store, rows, schema, path)
         root, member = target
         rdd = store.spark.sparkContext.parallelize(rows, 1)
-        df = store.spark.createDataFrame(rdd, schema)
+        df = self._to_physical(
+            store, root, member, store.spark.createDataFrame(rdd, schema)
+        )
         files = self._stage_in(
             store, root, member,
             lambda tmp: df.write.mode("overwrite").parquet(tmp),
@@ -1486,6 +1533,7 @@ class ManifestCommit(ParquetLeaseCommit):
                 store, df, path, partition_cols
             )
         root, member = target
+        df = self._to_physical(store, root, member, df)
         files = self._stage_in(
             store, root, member,
             lambda tmp: (
@@ -1525,6 +1573,8 @@ class ManifestCommit(ParquetLeaseCommit):
                 store, df, path, partition_cols
             )
         root, member = target
+        if df is not None:
+            df = self._to_physical(store, root, member, df)
         files = (
             self._stage_in(
                 store, root, member,
@@ -1640,6 +1690,217 @@ class ManifestCommit(ParquetLeaseCommit):
         # version log YET has no feed consumers to serve either.
         return self._resolve(store, path) is not None
 
+    # -- schema evolution (r13) ---------------------------------------------
+    #
+    # The Delta column-mapping idiom on the app map: physical file
+    # schemas NEVER change; a per-member ``__schema__:{member}`` app
+    # entry records the logical view — ``map`` (logical name ->
+    # physical name; rename is one metadata commit) and ``widen``
+    # (logical name -> read-side cast: int->long, float->double; old
+    # files keep their narrow type, new writes land widened). Readers
+    # assemble the logical view; appends translate logical -> physical
+    # so every file stays physically consistent; stats/pruning
+    # translate predicates to physical names (superset-safe: kind
+    # normalization already unifies numeric widths). Row-level
+    # rewrites (merge/delete CDF) refuse on a mapped member — their
+    # source joins and change rows are logical-named, and writing
+    # logical names into a physical-named member would corrupt the
+    # mapping invariant. Physical-name-preserving maintenance
+    # (compact_small_files, Z-order — raw read, raw rewrite) stays
+    # allowed.
+
+    @staticmethod
+    def _schema_key(member: str) -> str:
+        return f"__schema__:{member}"
+
+    def schema_meta(self, store, path: str) -> dict:
+        """The member's logical-view metadata ({"map": ..., "widen":
+        ...}; {} when unmapped or unmanaged)."""
+        resolved = self._resolve(store, path)
+        if resolved is None:
+            return {}
+        root, member = resolved
+        _, entry = self._current_entry(store, root)
+        return entry.get("app", {}).get(self._schema_key(member)) or {}
+
+    def _mapped_scan(self, store, base: str, files, meta):
+        """Physical scan of a mapped member, widen-safe: with a widen
+        in play the member legitimately mixes physical widths (old
+        files narrow, post-widen files wide), so inference from one
+        footer would fail on the other generation — force an explicit
+        physical schema with the widened types (Spark 4's parquet
+        reader upcasts int->long / float->double at scan), then
+        assemble the logical view."""
+        from pyspark.sql import types as T
+
+        paths = [f"{base}/{f}" for f in files]
+        reader = store.spark.read.option("basePath", base)
+        df = reader.parquet(*paths)
+        widen = meta.get("widen", {})
+        if widen:
+            wide = {"long": T.LongType(), "double": T.DoubleType()}
+            inv = {p: l for l, p in meta.get("map", {}).items()}
+            forced = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        wide[widen[inv.get(f.name, f.name)]]
+                        if inv.get(f.name, f.name) in widen
+                        else f.dataType,
+                        f.nullable,
+                    )
+                    for f in df.schema.fields
+                ]
+            )
+            df = (
+                store.spark.read.option("basePath", base)
+                .schema(forced)
+                .parquet(*paths)
+            )
+        return self._logical_view(df, meta)
+
+    @staticmethod
+    def _logical_view(df, meta):
+        """Physical scan -> logical view: inverse-rename mapped
+        columns and apply read-side widening casts."""
+        from pyspark.sql import functions as F
+
+        mapping = meta.get("map", {})
+        widen = meta.get("widen", {})
+        inv = {p: l for l, p in mapping.items()}
+        cols = []
+        for c in df.columns:
+            logical = inv.get(c, c)
+            col = F.col(c)
+            if logical in widen:
+                col = col.cast(widen[logical])
+            cols.append(col.alias(logical))
+        return df.select(*cols)
+
+    @staticmethod
+    def _apply_logical_schema(store, df, schema):
+        """Project the logical view onto a caller-requested schema:
+        cast present columns, null-fill absent ones (the additive-
+        evolution contract, preserved across the mapping)."""
+        from pyspark.sql import functions as F, types as T
+
+        st = (
+            schema
+            if isinstance(schema, T.StructType)
+            else T.StructType.fromDDL(schema)
+        )
+        present = set(df.columns)
+        return df.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in present
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in st.fields
+            ]
+        )
+
+    def _to_physical(self, store, root: str, member: str, df):
+        """Logical DataFrame -> physical write shape: rename mapped
+        columns to their stable physical names; store widened columns
+        at their widened type (so one file never mixes widths with its
+        own stats)."""
+        from pyspark.sql import functions as F
+
+        _, entry = self._current_entry(store, root)
+        meta = entry.get("app", {}).get(self._schema_key(member)) or {}
+        mapping = meta.get("map", {})
+        widen = meta.get("widen", {})
+        if not mapping and not widen:
+            return df
+        cols = []
+        for c in df.columns:
+            col = F.col(c)
+            if c in widen:
+                col = col.cast(widen[c])
+            cols.append(col.alias(mapping.get(c, c)))
+        return df.select(*cols)
+
+    def rename_column(self, store, path: str, old: str, new: str) -> None:
+        """Metadata-only rename: one log entry updating the member's
+        logical mapping — zero data files touched, old files read
+        under the new name forever after. Refuses hive partition
+        columns (their names are baked into directory paths)."""
+        target = self._target_for_write(store, path)
+        if target is None:
+            return super().rename_column(store, path, old, new)
+        root, member = target
+        logical_cols = self.read_table(store, path, None).columns
+        if old not in logical_cols:
+            raise ValidationError(
+                f"rename_column: {old!r} not in {logical_cols}"
+            )
+        if new in logical_cols:
+            raise ValidationError(
+                f"rename_column: {new!r} already exists"
+            )
+        _, tables = self._current(store, root)
+        from redis_lsm_timeseries_spark.operators.merge import (
+            partition_cols_of,
+        )
+
+        pcols = partition_cols_of(tables.get(member, []))
+        if old in pcols or new in pcols:
+            raise ValidationError(
+                "rename_column: hive partition columns cannot be "
+                "renamed by mapping (their names are directory paths)"
+            )
+        key = self._schema_key(member)
+        _, entry = self._current_entry(store, root)
+        cur = entry.get("app", {}).get(key) or {}
+        mapping = dict(cur.get("map", {}))
+        widen = dict(cur.get("widen", {}))
+        phys = mapping.pop(old, old)
+        mapping[new] = phys
+        if old in widen:
+            widen[new] = widen.pop(old)
+        meta = {k: v for k, v in (("map", mapping), ("widen", widen)) if v}
+        mutate = lambda t: t  # noqa: E731 — metadata-only commit
+        mutate.app_meta = {key: meta}
+        # CAS on the schema key: two racing evolutions must not clobber
+        mutate.entry_guard = self._app_cas_guard(
+            {key: entry.get("app", {}).get(key)}
+        )
+        self._commit(store, root, mutate)
+
+    def widen_column(self, store, path: str, column: str, to_type: str) -> None:
+        """Metadata-only widen: the column reads (and new files write)
+        at the wider type; existing files keep their narrow physical
+        type and their stats stay comparable (kind-normalized)."""
+        if to_type not in self.WIDEN_TYPES:
+            raise ValidationError(
+                f"widen_column: to_type must be one of "
+                f"{sorted(self.WIDEN_TYPES)}, got {to_type!r}"
+            )
+        target = self._target_for_write(store, path)
+        if target is None:
+            return super().widen_column(store, path, column, to_type)
+        root, member = target
+        logical_cols = self.read_table(store, path, None).columns
+        if column not in logical_cols:
+            raise ValidationError(
+                f"widen_column: {column!r} not in {logical_cols}"
+            )
+        key = self._schema_key(member)
+        _, entry = self._current_entry(store, root)
+        cur = entry.get("app", {}).get(key) or {}
+        mapping = dict(cur.get("map", {}))
+        widen = dict(cur.get("widen", {}))
+        widen[column] = to_type
+        meta = {k: v for k, v in (("map", mapping), ("widen", widen)) if v}
+        mutate = lambda t: t  # noqa: E731
+        mutate.app_meta = {key: meta}
+        mutate.entry_guard = self._app_cas_guard(
+            {key: entry.get("app", {}).get(key)}
+        )
+        self._commit(store, root, mutate)
+
     @staticmethod
     def cdf_member_of(member: str) -> str:
         """Change-file member name for a table member. Not underscore-
@@ -1723,6 +1984,19 @@ class ManifestCommit(ParquetLeaseCommit):
                 "for directory tables)"
             )
         root, member = target
+        if (cdf_df is not None or (change or {}).get("kind") == "cdf") and (
+            self.schema_meta(store, path)
+        ):
+            raise ValidationError(
+                f"{path!r} has a logical column mapping (rename/widen): "
+                "row-level rewrites (merge/delete) are not "
+                "mapping-aware — their change rows would write logical "
+                "names into a physical-named member. Rewrite the table "
+                "to materialize the mapping first, or keep row-level "
+                "ops off mapped members. (Physical-name-preserving "
+                "maintenance — compact_small_files, Z-order — stays "
+                "allowed.)"
+            )
         remove = list(remove)
         files = (
             self._stage_in(store, root, member, write_fn)
@@ -2107,6 +2381,16 @@ class ManifestCommit(ParquetLeaseCommit):
             raise FileNotFoundError(path)
         base = self._member_root(root, member)
         reader = store.spark.read.option("basePath", base)
+        meta = entry.get("app", {}).get(self._schema_key(member)) or {}
+        if meta:
+            # mapped member: scan physical, assemble the logical view;
+            # the caller's schema projects onto it (cast + additive
+            # null-fill) — the entry's OWN app map carries the
+            # mapping, so time travel sees the view as of that version
+            df = self._mapped_scan(store, base, files, meta)
+            if schema is not None:
+                df = self._apply_logical_schema(store, df, schema)
+            return df
         if schema is not None:
             reader = reader.schema(schema)
         return reader.parquet(*[f"{base}/{f}" for f in files])
@@ -2221,7 +2505,16 @@ class ManifestCommit(ParquetLeaseCommit):
         PROVE no row can match — files without stats (pre-stats
         entries, unreadable footers, unindexed columns) always
         survive, so the result is a superset of the matching files and
-        the caller's real filter stays mandatory."""
+        the caller's real filter stays mandatory.
+
+        Timezone convention (ADVICE r12): NAIVE datetime/timestamp
+        predicate values are interpreted as UTC, matching how stats
+        are recorded from parquet footers. Spark row filters interpret
+        naive literals in the SESSION timezone — the engine pins UTC
+        (``session.py``), but on a user-supplied non-UTC session a
+        naive datetime predicate here could prune files whose rows the
+        row filter would match. Either pin the session to UTC or pass
+        tz-aware datetimes."""
         resolved = self._resolve(store, path)
         if resolved is None:
             return None
@@ -2229,6 +2522,15 @@ class ManifestCommit(ParquetLeaseCommit):
         entry = self._load_entry(store, path, root, version)
         files = entry["tables"].get(member, [])
         stats = entry.get("stats", {}).get(member, {})
+        meta = entry.get("app", {}).get(self._schema_key(member)) or {}
+        mapping = meta.get("map", {})
+        if mapping:
+            # predicates arrive on LOGICAL names; stats are recorded
+            # under physical ones. Superset-safety across widening is
+            # free: _norm_scalar kind-normalizes numeric widths.
+            predicates = {
+                mapping.get(c, c): b for c, b in predicates.items()
+            }
         sorted_sets = self._sorted_sets(predicates)
         kept = [
             f for f in files
@@ -2271,6 +2573,12 @@ class ManifestCommit(ParquetLeaseCommit):
         root, member = self._resolve(store, path)
         base = self._member_root(root, member)
         reader = store.spark.read.option("basePath", base)
+        meta = self.schema_meta(store, path)
+        if meta:
+            df = self._mapped_scan(store, base, kept, meta)
+            if schema is not None:
+                df = self._apply_logical_schema(store, df, schema)
+            return df
         if schema is not None:
             reader = reader.schema(schema)
         return reader.parquet(*[f"{base}/{f}" for f in kept])
@@ -2579,6 +2887,8 @@ class ManifestCommit(ParquetLeaseCommit):
                 "commits need the log"
             )
         root, member = target
+        if df is not None:
+            df = self._to_physical(store, root, member, df)
         files = (
             self._stage_in(
                 store, root, member,
@@ -2613,6 +2923,7 @@ class ManifestCommit(ParquetLeaseCommit):
                 "commits need the log"
             )
         root, member = target
+        df = self._to_physical(store, root, member, df)
         files = self._stage_in(
             store, root, member,
             lambda tmp: df.write.mode("overwrite").parquet(tmp),
@@ -2670,32 +2981,45 @@ class ManifestCommit(ParquetLeaseCommit):
         if resolved is None:
             return []
         root, _ = resolved
-        versions = self.table_versions(store, path)
-        if not versions:
-            return []
-        out = []
-        # one reconstruction for the oldest retained version, then the
-        # remaining entries fold forward incrementally — O(history),
-        # not O(history^2)
-        _, state = self._reconstruct(store, root, versions[0], label=path)
-        for i, v in enumerate(versions):
-            entry = json.loads(
-                store.fs.read_text(f"{root}/{LOG_DIR}/{v:020d}.json")
-            )
-            if i > 0:
-                self._apply_entry(state, entry)
-            out.append(
-                {
-                    "version": v,
-                    "ts_ms": entry.get("ts_ms"),
-                    "members": {
-                        m: len(fs_)
-                        for m, fs_ in state["tables"].items()
-                    },
-                    "app": dict(state["app"]),
-                }
-            )
-        return out
+        # Re-list and retry on a MISSING entry mid-walk (ADVICE r12):
+        # a racing vacuum pruning an entry between our listing and its
+        # read must surface as a fresh walk over the new horizon — the
+        # same contract _reconstruct gives — never a raw
+        # FileNotFoundError from read_text.
+        last_err = None
+        for _ in range(3):
+            versions = self.table_versions(store, path)
+            if not versions:
+                return []
+            out = []
+            try:
+                # one reconstruction for the oldest retained version,
+                # then the remaining entries fold forward
+                # incrementally — O(history), not O(history^2)
+                _, state = self._reconstruct(
+                    store, root, versions[0], label=path
+                )
+                for i, v in enumerate(versions):
+                    entry = self._read_entry_raw(store, root, v, path)
+                    if i > 0:
+                        self._apply_entry(state, entry)
+                    out.append(
+                        {
+                            "version": v,
+                            "ts_ms": entry.get("ts_ms"),
+                            "members": {
+                                m: len(fs_)
+                                for m, fs_ in state["tables"].items()
+                            },
+                            "app": dict(state["app"]),
+                        }
+                    )
+                return out
+            except VersionNotFoundError as exc:
+                if not getattr(exc, "missing", False):
+                    raise
+                last_err = exc
+        raise last_err
 
     def resolve_version_asof(self, store, path: str, ts_ms: int) -> int:
         """The newest retained version committed at or before
@@ -2748,7 +3072,8 @@ class ManifestCommit(ParquetLeaseCommit):
         staged = {
             member: self._stage_in(
                 store, root, member,
-                lambda tmp, d=df: d.write.mode("overwrite").parquet(tmp),
+                lambda tmp, d=self._to_physical(store, root, member, df):
+                    d.write.mode("overwrite").parquet(tmp),
             )
             for member, df in dfs.items()
         }
@@ -2791,7 +3116,8 @@ class ManifestCommit(ParquetLeaseCommit):
         staged = {
             member: self._stage_in(
                 store, root, member,
-                lambda tmp, d=df: d.write.mode("overwrite").parquet(tmp),
+                lambda tmp, d=self._to_physical(store, root, member, df):
+                    d.write.mode("overwrite").parquet(tmp),
             )
             for member, df in dfs.items()
         }

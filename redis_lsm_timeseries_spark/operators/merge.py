@@ -182,6 +182,22 @@ def _envelope_guard(
 
 
 
+def _refuse_mapped(commit, host, path: str, op: str) -> None:
+    """Row-level rewrites are not column-mapping-aware (r13 schema
+    evolution): their pruning, joins, and CDF rows run on logical
+    names, but the member's files are physical-named. Refuse loudly
+    with the remedy instead of failing later on a confusing
+    column-set mismatch."""
+    if commit.schema_meta(host, path):
+        raise ValidationError(
+            f"{op} on {path!r}: the member has a logical column "
+            "mapping (rename/widen) and row-level rewrites are not "
+            "mapping-aware. Rewrite the table to materialize the "
+            "mapping first, or keep merges/deletes off mapped members"
+            " (appends and physical maintenance remain available)."
+        )
+
+
 def _cdf_sized(df: DataFrame, approx_rows: int) -> DataFrame:
     """Size a change-file write to its delta: ~1M rows per file,
     capped — a small merge stays one tiny self-expiring file, a bulk
@@ -408,6 +424,7 @@ def merge_into(
             host, path, _clustered_write(out, keys, n)
         )
         return MergeStats(-1, -1, n_upserts)
+    _refuse_mapped(commit, host, path, "merge_into")
 
     total = len(managed)
     preds = _key_predicates(src, keys)
@@ -519,6 +536,7 @@ def delete_rows(
         commit.snapshot_rewrite(host, path, _clustered_write(out, keys, n))
         return DeleteStats(-1, -1)
 
+    _refuse_mapped(commit, host, path, "delete_rows")
     total = len(managed)
     preds = _key_predicates(dk, keys)
     affected, _ = commit.prune_files(host, path, preds)
@@ -591,6 +609,7 @@ def delete_range(
         )
         return DeleteStats(-1, -1)
 
+    _refuse_mapped(commit, host, path, "delete_range")
     total = len(managed)
     preds = {column: (lo, hi)}
     affected, _ = commit.prune_files(host, path, preds)

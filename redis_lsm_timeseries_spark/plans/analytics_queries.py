@@ -475,18 +475,21 @@ def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_cube_status_priority",
-    oracle="""
+# r13: unregistered — its slot went to `metadata_fast_stats` (the
+# driver checks exactly 50 entries). CUBE is a special case of the
+# Expand machinery `agg_rollup_region_nation` and `agg_grouping_sets`
+# keep full driver rows for; this entry keeps the identical
+# rows+schema+values parity check via UNREGISTERED_ORACLES below.
+AGG_CUBE_ORACLE = """
 SELECT coalesce(o_orderstatus, '<all>') AS status,
        coalesce(o_orderpriority, '<all>') AS priority,
        count(*) AS n_orders,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
-""",
-    tags=("analytics", "aggregation", "cube"),
-)
+"""
+
+
 def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CUBE over two categorical dimensions."""
     orders = load_table(spark, sf_dir, "orders")
@@ -976,3 +979,15 @@ def udf_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver checks at most 50 catalog entries): its arg-max-per-group
 # max_by aggregation shape is driver-checked by ts_lww_update, and the
 # as-of join semantics by ts_asof_join.
+
+
+# keep the cube query's full differential check despite losing its
+# driver slot (see note at its definition)
+from redis_lsm_timeseries_spark.plans.reference_queries import (  # noqa: E402
+    UNREGISTERED_ORACLES,
+)
+
+UNREGISTERED_ORACLES["agg_cube_status_priority"] = (
+    agg_cube_status_priority,
+    AGG_CUBE_ORACLE,
+)

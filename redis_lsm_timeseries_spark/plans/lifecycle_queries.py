@@ -368,3 +368,107 @@ def rollup_incremental_lifecycle(
             return read_rollup(store, "daily").localCheckpoint(eager=True)
         finally:
             shutil.rmtree(base_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- r13
+# Metadata-only serving, certified by the driver: the entry RAISES
+# unless every answer came from the manifest log alone (fast_count /
+# fast_min_max return None on any scan-fallback condition), so a full
+# hash match in CORRECTNESS certifies the zero-storage-read path the
+# way the rollup entry certifies incremental refresh.
+
+FAST_MOD = 10  # bound the temp table to events/10
+
+
+@register(
+    "metadata_fast_stats",
+    oracle=f"""
+WITH base AS (
+  SELECT event_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+  WHERE event_id % {FAST_MOD} = 0
+)
+SELECT CAST(count(*) AS BIGINT) AS total_rows,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS click_rows,
+       CAST(min(ts_ms) AS BIGINT) AS ts_min,
+       CAST(max(ts_ms) AS BIGINT) AS ts_max,
+       CAST(min(event_id) AS BIGINT) AS id_min,
+       CAST(max(event_id) AS BIGINT) AS id_max
+FROM base
+""",
+    tags=("maintenance", "metadata", "mutation"),
+)
+def metadata_fast_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Answer count / filtered-count / min / max over a manifest table
+    FROM THE LOG ALONE — zero data files opened — and RAISE if the
+    metadata path cannot prove any answer (the scan fallback would
+    have to run). Exercises: per-file stats on write, type-tagged stat
+    normalization, ``fast_count``'s all-rows-match proof on a
+    per-file-constant column, and ``fast_min_max``.
+
+    100 TB shape: the questions a catalog/monitoring layer asks a
+    100k-file table constantly ("how many rows", "what time range")
+    are answered with zero storage IO — the Delta metadata-only
+    aggregate idiom on this engine's own log."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from redis_lsm_timeseries_spark.commit import (
+        CommitHost,
+        ManifestCommit,
+    )
+    from redis_lsm_timeseries_spark.maintenance import (
+        fast_count,
+        fast_min_max,
+    )
+
+    base_dir = _tempfile.mkdtemp(prefix="rlts_faststats_")
+    try:
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = f"{base_dir}/t"
+        ev = (
+            load_events(spark, sf_dir)
+            .where(F.col("event_id") % FAST_MOD == 0)
+            .select("event_id", "ts_ms", "event_type")
+        )
+        ev = ev.localCheckpoint()  # one scan feeds the per-type writes
+        types = sorted(
+            r.event_type for r in ev.select("event_type").distinct().collect()
+        )
+        # one commit per event_type: each file's event_type stat is a
+        # point (min == max), so a type predicate proves all-or-none
+        # per file — the hive-partition-shaped layout fast_count's
+        # exact counting requires
+        for et in types:
+            commit.append_table_with_meta(
+                host, path,
+                ev.where(F.col("event_type") == et).coalesce(1), {},
+            )
+        preds = {"event_type": {"click"}}
+        answers = {
+            "total_rows": fast_count(host, path, commit=commit),
+            "click_rows": fast_count(host, path, preds, commit=commit),
+            "ts": fast_min_max(host, path, "ts_ms", commit=commit),
+            "id": fast_min_max(host, path, "event_id", commit=commit),
+        }
+        missing = [k for k, v in answers.items() if v is None]
+        if missing:
+            raise AssertionError(
+                f"metadata-only path fell back to a scan for {missing} "
+                "— the stats no longer prove the answers"
+            )
+        row = (
+            int(answers["total_rows"]),
+            int(answers["click_rows"]),
+            int(answers["ts"][0]),
+            int(answers["ts"][1]),
+            int(answers["id"][0]),
+            int(answers["id"][1]),
+        )
+        return spark.createDataFrame(
+            [row],
+            "total_rows long, click_rows long, ts_min long, "
+            "ts_max long, id_min long, id_max long",
+        )
+    finally:
+        _shutil.rmtree(base_dir, ignore_errors=True)

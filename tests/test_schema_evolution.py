@@ -1,0 +1,240 @@
+"""Schema evolution beyond additive (VERDICT r12 #7): rename is a
+metadata-only logical column mapping on the manifest backend (physical
+file schemas never change — the Delta column-mapping idiom), widen
+(int->long, float->double) is a read-side cast with stats staying
+kind-comparable; the directory backend degrades to an eager rewrite.
+Skipping stays superset-safe across the mapping; appends translate
+logical -> physical so files stay physically consistent; row-level
+rewrites refuse on mapped members (loudly, with the remedy)."""
+
+from __future__ import annotations
+
+import pytest
+
+from redis_lsm_timeseries_spark.commit import (
+    CommitHost,
+    LOG_DIR,
+    ManifestCommit,
+    ParquetLeaseCommit,
+)
+from redis_lsm_timeseries_spark.errors import ValidationError
+
+SCHEMA = "k long, v int, name string"
+
+
+def _mfx(spark, tmp_path):
+    host, commit = CommitHost(spark), ManifestCommit()
+    path = str(tmp_path / "t")
+    commit.append_table_with_meta(
+        host, path,
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], SCHEMA
+        ).coalesce(1),
+        {},
+    )
+    return host, commit, path
+
+
+class TestManifestRename:
+    def test_rename_is_metadata_only_and_reads_new_name(
+        self, spark, tmp_path
+    ):
+        host, commit, path = _mfx(spark, tmp_path)
+        files_before = commit.member_files(host, path)
+        v_before = commit.table_versions(host, path)[-1]
+        commit.rename_column(host, path, "v", "score")
+        # zero data files touched; exactly one metadata entry
+        assert commit.member_files(host, path) == files_before
+        assert commit.table_versions(host, path)[-1] == v_before + 1
+        df = commit.read_table(host, path, None)
+        assert sorted(df.columns) == ["k", "name", "score"]
+        assert sorted((r.k, r.score) for r in df.collect()) == [
+            (1, 10), (2, 20),
+        ]
+
+    def test_time_travel_sees_the_name_as_of_that_version(
+        self, spark, tmp_path
+    ):
+        host, commit, path = _mfx(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        commit.rename_column(host, path, "v", "score")
+        old = commit.read_table(host, path, None, version=v0)
+        assert "v" in old.columns and "score" not in old.columns
+
+    def test_appends_after_rename_use_logical_names(
+        self, spark, tmp_path
+    ):
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.rename_column(host, path, "v", "score")
+        commit.append_table_with_meta(
+            host, path,
+            spark.createDataFrame(
+                [(3, 30, "c")], "k long, score int, name string"
+            ).coalesce(1),
+            {},
+        )
+        df = commit.read_table(host, path, None)
+        assert sorted((r.k, r.score) for r in df.collect()) == [
+            (1, 10), (2, 20), (3, 30),
+        ]
+        # and a second rename stacks on the same physical name
+        commit.rename_column(host, path, "score", "points")
+        df2 = commit.read_table(host, path, None)
+        assert sorted((r.k, r.points) for r in df2.collect()) == [
+            (1, 10), (2, 20), (3, 30),
+        ]
+
+    def test_requested_schema_casts_and_null_fills_across_mapping(
+        self, spark, tmp_path
+    ):
+        """The additive-evolution contract survives the mapping: a
+        requested schema casts present columns and null-fills new
+        ones."""
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.rename_column(host, path, "v", "score")
+        df = commit.read_table(
+            host, path, "k long, score long, extra string"
+        )
+        rows = sorted((r.k, r.score, r.extra) for r in df.collect())
+        assert rows == [(1, 10, None), (2, 20, None)]
+        assert dict(df.dtypes)["score"] == "bigint"
+
+    def test_skipping_prunes_under_the_logical_name(
+        self, spark, tmp_path
+    ):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "banded")
+        for lo in (0, 1000):
+            commit.append_table_with_meta(
+                host, path,
+                spark.createDataFrame(
+                    [(lo + i, lo + i, "x") for i in range(5)], SCHEMA
+                ).coalesce(1),
+                {},
+            )
+        commit.rename_column(host, path, "v", "score")
+        kept, total = commit.prune_files(host, path, {"score": (0, 10)})
+        assert total == 2 and len(kept) == 1
+        df = commit.read_table_pruned(
+            host, path, predicates={"score": (0, 10)}
+        ).where("score <= 10")
+        assert sorted(r.score for r in df.collect()) == [0, 1, 2, 3, 4]
+
+    def test_rename_validations(self, spark, tmp_path):
+        host, commit, path = _mfx(spark, tmp_path)
+        with pytest.raises(ValidationError, match="not in"):
+            commit.rename_column(host, path, "nope", "x")
+        with pytest.raises(ValidationError, match="already exists"):
+            commit.rename_column(host, path, "v", "name")
+
+    def test_partition_column_rename_refused(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "part")
+        commit.append_partitioned(
+            host,
+            spark.createDataFrame([(1, 10, "a")], SCHEMA),
+            path, ["name"],
+        )
+        with pytest.raises(ValidationError, match="partition"):
+            commit.rename_column(host, path, "name", "label")
+
+
+class TestManifestWiden:
+    def test_widen_int_to_long_reads_and_writes_wide(
+        self, spark, tmp_path
+    ):
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.widen_column(host, path, "v", "long")
+        df = commit.read_table(host, path, None)
+        assert dict(df.dtypes)["v"] == "bigint"
+        # a value past int32 now lands (new files store wide)
+        commit.append_table_with_meta(
+            host, path,
+            spark.createDataFrame(
+                [(3, 5_000_000_000, "c")], "k long, v long, name string"
+            ).coalesce(1),
+            {},
+        )
+        got = sorted(
+            (r.k, r.v)
+            for r in commit.read_table(host, path, None).collect()
+        )
+        assert got == [(1, 10), (2, 20), (3, 5_000_000_000)]
+
+    def test_widen_then_rename_compose(self, spark, tmp_path):
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.widen_column(host, path, "v", "long")
+        commit.rename_column(host, path, "v", "score")
+        df = commit.read_table(host, path, None)
+        assert dict(df.dtypes)["score"] == "bigint"
+        # skipping on the renamed+widened column stays superset-safe
+        kept, total = commit.prune_files(
+            host, path, {"score": (15, 25)}
+        )
+        assert total == 1 and kept  # single file overlaps: kept
+        assert sorted(
+            r.score for r in commit.read_table(host, path, None)
+            .where("score between 15 and 25").collect()
+        ) == [20]
+
+    def test_widen_rejects_unknown_type(self, spark, tmp_path):
+        host, commit, path = _mfx(spark, tmp_path)
+        with pytest.raises(ValidationError, match="to_type"):
+            commit.widen_column(host, path, "v", "string")
+
+
+class TestMappedMemberGuards:
+    def test_row_level_rewrites_refuse_on_mapped_member(
+        self, spark, tmp_path
+    ):
+        from redis_lsm_timeseries_spark.operators.merge import merge_into
+
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.rename_column(host, path, "v", "score")
+        with pytest.raises(ValidationError, match="mapping"):
+            merge_into(
+                host, path,
+                spark.createDataFrame(
+                    [(1, 99, "z")], "k long, score int, name string"
+                ),
+                ["k"], commit=commit,
+            )
+
+    def test_physical_maintenance_still_allowed(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.maintenance import (
+            compact_small_files,
+        )
+
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.append_table_with_meta(
+            host, path,
+            spark.createDataFrame([(3, 30, "c")], SCHEMA).coalesce(1),
+            {},
+        )
+        commit.rename_column(host, path, "v", "score")
+        before = sorted(
+            (r.k, r.score)
+            for r in commit.read_table(host, path, None).collect()
+        )
+        compact_small_files(host, path, commit=commit)
+        after = sorted(
+            (r.k, r.score)
+            for r in commit.read_table(host, path, None).collect()
+        )
+        assert after == before
+
+
+class TestDirectoryBackend:
+    def test_eager_rename_and_widen_round_trip(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ParquetLeaseCommit()
+        path = str(tmp_path / "d")
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], SCHEMA
+        ).coalesce(1).write.parquet(path)
+        commit.rename_column(host, path, "v", "score")
+        commit.widen_column(host, path, "score", "long")
+        df = commit.read_table(host, path, None)
+        assert dict(df.dtypes)["score"] == "bigint"
+        assert sorted((r.k, r.score) for r in df.collect()) == [
+            (1, 10), (2, 20),
+        ]
