@@ -111,10 +111,10 @@ def mirror_changes(
     rows leaving its subset. A transform that drops a key column
     raises ``ValidationError``. The engine's own maintenance is fully
     feed-transparent (r13): LWW compaction stages its losing
-    duplicates and purge-ack its evicted members as CDF delete rows
-    in the same atomic commit, so only an EXTERNAL unmarked content
-    rewrite (a raw ``snapshot_rewrite`` without change metadata)
-    still resyncs."""
+    duplicates — and purge-ack, retention, and tag erasure their
+    removed rows — as CDF delete rows in the same atomic commit, so
+    only an EXTERNAL unmarked content rewrite (a raw
+    ``snapshot_rewrite`` without change metadata) still resyncs."""
     commit = commit if commit is not None else ManifestCommit()
     versions = commit.table_versions(host, src_path)
     if not versions:

@@ -100,6 +100,12 @@ class TableCommit:
     def drop_partition_dir(self, store, path: str) -> None:
         raise NotImplementedError
 
+    #: True for backends that can create/manage versioned manifest
+    #: tables (EngineConfig.manifest_hot requires one — asking for a
+    #: transactional hot tier from a directory backend must fail
+    #: loudly, not silently write plain directories)
+    CAN_MANAGE_MANIFESTS = False
+
     def tracks_changes(self, store, path: str) -> bool:
         """True when writes to ``path`` land in a version log whose
         change feeds can serve row-level CDF — callers use it to skip
@@ -1683,6 +1689,8 @@ class ManifestCommit(ParquetLeaseCommit):
             mutate.change_meta = dict(change)
         self._commit(store, root, mutate)
         self.vacuum(store, root)
+
+    CAN_MANAGE_MANIFESTS = True
 
     def tracks_changes(self, store, path: str) -> bool:
         # _resolve, not _target_for_write: a capability probe must not

@@ -248,6 +248,14 @@ def fast_count(
     stats = commit.member_file_stats(host, path)
     if stats is None:
         return None
+    if predicates:
+        # mapped members (r13 schema evolution): predicates arrive on
+        # logical names, stats are recorded under physical ones
+        mapping = commit.schema_meta(host, path).get("map", {})
+        if mapping:
+            predicates = {
+                mapping.get(c, c): b for c, b in predicates.items()
+            }
 
     norm = ManifestCommit._norm_scalar
 
@@ -425,6 +433,10 @@ def fast_min_max(
     stats = commit.member_file_stats(host, path)
     if stats is None:
         return None
+    # mapped members: the caller names the LOGICAL column
+    column = commit.schema_meta(host, path).get("map", {}).get(
+        column, column
+    )
     norm = ManifestCommit._norm_scalar
     lo = hi = None
     saw_rows = False

@@ -103,6 +103,14 @@ class TimeseriesStore:
             from redis_lsm_timeseries_spark.commit import DEFAULT_COMMIT
 
             commit = DEFAULT_COMMIT
+        if config.manifest_hot and not getattr(
+            commit, "CAN_MANAGE_MANIFESTS", False
+        ):
+            raise ValidationError(
+                "EngineConfig.manifest_hot requires a manifest-capable "
+                "commit backend (ManifestCommit); the directory backend "
+                "would silently write a plain layout"
+            )
         self.commit = commit
         self._epoch: int | None = None
         # Instance id: the reference derives a shortid per store instance
@@ -632,16 +640,28 @@ class TimeseriesStore:
                 .parquet(self.config.hot_path)
                 .select(*field_names)
             )
+        tiers.extend(self._l0_tiers(field_names))
+        if not tiers:
+            return self.spark.createDataFrame([], SAMPLE_SCHEMA)
+        df = tiers[0]
+        for t in tiers[1:]:
+            df = df.unionByName(t)
+        self._hot_cache = (token, df)
+        return df
+
+    def _l0_tiers(self, field_names) -> list[DataFrame]:
+        """The unflushed L0 segments plus any UNCOMMITTED staging dirs
+        (a flush crashed — or is running — between the L0 move and the
+        L1 append; those rows live only in staging, so reads must
+        include them). COMMITTED dirs are already in L1 and excluded
+        (including them would double-read)."""
+        tiers: list[DataFrame] = []
         if self.fs.exists(self.config.l0_path):
             tiers.append(
                 self.spark.read.schema(SAMPLE_SCHEMA)
                 .parquet(self.config.l0_path)
                 .select(*field_names)
             )
-        # Uncommitted staging dirs: a flush crashed (or is running)
-        # between the L0 move and the L1 append — those rows live only
-        # in staging, so reads must include them. COMMITTED dirs are
-        # already in L1 and excluded (including them would double-read).
         if self.fs.exists(self.config.l0_staging_path):
             for name in sorted(self.fs.listdir(self.config.l0_staging_path)):
                 stage_dir = f"{self.config.l0_staging_path}/{name}"
@@ -659,12 +679,35 @@ class TimeseriesStore:
                     .parquet(stage_dir)
                     .select(*field_names)
                 )
-        if not tiers:
-            return self.spark.createDataFrame([], SAMPLE_SCHEMA)
+        return tiers
+
+    def hot_pruned(self, predicates: Mapping | None) -> DataFrame:
+        """``hot()`` with manifest-stats FILE skipping on the L1 tier
+        (manifest-hot mode, r13): the scan plans over only the
+        committed files whose stats overlap ``predicates`` (same shape
+        as ``ManifestCommit.prune_files``) — at a 100k-file hot table
+        a narrow range read stops listing the world at plan time,
+        before Catalyst's directory-level pruning even runs. Superset
+        guard: callers keep their row predicates. Directory-mode
+        stores (no per-file stats) return the full ``hot()``. Not
+        cached — the pruned plan is query-specific; the underlying
+        manifest entry reads are cache-served either way."""
+        self._require_init()
+        if not predicates or not self.commit.tracks_changes(
+            self, self.config.hot_path
+        ):
+            return self.hot()
+        field_names = [f.name for f in SAMPLE_SCHEMA.fields]
+        tiers = [
+            self.commit.read_table_pruned(
+                self, self.config.hot_path, SAMPLE_SCHEMA,
+                predicates=dict(predicates),
+            ).select(*field_names)
+        ]
+        tiers.extend(self._l0_tiers(field_names))
         df = tiers[0]
         for t in tiers[1:]:
             df = df.unionByName(t)
-        self._hot_cache = (token, df)
         return df
 
     def cold(self, predicates: Mapping | None = None) -> DataFrame:
@@ -710,7 +753,7 @@ class TimeseriesStore:
         from pyspark.sql.window import Window
 
         meta = (
-            self.hot()
+            self.hot_pruned(self._range_file_predicates(parsed))
             .select("tag", "part_start")
             .where(pred)
             .distinct()
@@ -742,7 +785,13 @@ class TimeseriesStore:
         self._check_range_bounds(tag, start, end)
         part_start = int(part)
         return (
-            self.hot()
+            self.hot_pruned(
+                {
+                    "tag": {tag},
+                    "part_start": (part_start, part_start),
+                    "ts": (int(start), int(end)),
+                }
+            )
             .where(
                 (F.col("tag") == tag)
                 & (F.col("part_start") == part_start)
@@ -781,7 +830,9 @@ class TimeseriesStore:
         pred = self._prune_predicate(parsed)
         residual = self._residual_predicate(parsed)
 
-        df = self.hot()
+        # manifest-hot: file skipping from the log's stats; the row
+        # predicates below stay mandatory (superset guard)
+        df = self.hot_pruned(self._range_file_predicates(parsed))
         if include_cold:
             df = df.unionByName(
                 self.cold(predicates=self._range_file_predicates(parsed))

@@ -681,15 +681,39 @@ def apply_retention(
         .limit(int(max_partitions))
         .collect()
     )
-    rows = 0
-    for r in doomed:
-        store.commit.drop_partition_dir(
-            store,
-            f"{store.config.hot_path}/tag={r.tag}/part_start={r.part_start}",
+    rows = sum(r.n for r in doomed)
+    if doomed and store.commit.tracks_changes(store, store.config.hot_path):
+        # manifest-hot (r13): ONE atomic commit drops every expired
+        # partition and stages the dropped rows as typed CDF deletes —
+        # a keyed mirror consumes retention as O(expired rows) instead
+        # of a full resync, and no feed version shows a half-applied
+        # sweep. The CDF read is bounded by what is being deleted
+        # (exactly the mirror's delta), not the table.
+        pairs = {(r.tag, r.part_start) for r in doomed}
+        keys_df = store.spark.createDataFrame(
+            sorted(pairs), "tag string, part_start long"
         )
-        rows += r.n
-    if doomed:
+        victims = store.hot().join(
+            F.broadcast(keys_df), ["tag", "part_start"], "left_semi"
+        ).withColumn(store.commit.CDF_TYPE_COL, F.lit("delete"))
+        store.commit.overwrite_partitions(
+            store,
+            None,
+            store.config.hot_path,
+            store.config.partition_cols,
+            cdf_df=victims.coalesce(max(1, min(32, rows // 1_000_000 + 1))),
+            drop_prefixes=_hot_partition_prefixes(store, pairs),
+        )
         store.invalidate_hot_cache()
+    else:
+        for r in doomed:
+            store.commit.drop_partition_dir(
+                store,
+                f"{store.config.hot_path}/tag={r.tag}"
+                f"/part_start={r.part_start}",
+            )
+        if doomed:
+            store.invalidate_hot_cache()
     if drop_cold:
         cold_doomed = (
             cold_snapshots(store)
@@ -763,12 +787,50 @@ def delete_series(
 
     # hot: drop each tag's partition directory tree
     hot_dropped = 0
-    for t in sorted(set(tags)):
-        tag_dir = f"{store.config.hot_path}/tag={t}"
-        if store.fs.exists(tag_dir):
-            n_parts = len(store.fs.listdir(tag_dir))
-            store.commit.drop_partition_dir(store, tag_dir)
-            hot_dropped += n_parts
+    if store.commit.tracks_changes(store, store.config.hot_path):
+        # manifest-hot (r13): a physical `{hot}/tag=X` probe would
+        # MISS (data lives under the manifest's data/ root) and the
+        # erasure would silently skip the hot tier. Resolve the tag's
+        # committed files instead and erase them in ONE atomic commit
+        # with typed CDF deletes — keyed mirrors consume the erasure
+        # as O(erased rows).
+        from redis_lsm_timeseries_spark.commit import (
+            ManifestCommit as _MC,
+        )
+
+        want = {str(t) for t in sorted(set(tags))}
+        files = store.commit.member_files(
+            store, store.config.hot_path
+        ) or []
+        tag_prefixes: set[str] = set()
+        part_prefixes: set[str] = set()
+        for f in files:
+            segs = f.split("/")
+            if len(segs) < 3 or "=" not in segs[0]:
+                continue
+            if _MC._unescape_partition(segs[0].partition("=")[2]) in want:
+                tag_prefixes.add(segs[0])
+                part_prefixes.add("/".join(segs[:2]))
+        if tag_prefixes:
+            victims = store.hot().where(
+                F.col("tag").isin(sorted(want))
+            ).withColumn(store.commit.CDF_TYPE_COL, F.lit("delete"))
+            store.commit.overwrite_partitions(
+                store,
+                None,
+                store.config.hot_path,
+                store.config.partition_cols,
+                cdf_df=victims.coalesce(4),
+                drop_prefixes=sorted(tag_prefixes),
+            )
+            hot_dropped = len(part_prefixes)
+    else:
+        for t in sorted(set(tags)):
+            tag_dir = f"{store.config.hot_path}/tag={t}"
+            if store.fs.exists(tag_dir):
+                n_parts = len(store.fs.listdir(tag_dir))
+                store.commit.drop_partition_dir(store, tag_dir)
+                hot_dropped += n_parts
     if hot_dropped:
         store.invalidate_hot_cache()
 

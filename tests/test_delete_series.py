@@ -19,12 +19,15 @@ from redis_lsm_timeseries_spark.tiering import (
 )
 
 
-@pytest.fixture(params=["manifest", "directory"])
+@pytest.fixture(params=["manifest", "directory", "manifest_hot"])
 def store(request, spark, tmp_path):
-    cfg = EngineConfig(root=str(tmp_path / "e"), partition_width=10)
+    cfg = EngineConfig(
+        root=str(tmp_path / "e"), partition_width=10,
+        manifest_hot=(request.param == "manifest_hot"),
+    )
     s = TimeseriesStore(
         spark, cfg,
-        commit=ManifestCommit() if request.param == "manifest" else None,
+        commit=None if request.param == "directory" else ManifestCommit(),
     )
     s.initialize()
     # two tags, history evicted cold, plus fresh hot rows and a rollup

@@ -566,6 +566,35 @@ class TestEngineMaintenanceFeedTransparency:
         ]
 
 
+    def test_retention_mirrors_as_keyed_deletes(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.tiering import apply_retention
+
+        store = self._store(spark, tmp_path)
+        t0 = 1_000_000
+        store.write(
+            [("A", 1, "old1"), ("A", 2, "old2"),  # partition 0 (W=5)
+             ("A", 12, "keep")],                  # partition 10
+            ingest_ts=t0,
+        )
+        store.flush_l0()
+        dst = str(tmp_path / "mirror")
+        mirror_changes(
+            store, store.config.hot_path, dst,
+            keys=self.IDENTITY, commit=store.commit,
+        )
+        m0 = apply_retention(store, older_than_ms=10)
+        assert m0.partitions_dropped == 1 and m0.rows_dropped == 2
+        m = mirror_changes(
+            store, store.config.hot_path, dst,
+            keys=self.IDENTITY, commit=store.commit,
+        )
+        assert m.mode == "row-incremental"
+        assert m.rows_mirrored == 2
+        got = self._hot_rows(store, dst)
+        assert got == self._hot_rows(store)
+        assert [(r[0], r[1]) for r in got] == [("A", 12)]
+
+
 class TestKeyedMirrorTransform:
     """r13 (VERDICT r12 #6): transform composes with keys — a mirror
     can reshape (column subset, per-tenant filter) AND survive

@@ -238,3 +238,35 @@ class TestDirectoryBackend:
         assert sorted((r.k, r.score) for r in df.collect()) == [
             (1, 10), (2, 20),
         ]
+
+
+class TestMetadataReadsAcrossMapping:
+    def test_fast_count_and_min_max_translate_logical_names(
+        self, spark, tmp_path
+    ):
+        from redis_lsm_timeseries_spark.maintenance import (
+            fast_count,
+            fast_min_max,
+        )
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        # per-name commits -> point stats on the 'name' column, so
+        # the filtered count can prove all-or-none per file
+        for nm, vals in (("a", [(1, 10)]), ("b", [(2, 20), (3, 30)])):
+            commit.append_table_with_meta(
+                host, path,
+                spark.createDataFrame(
+                    [(k, v, nm) for k, v in vals], SCHEMA
+                ).coalesce(1),
+                {},
+            )
+        commit.rename_column(host, path, "v", "score")
+        commit.rename_column(host, path, "name", "label")
+        assert fast_count(host, path, commit=commit) == 3
+        assert fast_count(
+            host, path, {"label": {"b"}}, commit=commit
+        ) == 2
+        assert fast_min_max(host, path, "score", commit=commit) == (
+            10, 30,
+        )

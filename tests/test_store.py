@@ -487,3 +487,77 @@ class TestLayoutTokenGranularity:
         # only the listing hash can reveal the new segment.
         os.utime(store.config.l0_path, ns=(st.st_atime_ns, st.st_mtime_ns))
         assert {r.ts for r in store.hot().collect()} == {1, 2}
+
+
+class TestManifestHotPrunedReads:
+    """r13: with the manifest-managed hot tier, range reads plan over
+    only the committed files whose (tag, part_start, ts) stats overlap
+    the request — file skipping from the log, before Catalyst's
+    directory pruning even lists anything."""
+
+    def _store(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.commit import ManifestCommit
+
+        cfg = EngineConfig(
+            root=str(tmp_path / "mh"), partition_width=10,
+            manifest_hot=True,
+        )
+        s = TimeseriesStore(spark, cfg, commit=ManifestCommit())
+        s.initialize()
+        # four partitions across two tags, one flush per batch so
+        # every partition is its own committed file set
+        for tag, base in (("A", 0), ("A", 100), ("B", 0), ("B", 100)):
+            s.write(
+                [(tag, base + i, f"{tag}{base + i}") for i in range(3)],
+                ingest_ts=1_000 + base,
+            )
+            s.flush_l0()
+        return s
+
+    def test_range_read_plans_over_overlapping_files_only(
+        self, spark, tmp_path
+    ):
+        s = self._store(spark, tmp_path)
+        df = s.read_range({"A": (0, 5)})
+        files = [f for f in df.inputFiles() if "/hot/" in f]
+        all_files = [f for f in s.hot().inputFiles() if "/hot/" in f]
+        assert len(all_files) >= 4
+        assert files and len(files) < len(all_files)
+        assert all("tag=A" in f for f in files)
+        assert all("part_start=0" in f for f in files)
+        # and values are exactly the requested band
+        assert sorted((r.tag, r.ts) for r in df.collect()) == [
+            ("A", 0), ("A", 1), ("A", 2),
+        ]
+
+    def test_unflushed_l0_rows_still_visible_through_pruned_read(
+        self, spark, tmp_path
+    ):
+        s = self._store(spark, tmp_path)
+        s.write([("A", 3, "fresh")], ingest_ts=9_999)  # L0 only
+        got = {
+            (r.tag, r.ts): r.value
+            for r in s.read_range({"A": (0, 5)}).collect()
+        }
+        assert got[("A", 3)] == "fresh"
+
+    def test_read_page_and_index_prune(self, spark, tmp_path):
+        s = self._store(spark, tmp_path)
+        page = s.read_page("A-100", 100, 105)
+        files = [f for f in page.inputFiles() if "/hot/" in f]
+        assert files and all(
+            "tag=A" in f and "part_start=100" in f for f in files
+        )
+        idx = s.read_index({"B": (0, 5)})
+        assert [(r.tag, r.part_start) for r in idx.collect()] == [
+            ("B", 0),
+        ]
+
+    def test_manifest_hot_requires_capable_backend(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.errors import ValidationError
+
+        cfg = EngineConfig(
+            root=str(tmp_path / "bad"), manifest_hot=True
+        )
+        with pytest.raises(ValidationError, match="manifest_hot"):
+            TimeseriesStore(spark, cfg)  # default directory backend
