@@ -205,6 +205,26 @@ class TableCommit:
             lambda tmp: out.write.mode("overwrite").parquet(tmp),
         )
 
+    def drop_column(self, store, path: str, column: str) -> None:
+        """Drop a column. Directory backends rewrite eagerly;
+        ``ManifestCommit`` overrides with a metadata-only exclusion
+        (old files keep the physical column; the logical view omits
+        it and new writes never carry it)."""
+        df = self.read_table(store, path, None)
+        if column not in df.columns:
+            raise ValidationError(
+                f"drop_column: {column!r} not in {df.columns}"
+            )
+        if len(df.columns) == 1:
+            raise ValidationError(
+                "drop_column: cannot drop the only column"
+            )
+        out = df.drop(column)
+        self.snapshot_rewrite(
+            store, path,
+            lambda tmp: out.write.mode("overwrite").parquet(tmp),
+        )
+
     def widen_column(self, store, path: str, column: str, to_type: str) -> None:
         """Widen a column's read type (int->long, float->double).
         Directory backends rewrite eagerly; ``ManifestCommit``
@@ -1775,9 +1795,12 @@ class ManifestCommit(ParquetLeaseCommit):
 
         mapping = meta.get("map", {})
         widen = meta.get("widen", {})
+        dropped = set(meta.get("drop", []))
         inv = {p: l for l, p in mapping.items()}
         cols = []
         for c in df.columns:
+            if c in dropped:
+                continue  # metadata-dropped: old files keep the bytes
             logical = inv.get(c, c)
             col = F.col(c)
             if logical in widen:
@@ -1820,14 +1843,23 @@ class ManifestCommit(ParquetLeaseCommit):
         meta = entry.get("app", {}).get(self._schema_key(member)) or {}
         mapping = meta.get("map", {})
         widen = meta.get("widen", {})
-        if not mapping and not widen:
+        dropped = set(meta.get("drop", []))
+        if not mapping and not widen and not dropped:
             return df
         cols = []
         for c in df.columns:
+            phys = mapping.get(c, c)
+            if phys in dropped:
+                raise ValidationError(
+                    f"append to a schema-mapped member: column {c!r} "
+                    "reuses a DROPPED column's physical name — the "
+                    "logical view would hide it. Rewrite the table to "
+                    "materialize the mapping before reusing the name."
+                )
             col = F.col(c)
             if c in widen:
                 col = col.cast(widen[c])
-            cols.append(col.alias(mapping.get(c, c)))
+            cols.append(col.alias(phys))
         return df.select(*cols)
 
     def rename_column(self, store, path: str, old: str, new: str) -> None:
@@ -1864,14 +1896,80 @@ class ManifestCommit(ParquetLeaseCommit):
         cur = entry.get("app", {}).get(key) or {}
         mapping = dict(cur.get("map", {}))
         widen = dict(cur.get("widen", {}))
+        dropped = list(cur.get("drop", []))
+        if new in dropped:
+            raise ValidationError(
+                f"rename_column: {new!r} is a dropped column's "
+                "physical name; materialize the mapping first"
+            )
         phys = mapping.pop(old, old)
         mapping[new] = phys
         if old in widen:
             widen[new] = widen.pop(old)
-        meta = {k: v for k, v in (("map", mapping), ("widen", widen)) if v}
+        meta = {
+            k: v
+            for k, v in (
+                ("map", mapping), ("widen", widen), ("drop", dropped),
+            )
+            if v
+        }
         mutate = lambda t: t  # noqa: E731 — metadata-only commit
         mutate.app_meta = {key: meta}
         # CAS on the schema key: two racing evolutions must not clobber
+        mutate.entry_guard = self._app_cas_guard(
+            {key: entry.get("app", {}).get(key)}
+        )
+        self._commit(store, root, mutate)
+
+    def drop_column(self, store, path: str, column: str) -> None:
+        """Metadata-only drop: one log entry excluding the column from
+        the logical view — zero data files touched; old files keep the
+        bytes (vacuum-governed like all history), new appends never
+        carry the column, and reusing the dropped NAME refuses until
+        the mapping is materialized (no column IDs in plain parquet,
+        so a reused name would silently vanish behind the exclusion).
+        Refuses hive partition columns and the last column."""
+        target = self._target_for_write(store, path)
+        if target is None:
+            return super().drop_column(store, path, column)
+        root, member = target
+        logical_cols = self.read_table(store, path, None).columns
+        if column not in logical_cols:
+            raise ValidationError(
+                f"drop_column: {column!r} not in {logical_cols}"
+            )
+        if len(logical_cols) == 1:
+            raise ValidationError(
+                "drop_column: cannot drop the only column"
+            )
+        _, tables = self._current(store, root)
+        from redis_lsm_timeseries_spark.operators.merge import (
+            partition_cols_of,
+        )
+
+        if column in partition_cols_of(tables.get(member, [])):
+            raise ValidationError(
+                "drop_column: hive partition columns cannot be "
+                "dropped by mapping (their values are directory paths)"
+            )
+        key = self._schema_key(member)
+        _, entry = self._current_entry(store, root)
+        cur = entry.get("app", {}).get(key) or {}
+        mapping = dict(cur.get("map", {}))
+        widen = dict(cur.get("widen", {}))
+        dropped = list(cur.get("drop", []))
+        phys = mapping.pop(column, column)
+        widen.pop(column, None)
+        dropped.append(phys)
+        meta = {
+            k: v
+            for k, v in (
+                ("map", mapping), ("widen", widen), ("drop", dropped),
+            )
+            if v
+        }
+        mutate = lambda t: t  # noqa: E731 — metadata-only commit
+        mutate.app_meta = {key: meta}
         mutate.entry_guard = self._app_cas_guard(
             {key: entry.get("app", {}).get(key)}
         )
@@ -1900,8 +1998,15 @@ class ManifestCommit(ParquetLeaseCommit):
         cur = entry.get("app", {}).get(key) or {}
         mapping = dict(cur.get("map", {}))
         widen = dict(cur.get("widen", {}))
+        dropped = list(cur.get("drop", []))
         widen[column] = to_type
-        meta = {k: v for k, v in (("map", mapping), ("widen", widen)) if v}
+        meta = {
+            k: v
+            for k, v in (
+                ("map", mapping), ("widen", widen), ("drop", dropped),
+            )
+            if v
+        }
         mutate = lambda t: t  # noqa: E731
         mutate.app_meta = {key: meta}
         mutate.entry_guard = self._app_cas_guard(

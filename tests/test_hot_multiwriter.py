@@ -36,9 +36,17 @@ from redis_lsm_timeseries_spark.tiering import compact, maintenance_lease
 T0 = 1_000_000
 
 
-def _mk(spark, tmp_path, name="engine"):
-    cfg = EngineConfig(root=str(tmp_path / name), partition_width=1_000)
-    s = TimeseriesStore(spark, cfg)
+def _mk(spark, tmp_path, name="engine", manifest_hot=False):
+    cfg = EngineConfig(
+        root=str(tmp_path / name), partition_width=1_000,
+        manifest_hot=manifest_hot,
+    )
+    if manifest_hot:
+        from redis_lsm_timeseries_spark.commit import ManifestCommit
+
+        s = TimeseriesStore(spark, cfg, commit=ManifestCommit())
+    else:
+        s = TimeseriesStore(spark, cfg)
     s.initialize()
     return s
 
@@ -76,21 +84,23 @@ def _dump_state(store, key):
 
 def _second_writer(spark, store):
     """Another writer process on the SAME namespace (fresh writer_id,
-    fresh lease state)."""
-    s = TimeseriesStore(spark, store.config)
+    fresh lease state, same backend class)."""
+    s = TimeseriesStore(spark, store.config, commit=type(store.commit)())
     s.initialize()
     return s
 
 
 class TestRowBatchWritesVsMaintenance:
+    @pytest.mark.parametrize("manifest_hot", [False, True],
+                             ids=["directory", "manifest_hot"])
     def test_concurrent_writes_and_compaction_lose_nothing(
-        self, spark, tmp_path
+        self, spark, tmp_path, manifest_hot
     ):
         """Writer B hammers leaseless row-batch writes (with LWW
         updates) while writer A runs compaction cycles. Every key must
         read back with its latest value — the L0 protocol's guarantee
         under real concurrency."""
-        a = _mk(spark, tmp_path)
+        a = _mk(spark, tmp_path, manifest_hot=manifest_hot)
         b = _second_writer(spark, a)
         n_batches, keys_per_batch = 8, 20
         compact_errors: list[Exception] = []

@@ -270,3 +270,66 @@ class TestMetadataReadsAcrossMapping:
         assert fast_min_max(host, path, "score", commit=commit) == (
             10, 30,
         )
+
+
+class TestManifestDrop:
+    def test_drop_is_metadata_only_and_hides_the_column(
+        self, spark, tmp_path
+    ):
+        host, commit, path = _mfx(spark, tmp_path)
+        files_before = commit.member_files(host, path)
+        commit.drop_column(host, path, "v")
+        assert commit.member_files(host, path) == files_before
+        df = commit.read_table(host, path, None)
+        assert sorted(df.columns) == ["k", "name"]
+        # appends without the column read back fine
+        commit.append_table_with_meta(
+            host, path,
+            spark.createDataFrame([(3, "c")], "k long, name string")
+            .coalesce(1),
+            {},
+        )
+        assert sorted(
+            (r.k, r.name)
+            for r in commit.read_table(host, path, None).collect()
+        ) == [(1, "a"), (2, "b"), (3, "c")]
+        # time travel before the drop still shows the column
+        v0 = commit.table_versions(host, path)[0]
+        assert "v" in commit.read_table(
+            host, path, None, version=v0
+        ).columns
+
+    def test_reusing_a_dropped_name_refuses(self, spark, tmp_path):
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.drop_column(host, path, "v")
+        with pytest.raises(ValidationError, match="DROPPED"):
+            commit.append_table_with_meta(
+                host, path,
+                spark.createDataFrame([(9, 99, "z")], SCHEMA).coalesce(1),
+                {},
+            )
+        with pytest.raises(ValidationError, match="dropped"):
+            commit.rename_column(host, path, "name", "v")
+
+    def test_drop_composes_with_rename(self, spark, tmp_path):
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.rename_column(host, path, "v", "score")
+        commit.drop_column(host, path, "score")
+        df = commit.read_table(host, path, None)
+        assert sorted(df.columns) == ["k", "name"]
+
+    def test_drop_validations(self, spark, tmp_path):
+        host, commit, path = _mfx(spark, tmp_path)
+        with pytest.raises(ValidationError, match="not in"):
+            commit.drop_column(host, path, "nope")
+
+    def test_directory_backend_drops_eagerly(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ParquetLeaseCommit()
+        path = str(tmp_path / "d")
+        spark.createDataFrame(
+            [(1, 10, "a")], SCHEMA
+        ).coalesce(1).write.parquet(path)
+        commit.drop_column(host, path, "v")
+        assert sorted(
+            commit.read_table(host, path, None).columns
+        ) == ["k", "name"]

@@ -396,3 +396,71 @@ class TestIngestLeaseContention:
         calls["n"] = -10_000  # every attempt fails -> bounded raise
         with pytest.raises(ConcurrentMaintenanceError):
             handler(batch, 1)
+
+
+class TestManifestHotStreaming:
+    """r13: the maintenance-compatible streaming mode composes with
+    the manifest-managed hot tier — every micro-batch is one atomic
+    manifest commit (foreachBatch -> write_df -> the seam), the purge
+    pipeline runs mid-stream, and the raw file-sink mode refuses."""
+
+    def _mh_store(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.commit import ManifestCommit
+        from redis_lsm_timeseries_spark.config import EngineConfig
+        from redis_lsm_timeseries_spark.store import TimeseriesStore
+
+        cfg = EngineConfig(
+            root=str(tmp_path / "mh"), partition_width=5,
+            manifest_hot=True,
+        )
+        s = TimeseriesStore(spark, cfg, commit=ManifestCommit())
+        s.initialize()
+        return s
+
+    def test_ingest_with_maintenance_commits_through_the_log(
+        self, spark, tmp_path, stream_dirs
+    ):
+        from redis_lsm_timeseries_spark.streaming import (
+            start_hot_ingest_with_maintenance,
+        )
+
+        store = self._mh_store(spark, tmp_path)
+        input_dir, ckpt = stream_dirs
+        rows = [("GapTag", 1, "One"), ("GapTag", 7, "Seven"),
+                ("SerialTag", 2, "Two")]
+        _land_batch(spark, input_dir, rows, batch=0)
+        q = start_hot_ingest_with_maintenance(
+            store,
+            read_sample_stream(spark, f"{input_dir}/*"),
+            ckpt,
+            partition_age_threshold_s=0.0,
+        )
+        assert q.awaitTermination(300)
+        assert q.exception() is None
+        # the hot tier IS a manifest table now: versioned, readable
+        # through the committed file list, purge pipeline included
+        assert store.commit.tracks_changes(store, store.config.hot_path)
+        assert store.commit.table_versions(
+            store, store.config.hot_path
+        )
+        out = {
+            (r.tag, r.ts): r.value
+            for r in store.read_range(
+                {"GapTag": (0, 100), "SerialTag": (0, 100)},
+                include_cold=True,
+            ).collect()
+        }
+        assert out == {(t, ts): v for t, ts, v in rows}
+
+    def test_raw_file_sink_refuses_manifest_hot(
+        self, spark, tmp_path, stream_dirs
+    ):
+        from redis_lsm_timeseries_spark.errors import ValidationError
+
+        store = self._mh_store(spark, tmp_path)
+        input_dir, ckpt = stream_dirs
+        _land_batch(spark, input_dir, [("t", 1, "v")], batch=0)
+        with pytest.raises(ValidationError, match="manifest"):
+            start_hot_ingest(
+                store, read_sample_stream(spark, f"{input_dir}/*"), ckpt
+            )
