@@ -2803,6 +2803,15 @@ class ManifestCommit(ParquetLeaseCommit):
         )
         sorted_sets = self._sorted_sets(predicates or {})
         added: list[str] = []
+        # mapped members (r13 schema evolution): files carry physical
+        # names; the feed serves the CURRENT logical view, same as
+        # read_table, and translates prune predicates to physical
+        smeta = self.schema_meta(store, path)
+        if predicates and smeta.get("map"):
+            predicates = {
+                smeta["map"].get(c, c): b for c, b in predicates.items()
+            }
+            sorted_sets = self._sorted_sets(predicates)
         for v, change, adds, removes, astats in walk:
             kind = change.get("kind")
             if kind == "cdf" and change.get(
@@ -2842,6 +2851,15 @@ class ManifestCommit(ParquetLeaseCommit):
             return self.read_table(
                 store, path, None, version=to_version
             ).limit(0)
+        if smeta:
+            df = self._logical_view(
+                self._files_reader(store, root, member, added), smeta
+            )
+            return (
+                self._apply_logical_schema(store, df, schema)
+                if schema is not None
+                else df
+            )
         return self._files_reader(store, root, member, added, schema)
 
     #: change-type column name in ``read_row_changes`` output (the
@@ -2889,6 +2907,19 @@ class ManifestCommit(ParquetLeaseCommit):
         )
         sorted_sets = self._sorted_sets(predicates or {})
         parts = []
+        # mapped members serve the CURRENT logical view (r13) — both
+        # the insert files and historical CDF files carry physical
+        # names; predicates translate to physical for the stats skip
+        smeta = self.schema_meta(store, path)
+        if predicates and smeta.get("map"):
+            predicates = {
+                smeta["map"].get(c, c): b for c, b in predicates.items()
+            }
+            sorted_sets = self._sorted_sets(predicates)
+
+        def view(df):
+            return self._logical_view(df, smeta) if smeta else df
+
         for v, change, adds, removes, astats in walk:
             kind = change.get("kind")
             if kind == "cdf" and change.get(
@@ -2903,8 +2934,10 @@ class ManifestCommit(ParquetLeaseCommit):
                 files = change.get("files", [])
                 if files:
                     parts.append(
-                        self._files_reader(
-                            store, root, change["cdf_member"], files
+                        view(
+                            self._files_reader(
+                                store, root, change["cdf_member"], files
+                            )
                         ).withColumn(self.CDF_VERSION_COL, F.lit(v))
                     )
                 continue
@@ -2927,7 +2960,7 @@ class ManifestCommit(ParquetLeaseCommit):
                 ]
             if adds:
                 parts.append(
-                    self._files_reader(store, root, member, adds)
+                    view(self._files_reader(store, root, member, adds))
                     .withColumn(self.CDF_TYPE_COL, F.lit("insert"))
                     .withColumn(self.CDF_VERSION_COL, F.lit(v))
                 )

@@ -333,3 +333,55 @@ class TestManifestDrop:
         assert sorted(
             commit.read_table(host, path, None).columns
         ) == ["k", "name"]
+
+
+class TestFeedsAcrossMapping:
+    def test_change_feeds_serve_the_logical_view(self, spark, tmp_path):
+        """A mapped member's feeds serve the CURRENT logical view —
+        same columns a read_table consumer sees — including inserts
+        appended BEFORE the rename and historical CDF files."""
+        from redis_lsm_timeseries_spark.changefeed import mirror_changes
+        from redis_lsm_timeseries_spark.operators.merge import merge_into
+
+        host, commit, path = _mfx(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        # a historical merge leaves CDF files with the OLD name
+        merge_into(
+            host, path,
+            spark.createDataFrame([(1, 99, "z")], SCHEMA),
+            ["k"], commit=commit,
+        )
+        commit.rename_column(host, path, "v", "score")
+        commit.append_table_with_meta(
+            host, path,
+            spark.createDataFrame(
+                [(5, 50, "e")], "k long, score int, name string"
+            ).coalesce(1),
+            {},
+        )
+        changes = commit.read_row_changes(host, path, v0)
+        assert "score" in changes.columns and "v" not in changes.columns
+        got = sorted(
+            (r.k, r.score, r[commit.CDF_TYPE_COL])
+            for r in changes.collect()
+        )
+        assert (1, 99, "upsert") in got and (5, 50, "insert") in got
+        # and a keyed mirror over the mapped member stays incremental
+        dst = str(tmp_path / "m")
+        m0 = mirror_changes(host, path, dst, keys=["k"], commit=commit)
+        assert m0.mode == "initial"
+        commit.append_table_with_meta(
+            host, path,
+            spark.createDataFrame(
+                [(6, 60, "f")], "k long, score int, name string"
+            ).coalesce(1),
+            {},
+        )
+        m1 = mirror_changes(host, path, dst, keys=["k"], commit=commit)
+        assert m1.mode == "row-incremental" and m1.rows_mirrored == 1
+        assert sorted(
+            (r.k, r.score)
+            for r in commit.read_table(
+                host, dst, "k long, score int, name string"
+            ).collect()
+        ) == [(1, 99), (2, 20), (5, 50), (6, 60)]

@@ -355,7 +355,9 @@ class TestMaintenanceLease:
     def _other_writer(store):
         from redis_lsm_timeseries_spark.store import TimeseriesStore
 
-        other = TimeseriesStore(store.spark, store.config)
+        other = TimeseriesStore(
+            store.spark, store.config, commit=type(store.commit)()
+        )
         other.initialize()
         return other
 
