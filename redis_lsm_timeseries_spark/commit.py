@@ -184,6 +184,23 @@ class TableCommit:
     #: read-side widening targets supported by ``widen_column``
     WIDEN_TYPES = {"long", "double"}
 
+    #: lossless source dtypes per widening target — anything else
+    #: (string->long, bigint->double, ...) would silently corrupt
+    #: values via the read-side cast, so it refuses
+    WIDEN_SOURCES = {
+        "long": {"tinyint", "smallint", "int", "bigint"},
+        "double": {"float", "double"},
+    }
+
+    def _check_widen_source(self, cur: str, column: str, to_type: str):
+        if cur not in self.WIDEN_SOURCES[to_type]:
+            raise ValidationError(
+                f"widen_column: {column!r} is {cur!r}; widening to "
+                f"{to_type!r} supports only "
+                f"{sorted(self.WIDEN_SOURCES[to_type])} (a lossy or "
+                "non-numeric cast would silently corrupt values)"
+            )
+
     def rename_column(self, store, path: str, old: str, new: str) -> None:
         """Rename a column. Directory backends have no metadata store,
         so this is an EAGER whole-table rewrite (read, rename, snapshot
@@ -240,6 +257,7 @@ class TableCommit:
             raise ValidationError(
                 f"widen_column: {column!r} not in {df.columns}"
             )
+        self._check_widen_source(dict(df.dtypes)[column], column, to_type)
         out = df.withColumn(column, df[column].cast(to_type))
         self.snapshot_rewrite(
             store, path,
@@ -983,7 +1001,14 @@ class ManifestCommit(ParquetLeaseCommit):
                     touched is not None
                     and m not in touched
                     and m in prev_parts
-                    and store.fs.exists(
+                    # touch, not exists: refreshing the reused part's
+                    # mtime pulls it back inside vacuum's grace window
+                    # (parts GC spares anything younger than grace),
+                    # closing most of the reuse-vs-GC race; a part
+                    # that cannot be touched is rewritten fresh, and
+                    # the post-write self-check below catches the
+                    # residual window
+                    and store.fs.touch(
                         f"{parts_dir}/{prev_parts[m]}.json"
                     )
                 ):
@@ -1012,7 +1037,19 @@ class ManifestCommit(ParquetLeaseCommit):
             if app:
                 manifest["app"] = app
             path = f"{root}/{LOG_DIR}/{version:020d}{CHECKPOINT_SUFFIX}"
-            return store.fs.create_exclusive(path, json.dumps(manifest))
+            if not store.fs.create_exclusive(path, json.dumps(manifest)):
+                return False
+            # self-check: a racing vacuum may have GC'd a reused part
+            # between the touch above and this manifest landing. A
+            # checkpoint that exists but cannot load is worse than no
+            # checkpoint (it shadows the working entry chain as a
+            # prune anchor) — remove our own broken manifest.
+            try:
+                self._load_checkpoint(store, root, version)
+            except Exception:
+                store.fs.remove_file(path)
+                return False
+            return True
         except Exception:
             return False
 
@@ -1495,7 +1532,11 @@ class ManifestCommit(ParquetLeaseCommit):
         full = f"{base}/{rel}" if rel else base
         if not store.fs.exists(full):
             return out
-        for name in sorted(store.fs.listdir(full)):
+        try:
+            names = sorted(store.fs.listdir(full))
+        except OSError:
+            return out  # racing vacuum removed the dir mid-walk
+        for name in names:
             child_rel = f"{rel}/{name}" if rel else name
             if store.fs.is_dir(f"{base}/{child_rel}"):
                 out.extend(self._walk_parquet(store, base, child_rel))
@@ -1988,10 +2029,21 @@ class ManifestCommit(ParquetLeaseCommit):
         if target is None:
             return super().widen_column(store, path, column, to_type)
         root, member = target
-        logical_cols = self.read_table(store, path, None).columns
-        if column not in logical_cols:
+        df = self.read_table(store, path, None)
+        if column not in df.columns:
             raise ValidationError(
-                f"widen_column: {column!r} not in {logical_cols}"
+                f"widen_column: {column!r} not in {df.columns}"
+            )
+        self._check_widen_source(dict(df.dtypes)[column], column, to_type)
+        _, tables = self._current(store, root)
+        from redis_lsm_timeseries_spark.operators.merge import (
+            partition_cols_of,
+        )
+
+        if column in partition_cols_of(tables.get(member, [])):
+            raise ValidationError(
+                "widen_column: hive partition columns cannot be "
+                "widened by mapping (their values are directory paths)"
             )
         key = self._schema_key(member)
         _, entry = self._current_entry(store, root)
@@ -2284,30 +2336,45 @@ class ManifestCommit(ParquetLeaseCommit):
                     # unreconstructible, the exact loss the
                     # read-validate-before-prune design exists to
                     # prevent.
-                    if (
-                        evs
-                        and evs[0] < cut
-                        and cut not in set(cps)
-                        and "tables" not in head
-                    ):
-                        self._write_checkpoint(
-                            store, root, cut,
-                            state["tables"], state["stats"],
-                            state["app"],
-                        )
-                        # verify LOADABLE, not merely present: the
-                        # parts format means existence of the manifest
-                        # alone doesn't prove the anchor reconstructs
+                    if evs and evs[0] < cut and "tables" not in head:
+                        # The anchor must be LOADABLE, not merely
+                        # present — the member-part format makes
+                        # exists != loadable (a part could have been
+                        # lost to the reuse/GC race). Verify even a
+                        # PRE-EXISTING checkpoint before pruning the
+                        # entries below it; an unloadable one is
+                        # removed and rewritten from the state just
+                        # validated, and the prune aborts if the
+                        # anchor still cannot load.
                         try:
                             self._load_checkpoint(store, root, cut)
-                        except Exception as exc:
-                            raise ConcurrentMaintenanceError(
-                                f"vacuum aborted: could not anchor the"
-                                f" prune cut {cut} of {root} with a "
-                                f"readable checkpoint ({exc}); pruning"
-                                " older entries would make every "
-                                "retained snapshot unreconstructible"
-                            ) from exc
+                        except Exception:
+                            store.fs.remove_file(
+                                f"{root}/{LOG_DIR}/{cut:020d}"
+                                f"{CHECKPOINT_SUFFIX}"
+                            )
+                            self._write_checkpoint(
+                                store, root, cut,
+                                state["tables"], state["stats"],
+                                state["app"],
+                            )
+                            try:
+                                self._load_checkpoint(store, root, cut)
+                            except Exception as exc:
+                                # a RACING vacuum can interleave its
+                                # parts GC / repair with ours (both
+                                # run leaseless) — re-list and retry
+                                # like the missing-entry case; only a
+                                # persistent failure aborts (via the
+                                # loop's exhausted-retries path)
+                                err = VersionNotFoundError(
+                                    f"anchor checkpoint at cut {cut} "
+                                    f"of {root} not loadable after "
+                                    f"rewrite ({exc}); retrying on a "
+                                    "fresh listing"
+                                )
+                                err.missing = True
+                                raise err from exc
                     for v in kept[1:]:
                         entry = json.loads(
                             store.fs.read_text(
@@ -2355,6 +2422,28 @@ class ManifestCommit(ParquetLeaseCommit):
             age = store.fs.age_seconds(path)
             return age is not None and age < grace
 
+        def _ls(path: str) -> list:
+            # vacuums run leaseless and CAN race each other: a dir
+            # listed a moment ago may be gone by the time we walk it
+            # (the other vacuum's remove_tree / rmdir) — absent means
+            # nothing left to collect here, never an error
+            try:
+                return store.fs.listdir(path)
+            except (FileNotFoundError, NotADirectoryError, OSError):
+                return []
+
+        # FLOOR the claim-sweep age at the class grace regardless of
+        # the caller's grace_s: a claim younger than that may be an
+        # IN-FLIGHT commit's temp, and sweeping it forces the
+        # committer onto the non-atomic no-hardlink fallback (the
+        # zero-byte-entry race); grace_s=0 means "collect data files
+        # now", never "break commit atomicity".
+        def _claim_stale(p: str) -> bool:
+            age = store.fs.age_seconds(p)
+            return age is not None and age >= max(
+                grace, self.VACUUM_GRACE_S
+            )
+
         # GC checkpoint parts referenced by NO remaining manifest —
         # re-list after the prune so a part shared across checkpoint
         # generations survives exactly as long as any referencing
@@ -2380,7 +2469,7 @@ class ManifestCommit(ParquetLeaseCommit):
                     # can't know this manifest's parts — skip part GC
                     # this run rather than guess (claims still sweep)
                     refs_complete = False
-            for name in store.fs.listdir(parts_dir):
+            for name in _ls(parts_dir):
                 p = f"{parts_dir}/{name}"
                 if (
                     refs_complete
@@ -2389,16 +2478,16 @@ class ManifestCommit(ParquetLeaseCommit):
                     and not _in_grace(p)
                 ):
                     store.fs.remove_file(p)
-                elif ".claim-" in name and not _in_grace(p):
+                elif ".claim-" in name and _claim_stale(p):
                     # orphan create_exclusive temp from a crashed part
                     # write (ADVICE r12)
                     store.fs.remove_file(p)
             store.fs.rmdir_if_empty(parts_dir)
         # same sweep for crashed entry/checkpoint claims in _log
-        for name in store.fs.listdir(f"{root}/{LOG_DIR}"):
+        for name in _ls(f"{root}/{LOG_DIR}"):
             if ".claim-" in name:
                 p = f"{root}/{LOG_DIR}/{name}"
-                if not _in_grace(p):
+                if _claim_stale(p):
                     store.fs.remove_file(p)
 
         def _stage_in_grace(path: str) -> bool:
@@ -2415,7 +2504,7 @@ class ManifestCommit(ParquetLeaseCommit):
                 cur = stack.pop()
                 if not store.fs.is_dir(cur):
                     continue
-                for name in store.fs.listdir(cur):
+                for name in _ls(cur):
                     child = f"{cur}/{name}"
                     ages.append(store.fs.age_seconds(child))
                     if store.fs.is_dir(child):
@@ -2430,7 +2519,7 @@ class ManifestCommit(ParquetLeaseCommit):
                 removed += 1
         stage_root = f"{root}/{STAGE_DIR}"
         if store.fs.exists(stage_root):
-            for name in store.fs.listdir(stage_root):
+            for name in _ls(stage_root):
                 child = f"{stage_root}/{name}"
                 if not _stage_in_grace(child):
                     store.fs.remove_tree(child)
@@ -2441,7 +2530,11 @@ class ManifestCommit(ParquetLeaseCommit):
     def _prune_empty_dirs(self, store, base: str) -> None:
         if not store.fs.exists(base) or not store.fs.is_dir(base):
             return
-        for name in store.fs.listdir(base):
+        try:
+            names = store.fs.listdir(base)
+        except OSError:
+            return  # racing vacuum removed it between the checks
+        for name in names:
             child = f"{base}/{name}"
             if store.fs.is_dir(child):
                 self._prune_empty_dirs(store, child)
@@ -2686,7 +2779,10 @@ class ManifestCommit(ParquetLeaseCommit):
         root, member = self._resolve(store, path)
         base = self._member_root(root, member)
         reader = store.spark.read.option("basePath", base)
-        meta = self.schema_meta(store, path)
+        # the REQUESTED version's app map, so a time-travel read sees
+        # the logical view as of that version — same as read_table
+        entry = self._load_entry(store, path, root, version)
+        meta = entry.get("app", {}).get(self._schema_key(member)) or {}
         if meta:
             df = self._mapped_scan(store, base, kept, meta)
             if schema is not None:
@@ -2852,8 +2948,10 @@ class ManifestCommit(ParquetLeaseCommit):
                 store, path, None, version=to_version
             ).limit(0)
         if smeta:
-            df = self._logical_view(
-                self._files_reader(store, root, member, added), smeta
+            # widen-safe forced-schema scan: the added files can mix
+            # physical widths across a widen boundary
+            df = self._mapped_scan(
+                store, self._member_root(root, member), added, smeta
             )
             return (
                 self._apply_logical_schema(store, df, schema)
@@ -2917,8 +3015,14 @@ class ManifestCommit(ParquetLeaseCommit):
             }
             sorted_sets = self._sorted_sets(predicates)
 
-        def view(df):
-            return self._logical_view(df, smeta) if smeta else df
+        def scan(mem, files):
+            # widen-safe on mapped members: forced physical schema
+            # across mixed-width generations, then the logical view
+            if smeta:
+                return self._mapped_scan(
+                    store, self._member_root(root, mem), files, smeta
+                )
+            return self._files_reader(store, root, mem, files)
 
         for v, change, adds, removes, astats in walk:
             kind = change.get("kind")
@@ -2934,11 +3038,9 @@ class ManifestCommit(ParquetLeaseCommit):
                 files = change.get("files", [])
                 if files:
                     parts.append(
-                        view(
-                            self._files_reader(
-                                store, root, change["cdf_member"], files
-                            )
-                        ).withColumn(self.CDF_VERSION_COL, F.lit(v))
+                        scan(change["cdf_member"], files).withColumn(
+                            self.CDF_VERSION_COL, F.lit(v)
+                        )
                     )
                 continue
             if removes:
@@ -2960,7 +3062,7 @@ class ManifestCommit(ParquetLeaseCommit):
                 ]
             if adds:
                 parts.append(
-                    view(self._files_reader(store, root, member, adds))
+                    scan(member, adds)
                     .withColumn(self.CDF_TYPE_COL, F.lit("insert"))
                     .withColumn(self.CDF_VERSION_COL, F.lit(v))
                 )

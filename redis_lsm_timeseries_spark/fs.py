@@ -84,30 +84,42 @@ class StorageFilesystem:
         publish-if-absent on POSIX. An object-store implementation
         maps this to a conditional put (If-None-Match), which is
         content-atomic by nature."""
+        import errno
         import uuid as _uuid
 
         tmp = f"{path}.claim-{_uuid.uuid4().hex[:12]}"
         try:
-            with open(tmp, "w", encoding="utf-8") as fh:
-                fh.write(text)
-            try:
-                os.link(tmp, path)
-                return True
-            except FileExistsError:
-                return False
-            except OSError:
-                # filesystem without hard links (exFAT, some FUSE
-                # mounts): degrade to O_EXCL create + write. Still
-                # exclusive, but a concurrent reader may glimpse a
-                # partially-written file — the pre-r12 contract;
-                # remote seams use a conditional put, which is
-                # content-atomic natively.
+            # A racing vacuum's stale-claim sweep can unlink the temp
+            # between the write and the link (ENOENT) — REWRITE and
+            # retry rather than degrading to the non-atomic fallback,
+            # which would expose a zero-byte file to concurrent
+            # readers (captured live: a JSONDecodeError aborting a
+            # racing vacuum). Only a genuinely link-less filesystem
+            # falls through.
+            for _ in range(3):
+                with open(tmp, "w", encoding="utf-8") as fh:
+                    fh.write(text)
                 try:
-                    with open(path, "x", encoding="utf-8") as fh:
-                        fh.write(text)
+                    os.link(tmp, path)
                     return True
                 except FileExistsError:
                     return False
+                except OSError as exc:
+                    if exc.errno == errno.ENOENT:
+                        continue  # tmp swept: rewrite and retry
+                    break  # no-hardlink filesystem: degrade below
+            # filesystem without hard links (exFAT, some FUSE
+            # mounts): degrade to O_EXCL create + write. Still
+            # exclusive, but a concurrent reader may glimpse a
+            # partially-written file — the pre-r12 contract;
+            # remote seams use a conditional put, which is
+            # content-atomic natively.
+            try:
+                with open(path, "x", encoding="utf-8") as fh:
+                    fh.write(text)
+                return True
+            except FileExistsError:
+                return False
         finally:
             try:
                 os.remove(tmp)
@@ -120,6 +132,18 @@ class StorageFilesystem:
             os.remove(path)
         except OSError:
             pass
+
+    def touch(self, path: str) -> bool:
+        """Refresh an EXISTING file's mtime (False if absent/failed) —
+        used to pull a file back inside vacuum's grace window (a
+        checkpoint writer re-referencing an old shared part). Object
+        stores without mtime semantics return False; callers fall back
+        to rewriting the content."""
+        try:
+            os.utime(path, None)
+            return True
+        except OSError:
+            return False
 
     def write_text(self, path: str, text: str) -> None:
         with open(path, "w", encoding="utf-8") as fh:

@@ -74,9 +74,10 @@ def start_hot_ingest(
     route through ``start_hot_ingest_with_maintenance``, which collapses
     intra-batch duplicates per micro-batch.
     """
-    if store.commit.tracks_changes(store, store.config.hot_path) or (
-        store.config.manifest_hot
-    ):
+    if store._hot_is_manifest():
+        # _hot_is_manifest, not the raw flag: a store whose hot tier
+        # is STICKY directory-mode (pre-existing plain layout) keeps
+        # using the file sink legitimately even with the flag set
         from redis_lsm_timeseries_spark.errors import ValidationError
 
         raise ValidationError(

@@ -240,28 +240,29 @@ def purge_scan(
 
 
 def _hot_partition_prefixes(
-    store: TimeseriesStore, parts: set[tuple]
+    store: TimeseriesStore, parts: set[tuple], depth: int = 2
 ) -> list[str]:
-    """Member-relative hive prefixes of the given (tag, part_start)
-    hot partitions, derived from the manifest's OWN file paths (so
-    hive ``%XX``-escaped tag values match byte-for-byte — a
-    hand-built ``tag={tag}`` string would miss them)."""
+    """Member-relative hive prefixes of the given partition-value
+    tuples (``depth`` leading hive segments — (tag, part_start) pairs
+    by default, tag-only with depth=1), derived from the manifest's
+    OWN file paths (so hive ``%XX``-escaped values match byte-for-byte
+    — a hand-built ``tag={tag}`` string would miss them)."""
     if not parts:
         return []
     from redis_lsm_timeseries_spark.commit import ManifestCommit
 
-    want = {(str(t), str(p)) for t, p in parts}
+    want = {tuple(str(x) for x in t) for t in parts}
     prefixes: set[str] = set()
     for f in store.commit.member_files(store, store.config.hot_path) or []:
         segs = f.split("/")
-        if len(segs) < 3:
+        if len(segs) <= depth:
             continue
         vals = tuple(
             ManifestCommit._unescape_partition(s.partition("=")[2])
-            for s in segs[:2]
+            for s in segs[:depth]
         )
         if vals in want:
-            prefixes.add("/".join(segs[:2]))
+            prefixes.add("/".join(segs[:depth]))
     return sorted(prefixes)
 
 
@@ -593,7 +594,18 @@ def compact(
         # a physically duplicated identical member compacts with no
         # change rows, which is right: its content never changed.
         identity = ["tag", "ts", *LWW_ORDER_COLS]
-        losers = target.join(
+        # losers come from the COMMITTED L1 snapshot, never the hot()
+        # union: a leaseless write() landing rows in L0 mid-job must
+        # not surface in the feed as deletes of rows the manifest
+        # never held (they flush into L1 later, as inserts)
+        l1 = store.commit.read_table(
+            store, store.config.hot_path, SAMPLE_SCHEMA
+        ).join(
+            F.broadcast(part_stats.select("tag", "part_start")),
+            ["tag", "part_start"],
+            "left_semi",
+        )
+        losers = l1.join(
             winners.select(*identity), identity, "left_anti"
         ).withColumn(store.commit.CDF_TYPE_COL, F.lit("delete"))
         excess = max(0, rows_before - rows_after)
@@ -693,7 +705,11 @@ def apply_retention(
         keys_df = store.spark.createDataFrame(
             sorted(pairs), "tag string, part_start long"
         )
-        victims = store.hot().join(
+        # committed L1 rows only (racing L0 rows were never in the
+        # manifest; they flush later and survive as inserts)
+        victims = store.commit.read_table(
+            store, store.config.hot_path, SAMPLE_SCHEMA
+        ).join(
             F.broadcast(keys_df), ["tag", "part_start"], "left_semi"
         ).withColumn(store.commit.CDF_TYPE_COL, F.lit("delete"))
         store.commit.overwrite_partitions(
@@ -794,25 +810,22 @@ def delete_series(
         # committed files instead and erase them in ONE atomic commit
         # with typed CDF deletes — keyed mirrors consume the erasure
         # as O(erased rows).
-        from redis_lsm_timeseries_spark.commit import (
-            ManifestCommit as _MC,
-        )
-
         want = {str(t) for t in sorted(set(tags))}
-        files = store.commit.member_files(
-            store, store.config.hot_path
-        ) or []
-        tag_prefixes: set[str] = set()
-        part_prefixes: set[str] = set()
-        for f in files:
-            segs = f.split("/")
-            if len(segs) < 3 or "=" not in segs[0]:
-                continue
-            if _MC._unescape_partition(segs[0].partition("=")[2]) in want:
-                tag_prefixes.add(segs[0])
-                part_prefixes.add("/".join(segs[:2]))
+        tag_prefixes = set(
+            _hot_partition_prefixes(store, {(t,) for t in want}, depth=1)
+        )
+        # partition count = distinct 2-level prefixes under the tags
+        part_prefixes = {
+            "/".join(f.split("/")[:2])
+            for f in store.commit.member_files(
+                store, store.config.hot_path
+            ) or []
+            if f.split("/", 1)[0] in tag_prefixes and f.count("/") >= 2
+        }
         if tag_prefixes:
-            victims = store.hot().where(
+            victims = store.commit.read_table(
+                store, store.config.hot_path, SAMPLE_SCHEMA
+            ).where(
                 F.col("tag").isin(sorted(want))
             ).withColumn(store.commit.CDF_TYPE_COL, F.lit("delete"))
             store.commit.overwrite_partitions(

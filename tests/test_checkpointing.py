@@ -477,17 +477,27 @@ class TestMemberPartCheckpoints:
         host, commit, path = _fx(spark, tmp_path)
         for i in range(3):
             _raw_commit(commit, host, path, [f"f{i}.parquet"])
+        import time as _time
+
         claim = f"{path}/{LOG_DIR}/{99:020d}.json.claim-deadbeef"
         open(claim, "w").write("{}")
         # within the grace window (age_seconds is ctime-based, so a
         # just-created claim is always "fresh") the claim survives —
-        # it may be an in-flight commit's temp
-        commit.vacuum(host, path)
-        assert os.path.exists(claim)
-        # past the window (grace 0 stands in for the 900s wait) it is
-        # the crash orphan the sweep exists for
+        # it may be an in-flight commit's temp. The sweep age is
+        # FLOORED at VACUUM_GRACE_S even for grace_s=0 callers
+        # (sweeping an in-flight temp would force the committer onto
+        # the non-atomic fallback — the zero-byte-entry race), so the
+        # "past the window" leg shrinks the class grace instead.
         commit.vacuum(host, path, grace_s=0)
-        assert not os.path.exists(claim)
+        assert os.path.exists(claim)
+        real = ManifestCommit.VACUUM_GRACE_S
+        ManifestCommit.VACUUM_GRACE_S = 0.2
+        try:
+            _time.sleep(0.3)
+            commit.vacuum(host, path, grace_s=0)
+            assert not os.path.exists(claim)
+        finally:
+            ManifestCommit.VACUUM_GRACE_S = real
 
     def test_legacy_single_blob_checkpoint_still_loads(
         self, spark, tmp_path

@@ -385,3 +385,149 @@ class TestFeedsAcrossMapping:
                 host, dst, "k long, score int, name string"
             ).collect()
         ) == [(1, 99), (2, 20), (5, 50), (6, 60)]
+
+
+class TestReviewR13Fixes:
+    """Adversarial-review findings, pinned (round 13 self-review)."""
+
+    def test_widen_refuses_lossy_and_non_numeric_sources(
+        self, spark, tmp_path
+    ):
+        host, commit, path = _mfx(spark, tmp_path)
+        with pytest.raises(ValidationError, match="corrupt"):
+            commit.widen_column(host, path, "name", "long")  # string
+        with pytest.raises(ValidationError, match="corrupt"):
+            commit.widen_column(host, path, "k", "double")  # bigint
+        commit.widen_column(host, path, "v", "long")  # int -> ok
+        commit.widen_column(host, path, "v", "long")  # idempotent
+
+    def test_pruned_time_travel_sees_the_mapping_as_of_version(
+        self, spark, tmp_path
+    ):
+        host, commit, path = _mfx(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        commit.rename_column(host, path, "v", "score")
+        old = commit.read_table_pruned(
+            host, path, predicates={"v": (0, 100)}, version=v0
+        )
+        assert "v" in old.columns and "score" not in old.columns
+
+    def test_feed_survives_mixed_width_files_after_widen(
+        self, spark, tmp_path
+    ):
+        """read_changes/read_row_changes over a widen boundary scan
+        narrow and wide files in one pass (forced schema), instead of
+        failing on whichever footer inference did not sample."""
+        host, commit, path = _mfx(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        # a second NARROW file lands before the widen, so the feed
+        # range (v0, latest] genuinely mixes int32 and int64 files
+        commit.append_table_with_meta(
+            host, path,
+            spark.createDataFrame([(9, 90, "n")], SCHEMA).coalesce(1),
+            {},
+        )
+        commit.widen_column(host, path, "v", "long")
+        commit.append_table_with_meta(
+            host, path,
+            spark.createDataFrame(
+                [(3, 5_000_000_000, "c")], "k long, v long, name string"
+            ).coalesce(1),
+            {},
+        )
+        delta = commit.read_changes(host, path, v0)
+        assert sorted((r.k, r.v) for r in delta.collect()) == [
+            (3, 5_000_000_000), (9, 90),
+        ]
+        assert dict(delta.dtypes)["v"] == "bigint"
+        rows = commit.read_row_changes(host, path, v0)
+        got = sorted((r.k, r.v) for r in rows.collect())
+        assert got == [(3, 5_000_000_000), (9, 90)]
+
+    def test_broken_preexisting_anchor_is_repaired_before_prune(
+        self, spark, tmp_path
+    ):
+        """Vacuum must load-verify even a PRE-EXISTING checkpoint at
+        the cut — a manifest whose part vanished is repaired from the
+        validated state, never trusted by existence alone."""
+        import json
+        import os
+
+        from redis_lsm_timeseries_spark.commit import (
+            CHECKPOINT_SUFFIX,
+            LOG_DIR,
+            PARTS_DIR,
+        )
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        commit._target_for_write(host, path)
+        for i in range(25):
+            commit._commit(
+                host, path,
+                (lambda i: lambda t: {
+                    **t, "": t.get("", []) + [f"f{i}.parquet"]
+                })(i),
+            )
+        # break the checkpoint at v20 by deleting its part
+        m = json.loads(
+            open(f"{path}/{LOG_DIR}/{20:020d}{CHECKPOINT_SUFFIX}").read()
+        )
+        os.remove(f"{path}/{LOG_DIR}/{PARTS_DIR}/{m['parts']['']}.json")
+        commit.vacuum(host, path, retain_versions=3, grace_s=0)
+        # the anchor at the cut reconstructs (repaired), and every
+        # retained version still reads
+        for v in commit.table_versions(host, path):
+            files = commit.member_files(host, path, version=v)
+            assert files == [f"f{i}.parquet" for i in range(v + 1)]
+
+    def test_checkpoint_selfcheck_removes_broken_manifest(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A checkpoint writer whose reused part is GC'd between touch
+        and manifest write must not leave an exists-but-unloadable
+        checkpoint behind (it would shadow the entry chain as a prune
+        anchor)."""
+        import os
+
+        from redis_lsm_timeseries_spark.commit import (
+            CHECKPOINT_SUFFIX,
+            LOG_DIR,
+            ManifestCommit as MC,
+        )
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        commit._target_for_write(host, path)
+        for i in range(10):
+            commit._commit(
+                host, path,
+                (lambda i: lambda t: {
+                    **t, "": t.get("", []) + [f"f{i}.parquet"]
+                })(i),
+            )
+        real = MC._load_checkpoint
+        armed = {"on": True}
+
+        def sabotaged(self_, store, root, v):
+            out = real(self_, store, root, v)
+            if armed["on"] and v == 20:
+                armed["on"] = False
+                raise OSError("part vanished under the self-check")
+            return out
+
+        monkeypatch.setattr(MC, "_load_checkpoint", sabotaged)
+        # the 20th commit triggers the interval checkpoint whose
+        # self-check fails -> the broken manifest must be removed
+        for i in range(10, 21):
+            commit._commit(
+                host, path,
+                (lambda i: lambda t: {
+                    **t, "": t.get("", []) + [f"f{i}.parquet"]
+                })(i),
+            )
+        cp20 = f"{path}/{LOG_DIR}/{20:020d}{CHECKPOINT_SUFFIX}"
+        assert not os.path.exists(cp20)
+        assert commit.member_files(host, path) == [
+            f"f{i}.parquet" for i in range(21)
+        ]
