@@ -87,7 +87,8 @@ class TableCommit:
         raise NotImplementedError
 
     def append_partitioned(
-        self, store, df: DataFrame, path: str, partition_cols
+        self, store, df: DataFrame, path: str, partition_cols,
+        app_meta: dict | None = None, expected_app: dict | None = None,
     ) -> None:
         raise NotImplementedError
 
@@ -475,10 +476,20 @@ class ParquetLeaseCommit(TableCommit):
         df = store.spark.createDataFrame(rdd, schema)
         df.write.mode("append").parquet(path)
 
-    def append_partitioned(self, store, df, path, partition_cols) -> None:
+    def append_partitioned(self, store, df, path, partition_cols,
+                           app_meta=None, expected_app=None) -> None:
         """Partitioned append (the cold-snapshot write): plain file
         append into the hive layout — atomic per file, job-level
-        visibility via the committer's rename."""
+        visibility via the committer's rename. ``app_meta`` /
+        ``expected_app`` (the transactional batch-cursor leg) need a
+        version log; asking the directory backend for them must fail
+        loudly, not silently drop the exactly-once guarantee."""
+        if app_meta or expected_app:
+            raise ValidationError(
+                "append_partitioned: app_meta/expected_app need a "
+                "manifest-managed table (directory mode keeps no "
+                "metadata map to commit the cursor into)"
+            )
         (
             df.write.mode("append")
             .partitionBy(*partition_cols)
@@ -1593,11 +1604,20 @@ class ManifestCommit(ParquetLeaseCommit):
         mutate.stats_add = self._file_stats(store, root, member, files)
         self._commit(store, root, mutate)
 
-    def append_partitioned(self, store, df, path, partition_cols) -> None:
+    def append_partitioned(self, store, df, path, partition_cols,
+                           app_meta=None, expected_app=None) -> None:
+        """Partitioned append as one manifest commit. ``app_meta``
+        merges into the entry's ``app`` map ATOMICALLY with the files
+        and ``expected_app`` CASes on the keys' planning-time values —
+        the Delta ``txn`` idiom on the partitioned write path, so a
+        streaming hot-tier ingest commits its batch cursor in the
+        same entry as the batch's files (r14 exactly-once manifest-hot
+        ingest; see ``streaming/ingest.py``)."""
         target = self._target_for_write(store, path)
         if target is None:
             return super().append_partitioned(
-                store, df, path, partition_cols
+                store, df, path, partition_cols,
+                app_meta=app_meta, expected_app=expected_app,
             )
         root, member = target
         df = self._to_physical(store, root, member, df)
@@ -1611,6 +1631,10 @@ class ManifestCommit(ParquetLeaseCommit):
         )
         mutate = lambda t: {**t, member: t.get(member, []) + files}  # noqa: E731
         mutate.stats_add = self._file_stats(store, root, member, files)
+        if app_meta:
+            mutate.app_meta = dict(app_meta)
+        if expected_app is not None:
+            mutate.entry_guard = self._app_cas_guard(expected_app)
         self._commit(store, root, mutate)
 
     def overwrite_partitions(self, store, df, path, partition_cols,
@@ -1771,12 +1795,13 @@ class ManifestCommit(ParquetLeaseCommit):
     # so every file stays physically consistent; stats/pruning
     # translate predicates to physical names (superset-safe: kind
     # normalization already unifies numeric widths). Row-level
-    # rewrites (merge/delete CDF) refuse on a mapped member — their
-    # source joins and change rows are logical-named, and writing
-    # logical names into a physical-named member would corrupt the
-    # mapping invariant. Physical-name-preserving maintenance
-    # (compact_small_files, Z-order — raw read, raw rewrite) stays
-    # allowed.
+    # rewrites (merge/delete, r14) work THROUGH the mapping: the
+    # merge plans in the logical view, translates its replacement
+    # rows and CDF rows to physical names before staging, and prunes
+    # with physical-translated predicates — physical names are
+    # immutable under rename, so a rename racing a merge is benign.
+    # Physical-name-preserving maintenance (compact_small_files,
+    # Z-order) reads and rewrites physical, widen-forced.
 
     @staticmethod
     def _schema_key(member: str) -> str:
@@ -1792,21 +1817,28 @@ class ManifestCommit(ParquetLeaseCommit):
         _, entry = self._current_entry(store, root)
         return entry.get("app", {}).get(self._schema_key(member)) or {}
 
-    def _mapped_scan(self, store, base: str, files, meta):
-        """Physical scan of a mapped member, widen-safe: with a widen
-        in play the member legitimately mixes physical widths (old
-        files narrow, post-widen files wide), so inference from one
-        footer would fail on the other generation — force an explicit
-        physical schema with the widened types (Spark 4's parquet
-        reader upcasts int->long / float->double at scan), then
-        assemble the logical view."""
+    def _physical_scan(self, store, base: str, files, meta):
+        """Scan of a mapped member's files under PHYSICAL names,
+        widen- and mixed-presence-safe: with a widen in play the
+        member legitimately mixes physical widths (old files narrow,
+        post-widen files wide), so inference from one footer would
+        fail on the other generation — force an explicit physical
+        schema with the widened types (Spark 4's parquet reader
+        upcasts int->long / float->double at scan). Columns recorded
+        in ``phys_types`` (synthetic physical names minted by
+        dropped-name reuse, r14) are forced into the schema too, so
+        files written BEFORE the column existed read it as NULL
+        regardless of which footer inference sampled."""
         from pyspark.sql import types as T
 
         paths = [f"{base}/{f}" for f in files]
         reader = store.spark.read.option("basePath", base)
         df = reader.parquet(*paths)
         widen = meta.get("widen", {})
-        if widen:
+        phys_types = meta.get("phys_types", {})
+        present = {f.name for f in df.schema.fields}
+        missing = {p: t for p, t in phys_types.items() if p not in present}
+        if widen or missing:
             wide = {"long": T.LongType(), "double": T.DoubleType()}
             inv = {p: l for l, p in meta.get("map", {}).items()}
             forced = T.StructType(
@@ -1820,13 +1852,30 @@ class ManifestCommit(ParquetLeaseCommit):
                     )
                     for f in df.schema.fields
                 ]
+                + [
+                    T.StructField(
+                        p,
+                        wide[widen[inv[p]]]
+                        if inv.get(p) in widen
+                        else T._parse_datatype_string(t),
+                        True,
+                    )
+                    for p, t in sorted(missing.items())
+                ]
             )
             df = (
                 store.spark.read.option("basePath", base)
                 .schema(forced)
                 .parquet(*paths)
             )
-        return self._logical_view(df, meta)
+        return df
+
+    def _mapped_scan(self, store, base: str, files, meta):
+        """Physical scan of a mapped member assembled into the
+        logical view (see ``_physical_scan`` / ``_logical_view``)."""
+        return self._logical_view(
+            self._physical_scan(store, base, files, meta), meta
+        )
 
     @staticmethod
     def _logical_view(df, meta):
@@ -1873,11 +1922,81 @@ class ManifestCommit(ParquetLeaseCommit):
             ]
         )
 
+    def _remint_dropped(self, store, root: str, member: str, df, reused):
+        """Dropped-name reuse (r14 — the Delta id-based column-mapping
+        idiom on plain parquet): a NEW logical column whose name was
+        previously dropped gets a fresh synthetic PHYSICAL name
+        (``{name}__r{n}``) minted in a metadata-only CAS-guarded
+        commit, so old files' bytes under the dropped physical name
+        stay hidden forever and files written BEFORE the re-add read
+        the new column as NULL — ``phys_types`` records its type so
+        ``_physical_scan`` can force it into the scan schema
+        regardless of which footer inference sampled. Returns the
+        fresh schema meta; retries through racing evolutions."""
+        key = self._schema_key(member)
+        dtypes = dict(df.dtypes)
+        for _ in range(5):
+            _, entry = self._current_entry(store, root)
+            before = entry.get("app", {}).get(key)
+            cur = before or {}
+            mapping = dict(cur.get("map", {}))
+            widen = dict(cur.get("widen", {}))
+            dropped = list(cur.get("drop", []))
+            ptypes = dict(cur.get("phys_types", {}))
+            used = set(mapping.values()) | set(dropped) | set(ptypes)
+            changed = False
+            for c in reused:
+                if mapping.get(c, c) not in set(dropped):
+                    continue  # another writer already minted it
+                n = 2
+                while f"{c}__r{n}" in used:
+                    n += 1
+                phys = f"{c}__r{n}"
+                mapping[c] = phys
+                ptypes[phys] = dtypes.get(c, "string")
+                used.add(phys)
+                changed = True
+            meta = self._schema_meta_dict(mapping, widen, dropped, ptypes)
+            if not changed:
+                return meta
+            mutate = lambda t: t  # noqa: E731 — metadata-only commit
+            mutate.app_meta = {key: meta}
+            mutate.entry_guard = self._app_cas_guard({key: before})
+            try:
+                self._commit(store, root, mutate)
+                return meta
+            except RewriteConflictError:
+                continue  # racing schema evolution: re-read, retry
+        raise RewriteConflictError(
+            f"reusing dropped column name(s) {reused!r} on "
+            f"{member or root!r}: could not land the physical remint "
+            "past concurrent schema evolutions — retry the append"
+        )
+
+    @staticmethod
+    def _schema_meta_dict(mapping, widen, dropped, ptypes) -> dict:
+        """The member's ``__schema__`` app value with empty components
+        elided — every schema-evolution commit builds it here so none
+        silently drops a sibling key (e.g. ``phys_types``)."""
+        return {
+            k: v
+            for k, v in (
+                ("map", mapping),
+                ("widen", widen),
+                ("drop", dropped),
+                ("phys_types", ptypes),
+            )
+            if v
+        }
+
     def _to_physical(self, store, root: str, member: str, df):
         """Logical DataFrame -> physical write shape: rename mapped
         columns to their stable physical names; store widened columns
         at their widened type (so one file never mixes widths with its
-        own stats)."""
+        own stats). A column reusing a DROPPED name triggers the
+        physical remint (``_remint_dropped``) — committed before this
+        append, so the append's files land under the fresh synthetic
+        name."""
         from pyspark.sql import functions as F
 
         _, entry = self._current_entry(store, root)
@@ -1887,15 +2006,28 @@ class ManifestCommit(ParquetLeaseCommit):
         dropped = set(meta.get("drop", []))
         if not mapping and not widen and not dropped:
             return df
+        reused = [c for c in df.columns if mapping.get(c, c) in dropped]
+        if reused:
+            meta = self._remint_dropped(store, root, member, df, reused)
+            mapping = meta.get("map", {})
+            widen = meta.get("widen", {})
+            dropped = set(meta.get("drop", []))
+        targets = {p for l, p in mapping.items() if p != l}
         cols = []
         for c in df.columns:
             phys = mapping.get(c, c)
             if phys in dropped:
-                raise ValidationError(
+                raise ValidationError(  # unreachable post-remint; guard
                     f"append to a schema-mapped member: column {c!r} "
-                    "reuses a DROPPED column's physical name — the "
-                    "logical view would hide it. Rewrite the table to "
-                    "materialize the mapping before reusing the name."
+                    "still resolves to a DROPPED physical name after "
+                    "the remint — racing schema evolutions; retry."
+                )
+            if c not in mapping and phys in targets:
+                raise ValidationError(
+                    f"append to a schema-mapped member: new column "
+                    f"{c!r} collides with an existing column's "
+                    "PHYSICAL name — pick a different name (the "
+                    "mapping already targets it)."
                 )
             col = F.col(c)
             if c in widen:
@@ -1947,13 +2079,9 @@ class ManifestCommit(ParquetLeaseCommit):
         mapping[new] = phys
         if old in widen:
             widen[new] = widen.pop(old)
-        meta = {
-            k: v
-            for k, v in (
-                ("map", mapping), ("widen", widen), ("drop", dropped),
-            )
-            if v
-        }
+        meta = self._schema_meta_dict(
+            mapping, widen, dropped, dict(cur.get("phys_types", {}))
+        )
         mutate = lambda t: t  # noqa: E731 — metadata-only commit
         mutate.app_meta = {key: meta}
         # CAS on the schema key: two racing evolutions must not clobber
@@ -1966,10 +2094,12 @@ class ManifestCommit(ParquetLeaseCommit):
         """Metadata-only drop: one log entry excluding the column from
         the logical view — zero data files touched; old files keep the
         bytes (vacuum-governed like all history), new appends never
-        carry the column, and reusing the dropped NAME refuses until
-        the mapping is materialized (no column IDs in plain parquet,
-        so a reused name would silently vanish behind the exclusion).
-        Refuses hive partition columns and the last column."""
+        carry the column. Re-adding a column under the dropped NAME is
+        safe (r14): the first append carrying it mints a fresh
+        synthetic physical name (``_remint_dropped`` — the Delta
+        id-mapping idiom), so the old bytes stay hidden and pre-re-add
+        files read the new column as NULL. Refuses hive partition
+        columns and the last column."""
         target = self._target_for_write(store, path)
         if target is None:
             return super().drop_column(store, path, column)
@@ -2002,13 +2132,9 @@ class ManifestCommit(ParquetLeaseCommit):
         phys = mapping.pop(column, column)
         widen.pop(column, None)
         dropped.append(phys)
-        meta = {
-            k: v
-            for k, v in (
-                ("map", mapping), ("widen", widen), ("drop", dropped),
-            )
-            if v
-        }
+        meta = self._schema_meta_dict(
+            mapping, widen, dropped, dict(cur.get("phys_types", {}))
+        )
         mutate = lambda t: t  # noqa: E731 — metadata-only commit
         mutate.app_meta = {key: meta}
         mutate.entry_guard = self._app_cas_guard(
@@ -2052,13 +2178,9 @@ class ManifestCommit(ParquetLeaseCommit):
         widen = dict(cur.get("widen", {}))
         dropped = list(cur.get("drop", []))
         widen[column] = to_type
-        meta = {
-            k: v
-            for k, v in (
-                ("map", mapping), ("widen", widen), ("drop", dropped),
-            )
-            if v
-        }
+        meta = self._schema_meta_dict(
+            mapping, widen, dropped, dict(cur.get("phys_types", {}))
+        )
         mutate = lambda t: t  # noqa: E731
         mutate.app_meta = {key: meta}
         mutate.entry_guard = self._app_cas_guard(
@@ -2136,7 +2258,13 @@ class ManifestCommit(ParquetLeaseCommit):
         caller's typed upsert/delete rows) in the SAME atomic commit
         and records them in the entry's change metadata with
         ``kind: "cdf"`` — ``read_row_changes`` serves them; see
-        ``cdf_member_of`` for their lifecycle.
+        ``cdf_member_of`` for their lifecycle. On a schema-mapped
+        member (rename/widen/drop, r13) the ``cdf_df`` AND the staged
+        replacement files must carry PHYSICAL column names — the same
+        convention as the member's data files, so the feed reader's
+        one logical-view assembly serves both; ``operators/merge``
+        translates through ``_to_physical`` (r14), and maintenance
+        reads physical to begin with.
 
         Returns the new relpaths. The trailing vacuum keeps the
         retention margin, so readers of retained snapshots stay
@@ -2149,19 +2277,6 @@ class ManifestCommit(ParquetLeaseCommit):
                 "for directory tables)"
             )
         root, member = target
-        if (cdf_df is not None or (change or {}).get("kind") == "cdf") and (
-            self.schema_meta(store, path)
-        ):
-            raise ValidationError(
-                f"{path!r} has a logical column mapping (rename/widen): "
-                "row-level rewrites (merge/delete) are not "
-                "mapping-aware — their change rows would write logical "
-                "names into a physical-named member. Rewrite the table "
-                "to materialize the mapping first, or keep row-level "
-                "ops off mapped members. (Physical-name-preserving "
-                "maintenance — compact_small_files, Z-order — stays "
-                "allowed.)"
-            )
         remove = list(remove)
         files = (
             self._stage_in(store, root, member, write_fn)

@@ -96,11 +96,19 @@ def compact_small_files(
 
     root, member = commit._resolve(host, path)
     base = commit._member_root(root, member)
+    # schema-mapped members compact under PHYSICAL names, widen-forced
+    # (a group can mix pre/post-widen physical widths; one footer's
+    # inference would mis-read the other generation)
+    smeta = commit.schema_meta(host, path)
     done = files_done = conflicts = 0
     for group in groups:
         pcols = partition_cols_of(group)
-        df = host.spark.read.option("basePath", base).parquet(
-            *[f"{base}/{f}" for f in group]
+        df = (
+            commit._physical_scan(host, base, group, smeta)
+            if smeta
+            else host.spark.read.option("basePath", base).parquet(
+                *[f"{base}/{f}" for f in group]
+            )
         )
 
         def write(tmp, df=df, pcols=pcols):

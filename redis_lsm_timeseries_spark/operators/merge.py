@@ -182,20 +182,31 @@ def _envelope_guard(
 
 
 
-def _refuse_mapped(commit, host, path: str, op: str) -> None:
-    """Row-level rewrites are not column-mapping-aware (r13 schema
-    evolution): their pruning, joins, and CDF rows run on logical
-    names, but the member's files are physical-named. Refuse loudly
-    with the remedy instead of failing later on a confusing
-    column-set mismatch."""
-    if commit.schema_meta(host, path):
-        raise ValidationError(
-            f"{op} on {path!r}: the member has a logical column "
-            "mapping (rename/widen) and row-level rewrites are not "
-            "mapping-aware. Rewrite the table to materialize the "
-            "mapping first, or keep merges/deletes off mapped members"
-            " (appends and physical maintenance remain available)."
-        )
+def _mapping_ctx(commit, host, path: str):
+    """Schema-mapping context for a manifest member (r14: row-level
+    rewrites work THROUGH the column mapping instead of refusing):
+    ``(smeta, phys)`` where ``smeta`` is the member's logical-view
+    metadata ({} unmapped) and ``phys`` translates a logical column
+    name to its stable physical name (identity when unmapped).
+    Physical names are immutable under rename — rename only updates
+    the logical mapping — so a rename landing between planning and
+    commit never invalidates a physically-translated plan."""
+    smeta = commit.schema_meta(host, path)
+    pmap = smeta.get("map", {})
+    return smeta, (lambda c: pmap.get(c, c))
+
+
+def _physical_out(commit, host, root: str, member: str, df, smeta):
+    """Logical plan output -> physical write shape on a mapped member
+    (rename to stable physical names, store widened columns at the
+    widened type — the same translation appends use); identity when
+    unmapped. Applied to replacement files AND the CDF rows, so both
+    follow the member's one storage convention (physical names) and
+    ``read_row_changes`` serves them through its one logical-view
+    assembly."""
+    if not smeta:
+        return df
+    return commit._to_physical(host, root, member, df)
 
 
 def _cdf_sized(df: DataFrame, approx_rows: int) -> DataFrame:
@@ -222,9 +233,17 @@ def _compose_guards(*guards):
     return guard
 
 
-def _affected_df(host, commit, path: str, files: list[str]) -> DataFrame:
+def _affected_df(
+    host, commit, path: str, files: list[str], smeta: dict | None = None
+) -> DataFrame:
+    """The affected files as a DataFrame — the LOGICAL view on a
+    schema-mapped member (widen-forced physical scan, then the
+    inverse rename), so the merge clauses and key joins run on the
+    same column names the caller's source carries."""
     root, member = commit._resolve(host, path)
     base = commit._member_root(root, member)
+    if smeta:
+        return commit._mapped_scan(host, base, files, smeta)
     return host.spark.read.option("basePath", base).parquet(
         *[f"{base}/{f}" for f in files]
     )
@@ -424,15 +443,20 @@ def merge_into(
             host, path, _clustered_write(out, keys, n)
         )
         return MergeStats(-1, -1, n_upserts)
-    _refuse_mapped(commit, host, path, "merge_into")
 
+    root, member = commit._resolve(host, path)
+    smeta, phys = _mapping_ctx(commit, host, path)
     total = len(managed)
     preds = _key_predicates(src, keys)
     affected, _ = commit.prune_files(host, path, preds)
-    _, member = commit._resolve(host, path)
+    # the envelope guard compares against per-file stats, which are
+    # recorded under PHYSICAL names — translate the logical envelope
+    # (prune_files translates internally; the guard takes it raw)
+    gpreds = {phys(c): b for c, b in preds.items()}
+    pkeys = [phys(k) for k in keys]
     guard = _compose_guards(
         _envelope_guard(
-            commit, member, set(managed) | set(affected), preds
+            commit, member, set(managed) | set(affected), gpreds
         ),
         extra_guard,
     )
@@ -449,17 +473,24 @@ def merge_into(
         if n_ins == 0:
             return MergeStats(0, total, 0)
         cdf = _cdf_sized(
-            ins.withColumn(commit.CDF_TYPE_COL, F.lit("upsert")),
+            _physical_out(
+                commit, host, root, member,
+                ins.withColumn(commit.CDF_TYPE_COL, F.lit("upsert")),
+                smeta,
+            ),
             n_ins,
         )
         commit.rewrite_files(
             host, path, [],
-            _clustered_write(ins, keys, target_files or 1, pcols),
+            _clustered_write(
+                _physical_out(commit, host, root, member, ins, smeta),
+                pkeys, target_files or 1, pcols,
+            ),
             entry_guard=guard, cdf_df=cdf,
         )
         return MergeStats(0, total, n_ins)
 
-    cur = _affected_df(host, commit, path, affected)
+    cur = _affected_df(host, commit, path, affected, smeta)
     _check_columns(cur, src, path)
     cur = cur.select(*src.columns)
     out, upserts, deleted = _merge_outputs(
@@ -497,10 +528,17 @@ def merge_into(
         cdf = cdf_parts[0]
         for p in cdf_parts[1:]:
             cdf = cdf.unionByName(p)
-        cdf = _cdf_sized(cdf, n_applied if not default_clauses else n_upserts)
+        cdf = _cdf_sized(
+            _physical_out(commit, host, root, member, cdf, smeta),
+            n_applied if not default_clauses else n_upserts,
+        )
     n = target_files or len(affected)
     commit.rewrite_files(
-        host, path, affected, _clustered_write(out, keys, n, pcols),
+        host, path, affected,
+        _clustered_write(
+            _physical_out(commit, host, root, member, out, smeta),
+            pkeys, n, pcols,
+        ),
         entry_guard=guard, cdf_df=cdf,
     )
     return MergeStats(len(affected), total, n_applied)
@@ -536,26 +574,31 @@ def delete_rows(
         commit.snapshot_rewrite(host, path, _clustered_write(out, keys, n))
         return DeleteStats(-1, -1)
 
-    _refuse_mapped(commit, host, path, "delete_rows")
+    root, member = commit._resolve(host, path)
+    smeta, phys = _mapping_ctx(commit, host, path)
     total = len(managed)
     preds = _key_predicates(dk, keys)
     affected, _ = commit.prune_files(host, path, preds)
     if not affected:
         return DeleteStats(0, total)
-    _, member = commit._resolve(host, path)
     guard = _compose_guards(
         _envelope_guard(
-            commit, member, set(managed) | set(affected), preds
+            commit, member, set(managed) | set(affected),
+            {phys(c): b for c, b in preds.items()},
         ),
         extra_guard,
     )
-    cur = _affected_df(host, commit, path, affected)
+    cur = _affected_df(host, commit, path, affected, smeta)
     survivors = cur.join(dk, keys, "left_anti")
     # the erased rows are the commit's row-level change set
     # deleted rows are bounded by the affected files' contents
     cdf = _cdf_sized(
-        cur.join(dk, keys, "left_semi")
-        .withColumn(commit.CDF_TYPE_COL, F.lit("delete")),
+        _physical_out(
+            commit, host, root, member,
+            cur.join(dk, keys, "left_semi")
+            .withColumn(commit.CDF_TYPE_COL, F.lit("delete")),
+            smeta,
+        ),
         len(affected) * 250_000,
     )
     # a fully-deleted slice drops its files with no replacement write
@@ -563,7 +606,9 @@ def delete_rows(
         None
         if survivors.isEmpty()
         else _clustered_write(
-            survivors, keys, len(affected), partition_cols_of(affected)
+            _physical_out(commit, host, root, member, survivors, smeta),
+            [phys(k) for k in keys],
+            len(affected), partition_cols_of(affected),
         )
     )
     commit.rewrite_files(
@@ -609,28 +654,34 @@ def delete_range(
         )
         return DeleteStats(-1, -1)
 
-    _refuse_mapped(commit, host, path, "delete_range")
+    root, member = commit._resolve(host, path)
+    smeta, phys = _mapping_ctx(commit, host, path)
     total = len(managed)
     preds = {column: (lo, hi)}
     affected, _ = commit.prune_files(host, path, preds)
     if not affected:
         return DeleteStats(0, total)
-    _, member = commit._resolve(host, path)
     guard = _envelope_guard(
-        commit, member, set(managed) | set(affected), preds
+        commit, member, set(managed) | set(affected),
+        {phys(column): (lo, hi)},
     )
-    cur = _affected_df(host, commit, path, affected)
+    cur = _affected_df(host, commit, path, affected, smeta)
     survivors = cur.where(~cond | F.col(column).isNull())
     cdf = _cdf_sized(
-        cur.where(cond)
-        .withColumn(commit.CDF_TYPE_COL, F.lit("delete")),
+        _physical_out(
+            commit, host, root, member,
+            cur.where(cond)
+            .withColumn(commit.CDF_TYPE_COL, F.lit("delete")),
+            smeta,
+        ),
         len(affected) * 250_000,
     )
     write_fn = (
         None
         if survivors.isEmpty()
         else _clustered_write(
-            survivors, [column], len(affected),
+            _physical_out(commit, host, root, member, survivors, smeta),
+            [phys(column)], len(affected),
             partition_cols_of(affected),
         )
     )

@@ -357,17 +357,39 @@ def zorder_compact(
 
     root, member = commit._resolve(host, path)
     base = commit._member_root(root, member)
-    cur = host.spark.read.option("basePath", base).parquet(
-        *[f"{base}/{f}" for f in tail]
-    )
-    for c in cols:
-        if c not in cur.columns:
-            raise ValidationError(f"zorder_compact: no column {c!r}")
-    b = bounds if bounds is not None else column_bounds(cur, cols)
+    # schema-mapped members (r14): callers name LOGICAL columns; the
+    # files are scanned and rewritten under their immutable PHYSICAL
+    # names (widen-forced, so mixed-width generations cluster in one
+    # pass), and the z-key is computed on the physical translation —
+    # the rewrite stays content-identical in the logical view.
+    smeta = commit.schema_meta(host, path)
+    if smeta:
+        cur = commit._physical_scan(host, base, tail, smeta)
+        logical = commit._logical_view(cur, smeta)
+        pmap = smeta.get("map", {})
+        zcols = []
+        for c in cols:
+            if c not in logical.columns:
+                raise ValidationError(f"zorder_compact: no column {c!r}")
+            zcols.append(pmap.get(c, c))
+    else:
+        cur = host.spark.read.option("basePath", base).parquet(
+            *[f"{base}/{f}" for f in tail]
+        )
+        for c in cols:
+            if c not in cur.columns:
+                raise ValidationError(f"zorder_compact: no column {c!r}")
+        zcols = list(cols)
+    if bounds is not None:
+        # caller bounds are keyed by the LOGICAL names they passed
+        pmap = smeta.get("map", {}) if smeta else {}
+        b = {pmap.get(k, k): v for k, v in bounds.items()}
+    else:
+        b = column_bounds(cur, zcols)
     n = target_files if target_files is not None else len(tail)
     pcols = partition_cols_of(tail)  # preserve hive layout
     clustered = (
-        cur.withColumn("_zkey", zorder_key(cols, b, bits))
+        cur.withColumn("_zkey", zorder_key(zcols, b, bits))
         .repartitionByRange(max(1, int(n)), "_zkey")
         .sortWithinPartitions("_zkey")
         .drop("_zkey")

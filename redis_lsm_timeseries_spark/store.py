@@ -292,6 +292,8 @@ class TimeseriesStore:
         df: DataFrame,
         ingest_ts: int | None = None,
         cluster_by_partition: bool = True,
+        app_meta: dict | None = None,
+        expected_app: dict | None = None,
     ) -> None:
         """Bulk ingest path for DataFrame-shaped input (columns
         ``tag, ts, value`` at minimum; ``ingest_ts/writer_id/seq`` kept
@@ -321,7 +323,13 @@ class TimeseriesStore:
         stolen anyway, the lock's exit raises rather than succeeding
         silently. The chatty ``write()`` path needs no lease: it lands
         in L0, which maintenance folds via the rename protocol, never
-        overwrites."""
+        overwrites.
+
+        ``app_meta`` / ``expected_app`` (r14): commit application
+        metadata (a streaming batch cursor) ATOMICALLY with the
+        append, CAS-guarded — the exactly-once leg of the manifest-hot
+        ingest path. Requires a manifest-managed hot tier (the
+        directory sink has no metadata map and refuses loudly)."""
         self._require_init()
         self._require_l1_batch_writable()
         cols = set(df.columns)
@@ -350,7 +358,7 @@ class TimeseriesStore:
                 self.spark.sparkContext.defaultParallelism, "tag", "part_start"
             )
         with self.commit.maintenance_lock(self):
-            self._append_hot(out)
+            self._append_hot(out, app_meta=app_meta, expected_app=expected_app)
 
     def _hot_is_manifest(self) -> bool:
         """True when the L1 hot table is (or should become) managed by
@@ -371,18 +379,29 @@ class TimeseriesStore:
             and (not self.fs.is_dir(hot) or self.fs.listdir(hot))
         )
 
-    def _append_hot(self, df: DataFrame) -> None:
+    def _append_hot(
+        self, df: DataFrame, app_meta: dict | None = None,
+        expected_app: dict | None = None,
+    ) -> None:
         writer = df
         if self.config.sort_within_partitions:
             writer = df.sortWithinPartitions("tag", "ts")
         if self._hot_is_manifest():
             # Transactional L1: one atomic manifest commit per append
-            # (creates the version log on the first write).
+            # (creates the version log on the first write); app_meta
+            # rides the same entry — the streaming batch cursor.
             self.commit.append_partitioned(
                 self, writer, self.config.hot_path,
                 list(self.config.partition_cols),
+                app_meta=app_meta, expected_app=expected_app,
             )
         else:
+            if app_meta or expected_app:
+                raise ValidationError(
+                    "write_df: app_meta/expected_app need a manifest-"
+                    "managed hot tier (EngineConfig.manifest_hot); the"
+                    " directory sink keeps no metadata map"
+                )
             (
                 writer.write.mode("append")
                 .partitionBy(*self.config.partition_cols)

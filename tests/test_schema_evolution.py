@@ -183,22 +183,211 @@ class TestManifestWiden:
             commit.widen_column(host, path, "v", "string")
 
 
-class TestMappedMemberGuards:
-    def test_row_level_rewrites_refuse_on_mapped_member(
+class TestMappedRowLevelRewrites:
+    """r14: merge/delete/Z-order work THROUGH the column mapping —
+    plan in the logical view, stage replacement + CDF files under the
+    immutable physical names (VERDICT r13 #1; the refusal this class
+    used to pin is gone)."""
+
+    def test_merge_after_rename_updates_and_inserts(
         self, spark, tmp_path
     ):
         from redis_lsm_timeseries_spark.operators.merge import merge_into
 
         host, commit, path = _mfx(spark, tmp_path)
         commit.rename_column(host, path, "v", "score")
-        with pytest.raises(ValidationError, match="mapping"):
-            merge_into(
+        stats = merge_into(
+            host, path,
+            spark.createDataFrame(
+                [(1, 99, "z"), (7, 70, "g")],
+                "k long, score int, name string",
+            ),
+            ["k"], commit=commit,
+        )
+        assert stats.rows_upserted == 2
+        got = sorted(
+            (r.k, r.score, r.name)
+            for r in commit.read_table(host, path, None).collect()
+        )
+        assert got == [(1, 99, "z"), (2, 20, "b"), (7, 70, "g")]
+        # the files stay PHYSICAL-named: a raw footer never shows the
+        # logical name, and a later rename still composes
+        commit.rename_column(host, path, "score", "points")
+        assert sorted(
+            (r.k, r.points)
+            for r in commit.read_table(host, path, None).collect()
+        ) == [(1, 99), (2, 20), (7, 70)]
+
+    def test_merge_after_rename_skipping_still_prunes(
+        self, spark, tmp_path
+    ):
+        """A merge into one key band of a renamed member rewrites only
+        the files whose stats overlap it."""
+        from redis_lsm_timeseries_spark.operators.merge import merge_into
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "banded")
+        for lo in (0, 1000):
+            commit.append_table_with_meta(
                 host, path,
                 spark.createDataFrame(
-                    [(1, 99, "z")], "k long, score int, name string"
-                ),
-                ["k"], commit=commit,
+                    [(lo + i, lo + i, "x") for i in range(5)], SCHEMA
+                ).coalesce(1),
+                {},
             )
+        commit.rename_column(host, path, "v", "score")
+        stats = merge_into(
+            host, path,
+            spark.createDataFrame(
+                [(1001, -1, "y")], "k long, score int, name string"
+            ),
+            ["k"], commit=commit,
+        )
+        assert stats.files_rewritten == 1 and stats.files_total == 2
+        df = commit.read_table(host, path, None)
+        assert df.where("k = 1001").first().score == -1
+        assert df.count() == 10
+
+    def test_delete_after_drop(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.operators.merge import delete_rows
+
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.drop_column(host, path, "v")
+        stats = delete_rows(
+            host, path,
+            spark.createDataFrame([(1,)], "k long"), ["k"],
+            commit=commit,
+        )
+        assert stats.files_rewritten == 1
+        got = sorted(
+            (r.k, r.name)
+            for r in commit.read_table(host, path, None).collect()
+        )
+        assert got == [(2, "b")]
+
+    def test_delete_range_on_renamed_column(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.operators.merge import delete_range
+
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.rename_column(host, path, "v", "score")
+        delete_range(host, path, "score", lo=15, hi=25, commit=commit)
+        got = sorted(
+            r.score for r in commit.read_table(host, path, None).collect()
+        )
+        assert got == [10]
+
+    def test_zorder_after_widen_mixed_width_files(self, spark, tmp_path):
+        """zorder_compact on a renamed+widened member clusters narrow
+        and wide generations in one pass and stays content-identical
+        in the logical view."""
+        from redis_lsm_timeseries_spark.operators.zorder import (
+            zorder_compact,
+        )
+
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.widen_column(host, path, "v", "long")
+        commit.rename_column(host, path, "v", "score")
+        commit.append_table_with_meta(
+            host, path,
+            spark.createDataFrame(
+                [(3, 5_000_000_000, "c")], "k long, score long, name string"
+            ).coalesce(1),
+            {},
+        )
+        before = sorted(
+            (r.k, r.score, r.name)
+            for r in commit.read_table(host, path, None).collect()
+        )
+        n = zorder_compact(
+            host, path, ["k", "score"], min_files=2, commit=commit
+        )
+        assert n == 2
+        after = sorted(
+            (r.k, r.score, r.name)
+            for r in commit.read_table(host, path, None).collect()
+        )
+        assert after == before
+        # logical-name validation still guards typos (needs a fresh
+        # unclustered file — an empty tail short-circuits)
+        commit.append_table_with_meta(
+            host, path,
+            spark.createDataFrame(
+                [(9, 9, "i")], "k long, score long, name string"
+            ).coalesce(1),
+            {},
+        )
+        with pytest.raises(ValidationError, match="no column"):
+            zorder_compact(
+                host, path, ["nope"], min_files=1, commit=commit
+            )
+
+    def test_keyed_mirror_consumes_mapped_merge_cdf(
+        self, spark, tmp_path
+    ):
+        """The CDF a mapped merge stages serves the logical view, and
+        a keyed mirror applies it row-incrementally (VERDICT r13 #1
+        'Done =' clause)."""
+        from redis_lsm_timeseries_spark.changefeed import mirror_changes
+        from redis_lsm_timeseries_spark.operators.merge import (
+            delete_rows,
+            merge_into,
+        )
+
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.rename_column(host, path, "v", "score")
+        dst = str(tmp_path / "m")
+        m0 = mirror_changes(host, path, dst, keys=["k"], commit=commit)
+        assert m0.mode == "initial"
+        v0 = commit.table_versions(host, path)[-1]
+        merge_into(
+            host, path,
+            spark.createDataFrame(
+                [(2, -2, "bb"), (8, 80, "h")],
+                "k long, score int, name string",
+            ),
+            ["k"], commit=commit,
+        )
+        delete_rows(
+            host, path,
+            spark.createDataFrame([(1,)], "k long"), ["k"],
+            commit=commit,
+        )
+        changes = commit.read_row_changes(host, path, v0)
+        assert "score" in changes.columns and "v" not in changes.columns
+        m1 = mirror_changes(host, path, dst, keys=["k"], commit=commit)
+        assert m1.mode == "row-incremental" and m1.rows_mirrored == 3
+        assert sorted(
+            (r.k, r.score, r.name)
+            for r in commit.read_table(host, dst, None).collect()
+        ) == [(2, -2, "bb"), (8, 80, "h")]
+
+    def test_compact_small_files_after_widen(self, spark, tmp_path):
+        """compact_small_files folds mixed-width generations of a
+        widened member without footer-inference failures."""
+        from redis_lsm_timeseries_spark.maintenance import (
+            compact_small_files,
+        )
+
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.widen_column(host, path, "v", "long")
+        commit.append_table_with_meta(
+            host, path,
+            spark.createDataFrame(
+                [(4, 6_000_000_000, "d")], "k long, v long, name string"
+            ).coalesce(1),
+            {},
+        )
+        before = sorted(
+            (r.k, r.v)
+            for r in commit.read_table(host, path, None).collect()
+        )
+        st = compact_small_files(host, path, commit=commit)
+        assert st.groups == 1 and st.files_compacted == 2
+        after = sorted(
+            (r.k, r.v)
+            for r in commit.read_table(host, path, None).collect()
+        )
+        assert after == before
 
     def test_physical_maintenance_still_allowed(self, spark, tmp_path):
         from redis_lsm_timeseries_spark.maintenance import (
@@ -299,17 +488,101 @@ class TestManifestDrop:
             host, path, None, version=v0
         ).columns
 
-    def test_reusing_a_dropped_name_refuses(self, spark, tmp_path):
+    def test_reusing_a_dropped_name_remints_a_physical_id(
+        self, spark, tmp_path
+    ):
+        """r14 (VERDICT r13 #5): drop -> re-add round-trips. The
+        re-add mints a synthetic physical name, old files read the new
+        column as NULL (their old bytes stay hidden), new files read
+        their values, and skipping stays superset-safe."""
         host, commit, path = _mfx(spark, tmp_path)
         commit.drop_column(host, path, "v")
-        with pytest.raises(ValidationError, match="DROPPED"):
+        commit.append_table_with_meta(
+            host, path,
+            spark.createDataFrame([(9, 99, "z")], SCHEMA).coalesce(1),
+            {},
+        )
+        df = commit.read_table(host, path, None)
+        assert sorted(df.columns) == ["k", "name", "v"]
+        got = sorted(
+            (r.k, r.v, r.name) for r in df.collect()
+        )
+        # pre-re-add rows: v is NULL (never the dropped bytes 10/20)
+        assert got == [(1, None, "a"), (2, None, "b"), (9, 99, "z")]
+        # the mapping is id-based: the physical name is synthetic
+        meta = commit.schema_meta(host, path)
+        assert meta["map"]["v"].startswith("v__r")
+        assert meta["map"]["v"] in meta["phys_types"]
+        # skipping on the re-added column translates and stays
+        # superset-safe (old files keep no stats for the new id)
+        kept, total = commit.prune_files(host, path, {"v": (99, 99)})
+        assert total == 2 and len(kept) >= 1
+        assert (
+            commit.read_table_pruned(host, path, predicates={"v": (99, 99)})
+            .where("v = 99").count() == 1
+        )
+        # a second drop -> re-add mints ANOTHER id
+        commit.drop_column(host, path, "v")
+        commit.append_table_with_meta(
+            host, path,
+            spark.createDataFrame([(11, 111, "q")], SCHEMA).coalesce(1),
+            {},
+        )
+        meta2 = commit.schema_meta(host, path)
+        assert meta2["map"]["v"] != meta["map"]["v"]
+        got2 = sorted(
+            (r.k, r.v)
+            for r in commit.read_table(host, path, None).collect()
+        )
+        assert got2 == [(1, None), (2, None), (9, None), (11, 111)]
+        # renaming an EXISTING column onto a dropped name still
+        # refuses (only brand-new columns remint)
+        with pytest.raises(ValidationError, match="dropped"):
+            commit.rename_column(host, path, "name", "v__r2")
+
+    def test_new_column_colliding_with_a_physical_target_refuses(
+        self, spark, tmp_path
+    ):
+        """A brand-new logical column whose name equals an existing
+        column's PHYSICAL name would alias two logical columns onto
+        one physical — loud refusal."""
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.rename_column(host, path, "v", "score")
+        with pytest.raises(ValidationError, match="PHYSICAL"):
             commit.append_table_with_meta(
                 host, path,
-                spark.createDataFrame([(9, 99, "z")], SCHEMA).coalesce(1),
+                spark.createDataFrame(
+                    [(9, 1, 2, "z")],
+                    "k long, v int, score int, name string",
+                ).coalesce(1),
                 {},
             )
-        with pytest.raises(ValidationError, match="dropped"):
-            commit.rename_column(host, path, "name", "v")
+
+    def test_merge_into_reminted_column_round_trips(
+        self, spark, tmp_path
+    ):
+        """Row-level rewrites compose with the reminted id: a merge
+        keyed on k updates the re-added column through the synthetic
+        physical name."""
+        from redis_lsm_timeseries_spark.operators.merge import merge_into
+
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.drop_column(host, path, "v")
+        commit.append_table_with_meta(
+            host, path,
+            spark.createDataFrame([(9, 99, "z")], SCHEMA).coalesce(1),
+            {},
+        )
+        merge_into(
+            host, path,
+            spark.createDataFrame([(9, -9, "zz"), (1, 1, "aa")], SCHEMA),
+            ["k"], commit=commit,
+        )
+        got = sorted(
+            (r.k, r.v, r.name)
+            for r in commit.read_table(host, path, None).collect()
+        )
+        assert got == [(1, 1, "aa"), (2, None, "b"), (9, -9, "zz")]
 
     def test_drop_composes_with_rename(self, spark, tmp_path):
         host, commit, path = _mfx(spark, tmp_path)

@@ -464,3 +464,74 @@ class TestManifestHotStreaming:
             start_hot_ingest(
                 store, read_sample_stream(spark, f"{input_dir}/*"), ckpt
             )
+
+    def test_replayed_batch_writes_nothing_on_manifest_hot(
+        self, spark, tmp_path, stream_dirs
+    ):
+        """r14 exactly-once: a foreachBatch replay (crash between the
+        batch's side effects and Spark's checkpoint commit = calling
+        the handler twice with one batch_id) is detected by the
+        per-writer batch cursor committed ATOMICALLY with the L1 files
+        — the replay appends NO files and NO duplicate members, where
+        directory mode holds transient byte-identical duplicates."""
+        from redis_lsm_timeseries_spark.streaming.ingest import (
+            make_maintenance_batch_handler,
+        )
+
+        store = self._mh_store(spark, tmp_path)
+        _, ckpt = stream_dirs
+        handler = make_maintenance_batch_handler(
+            store, ckpt, partition_age_threshold_s=3600.0
+        )
+        batch = spark.createDataFrame(
+            [("T", 1, "a"), ("T", 2, "b")], WRITE_SCHEMA
+        )
+        handler(batch, 0)
+        hot = store.config.hot_path
+        files_v1 = store.commit.member_files(store, hot)
+        v1 = store.commit.table_versions(store, hot)[-1]
+        assert store.hot().count() == 2
+        handler(batch, 0)  # replay: cursor says committed -> no write
+        assert store.commit.member_files(store, hot) == files_v1
+        assert store.commit.table_versions(store, hot)[-1] == v1
+        assert store.hot().count() == 2  # zero duplicates ON DISK
+        # the cursor is the manifest_sink idiom under a sink: key
+        cur = store.commit.read_app_meta(store, hot).get(
+            "sink:hot-ingest:stream"
+        )
+        assert cur == 0
+        # the next batch advances normally
+        handler(
+            spark.createDataFrame([("T", 3, "c")], WRITE_SCHEMA), 1
+        )
+        assert store.hot().count() == 3
+        assert store.commit.read_app_meta(store, hot).get(
+            "sink:hot-ingest:stream"
+        ) == 1
+        out = {
+            (r.tag, r.ts): r.value
+            for r in store.read_range({"T": (0, 10)}).collect()
+        }
+        assert out == {("T", 1): "a", ("T", 2): "b", ("T", 3): "c"}
+
+    def test_stale_cursor_regression_raises_on_manifest_hot(
+        self, spark, tmp_path, stream_dirs
+    ):
+        """A batch id BELOW cursor-1 means two queries share the
+        writer_id or a checkpoint was reused — loud error, not a
+        silent skip."""
+        from redis_lsm_timeseries_spark.errors import ValidationError
+        from redis_lsm_timeseries_spark.streaming.ingest import (
+            make_maintenance_batch_handler,
+        )
+
+        store = self._mh_store(spark, tmp_path)
+        _, ckpt = stream_dirs
+        handler = make_maintenance_batch_handler(
+            store, ckpt, partition_age_threshold_s=3600.0
+        )
+        handler(spark.createDataFrame([("T", 1, "a")], WRITE_SCHEMA), 5)
+        with pytest.raises(ValidationError, match="writer_id"):
+            handler(
+                spark.createDataFrame([("T", 2, "b")], WRITE_SCHEMA), 3
+            )
