@@ -179,8 +179,15 @@ def read_admitted(spark, admission_path: str, fs=None) -> DataFrame:
 # cross-engine hash to keep consistent.
 
 BLOOM_SIDECAR = "_bloom_digests.json"
+BLOOM_SHARD_DIR = "_bloom_shards"
 BLOOM_BITS_PER_KEY = 10
 BLOOM_K = 7
+#: shard count for the sharded sidecar (r14): the bitmap is split by
+#: digest shard, each shard a self-contained Bloom filter — a build
+#: task allocates only the shards its partition holds (~m/256 bits
+#: instead of the full m), and a probe loads only the shards its
+#: digests hash to.
+BLOOM_SHARDS = 256
 #: batches with more distinct digests than this skip the Bloom path
 #: (collecting them driver-side would defeat the point)
 BLOOM_PROBE_MAX = 100_000
@@ -195,11 +202,63 @@ def _bloom_positions(digest: str, m: int) -> list[int]:
     ]
 
 
+def _bloom_shard(digest: str) -> int:
+    """The digest's shard — computed in plain Python on BOTH build and
+    probe (same posture as ``_bloom_positions``: no cross-engine hash
+    to keep consistent, and a build/probe disagreement would be a
+    false NEGATIVE, the one failure mode the filter must never have)."""
+    import hashlib
+
+    return int(hashlib.md5(digest.encode()).hexdigest()[:2], 16) % BLOOM_SHARDS
+
+
+def _shard_bits(bloom: dict, s: int):
+    """Lazily-loaded bitmap of shard ``s``: ``b""`` when the shard is
+    provably empty (never written — no digest hashed there), None when
+    the file is unreadable (the probe treats that as a HIT, falling
+    back to the scan)."""
+    import base64
+    import json as _json
+
+    cache = bloom.setdefault("_shard_cache", {})
+    if s in cache:
+        return cache[s]
+    if s not in bloom["_written"]:
+        cache[s] = b""
+        return cache[s]
+    try:
+        payload = _json.loads(
+            bloom["_fs"].read_text(
+                f"{bloom['_root']}/{BLOOM_SHARD_DIR}/{bloom['dir']}"
+                f"/{s:03d}.json"
+            )
+        )
+        bits = base64.b64decode(payload["bits"])
+    except Exception:
+        bits = None  # vanished/torn shard: only disables the skip
+    cache[s] = bits
+    return bits
+
+
 def _bloom_hit(bloom: dict, digest: str) -> bool:
-    bits = bloom["_bits"]
+    legacy = bloom.get("_bits")
+    if legacy is not None:
+        # pre-r14 single-bitmap sidecar: still probes (back-compat;
+        # the next compaction rebuild writes the sharded format)
+        return all(
+            legacy[p >> 3] & (1 << (p & 7))
+            for p in _bloom_positions(digest, bloom["m"])
+        )
+    s = _bloom_shard(digest)
+    bits = _shard_bits(bloom, s)
+    if bits == b"":
+        return False  # empty shard: digest provably never admitted
+    if bits is None:
+        return True  # unreadable shard: force the fallback scan
+    m = bloom["m_shard"]
     return all(
         bits[p >> 3] & (1 << (p & 7))
-        for p in _bloom_positions(digest, bloom["m"])
+        for p in _bloom_positions(digest, m)
     )
 
 
@@ -210,17 +269,21 @@ def build_digest_bloom(spark, admission_path: str, fs=None) -> dict:
     ``compact_admission_index`` right after the digests rewrite, so
     the covered set is the freshly-compacted file.
 
-    DISTRIBUTED build (r13, closing the one corpus-sized driver
-    materialization): each partition hashes its digests into a partial
-    bitmap (the same md5 position scheme the probe uses, so the
-    sidecar format is byte-identical to the old driver-side build) and
-    the partials are OR-merged through ``treeReduce`` — the driver
-    sees one count and one m-bit bitmap, never the digest rows. The
-    bitmap itself is O(index) BITS (10 per key), which is also the
-    sidecar's size — inherent to a single-sidecar format, and ~100×
-    smaller than the rows it replaces."""
-    import base64
+    SHARDED distributed build (r14, removing the last O(index)-sized
+    single object in the admission path): digests shuffle onto
+    ``BLOOM_SHARDS`` shards by a Python md5 of the digest, each task
+    builds ONLY the shards its partition holds (per-task allocation
+    bounded by ~m/256 instead of the full m-bit bitmap — at 10⁹
+    digests, ~5 MB per task instead of ~1.25 GB), and each shard is
+    written as its own file under a fresh token directory. Probes
+    load only the shards their digests hash to. Crash safety: the
+    manifest sidecar is written LAST and names the token dir, so a
+    crash mid-build leaves the old manifest pointing at the old
+    (untouched) shard dir; older token dirs are swept only after the
+    new manifest lands, and a prober mid-swap that loses a shard file
+    degrades to the fallback scan, never a false negative."""
     import json as _json
+    import uuid
 
     from redis_lsm_timeseries_spark.commit import ManifestCommit
     from redis_lsm_timeseries_spark.fs import LOCAL_FS
@@ -234,17 +297,29 @@ def build_digest_bloom(spark, admission_path: str, fs=None) -> dict:
         spark, admission_path, DIGESTS_MEMBER, fs
     ).select("digest")
     n = digest_rows.count()
-    m = max(1024, BLOOM_BITS_PER_KEY * max(1, n))
-    nbytes = (m + 7) // 8
+    # uniform shard sizing from the global count: md5 sharding is
+    # balanced (binomial), so per-shard counts deviate by a few
+    # percent at scale — not worth a second counting pass
+    m_shard = max(
+        1024,
+        (BLOOM_BITS_PER_KEY * max(1, n) + BLOOM_SHARDS - 1)
+        // BLOOM_SHARDS,
+    )
+    nbytes = (m_shard + 7) // 8
+    token = uuid.uuid4().hex[:12]
 
-    def _partial(rows):
+    def _partials(pairs):
         import numpy as np
 
-        part = np.zeros(nbytes, dtype=np.uint8)
-        for row in rows:
-            for p in _bloom_positions(row[0], m):
-                part[p >> 3] |= np.uint8(1 << (p & 7))
-        yield part.tobytes()
+        parts: dict = {}
+        for s, d in pairs:
+            buf = parts.get(s)
+            if buf is None:
+                buf = parts[s] = np.zeros(nbytes, dtype=np.uint8)
+            for p in _bloom_positions(d, m_shard):
+                buf[p >> 3] |= np.uint8(1 << (p & 7))
+        for s, buf in parts.items():
+            yield (s, buf.tobytes())
 
     def _or_bytes(a, b):
         import numpy as np
@@ -254,23 +329,55 @@ def build_digest_bloom(spark, admission_path: str, fs=None) -> dict:
             | np.frombuffer(b, dtype=np.uint8)
         ).tobytes()
 
+    written: list[int] = []
     if n:
-        bits = digest_rows.rdd.mapPartitions(_partial).treeReduce(
-            _or_bytes
+        pairs = (
+            digest_rows.rdd.map(lambda r: (_bloom_shard(r[0]), r[0]))
+            # identity partitioner: one shard per task, so a task's
+            # bitmaps are bounded by its own shards' size
+            .partitionBy(BLOOM_SHARDS, lambda s: s)
+            .mapPartitions(_partials)
+            .reduceByKey(_or_bytes)
+            .collect()
         )
-    else:
-        bits = bytes(nbytes)
+        import base64
+
+        shard_dir = f"{admission_path}/{BLOOM_SHARD_DIR}/{token}"
+        fs.makedirs(shard_dir)
+        for s, bits in sorted(pairs):
+            fs.write_text(
+                f"{shard_dir}/{s:03d}.json",
+                _json.dumps(
+                    {"bits": base64.b64encode(bits).decode("ascii")}
+                ),
+            )
+            written.append(int(s))
     payload = {
-        "m": m,
+        "format": 2,
         "k": BLOOM_K,
         "n": n,
         "files": files,
-        "bits": base64.b64encode(bits).decode("ascii"),
+        "shards": BLOOM_SHARDS,
+        "m_shard": m_shard,
+        "dir": token,
+        "written": written,
     }
     fs.write_text(
         f"{admission_path}/{BLOOM_SIDECAR}", _json.dumps(payload)
     )
-    return {"n": n, "m": m, "files": len(files)}
+    # sweep superseded token dirs (a prober holding the old manifest
+    # mid-sweep degrades to the fallback scan on a vanished shard)
+    base_dir = f"{admission_path}/{BLOOM_SHARD_DIR}"
+    if fs.exists(base_dir):
+        for name in fs.listdir(base_dir):
+            if name != token:
+                fs.remove_tree(f"{base_dir}/{name}")
+    return {
+        "n": n,
+        "m": m_shard * BLOOM_SHARDS,
+        "files": len(files),
+        "shards_written": len(written),
+    }
 
 
 def admission_stats(spark, admission_path: str, fs=None) -> dict:
@@ -299,7 +406,11 @@ def admission_stats(spark, admission_path: str, fs=None) -> dict:
         current = set(tables.get(DIGESTS_MEMBER, []))
         out["bloom"] = {
             "n_digests": bloom["n"],
-            "m_bits": bloom["m"],
+            "m_bits": (
+                bloom["m"]
+                if "m" in bloom
+                else bloom["m_shard"] * bloom["shards"]
+            ),
             "covered_files": len(covered & current),
             "tail_files": len(current - covered),
         }
@@ -315,7 +426,16 @@ def _load_bloom(admission_path: str, fs) -> dict | None:
         return None
     try:
         bloom = _json.loads(fs.read_text(path))
-        bloom["_bits"] = base64.b64decode(bloom["bits"])
+        if "bits" in bloom:
+            # legacy (pre-r14) single-bitmap sidecar
+            bloom["_bits"] = base64.b64decode(bloom["bits"])
+            return bloom
+        # sharded sidecar (format 2): shard bitmaps load lazily,
+        # only for the shards a probe's digests hash to
+        bloom["_written"] = set(bloom["written"])
+        bloom["m_shard"], bloom["dir"]  # key presence check
+        bloom["_fs"] = fs
+        bloom["_root"] = admission_path
         return bloom
     except Exception:
         # An unreadable sidecar only disables the optimization.

@@ -516,18 +516,26 @@ class TestBloomPreProbe:
         process(_df(spark, [(4, WORDS)]), 2)
         assert _out_ids(spark, root) == {1, 3}
 
-    def test_distributed_build_matches_reference_bitmap(
+    def test_sharded_build_matches_reference_shards(
         self, spark, tmp_path
     ):
-        """r13 (VERDICT r12 #3): the sidecar build is distributed —
-        partial bitmaps OR-merged, never a driver collect of the
-        digest table — and BYTE-IDENTICAL to the hand-rolled
-        reference build, so every probe behaves exactly as before."""
+        """r14 (VERDICT r13 #4): the sidecar is SHARDED — the build is
+        still distributed (no driver collect of the digest table), but
+        each task allocates only its own shards' bitmaps and each
+        shard file byte-matches a hand-rolled per-shard reference
+        build, so probe behavior is exactly the planted-digest truth."""
+        import base64
+        import json
+        import os
+
         import pyspark.sql
 
         from redis_lsm_timeseries_spark.fs import LOCAL_FS
         from redis_lsm_timeseries_spark.streaming.curation import (
+            BLOOM_SHARD_DIR,
+            _bloom_hit,
             _bloom_positions,
+            _bloom_shard,
             _load_bloom,
             build_digest_bloom,
         )
@@ -565,13 +573,78 @@ class TestBloomPreProbe:
             pyspark.sql.DataFrame.collect = real_collect
 
         bloom = _load_bloom(root, LOCAL_FS)
-        m = bloom["m"]
-        expected = bytearray((m + 7) // 8)
+        assert bloom.get("format") == 2 and "bits" not in bloom
+        m = bloom["m_shard"]
+        # hand-rolled reference shards
+        want: dict = {}
         for d in digests:
+            s = _bloom_shard(d)
+            buf = want.setdefault(s, bytearray((m + 7) // 8))
             for p in _bloom_positions(d, m):
-                expected[p >> 3] |= 1 << (p & 7)
-        assert bloom["_bits"] == bytes(expected)
+                buf[p >> 3] |= 1 << (p & 7)
+        assert len(want) >= 2, "planted digests span multiple shards"
+        assert sorted(want) == sorted(bloom["written"])
+        shard_dir = f"{root}/{BLOOM_SHARD_DIR}/{bloom['dir']}"
+        for s, buf in want.items():
+            payload = json.loads(open(f"{shard_dir}/{s:03d}.json").read())
+            assert base64.b64decode(payload["bits"]) == bytes(buf)
+        # per-task allocation is bounded by shard size, not total m
+        assert meta["m"] == m * bloom["shards"] and m * 8 < meta["m"]
         assert meta["n"] == len(digests) == bloom["n"]
+        assert meta["shards_written"] == len(want)
+        # probe truth: every planted digest hits; an unknown digest
+        # in an EMPTY shard provably misses
+        assert all(_bloom_hit(bloom, d) for d in digests)
+        empty = next(
+            s for s in range(bloom["shards"]) if s not in set(bloom["written"])
+        )
+        probe = 0
+        while _bloom_shard(f"nope-{probe}") != empty:
+            probe += 1
+        assert not _bloom_hit(bloom, f"nope-{probe}")
+        # a vanished shard file degrades to a HIT (fallback scan),
+        # never a false negative
+        victim = bloom["written"][0]
+        os.remove(f"{shard_dir}/{victim:03d}.json")
+        fresh = _load_bloom(root, LOCAL_FS)
+        hit_digest = next(d for d in digests if _bloom_shard(d) == victim)
+        assert _bloom_hit(fresh, hit_digest)
+
+    def test_legacy_single_bitmap_sidecar_still_probes(
+        self, spark, tmp_path
+    ):
+        """A pre-r14 single-bitmap sidecar written by an older build
+        keeps probing until the next compaction rewrites it sharded."""
+        import base64
+        import json
+
+        from redis_lsm_timeseries_spark.fs import LOCAL_FS
+        from redis_lsm_timeseries_spark.streaming.curation import (
+            BLOOM_SIDECAR,
+            _bloom_hit,
+            _bloom_positions,
+            _load_bloom,
+        )
+
+        root = str(tmp_path / "admission")
+        process = near_dup_admitting_batch(root)
+        process(_df(spark, [(1, WORDS)]), 0)
+        m = 4096
+        bits = bytearray((m + 7) // 8)
+        for p in _bloom_positions("known", m):
+            bits[p >> 3] |= 1 << (p & 7)
+        LOCAL_FS.makedirs(root)
+        with open(f"{root}/{BLOOM_SIDECAR}", "w") as fh:
+            json.dump(
+                {
+                    "m": m, "k": 7, "n": 1, "files": [],
+                    "bits": base64.b64encode(bytes(bits)).decode(),
+                },
+                fh,
+            )
+        bloom = _load_bloom(root, LOCAL_FS)
+        assert _bloom_hit(bloom, "known")
+        assert not _bloom_hit(bloom, "unknown-digest")
 
 
 class TestAdmissionStats:
