@@ -533,9 +533,11 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------ unpivot
-@register(
-    "unpivot_status_counts",
-    oracle="""
+# Unregistered in round 14: its slot carries tiering_purge_lifecycle_mhot
+# (the opt-in manifest-managed hot tier's end-to-end driver hash row —
+# VERDICT r13 #8). Pivot/unpivot stays differentially verified with the
+# identical rows+schema+values check via UNREGISTERED_ORACLES below.
+UNPIVOT_STATUS_ORACLE = """
 WITH p AS (
   SELECT o_orderpriority,
          CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
@@ -548,9 +550,9 @@ UNION ALL
 SELECT o_orderpriority, 'n_o' AS status_col, n_o AS n FROM p
 UNION ALL
 SELECT o_orderpriority, 'n_p' AS status_col, n_p AS n FROM p
-""",
-    tags=("analytics", "unpivot"),
-)
+"""
+
+
 def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot + unpivot round-trip in one entry: the wide table is the
     pivot (conditional aggregation — the shuffle-count-stable form
@@ -990,4 +992,8 @@ from redis_lsm_timeseries_spark.plans.reference_queries import (  # noqa: E402
 UNREGISTERED_ORACLES["agg_cube_status_priority"] = (
     agg_cube_status_priority,
     AGG_CUBE_ORACLE,
+)
+UNREGISTERED_ORACLES["unpivot_status_counts"] = (
+    unpivot_status_counts,
+    UNPIVOT_STATUS_ORACLE,
 )

@@ -45,9 +45,7 @@ LIFECYCLE_K = 4  # partitions to mark per scan (maxPartitionsToMark)
 SUBSET_MOD = 20  # bound the temp store to events/20
 
 
-@register(
-    "tiering_purge_lifecycle",
-    oracle=f"""
+PURGE_LIFECYCLE_ORACLE = f"""
 WITH base AS (
   SELECT event_type AS tag, epoch_ms(ts) AS ts,
          CAST(max(event_id) AS VARCHAR) AS value
@@ -72,7 +70,12 @@ WITH base AS (
 SELECT tag, ts, value FROM survivors
 UNION ALL
 SELECT tag, part_start AS ts, 'late-write' AS value FROM first_mark
-""",
+"""
+
+
+@register(
+    "tiering_purge_lifecycle",
+    oracle=PURGE_LIFECYCLE_ORACLE,
     tags=("tiering", "lifecycle", "mutation"),
 )
 def tiering_purge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,6 +90,25 @@ def tiering_purge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_lifecycle(spark, sf_dir)[0]
 
 
+@register(
+    "tiering_purge_lifecycle_mhot",
+    oracle=PURGE_LIFECYCLE_ORACLE,
+    tags=("tiering", "lifecycle", "mutation", "manifest-hot"),
+)
+def tiering_purge_lifecycle_mhot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The identical mark -> write-after-mark -> ack lifecycle with
+    the hot tier OPT-IN manifest-managed (``EngineConfig.manifest_hot``,
+    r13): every bulk append, L0 fold, and ack eviction commits through
+    the hot table's version log instead of raw directory writes. Same
+    oracle as ``tiering_purge_lifecycle`` — the driver's hash row
+    certifies the transactional hot tier END-TO-END (r14, VERDICT r13
+    #8), the way r13's ``metadata_fast_stats`` certified the
+    metadata-only path."""
+    return _run_lifecycle(spark, sf_dir, manifest_hot=True)[0]
+
+
 # One lifecycle run serves both lifecycle entries (hot-only and
 # hot-union-cold reads). Keyed by Spark application id: a cached
 # localCheckpoint belongs to its session and must not leak across
@@ -96,24 +118,35 @@ _LIFECYCLE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def _run_lifecycle(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, manifest_hot: bool = False
 ) -> tuple[DataFrame, DataFrame]:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, manifest_hot)
     if key in _LIFECYCLE_CACHE:
         return _LIFECYCLE_CACHE[key]
     base_dir = tempfile.mkdtemp(prefix="rlts_lifecycle_")
     # The temp store holds ~5k rows; 32+ near-empty shuffle tasks per
     # maintenance job cost more than the work they do.
     with pinned_shuffle_partitions(spark, 8):
-        return _run_lifecycle_inner(spark, sf_dir, base_dir, key)
+        return _run_lifecycle_inner(
+            spark, sf_dir, base_dir, key, manifest_hot
+        )
 
 
 def _run_lifecycle_inner(
-    spark: SparkSession, sf_dir: str, base_dir: str, key
+    spark: SparkSession, sf_dir: str, base_dir: str, key,
+    manifest_hot: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     try:
-        cfg = EngineConfig(root=base_dir, partition_width=LIFECYCLE_W)
-        store = TimeseriesStore(spark, cfg)
+        cfg = EngineConfig(
+            root=base_dir, partition_width=LIFECYCLE_W,
+            manifest_hot=manifest_hot,
+        )
+        if manifest_hot:
+            from redis_lsm_timeseries_spark.commit import ManifestCommit
+
+            store = TimeseriesStore(spark, cfg, commit=ManifestCommit())
+        else:
+            store = TimeseriesStore(spark, cfg)
         store.initialize()
 
         ev = load_events(spark, sf_dir).where(
@@ -158,9 +191,16 @@ def _run_lifecycle_inner(
         )
         # The unified read: hot UNION cold, member-identity dedup, LWW —
         # read_all is read_range over every tag and the whole range,
-        # without the tag-enumeration job a range map would need.
-        union_read = store.read_all(include_cold=True).localCheckpoint(
-            eager=True
+        # without the tag-enumeration job a range map would need. Only
+        # the default (directory-hot) run feeds tiering_cold_union_read;
+        # the manifest-hot variant serves its hot read alone, so skip
+        # the extra jobs there.
+        union_read = (
+            hot_read
+            if manifest_hot
+            else store.read_all(include_cold=True).localCheckpoint(
+                eager=True
+            )
         )
         _LIFECYCLE_CACHE[key] = (hot_read, union_read)
         return _LIFECYCLE_CACHE[key]
@@ -431,19 +471,15 @@ def metadata_fast_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("event_id") % FAST_MOD == 0)
             .select("event_id", "ts_ms", "event_type")
         )
-        ev = ev.localCheckpoint()  # one scan feeds the per-type writes
-        types = sorted(
-            r.event_type for r in ev.select("event_type").distinct().collect()
+        # ONE atomic hive-partitioned commit (r14, VERDICT r13 #7):
+        # each partition dir's files get exact min==max event_type
+        # stats from their path segment, so a type predicate proves
+        # all-or-none per file — the layout fast_count's exact
+        # counting requires, landed in a single multi-file log entry
+        # instead of a Python loop of per-type commits
+        commit.append_partitioned(
+            host, ev.coalesce(1), path, ["event_type"]
         )
-        # one commit per event_type: each file's event_type stat is a
-        # point (min == max), so a type predicate proves all-or-none
-        # per file — the hive-partition-shaped layout fast_count's
-        # exact counting requires
-        for et in types:
-            commit.append_table_with_meta(
-                host, path,
-                ev.where(F.col("event_type") == et).coalesce(1), {},
-            )
         preds = {"event_type": {"click"}}
         answers = {
             "total_rows": fast_count(host, path, commit=commit),
