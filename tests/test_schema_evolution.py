@@ -5,7 +5,8 @@ file schemas never change — the Delta column-mapping idiom), widen
 kind-comparable; the directory backend degrades to an eager rewrite.
 Skipping stays superset-safe across the mapping; appends translate
 logical -> physical so files stay physically consistent; row-level
-rewrites refuse on mapped members (loudly, with the remedy)."""
+rewrites work THROUGH the mapping (r14: plan logical, stage physical),
+and reusing a dropped column name remints a synthetic physical id."""
 
 from __future__ import annotations
 
