@@ -28,7 +28,13 @@ correction to yesterday's corpus does not wait for a full compaction.
   stay tight and the NEXT merge prunes just as well;
 - a directory-mode table (no manifest, no stats) falls back to a
   whole-table ``snapshot_rewrite`` with identical row-level semantics
-  — callers get one API, transactional backends get the scale path.
+  — callers get one API, transactional backends get the scale path;
+- schema-mapped members (rename/drop/widen, r13) compose (r14): the
+  merge plans in the LOGICAL view (the names the caller's source
+  carries), prunes and guards with physically-translated predicates,
+  and stages replacement + CDF files under the member's immutable
+  physical names — rename never disables mutation, and a rename
+  racing a merge is benign because physical names don't move.
 
 Deletes (``delete_rows`` by key set, ``delete_range`` by an inclusive
 column interval — the GDPR erasure / row-level retention primitives)

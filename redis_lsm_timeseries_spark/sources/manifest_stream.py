@@ -1,0 +1,384 @@
+"""Structured Streaming SOURCE over a manifest table's append feed —
+``spark.readStream.format("rlts_table")`` on the engine's own log.
+
+The engine has had streaming SINKS into manifest tables since r8
+(``streaming/sink.py``, the admission sink) and a pull-based
+incremental consumer (``changefeed.mirror_changes``); this closes the
+triangle with a native source: a Spark 4 Python DataSource
+(``pyspark.sql.datasource``) whose offsets are manifest VERSIONS, so
+every micro-batch is exactly the files appended in ``(start, end]`` —
+the Delta streaming-source idiom (``startingVersion``, appends-only,
+maintenance-transparent) re-expressed on this engine's log.
+
+Semantics:
+
+- Offsets are ``{"version": N}``; a micro-batch reads the files added
+  by commits ``N+1 .. M`` — immutable files, so replays of a batch are
+  byte-identical and the source is exactly-once downstream of Spark's
+  own checkpointing.
+- Content-preserving rewrites (small-file compaction, Z-order —
+  ``change: {"kind": "preserve"}``) are SKIPPED, so routine
+  maintenance never disturbs a running stream.
+- Row-level ``cdf`` commits (merge/delete) and unmarked removals RAISE
+  ``NonAppendHistoryError`` and fail the query loudly — an append-only
+  file stream cannot express a rewrite. Consumers that must survive
+  mutations use the keyed ``mirror_changes`` path instead.
+- Versions pruned by vacuum raise ``VersionNotFoundError`` on resume —
+  retention must exceed the stream's downtime, exactly Delta's
+  documented contract for its streaming source.
+- Schema-mapped members (r13/r14) serve the LOGICAL view: physical
+  columns rename through the mapping, dropped columns are excluded,
+  widened columns up-cast — in Arrow, executor-side.
+
+100 TB shape: offset planning is pure LOG metadata on the driver
+(O(commits in range) JSON reads, no storage listing); each micro-batch
+scans only the delta files, split ``files_per_partition`` per task;
+rows travel as Arrow record batches (the Python-DataSource fast path),
+never row-at-a-time Python.
+
+Local-mode note: the reader reads parquet through pyarrow in Python
+workers (the Python DataSource execution model) — Arrow-batched, zero
+per-row Python. The JVM-parquet path remains ``read_changes`` for
+batch incrementals; this source exists for pipelines that want the
+``readStream`` API surface (watermarks, stateful ops, streaming
+sinks) directly over an engine table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+FORMAT_NAME = "rlts_table"
+
+#: delta files bundled into one read task — small commits coalesce
+#: instead of paying one task per tiny file
+FILES_PER_PARTITION = 4
+
+
+class _Meta:
+    """Driver-side metadata access: the commit log is pure-JSON fs
+    reads (``ManifestCommit``'s metadata chain never touches
+    ``store.spark``), so a spark-less host suffices inside the Python
+    DataSource planner."""
+
+    def __init__(self, path: str):
+        from redis_lsm_timeseries_spark.commit import (
+            CommitHost,
+            ManifestCommit,
+        )
+        from redis_lsm_timeseries_spark.errors import (
+            VersionNotFoundError,
+        )
+
+        self.commit = ManifestCommit()
+        self.host = CommitHost(None)
+        self.path = path
+        resolved = self.commit._resolve(self.host, path)
+        if resolved is None:
+            raise VersionNotFoundError(
+                f"{path!r} is not a manifest-managed table; the "
+                "rlts_table stream source needs the version log"
+            )
+        self.root, self.member = resolved
+        self.base = self.commit._member_root(self.root, self.member)
+
+    def current_version(self) -> int:
+        v, _ = self.commit._current(self.host, self.root)
+        return v
+
+    def versions(self):
+        return self.commit.table_versions(self.host, self.path)
+
+    def schema_meta(self) -> dict:
+        return self.commit.schema_meta(self.host, self.path)
+
+    def _genesis_walk(self, to: int):
+        """The ``_change_walk`` fold from BEFORE the first log entry
+        (since = -1): only valid while version 0 is retained — the
+        empty pre-genesis state needs no reconstruction, so the walk
+        can include version 0's own files (a feed "from the beginning
+        of history", which ``_change_walk`` cannot express because its
+        anchor must be a retained version)."""
+        cur: list[str] = []
+        out = []
+        for v in range(0, to + 1):
+            entry = self.commit._read_entry_raw(
+                self.host, self.root, v, self.path
+            )
+            if "tables" in entry:
+                new = entry["tables"].get(self.member, [])
+                olds, news = set(cur), set(new)
+                added = [f for f in new if f not in olds]
+                removed = [f for f in cur if f not in news]
+                cur = list(new)
+            else:
+                delta = entry.get("delta", {})
+                add_map = delta.get("add", {}).get(self.member, {})
+                added = list(add_map)
+                removed = list(
+                    delta.get("remove", {}).get(self.member, [])
+                )
+                gone = set(removed)
+                cur = [f for f in cur if f not in gone] + added
+            out.append((v, entry.get("change") or {}, added, removed, None))
+        return out
+
+    def added_files(self, since: int, to: int):
+        """Relpaths appended in ``(since, to]`` under the feed's
+        append-only rules (preserve skipped, cdf/removals raise).
+        ``since = -1`` walks from genesis (version 0 included)."""
+        from redis_lsm_timeseries_spark.errors import (
+            NonAppendHistoryError,
+        )
+
+        walk = (
+            self._genesis_walk(to)
+            if since < 0
+            else self.commit._change_walk(
+                self.host, self.path, self.root, self.member, since, to
+            )
+        )
+        added: list[str] = []
+        for v, change, adds, removes, _stats in walk:
+            kind = change.get("kind")
+            if kind == "cdf" and change.get(
+                "cdf_member"
+            ) != self.commit.cdf_member_of(self.member):
+                kind = None  # sibling member's row-level commit
+            if kind == "preserve":
+                continue
+            if kind == "cdf" or removes:
+                raise NonAppendHistoryError(
+                    f"rlts_table stream over {self.path!r}: version "
+                    f"{v} is not append-only (merge/delete or an "
+                    "unmarked rewrite); an append-file stream cannot "
+                    "express it — consume row-level changes with "
+                    "changefeed.mirror_changes(keys=...) instead"
+                )
+            added.extend(adds)
+        return added
+
+
+class _FilesPartition(InputPartition):
+    """One read task: absolute file paths + everything needed to
+    assemble the logical view executor-side (schema mapping, hive
+    partition column names/types, target Arrow-compatible schema as
+    DDL — plain picklable values only)."""
+
+    def __init__(self, base, relpaths, smeta, schema_json):
+        self.base = base
+        self.relpaths = relpaths
+        self.smeta = smeta
+        self.schema_json = schema_json
+
+
+def _hive_values(relpath: str) -> dict:
+    """``tag=x/part_start=0/part-....parquet`` -> {"tag": "x",
+    "part_start": "0"} (values stay strings; the schema cast types
+    them)."""
+    out: dict = {}
+    for seg in relpath.split("/")[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            out[k] = v
+    return out
+
+
+class ManifestStreamReader(DataSourceStreamReader):
+    def __init__(self, schema, options):
+        from redis_lsm_timeseries_spark.errors import ValidationError
+
+        path = options.get("path") or options.get("tablepath")
+        if not path:
+            raise ValidationError(
+                "rlts_table: option 'path' (the manifest member path) "
+                "is required"
+            )
+        self.path = path
+        self.schema = schema
+        self.files_per_partition = max(
+            1, int(options.get("filesperpartition", FILES_PER_PARTITION))
+        )
+        self.starting = options.get("startingversion", "latest")
+        self._meta = _Meta(path)
+
+    # -- offsets -------------------------------------------------------
+    def initialOffset(self) -> dict:
+        """``startingVersion`` option: ``"latest"`` (default — only
+        commits AFTER stream start), ``"earliest"`` (every retained
+        commit's delta replays as the first batches; when the FULL log
+        is retained — version 0 still present — that includes the very
+        first commit's files, i.e. the whole table; once vacuum pruned
+        history, rows folded into the oldest retained snapshot are not
+        re-derivable as deltas — batch-read that snapshot and start
+        the stream from its version for a full backfill, the Delta
+        startingVersion contract), or an integer N (feed begins AFTER
+        version N, matching ``read_changes(since_version=N)``; N must
+        be retained)."""
+        if self.starting == "latest":
+            return {"version": self._meta.current_version()}
+        if self.starting == "earliest":
+            v0 = self._meta.versions()[0]
+            return {"version": -1 if v0 == 0 else v0}
+        return {"version": int(self.starting)}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._meta.current_version()}
+
+    def partitions(self, start: dict, end: dict):
+        import json
+
+        s, e = int(start["version"]), int(end["version"])
+        if e <= s:
+            return []
+        added = self._meta.added_files(s, e)
+        if not added:
+            return []
+        smeta = self._meta.schema_meta()
+        schema_json = self.schema.json()
+        n = self.files_per_partition
+        return [
+            _FilesPartition(
+                self._meta.base, added[i : i + n], smeta, schema_json
+            )
+            for i in range(0, len(added), n)
+        ]
+
+    def commit(self, end: dict) -> None:
+        pass  # Spark's checkpoint is the cursor; nothing engine-side
+
+    # -- executor-side read -------------------------------------------
+    def read(self, partition: _FilesPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        target = to_arrow_schema(
+            StructType.fromJson(__import__("json").loads(partition.schema_json))
+        )
+        mapping = partition.smeta.get("map", {})
+        dropped = set(partition.smeta.get("drop", []))
+        inv = {p: l for l, p in mapping.items()}
+        for rel in partition.relpaths:
+            tbl = pq.read_table(f"{partition.base}/{rel}")
+            # physical -> logical names; dropped physical excluded
+            cols, names = [], []
+            for name in tbl.schema.names:
+                if name in dropped:
+                    continue
+                cols.append(tbl.column(name))
+                names.append(inv.get(name, name))
+            tbl = pa.table(dict(zip(names, cols)))
+            # hive partition path segments become constant columns
+            hive = _hive_values(rel)
+            n_rows = len(tbl)
+            out_cols = []
+            for field in target:
+                if field.name in tbl.schema.names:
+                    out_cols.append(
+                        tbl.column(field.name).cast(field.type)
+                    )
+                elif field.name in hive:
+                    out_cols.append(
+                        pa.array([hive[field.name]] * n_rows).cast(
+                            field.type
+                        )
+                    )
+                else:
+                    out_cols.append(pa.nulls(n_rows, field.type))
+            yield from pa.table(
+                dict(zip([f.name for f in target], out_cols))
+            ).to_batches()
+
+
+class ManifestTableDataSource(DataSource):
+    """``spark.dataSource.register(ManifestTableDataSource)`` then
+    ``spark.readStream.format("rlts_table").option("path", p)``.
+    See module docstring for semantics."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        """Inferred LOGICAL schema when the caller gave none: the
+        newest data file's footer through the column mapping, plus
+        hive partition columns typed by value shape (int-parsable ->
+        long). Explicit ``.schema(...)`` is recommended for
+        production streams (inference reads one footer at plan
+        time)."""
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        meta = _Meta(self.options["path"])
+        _, tables = meta.commit._current(meta.host, meta.root)
+        files = tables.get(meta.member, [])
+        if not files:
+            from redis_lsm_timeseries_spark.errors import ValidationError
+
+            raise ValidationError(
+                "rlts_table: cannot infer a schema from an empty "
+                "table — pass .schema(...) explicitly"
+            )
+        rel = files[-1]
+        smeta = meta.schema_meta()
+        mapping = smeta.get("map", {})
+        dropped = set(smeta.get("drop", []))
+        widen = smeta.get("widen", {})
+        inv = {p: l for l, p in mapping.items()}
+        phys = pq.read_schema(f"{meta.base}/{rel}")
+        st = from_arrow_schema(phys)
+        fields = []
+        for f in st.fields:
+            if f.name in dropped:
+                continue
+            logical = inv.get(f.name, f.name)
+            dt = f.dataType
+            if logical in widen:
+                from pyspark.sql.types import DoubleType
+                from pyspark.sql.types import LongType as _L
+
+                dt = _L() if widen[logical] == "long" else DoubleType()
+            fields.append(StructField(logical, dt, True))
+        present = {f.name for f in fields}
+        for k, v in _hive_values(rel).items():
+            if k not in present:
+                try:
+                    int(v)
+                    fields.append(StructField(k, LongType(), True))
+                except ValueError:
+                    fields.append(StructField(k, StringType(), True))
+        from pyspark.sql.types import StructType
+
+        return StructType(fields)
+
+    def streamReader(self, schema):
+        return ManifestStreamReader(schema, self.options)
+
+
+def register_manifest_source(spark) -> None:
+    """Register the ``rlts_table`` streaming format on this session
+    (idempotent)."""
+    spark.dataSource.register(ManifestTableDataSource)
+
+
+def read_table_stream(spark, path: str, schema=None, **options):
+    """Convenience: a streaming DataFrame over the manifest table at
+    ``path`` (registers the format, applies options). ``schema`` is a
+    DDL string or StructType; omitted -> inferred from the newest
+    footer."""
+    register_manifest_source(spark)
+    reader = spark.readStream.format(FORMAT_NAME).option("path", path)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load()

@@ -218,7 +218,7 @@ class TestBulkLoadLease:
         a = _mk(spark, tmp_path)
         real = a._append_hot
 
-        def crash(df):
+        def crash(df, **kw):
             raise RuntimeError("bulk job died")
 
         a._append_hot = crash

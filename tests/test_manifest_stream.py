@@ -1,0 +1,332 @@
+"""The ``rlts_table`` streaming SOURCE (r14): a Spark 4 Python
+DataSource whose offsets are manifest versions — readStream over an
+engine table, appends-only, maintenance-transparent, loud on
+mutations. The Delta streaming-source idiom on this engine's log."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from redis_lsm_timeseries_spark.commit import CommitHost, ManifestCommit
+from redis_lsm_timeseries_spark.sources.manifest_stream import (
+    ManifestStreamReader,
+    read_table_stream,
+)
+
+SCHEMA = "k long, v int, name string"
+
+
+def _fx(spark, tmp_path, rows=((1, 10, "a"), (2, 20, "b"))):
+    host, commit = CommitHost(spark), ManifestCommit()
+    path = str(tmp_path / "t")
+    commit.append_table_with_meta(
+        host, path,
+        spark.createDataFrame(list(rows), SCHEMA).coalesce(1),
+        {},
+    )
+    return host, commit, path
+
+
+def _drain(spark, df, name, timeout_s=120):
+    """Run the stream into a memory sink until it goes idle; return a
+    collector fn. processingTime trigger (Python stream sources do not
+    support availableNow)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    return q
+
+
+def _wait_rows(spark, name, want, q, timeout_s=120):
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if q.exception() is not None:
+            raise AssertionError(f"query died: {q.exception()}")
+        n = spark.sql(f"SELECT count(*) c FROM {name}").first().c
+        if n >= want:
+            return n
+        time.sleep(0.3)
+    raise AssertionError(
+        f"timed out waiting for {want} rows in {name}: have "
+        f"{spark.sql(f'SELECT count(*) c FROM {name}').first().c}"
+    )
+
+
+class TestManifestStreamSource:
+    def test_streams_appends_from_starting_version(
+        self, spark, tmp_path
+    ):
+        """startingVersion=earliest replays every retained append as
+        micro-batches; commits landing mid-stream flow through."""
+        host, commit, path = _fx(spark, tmp_path)
+        commit.append_table_with_meta(
+            host, path,
+            spark.createDataFrame([(3, 30, "c")], SCHEMA).coalesce(1),
+            {},
+        )
+        df = read_table_stream(
+            spark, path, schema=SCHEMA, startingversion="earliest",
+        )
+        assert df.isStreaming
+        q = _drain(spark, df, "mstream1")
+        try:
+            # the full log is retained, so 'earliest' replays history
+            # from genesis: both committed batches stream
+            _wait_rows(spark, "mstream1", 3, q)
+            # a commit landing while the stream runs flows through
+            commit.append_table_with_meta(
+                host, path,
+                spark.createDataFrame([(4, 40, "d")], SCHEMA)
+                .coalesce(1),
+                {},
+            )
+            _wait_rows(spark, "mstream1", 4, q)
+            got = sorted(
+                (r.k, r.v, r.name)
+                for r in spark.sql("SELECT * FROM mstream1").collect()
+            )
+            assert got == [
+                (1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, 40, "d"),
+            ]
+        finally:
+            q.stop()
+
+    def test_latest_default_streams_only_new_commits(
+        self, spark, tmp_path
+    ):
+        host, commit, path = _fx(spark, tmp_path)
+        # pin the start to the CURRENT version: "latest" resolves at
+        # the planner's first trigger, which can land AFTER the append
+        # below (the row would predate the stream — correct "latest"
+        # semantics, racy test); an integer start is deterministic
+        v = commit.table_versions(host, path)[-1]
+        df = read_table_stream(
+            spark, path, schema=SCHEMA, startingversion=str(v)
+        )
+        q = _drain(spark, df, "mstream2")
+        try:
+            commit.append_table_with_meta(
+                host, path,
+                spark.createDataFrame([(9, 90, "z")], SCHEMA)
+                .coalesce(1),
+                {},
+            )
+            _wait_rows(spark, "mstream2", 1, q)
+            got = [
+                (r.k, r.v)
+                for r in spark.sql("SELECT * FROM mstream2").collect()
+            ]
+            assert got == [(9, 90)]  # the pre-stream snapshot is not read
+        finally:
+            q.stop()
+
+    def test_checkpoint_resume_is_exactly_once(
+        self, spark, tmp_path
+    ):
+        """Offsets live in Spark's checkpoint: a stopped and restarted
+        query resumes after the last committed version — no replays,
+        no gaps."""
+        host, commit, path = _fx(spark, tmp_path)
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        df = read_table_stream(
+            spark, path, schema=SCHEMA, startingversion="earliest"
+        )
+
+        def start():
+            # file sink (the memory sink cannot recover a checkpoint)
+            return (
+                df.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+
+        def out_keys(want, q, timeout_s=120):
+            t0 = time.time()
+            while time.time() - t0 < timeout_s:
+                if q.exception() is not None:
+                    raise AssertionError(f"query died: {q.exception()}")
+                try:
+                    rows = spark.read.parquet(out).collect()
+                except Exception:
+                    rows = []
+                if len(rows) >= want:
+                    return sorted(r.k for r in rows)
+                time.sleep(0.3)
+            raise AssertionError(f"timed out waiting for {want} rows")
+
+        commit.append_table_with_meta(
+            host, path,
+            spark.createDataFrame([(3, 30, "c")], SCHEMA).coalesce(1),
+            {},
+        )
+        q = start()
+        try:
+            assert out_keys(3, q) == [1, 2, 3]
+        finally:
+            q.stop()
+        # two commits while the stream is DOWN
+        for k in (4, 5):
+            commit.append_table_with_meta(
+                host, path,
+                spark.createDataFrame([(k, k * 10, "x")], SCHEMA)
+                .coalesce(1),
+                {},
+            )
+        q2 = start()
+        try:
+            # exactly the downtime delta arrives — no replays, no gaps
+            assert out_keys(5, q2) == [1, 2, 3, 4, 5]
+        finally:
+            q2.stop()
+
+    def test_preserve_rewrites_are_transparent_and_merges_fail_loudly(
+        self, spark, tmp_path
+    ):
+        from redis_lsm_timeseries_spark.maintenance import (
+            compact_small_files,
+        )
+        from redis_lsm_timeseries_spark.operators.merge import merge_into
+
+        host, commit, path = _fx(spark, tmp_path)
+        v = commit.table_versions(host, path)[-1]
+        df = read_table_stream(
+            spark, path, schema=SCHEMA, startingversion=str(v)
+        )
+        q = _drain(spark, df, "mstream4")
+        try:
+            commit.append_table_with_meta(
+                host, path,
+                spark.createDataFrame([(3, 30, "c")], SCHEMA)
+                .coalesce(1),
+                {},
+            )
+            _wait_rows(spark, "mstream4", 1, q)
+            # compaction (preserve) mid-stream: no new rows, no error
+            compact_small_files(host, path, commit=commit)
+            commit.append_table_with_meta(
+                host, path,
+                spark.createDataFrame([(4, 40, "d")], SCHEMA)
+                .coalesce(1),
+                {},
+            )
+            _wait_rows(spark, "mstream4", 2, q)
+            assert q.exception() is None
+            # a merge is NOT expressible as appended files: loud stop
+            merge_into(
+                host, path,
+                spark.createDataFrame([(1, -1, "aa")], SCHEMA),
+                ["k"], commit=commit,
+            )
+            t0 = time.time()
+            while q.exception() is None and time.time() - t0 < 120:
+                time.sleep(0.3)
+            exc = q.exception()
+            assert exc is not None and "mirror_changes" in str(exc)
+        finally:
+            q.stop()
+
+    def test_mapped_member_streams_the_logical_view(
+        self, spark, tmp_path
+    ):
+        """Rename + widen before the stream: batches carry the logical
+        names at the widened type; hive layouts would behave the same
+        (partition values typed from the path)."""
+        host, commit, path = _fx(spark, tmp_path)
+        commit.widen_column(host, path, "v", "long")
+        commit.rename_column(host, path, "v", "score")
+        v = commit.table_versions(host, path)[-1]
+        df = read_table_stream(
+            spark, path, schema="k long, score long, name string",
+            startingversion=str(v),
+        )
+        q = _drain(spark, df, "mstream5")
+        try:
+            commit.append_table_with_meta(
+                host, path,
+                spark.createDataFrame(
+                    [(3, 5_000_000_000, "c")],
+                    "k long, score long, name string",
+                ).coalesce(1),
+                {},
+            )
+            _wait_rows(spark, "mstream5", 1, q)
+            got = spark.sql("SELECT * FROM mstream5").collect()
+            assert [(r.k, r.score) for r in got] == [(3, 5_000_000_000)]
+        finally:
+            q.stop()
+
+    def test_inferred_schema_serves_the_logical_view(
+        self, spark, tmp_path
+    ):
+        host, commit, path = _fx(spark, tmp_path)
+        commit.rename_column(host, path, "v", "score")
+        df = read_table_stream(spark, path)  # no schema passed
+        assert sorted(df.schema.fieldNames()) == ["k", "name", "score"]
+
+    def test_hive_partitioned_member_restores_path_columns(
+        self, spark, tmp_path
+    ):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "part")
+        commit.append_partitioned(
+            host,
+            spark.createDataFrame(
+                [("a", 0, 1, "x"), ("b", 5, 6, "y")],
+                "tag string, part_start long, ts long, value string",
+            ),
+            path, ["tag", "part_start"],
+        )
+        df = read_table_stream(
+            spark, path,
+            schema="tag string, part_start long, ts long, value string",
+            startingversion="earliest",
+        )
+        q = _drain(spark, df, "mstream6")
+        try:
+            _wait_rows(spark, "mstream6", 2, q)
+            got = sorted(
+                (r.tag, r.part_start, r.ts, r.value)
+                for r in spark.sql("SELECT * FROM mstream6").collect()
+            )
+            assert got == [("a", 0, 1, "x"), ("b", 5, 6, "y")]
+        finally:
+            q.stop()
+
+    def test_offset_planning_is_metadata_only(self, spark, tmp_path):
+        """initialOffset/latestOffset/partitions run without a
+        SparkSession (pure log JSON) — the driver-side planner never
+        lists or opens data files it does not ship to tasks."""
+        host, commit, path = _fx(spark, tmp_path)
+        commit.append_table_with_meta(
+            host, path,
+            spark.createDataFrame([(3, 30, "c")], SCHEMA).coalesce(1),
+            {},
+        )
+        from pyspark.sql.types import StructType
+
+        reader = ManifestStreamReader(
+            StructType.fromDDL(SCHEMA),
+            {"path": path, "startingversion": "earliest"},
+        )
+        v0 = reader.initialOffset()
+        v1 = reader.latestOffset()
+        assert v0 == {"version": -1}  # full log retained: genesis
+        assert v1["version"] >= 1
+        parts = reader.partitions(v0, v1)
+        assert len(parts) == 1 and len(parts[0].relpaths) == 2
+        assert reader.partitions(v1, v1) == []
+        # executor leg: reading a partition yields arrow batches with
+        # the requested schema
+        batches = list(reader.read(parts[0]))
+        assert sum(b.num_rows for b in batches) == 3
+        assert batches[0].schema.names == ["k", "v", "name"]

@@ -362,6 +362,30 @@ class TestMappedRowLevelRewrites:
             for r in commit.read_table(host, dst, None).collect()
         ) == [(2, -2, "bb"), (8, 80, "h")]
 
+    def test_merge_after_widen_stores_wide(self, spark, tmp_path):
+        """A merge into a widened member casts its replacement files
+        to the widened physical type, and a source value past the
+        narrow type's range round-trips."""
+        from redis_lsm_timeseries_spark.operators.merge import merge_into
+
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.widen_column(host, path, "v", "long")
+        merge_into(
+            host, path,
+            spark.createDataFrame(
+                [(1, 7_000_000_000, "aa")], "k long, v long, name string"
+            ),
+            ["k"], commit=commit,
+        )
+        got = sorted(
+            (r.k, r.v)
+            for r in commit.read_table(host, path, None).collect()
+        )
+        assert got == [(1, 7_000_000_000), (2, 20)]
+        assert dict(
+            commit.read_table(host, path, None).dtypes
+        )["v"] == "bigint"
+
     def test_compact_small_files_after_widen(self, spark, tmp_path):
         """compact_small_files folds mixed-width generations of a
         widened member without footer-inference failures."""
