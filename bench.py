@@ -124,7 +124,7 @@ def main() -> int:
     except Exception as exc:
         post_cal = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     log(f"calibration (post): {post_cal}")
-    keys = ("cpu_hash_sec", "shuffle_sec", "scan_sec")
+    keys = ("cpu_hash_sec", "shuffle_sec", "scan_sec", "tiny_jobs_sec")
     if all(
         isinstance(c.get(k), (int, float))
         for c in (pre_cal, post_cal)
@@ -296,7 +296,13 @@ def normalized_vs_prev(per_query: dict, calibration: dict) -> dict:
             keyed = {
                 k: (calibration[k] / prev_cal[k],
                     min(calibration[k], prev_cal[k]))
-                for k in ("cpu_hash_sec", "shuffle_sec", "scan_sec")
+                # tiny_jobs_sec joins the weighted mean once both
+                # rounds record it (prior rounds lack the key: the
+                # dict-comprehension guard below skips it there)
+                for k in (
+                    "cpu_hash_sec", "shuffle_sec", "scan_sec",
+                    "tiny_jobs_sec",
+                )
                 if prev_cal.get(k) and isinstance(
                     calibration.get(k), (int, float)
                 )
@@ -916,7 +922,24 @@ def host_calibration(spark, sf_dir: str) -> dict:
         )
         .collect()
     )
-    return {"cpu_hash_sec": cpu, "shuffle_sec": shuffle, "scan_sec": scan}
+
+    # Per-JOB scheduling overhead (r14): many sub-second catalog
+    # entries are dominated by job/stage launch latency, which the
+    # three throughput workloads above cannot see — measured drift
+    # showed tiny multi-job queries 2-3x slower while the throughput
+    # calibration moved ~10%. Twenty trivial 8-task jobs isolate that
+    # dimension.
+    def tiny_jobs():
+        for _ in range(20):
+            spark.range(0, 1000, 1, 8).selectExpr("sum(id) AS s").collect()
+
+    tiny = timed(tiny_jobs)
+    return {
+        "cpu_hash_sec": cpu,
+        "shuffle_sec": shuffle,
+        "scan_sec": scan,
+        "tiny_jobs_sec": tiny,
+    }
 
 
 def ingest_read_bench(spark, n_batches: int = 5, n_reads: int = 20):

@@ -48,6 +48,9 @@ def get_spark(app_name: str = "redis-lsm-timeseries-spark", cpus: int | None = N
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python DataSource pushFilters (the rlts_table connector's
+        # manifest-stats skipping) is gated off by default in 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Dynamic overwrite: the purge-ack job replaces only the hot
         # partitions it rewrites (tiering.py), never the whole table.

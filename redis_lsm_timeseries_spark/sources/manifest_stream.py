@@ -1,5 +1,9 @@
-"""Structured Streaming SOURCE over a manifest table's append feed —
-``spark.readStream.format("rlts_table")`` on the engine's own log.
+"""The ``rlts_table`` Spark connector: a Structured Streaming SOURCE
+over a manifest table's append feed —
+``spark.readStream.format("rlts_table")`` on the engine's own log —
+plus a BATCH reader (``spark.read.format("rlts_table")``) whose
+``pushFilters`` translates equality/IN/range predicates into
+manifest-stats file skipping and whose ``versionAsOf`` time-travels.
 
 The engine has had streaming SINKS into manifest tables since r8
 (``streaming/sink.py``, the admission sink) and a pull-based
@@ -50,6 +54,7 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -190,6 +195,54 @@ def _hive_values(relpath: str) -> dict:
     return out
 
 
+def _read_files_partition(partition: _FilesPartition):
+    """Executor-side read shared by the stream and batch readers:
+    each file scans through pyarrow, assembles the LOGICAL view
+    (inverse-rename, dropped excluded), restores hive partition
+    columns from the path, and casts to the requested schema —
+    yielding Arrow record batches (the Python-DataSource fast path,
+    no per-row Python)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    target = to_arrow_schema(
+        StructType.fromJson(json.loads(partition.schema_json))
+    )
+    mapping = partition.smeta.get("map", {})
+    dropped = set(partition.smeta.get("drop", []))
+    inv = {p: l for l, p in mapping.items()}
+    for rel in partition.relpaths:
+        tbl = pq.read_table(f"{partition.base}/{rel}")
+        # physical -> logical names; dropped physical excluded
+        cols, names = [], []
+        for name in tbl.schema.names:
+            if name in dropped:
+                continue
+            cols.append(tbl.column(name))
+            names.append(inv.get(name, name))
+        tbl = pa.table(dict(zip(names, cols)))
+        # hive partition path segments become constant columns
+        hive = _hive_values(rel)
+        n_rows = len(tbl)
+        out_cols = []
+        for field in target:
+            if field.name in tbl.schema.names:
+                out_cols.append(tbl.column(field.name).cast(field.type))
+            elif field.name in hive:
+                out_cols.append(
+                    pa.array([hive[field.name]] * n_rows).cast(field.type)
+                )
+            else:
+                out_cols.append(pa.nulls(n_rows, field.type))
+        yield from pa.table(
+            dict(zip([f.name for f in target], out_cols))
+        ).to_batches()
+
+
 class ManifestStreamReader(DataSourceStreamReader):
     def __init__(self, schema, options):
         from redis_lsm_timeseries_spark.errors import ValidationError
@@ -255,52 +308,133 @@ class ManifestStreamReader(DataSourceStreamReader):
 
     # -- executor-side read -------------------------------------------
     def read(self, partition: _FilesPartition):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
-        from pyspark.sql.types import StructType
+        yield from _read_files_partition(partition)
 
-        target = to_arrow_schema(
-            StructType.fromJson(__import__("json").loads(partition.schema_json))
+
+class ManifestBatchReader(DataSourceReader):
+    """Batch reader with FILTER PUSHDOWN into the manifest's per-file
+    stats (Spark 4.1 ``pushFilters``): equality / IN / range filters
+    on top-level columns translate to a ``prune_files`` envelope, so
+    planning ships only the files whose stats may match — the same
+    data skipping ``read_table_pruned`` gives engine callers, now
+    behind the generic ``spark.read.format("rlts_table")`` surface.
+    Every filter is RETURNED as residual (file skipping is
+    superset-safe, Spark's row filter stays mandatory — the exact
+    contract ``prune_files`` documents). ``versionAsOf`` time-travels:
+    both the file list and the logical column mapping resolve as of
+    that version."""
+
+    def __init__(self, schema, options):
+        from redis_lsm_timeseries_spark.errors import ValidationError
+
+        path = options.get("path") or options.get("tablepath")
+        if not path:
+            raise ValidationError(
+                "rlts_table: option 'path' (the manifest member path) "
+                "is required"
+            )
+        self.schema = schema
+        self.files_per_partition = max(
+            1, int(options.get("filesperpartition", FILES_PER_PARTITION))
         )
-        mapping = partition.smeta.get("map", {})
-        dropped = set(partition.smeta.get("drop", []))
-        inv = {p: l for l, p in mapping.items()}
-        for rel in partition.relpaths:
-            tbl = pq.read_table(f"{partition.base}/{rel}")
-            # physical -> logical names; dropped physical excluded
-            cols, names = [], []
-            for name in tbl.schema.names:
-                if name in dropped:
-                    continue
-                cols.append(tbl.column(name))
-                names.append(inv.get(name, name))
-            tbl = pa.table(dict(zip(names, cols)))
-            # hive partition path segments become constant columns
-            hive = _hive_values(rel)
-            n_rows = len(tbl)
-            out_cols = []
-            for field in target:
-                if field.name in tbl.schema.names:
-                    out_cols.append(
-                        tbl.column(field.name).cast(field.type)
-                    )
-                elif field.name in hive:
-                    out_cols.append(
-                        pa.array([hive[field.name]] * n_rows).cast(
-                            field.type
-                        )
-                    )
-                else:
-                    out_cols.append(pa.nulls(n_rows, field.type))
-            yield from pa.table(
-                dict(zip([f.name for f in target], out_cols))
-            ).to_batches()
+        v = options.get("versionasof")
+        self.version = None if v is None else int(v)
+        self._meta = _Meta(path)
+        self.predicates: dict = {}
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        preds: dict = {}
+
+        def narrow_range(col, lo=None, hi=None):
+            cur = preds.get(col)
+            if isinstance(cur, (set, frozenset)):
+                return  # a membership set is already at least as tight
+            clo, chi = cur if isinstance(cur, tuple) else (None, None)
+            if lo is not None:
+                try:
+                    clo = lo if clo is None else max(clo, lo)
+                except TypeError:
+                    return  # incomparable mixed types: skip, stay safe
+            if hi is not None:
+                try:
+                    chi = hi if chi is None else min(chi, hi)
+                except TypeError:
+                    return
+            preds[col] = (clo, chi)
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue  # nested fields: no stats recorded
+            col = attr[0]
+            # any single conjunct's envelope is a SUPERSET of the
+            # conjunction, so folding what we understand and ignoring
+            # the rest can only keep extra files, never drop one
+            if isinstance(f, EqualTo):
+                preds[col] = {f.value}
+            elif isinstance(f, In):
+                if not isinstance(preds.get(col), (set, frozenset)):
+                    preds[col] = set(f.value)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                # inclusive envelope for an exclusive bound: superset
+                narrow_range(col, lo=f.value)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                narrow_range(col, hi=f.value)
+        self.predicates = preds
+        # every filter stays residual: skipping is file-granular
+        return filters
+
+    def partitions(self):
+        meta = self._meta
+        if self.predicates:
+            kept, _total = meta.commit.prune_files(
+                meta.host, meta.path, self.predicates,
+                version=self.version,
+            )
+            files = kept
+            smeta_entry = meta.commit._load_entry(
+                meta.host, meta.path, meta.root, self.version
+            )
+        else:
+            smeta_entry = meta.commit._load_entry(
+                meta.host, meta.path, meta.root, self.version
+            )
+            files = smeta_entry["tables"].get(meta.member, [])
+        smeta = (
+            smeta_entry.get("app", {}).get(
+                meta.commit._schema_key(meta.member)
+            )
+            or {}
+        )
+        if not files:
+            return [
+                _FilesPartition(meta.base, [], smeta, self.schema.json())
+            ]
+        schema_json = self.schema.json()
+        n = self.files_per_partition
+        return [
+            _FilesPartition(meta.base, files[i : i + n], smeta, schema_json)
+            for i in range(0, len(files), n)
+        ]
+
+    def read(self, partition: _FilesPartition):
+        yield from _read_files_partition(partition)
 
 
 class ManifestTableDataSource(DataSource):
     """``spark.dataSource.register(ManifestTableDataSource)`` then
-    ``spark.readStream.format("rlts_table").option("path", p)``.
+    ``spark.readStream.format("rlts_table").option("path", p)`` for
+    the change-feed stream, or ``spark.read.format("rlts_table")``
+    for a stats-pruned batch scan (``versionAsOf`` time travel).
     See module docstring for semantics."""
 
     @classmethod
@@ -363,10 +497,20 @@ class ManifestTableDataSource(DataSource):
     def streamReader(self, schema):
         return ManifestStreamReader(schema, self.options)
 
+    def reader(self, schema):
+        return ManifestBatchReader(schema, self.options)
+
 
 def register_manifest_source(spark) -> None:
-    """Register the ``rlts_table`` streaming format on this session
-    (idempotent)."""
+    """Register the ``rlts_table`` format on this session
+    (idempotent), enabling Python-DataSource filter pushdown — the
+    batch reader's manifest-stats skipping is gated on it (4.1
+    default: off; a session where the conf cannot be set still reads
+    correctly, minus the skipping)."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
     spark.dataSource.register(ManifestTableDataSource)
 
 
@@ -377,6 +521,26 @@ def read_table_stream(spark, path: str, schema=None, **options):
     footer."""
     register_manifest_source(spark)
     reader = spark.readStream.format(FORMAT_NAME).option("path", path)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load()
+
+
+def read_table_batch(
+    spark, path: str, schema=None, version: int | None = None, **options
+):
+    """Convenience: a BATCH DataFrame over the manifest table at
+    ``path`` through the ``rlts_table`` connector — filters on the
+    result push down into manifest-stats file skipping
+    (``ManifestBatchReader``); ``version`` time-travels. Pass an
+    explicit ``schema`` when time-traveling across schema changes
+    (inference reads the CURRENT newest footer)."""
+    register_manifest_source(spark)
+    reader = spark.read.format(FORMAT_NAME).option("path", path)
+    if version is not None:
+        reader = reader.option("versionasof", str(version))
     for k, v in options.items():
         reader = reader.option(k, v)
     if schema is not None:
