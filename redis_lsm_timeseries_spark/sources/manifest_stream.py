@@ -54,9 +54,11 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 FORMAT_NAME = "rlts_table"
@@ -259,6 +261,17 @@ class ManifestStreamReader(DataSourceStreamReader):
             1, int(options.get("filesperpartition", FILES_PER_PARTITION))
         )
         self.starting = options.get("startingversion", "latest")
+        # maxVersionsPerTrigger: bound one micro-batch's commit span —
+        # a stream resumed against a deep backlog (or started
+        # 'earliest' on a long history) drains in bounded batches
+        # instead of planning one giant one (the Delta
+        # maxFilesPerTrigger idea at version granularity). Best-effort
+        # per planner lifetime: the ratchet base comes from
+        # initialOffset/partitions calls, so the first batch after a
+        # RESTART with no replay is uncapped, then capping resumes.
+        mv = options.get("maxversionspertrigger")
+        self.max_versions = None if mv is None else max(1, int(mv))
+        self._ratchet: int | None = None
         self._meta = _Meta(path)
 
     # -- offsets -------------------------------------------------------
@@ -275,19 +288,30 @@ class ManifestStreamReader(DataSourceStreamReader):
         version N, matching ``read_changes(since_version=N)``; N must
         be retained)."""
         if self.starting == "latest":
-            return {"version": self._meta.current_version()}
-        if self.starting == "earliest":
+            out = self._meta.current_version()
+        elif self.starting == "earliest":
             v0 = self._meta.versions()[0]
-            return {"version": -1 if v0 == 0 else v0}
-        return {"version": int(self.starting)}
+            out = -1 if v0 == 0 else v0
+        else:
+            out = int(self.starting)
+        self._ratchet = out
+        return {"version": out}
 
     def latestOffset(self) -> dict:
-        return {"version": self._meta.current_version()}
+        cur = self._meta.current_version()
+        if self.max_versions is not None and self._ratchet is not None:
+            capped = min(cur, self._ratchet + self.max_versions)
+            # never retreat below what a prior trigger already planned
+            cur = max(capped, self._ratchet)
+        self._ratchet = cur
+        return {"version": cur}
 
     def partitions(self, start: dict, end: dict):
         import json
 
         s, e = int(start["version"]), int(end["version"])
+        if self._ratchet is None or e > self._ratchet:
+            self._ratchet = e  # restart replay: resume capping from it
         if e <= s:
             return []
         added = self._meta.added_files(s, e)
@@ -430,12 +454,177 @@ class ManifestBatchReader(DataSourceReader):
         yield from _read_files_partition(partition)
 
 
+class _WrittenFiles(WriterCommitMessage):
+    """Task commit message: the relpaths this task landed under the
+    member's data dir."""
+
+    def __init__(self, relpaths):
+        self.relpaths = list(relpaths)
+
+
+class ManifestArrowWriter(DataSourceArrowWriter):
+    """Batch WRITE through the connector — Spark's two-phase writer
+    protocol mapped onto the manifest commit: every task writes its
+    Arrow batches as one parquet file directly under the member's
+    data dir (physically present but UNREFERENCED — the engine's
+    leaseless-commit pattern, protected by vacuum's grace window),
+    returns the relpath as its commit message, and the driver's
+    ``commit()`` lands ONE atomic log entry referencing exactly the
+    files of the successful attempt. A failed/aborted job leaves only
+    invisible orphans (``abort()`` deletes best-effort; vacuum
+    collects stragglers after the grace window) — never a
+    half-visible table.
+
+    ``mode("append")`` appends the files; ``mode("overwrite")``
+    replaces the member's file list (an unmarked content rewrite —
+    feeds over the range resync, the safe posture). Schema-mapped
+    members translate logical -> physical names and widen-cast in
+    Arrow, task-side; dropped-name reuse and hive-partitioned members
+    refuse at PLAN time with the engine-API remedy (the remint needs
+    its own metadata commit, and a partitioned layout must be
+    reproduced exactly — ``append_table_with_meta`` /
+    ``append_partitioned`` handle both)."""
+
+    def __init__(self, schema, overwrite: bool, options):
+        import uuid
+
+        from redis_lsm_timeseries_spark.commit import (
+            CommitHost,
+            ManifestCommit,
+        )
+        from redis_lsm_timeseries_spark.errors import ValidationError
+
+        path = options.get("path") or options.get("tablepath")
+        if not path:
+            raise ValidationError(
+                "rlts_table: option 'path' (the manifest member path) "
+                "is required"
+            )
+        self.overwrite = bool(overwrite)
+        commit, host = ManifestCommit(), CommitHost(None)
+        target = commit._target_for_write(host, path)
+        if target is None:
+            raise ValidationError(
+                f"rlts_table: {path!r} is not manifest-managed and "
+                "cannot become so here"
+            )
+        self.path = path
+        self.root, self.member = target
+        self.base = commit._member_root(self.root, self.member)
+        self.token = uuid.uuid4().hex[:16]
+        _, entry = commit._current_entry(host, self.root)
+        _, tables = commit._current(host, self.root)
+        from redis_lsm_timeseries_spark.operators.merge import (
+            partition_cols_of,
+        )
+
+        if partition_cols_of(tables.get(self.member, [])):
+            raise ValidationError(
+                "rlts_table writer: the member is hive-partitioned; "
+                "reproduce the layout with append_partitioned instead"
+            )
+        smeta = entry.get("app", {}).get(
+            commit._schema_key(self.member)
+        ) or {}
+        mapping = smeta.get("map", {})
+        dropped = set(smeta.get("drop", []))
+        targets = {p for l, p in mapping.items() if p != l}
+        for c in schema.fieldNames():
+            phys = mapping.get(c, c)
+            if phys in dropped:
+                raise ValidationError(
+                    f"rlts_table writer: column {c!r} reuses a "
+                    "DROPPED column's name; the remint needs its own "
+                    "metadata commit — append through "
+                    "append_table_with_meta instead"
+                )
+            if c not in mapping and phys in targets:
+                raise ValidationError(
+                    f"rlts_table writer: new column {c!r} collides "
+                    "with an existing column's PHYSICAL name"
+                )
+        self.smeta = smeta
+
+    # -- executor leg ---------------------------------------------------
+    def write(self, iterator):
+        import os as _os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        if not batches or sum(b.num_rows for b in batches) == 0:
+            return _WrittenFiles([])
+        tbl = pa.Table.from_batches(batches)
+        # logical -> physical: rename mapped columns, widen-cast
+        mapping = self.smeta.get("map", {})
+        widen = self.smeta.get("widen", {})
+        if mapping or widen:
+            wide = {"long": pa.int64(), "double": pa.float64()}
+            cols, names = [], []
+            for name in tbl.schema.names:
+                col = tbl.column(name)
+                if name in widen:
+                    col = col.cast(wide[widen[name]])
+                cols.append(col)
+                names.append(mapping.get(name, name))
+            tbl = pa.table(dict(zip(names, cols)))
+        rel = f"{self.token}-w{uuid.uuid4().hex[:12]}.parquet"
+        _os.makedirs(self.base, exist_ok=True)
+        pq.write_table(tbl, f"{self.base}/{rel}")
+        return _WrittenFiles([rel])
+
+    # -- driver leg -------------------------------------------------------
+    def commit(self, messages):
+        from redis_lsm_timeseries_spark.commit import (
+            CommitHost,
+            ManifestCommit,
+        )
+
+        commit, host = ManifestCommit(), CommitHost(None)
+        files = [
+            rel
+            for m in messages
+            if m is not None
+            for rel in m.relpaths
+        ]
+        member = self.member
+
+        if self.overwrite:
+            def mutate(tables):
+                return {**tables, member: files}
+        else:
+            def mutate(tables):
+                return {
+                    **tables, member: tables.get(member, []) + files
+                }
+
+        mutate.stats_add = commit._file_stats(
+            host, self.root, member, files
+        )
+        commit._commit(host, self.root, mutate)
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            if m is None:
+                continue
+            for rel in m.relpaths:
+                try:
+                    _os.remove(f"{self.base}/{rel}")
+                except OSError:
+                    pass
+
+
 class ManifestTableDataSource(DataSource):
     """``spark.dataSource.register(ManifestTableDataSource)`` then
     ``spark.readStream.format("rlts_table").option("path", p)`` for
-    the change-feed stream, or ``spark.read.format("rlts_table")``
-    for a stats-pruned batch scan (``versionAsOf`` time travel).
-    See module docstring for semantics."""
+    the change-feed stream, ``spark.read.format("rlts_table")`` for a
+    stats-pruned batch scan (``versionAsOf`` time travel), or
+    ``df.write.format("rlts_table").mode("append"|"overwrite")`` for
+    an atomic manifest-committed write. See module docstring."""
 
     @classmethod
     def name(cls) -> str:
@@ -499,6 +688,9 @@ class ManifestTableDataSource(DataSource):
 
     def reader(self, schema):
         return ManifestBatchReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return ManifestArrowWriter(schema, overwrite, self.options)
 
 
 def register_manifest_source(spark) -> None:
