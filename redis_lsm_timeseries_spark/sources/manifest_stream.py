@@ -514,6 +514,12 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         self.token = uuid.uuid4().hex[:16]
         _, entry = commit._current_entry(host, self.root)
         _, tables = commit._current(host, self.root)
+        # overwrite conflict base: the snapshot_rewrite posture — a
+        # concurrent commit to the member between plan and commit
+        # must CONFLICT, not be silently dropped from the manifest
+        # (its files would be unreferenced and vacuumed: a lost
+        # update). Append mode needs no base (its mutate re-derives).
+        self.base_files = list(tables.get(self.member, []))
         from redis_lsm_timeseries_spark.operators.merge import (
             partition_cols_of,
         )
@@ -592,7 +598,19 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         member = self.member
 
         if self.overwrite:
+            base = self.base_files
+
             def mutate(tables):
+                from redis_lsm_timeseries_spark.errors import (
+                    RewriteConflictError,
+                )
+
+                if list(tables.get(member, [])) != base:
+                    raise RewriteConflictError(
+                        f"rlts_table overwrite of {self.path!r} "
+                        "conflicts with a concurrent commit to the "
+                        "same member; retry the write on fresh state"
+                    )
                 return {**tables, member: files}
         else:
             def mutate(tables):

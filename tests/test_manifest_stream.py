@@ -594,6 +594,51 @@ class TestManifestWriter:
                 .save()
             )
 
+    def test_overwrite_conflicts_with_a_concurrent_commit(
+        self, spark, tmp_path
+    ):
+        """A commit landing between the overwrite's plan and its
+        commit() raises instead of silently dropping the racer's files
+        from the manifest (the snapshot_rewrite conflict posture)."""
+        from pyspark.sql.types import StructType
+
+        from redis_lsm_timeseries_spark.errors import (
+            RewriteConflictError,
+        )
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            ManifestArrowWriter,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        w = ManifestArrowWriter(
+            StructType.fromDDL(SCHEMA), True, {"path": path}
+        )
+        # racer lands after the writer captured its base
+        commit.append_table_with_meta(
+            host, path,
+            spark.createDataFrame([(5, 50, "e")], SCHEMA).coalesce(1),
+            {},
+        )
+        import pyarrow as pa
+
+        msg = w.write(
+            iter(
+                pa.Table.from_pylist(
+                    [{"k": 9, "v": 90, "name": "z"}],
+                    schema=pa.schema(
+                        [("k", pa.int64()), ("v", pa.int32()),
+                         ("name", pa.string())]
+                    ),
+                ).to_batches()
+            )
+        )
+        with pytest.raises(RewriteConflictError, match="concurrent"):
+            w.commit([msg])
+        # the racer's row is intact
+        assert sorted(
+            r.k for r in commit.read_table(host, path, None).collect()
+        ) == [1, 2, 5]
+
     def test_writer_feeds_the_streaming_source(self, spark, tmp_path):
         """The triangle closes: a connector WRITE is a plain append
         commit, so a running rlts_table STREAM picks it up as the next
