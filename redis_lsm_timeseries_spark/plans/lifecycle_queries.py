@@ -508,3 +508,71 @@ def metadata_fast_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _shutil.rmtree(base_dir, ignore_errors=True)
+
+
+# --------------------------------------------------------------- connector
+# Oracle-checked differential for the rlts_table connector (r14) — no
+# driver slot (the 50-entry budget is spent), so it rides the pinned
+# UNREGISTERED_ORACLES parity harness like the cube/unpivot entries:
+# a connector WRITE (two-phase Arrow writer, one atomic log entry)
+# into a throwaway manifest table, read back through the connector's
+# BATCH reader with a range filter whose pushFilters envelope prunes
+# the scan, compared cell-exact against DuckDB recomputing the subset.
+CONNECTOR_ROUNDTRIP_ORACLE = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       event_type,
+       CAST(value AS DOUBLE) AS value
+FROM events
+WHERE event_id % 20 = 0 AND event_id BETWEEN 1000 AND 5000
+"""
+
+
+def connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a deterministic events slice through
+    ``df.write.format("rlts_table")``, read it back through the
+    connector's pushdown batch reader with a range filter, and return
+    the logical result — the full read/write connector surface under
+    one differential check."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from redis_lsm_timeseries_spark.sources.manifest_stream import (
+        read_table_batch,
+        register_manifest_source,
+    )
+
+    register_manifest_source(spark)
+    base_dir = _tempfile.mkdtemp(prefix="rlts_connector_")
+    try:
+        path = f"{base_dir}/t"
+        ev = (
+            load_events(spark, sf_dir)
+            .where(F.col("event_id") % 20 == 0)
+            .select("event_id", "event_type", "value")
+        )
+        # range-clustered shards so the read-side range filter's
+        # pushdown envelope genuinely prunes files
+        (
+            ev.repartitionByRange(4, "event_id")
+            .write.format("rlts_table")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        out = read_table_batch(
+            spark, path,
+            schema="event_id long, event_type string, value double",
+        ).where(F.col("event_id").between(1000, 5000))
+        return out.localCheckpoint(eager=True)  # outlives the rmtree
+    finally:
+        _shutil.rmtree(base_dir, ignore_errors=True)
+
+
+from redis_lsm_timeseries_spark.plans.reference_queries import (  # noqa: E402
+    UNREGISTERED_ORACLES,
+)
+
+UNREGISTERED_ORACLES["connector_roundtrip"] = (
+    connector_roundtrip,
+    CONNECTOR_ROUNDTRIP_ORACLE,
+)

@@ -50,8 +50,6 @@ sinks) directly over an engine table.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
@@ -183,6 +181,34 @@ class _FilesPartition(InputPartition):
         self.relpaths = relpaths
         self.smeta = smeta
         self.schema_json = schema_json
+
+
+def _simple_ddl_type(ddl: str):
+    """Session-free DDL -> DataType for the primitive types
+    ``df.dtypes`` emits (``_parse_datatype_string`` needs an active
+    SparkContext, which the DataSource planner process lacks); None
+    for anything exotic — callers omit the column and document the
+    explicit-schema remedy."""
+    import re
+
+    from pyspark.sql import types as T
+
+    simple = {
+        "tinyint": T.ByteType, "smallint": T.ShortType,
+        "int": T.IntegerType, "integer": T.IntegerType,
+        "bigint": T.LongType, "long": T.LongType,
+        "float": T.FloatType, "double": T.DoubleType,
+        "string": T.StringType, "boolean": T.BooleanType,
+        "date": T.DateType, "timestamp": T.TimestampType,
+        "timestamp_ntz": T.TimestampNTZType, "binary": T.BinaryType,
+    }
+    ddl = ddl.strip().lower()
+    if ddl in simple:
+        return simple[ddl]()
+    m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", ddl)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    return None
 
 
 def _hive_values(relpath: str) -> dict:
@@ -689,6 +715,20 @@ class ManifestTableDataSource(DataSource):
 
                 dt = _L() if widen[logical] == "long" else DoubleType()
             fields.append(StructField(logical, dt, True))
+        # reminted columns (dropped-name reuse) may be absent from the
+        # sampled footer: force them in from their recorded type.
+        # Parsed session-free (the DataSource planner process has no
+        # SparkContext); an exotic type is OMITTED — pass an explicit
+        # schema then, same contract as the rest of inference
+        have = {f.name for f in fields}
+        for phys, ddl in smeta.get("phys_types", {}).items():
+            if phys in dropped:
+                continue
+            logical = inv.get(phys, phys)
+            dt = _simple_ddl_type(ddl)
+            if logical not in have and dt is not None:
+                fields.append(StructField(logical, dt, True))
+                have.add(logical)
         present = {f.name for f in fields}
         for k, v in _hive_values(rel).items():
             if k not in present:

@@ -273,6 +273,32 @@ class TestManifestStreamSource:
         df = read_table_stream(spark, path)  # no schema passed
         assert sorted(df.schema.fieldNames()) == ["k", "name", "score"]
 
+    def test_inferred_schema_includes_reminted_columns(
+        self, spark, tmp_path
+    ):
+        """Footer-based inference forces reminted (dropped-name reuse)
+        columns in from their recorded phys_types, even when the
+        sampled newest footer predates them."""
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            read_table_stream,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        commit.drop_column(host, path, "v")
+        commit.append_table_with_meta(  # remints v -> v__r2
+            host, path,
+            spark.createDataFrame([(9, 99, "z")], SCHEMA).coalesce(1),
+            {},
+        )
+        commit.append_table_with_meta(  # newest footer LACKS v__r2
+            host, path,
+            spark.createDataFrame([(10, "q")], "k long, name string")
+            .coalesce(1),
+            {},
+        )
+        df = read_table_stream(spark, path)  # inferred schema
+        assert sorted(df.schema.fieldNames()) == ["k", "name", "v"]
+
     def test_hive_partitioned_member_restores_path_columns(
         self, spark, tmp_path
     ):

@@ -453,6 +453,45 @@ class TestDirectoryBackend:
             (1, 10), (2, 20),
         ]
 
+    def test_merge_and_delete_after_eager_evolution(
+        self, spark, tmp_path
+    ):
+        """The directory backend materializes rename/drop eagerly, so
+        row-level rewrites afterwards run on the already-evolved
+        physical schema — the 'both backends' leg of the r14 merge/
+        delete-through-evolution contract."""
+        from redis_lsm_timeseries_spark.operators.merge import (
+            delete_rows,
+            merge_into,
+        )
+
+        host, commit = CommitHost(spark), ParquetLeaseCommit()
+        path = str(tmp_path / "d2")
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], SCHEMA
+        ).coalesce(1).write.parquet(path)
+        commit.rename_column(host, path, "v", "score")
+        merge_into(
+            host, path,
+            spark.createDataFrame(
+                [(1, 99, "z"), (7, 70, "g")],
+                "k long, score int, name string",
+            ),
+            ["k"], commit=commit,
+        )
+        assert sorted(
+            (r.k, r.score)
+            for r in commit.read_table(host, path, None).collect()
+        ) == [(1, 99), (2, 20), (7, 70)]
+        delete_rows(
+            host, path,
+            spark.createDataFrame([(2,)], "k long"), ["k"],
+            commit=commit,
+        )
+        assert sorted(
+            r.k for r in commit.read_table(host, path, None).collect()
+        ) == [1, 7]
+
 
 class TestMetadataReadsAcrossMapping:
     def test_fast_count_and_min_max_translate_logical_names(
