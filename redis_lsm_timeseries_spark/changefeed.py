@@ -281,6 +281,20 @@ def _apply_row_changes(
     # its trailing cursor commit after stale data already landed
     cas_guard = commit._app_cas_guard(cas)
     if n_up:
+        # Feed rows carry the source's TRUE column types; a mirror
+        # seeded from a hive-partitioned snapshot can hold directory-
+        # inference-NARROWED partition values (a small part_start
+        # domain reads as int though the source column is long).
+        # Merge's type enforcement (r14) would refuse the drift — the
+        # principled fix is the one users get: widen the destination,
+        # one metadata-only commit, first drift only.
+        widenable = {("int", "bigint"): "long",
+                     ("float", "double"): "double"}
+        dst_t = dict(commit.read_table(host, dst_path, None).dtypes)
+        for c, t in upserts.dtypes:
+            w = widenable.get((dst_t.get(c), t))
+            if w is not None:
+                commit.widen_column(host, dst_path, c, w)
         merge_into(
             host, dst_path, upserts, keys, commit=commit,
             extra_guard=cas_guard,

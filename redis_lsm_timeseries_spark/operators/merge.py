@@ -453,6 +453,15 @@ def merge_into(
     root, member = commit._resolve(host, path)
     smeta, phys = _mapping_ctx(commit, host, path)
     total = len(managed)
+    pcols = partition_cols_of(managed)
+    if managed:
+        # name AND type enforcement against the member's logical
+        # schema (one-file probe, plan-only) — covers the insert-only
+        # branch too, which writes source-typed files verbatim
+        _check_columns(
+            _affected_df(host, commit, path, managed[:1], smeta),
+            src, path, exempt=pcols,
+        )
     preds = _key_predicates(src, keys)
     affected, _ = commit.prune_files(host, path, preds)
     # the envelope guard compares against per-file stats, which are
@@ -466,7 +475,6 @@ def merge_into(
         ),
         extra_guard,
     )
-    pcols = partition_cols_of(managed)
     if not affected:
         # no file can contain a matched key: only the NOT MATCHED
         # clause applies
@@ -497,8 +505,7 @@ def merge_into(
         return MergeStats(0, total, n_ins)
 
     cur = _affected_df(host, commit, path, affected, smeta)
-    _check_columns(cur, src, path)
-    cur = cur.select(*src.columns)
+    cur = cur.select(*src.columns)  # checked against the probe above
     out, upserts, deleted = _merge_outputs(
         cur, src, keys, when_matched, matched_condition,
         insert_unmatched, not_matched_condition,
@@ -697,10 +704,38 @@ def delete_range(
     return DeleteStats(len(affected), total)
 
 
-def _check_columns(target: DataFrame, source: DataFrame, path: str):
+def _check_columns(
+    target: DataFrame, source: DataFrame, path: str, exempt=()
+):
     if set(target.columns) != set(source.columns):
         raise ValidationError(
             f"merge into {path!r}: source columns "
             f"{sorted(source.columns)} != target columns "
             f"{sorted(target.columns)}"
+        )
+    # TYPE enforcement (r14, found by the mapped-vs-plain equivalence
+    # differential): a WIDER source type would union-coerce the
+    # replacement rows and write wider physical files into a member
+    # whose untouched files stay narrow — a mixed-width member with no
+    # widen metadata, which later footer-inferred scans fail on.
+    # Refuse loudly with the sanctioned path (the Delta
+    # schema-enforcement posture). ``exempt`` carries the hive
+    # partition columns: their values live in directory PATHS, not
+    # file bytes, and their read-side dtype is directory inference —
+    # no physical width to protect, so int-vs-bigint drift there is
+    # harmless (the replacement write re-derives the path strings).
+    tt, st = dict(target.dtypes), dict(source.dtypes)
+    off = {
+        c: (st[c], tt[c])
+        for c in st
+        if c not in exempt and st[c] != tt[c]
+    }
+    if off:
+        c, (s, t) = next(iter(sorted(off.items())))
+        raise ValidationError(
+            f"merge into {path!r}: source column {c!r} is {s} but the "
+            f"target stores {t} — matching types are required so "
+            "replacement files keep the member's physical width. "
+            "widen_column first (int->long, float->double), or cast "
+            "the source."
         )

@@ -868,3 +868,104 @@ class TestReviewR13Fixes:
         assert commit.member_files(host, path) == [
             f"f{i}.parquet" for i in range(21)
         ]
+
+
+class TestMappedEquivalence:
+    def test_mapped_and_plain_members_agree_under_mutation_sequence(
+        self, spark, tmp_path
+    ):
+        """Differential pin for the r14 mapping-aware rewrites: one
+        deterministic append/merge/delete/delete_range/compact/zorder
+        sequence applied to (a) a plain member and (b) a renamed+
+        widened member must leave IDENTICAL logical tables after every
+        step — the mapping is invisible to semantics, only to file
+        bytes."""
+        from redis_lsm_timeseries_spark.maintenance import (
+            compact_small_files,
+        )
+        from redis_lsm_timeseries_spark.operators.merge import (
+            delete_range,
+            delete_rows,
+            merge_into,
+        )
+        from redis_lsm_timeseries_spark.operators.zorder import (
+            zorder_compact,
+        )
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        plain = str(tmp_path / "plain")
+        mapped = str(tmp_path / "mapped")
+        seed = spark.createDataFrame(
+            [(i, i * 10, f"n{i % 3}") for i in range(20)], SCHEMA
+        ).coalesce(2)
+        for p in (plain, mapped):
+            commit.append_table_with_meta(host, p, seed, {})
+        commit.widen_column(host, mapped, "v", "long")
+        commit.rename_column(host, mapped, "v", "score")
+
+        def logical(p):
+            df = commit.read_table(
+                host, p, "k long, v long, name string"
+                if p == plain
+                else "k long, score long, name string"
+            )
+            cols = ["k", "v" if p == plain else "score", "name"]
+            return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+        def check(step):
+            assert logical(plain) == logical(mapped), f"diverged at {step}"
+
+        # 1: merge (update + insert); source types must MATCH the
+        # member's logical schema (plain stores int, the mapped member
+        # widened to long — the type-enforcement this test surfaced)
+        for p, vcol, t in ((plain, "v", "int"), (mapped, "score", "long")):
+            merge_into(
+                host, p,
+                spark.createDataFrame(
+                    [(3, -3, "zz"), (25, 250, "new")],
+                    f"k long, {vcol} {t}, name string",
+                ),
+                ["k"], commit=commit,
+            )
+        check("merge")
+        # 2: keyed delete
+        for p in (plain, mapped):
+            delete_rows(
+                host, p,
+                spark.createDataFrame([(5,), (7,)], "k long"), ["k"],
+                commit=commit,
+            )
+        check("delete_rows")
+        # 3: range delete on the mapped/widened column
+        delete_range(host, plain, "v", lo=100, hi=140, commit=commit)
+        delete_range(host, mapped, "score", lo=100, hi=140, commit=commit)
+        check("delete_range")
+        # 4: physical maintenance (content-identical)
+        for p in (plain, mapped):
+            compact_small_files(host, p, commit=commit)
+        check("compact")
+        for p, cols in ((plain, ["k", "v"]), (mapped, ["k", "score"])):
+            zorder_compact(host, p, cols, min_files=1, commit=commit)
+        check("zorder")
+        # 5: conditional merge (matched-delete clause)
+        for p, vcol, t in ((plain, "v", "int"), (mapped, "score", "long")):
+            merge_into(
+                host, p,
+                spark.createDataFrame(
+                    [(2, 0, "x"), (4, 0, "x")],
+                    f"k long, {vcol} {t}, name string",
+                ),
+                ["k"], commit=commit,
+                when_matched="delete", insert_unmatched=False,
+            )
+        check("conditional_merge_delete")
+        # the hazard this test surfaced is now a loud refusal: a
+        # wider-typed source cannot write mixed-width files
+        with pytest.raises(ValidationError, match="widen_column"):
+            merge_into(
+                host, plain,
+                spark.createDataFrame(
+                    [(1, 1, "q")], "k long, v long, name string"
+                ),
+                ["k"], commit=commit,
+            )
