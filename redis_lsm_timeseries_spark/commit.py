@@ -41,11 +41,12 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 import time
 import uuid
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 import threading
 
@@ -815,6 +816,18 @@ class ManifestCommit(ParquetLeaseCommit):
             for f, fstats in fmap.items():
                 if fstats is not None:
                     state["stats"].setdefault(m, {})[f] = fstats
+        # restat (r14, deletion vectors): replace an EXISTING file's
+        # stats block in place — the op that attaches a DV reference
+        # without touching the file list, O(changed files) per entry.
+        # A file concurrently removed above simply has no stats slot
+        # to fill (guarded at commit time; skipping here keeps replay
+        # of historical chains total).
+        for m, fmap in delta.get("restat", {}).items():
+            listed = set(state["tables"].get(m, []))
+            mstats = state["stats"].setdefault(m, {})
+            for f, fstats in fmap.items():
+                if f in listed:
+                    mstats[f] = fstats
         state["app"].update(entry.get("app_add", {}))
 
     @staticmethod
@@ -963,6 +976,11 @@ class ManifestCommit(ParquetLeaseCommit):
             delta = entry.get("delta", {})
             touched |= set(delta.get("add", {}))
             touched |= set(delta.get("remove", {}))
+            # a restat-only entry (DV attach) changes the member's
+            # STATS while its file list stands still — reusing the
+            # previous checkpoint part would resurrect the deleted
+            # rows for any reader anchored on it
+            touched |= set(delta.get("restat", {}))
         return touched
 
     def _write_checkpoint(
@@ -1156,6 +1174,7 @@ class ManifestCommit(ParquetLeaseCommit):
         source position here is exactly-once by construction."""
         add = getattr(mutate, "stats_add", None) or {}
         app_add = getattr(mutate, "app_meta", None) or {}
+        restat = getattr(mutate, "restat", None) or {}
         for attempt in range(self.MAX_COMMIT_ATTEMPTS):
             if attempt:
                 # linear backoff so N racing committers don't lock-step
@@ -1183,8 +1202,12 @@ class ManifestCommit(ParquetLeaseCommit):
                 guard(prev)
             new_tables = mutate(dict(tables))
             merged = {
-                m: {**cur_stats.get(m, {}), **add.get(m, {})}
-                for m in set(new_tables) | set(add)
+                m: {
+                    **cur_stats.get(m, {}),
+                    **add.get(m, {}),
+                    **restat.get(m, {}),
+                }
+                for m in set(new_tables) | set(add) | set(restat)
             }
             stats_out = {
                 m: {
@@ -1232,6 +1255,21 @@ class ManifestCommit(ParquetLeaseCommit):
             change_meta = getattr(mutate, "change_meta", None)
             if expressible:
                 payload["delta"] = {"add": delta_add, "remove": delta_rm}
+                if restat:
+                    # restat blocks for files still listed (one dropped
+                    # concurrently is covered by the add/remove diff);
+                    # the committed stats_out already carries them
+                    rs = {
+                        m: {
+                            f: stats_out.get(m, {}).get(f)
+                            for f in fmap
+                            if f in set(new_tables.get(m, []))
+                        }
+                        for m, fmap in restat.items()
+                    }
+                    rs = {m: v for m, v in rs.items() if v}
+                    if rs:
+                        payload["delta"]["restat"] = rs
                 if app_add:
                     payload["app_add"] = app_add
                 if change_meta:
@@ -2223,6 +2261,7 @@ class ManifestCommit(ParquetLeaseCommit):
         self, store, path: str, remove, write_fn,
         app_meta: dict | None = None, entry_guard=None,
         cdf_df=None, change: dict | None = None,
+        restat: dict | None = None,
     ) -> list[str]:
         """File-granular copy-on-write: atomically replace the
         ``remove`` subset of a member's files with ``write_fn``'s
@@ -2278,6 +2317,7 @@ class ManifestCommit(ParquetLeaseCommit):
             )
         root, member = target
         remove = list(remove)
+        restat = dict(restat or {})
         files = (
             self._stage_in(store, root, member, write_fn)
             if write_fn is not None
@@ -2290,20 +2330,28 @@ class ManifestCommit(ParquetLeaseCommit):
             old = list(tables.get(member, []))
             present = set(old)
             missing = [f for f in remove if f not in present]
+            rm = set(remove)
+            # a restat target (DV attach) concurrently removed means a
+            # racing rewrite replaced the file — the positions we
+            # computed describe bytes no longer in the table
+            missing += [
+                f for f in restat if f not in present or f in rm
+            ]
             if missing:
                 raise RewriteConflictError(
-                    f"rewrite_files of {path!r}: {len(missing)} of "
-                    f"{len(remove)} files to replace are no longer in "
+                    f"rewrite_files of {path!r}: {len(missing)} "
+                    f"file(s) to replace/restat are no longer in "
                     f"the manifest (first: {missing[0]}); a concurrent "
                     "rewrite landed — retry on fresh state"
                 )
-            rm = set(remove)
             return {
                 **tables,
                 member: [f for f in old if f not in rm] + files,
             }
 
         mutate.stats_add = self._file_stats(store, root, member, files)
+        if restat:
+            mutate.restat = {member: restat}
         if callable(app_meta):
             app_meta = app_meta(list(files))
         if app_meta:
@@ -2404,6 +2452,17 @@ class ManifestCommit(ParquetLeaseCommit):
                         f"{base}/{f}" for f in change.get("files", [])
                     )
 
+            def _live_dv_blobs(state) -> None:
+                # deletion-vector blobs are referenced through per-file
+                # stats, never the tables map: a blob lives as long as
+                # ANY retained version's stats point a file at it
+                for m, fsmap in state.get("stats", {}).items():
+                    mroot = self._member_root(root, m)
+                    for s in fsmap.values():
+                        d = (s or {}).get("dv")
+                        if d:
+                            live.add(f"{mroot}/{d['path']}")
+
             try:
                 if retained:
                     oldest = retained[0]
@@ -2433,6 +2492,7 @@ class ManifestCommit(ParquetLeaseCommit):
                         for m, fs_ in state["tables"].items()
                         for f in fs_
                     )
+                    _live_dv_blobs(state)
                     head = json.loads(
                         store.fs.read_text(
                             f"{root}/{LOG_DIR}/{cut:020d}.json"
@@ -2503,6 +2563,7 @@ class ManifestCommit(ParquetLeaseCommit):
                             for m, fs_ in state["tables"].items()
                             for f in fs_
                         )
+                        _live_dv_blobs(state)
                 break
             except VersionNotFoundError as exc:
                 if getattr(exc, "missing", False) and attempt < 2:
@@ -2687,6 +2748,228 @@ class ManifestCommit(ParquetLeaseCommit):
             return {"version": -1, "tables": {}}
         return {"version": v, **state}
 
+    # -- deletion vectors (r14) ------------------------------------------
+    # Merge-on-read row deletes: a file's stats block may carry
+    # ``"dv": {"path": <blob relpath>, "count": n}`` — a reference to a
+    # deletion-vector blob (parquet of ``file string, pos long`` rows)
+    # listing the file's deleted row positions. The file's bytes never
+    # move; reads anti-join the positions out. Exactly ONE current DV
+    # per file: a later delete writes a superseding blob holding the
+    # UNION of the file's positions, so any reader resolves one blob
+    # per file. Blobs are immutable and referenced only through stats,
+    # so time travel reads each version's own view and vacuum retains
+    # a blob exactly as long as a retained version references it. The
+    # Delta deletion-vector idea on this engine's log: a delete
+    # touching k rows of a 1 GB file costs O(k), not a file rewrite —
+    # compaction materializes (drops the dv'd rows) on its own clock.
+
+    @staticmethod
+    def _dv_map(entry: dict, member: str, files) -> dict:
+        """{relpath: dv block} for the subset of ``files`` carrying a
+        deletion vector at this entry's snapshot."""
+        stats = entry.get("stats", {}).get(member, {})
+        out = {}
+        for f in files:
+            s = stats.get(f)
+            if s and s.get("dv"):
+                out[f] = s["dv"]
+        return out
+
+    @staticmethod
+    def _norm_uri(p: str) -> str:
+        """Scheme-stripped path, so Spark's ``_metadata.file_path``
+        (``file:/x`` or ``scheme://host/x``) and the engine's plain
+        path spellings compare equal."""
+        return re.sub(r"^[A-Za-z][A-Za-z0-9+.\-]*:/+", "/", p)
+
+    def dv_positions(self, store, base: str, dvmap: dict) -> DataFrame:
+        """``(file, pos)`` deleted-row coordinates for the files in
+        ``dvmap`` — each file's rows read from exactly ITS referenced
+        blob (an older blob may hold a superseded subset for the same
+        file while another file still references it)."""
+        blobs = sorted({d["path"] for d in dvmap.values()})
+        mapping = store.spark.createDataFrame(
+            [
+                (f, self._norm_uri(f"{base}/{d['path']}"))
+                for f, d in dvmap.items()
+            ],
+            "file string, __dv_blob string",
+        )
+        rows = store.spark.read.parquet(
+            *[f"{base}/{b}" for b in blobs]
+        ).select(
+            "file",
+            "pos",
+            F.regexp_replace(
+                F.col("_metadata.file_path"),
+                r"^[A-Za-z][A-Za-z0-9+.\-]*:/+",
+                "/",
+            ).alias("__dv_blob"),
+        )
+        return rows.join(
+            F.broadcast(mapping), ["file", "__dv_blob"]
+        ).drop("__dv_blob")
+
+    def _dv_deletes(self, store, base: str, dvmap: dict) -> DataFrame:
+        """``dv_positions`` keyed by normalized absolute path — the
+        anti-join shape ``_dv_scan`` consumes."""
+        rels = store.spark.createDataFrame(
+            [(f, self._norm_uri(f"{base}/{f}")) for f in dvmap],
+            "file string, __dv_path string",
+        )
+        return (
+            self.dv_positions(store, base, dvmap)
+            .join(F.broadcast(rels), "file")
+            .select("__dv_path", F.col("pos").alias("__dv_pos"))
+        )
+
+    def _dv_scan(
+        self, store, base: str, files, meta: dict, dvmap: dict,
+        schema=None, logical: bool = True, keep_pos: bool = False,
+    ) -> DataFrame:
+        """Scan ``files`` honoring deletion vectors: dv'd files read
+        with per-row (file, position) metadata and broadcast-anti-join
+        their recorded deleted positions out — O(deleted rows) join
+        side, no shuffle on the data; plain files scan untouched.
+        ``logical`` assembles the schema-mapped view after the
+        position filter (positions are physical-file coordinates).
+        ``keep_pos`` keeps ``__dv_file`` (relpath) and ``__dv_pos``
+        columns on EVERY row — the write path of a DV delete needs the
+        coordinates of the rows it matches."""
+        plain = [f for f in files if f not in dvmap]
+        dvd = [f for f in files if f in dvmap]
+
+        def scan(subset):
+            if meta:
+                return self._physical_scan(store, base, subset, meta)
+            r = store.spark.read.option("basePath", base)
+            if schema is not None:
+                r = r.schema(schema)
+            return r.parquet(*[f"{base}/{f}" for f in subset])
+
+        def with_pos(df):
+            return df.withColumns(
+                {
+                    "__dv_path": F.regexp_replace(
+                        F.col("_metadata.file_path"),
+                        r"^[A-Za-z][A-Za-z0-9+.\-]*:/+",
+                        "/",
+                    ),
+                    "__dv_pos": F.col("_metadata.row_index"),
+                }
+            )
+
+        parts = []
+        if plain:
+            df = scan(plain)
+            parts.append(with_pos(df) if keep_pos else df)
+        if dvd:
+            raw = with_pos(scan(dvd))
+            dels = self._dv_deletes(
+                store, base, {f: dvmap[f] for f in dvd}
+            )
+            filt = raw.join(
+                F.broadcast(dels), ["__dv_path", "__dv_pos"],
+                "left_anti",
+            )
+            parts.append(
+                filt if keep_pos else filt.drop("__dv_path", "__dv_pos")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        extra = ()
+        if keep_pos:
+            # resolve the normalized path back to the member relpath
+            rels = store.spark.createDataFrame(
+                [(self._norm_uri(f"{base}/{f}"), f) for f in files],
+                "__dv_path string, __dv_file string",
+            )
+            out = out.join(F.broadcast(rels), "__dv_path").drop(
+                "__dv_path"
+            )
+            extra = ("__dv_file", "__dv_pos")
+        if meta and logical:
+            out = self._logical_view_extra(out, meta, extra)
+            if schema is not None:
+                out = self._apply_logical_schema(store, out, schema)
+        return out
+
+    @staticmethod
+    def _logical_view_extra(df, meta, extra):
+        """``_logical_view`` keeping the named passthrough columns."""
+        mapping = meta.get("map", {})
+        widen = meta.get("widen", {})
+        dropped = set(meta.get("drop", []))
+        inv = {p: l for l, p in mapping.items()}
+        cols = []
+        for c in df.columns:
+            if c in extra:
+                cols.append(F.col(c))
+                continue
+            if c in dropped:
+                continue
+            logical = inv.get(c, c)
+            col = F.col(c)
+            if logical in widen:
+                col = col.cast(widen[logical])
+            cols.append(col.alias(logical))
+        return df.select(*cols)
+
+    def scan_member_subset(
+        self, store, path: str, files, *, logical: bool = True,
+        schema=None, version: int | None = None,
+        keep_pos: bool = False,
+    ) -> DataFrame:
+        """DV-aware scan of an explicit file subset of a manifest
+        member — the one reader every row-level rewrite path
+        (merge/delete planning, compaction, Z-order) must use, so a
+        rewrite can never resurrect rows a deletion vector removed.
+        ``logical=False`` keeps physical column names (maintenance
+        rewrites store physical)."""
+        resolved = self._resolve(store, path)
+        if resolved is None:
+            raise ValidationError(
+                f"scan_member_subset: {path!r} is not manifest-managed"
+            )
+        root, member = resolved
+        entry = self._load_entry(store, path, root, version)
+        meta = entry.get("app", {}).get(self._schema_key(member)) or {}
+        dvmap = self._dv_map(entry, member, files)
+        base = self._member_root(root, member)
+        return self._dv_scan(
+            store, base, files, meta, dvmap,
+            schema=schema, logical=logical, keep_pos=keep_pos,
+        )
+
+    def stage_dv(self, store, path: str, dv_df: DataFrame) -> str:
+        """Stage a deletion-vector blob (``file`` string relpath,
+        ``pos`` long) for ``path``'s member and return its relpath —
+        invisible until a commit references it from a file's stats
+        ``dv`` block (``rewrite_files(restat=...)``); an orphaned blob
+        ages out through vacuum's grace window like any abandoned
+        stage."""
+        target = self._target_for_write(store, path)
+        if target is None:
+            raise ValidationError(
+                f"stage_dv: {path!r} is not manifest-managed"
+            )
+        root, member = target
+        rels = self._stage_in(
+            store, root, member,
+            lambda tmp: dv_df.selectExpr(
+                "CAST(file AS STRING) AS file", "CAST(pos AS LONG) AS pos"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp),
+        )
+        if len(rels) != 1:
+            raise ValidationError(
+                f"stage_dv: expected one staged blob, got {rels!r}"
+            )
+        return rels[0]
+
     def read_table(
         self, store, path: str, schema=None, version: int | None = None
     ) -> DataFrame:
@@ -2703,6 +2986,13 @@ class ManifestCommit(ParquetLeaseCommit):
         base = self._member_root(root, member)
         reader = store.spark.read.option("basePath", base)
         meta = entry.get("app", {}).get(self._schema_key(member)) or {}
+        dvmap = self._dv_map(entry, member, files)
+        if dvmap:
+            # deletion vectors in play: position-filtered scan (plans
+            # identically to the plain path when no file carries one)
+            return self._dv_scan(
+                store, base, files, meta, dvmap, schema=schema
+            )
         if meta:
             # mapped member: scan physical, assemble the logical view;
             # the caller's schema projects onto it (cast + additive
@@ -2779,6 +3069,13 @@ class ManifestCommit(ParquetLeaseCommit):
             return True
         if fstats.get("rows") == 0:
             return False  # provably empty: no predicate needed
+        dv = fstats.get("dv")
+        if (
+            dv
+            and fstats.get("rows") is not None
+            and int(fstats["rows"]) - int(dv.get("count", 0)) <= 0
+        ):
+            return False  # every row deletion-vectored out
         colstats = fstats.get("cols", {})
         for col, bounds in (predicates or {}).items():
             st = colstats.get(col)
@@ -2898,6 +3195,11 @@ class ManifestCommit(ParquetLeaseCommit):
         # the logical view as of that version — same as read_table
         entry = self._load_entry(store, path, root, version)
         meta = entry.get("app", {}).get(self._schema_key(member)) or {}
+        dvmap = self._dv_map(entry, member, kept)
+        if dvmap:
+            return self._dv_scan(
+                store, base, kept, meta, dvmap, schema=schema
+            )
         if meta:
             df = self._mapped_scan(store, base, kept, meta)
             if schema is not None:
@@ -2948,10 +3250,17 @@ class ManifestCommit(ParquetLeaseCommit):
                 gone = set(removed)
                 cur = [f for f in cur if f not in gone] + added
                 added_stats = dict(add_map)
-            out.append(
-                (v, entry.get("change") or {}, added, removed,
-                 added_stats)
+            ch = entry.get("change") or {}
+            restated = list(
+                entry.get("delta", {}).get("restat", {}).get(member, {})
             )
+            if restated:
+                # a restat (DV attach) changes row CONTENT with the
+                # file list standing still — feed consumers must see
+                # it (marked cdf: row feed serves it; unmarked: every
+                # feed raises, never silently misses the delete)
+                ch = {**ch, "restat": restated}
+            out.append((v, ch, added, removed, added_stats))
         return out
 
     def _files_reader(self, store, root: str, member: str, files,
@@ -3034,13 +3343,16 @@ class ManifestCommit(ParquetLeaseCommit):
                 kind = None
             if kind == "preserve":
                 continue
-            if kind == "cdf" or removes:
+            if kind == "cdf" or removes or change.get("restat"):
                 detail = (
                     "a row-level merge/delete landed (use "
                     "read_row_changes to consume it)"
                     if kind == "cdf"
                     else f"{len(removes)} file(s) removed at version "
                     f"{v} (first: {removes[0]})"
+                    if removes
+                    else "a deletion vector changed row content at "
+                    f"version {v} without row-level change metadata"
                 )
                 raise NonAppendHistoryError(
                     f"history of {path!r} between versions "
@@ -3164,6 +3476,13 @@ class ManifestCommit(ParquetLeaseCommit):
                     f"{len(removes)} file(s) (first: {removes[0]}) "
                     "without change metadata; recompute from the "
                     "newer snapshot instead"
+                )
+            if change.get("restat"):
+                raise NonAppendHistoryError(
+                    f"history of {path!r} at version {v} attached a "
+                    "deletion vector without row-level change "
+                    "metadata; recompute from the newer snapshot "
+                    "instead"
                 )
             if predicates:
                 # insert files data-skip on the stats the entries

@@ -72,11 +72,25 @@ def compact_small_files(
         return rel.rsplit("/", 1)[0] if "/" in rel else ""
 
     small: dict[str, list[tuple[str, int]]] = {}
+    dvd = {
+        f for f, s in stats.items() if s is not None and s.get("dv")
+    }
     for f in sorted(stats):
         s = stats[f]
         rows = None if s is None else s.get("rows")
-        if rows is not None and rows < target_rows:
-            small.setdefault(pdir(f), []).append((f, int(rows)))
+        if rows is None:
+            continue
+        # deletion vectors (r14): group by LIVE rows — a big file
+        # whose DV erased most of it is exactly what compaction
+        # should fold (materializing the delete as it goes)
+        live = int(rows) - int((s.get("dv") or {}).get("count", 0))
+        if live < target_rows:
+            small.setdefault(pdir(f), []).append((f, max(0, live)))
+
+    def keep(group: list[str]) -> bool:
+        # a lone file normally isn't worth rewriting — unless it
+        # carries a DV, where the rewrite IS the materialization
+        return len(group) >= min_group or any(f in dvd for f in group)
 
     groups: list[list[str]] = []
     for _, members in sorted(small.items()):
@@ -84,32 +98,23 @@ def compact_small_files(
         acc = 0
         for f, rows in members:
             if cur and acc + rows > target_rows:
-                if len(cur) >= min_group:
+                if keep(cur):
                     groups.append(cur)
                 cur, acc = [], 0
             cur.append(f)
             acc += rows
-        if len(cur) >= min_group:
+        if keep(cur):
             groups.append(cur)
     if max_groups is not None:
         groups = groups[: max(0, int(max_groups))]
 
-    root, member = commit._resolve(host, path)
-    base = commit._member_root(root, member)
-    # schema-mapped members compact under PHYSICAL names, widen-forced
-    # (a group can mix pre/post-widen physical widths; one footer's
-    # inference would mis-read the other generation)
-    smeta = commit.schema_meta(host, path)
     done = files_done = conflicts = 0
     for group in groups:
         pcols = partition_cols_of(group)
-        df = (
-            commit._physical_scan(host, base, group, smeta)
-            if smeta
-            else host.spark.read.option("basePath", base).parquet(
-                *[f"{base}/{f}" for f in group]
-            )
-        )
+        # DV-aware subset scan (r14): a group file's deletion vector
+        # filters here, so the replacement file MATERIALIZES the
+        # delete — rewriting raw bytes would resurrect deleted rows
+        df = commit.scan_member_subset(host, path, group, logical=False)
 
         def write(tmp, df=df, pcols=pcols):
             w = df.coalesce(1).write.mode("overwrite")
@@ -147,7 +152,10 @@ def table_report(host, path: str, commit: ManifestCommit | None = None):
         )
     n_files = len(stats)
     with_stats = {f: s for f, s in stats.items() if s is not None}
-    rows = sum(s.get("rows", 0) for s in with_stats.values())
+    dv_rows = sum(
+        (s.get("dv") or {}).get("count", 0) for s in with_stats.values()
+    )
+    rows = sum(s.get("rows", 0) for s in with_stats.values()) - dv_rows
     spans: dict[str, list[float]] = {}
     bounds: dict[str, list[float]] = {}
     norm = ManifestCommit._norm_scalar
@@ -184,6 +192,12 @@ def table_report(host, path: str, commit: ManifestCommit | None = None):
             round(rows / len(with_stats), 1) if with_stats else 0.0
         ),
         "clustering_span_fraction": clustering,
+        # deletion-vector debt: how many rows a compaction pass would
+        # physically drop (files_with_dv > 0 says "materialize soon")
+        "files_with_dv": sum(
+            1 for s in with_stats.values() if s.get("dv")
+        ),
+        "dv_rows": dv_rows,
     }
 
 
@@ -325,8 +339,13 @@ def fast_count(
     for f, s in stats.items():
         if s is None or s.get("rows") is None:
             return None
-        rows = int(s["rows"])
-        if rows == 0:
+        # deletion vectors (r14): the file's LIVE count is its
+        # physical rows minus the DV's recorded positions — still
+        # exact, because the positions are distinct by construction.
+        # The all-rows-match proof below stays valid for live rows
+        # (they are a subset of the physical rows it covers).
+        rows = int(s["rows"]) - int((s.get("dv") or {}).get("count", 0))
+        if rows <= 0:
             continue
         if not predicates:
             total += rows
@@ -453,6 +472,11 @@ def fast_min_max(
             return None  # a file without stats could hold the extremum
         if s.get("rows") == 0:
             continue
+        if s.get("dv"):
+            # deletion vector in play: the recorded min/max are only
+            # SUPERSETS of the live rows — the extremum row may be
+            # exactly what was deleted. Cannot prove; scan fallback.
+            return None
         saw_rows = True
         cs = s.get("cols", {}).get(column)
         nmn = None if cs is None else norm(cs.get("min"))

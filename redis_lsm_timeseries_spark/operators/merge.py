@@ -188,6 +188,135 @@ def _envelope_guard(
 
 
 
+#: auto mode: positions-delete when the matched fraction of the
+#: affected files' live rows is at or below this; past it a
+#: copy-on-write rewrite produces tighter files for the same scan.
+DV_AUTO_MAX_FRACTION = 0.2
+
+
+def _dv_guard(commit, member: str, expected: dict):
+    """CAS on each target file's CURRENT deletion-vector reference:
+    the positions this commit unioned were computed against the DV it
+    saw at planning time — a concurrent DV attach to the same file
+    means the union is stale (it would silently drop the racer's
+    deletes). Runs inside the optimistic-commit loop like the
+    envelope guard; the caller retries on fresh state."""
+    from redis_lsm_timeseries_spark.errors import RewriteConflictError
+
+    def guard(prev):
+        stats = prev.get("stats", {}).get(member, {})
+        for f, exp in expected.items():
+            cur = ((stats.get(f) or {}).get("dv") or {}).get("path")
+            if cur != exp:
+                raise RewriteConflictError(
+                    f"deletion vector of {f} changed since planning "
+                    f"({exp!r} -> {cur!r}); a concurrent row-level "
+                    "delete landed — retry on fresh state"
+                )
+
+    return guard
+
+
+def _apply_dv_delete(
+    host, commit, path: str, root: str, member: str, smeta: dict,
+    affected: list[str], matched: DataFrame, stats: dict,
+    envelope_guard, extra_guard=None,
+    staged_write=None, cdf_override: DataFrame | None = None,
+) -> int:
+    """Land a positions-delete (merge-on-read) commit: ``matched``
+    carries the rows to delete in the LOGICAL view plus their
+    physical coordinates (``__dv_file``/``__dv_pos`` from
+    ``scan_member_subset(keep_pos=True)`` — already filtered through
+    the files' current DVs, so the new positions are disjoint from
+    the old). Writes ONE superseding blob holding each touched file's
+    full position union, drops files whose every physical row is now
+    deleted, stages the deleted rows as CDF, and commits everything
+    (plus ``staged_write``'s new files, for merge-on-read upserts) in
+    one atomic entry guarded by the key envelope AND a per-file DV
+    CAS. Returns the number of files whose DV changed or that were
+    dropped. At 100 TB: a delete touching k rows of n large files
+    costs O(k) positions written + one O(change) log entry — no data
+    file is rewritten."""
+    matched = matched.persist()
+    try:
+        new_counts = {
+            r["__dv_file"]: r["n"]
+            for r in matched.groupBy("__dv_file")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        if not new_counts and staged_write is None:
+            return 0
+        touched = sorted(new_counts)
+        base = commit._member_root(root, member)
+        old_dv = {
+            f: (stats.get(f) or {}).get("dv")
+            for f in touched
+            if (stats.get(f) or {}).get("dv")
+        }
+        new_rows = matched.select(
+            F.col("__dv_file").alias("file"),
+            F.col("__dv_pos").alias("pos"),
+        )
+        if old_dv:
+            new_rows = new_rows.unionByName(
+                commit.dv_positions(host, base, old_dv)
+            )
+        totals = dict(new_counts)
+        for f, d in old_dv.items():
+            totals[f] += int(d.get("count", 0))
+        rows_of = {
+            f: (stats.get(f) or {}).get("rows") for f in touched
+        }
+        dead = [
+            f for f in touched
+            if rows_of[f] is not None and totals[f] >= int(rows_of[f])
+        ]
+        live_dvd = [f for f in touched if f not in set(dead)]
+        restat = {}
+        if live_dvd:
+            blob = commit.stage_dv(
+                host, path, new_rows.where(F.col("file").isin(live_dvd))
+            )
+            restat = {
+                f: {
+                    **(stats.get(f) or {"rows": None, "cols": {}}),
+                    "dv": {"path": blob, "count": int(totals[f])},
+                }
+                for f in live_dvd
+            }
+        expected = {
+            f: (old_dv.get(f) or {}).get("path") for f in touched
+        }
+        # the commit's row-level change view: a plain delete announces
+        # the matched rows; a merge (cdf_override) announces its own
+        # clause accounting (upserts, clause deletes) instead — the
+        # DV'd positions of UPDATED rows are not deletes to a mirror
+        cdf = (
+            cdf_override
+            if cdf_override is not None
+            else matched.drop("__dv_file", "__dv_pos").withColumn(
+                commit.CDF_TYPE_COL, F.lit("delete")
+            )
+        )
+        cdf = _cdf_sized(
+            _physical_out(commit, host, root, member, cdf, smeta),
+            sum(new_counts.values()) or 1,
+        )
+        commit.rewrite_files(
+            host, path, dead, staged_write,
+            restat=restat, cdf_df=cdf,
+            entry_guard=_compose_guards(
+                envelope_guard,
+                _dv_guard(commit, member, expected),
+                extra_guard,
+            ),
+        )
+        return len(touched)
+    finally:
+        matched.unpersist()
+
+
 def _mapping_ctx(commit, host, path: str):
     """Schema-mapping context for a manifest member (r14: row-level
     rewrites work THROUGH the column mapping instead of refusing):
@@ -245,14 +374,10 @@ def _affected_df(
     """The affected files as a DataFrame — the LOGICAL view on a
     schema-mapped member (widen-forced physical scan, then the
     inverse rename), so the merge clauses and key joins run on the
-    same column names the caller's source carries."""
-    root, member = commit._resolve(host, path)
-    base = commit._member_root(root, member)
-    if smeta:
-        return commit._mapped_scan(host, base, files, smeta)
-    return host.spark.read.option("basePath", base).parquet(
-        *[f"{base}/{f}" for f in files]
-    )
+    same column names the caller's source carries. Routes through the
+    DV-aware subset scan (r14): a rewrite planned over a file with a
+    deletion vector must not resurrect the positions it deleted."""
+    return commit.scan_member_subset(host, path, files, logical=True)
 
 
 def partition_cols_of(files: list[str]) -> list[str]:
@@ -381,6 +506,102 @@ def _merge_outputs(
     return out, upserts, deleted
 
 
+def _merge_dv_outputs(
+    cur: DataFrame,
+    src: DataFrame,
+    keys: list[str],
+    when_matched: str | None,
+    matched_condition: str | None,
+    insert_unmatched: bool,
+    not_matched_condition: str | None,
+):
+    """Merge-on-read clause plan over the affected slice ``cur``
+    (logical columns + ``__dv_file``/``__dv_pos``): ``(dead, append,
+    upserts, deleted)`` where ``dead`` is the matched target rows the
+    clauses replace or erase (their positions feed the deletion
+    vector), ``append`` the rows to land as NEW files, and
+    ``upserts``/``deleted`` the row-level change accounting — the same
+    clause semantics as ``_merge_outputs``, minus the survivor
+    rewrite: survivors simply stay where they are."""
+    from functools import reduce
+
+    cols = src.columns
+    pos = ["__dv_file", "__dv_pos"]
+    if when_matched == "update" and matched_condition is None:
+        dead = cur.join(src.select(*keys).distinct(), keys, "left_semi")
+        if insert_unmatched and not_matched_condition is None:
+            return dead, src, src, None
+        tkeys = cur.select(*keys).distinct()
+        applied = src.join(tkeys, keys, "left_semi")
+        if insert_unmatched:
+            inserts = src.join(tkeys, keys, "left_anti")
+            if not_matched_condition is not None:
+                inserts = inserts.alias("s").where(
+                    F.expr(not_matched_condition)
+                )
+            append = applied.unionByName(inserts)
+        else:
+            append = applied
+        return dead, append, append, None
+    if when_matched is None:
+        if not insert_unmatched:
+            return cur.limit(0), None, None, None
+        inserts = src.join(
+            cur.select(*keys).distinct(), keys, "left_anti"
+        )
+        if not_matched_condition is not None:
+            inserts = inserts.alias("s").where(
+                F.expr(not_matched_condition)
+            )
+        return cur.limit(0), inserts, inserts, None
+    t, s = cur.alias("t"), src.alias("s")
+    on = reduce(
+        lambda a, b: a & b,
+        [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+    )
+    joined = t.join(s, on, "left")
+    matched = F.col(f"s.{keys[0]}").isNotNull()
+    cond = (
+        F.expr(matched_condition)
+        if matched_condition is not None
+        else F.lit(True)
+    )
+    action = F.coalesce(matched & cond, F.lit(False))
+    t_cols = [F.col(f"t.{c}").alias(c) for c in cols] + [
+        F.col(f"t.{p}").alias(p) for p in pos
+    ]
+    s_cols = [F.col(f"s.{c}").alias(c) for c in cols]
+    dead = joined.where(action).select(*t_cols)
+    applied = deleted = None
+    if when_matched == "update":
+        applied = (
+            joined.where(action).select(*s_cols).dropDuplicates(keys)
+        )
+    elif when_matched == "delete":
+        deleted = dead.drop(*pos)
+    else:
+        raise ValidationError(
+            f"merge: when_matched must be 'update', 'delete' or "
+            f"None, got {when_matched!r}"
+        )
+    inserts = None
+    if insert_unmatched:
+        inserts = src.join(
+            cur.select(*keys).distinct(), keys, "left_anti"
+        )
+        if not_matched_condition is not None:
+            inserts = inserts.alias("s").where(
+                F.expr(not_matched_condition)
+            )
+    parts = [p for p in (applied, inserts) if p is not None]
+    append = None
+    if parts:
+        append = parts[0]
+        for p in parts[1:]:
+            append = append.unionByName(p)
+    return dead, append, append, deleted
+
+
 def merge_into(
     host,
     path: str,
@@ -394,6 +615,7 @@ def merge_into(
     insert_unmatched: bool = True,
     not_matched_condition: str | None = None,
     extra_guard=None,
+    mode: str = "rewrite",
 ) -> MergeStats:
     """Upsert ``source`` into the table at ``path``: target rows whose
     ``keys`` match a source row are REPLACED by it, unmatched source
@@ -416,6 +638,16 @@ def merge_into(
     File-pruning posture is unchanged by the clauses: only files the
     key envelope may reach are read or rewritten.
 
+    ``mode`` picks the physical strategy on a manifest backend
+    (r14, the Delta merge-on-read idiom): ``"rewrite"`` (default)
+    replaces the affected files copy-on-write; ``"dv"`` deletion-
+    vectors the matched target rows' positions and APPENDS only the
+    applied rows as new files — an upsert matching k rows across huge
+    files writes O(k), never a survivor rewrite; ``"auto"`` picks
+    ``"dv"`` when the matched fraction of the affected files' live
+    rows is at most ``DV_AUTO_MAX_FRACTION``. Row-level change
+    accounting is identical in every mode.
+
     ``host`` is anything store-shaped (``CommitHost``, a
     ``TimeseriesStore``). The source schema must equal the target's
     column set. Returns ``MergeStats``; raises
@@ -423,6 +655,11 @@ def merge_into(
     affected file first (retry on fresh state)."""
     from redis_lsm_timeseries_spark.commit import ManifestCommit
 
+    if mode not in ("rewrite", "dv", "auto"):
+        raise ValidationError(
+            f"merge: mode must be 'rewrite', 'dv' or 'auto', "
+            f"got {mode!r}"
+        )
     commit = commit if commit is not None else ManifestCommit()
     src = _resolve_source(source, keys, order_col)
     n_upserts = src.count()
@@ -436,6 +673,12 @@ def merge_into(
         else None
     )
     if managed is None:
+        if mode == "dv":
+            raise ValidationError(
+                "merge: mode='dv' needs a manifest-managed table — "
+                "deletion vectors live in per-file stats, which "
+                "directory mode does not record"
+            )
         # directory mode: same semantics, whole-table rewrite
         cur = commit.read_table(host, path, None)
         _check_columns(cur, src, path)
@@ -504,17 +747,85 @@ def merge_into(
         )
         return MergeStats(0, total, n_ins)
 
-    cur = _affected_df(host, commit, path, affected, smeta)
-    cur = cur.select(*src.columns)  # checked against the probe above
-    out, upserts, deleted = _merge_outputs(
-        cur, src, keys, when_matched, matched_condition,
-        insert_unmatched, not_matched_condition,
-    )
     default_clauses = (
         when_matched == "update"
         and matched_condition is None
         and insert_unmatched
         and not_matched_condition is None
+    )
+    if mode in ("dv", "auto"):
+        entry = commit._load_entry(host, path, root, None)
+        fstats = entry.get("stats", {}).get(member, {})
+        cur_pos = commit.scan_member_subset(
+            host, path, affected, keep_pos=True
+        ).select(*src.columns, "__dv_file", "__dv_pos")
+        dead, append, ups_dv, del_dv = _merge_dv_outputs(
+            cur_pos, src, keys, when_matched, matched_condition,
+            insert_unmatched, not_matched_condition,
+        )
+        use_dv = mode == "dv"
+        if not use_dv:
+            live = 0
+            for f in affected:
+                s = fstats.get(f)
+                rows = None if s is None else s.get("rows")
+                if rows is None:
+                    live = None
+                    break
+                live += int(rows) - int(
+                    (s.get("dv") or {}).get("count", 0)
+                )
+            use_dv = (
+                live is not None
+                and live > 0
+                and dead.count() <= DV_AUTO_MAX_FRACTION * live
+            )
+        if use_dv:
+            n_applied = (
+                n_upserts if default_clauses
+                else (ups_dv.count() if ups_dv is not None else 0)
+            )
+            cdf_parts = []
+            if ups_dv is not None and n_applied:
+                cdf_parts.append(
+                    ups_dv.withColumn(
+                        commit.CDF_TYPE_COL, F.lit("upsert")
+                    )
+                )
+            if del_dv is not None:
+                cdf_parts.append(
+                    del_dv.withColumn(
+                        commit.CDF_TYPE_COL, F.lit("delete")
+                    )
+                )
+            cdf_over = None
+            if cdf_parts:
+                cdf_over = cdf_parts[0]
+                for p in cdf_parts[1:]:
+                    cdf_over = cdf_over.unionByName(p)
+            staged = (
+                _clustered_write(
+                    _physical_out(
+                        commit, host, root, member, append, smeta
+                    ),
+                    pkeys, target_files or max(1, len(affected)), pcols,
+                )
+                if append is not None and n_applied
+                else None
+            )
+            if staged is None and cdf_over is None:
+                return MergeStats(0, total, 0)
+            n_files = _apply_dv_delete(
+                host, commit, path, root, member, smeta,
+                affected, dead, fstats, guard,
+                staged_write=staged, cdf_override=cdf_over,
+            )
+            return MergeStats(n_files, total, n_applied)
+    cur = _affected_df(host, commit, path, affected, smeta)
+    cur = cur.select(*src.columns)  # checked against the probe above
+    out, upserts, deleted = _merge_outputs(
+        cur, src, keys, when_matched, matched_condition,
+        insert_unmatched, not_matched_condition,
     )
     # rows_upserted must report the rows the clauses ACTUALLY applied:
     # a conditional update that filtered most pairs, or a matched
@@ -564,14 +875,37 @@ def delete_rows(
     keys: list[str],
     commit=None,
     extra_guard=None,
+    mode: str = "rewrite",
 ) -> DeleteStats:
     """Row-level delete by key set — the GDPR-erasure primitive: files
     whose stats prove no key matches are never read or rewritten; a
     file whose every row matches is dropped with no replacement. Same
     conflict + fallback posture as ``merge_into``. Idempotent: keys
-    already absent delete zero rows."""
+    already absent delete zero rows.
+
+    ``mode`` picks the physical strategy on a manifest backend:
+
+    - ``"rewrite"`` (default) — copy-on-write: affected files are
+      rewritten without the matched rows (tight files, full IO);
+    - ``"dv"`` — merge-on-read: the matched rows' positions land in a
+      deletion-vector blob and the data files never move — a delete
+      touching k rows of huge files costs O(k), the 100 TB shape for
+      sparse erasure (compaction materializes later);
+    - ``"auto"`` — ``"dv"`` when the matched fraction of the affected
+      files' live rows is at most ``DV_AUTO_MAX_FRACTION``, else
+      ``"rewrite"`` (a dense delete deserves tight replacement
+      files). Falls back to ``"rewrite"`` when row counts are
+      unrecorded.
+
+    Directory mode has no per-file stats to carry a DV, so ``"dv"``
+    raises there and ``"auto"`` degrades to the rewrite."""
     from redis_lsm_timeseries_spark.commit import ManifestCommit
 
+    if mode not in ("rewrite", "dv", "auto"):
+        raise ValidationError(
+            f"delete_rows: mode must be 'rewrite', 'dv' or 'auto', "
+            f"got {mode!r}"
+        )
     commit = commit if commit is not None else ManifestCommit()
     dk = delete_keys.select(*keys).distinct()
 
@@ -581,6 +915,12 @@ def delete_rows(
         else None
     )
     if managed is None:
+        if mode == "dv":
+            raise ValidationError(
+                "delete_rows: mode='dv' needs a manifest-managed "
+                "table — deletion vectors live in per-file stats, "
+                "which directory mode does not record"
+            )
         cur = commit.read_table(host, path, None)
         out = cur.join(dk, keys, "left_anti")
         n = out.sparkSession.sparkContext.defaultParallelism
@@ -601,6 +941,35 @@ def delete_rows(
         ),
         extra_guard,
     )
+    if mode in ("dv", "auto"):
+        entry = commit._load_entry(host, path, root, None)
+        fstats = entry.get("stats", {}).get(member, {})
+        matched = commit.scan_member_subset(
+            host, path, affected, keep_pos=True
+        ).join(dk, keys, "left_semi")
+        use_dv = mode == "dv"
+        if not use_dv:
+            live = 0
+            for f in affected:
+                s = fstats.get(f)
+                rows = None if s is None else s.get("rows")
+                if rows is None:
+                    live = None
+                    break
+                live += int(rows) - int(
+                    (s.get("dv") or {}).get("count", 0)
+                )
+            use_dv = (
+                live is not None
+                and live > 0
+                and matched.count() <= DV_AUTO_MAX_FRACTION * live
+            )
+        if use_dv:
+            n = _apply_dv_delete(
+                host, commit, path, root, member, smeta,
+                affected, matched, fstats, guard,
+            )
+            return DeleteStats(n, total)
     cur = _affected_df(host, commit, path, affected, smeta)
     survivors = cur.join(dk, keys, "left_anti")
     # the erased rows are the commit's row-level change set
@@ -637,15 +1006,22 @@ def delete_range(
     lo=None,
     hi=None,
     commit=None,
+    mode: str = "rewrite",
 ) -> DeleteStats:
     """Delete every row with ``lo <= column <= hi`` (either bound may
     be None = unbounded) — row-level retention sharper than partition
     granularity. The prune envelope IS the delete predicate, so a
-    skipped file provably holds no matching row."""
+    skipped file provably holds no matching row. ``mode`` as in
+    ``delete_rows`` (``"dv"`` = merge-on-read positions delete)."""
     from redis_lsm_timeseries_spark.commit import ManifestCommit
 
     if lo is None and hi is None:
         raise ValidationError("delete_range: at least one bound required")
+    if mode not in ("rewrite", "dv", "auto"):
+        raise ValidationError(
+            f"delete_range: mode must be 'rewrite', 'dv' or 'auto', "
+            f"got {mode!r}"
+        )
     commit = commit if commit is not None else ManifestCommit()
     cond = F.lit(True)
     if lo is not None:
@@ -659,6 +1035,12 @@ def delete_range(
         else None
     )
     if managed is None:
+        if mode == "dv":
+            raise ValidationError(
+                "delete_range: mode='dv' needs a manifest-managed "
+                "table — deletion vectors live in per-file stats, "
+                "which directory mode does not record"
+            )
         cur = commit.read_table(host, path, None)
         out = cur.where(~cond | F.col(column).isNull())
         n = out.sparkSession.sparkContext.defaultParallelism
@@ -678,6 +1060,35 @@ def delete_range(
         commit, member, set(managed) | set(affected),
         {phys(column): (lo, hi)},
     )
+    if mode in ("dv", "auto"):
+        entry = commit._load_entry(host, path, root, None)
+        fstats = entry.get("stats", {}).get(member, {})
+        matched = commit.scan_member_subset(
+            host, path, affected, keep_pos=True
+        ).where(cond)
+        use_dv = mode == "dv"
+        if not use_dv:
+            live = 0
+            for f in affected:
+                s = fstats.get(f)
+                rows = None if s is None else s.get("rows")
+                if rows is None:
+                    live = None
+                    break
+                live += int(rows) - int(
+                    (s.get("dv") or {}).get("count", 0)
+                )
+            use_dv = (
+                live is not None
+                and live > 0
+                and matched.count() <= DV_AUTO_MAX_FRACTION * live
+            )
+        if use_dv:
+            n = _apply_dv_delete(
+                host, commit, path, root, member, smeta,
+                affected, matched, fstats, guard,
+            )
+            return DeleteStats(n, total)
     cur = _affected_df(host, commit, path, affected, smeta)
     survivors = cur.where(~cond | F.col(column).isNull())
     cdf = _cdf_sized(

@@ -356,15 +356,16 @@ def zorder_compact(
         return 0
 
     root, member = commit._resolve(host, path)
-    base = commit._member_root(root, member)
     # schema-mapped members (r14): callers name LOGICAL columns; the
     # files are scanned and rewritten under their immutable PHYSICAL
     # names (widen-forced, so mixed-width generations cluster in one
     # pass), and the z-key is computed on the physical translation —
     # the rewrite stays content-identical in the logical view.
     smeta = commit.schema_meta(host, path)
+    # DV-aware subset scan (r14): clustering rewrites materialize any
+    # deletion vectors on the tail — raw bytes would resurrect rows
+    cur = commit.scan_member_subset(host, path, tail, logical=False)
     if smeta:
-        cur = commit._physical_scan(host, base, tail, smeta)
         logical = commit._logical_view(cur, smeta)
         pmap = smeta.get("map", {})
         zcols = []
@@ -373,9 +374,6 @@ def zorder_compact(
                 raise ValidationError(f"zorder_compact: no column {c!r}")
             zcols.append(pmap.get(c, c))
     else:
-        cur = host.spark.read.option("basePath", base).parquet(
-            *[f"{base}/{f}" for f in tail]
-        )
         for c in cols:
             if c not in cur.columns:
                 raise ValidationError(f"zorder_compact: no column {c!r}")

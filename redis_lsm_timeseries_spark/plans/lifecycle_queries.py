@@ -568,6 +568,79 @@ def connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(base_dir, ignore_errors=True)
 
 
+# ------------------------------------------------------- deletion vectors
+# Oracle-checked differential for merge-on-read row mutation (r14) —
+# parity-pinned like the connector entry (the 50-slot driver budget
+# is spent): a throwaway manifest table takes a DV DELETE (positions
+# blob, data files untouched) then a DV MERGE (matched rows
+# position-deleted, applied rows appended, previously-deleted keys
+# re-inserted as unmatched), and the final read — served through the
+# position anti-join — must equal DuckDB computing the same clause
+# algebra directly. Exercises: restat commits, superseding blobs,
+# fully-composed read path, and the merge clause semantics on the
+# merge-on-read plan.
+DV_ROW_MUTATION_ORACLE = """
+WITH slice AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         event_type,
+         CAST(value AS DOUBLE) AS value
+  FROM events WHERE event_id % 50 = 0
+)
+SELECT event_id, event_type,
+       CASE WHEN event_id % 700 = 0 THEN -1.0 ELSE value END AS value
+FROM slice
+WHERE event_id % 400 <> 0 OR event_id % 700 = 0
+"""
+
+
+def dv_row_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV delete + DV merge on a throwaway manifest table; returns
+    the final state read through the deletion-vector scan."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from redis_lsm_timeseries_spark.commit import (
+        CommitHost,
+        ManifestCommit,
+    )
+    from redis_lsm_timeseries_spark.operators.merge import (
+        delete_rows,
+        merge_into,
+    )
+
+    base_dir = _tempfile.mkdtemp(prefix="rlts_dv_")
+    try:
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = f"{base_dir}/t"
+        slice_df = (
+            load_events(spark, sf_dir)
+            .where(F.col("event_id") % 50 == 0)
+            .select("event_id", "event_type", "value")
+        )
+        commit.append_tables(
+            host, path,
+            {"": slice_df.repartitionByRange(4, "event_id")},
+        )
+        delete_rows(
+            host, path,
+            slice_df.where(F.col("event_id") % 400 == 0)
+            .select("event_id"),
+            ["event_id"], commit=commit, mode="dv",
+        )
+        merge_into(
+            host, path,
+            slice_df.where(F.col("event_id") % 700 == 0)
+            .withColumn("value", F.lit(-1.0)),
+            ["event_id"], commit=commit, mode="dv",
+        )
+        out = commit.read_table(host, path).select(
+            "event_id", "event_type", "value"
+        )
+        return out.localCheckpoint(eager=True)  # outlives the rmtree
+    finally:
+        _shutil.rmtree(base_dir, ignore_errors=True)
+
+
 from redis_lsm_timeseries_spark.plans.reference_queries import (  # noqa: E402
     UNREGISTERED_ORACLES,
 )
@@ -575,4 +648,8 @@ from redis_lsm_timeseries_spark.plans.reference_queries import (  # noqa: E402
 UNREGISTERED_ORACLES["connector_roundtrip"] = (
     connector_roundtrip,
     CONNECTOR_ROUNDTRIP_ORACLE,
+)
+UNREGISTERED_ORACLES["dv_row_mutation"] = (
+    dv_row_mutation,
+    DV_ROW_MUTATION_ORACLE,
 )

@@ -131,7 +131,18 @@ class _Meta:
                 )
                 gone = set(removed)
                 cur = [f for f in cur if f not in gone] + added
-            out.append((v, entry.get("change") or {}, added, removed, None))
+            ch = entry.get("change") or {}
+            restated = list(
+                entry.get("delta", {})
+                .get("restat", {})
+                .get(self.member, {})
+            )
+            if restated:
+                # deletion-vector attach: row content changed with the
+                # file list standing still — the append stream must
+                # fail loudly, marked or not
+                ch = {**ch, "restat": restated}
+            out.append((v, ch, added, removed, None))
         return out
 
     def added_files(self, since: int, to: int):
@@ -158,12 +169,13 @@ class _Meta:
                 kind = None  # sibling member's row-level commit
             if kind == "preserve":
                 continue
-            if kind == "cdf" or removes:
+            if kind == "cdf" or removes or change.get("restat"):
                 raise NonAppendHistoryError(
                     f"rlts_table stream over {self.path!r}: version "
-                    f"{v} is not append-only (merge/delete or an "
-                    "unmarked rewrite); an append-file stream cannot "
-                    "express it — consume row-level changes with "
+                    f"{v} is not append-only (merge/delete, a "
+                    "deletion vector, or an unmarked rewrite); an "
+                    "append-file stream cannot express it — consume "
+                    "row-level changes with "
                     "changefeed.mirror_changes(keys=...) instead"
                 )
             added.extend(adds)
@@ -174,13 +186,16 @@ class _FilesPartition(InputPartition):
     """One read task: absolute file paths + everything needed to
     assemble the logical view executor-side (schema mapping, hive
     partition column names/types, target Arrow-compatible schema as
-    DDL — plain picklable values only)."""
+    DDL — plain picklable values only). ``dvs`` maps a relpath to its
+    deletion-vector blob relpath (r14): the task masks those row
+    positions out before yielding batches."""
 
-    def __init__(self, base, relpaths, smeta, schema_json):
+    def __init__(self, base, relpaths, smeta, schema_json, dvs=None):
         self.base = base
         self.relpaths = relpaths
         self.smeta = smeta
         self.schema_json = schema_json
+        self.dvs = dvs or {}
 
 
 def _simple_ddl_type(ddl: str):
@@ -245,6 +260,23 @@ def _read_files_partition(partition: _FilesPartition):
     inv = {p: l for l, p in mapping.items()}
     for rel in partition.relpaths:
         tbl = pq.read_table(f"{partition.base}/{rel}")
+        blob = partition.dvs.get(rel)
+        if blob is not None:
+            # deletion vector (r14): mask the recorded positions out.
+            # The blob is filtered to THIS file's rows at the parquet
+            # layer (predicate pushdown on the `file` column), so the
+            # task reads O(its deletes), not the whole blob.
+            import numpy as np
+
+            dv = pq.read_table(
+                f"{partition.base}/{blob}",
+                filters=[("file", "==", rel)],
+                columns=["pos"],
+            )
+            mask = np.ones(len(tbl), dtype=bool)
+            pos = dv.column("pos").to_numpy(zero_copy_only=False)
+            mask[pos.astype("int64")] = False
+            tbl = tbl.filter(pa.array(mask))
         # physical -> logical names; dropped physical excluded
         cols, names = [], []
         for name in tbl.schema.names:
@@ -471,9 +503,18 @@ class ManifestBatchReader(DataSourceReader):
             ]
         schema_json = self.schema.json()
         n = self.files_per_partition
+        # deletion vectors (r14): ship each chunk's blob refs so the
+        # task masks deleted positions — planned from the entry's
+        # stats, zero extra IO
+        dvmap = meta.commit._dv_map(smeta_entry, meta.member, files)
         return [
-            _FilesPartition(meta.base, files[i : i + n], smeta, schema_json)
-            for i in range(0, len(files), n)
+            _FilesPartition(
+                meta.base, chunk, smeta, schema_json,
+                {f: dvmap[f]["path"] for f in chunk if f in dvmap},
+            )
+            for chunk in (
+                files[i : i + n] for i in range(0, len(files), n)
+            )
         ]
 
     def read(self, partition: _FilesPartition):
