@@ -864,6 +864,45 @@ def sf1_lifecycle_sample(spark, base: str) -> dict:
         res["mirror_incr_sec"] = round(time.perf_counter() - t0, 3)
         res["mirror_mode"] = mk.mode
         res["mirror_rows"] = mk.rows_mirrored
+        # deletion vector vs copy-on-write, same shape of work (r14):
+        # two disjoint sets of ~1k keys SCATTERED across the whole id
+        # domain, so the rewrite leg must rewrite every file its
+        # envelope reaches while the DV leg writes one positions blob
+        # and no data file moves — the measured merge-on-read win.
+        from redis_lsm_timeseries_spark.operators.merge import (
+            delete_rows,
+        )
+
+        scatter = ev.where(
+            (F.col("event_id") % 9973 == 0)
+            & (F.col("event_id") < int(hi * 0.9))
+        ).select("event_id")
+        t0 = time.perf_counter()
+        sd = delete_rows(
+            host, tbl, scatter, ["event_id"], commit=commit, mode="dv"
+        )
+        res["dv_delete_sec"] = round(time.perf_counter() - t0, 3)
+        res["dv_delete_files"] = f"{sd.files_rewritten}/{sd.files_total}"
+        scatter2 = ev.where(
+            (F.col("event_id") % 9967 == 0)
+            & (F.col("event_id") < int(hi * 0.9))
+        ).select("event_id")
+        t0 = time.perf_counter()
+        sr = delete_rows(
+            host, tbl, scatter2, ["event_id"], commit=commit,
+            mode="rewrite",
+        )
+        res["rewrite_delete_sec"] = round(time.perf_counter() - t0, 3)
+        res["rewrite_delete_files"] = (
+            f"{sr.files_rewritten}/{sr.files_total}"
+        )
+        # the mirror consumes both as O(delta) key deletes
+        t0 = time.perf_counter()
+        mk2 = mirror_changes(
+            host, tbl, f"{d}/mirror", keys=["event_id"], commit=commit
+        )
+        res["mirror_dv_sec"] = round(time.perf_counter() - t0, 3)
+        res["mirror_dv_mode"] = mk2.mode
         return res
     finally:
         shutil.rmtree(d, ignore_errors=True)
