@@ -2848,6 +2848,16 @@ class ManifestCommit(ParquetLeaseCommit):
             return r.parquet(*[f"{base}/{f}" for f in subset])
 
         def with_pos(df):
+            clash = {"__dv_path", "__dv_pos", "__dv_file"} & set(
+                df.columns
+            )
+            if clash:
+                raise ValidationError(
+                    f"deletion-vector scan: column(s) {sorted(clash)} "
+                    "collide with the position-tracking columns — "
+                    "rename them before using DV mutation on this "
+                    "member"
+                )
             return df.withColumns(
                 {
                     "__dv_path": F.regexp_replace(
@@ -2927,6 +2937,11 @@ class ManifestCommit(ParquetLeaseCommit):
         rewrite can never resurrect rows a deletion vector removed.
         ``logical=False`` keeps physical column names (maintenance
         rewrites store physical)."""
+        if not files:
+            raise ValidationError(
+                "scan_member_subset: empty file subset (callers "
+                "handle the no-affected-files case before scanning)"
+            )
         resolved = self._resolve(store, path)
         if resolved is None:
             raise ValidationError(

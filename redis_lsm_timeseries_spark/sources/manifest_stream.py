@@ -181,6 +181,53 @@ class _Meta:
             added.extend(adds)
         return added
 
+    def change_batches(self, since: int, to: int):
+        """Row-level change plan for ``(since, to]``: a list of
+        ``(version, member, files, kind)`` with kind ``"insert"``
+        (plain append — the added files read as insert rows) or
+        ``"cdf"`` (merge/delete/DV — the entry's typed change files,
+        which are the complete row-level truth for that commit; its
+        replacement data files are NOT emitted). ``preserve``
+        rewrites contribute nothing; an unmarked removal or DV
+        attach raises — the feed cannot express it. The streaming
+        face of ``read_row_changes``."""
+        from redis_lsm_timeseries_spark.errors import (
+            NonAppendHistoryError,
+        )
+
+        walk = (
+            self._genesis_walk(to)
+            if since < 0
+            else self.commit._change_walk(
+                self.host, self.path, self.root, self.member, since, to
+            )
+        )
+        out = []
+        for v, change, adds, removes, _stats in walk:
+            kind = change.get("kind")
+            if kind == "cdf" and change.get(
+                "cdf_member"
+            ) != self.commit.cdf_member_of(self.member):
+                kind = None  # sibling member's row-level commit
+            if kind == "preserve":
+                continue
+            if kind == "cdf":
+                files = change.get("files", [])
+                if files:
+                    out.append((v, change["cdf_member"], files, "cdf"))
+                continue
+            if removes or change.get("restat"):
+                raise NonAppendHistoryError(
+                    f"rlts_table change-feed stream over "
+                    f"{self.path!r}: version {v} rewrote content "
+                    "without row-level change metadata (an unmarked "
+                    "removal or deletion vector); the feed cannot "
+                    "express it — recompute from the newer snapshot"
+                )
+            if adds:
+                out.append((v, self.member, adds, "insert"))
+        return out
+
 
 class _FilesPartition(InputPartition):
     """One read task: absolute file paths + everything needed to
@@ -190,12 +237,19 @@ class _FilesPartition(InputPartition):
     deletion-vector blob relpath (r14): the task masks those row
     positions out before yielding batches."""
 
-    def __init__(self, base, relpaths, smeta, schema_json, dvs=None):
+    def __init__(
+        self, base, relpaths, smeta, schema_json, dvs=None, consts=None
+    ):
         self.base = base
         self.relpaths = relpaths
         self.smeta = smeta
         self.schema_json = schema_json
         self.dvs = dvs or {}
+        # constant column fills for target fields ABSENT from a file
+        # (r14 change-feed stream: _commit_version always,
+        # _change_type='insert' for plain append files — cdf files
+        # carry their own typed column, which wins)
+        self.consts = consts or {}
 
 
 def _simple_ddl_type(ddl: str):
@@ -296,6 +350,12 @@ def _read_files_partition(partition: _FilesPartition):
                 out_cols.append(
                     pa.array([hive[field.name]] * n_rows).cast(field.type)
                 )
+            elif field.name in partition.consts:
+                out_cols.append(
+                    pa.array(
+                        [partition.consts[field.name]] * n_rows
+                    ).cast(field.type)
+                )
             else:
                 out_cols.append(pa.nulls(n_rows, field.type))
         yield from pa.table(
@@ -391,6 +451,63 @@ class ManifestStreamReader(DataSourceStreamReader):
     # -- executor-side read -------------------------------------------
     def read(self, partition: _FilesPartition):
         yield from _read_files_partition(partition)
+
+
+#: change-feed stream column names (the Delta CDF convention; values
+#: match ManifestCommit.CDF_TYPE_COL / CDF_VERSION_COL)
+CDF_TYPE = "_change_type"
+CDF_VERSION = "_commit_version"
+
+
+class ChangeFeedStreamReader(ManifestStreamReader):
+    """Streaming ROW-LEVEL change feed
+    (``.option("readChangeFeed", "true")``) — the Delta CDF streaming
+    idiom on this engine's log: where the plain stream fails loudly on
+    any non-append commit, this one serves merges, deletes and
+    deletion-vector commits as typed change rows (``_change_type`` in
+    insert | upsert | delete, plus ``_commit_version``), so a
+    continuously-running consumer can maintain a keyed mirror without
+    falling back to the pull-based ``mirror_changes``. Plain appends
+    read as ``insert`` rows; ``preserve`` maintenance contributes
+    nothing; an UNMARKED rewrite (no CDF metadata) still fails the
+    query loudly. Offsets, ``startingVersion``,
+    ``maxVersionsPerTrigger`` and retention semantics are inherited
+    from the append reader — CDF files live exactly as long as their
+    log entry, so a resume past vacuum's horizon raises the typed
+    retention error.
+
+    100 TB shape: planning stays O(commits in range) of driver-side
+    log JSON; each micro-batch ships only the delta's insert files
+    plus the (tiny, self-expiring) change files; rows travel as Arrow
+    batches."""
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["version"]), int(end["version"])
+        if self._ratchet is None or e > self._ratchet:
+            self._ratchet = e
+        if e <= s:
+            return []
+        batches = self._meta.change_batches(s, e)
+        if not batches:
+            return []
+        smeta = self._meta.schema_meta()
+        schema_json = self.schema.json()
+        n = self.files_per_partition
+        commit = self._meta.commit
+        out = []
+        for v, member, files, kind in batches:
+            base = commit._member_root(self._meta.root, member)
+            consts = {CDF_VERSION: int(v)}
+            if kind == "insert":
+                consts[CDF_TYPE] = "insert"
+            for i in range(0, len(files), n):
+                out.append(
+                    _FilesPartition(
+                        base, files[i : i + n], smeta, schema_json,
+                        consts=consts,
+                    )
+                )
+        return out
 
 
 class ManifestBatchReader(DataSourceReader):
@@ -778,11 +895,22 @@ class ManifestTableDataSource(DataSource):
                     fields.append(StructField(k, LongType(), True))
                 except ValueError:
                     fields.append(StructField(k, StringType(), True))
+        if self._wants_cdf(self.options):
+            fields.append(StructField(CDF_TYPE, StringType(), True))
+            fields.append(StructField(CDF_VERSION, LongType(), True))
         from pyspark.sql.types import StructType
 
         return StructType(fields)
 
+    @staticmethod
+    def _wants_cdf(options) -> bool:
+        return str(
+            options.get("readchangefeed", "false")
+        ).lower() in ("true", "1")
+
     def streamReader(self, schema):
+        if self._wants_cdf(self.options):
+            return ChangeFeedStreamReader(schema, self.options)
         return ManifestStreamReader(schema, self.options)
 
     def reader(self, schema):

@@ -1,0 +1,276 @@
+"""Streaming row-level change feed (r14):
+``spark.readStream.format("rlts_table").option("readChangeFeed",
+"true")`` — the Delta CDF streaming idiom. Where the plain append
+stream fails loudly on any mutation, this source serves merges,
+deletes and deletion-vector commits as typed change rows
+(``_change_type`` insert|upsert|delete + ``_commit_version``), so a
+continuously-running consumer maintains a keyed mirror without the
+pull-based fallback. Pinned here:
+
+- plain appends stream as insert rows, CDF commits as their typed
+  change files (the replacement data files are NOT double-emitted);
+- ``preserve`` maintenance is invisible mid-stream;
+- an UNMARKED rewrite (raw restat without CDF rows) still fails the
+  query loudly;
+- mapped members serve the logical view in the change rows;
+- applying the streamed feed by key reproduces the table exactly.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from redis_lsm_timeseries_spark.commit import CommitHost, ManifestCommit
+from redis_lsm_timeseries_spark.operators.merge import (
+    delete_rows,
+    merge_into,
+)
+from redis_lsm_timeseries_spark.sources.manifest_stream import (
+    read_table_stream,
+)
+
+SCHEMA = "k long, v long"
+CDF_SCHEMA = "k long, v long, _change_type string, _commit_version long"
+
+
+def _fx(spark, tmp_path, rows=((1, 10), (2, 20), (3, 30))):
+    host, commit = CommitHost(spark), ManifestCommit()
+    path = str(tmp_path / "t")
+    commit.append_table_with_meta(
+        host, path,
+        spark.createDataFrame(list(rows), SCHEMA).coalesce(1),
+        {},
+    )
+    return host, commit, path
+
+
+def _start(spark, path, name, version, schema=CDF_SCHEMA, **opts):
+    df = read_table_stream(
+        spark, path, schema=schema,
+        readchangefeed="true", startingversion=str(version), **opts,
+    )
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+
+def _wait_rows(spark, name, want, q, timeout_s=120):
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if q.exception() is not None:
+            raise AssertionError(f"query died: {q.exception()}")
+        n = spark.sql(f"SELECT count(*) c FROM {name}").first().c
+        if n >= want:
+            return n
+        time.sleep(0.3)
+    raise AssertionError(f"timed out waiting for {want} rows in {name}")
+
+
+def _ids(spark, vals):
+    return spark.createDataFrame([(int(i),) for i in vals], "k long")
+
+
+class TestChangeFeedStream:
+    def test_typed_rows_across_mutations(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.maintenance import (
+            compact_small_files,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        q = _start(spark, path, "cdf1", v0)
+        try:
+            # append -> insert rows
+            commit.append_table_with_meta(
+                host, path,
+                spark.createDataFrame([(4, 40)], SCHEMA).coalesce(1),
+                {},
+            )
+            _wait_rows(spark, "cdf1", 1, q)
+            # merge -> upsert row
+            merge_into(
+                host, path,
+                spark.createDataFrame([(2, 99)], SCHEMA),
+                ["k"], commit=commit,
+            )
+            _wait_rows(spark, "cdf1", 2, q)
+            # preserve rewrite mid-stream: nothing, no error
+            compact_small_files(
+                host, path, min_group=1, commit=commit
+            )
+            # dv delete -> delete row
+            delete_rows(
+                host, path, _ids(spark, [1]), ["k"],
+                commit=commit, mode="dv",
+            )
+            _wait_rows(spark, "cdf1", 3, q)
+            assert q.exception() is None
+            rows = {
+                (r.k, r.v, r._change_type)
+                for r in spark.sql("SELECT * FROM cdf1").collect()
+            }
+            assert rows == {
+                (4, 40, "insert"),
+                (2, 99, "upsert"),
+                (1, 10, "delete"),
+            }
+            versions = [
+                r._commit_version
+                for r in spark.sql(
+                    "SELECT _commit_version FROM cdf1"
+                ).collect()
+            ]
+            assert all(v > v0 for v in versions)
+        finally:
+            q.stop()
+
+    def test_cdf_commit_files_not_double_emitted(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        q = _start(spark, path, "cdf2", v0)
+        try:
+            # a rewrite-mode merge replaces files AND stages cdf rows:
+            # the feed must serve ONLY the cdf rows, not the
+            # replacement files' survivor contents
+            merge_into(
+                host, path,
+                spark.createDataFrame([(1, -1), (9, 90)], SCHEMA),
+                ["k"], commit=commit, mode="rewrite",
+            )
+            _wait_rows(spark, "cdf2", 2, q)
+            time.sleep(1.0)
+            rows = {
+                (r.k, r.v, r._change_type)
+                for r in spark.sql("SELECT * FROM cdf2").collect()
+            }
+            assert rows == {(1, -1, "upsert"), (9, 90, "upsert")}
+        finally:
+            q.stop()
+
+    def test_earliest_replays_history_as_inserts(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        merge_into(
+            host, path,
+            spark.createDataFrame([(2, 99)], SCHEMA),
+            ["k"], commit=commit,
+        )
+        q = _start(spark, path, "cdf3", "earliest")
+        try:
+            _wait_rows(spark, "cdf3", 4, q)
+            rows = {
+                (r.k, r.v, r._change_type)
+                for r in spark.sql("SELECT * FROM cdf3").collect()
+            }
+            assert rows == {
+                (1, 10, "insert"),
+                (2, 20, "insert"),
+                (3, 30, "insert"),
+                (2, 99, "upsert"),
+            }
+        finally:
+            q.stop()
+
+    def test_unmarked_restat_fails_loudly(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        q = _start(spark, path, "cdf4", v0)
+        try:
+            (f,) = commit.member_files(host, path)
+            blk = commit.member_file_stats(host, path)[f]
+            blob = commit.stage_dv(
+                host, path,
+                spark.createDataFrame(
+                    [(f, 0)], "file string, pos long"
+                ),
+            )
+            commit.rewrite_files(
+                host, path, [], None,
+                restat={f: {**blk, "dv": {"path": blob, "count": 1}}},
+            )
+            t0 = time.time()
+            while q.exception() is None and time.time() - t0 < 120:
+                time.sleep(0.3)
+            exc = q.exception()
+            assert exc is not None
+            assert "deletion vector" in str(exc) or "unmarked" in str(
+                exc
+            ) or "change metadata" in str(exc)
+        finally:
+            q.stop()
+
+    def test_mapped_member_serves_logical_view(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        commit.rename_column(host, path, "v", "val")
+        v0 = commit.table_versions(host, path)[-1]
+        q = _start(
+            spark, path, "cdf5", v0,
+            schema="k long, val long, _change_type string, "
+            "_commit_version long",
+        )
+        try:
+            delete_rows(
+                host, path, _ids(spark, [3]), ["k"],
+                commit=commit, mode="dv",
+            )
+            _wait_rows(spark, "cdf5", 1, q)
+            r = spark.sql("SELECT * FROM cdf5").first()
+            assert (r.k, r.val, r._change_type) == (3, 30, "delete")
+        finally:
+            q.stop()
+
+    def test_inferred_schema_appends_cdf_columns(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            register_manifest_source,
+        )
+
+        register_manifest_source(spark)
+        df = (
+            spark.readStream.format("rlts_table")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        assert df.columns == ["k", "v", "_change_type", "_commit_version"]
+
+    def test_streamed_feed_reproduces_table_by_key(
+        self, spark, tmp_path
+    ):
+        """Apply the streamed change rows keyed-last-wins: the result
+        must equal the table snapshot — the streaming mirror
+        contract."""
+        host, commit, path = _fx(spark, tmp_path)
+        merge_into(
+            host, path,
+            spark.createDataFrame([(2, 99), (7, 70)], SCHEMA),
+            ["k"], commit=commit, mode="dv",
+        )
+        delete_rows(
+            host, path, _ids(spark, [1]), ["k"],
+            commit=commit, mode="dv",
+        )
+        q = _start(spark, path, "cdf6", "earliest")
+        try:
+            _wait_rows(spark, "cdf6", 3 + 2 + 1, q)
+            feed = spark.sql("SELECT * FROM cdf6")
+            w = feed.groupBy("k").agg(
+                F.max(
+                    F.struct("_commit_version", "_change_type", "v")
+                ).alias("last")
+            )
+            mirror = w.where(F.col("last._change_type") != "delete") \
+                .select("k", F.col("last.v").alias("v"))
+            a = sorted(map(tuple, mirror.collect()))
+            b = sorted(
+                map(tuple, commit.read_table(host, path).collect())
+            )
+            assert a == b
+        finally:
+            q.stop()

@@ -566,8 +566,75 @@ class TestDvMerge:
                 ["id"], commit=commit, mode="dv",
             )
 
+    def test_hive_partitioned_member(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "hp")
+        df = spark.range(100).selectExpr(
+            "id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS tag"
+        )
+        commit.append_partitioned(host, df.coalesce(1), path, ["tag"])
+        src = spark.createDataFrame(
+            [(2, "b"), (101, "a")], "id long, tag string"
+        )
+        merge_into(host, path, src, ["id"], commit=commit, mode="dv")
+        cur = commit.read_table(host, path)
+        assert cur.count() == 101
+        assert cur.where("id = 2").first()["tag"] == "b"
+        # the appended replacement files keep the hive layout
+        assert all(
+            f.startswith("tag=")
+            for f in commit.member_files(host, path)
+        )
+        # and a dv delete composes on the partitioned layout
+        delete_rows(
+            host, path, _ids(spark, [3, 5]), ["id"],
+            commit=commit, mode="dv",
+        )
+        assert commit.read_table(host, path).count() == 99
+
+    def test_duplicate_target_keys_all_die(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "dup")
+        # the same key lands in two files (duplicate rows)
+        for _ in range(2):
+            commit.append_tables(
+                host, path,
+                {"": spark.createDataFrame(
+                    [(1, 10), (2, 20)], "id long, v long"
+                ).coalesce(1)},
+            )
+        merge_into(
+            host, path,
+            spark.createDataFrame([(1, 99)], "id long, v long"),
+            ["id"], commit=commit, mode="dv",
+        )
+        cur = commit.read_table(host, path)
+        # both duplicate occurrences position-deleted, one row appended
+        assert cur.where("id = 1").count() == 1
+        assert cur.where("id = 1").first()["v"] == 99
+        assert cur.count() == 3
+
 
 class TestDvCommitProtocol:
+    def test_reserved_columns_refused(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "rc")
+        commit.append_tables(
+            host, path,
+            {"": spark.range(5).selectExpr(
+                "id", "id AS __dv_pos"
+            ).coalesce(1)},
+        )
+        with pytest.raises(ValidationError, match="__dv_pos"):
+            delete_rows(
+                host, path, _ids(spark, [1]), ["id"],
+                commit=commit, mode="dv",
+            )
+
+    def test_empty_subset_refused(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path, n_files=1, rows=10)
+        with pytest.raises(ValidationError, match="empty file subset"):
+            commit.scan_member_subset(host, path, [])
     def test_checkpoint_cannot_reuse_stale_part(self, spark, tmp_path):
         host, commit, path = _fx(spark, tmp_path, n_files=1, rows=60)
         # march the log to one commit before a checkpoint interval
