@@ -204,13 +204,6 @@ def _apply_row_changes(
     the source cannot express its history row-wise (an unmarked
     external content rewrite) or the cursor fell past vacuum's
     horizon."""
-    from pyspark.sql import Window, functions as F
-
-    from redis_lsm_timeseries_spark.operators.merge import (
-        delete_rows,
-        merge_into,
-    )
-
     try:
         changes = commit.read_row_changes(
             host, src_path, since, to_version=latest
@@ -234,13 +227,24 @@ def _apply_row_changes(
         )
         return MirrorMetrics(latest, 0, "row-incremental")
 
-    tcol, vcol = commit.CDF_TYPE_COL, commit.CDF_VERSION_COL
-    # deterministic netting: latest commit version wins per key; ties
-    # WITHIN a version (an append commit carrying duplicate-key rows —
-    # keyed mirroring assumes the source keeps its key unique, but a
-    # violation must not make replay nondeterministic) break on the
-    # full row content, so every run and every crash replay picks the
-    # same survivor
+    n = _apply_keyed_changes(
+        host, commit, dst_path, keys, changes, cursor_key, latest,
+        cas, transform,
+    )
+    return MirrorMetrics(latest, n, "row-incremental")
+
+
+def _net_changes(changes, keys, tcol, vcol):
+    """Deterministic per-key netting of a typed change set: latest
+    commit version wins per key; ties WITHIN a version (an append
+    commit carrying duplicate-key rows — keyed mirroring assumes the
+    source keeps its key unique, but a violation must not make replay
+    nondeterministic) break on the full row content, so every run and
+    every crash replay picks the same survivor. Returns
+    ``(upserts, deletes)``: the surviving rows minus the feed columns,
+    and the netted-to-delete keys."""
+    from pyspark.sql import Window, functions as F
+
     data_cols = sorted(
         c for c in changes.columns if c not in (tcol, vcol)
     )
@@ -257,6 +261,26 @@ def _apply_row_changes(
     net = net.localCheckpoint(eager=False)  # consumed by two branches
     upserts = net.where(F.col(tcol) != "delete").drop(tcol, vcol)
     deletes = net.where(F.col(tcol) == "delete").select(*keys)
+    return upserts, deletes
+
+
+def _apply_keyed_changes(
+    host, commit, dst_path: str, keys: list[str], changes,
+    cursor_key: str, cursor_value, cas: dict, transform=None,
+) -> int:
+    """Net a typed change set and apply it to the keyed mirror at
+    ``dst_path``: idempotent merge/delete with the cursor CAS as an
+    entry guard on every data-mutating commit, cursor advanced LAST —
+    shared by the pull-based ``mirror_changes`` (cursor = source
+    version) and the streaming mirror (cursor = micro-batch id).
+    Returns rows applied."""
+    from redis_lsm_timeseries_spark.operators.merge import (
+        delete_rows,
+        merge_into,
+    )
+
+    tcol, vcol = commit.CDF_TYPE_COL, commit.CDF_VERSION_COL
+    upserts, deletes = _net_changes(changes, keys, tcol, vcol)
     if transform is not None:
         # Row-local reshape of the netted upserts. A row the transform
         # FILTERS OUT left the mirrored subset — apply it as a key
@@ -305,6 +329,7 @@ def _apply_row_changes(
             extra_guard=cas_guard,
         )
     commit.append_table_with_meta(
-        host, dst_path, None, {cursor_key: latest}, expected_app=cas
+        host, dst_path, None, {cursor_key: cursor_value},
+        expected_app=cas,
     )
-    return MirrorMetrics(latest, n_up + n_del, "row-incremental")
+    return n_up + n_del

@@ -898,7 +898,14 @@ def delete_rows(
       unrecorded.
 
     Directory mode has no per-file stats to carry a DV, so ``"dv"``
-    raises there and ``"auto"`` degrades to the rewrite."""
+    raises there and ``"auto"`` degrades to the rewrite.
+
+    PRIVACY NOTE: a DV-mode delete hides rows from every read but the
+    BYTES remain on disk until compaction materializes the vector and
+    vacuum collects the old file (plus any retained snapshots). For
+    GDPR-grade erasure use ``mode="rewrite"`` (the default, and what
+    ``tiering.erase_tag`` uses) followed by ``vacuum`` — the same
+    caveat Delta documents for its deletion vectors."""
     from redis_lsm_timeseries_spark.commit import ManifestCommit
 
     if mode not in ("rewrite", "dv", "auto"):

@@ -280,6 +280,23 @@ def _simple_ddl_type(ddl: str):
     return None
 
 
+def _ts_ms(value) -> int:
+    """Epoch millis from a ``timestampAsOf`` option value: an int (or
+    int string) of millis, or an ISO-8601 datetime string — naive
+    datetimes are UTC, the engine-wide convention (ADVICE r12)."""
+    import datetime
+
+    s = str(value)
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    dt = datetime.datetime.fromisoformat(s)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
 def _hive_values(relpath: str) -> dict:
     """``tag=x/part_start=0/part-....parquet`` -> {"tag": "x",
     "part_start": "0"} (values stay strings; the schema cast types
@@ -536,9 +553,46 @@ class ManifestBatchReader(DataSourceReader):
         self.files_per_partition = max(
             1, int(options.get("filesperpartition", FILES_PER_PARTITION))
         )
-        v = options.get("versionasof")
-        self.version = None if v is None else int(v)
         self._meta = _Meta(path)
+        v = options.get("versionasof")
+        ts = options.get("timestampasof")
+        if v is not None and ts is not None:
+            raise ValidationError(
+                "rlts_table: versionAsOf and timestampAsOf are "
+                "mutually exclusive"
+            )
+        if ts is not None:
+            # epoch millis, or an ISO datetime (naive = UTC — the
+            # engine-wide convention); resolves to the newest retained
+            # version committed at or before it
+            self.version = self._meta.commit.resolve_version_asof(
+                self._meta.host, path, _ts_ms(ts)
+            )
+        else:
+            self.version = None if v is None else int(v)
+        # batch change-feed read (readChangeFeed + startingVersion
+        # [+ endingVersion]): typed rows over a version range — the
+        # Delta table_changes batch idiom
+        self.cdf = str(
+            options.get("readchangefeed", "false")
+        ).lower() in ("true", "1")
+        if self.cdf:
+            if self.version is not None:
+                raise ValidationError(
+                    "rlts_table: readChangeFeed composes with "
+                    "startingVersion/endingVersion, not "
+                    "versionAsOf/timestampAsOf"
+                )
+            sv = options.get("startingversion")
+            if sv is None:
+                raise ValidationError(
+                    "rlts_table: readChangeFeed batch reads need "
+                    "startingVersion (the feed begins AFTER it; "
+                    "'earliest' replays retained history)"
+                )
+            self.cdf_since = -1 if sv == "earliest" else int(sv)
+            ev = options.get("endingversion")
+            self.cdf_to = None if ev is None else int(ev)
         self.predicates: dict = {}
 
     def pushFilters(self, filters):
@@ -594,6 +648,36 @@ class ManifestBatchReader(DataSourceReader):
 
     def partitions(self):
         meta = self._meta
+        if self.cdf:
+            # typed change rows over (startingVersion, endingVersion]
+            # — the Delta table_changes batch idiom; change files are
+            # tiny and self-expiring, so no stats pruning (filters
+            # stay residual either way)
+            to = (
+                self.cdf_to
+                if self.cdf_to is not None
+                else meta.current_version()
+            )
+            batches = meta.change_batches(self.cdf_since, to)
+            smeta = meta.schema_meta()
+            schema_json = self.schema.json()
+            n = self.files_per_partition
+            out = []
+            for v, member, files, kind in batches:
+                base = meta.commit._member_root(meta.root, member)
+                consts = {CDF_VERSION: int(v)}
+                if kind == "insert":
+                    consts[CDF_TYPE] = "insert"
+                for i in range(0, len(files), n):
+                    out.append(
+                        _FilesPartition(
+                            base, files[i : i + n], smeta,
+                            schema_json, consts=consts,
+                        )
+                    )
+            return out or [
+                _FilesPartition(meta.base, [], smeta, schema_json)
+            ]
         if self.predicates:
             kept, _total = meta.commit.prune_files(
                 meta.host, meta.path, self.predicates,

@@ -240,6 +240,72 @@ class TestChangeFeedStream:
         )
         assert df.columns == ["k", "v", "_change_type", "_commit_version"]
 
+    def test_batch_change_feed_read(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            read_table_batch,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        merge_into(
+            host, path,
+            spark.createDataFrame([(2, 99)], SCHEMA),
+            ["k"], commit=commit, mode="dv",
+        )
+        v1 = commit.table_versions(host, path)[-1]
+        delete_rows(
+            host, path, _ids(spark, [3]), ["k"],
+            commit=commit, mode="dv",
+        )
+        df = read_table_batch(
+            spark, path, schema=CDF_SCHEMA,
+            readchangefeed="true", startingversion=str(v0),
+        )
+        rows = {(r.k, r.v, r._change_type) for r in df.collect()}
+        assert rows == {(2, 99, "upsert"), (3, 30, "delete")}
+        # endingVersion bounds the range
+        df2 = read_table_batch(
+            spark, path, schema=CDF_SCHEMA,
+            readchangefeed="true", startingversion=str(v0),
+            endingversion=str(v1),
+        )
+        assert {
+            (r.k, r._change_type) for r in df2.collect()
+        } == {(2, "upsert")}
+        # earliest replays history as inserts
+        df3 = read_table_batch(
+            spark, path, schema=CDF_SCHEMA,
+            readchangefeed="true", startingversion="earliest",
+        )
+        assert df3.count() == 5  # 3 inserts + upsert + delete
+
+    def test_batch_timestamp_as_of(self, spark, tmp_path):
+        import time as _t
+
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            read_table_batch,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        _t.sleep(0.05)
+        ts_between = int(_t.time() * 1000)
+        _t.sleep(0.05)
+        delete_rows(
+            host, path, _ids(spark, [1]), ["k"],
+            commit=commit, mode="dv",
+        )
+        old = read_table_batch(
+            spark, path, schema=SCHEMA, timestampasof=str(ts_between)
+        )
+        assert old.count() == 3
+        cur = read_table_batch(spark, path, schema=SCHEMA)
+        assert cur.count() == 2
+        with pytest.raises(Exception, match="mutually exclusive"):
+            read_table_batch(
+                spark, path, schema=SCHEMA, version=0,
+                timestampasof=str(ts_between),
+            ).count()
+
     def test_streamed_feed_reproduces_table_by_key(
         self, spark, tmp_path
     ):

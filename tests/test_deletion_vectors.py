@@ -734,6 +734,37 @@ class TestDvCommitProtocol:
             )
 
 
+class TestDvPlanShape:
+    def test_dv_read_is_broadcast_anti_join(self, spark, tmp_path):
+        """The position filter must plan as a BROADCAST anti-join —
+        the DV side is O(deleted rows); a sort-merge join would
+        shuffle the whole data scan at 100 TB."""
+        host, commit, path = _fx(spark, tmp_path)
+        delete_rows(
+            host, path, _ids(spark, [5, 150]), ["id"],
+            commit=commit, mode="dv",
+        )
+        plan = commit.read_table(host, path)._jdf.queryExecution() \
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("formatted")
+            )
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_no_dv_no_plan_change(self, spark, tmp_path):
+        """A member without DVs must plan the exact same scan as
+        before the feature existed — zero overhead on the hot path."""
+        host, commit, path = _fx(spark, tmp_path)
+        plan = commit.read_table(host, path)._jdf.queryExecution() \
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("formatted")
+            )
+        assert "Join" not in plan
+        assert "row_index" not in plan
+
+
 class TestDvFeeds:
     def test_append_feed_raises_on_dv_entry(self, spark, tmp_path):
         host, commit, path = _fx(spark, tmp_path)
