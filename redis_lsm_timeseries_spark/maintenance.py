@@ -53,6 +53,7 @@ def compact_small_files(
     min_group: int = 2,
     max_groups: int | None = None,
     commit: ManifestCommit | None = None,
+    dv_debt_fraction: float = 0.2,
 ) -> CompactStats:
     """Fold files recorded at fewer than ``target_rows`` rows into
     ~``target_rows``-row files, partition-dir-local, one atomic
@@ -60,7 +61,14 @@ def compact_small_files(
     (conservative — pre-stats history compacts only via a full
     ``snapshot_rewrite``). ``max_groups`` bounds one run's work, like
     every other maintenance cap in the engine; the rest compacts on
-    later runs, oldest grouping first (deterministic file order)."""
+    later runs, oldest grouping first (deterministic file order).
+
+    Deletion-vector debt (r14): a file whose DV has erased at least
+    ``dv_debt_fraction`` of its physical rows is a compaction
+    candidate EVEN when its live count clears ``target_rows`` — the
+    rewrite is the materialization that reclaims the dead bytes and
+    restores metadata-only min/max serving (the Delta
+    auto-compaction-on-DV-debt posture)."""
     commit = commit if commit is not None else ManifestCommit()
     stats = commit.member_file_stats(host, path)
     if stats is None:
@@ -82,9 +90,16 @@ def compact_small_files(
             continue
         # deletion vectors (r14): group by LIVE rows — a big file
         # whose DV erased most of it is exactly what compaction
-        # should fold (materializing the delete as it goes)
-        live = int(rows) - int((s.get("dv") or {}).get("count", 0))
-        if live < target_rows:
+        # should fold (materializing the delete as it goes) — and a
+        # file past the DV-debt threshold compacts regardless of size
+        dvc = int((s.get("dv") or {}).get("count", 0))
+        live = int(rows) - dvc
+        debt = (
+            dvc > 0
+            and int(rows) > 0
+            and dvc >= dv_debt_fraction * int(rows)
+        )
+        if live < target_rows or debt:
             small.setdefault(pdir(f), []).append((f, max(0, live)))
 
     def keep(group: list[str]) -> bool:

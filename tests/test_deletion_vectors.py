@@ -415,6 +415,71 @@ class TestDvRewritersMaterialize:
         assert not any(_dv_stats(host, commit, path).values())
         assert commit.read_table(host, path).count() == 49
 
+    def test_dv_debt_compacts_regardless_of_size(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path, n_files=1, rows=100)
+        # 25% of the file's rows DV'd: past the 20% debt threshold
+        delete_rows(
+            host, path, _ids(spark, range(25)), ["id"],
+            commit=commit, mode="dv",
+        )
+        # live (75) clears the tiny target, but the debt compacts it
+        cs = compact_small_files(
+            host, path, target_rows=10, min_group=2, commit=commit
+        )
+        assert cs.files_compacted == 1
+        assert not any(_dv_stats(host, commit, path).values())
+        assert commit.read_table(host, path).count() == 75
+        # below the threshold: an oversized file with light debt stays
+        delete_rows(
+            host, path, _ids(spark, [30]), ["id"],
+            commit=commit, mode="dv",
+        )
+        cs2 = compact_small_files(
+            host, path, target_rows=10, min_group=2, commit=commit
+        )
+        assert cs2.files_compacted == 0
+        assert any(_dv_stats(host, commit, path).values())
+
+    def test_concurrent_dv_deletes_converge(self, spark, tmp_path):
+        """Two writers DV-deleting disjoint keys of the SAME file:
+        the loser of the commit race retries on fresh state (the DV
+        CAS guard) and both deletes land — nothing lost, nothing
+        double-counted."""
+        import threading
+
+        from redis_lsm_timeseries_spark.errors import (
+            RewriteConflictError,
+        )
+
+        host, commit, path = _fx(spark, tmp_path, n_files=1, rows=200)
+        errs: list = []
+        barrier = threading.Barrier(2)
+
+        def worker(keys):
+            barrier.wait()
+            for _ in range(6):
+                try:
+                    delete_rows(
+                        host, path, _ids(spark, keys), ["id"],
+                        commit=commit, mode="dv",
+                    )
+                    return
+                except RewriteConflictError:
+                    continue
+            errs.append(f"never landed: {keys[:2]}...")
+
+        t1 = threading.Thread(target=worker, args=([1, 3, 5, 7],))
+        t2 = threading.Thread(target=worker, args=([2, 4, 6, 8],))
+        t1.start(); t2.start(); t1.join(120); t2.join(120)
+        assert not errs
+        cur = commit.read_table(host, path)
+        assert cur.count() == 192
+        assert cur.where(F.col("id").between(1, 8)).isEmpty()
+        # the surviving DV count is exact
+        from redis_lsm_timeseries_spark.maintenance import fast_count
+
+        assert fast_count(host, path, commit=commit) == 192
+
     def test_zorder_materializes(self, spark, tmp_path):
         from redis_lsm_timeseries_spark.operators.zorder import (
             zorder_compact,
