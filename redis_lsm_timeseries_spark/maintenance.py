@@ -468,7 +468,13 @@ def fast_min_max(
     the scan fallback returns NULL, matching SQL). Type-tagged
     temporal stats decode back to datetimes/dates. The Delta
     metadata-only-aggregate idiom: answers "what time range does this
-    table cover" for a 100k-file table without opening a footer."""
+    table cover" for a 100k-file table without opening a footer.
+
+    Deletion vectors (r14): a DV'd file's recorded min/max only BOUND
+    its live rows, so the answer stays exact iff every DV'd file's
+    range is dominated by the clean files' global range (interior
+    deletes — the common case); a DV touching an edge file answers
+    None (the extremum may be what was deleted)."""
     import datetime
 
     commit = commit if commit is not None else ManifestCommit()
@@ -480,18 +486,17 @@ def fast_min_max(
         column, column
     )
     norm = ManifestCommit._norm_scalar
-    lo = hi = None
+    lo = hi = None  # over CLEAN (no-DV) files: every row live, exact
+    dlo = dhi = None  # over DV'd files: bounds on their LIVE rows
     saw_rows = False
     for f, s in stats.items():
         if s is None:
             return None  # a file without stats could hold the extremum
         if s.get("rows") == 0:
             continue
-        if s.get("dv"):
-            # deletion vector in play: the recorded min/max are only
-            # SUPERSETS of the live rows — the extremum row may be
-            # exactly what was deleted. Cannot prove; scan fallback.
-            return None
+        dvc = int((s.get("dv") or {}).get("count", 0))
+        if s.get("rows") is not None and int(s["rows"]) - dvc <= 0:
+            continue  # every row deletion-vectored out
         saw_rows = True
         cs = s.get("cols", {}).get(column)
         nmn = None if cs is None else norm(cs.get("min"))
@@ -501,6 +506,18 @@ def fast_min_max(
             # UNLESS every row is null in this file, which the stats
             # cannot distinguish from "stat dropped"; stay safe
             return None
+        if s.get("dv"):
+            # deletion vector in play: recorded min/max only BOUND the
+            # live rows (the extremum row may be what was deleted) —
+            # track separately; provable iff dominated by clean files
+            if dlo is None:
+                dlo, dhi = nmn, nmx
+            else:
+                if nmn[0] != dlo[0] or nmx[0] != dhi[0]:
+                    return None
+                dlo = min(dlo, nmn, key=lambda t: t[1])
+                dhi = max(dhi, nmx, key=lambda t: t[1])
+            continue
         if lo is None:
             lo, hi = nmn, nmx
             continue
@@ -508,6 +525,18 @@ def fast_min_max(
             return None  # mixed stat kinds across files
         lo = min(lo, nmn, key=lambda t: t[1])
         hi = max(hi, nmx, key=lambda t: t[1])
+    if dlo is not None:
+        # Exact despite DVs when the DV'd files are INTERIOR: a DV'd
+        # file's live min is >= its recorded min, so if every DV'd
+        # recorded range sits within the clean files' global range the
+        # clean extrema are the table's extrema. A DV'd file at the
+        # edge (or no clean file at all) cannot prove — scan fallback.
+        if lo is None:
+            return None
+        if dlo[0] != lo[0] or dhi[0] != hi[0]:
+            return None
+        if dlo[1] < lo[1] or dhi[1] > hi[1]:
+            return None
     if not saw_rows or lo is None:
         return None
 

@@ -103,6 +103,29 @@ class _Meta:
     def schema_meta(self) -> dict:
         return self.commit.schema_meta(self.host, self.path)
 
+    def version_before_ts(self, ts_ms: int) -> int:
+        """The newest version committed strictly BEFORE ``ts_ms``
+        (-1 when none — the feed then replays retained history), so a
+        feed starting after it serves exactly the changes committed
+        at or after the timestamp — the Delta startingTimestamp
+        contract."""
+        from redis_lsm_timeseries_spark.errors import (
+            VersionNotFoundError,
+        )
+
+        try:
+            return self.commit.resolve_version_asof(
+                self.host, self.path, int(ts_ms) - 1
+            )
+        except VersionNotFoundError:
+            # timestamp predates retained history: start from the
+            # earliest retained point (genesis replay only while
+            # version 0 is retained — the "earliest" contract)
+            vs = self.versions()
+            if not vs:
+                return -1
+            return -1 if vs[0] == 0 else vs[0]
+
     def _genesis_walk(self, to: int):
         """The ``_change_walk`` fold from BEFORE the first log entry
         (since = -1): only valid while version 0 is retained — the
@@ -408,6 +431,15 @@ class ManifestStreamReader(DataSourceStreamReader):
         self.max_versions = None if mv is None else max(1, int(mv))
         self._ratchet: int | None = None
         self._meta = _Meta(path)
+        st = options.get("startingtimestamp")
+        if st is not None:
+            if options.get("startingversion") is not None:
+                raise ValidationError(
+                    "rlts_table: startingVersion and "
+                    "startingTimestamp are mutually exclusive"
+                )
+            # changes committed at or after the timestamp
+            self.starting = self._meta.version_before_ts(_ts_ms(st))
 
     # -- offsets -------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -584,15 +616,39 @@ class ManifestBatchReader(DataSourceReader):
                     "versionAsOf/timestampAsOf"
                 )
             sv = options.get("startingversion")
-            if sv is None:
+            st = options.get("startingtimestamp")
+            if sv is not None and st is not None:
+                raise ValidationError(
+                    "rlts_table: startingVersion and "
+                    "startingTimestamp are mutually exclusive"
+                )
+            if st is not None:
+                self.cdf_since = self._meta.version_before_ts(
+                    _ts_ms(st)
+                )
+            elif sv is not None:
+                self.cdf_since = -1 if sv == "earliest" else int(sv)
+            else:
                 raise ValidationError(
                     "rlts_table: readChangeFeed batch reads need "
-                    "startingVersion (the feed begins AFTER it; "
-                    "'earliest' replays retained history)"
+                    "startingVersion or startingTimestamp (the feed "
+                    "begins AFTER it; 'earliest' replays retained "
+                    "history)"
                 )
-            self.cdf_since = -1 if sv == "earliest" else int(sv)
             ev = options.get("endingversion")
-            self.cdf_to = None if ev is None else int(ev)
+            et = options.get("endingtimestamp")
+            if ev is not None and et is not None:
+                raise ValidationError(
+                    "rlts_table: endingVersion and endingTimestamp "
+                    "are mutually exclusive"
+                )
+            if et is not None:
+                # inclusive: every change committed at or before it
+                self.cdf_to = self._meta.commit.resolve_version_asof(
+                    self._meta.host, path, _ts_ms(et)
+                )
+            else:
+                self.cdf_to = None if ev is None else int(ev)
         self.predicates: dict = {}
 
     def pushFilters(self, filters):

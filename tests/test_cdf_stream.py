@@ -306,6 +306,53 @@ class TestChangeFeedStream:
                 timestampasof=str(ts_between),
             ).count()
 
+    def test_change_feed_timestamp_bounds(self, spark, tmp_path):
+        import time as _t
+
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            read_table_batch,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        _t.sleep(0.05)
+        ts_mid = int(_t.time() * 1000)
+        _t.sleep(0.05)
+        merge_into(
+            host, path,
+            spark.createDataFrame([(2, 99)], SCHEMA),
+            ["k"], commit=commit, mode="dv",
+        )
+        _t.sleep(0.05)
+        ts_after_merge = int(_t.time() * 1000)
+        _t.sleep(0.05)
+        delete_rows(
+            host, path, _ids(spark, [3]), ["k"],
+            commit=commit, mode="dv",
+        )
+        # changes committed at or after ts_mid
+        df = read_table_batch(
+            spark, path, schema=CDF_SCHEMA,
+            readchangefeed="true", startingtimestamp=str(ts_mid),
+        )
+        assert {
+            (r.k, r._change_type) for r in df.collect()
+        } == {(2, "upsert"), (3, "delete")}
+        # ... and at or before ts_after_merge
+        df2 = read_table_batch(
+            spark, path, schema=CDF_SCHEMA,
+            readchangefeed="true", startingtimestamp=str(ts_mid),
+            endingtimestamp=str(ts_after_merge),
+        )
+        assert {
+            (r.k, r._change_type) for r in df2.collect()
+        } == {(2, "upsert")}
+        # a pre-history startingTimestamp replays from the earliest
+        df3 = read_table_batch(
+            spark, path, schema=CDF_SCHEMA,
+            readchangefeed="true", startingtimestamp="1",
+        )
+        assert df3.count() == 5
+
     def test_streamed_feed_reproduces_table_by_key(
         self, spark, tmp_path
     ):

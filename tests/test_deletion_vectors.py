@@ -360,7 +360,7 @@ class TestDvMetadataServing:
             host, path, {"tag": {"b"}}, commit=commit
         ) == 50
 
-    def test_fast_min_max_refuses_on_dv(self, spark, tmp_path):
+    def test_fast_min_max_refuses_on_edge_dv(self, spark, tmp_path):
         host, commit, path = _fx(spark, tmp_path)
         assert fast_min_max(host, path, "id", commit=commit) == (0, 299)
         delete_rows(
@@ -368,6 +368,23 @@ class TestDvMetadataServing:
             commit=commit, mode="dv",
         )
         # the deleted row WAS the max: stats can no longer prove
+        assert fast_min_max(host, path, "id", commit=commit) is None
+
+    def test_fast_min_max_exact_for_interior_dv(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        # delete only in the MIDDLE file: the edge files are clean, so
+        # their extrema dominate and the answer stays metadata-only
+        delete_rows(
+            host, path, _ids(spark, [150, 151]), ["id"],
+            commit=commit, mode="dv",
+        )
+        assert fast_min_max(host, path, "id", commit=commit) == (0, 299)
+        # a fully-DV'd... second file dropped entirely is covered
+        # elsewhere; an ALL-files-dv'd table cannot prove
+        delete_rows(
+            host, path, _ids(spark, [0, 299]), ["id"],
+            commit=commit, mode="dv",
+        )
         assert fast_min_max(host, path, "id", commit=commit) is None
 
     def test_table_report_counts_dv_debt(self, spark, tmp_path):
