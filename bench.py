@@ -851,24 +851,13 @@ def sf1_lifecycle_sample(spark, base: str) -> dict:
         st = merge_into(host, tbl, src, ["event_id"], commit=commit)
         res["merge_sec"] = round(time.perf_counter() - t0, 3)
         res["merge_files"] = f"{st.files_rewritten}/{st.files_total}"
-        t0 = time.perf_counter()
-        cs = compact_small_files(
-            host, tbl, target_rows=2_000_000, commit=commit
-        )
-        res["compact_sec"] = round(time.perf_counter() - t0, 3)
-        res["compact_groups"] = cs.groups
-        t0 = time.perf_counter()
-        mk = mirror_changes(
-            host, tbl, f"{d}/mirror", keys=["event_id"], commit=commit
-        )
-        res["mirror_incr_sec"] = round(time.perf_counter() - t0, 3)
-        res["mirror_mode"] = mk.mode
-        res["mirror_rows"] = mk.rows_mirrored
         # deletion vector vs copy-on-write, same shape of work (r14):
         # two disjoint sets of ~1k keys SCATTERED across the whole id
-        # domain, so the rewrite leg must rewrite every file its
-        # envelope reaches while the DV leg writes one positions blob
-        # and no data file moves — the measured merge-on-read win.
+        # domain, run against the full MULTI-FILE layout (before
+        # compaction folds it), so the rewrite leg must rewrite every
+        # range-clustered file its envelope reaches while the DV leg
+        # writes one positions blob and no data file moves — the
+        # measured merge-on-read win, with files-touched ratios.
         from redis_lsm_timeseries_spark.operators.merge import (
             delete_rows,
         )
@@ -896,13 +885,23 @@ def sf1_lifecycle_sample(spark, base: str) -> dict:
         res["rewrite_delete_files"] = (
             f"{sr.files_rewritten}/{sr.files_total}"
         )
-        # the mirror consumes both as O(delta) key deletes
+        # compaction after the DV leg also MATERIALIZES the vector —
+        # the full merge-on-read lifecycle at 10x
         t0 = time.perf_counter()
-        mk2 = mirror_changes(
+        cs = compact_small_files(
+            host, tbl, target_rows=2_000_000, commit=commit
+        )
+        res["compact_sec"] = round(time.perf_counter() - t0, 3)
+        res["compact_groups"] = cs.groups
+        # the mirror consumes merge + both deletes as O(delta) key ops
+        # and skips the preserve-kind compaction
+        t0 = time.perf_counter()
+        mk = mirror_changes(
             host, tbl, f"{d}/mirror", keys=["event_id"], commit=commit
         )
-        res["mirror_dv_sec"] = round(time.perf_counter() - t0, 3)
-        res["mirror_dv_mode"] = mk2.mode
+        res["mirror_incr_sec"] = round(time.perf_counter() - t0, 3)
+        res["mirror_mode"] = mk.mode
+        res["mirror_rows"] = mk.rows_mirrored
         return res
     finally:
         shutil.rmtree(d, ignore_errors=True)
