@@ -236,13 +236,17 @@ def _apply_row_changes(
 
 def _net_changes(changes, keys, tcol, vcol):
     """Deterministic per-key netting of a typed change set: latest
-    commit version wins per key; ties WITHIN a version (an append
-    commit carrying duplicate-key rows — keyed mirroring assumes the
-    source keeps its key unique, but a violation must not make replay
-    nondeterministic) break on the full row content, so every run and
-    every crash replay picks the same survivor. Returns
-    ``(upserts, deletes)``: the surviving rows minus the feed columns,
-    and the netted-to-delete keys."""
+    commit version wins per key. WITHIN a version, a non-delete beats
+    a delete — an atomic commit that both erases a key's old row and
+    lands its replacement (``replace_range``) nets to the replacement,
+    because the key exists in that commit's post-state; ordering by
+    row content first could pick the delete whenever the old row
+    compared larger. Remaining ties (duplicate-key rows in one append
+    — keyed mirroring assumes the source keeps its key unique, but a
+    violation must not make replay nondeterministic) break on the
+    full row content, so every run and every crash replay picks the
+    same survivor. Returns ``(upserts, deletes)``: the surviving rows
+    minus the feed columns, and the netted-to-delete keys."""
     from pyspark.sql import Window, functions as F
 
     data_cols = sorted(
@@ -250,6 +254,7 @@ def _net_changes(changes, keys, tcol, vcol):
     )
     w = Window.partitionBy(*keys).orderBy(
         F.col(vcol).desc(),
+        (F.col(tcol) != "delete").desc(),
         *[F.col(c).desc_nulls_last() for c in data_cols],
         F.col(tcol).desc(),
     )

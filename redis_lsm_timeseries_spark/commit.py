@@ -2318,6 +2318,16 @@ class ManifestCommit(ParquetLeaseCommit):
         root, member = target
         remove = list(remove)
         restat = dict(restat or {})
+        if (
+            restat
+            and (change or {}).get("kind") == "preserve"
+            and any("dv" in (b or {}) for b in restat.values())
+        ):
+            raise ValidationError(
+                "rewrite_files: a deletion-vector restat changes row "
+                "content — it cannot be marked kind='preserve' (feeds "
+                "would silently skip the delete); stage cdf_df instead"
+            )
         files = (
             self._stage_in(store, root, member, write_fn)
             if write_fn is not None

@@ -150,6 +150,52 @@ def compact_small_files(
     return CompactStats(done, files_done, conflicts)
 
 
+def backfill_file_stats(
+    host,
+    path: str,
+    commit: ManifestCommit | None = None,
+    max_files: int | None = None,
+) -> int:
+    """Retrofit per-file skipping stats onto files committed WITHOUT
+    them (pre-stats history, or footers that were unreadable through
+    a transient seam): read each missing file's parquet footer and
+    land the blocks as ONE ``restat`` commit — the same O(changed
+    files) delta op deletion vectors ride, here restoring data
+    skipping, ``fast_count``, and compaction planning to old tables
+    (the Delta ``ANALYZE``/stats-recompute idiom). ``max_files``
+    bounds one run, like every maintenance cap; the rest backfills on
+    later runs. Returns the number of files restatted. Concurrent
+    rewrites of a target file raise ``RewriteConflictError`` — retry
+    on fresh state (stats are attached to exact file identities)."""
+    commit = commit if commit is not None else ManifestCommit()
+    stats = commit.member_file_stats(host, path)
+    if stats is None:
+        raise ValidationError(
+            f"backfill_file_stats: {path!r} is not manifest-managed"
+        )
+    missing = [f for f in sorted(stats) if stats[f] is None]
+    if max_files is not None:
+        missing = missing[: max(0, int(max_files))]
+    if not missing:
+        return 0
+    root, member = commit._resolve(host, path)
+    base = commit._member_root(root, member)
+    restat = {}
+    for f in missing:
+        block = commit._one_file_stats(base, f)
+        if block is not None:
+            restat[f] = block
+    if not restat:
+        return 0
+    # stats-only metadata change: feeds must NOT treat it as a content
+    # rewrite — mark preserve (content is bit-identical by definition)
+    commit.rewrite_files(
+        host, path, [], None, restat=restat,
+        change={"kind": "preserve"},
+    )
+    return len(restat)
+
+
 def table_report(host, path: str, commit: ManifestCommit | None = None):
     """Health report for a manifest member, computed from the log
     alone (no storage reads): file and row counts, stats coverage,

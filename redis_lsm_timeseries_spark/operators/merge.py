@@ -1122,6 +1122,116 @@ def delete_range(
     return DeleteStats(len(affected), total)
 
 
+def replace_range(
+    host,
+    path: str,
+    source: DataFrame,
+    column: str,
+    lo=None,
+    hi=None,
+    commit=None,
+    target_files: int | None = None,
+    extra_guard=None,
+) -> DeleteStats:
+    """Atomically replace every row with ``lo <= column <= hi`` by
+    ``source`` — the Delta ``replaceWhere`` idiom in ONE commit
+    (delete_range + append would leave a visible gap between two
+    entries): the idempotent backfill/restatement primitive ("recompute
+    day X and swap it in"). Every source row must satisfy the
+    predicate (enforced — a stray row outside the range would silently
+    corrupt the swap's meaning, the same check Delta runs). Files
+    whose stats prove no overlap are untouched; survivors of partially
+    overlapping files carry over into the replacement write; the
+    removed rows and the new rows land as typed CDF in the same entry,
+    so keyed mirrors apply the swap as O(delta). Same conflict posture
+    as the merge family (key-envelope entry guard)."""
+    from redis_lsm_timeseries_spark.commit import ManifestCommit
+
+    if lo is None and hi is None:
+        raise ValidationError(
+            "replace_range: at least one bound required (a full "
+            "replacement is replace_tables / snapshot_rewrite)"
+        )
+    commit = commit if commit is not None else ManifestCommit()
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(column) >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(column) <= F.lit(hi))
+    stray = source.where(~cond | F.col(column).isNull()).limit(1)
+    if not stray.isEmpty():
+        r = stray.first()
+        raise ValidationError(
+            f"replace_range into {path!r}: source row with "
+            f"{column}={r[column]!r} falls outside "
+            f"[{lo!r}, {hi!r}] — every replacement row must satisfy "
+            "the predicate it replaces"
+        )
+
+    managed = (
+        commit.member_files(host, path)
+        if isinstance(commit, ManifestCommit)
+        else None
+    )
+    if managed is None:
+        cur = commit.read_table(host, path, None)
+        out = cur.where(~cond | F.col(column).isNull()).unionByName(
+            source.select(*cur.columns)
+        )
+        n = out.sparkSession.sparkContext.defaultParallelism
+        commit.snapshot_rewrite(
+            host, path, _clustered_write(out, [column], n)
+        )
+        return DeleteStats(-1, -1)
+
+    root, member = commit._resolve(host, path)
+    smeta, phys = _mapping_ctx(commit, host, path)
+    total = len(managed)
+    pcols = partition_cols_of(managed)
+    if managed:
+        _check_columns(
+            _affected_df(host, commit, path, managed[:1], smeta),
+            source, path, exempt=pcols,
+        )
+    preds = {column: (lo, hi)}
+    affected, _ = commit.prune_files(host, path, preds)
+    guard = _compose_guards(
+        _envelope_guard(
+            commit, member, set(managed) | set(affected),
+            {phys(column): (lo, hi)},
+        ),
+        extra_guard,
+    )
+    if affected:
+        cur = _affected_df(host, commit, path, affected, smeta)
+        cur = cur.select(*source.columns)
+        survivors = cur.where(~cond | F.col(column).isNull())
+        removed = cur.where(cond)
+        out = survivors.unionByName(source)
+    else:
+        removed = None
+        out = source
+    cdf = source.withColumn(commit.CDF_TYPE_COL, F.lit("upsert"))
+    if removed is not None:
+        cdf = removed.withColumn(
+            commit.CDF_TYPE_COL, F.lit("delete")
+        ).unionByName(cdf)
+    n_files = target_files or max(1, len(affected))
+    commit.rewrite_files(
+        host, path, affected,
+        _clustered_write(
+            _physical_out(commit, host, root, member, out, smeta),
+            [phys(column)], n_files, pcols,
+        ),
+        entry_guard=guard,
+        cdf_df=_cdf_sized(
+            _physical_out(commit, host, root, member, cdf, smeta),
+            len(affected) * 250_000,
+        ),
+    )
+    return DeleteStats(len(affected), total)
+
+
 def _check_columns(
     target: DataFrame, source: DataFrame, path: str, exempt=()
 ):
