@@ -290,6 +290,11 @@ def optimize_table(
     from redis_lsm_timeseries_spark.operators.zorder import zorder_compact
 
     commit = commit if commit is not None else ManifestCommit()
+    # stats first (r14): statless files are invisible to compaction's
+    # zero-IO planning and never prune — one preserve-kind restat
+    # commit makes the rest of the pass (and every future scan) see
+    # them; a no-op when nothing is missing
+    backfill_file_stats(host, path, commit=commit)
     cs = compact_small_files(
         host, path, target_rows=target_rows,
         max_groups=max_groups, commit=commit,
