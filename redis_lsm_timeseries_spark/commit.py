@@ -41,7 +41,6 @@ from __future__ import annotations
 
 import hashlib
 import json
-import re
 import time
 import uuid
 from contextlib import contextmanager
@@ -2786,11 +2785,35 @@ class ManifestCommit(ParquetLeaseCommit):
         return out
 
     @staticmethod
-    def _norm_uri(p: str) -> str:
-        """Scheme-stripped path, so Spark's ``_metadata.file_path``
-        (``file:/x`` or ``scheme://host/x``) and the engine's plain
-        path spellings compare equal."""
-        return re.sub(r"^[A-Za-z][A-Za-z0-9+.\-]*:/+", "/", p)
+    def _file_key(path: str) -> str:
+        """Driver-side join key for matching a scanned row's source
+        file: the raw scheme-stripped path (engine paths are raw —
+        never percent-encoded)."""
+        import re
+
+        return re.sub(r"^[A-Za-z][A-Za-z0-9+.\-]*:/+", "/", path)
+
+    #: ``_metadata.file_path`` decoded to the same RAW form,
+    #: executor-side. The metadata column is a URI: a hive partition
+    #: value with a space reads as ``%20`` and its own hive escapes
+    #: double-encode (``tag=c%25d`` on disk -> ``tag=c%2525d``), so
+    #: comparing raw path strings against it silently mismatches —
+    #: the one decode restores the on-disk spelling exactly.
+    #: ``url_decode`` is form-decoding (raw ``+`` would become a
+    #: space), so a raw ``+`` is pre-protected as ``%2B`` — correct
+    #: whether the URI writer encoded it or not, since ``%`` itself
+    #: is always encoded (verified: the double-encoded hive escapes).
+    @staticmethod
+    def _file_key_col():
+        return F.regexp_replace(
+            F.url_decode(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), r"\+", "%2B"
+                )
+            ),
+            r"^[A-Za-z][A-Za-z0-9+.\-]*:/+",
+            "/",
+        )
 
     def dv_positions(self, store, base: str, dvmap: dict) -> DataFrame:
         """``(file, pos)`` deleted-row coordinates for the files in
@@ -2800,7 +2823,7 @@ class ManifestCommit(ParquetLeaseCommit):
         blobs = sorted({d["path"] for d in dvmap.values()})
         mapping = store.spark.createDataFrame(
             [
-                (f, self._norm_uri(f"{base}/{d['path']}"))
+                (f, self._file_key(f"{base}/{d['path']}"))
                 for f, d in dvmap.items()
             ],
             "file string, __dv_blob string",
@@ -2810,21 +2833,17 @@ class ManifestCommit(ParquetLeaseCommit):
         ).select(
             "file",
             "pos",
-            F.regexp_replace(
-                F.col("_metadata.file_path"),
-                r"^[A-Za-z][A-Za-z0-9+.\-]*:/+",
-                "/",
-            ).alias("__dv_blob"),
+            self._file_key_col().alias("__dv_blob"),
         )
         return rows.join(
             F.broadcast(mapping), ["file", "__dv_blob"]
         ).drop("__dv_blob")
 
     def _dv_deletes(self, store, base: str, dvmap: dict) -> DataFrame:
-        """``dv_positions`` keyed by normalized absolute path — the
+        """``dv_positions`` keyed by source-file basename — the
         anti-join shape ``_dv_scan`` consumes."""
         rels = store.spark.createDataFrame(
-            [(f, self._norm_uri(f"{base}/{f}")) for f in dvmap],
+            [(f, self._file_key(f"{base}/{f}")) for f in dvmap],
             "file string, __dv_path string",
         )
         return (
@@ -2870,11 +2889,7 @@ class ManifestCommit(ParquetLeaseCommit):
                 )
             return df.withColumns(
                 {
-                    "__dv_path": F.regexp_replace(
-                        F.col("_metadata.file_path"),
-                        r"^[A-Za-z][A-Za-z0-9+.\-]*:/+",
-                        "/",
-                    ),
+                    "__dv_path": self._file_key_col(),
                     "__dv_pos": F.col("_metadata.row_index"),
                 }
             )
@@ -2900,9 +2915,9 @@ class ManifestCommit(ParquetLeaseCommit):
             out = out.unionByName(p)
         extra = ()
         if keep_pos:
-            # resolve the normalized path back to the member relpath
+            # resolve the raw-path key back to the member relpath
             rels = store.spark.createDataFrame(
-                [(self._norm_uri(f"{base}/{f}"), f) for f in files],
+                [(self._file_key(f"{base}/{f}"), f) for f in files],
                 "__dv_path string, __dv_file string",
             )
             out = out.join(F.broadcast(rels), "__dv_path").drop(

@@ -674,6 +674,28 @@ class TestDvMerge:
         )
         assert commit.read_table(host, path).count() == 99
 
+    def test_partition_values_that_uri_encode(self, spark, tmp_path):
+        """``_metadata.file_path`` is a URI: a partition value with a
+        space reads as ``%20`` and hive-escaped chars double-encode —
+        the position join must not care (it keys on basenames). A
+        full-path string join silently resurrected deleted rows
+        here."""
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "enc")
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "c:d"), (4, "c:d")],
+            "id long, tag string",
+        )
+        commit.append_partitioned(host, df.coalesce(1), path, ["tag"])
+        st = delete_rows(
+            host, path, _ids(spark, [1, 3]), ["id"],
+            commit=commit, mode="dv",
+        )
+        assert st.files_rewritten == 2
+        cur = commit.read_table(host, path)
+        got = sorted((r.id, r.tag) for r in cur.collect())
+        assert got == [(2, "a b"), (4, "c:d")]
+
     def test_duplicate_target_keys_all_die(self, spark, tmp_path):
         host, commit = CommitHost(spark), ManifestCommit()
         path = str(tmp_path / "dup")
