@@ -653,3 +653,70 @@ UNREGISTERED_ORACLES["dv_row_mutation"] = (
     dv_row_mutation,
     DV_ROW_MUTATION_ORACLE,
 )
+
+# ------------------------------------------------------- replace_range
+# Oracle-checked differential for the atomic replaceWhere primitive
+# (r14): a throwaway manifest table takes a band replacement — every
+# row in [lo, hi] swapped for a recomputed source in ONE commit — and
+# the final read must equal DuckDB computing the same swap algebra
+# (survivors outside the band + the recomputed rows inside it).
+REPLACE_RANGE_ORACLE = """
+WITH slice AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(value AS DOUBLE) AS value
+  FROM events WHERE event_id % 40 = 0
+)
+SELECT event_id, value FROM slice WHERE event_id < 2000 OR event_id > 6000
+UNION ALL
+SELECT event_id, -value AS value FROM slice
+WHERE event_id BETWEEN 2000 AND 6000 AND event_id % 80 = 0
+"""
+
+
+def replace_range_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band replacement on a throwaway manifest table; returns the
+    post-swap state — the backfill/restatement lifecycle under one
+    differential check."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from redis_lsm_timeseries_spark.commit import (
+        CommitHost,
+        ManifestCommit,
+    )
+    from redis_lsm_timeseries_spark.operators.merge import replace_range
+
+    base_dir = _tempfile.mkdtemp(prefix="rlts_replace_")
+    try:
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = f"{base_dir}/t"
+        slice_df = (
+            load_events(spark, sf_dir)
+            .where(F.col("event_id") % 40 == 0)
+            .select("event_id", "value")
+        )
+        commit.append_tables(
+            host, path,
+            {"": slice_df.repartitionByRange(4, "event_id")},
+        )
+        recomputed = (
+            slice_df.where(
+                F.col("event_id").between(2000, 6000)
+                & (F.col("event_id") % 80 == 0)
+            )
+            .withColumn("value", -F.col("value"))
+        )
+        replace_range(
+            host, path, recomputed, "event_id",
+            lo=2000, hi=6000, commit=commit,
+        )
+        out = commit.read_table(host, path).select("event_id", "value")
+        return out.localCheckpoint(eager=True)  # outlives the rmtree
+    finally:
+        _shutil.rmtree(base_dir, ignore_errors=True)
+
+
+UNREGISTERED_ORACLES["replace_range_restatement"] = (
+    replace_range_restatement,
+    REPLACE_RANGE_ORACLE,
+)

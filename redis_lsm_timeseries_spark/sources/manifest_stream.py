@@ -323,12 +323,18 @@ def _ts_ms(value) -> int:
 def _hive_values(relpath: str) -> dict:
     """``tag=x/part_start=0/part-....parquet`` -> {"tag": "x",
     "part_start": "0"} (values stay strings; the schema cast types
-    them)."""
+    them). Values UNESCAPE hive's path encoding (``tag=c%3Ad`` on
+    disk is the value ``c:d``) — Spark's native partition discovery
+    does the same, so the connector must agree with ``read_table``;
+    the hive NULL sentinel reads back as None."""
+    from redis_lsm_timeseries_spark.commit import ManifestCommit
+
     out: dict = {}
     for seg in relpath.split("/")[:-1]:
         if "=" in seg:
             k, v = seg.split("=", 1)
-            out[k] = v
+            raw = ManifestCommit._unescape_partition(v)
+            out[k] = None if raw == ManifestCommit.HIVE_NULL else raw
     return out
 
 
@@ -1033,7 +1039,9 @@ class ManifestTableDataSource(DataSource):
                 try:
                     int(v)
                     fields.append(StructField(k, LongType(), True))
-                except ValueError:
+                except (ValueError, TypeError):
+                    # non-numeric value, or the sampled file sits in a
+                    # NULL partition (value None)
                     fields.append(StructField(k, StringType(), True))
         if self._wants_cdf(self.options):
             fields.append(StructField(CDF_TYPE, StringType(), True))

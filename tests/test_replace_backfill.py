@@ -126,6 +126,45 @@ class TestReplaceRange:
         replace_range(host, path, empty, "id", lo=200, hi=299, commit=commit)
         assert commit.read_table(host, path).count() == 200
 
+    def test_composes_with_schema_mapping(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        commit.rename_column(host, path, "v", "val")
+        new = spark.range(100, 120).selectExpr("id", "id AS val")
+        replace_range(host, path, new, "id", lo=100, hi=199, commit=commit)
+        cur = commit.read_table(host, path)
+        assert cur.columns == ["id", "val"]
+        assert cur.count() == 220
+        assert cur.where("id = 110").first()["val"] == 110
+
+
+class TestConnectorHiveUnescape:
+    def test_escaped_partition_values_round_trip(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            read_table_batch,
+        )
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "esc")
+        df = spark.createDataFrame(
+            [(1, "c:d"), (2, "a b"), (3, "p%q")],
+            "id long, tag string",
+        )
+        commit.append_partitioned(host, df.coalesce(1), path, ["tag"])
+        # the connector must agree with the native scan's unescaping
+        native = sorted(
+            (r.id, r.tag)
+            for r in commit.read_table(host, path).collect()
+        )
+        via_connector = sorted(
+            (r.id, r.tag)
+            for r in read_table_batch(
+                spark, path, schema="id long, tag string"
+            ).collect()
+        )
+        assert via_connector == native == [
+            (1, "c:d"), (2, "a b"), (3, "p%q"),
+        ]
+
 
 class TestBackfillFileStats:
     def _statless_fx(self, spark, tmp_path, monkeypatch):
