@@ -1633,7 +1633,7 @@ class ManifestCommit(ParquetLeaseCommit):
         df = self._to_physical(
             store, root, member, store.spark.createDataFrame(rdd, schema)
         )
-        files = self._stage_in(
+        files = self._stage_data(
             store, root, member,
             lambda tmp: df.write.mode("overwrite").parquet(tmp),
         )
@@ -1658,7 +1658,7 @@ class ManifestCommit(ParquetLeaseCommit):
             )
         root, member = target
         df = self._to_physical(store, root, member, df)
-        files = self._stage_in(
+        files = self._stage_data(
             store, root, member,
             lambda tmp: (
                 df.write.mode("overwrite")
@@ -1704,7 +1704,7 @@ class ManifestCommit(ParquetLeaseCommit):
         if df is not None:
             df = self._to_physical(store, root, member, df)
         files = (
-            self._stage_in(
+            self._stage_data(
                 store, root, member,
                 lambda tmp: (
                     df.write.mode("overwrite")
@@ -1795,7 +1795,7 @@ class ManifestCommit(ParquetLeaseCommit):
         root, member = target
         _, tables0 = self._current(store, root)
         base = list(tables0.get(member, []))
-        files = self._stage_in(store, root, member, write_snapshot)
+        files = self._stage_data(store, root, member, write_snapshot)
 
         def mutate(tables):
             if list(tables.get(member, [])) != base:
@@ -2081,6 +2081,9 @@ class ManifestCommit(ParquetLeaseCommit):
         if target is None:
             return super().rename_column(store, path, old, new)
         root, member = target
+        self._guard_constrained_column(
+            store, root, member, old, "rename_column"
+        )
         logical_cols = self.read_table(store, path, None).columns
         if old not in logical_cols:
             raise ValidationError(
@@ -2141,6 +2144,9 @@ class ManifestCommit(ParquetLeaseCommit):
         if target is None:
             return super().drop_column(store, path, column)
         root, member = target
+        self._guard_constrained_column(
+            store, root, member, column, "drop_column"
+        )
         logical_cols = self.read_table(store, path, None).columns
         if column not in logical_cols:
             raise ValidationError(
@@ -2224,6 +2230,160 @@ class ManifestCommit(ParquetLeaseCommit):
             {key: entry.get("app", {}).get(key)}
         )
         self._commit(store, root, mutate)
+
+    # -- CHECK constraints (r14) ---------------------------------------
+    # Schema-level data-quality enforcement, the Delta CHECK
+    # constraint idiom: a named SQL boolean over LOGICAL column names,
+    # stored in the member's app map and validated against every
+    # staged data write through this commit class BEFORE the commit
+    # lands — a violating batch aborts with the first bad row and
+    # nothing becomes visible. Zero overhead when a member has no
+    # constraints (one cached dict lookup per staged write).
+
+    @staticmethod
+    def _constraint_key(member: str) -> str:
+        return f"__constraints__:{member}" if member else "__constraints__:"
+
+    def table_constraints(self, store, path: str) -> dict:
+        """{name: sql_expr} for the member (empty when none /
+        unmanaged)."""
+        resolved = self._resolve(store, path)
+        if resolved is None:
+            return {}
+        root, member = resolved
+        _, entry = self._current_entry(store, root)
+        return dict(
+            entry.get("app", {}).get(self._constraint_key(member)) or {}
+        )
+
+    @staticmethod
+    def _violation(df, expr: str):
+        """First row of ``df`` violating the boolean ``expr`` (NULL
+        evaluations count as violations — a constraint must PROVE
+        every row), or None."""
+        bad = df.where(
+            ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+        ).limit(1)
+        rows = bad.collect()
+        return rows[0] if rows else None
+
+    def add_constraint(
+        self, store, path: str, name: str, expr: str
+    ) -> None:
+        """Install a CHECK constraint: every EXISTING row must satisfy
+        ``expr`` (one scan, refused with the first violation — the
+        Delta ADD CONSTRAINT contract), then every future staged write
+        validates against it. ``expr`` references LOGICAL column
+        names; renaming or dropping a referenced column refuses while
+        the constraint stands."""
+        target = self._target_for_write(store, path)
+        if target is None:
+            raise ValidationError(
+                f"add_constraint: {path!r} is not manifest-managed"
+            )
+        root, member = target
+        key = self._constraint_key(member)
+        _, entry = self._current_entry(store, root)
+        cur = dict(entry.get("app", {}).get(key) or {})
+        if name in cur:
+            raise ValidationError(
+                f"add_constraint: {name!r} already exists "
+                f"({cur[name]}); drop it first"
+            )
+        if self.table_exists(store, path):
+            row = self._violation(self.read_table(store, path), expr)
+            if row is not None:
+                raise ValidationError(
+                    f"add_constraint {name!r}: existing row violates "
+                    f"({expr}): {row.asDict()}"
+                )
+        cur[name] = str(expr)
+        mutate = lambda t: t  # noqa: E731 — metadata-only commit
+        mutate.app_meta = {key: cur}
+        mutate.entry_guard = self._app_cas_guard(
+            {key: entry.get("app", {}).get(key)}
+        )
+        self._commit(store, root, mutate)
+
+    def drop_constraint(self, store, path: str, name: str) -> None:
+        """Remove a CHECK constraint (idempotent)."""
+        target = self._target_for_write(store, path)
+        if target is None:
+            raise ValidationError(
+                f"drop_constraint: {path!r} is not manifest-managed"
+            )
+        root, member = target
+        key = self._constraint_key(member)
+        _, entry = self._current_entry(store, root)
+        cur = dict(entry.get("app", {}).get(key) or {})
+        if name not in cur:
+            return
+        cur.pop(name)
+        mutate = lambda t: t  # noqa: E731
+        mutate.app_meta = {key: cur}
+        mutate.entry_guard = self._app_cas_guard(
+            {key: entry.get("app", {}).get(key)}
+        )
+        self._commit(store, root, mutate)
+
+    def _stage_data(self, store, root: str, member: str, write_fn):
+        """``_stage_in`` for DATA files, with CHECK-constraint
+        validation of the staged rows (logical view on mapped
+        members) BEFORE any commit references them: a violation
+        removes the staged files and raises — nothing half-lands.
+        CDF files and DV blobs stage raw (they are change metadata,
+        not table content)."""
+        files = self._stage_in(store, root, member, write_fn)
+        if not files:
+            return files
+        _, entry = self._current_entry(store, root)
+        cons = entry.get("app", {}).get(self._constraint_key(member))
+        if not cons:
+            return files
+        base = self._member_root(root, member)
+        meta = entry.get("app", {}).get(self._schema_key(member)) or {}
+        df = (
+            self._mapped_scan(store, base, files, meta)
+            if meta
+            else store.spark.read.option("basePath", base).parquet(
+                *[f"{base}/{f}" for f in files]
+            )
+        )
+        for cname, expr in sorted(cons.items()):
+            row = self._violation(df, expr)
+            if row is not None:
+                for f in files:
+                    try:
+                        store.fs.remove_file(f"{base}/{f}")
+                    except Exception:
+                        pass  # vacuum's orphan sweep is the backstop
+                raise ValidationError(
+                    f"CHECK constraint {cname!r} ({expr}) violated by "
+                    f"staged row {row.asDict()} — nothing committed"
+                )
+        return files
+
+    def _guard_constrained_column(
+        self, store, root: str, member: str, column: str, action: str
+    ) -> None:
+        """Refuse schema changes to a column a CHECK constraint
+        references (conservative word-boundary match — the constraint
+        would silently stop seeing the data it guards)."""
+        import re
+
+        _, entry = self._current_entry(store, root)
+        cons = (
+            entry.get("app", {}).get(self._constraint_key(member)) or {}
+        )
+        hits = [
+            n for n, e in cons.items()
+            if re.search(rf"\b{re.escape(column)}\b", e)
+        ]
+        if hits:
+            raise ValidationError(
+                f"{action}: column {column!r} is referenced by CHECK "
+                f"constraint(s) {sorted(hits)}; drop them first"
+            )
 
     @staticmethod
     def cdf_member_of(member: str) -> str:
@@ -2327,8 +2487,17 @@ class ManifestCommit(ParquetLeaseCommit):
                 "content — it cannot be marked kind='preserve' (feeds "
                 "would silently skip the delete); stage cdf_df instead"
             )
+        preserve = (change or {}).get("kind") == "preserve"
         files = (
-            self._stage_in(store, root, member, write_fn)
+            (
+                # content-identical by the caller's own preserve
+                # contract (compaction, Z-order, stats backfill):
+                # re-validating CHECK constraints would re-scan data
+                # that already passed them on its original write
+                self._stage_in(store, root, member, write_fn)
+                if preserve
+                else self._stage_data(store, root, member, write_fn)
+            )
             if write_fn is not None
             else []
         )
@@ -3612,7 +3781,7 @@ class ManifestCommit(ParquetLeaseCommit):
         if df is not None:
             df = self._to_physical(store, root, member, df)
         files = (
-            self._stage_in(
+            self._stage_data(
                 store, root, member,
                 lambda tmp: df.write.mode("overwrite").parquet(tmp),
             )
@@ -3646,7 +3815,7 @@ class ManifestCommit(ParquetLeaseCommit):
             )
         root, member = target
         df = self._to_physical(store, root, member, df)
-        files = self._stage_in(
+        files = self._stage_data(
             store, root, member,
             lambda tmp: df.write.mode("overwrite").parquet(tmp),
         )
@@ -3792,7 +3961,7 @@ class ManifestCommit(ParquetLeaseCommit):
                 "end-to-end manifest management"
             )
         staged = {
-            member: self._stage_in(
+            member: self._stage_data(
                 store, root, member,
                 lambda tmp, d=self._to_physical(store, root, member, df):
                     d.write.mode("overwrite").parquet(tmp),
@@ -3836,7 +4005,7 @@ class ManifestCommit(ParquetLeaseCommit):
                 "end-to-end manifest management"
             )
         staged = {
-            member: self._stage_in(
+            member: self._stage_data(
                 store, root, member,
                 lambda tmp, d=self._to_physical(store, root, member, df):
                     d.write.mode("overwrite").parquet(tmp),

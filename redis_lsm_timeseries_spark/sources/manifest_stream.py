@@ -859,6 +859,17 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 "rlts_table writer: the member is hive-partitioned; "
                 "reproduce the layout with append_partitioned instead"
             )
+        cons = entry.get("app", {}).get(
+            commit._constraint_key(self.member)
+        ) or {}
+        if cons:
+            raise ValidationError(
+                "rlts_table writer: the member has CHECK "
+                f"constraint(s) {sorted(cons)} — the connector's "
+                "task-side Arrow path cannot evaluate SQL "
+                "constraints; append through the engine's commit "
+                "APIs (which validate staged rows) instead"
+            )
         smeta = entry.get("app", {}).get(
             commit._schema_key(self.member)
         ) or {}

@@ -1,0 +1,191 @@
+"""CHECK constraints (r14) — the Delta constraint idiom on the
+manifest commit: a named SQL boolean over logical columns, validated
+against existing data at ADD time and against every staged data write
+before its commit lands. A violating batch aborts atomically (staged
+files removed, nothing visible); CDF files and DV blobs are change
+metadata, not table content, and stage unchecked; schema changes to a
+referenced column refuse while the constraint stands."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from redis_lsm_timeseries_spark.commit import CommitHost, ManifestCommit
+from redis_lsm_timeseries_spark.errors import ValidationError
+from redis_lsm_timeseries_spark.operators.merge import (
+    delete_rows,
+    merge_into,
+)
+
+SCHEMA = "id long, v long"
+
+
+def _fx(spark, tmp_path, n=20):
+    host, commit = CommitHost(spark), ManifestCommit()
+    path = str(tmp_path / "t")
+    commit.append_tables(
+        host, path,
+        {"": spark.range(n).selectExpr("id", "id * 2 AS v").coalesce(1)},
+    )
+    return host, commit, path
+
+
+class TestCheckConstraints:
+    def test_add_validates_existing_then_gates_appends(
+        self, spark, tmp_path
+    ):
+        host, commit, path = _fx(spark, tmp_path)
+        commit.add_constraint(host, path, "v_nonneg", "v >= 0")
+        assert commit.table_constraints(host, path) == {
+            "v_nonneg": "v >= 0"
+        }
+        # a violating append aborts atomically
+        files_before = commit.member_files(host, path)
+        v_before = commit.table_versions(host, path)[-1]
+        with pytest.raises(ValidationError, match="v_nonneg"):
+            commit.append_tables(
+                host, path,
+                {"": spark.createDataFrame([(99, -1)], SCHEMA)
+                 .coalesce(1)},
+            )
+        assert commit.member_files(host, path) == files_before
+        assert commit.table_versions(host, path)[-1] == v_before
+        # a clean append lands
+        commit.append_tables(
+            host, path,
+            {"": spark.createDataFrame([(99, 0)], SCHEMA).coalesce(1)},
+        )
+        assert commit.read_table(host, path).count() == 21
+
+    def test_add_refuses_on_existing_violation(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        with pytest.raises(ValidationError, match="existing row"):
+            commit.add_constraint(host, path, "small", "v < 10")
+        assert commit.table_constraints(host, path) == {}
+
+    def test_null_evaluations_are_violations(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        commit.add_constraint(host, path, "v_pos", "v >= 0")
+        with pytest.raises(ValidationError, match="v_pos"):
+            commit.append_tables(
+                host, path,
+                {"": spark.createDataFrame(
+                    [(1, None)], SCHEMA
+                ).coalesce(1)},
+            )
+
+    def test_merge_and_replace_outputs_validate(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.operators.merge import (
+            replace_range,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        commit.add_constraint(host, path, "v_nonneg", "v >= 0")
+        with pytest.raises(ValidationError, match="v_nonneg"):
+            merge_into(
+                host, path,
+                spark.createDataFrame([(5, -5)], SCHEMA),
+                ["id"], commit=commit,
+            )
+        with pytest.raises(ValidationError, match="v_nonneg"):
+            replace_range(
+                host, path,
+                spark.createDataFrame([(5, -5)], SCHEMA),
+                "id", lo=0, hi=9, commit=commit,
+            )
+        # clean merge passes; dv mode passes too (appends validate)
+        merge_into(
+            host, path,
+            spark.createDataFrame([(5, 500)], SCHEMA),
+            ["id"], commit=commit, mode="dv",
+        )
+        assert commit.read_table(host, path).where(
+            "id = 5"
+        ).first()["v"] == 500
+
+    def test_dv_delete_unaffected_by_constraints(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        commit.add_constraint(host, path, "v_nonneg", "v >= 0")
+        # a DV delete stages only a positions blob (file/pos schema —
+        # not table content); it must not trip the constraint scan
+        delete_rows(
+            host, path,
+            spark.createDataFrame([(3,)], "id long"), ["id"],
+            commit=commit, mode="dv",
+        )
+        assert commit.read_table(host, path).count() == 19
+
+    def test_drop_constraint_reopens(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        commit.add_constraint(host, path, "v_nonneg", "v >= 0")
+        commit.drop_constraint(host, path, "v_nonneg")
+        commit.append_tables(
+            host, path,
+            {"": spark.createDataFrame([(99, -1)], SCHEMA).coalesce(1)},
+        )
+        assert commit.read_table(host, path).count() == 21
+        commit.drop_constraint(host, path, "nope")  # idempotent
+
+    def test_schema_changes_to_referenced_column_refuse(
+        self, spark, tmp_path
+    ):
+        host, commit, path = _fx(spark, tmp_path)
+        commit.add_constraint(host, path, "v_nonneg", "v >= 0")
+        with pytest.raises(ValidationError, match="v_nonneg"):
+            commit.rename_column(host, path, "v", "val")
+        with pytest.raises(ValidationError, match="v_nonneg"):
+            commit.drop_column(host, path, "v")
+        # an unreferenced column still evolves
+        commit.rename_column(host, path, "id", "ident")
+        assert commit.read_table(host, path).columns == ["ident", "v"]
+
+    def test_composes_with_schema_mapping(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        commit.rename_column(host, path, "v", "val")
+        commit.add_constraint(host, path, "val_nonneg", "val >= 0")
+        # staged files carry PHYSICAL names; validation must run on
+        # the logical view the expression references
+        with pytest.raises(ValidationError, match="val_nonneg"):
+            commit.append_tables(
+                host, path,
+                {"": spark.createDataFrame(
+                    [(1, -1)], "id long, val long"
+                ).coalesce(1)},
+            )
+        commit.append_tables(
+            host, path,
+            {"": spark.createDataFrame(
+                [(1, 1)], "id long, val long"
+            ).coalesce(1)},
+        )
+        assert commit.read_table(host, path).count() == 21
+
+    def test_connector_writer_refuses(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            register_manifest_source,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        commit.add_constraint(host, path, "v_nonneg", "v >= 0")
+        register_manifest_source(spark)
+        with pytest.raises(Exception, match="CHECK"):
+            (
+                spark.createDataFrame([(1, 1)], SCHEMA)
+                .write.format("rlts_table")
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+
+    def test_concurrent_add_conflicts(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.errors import (
+            RewriteConflictError,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        commit.add_constraint(host, path, "a", "v >= 0")
+        # a second add planned against the pre-"a" entry must CAS-fail
+        # rather than clobber: simulate by re-adding the same name
+        with pytest.raises(ValidationError, match="already exists"):
+            commit.add_constraint(host, path, "a", "v >= 1")
