@@ -2881,6 +2881,97 @@ class ManifestCommit(ParquetLeaseCommit):
         self._prune_empty_dirs(store, data_root)
         return removed
 
+    def vacuum_report(
+        self,
+        store,
+        root: str,
+        retain_versions: int | None = None,
+        grace_s: float | None = None,
+    ) -> dict:
+        """DRY RUN of the data-file sweep: what a ``vacuum`` with the
+        same arguments would collect, computed READ-ONLY — no log
+        pruning, no anchoring checkpoint, no deletion of any kind
+        (the Delta ``VACUUM ... DRY RUN`` idiom). Returns counts plus
+        a bounded sample of the dead files. Log-entry/claim pruning
+        is reported as a count only (tiny metadata). The numbers are
+        a point-in-time estimate: a racing commit can change them."""
+        retain = (
+            self.KEEP_LOG_ENTRIES
+            if retain_versions is None
+            else max(1, int(retain_versions))
+        )
+        grace = (
+            self.VACUUM_GRACE_S if grace_s is None else max(0.0, grace_s)
+        )
+        resolved = self._resolve(store, root)
+        if resolved is None or resolved[0] != root:
+            return {"dead_files": 0, "dead_in_grace": 0,
+                    "live_files": 0, "prunable_log_entries": 0,
+                    "sample": []}
+        evs, cps = self._list_log(store, root)
+        retained = evs[-retain:] if evs else []
+        live: set[str] = set()
+        cut = 0
+        if retained:
+            oldest = retained[0]
+            cut = oldest
+            anchors = [cv for cv in cps if cv <= oldest]
+            if anchors and oldest - anchors[-1] <= self.CHECKPOINT_INTERVAL:
+                cut = anchors[-1]
+            _, state = self._reconstruct(store, root, cut)
+
+            def _collect(entry_or_none) -> None:
+                live.update(
+                    f"{self._member_root(root, m)}/{f}"
+                    for m, fs_ in state["tables"].items()
+                    for f in fs_
+                )
+                for m, fsmap in state.get("stats", {}).items():
+                    mroot = self._member_root(root, m)
+                    for s in fsmap.values():
+                        d = (s or {}).get("dv")
+                        if d:
+                            live.add(f"{mroot}/{d['path']}")
+                change = (entry_or_none or {}).get("change") or {}
+                if change.get("kind") == "cdf":
+                    base = self._member_root(root, change["cdf_member"])
+                    live.update(
+                        f"{base}/{f}" for f in change.get("files", [])
+                    )
+
+            head = json.loads(
+                store.fs.read_text(f"{root}/{LOG_DIR}/{cut:020d}.json")
+            )
+            _collect(head)
+            for v in [x for x in evs if x > cut]:
+                entry = json.loads(
+                    store.fs.read_text(
+                        f"{root}/{LOG_DIR}/{v:020d}.json"
+                    )
+                )
+                self._apply_entry(state, entry)
+                _collect(entry)
+        data_root = f"{root}/{DATA_DIR}"
+        dead, in_grace, sample = 0, 0, []
+        for rel in self._walk_parquet(store, data_root):
+            full = f"{data_root}/{rel}"
+            if full in live:
+                continue
+            age = store.fs.age_seconds(full)
+            if grace > 0 and age is not None and age < grace:
+                in_grace += 1
+            else:
+                dead += 1
+                if len(sample) < 20:
+                    sample.append(rel)
+        return {
+            "dead_files": dead,
+            "dead_in_grace": in_grace,
+            "live_files": len(live),
+            "prunable_log_entries": len([x for x in evs if x < cut]),
+            "sample": sample,
+        }
+
     def _prune_empty_dirs(self, store, base: str) -> None:
         if not store.fs.exists(base) or not store.fs.is_dir(base):
             return

@@ -259,6 +259,7 @@ def table_report(host, path: str, commit: ManifestCommit | None = None):
             1 for s in with_stats.values() if s.get("dv")
         ),
         "dv_rows": dv_rows,
+        "constraints": sorted(commit.table_constraints(host, path)),
     }
 
 

@@ -137,6 +137,59 @@ class TestReplaceRange:
         assert cur.where("id = 110").first()["val"] == 110
 
 
+class TestVacuumReport:
+    def test_dry_run_predicts_the_sweep(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        root, _ = commit._resolve(host, path)
+        # a rewrite makes the old files dead once history rolls off
+        delete_rows(
+            host, path, _ids(spark, range(100, 200)), ["id"],
+            commit=commit, mode="rewrite",
+        )
+        rep = commit.vacuum_report(host, root, retain_versions=1,
+                                   grace_s=0)
+        assert rep["dead_files"] > 0
+        assert rep["live_files"] > 0
+        assert len(rep["sample"]) == min(rep["dead_files"], 20)
+        before = commit.member_files(host, path)
+        # the dry run removed NOTHING
+        rep2 = commit.vacuum_report(host, root, retain_versions=1,
+                                    grace_s=0)
+        assert rep2["dead_files"] == rep["dead_files"]
+        # the real vacuum collects exactly the predicted data files
+        n = commit.vacuum(host, root, retain_versions=1, grace_s=0)
+        assert n == rep["dead_files"]
+        assert commit.member_files(host, path) == before
+        rep3 = commit.vacuum_report(host, root, retain_versions=1,
+                                    grace_s=0)
+        assert rep3["dead_files"] == 0
+
+    def test_grace_window_reported_separately(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        root, _ = commit._resolve(host, path)
+        delete_rows(
+            host, path, _ids(spark, range(100, 200)), ["id"],
+            commit=commit, mode="rewrite",
+        )
+        rep = commit.vacuum_report(host, root, retain_versions=1)
+        # default grace: the fresh orphans are in-grace, not dead
+        assert rep["dead_files"] == 0
+        assert rep["dead_in_grace"] > 0
+
+    def test_dv_blobs_counted_live(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        root, _ = commit._resolve(host, path)
+        delete_rows(
+            host, path, _ids(spark, [5]), ["id"],
+            commit=commit, mode="dv",
+        )
+        rep = commit.vacuum_report(host, root, retain_versions=1,
+                                   grace_s=0)
+        # 3 data files + the positions blob + the delete's CDF file
+        assert rep["live_files"] == 5
+        assert rep["dead_files"] == 0
+
+
 class TestConnectorHiveUnescape:
     def test_escaped_partition_values_round_trip(self, spark, tmp_path):
         from redis_lsm_timeseries_spark.sources.manifest_stream import (
