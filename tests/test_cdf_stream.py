@@ -279,6 +279,28 @@ class TestChangeFeedStream:
         )
         assert df3.count() == 5  # 3 inserts + upsert + delete
 
+    def test_batch_change_feed_on_mapped_member(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            read_table_batch,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        commit.rename_column(host, path, "v", "val")
+        v0 = commit.table_versions(host, path)[-1]
+        merge_into(
+            host, path,
+            spark.createDataFrame([(2, 99)], "k long, val long"),
+            ["k"], commit=commit, mode="dv",
+        )
+        df = read_table_batch(
+            spark, path,
+            schema="k long, val long, _change_type string, "
+            "_commit_version long",
+            readchangefeed="true", startingversion=str(v0),
+        )
+        rows = [(r.k, r.val, r._change_type) for r in df.collect()]
+        assert rows == [(2, 99, "upsert")]
+
     def test_batch_timestamp_as_of(self, spark, tmp_path):
         import time as _t
 
