@@ -279,6 +279,7 @@ def optimize_table(
     max_groups: int | None = None,
     vacuum_retain: int | None = None,
     commit: ManifestCommit | None = None,
+    dv_debt_fraction: float = 0.2,
 ) -> OptimizeStats:
     """One maintenance pass over a manifest member, in the order the
     steps compose best: fold small files (so the Z-order pass
@@ -299,6 +300,7 @@ def optimize_table(
     cs = compact_small_files(
         host, path, target_rows=target_rows,
         max_groups=max_groups, commit=commit,
+        dv_debt_fraction=dv_debt_fraction,
     )
     clustered = 0
     if zorder_cols:
