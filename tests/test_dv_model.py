@@ -21,6 +21,7 @@ from redis_lsm_timeseries_spark.operators.merge import (
     delete_range,
     delete_rows,
     merge_into,
+    replace_range,
 )
 
 SCHEMA = "k long, v long"
@@ -92,6 +93,25 @@ def test_dv_mutation_tracks_model(spark, tmp_path, seed):
         for k, v in rows:
             model[k] = v
 
+    def do_replace():
+        if not model:
+            return
+        lo = rng.choice(sorted(model))
+        hi = lo + rng.randint(0, 6)
+        new_rows = [
+            (k, k * 100)
+            for k in range(lo, hi + 1)
+            if rng.random() < 0.5
+        ]
+        replace_range(
+            host, path, mk(new_rows) if new_rows else mk([]), "k",
+            lo=lo, hi=hi, commit=commit,
+        )
+        for k in [k for k in model if lo <= k <= hi]:
+            del model[k]
+        for k, v in new_rows:
+            model[k] = v
+
     def do_compact():
         compact_small_files(
             host, path, target_rows=1_000, min_group=1, commit=commit
@@ -103,7 +123,7 @@ def test_dv_mutation_tracks_model(spark, tmp_path, seed):
 
     do_append()
     ops = [do_append, do_delete, do_delete, do_delete_range,
-           do_merge, do_merge, do_compact, do_vacuum]
+           do_merge, do_merge, do_replace, do_compact, do_vacuum]
     for i in range(18):
         op = rng.choice(ops)
         op()
