@@ -639,6 +639,17 @@ _RECON_CACHE_ORDER: list = []
 _RECON_CACHE_MAX = 64
 _RECON_CACHE_LOCK = threading.Lock()
 
+#: thread-local handoff from ``_stage_data`` (the one data-staging
+#: chokepoint) to ``_commit``: {(root, member): constraint map
+#: validated at staging (None = none existed)}. ``_commit`` drains
+#: its root's entries and CAS-checks each against the entry the
+#: commit lands on — closing the stage-to-commit window in which a
+#: concurrent ``add_constraint``/``drop_constraint`` could make the
+#: staged rows unvalidated (r15, ADVICE). Thread-local because the
+#: stage and its commit always run on one thread within one public
+#: call; concurrent writers on other threads keep their own maps.
+_CONS_CAS = threading.local()
+
 
 class ManifestCommit(ParquetLeaseCommit):
     """Transactional manifest-pointer backend — the documented
@@ -1173,7 +1184,23 @@ class ManifestCommit(ParquetLeaseCommit):
         source position here is exactly-once by construction."""
         add = getattr(mutate, "stats_add", None) or {}
         app_add = getattr(mutate, "app_meta", None) or {}
-        restat = getattr(mutate, "restat", None) or {}
+        base_restat = getattr(mutate, "restat", None) or {}
+        # restat_overlay (r15, ADVICE): {member: {file: {field: val}}}
+        # merged PER-FIELD onto the file's stats block AS OF the entry
+        # the commit lands on — a DV attach that rode a whole-block
+        # restat would clobber a concurrent backfill_file_stats back
+        # to plan-time values (rows: None), regressing skipping and
+        # fast_count. Resolved inside the loop so every retry re-reads.
+        overlay = getattr(mutate, "restat_overlay", None) or {}
+        # staged-data constraint CAS (see _CONS_CAS): the staged rows
+        # were validated against exactly these maps — a commit landing
+        # on a different map would reference unvalidated (or
+        # over-validated) files. Consumed ONLY by the commit that
+        # actually lands this member's staged files (detected by its
+        # file list changing), so an interleaved metadata commit on
+        # the same thread (the racing add_constraint itself, a cursor
+        # advance) neither drains nor trips it.
+        pend = getattr(_CONS_CAS, "map", None) or {}
         for attempt in range(self.MAX_COMMIT_ATTEMPTS):
             if attempt:
                 # linear backoff so N racing committers don't lock-step
@@ -1200,6 +1227,34 @@ class ManifestCommit(ParquetLeaseCommit):
                 # now-violated state forever.
                 guard(prev)
             new_tables = mutate(dict(tables))
+            touched = [
+                (r, m)
+                for (r, m) in list(pend)
+                if r == root
+                and list(new_tables.get(m, [])) != list(tables.get(m, []))
+            ]
+            for key_rm in touched:
+                exp = pend[key_rm]
+                m = key_rm[1]
+                cur = prev.get("app", {}).get(self._constraint_key(m))
+                if (dict(cur) if cur else None) != exp:
+                    pend.pop(key_rm, None)  # consumed by this failure
+                    raise RewriteConflictError(
+                        f"CHECK constraints of member {m!r} changed "
+                        f"between staging and commit ({exp!r} -> "
+                        f"{cur!r}); the staged rows were validated "
+                        "against the old map — re-stage on fresh state"
+                    )
+            restat = {m: dict(fmap) for m, fmap in base_restat.items()}
+            for m, fmap in overlay.items():
+                tgt = restat.setdefault(m, {})
+                for f, fields in fmap.items():
+                    cur = dict(
+                        cur_stats.get(m, {}).get(f)
+                        or {"rows": None, "cols": {}}
+                    )
+                    cur.update(fields)
+                    tgt[f] = cur
             merged = {
                 m: {
                     **cur_stats.get(m, {}),
@@ -1284,6 +1339,8 @@ class ManifestCommit(ParquetLeaseCommit):
             entry = json.dumps(payload)
             target = f"{root}/{LOG_DIR}/{version + 1:020d}.json"
             if store.fs.create_exclusive(target, entry):
+                for key_rm in touched:
+                    pend.pop(key_rm, None)  # staged files landed
                 n = version + 1
                 # seed the reconstruction cache with the state just
                 # committed: the next read or commit attempt resolves
@@ -2332,12 +2389,26 @@ class ManifestCommit(ParquetLeaseCommit):
         members) BEFORE any commit references them: a violation
         removes the staged files and raises — nothing half-lands.
         CDF files and DV blobs stage raw (they are change metadata,
-        not table content)."""
+        not table content).
+
+        The constraint map validated here is also recorded for the
+        commit that references these files (thread-local, drained by
+        ``_commit``): the commit CAS-checks it against the entry it
+        lands on, so a write staged BEFORE a concurrent
+        ``add_constraint`` cannot commit unvalidated rows behind the
+        new constraint (ADVICE r14 — add_constraint's full-table scan
+        cannot see staged-but-invisible files), and a constraint
+        dropped mid-write conflicts rather than silently diverging.
+        ``RewriteConflictError`` → re-stage on fresh state."""
         files = self._stage_in(store, root, member, write_fn)
         if not files:
             return files
         _, entry = self._current_entry(store, root)
         cons = entry.get("app", {}).get(self._constraint_key(member))
+        pend = getattr(_CONS_CAS, "map", None)
+        if pend is None:
+            pend = _CONS_CAS.map = {}
+        pend[(root, member)] = dict(cons) if cons else None
         if not cons:
             return files
         base = self._member_root(root, member)
@@ -2352,6 +2423,7 @@ class ManifestCommit(ParquetLeaseCommit):
         for cname, expr in sorted(cons.items()):
             row = self._violation(df, expr)
             if row is not None:
+                pend.pop((root, member), None)  # no commit will drain it
                 for f in files:
                     try:
                         store.fs.remove_file(f"{base}/{f}")
@@ -2421,6 +2493,8 @@ class ManifestCommit(ParquetLeaseCommit):
         app_meta: dict | None = None, entry_guard=None,
         cdf_df=None, change: dict | None = None,
         restat: dict | None = None,
+        restat_overlay: dict | None = None,
+        plan_dv: dict | None = None,
     ) -> list[str]:
         """File-granular copy-on-write: atomically replace the
         ``remove`` subset of a member's files with ``write_fn``'s
@@ -2448,6 +2522,19 @@ class ManifestCommit(ParquetLeaseCommit):
         retry loop, so it sees every racing commit) — callers use it
         to harden the narrow conflict rule, e.g. a MERGE raising on
         concurrent appends whose stats overlap its key envelope.
+
+        ``plan_dv`` (r15, ADVICE) closes the restat-vs-rewrite race:
+        the file-presence conflict check below cannot see a concurrent
+        DV ``restat`` — the file stays LISTED while its row content
+        changes, so replacement files materialized from the plan-time
+        scan would silently resurrect the concurrently DV-deleted rows
+        and discard the racer's vector. Callers pass the per-file DV
+        blob path their planning scan read (``scan_member_subset``
+        fills it via its ``plan`` out-param); the commit CAS-checks
+        each against the entry it lands on and raises
+        ``RewriteConflictError`` on drift — retry re-plans on fresh
+        state. Every remove-based rewrite in the engine (compaction,
+        Z-order, rewrite-mode merge/delete, replace_range) threads it.
 
         ``change`` annotates the entry for incremental consumers:
         ``{"kind": "preserve"}`` declares a content-identical rewrite
@@ -2477,10 +2564,21 @@ class ManifestCommit(ParquetLeaseCommit):
         root, member = target
         remove = list(remove)
         restat = dict(restat or {})
+        # restat_overlay: like ``restat`` but merging only the given
+        # FIELDS onto each file's commit-time stats block — the DV
+        # attach uses it so a concurrent stats backfill of a touched
+        # file survives the commit (ADVICE r14: whole-block restat
+        # clobbered rows back to plan-time None).
+        restat_overlay = dict(restat_overlay or {})
         if (
-            restat
+            (restat or restat_overlay)
             and (change or {}).get("kind") == "preserve"
-            and any("dv" in (b or {}) for b in restat.values())
+            and any(
+                "dv" in (b or {})
+                for b in (
+                    list(restat.values()) + list(restat_overlay.values())
+                )
+            )
         ):
             raise ValidationError(
                 "rewrite_files: a deletion-vector restat changes row "
@@ -2513,7 +2611,9 @@ class ManifestCommit(ParquetLeaseCommit):
             # racing rewrite replaced the file — the positions we
             # computed describe bytes no longer in the table
             missing += [
-                f for f in restat if f not in present or f in rm
+                f
+                for f in list(restat) + list(restat_overlay)
+                if f not in present or f in rm
             ]
             if missing:
                 raise RewriteConflictError(
@@ -2530,10 +2630,16 @@ class ManifestCommit(ParquetLeaseCommit):
         mutate.stats_add = self._file_stats(store, root, member, files)
         if restat:
             mutate.restat = {member: restat}
+        if restat_overlay:
+            mutate.restat_overlay = {member: restat_overlay}
         if callable(app_meta):
             app_meta = app_meta(list(files))
         if app_meta:
             mutate.app_meta = dict(app_meta)
+        if plan_dv is not None:
+            entry_guard = self._dv_cas_guard(
+                member, dict(plan_dv), entry_guard
+            )
         if entry_guard is not None:
             mutate.entry_guard = entry_guard
         if change:
@@ -2541,6 +2647,32 @@ class ManifestCommit(ParquetLeaseCommit):
         self._commit(store, root, mutate)
         self.vacuum(store, root)
         return files
+
+    @staticmethod
+    def _dv_cas_guard(member: str, plan_dv: dict, inner):
+        """Entry guard CAS-checking each planned file's CURRENT
+        deletion-vector blob path against the path the planning scan
+        filtered through (None = no DV at plan time). Runs inside the
+        optimistic-commit loop, so it sees every racing commit —
+        including a DV ``restat`` that keeps the file listed (which
+        the file-presence check cannot catch). Chains ``inner``."""
+
+        def guard(prev):
+            stats = prev.get("stats", {}).get(member, {})
+            for f, exp in plan_dv.items():
+                cur = ((stats.get(f) or {}).get("dv") or {}).get("path")
+                if cur != exp:
+                    raise RewriteConflictError(
+                        f"deletion vector of {f} changed since "
+                        f"planning ({exp!r} -> {cur!r}); a concurrent "
+                        "row-level delete landed — rewriting the "
+                        "plan-time bytes would resurrect its rows. "
+                        "Retry on fresh state"
+                    )
+            if inner is not None:
+                inner(prev)
+
+        return guard
 
     def repair_interrupted_rewrite(self, store, path: str) -> None:
         """Manifest commits are atomic — a crash mid-job leaves only
@@ -3032,6 +3164,20 @@ class ManifestCommit(ParquetLeaseCommit):
     # touching k rows of a 1 GB file costs O(k), not a file rewrite —
     # compaction materializes (drops the dv'd rows) on its own clock.
 
+    #: broadcast ceiling for the DV position mask, in POSITIONS
+    #: summed over every DV'd file a single scan touches (r15,
+    #: ADVICE): per-file debt is bounded (~20% by auto mode and
+    #: debt-aware compaction), but a wide scan over MANY files each
+    #: carrying moderate debt sums to O(all deleted positions) — at
+    #: 100 TB that exceeds any broadcast ceiling and fails the query.
+    #: At or below the threshold the mask broadcasts (today's plan: a
+    #: map-side anti-join, zero shuffle on the data); above it the
+    #: anti-join runs as a shuffle join — the data shuffles once on
+    #: (file, pos), but scales without a driver/executor-memory
+    #: ceiling. ~4M positions ≈ 100-200 MB broadcast (path string +
+    #: long per row), inside a healthy executor budget.
+    DV_BROADCAST_MAX_POSITIONS = 4_000_000
+
     @staticmethod
     def _dv_map(entry: dict, member: str, files) -> dict:
         """{relpath: dv block} for the subset of ``files`` carrying a
@@ -3163,8 +3309,31 @@ class ManifestCommit(ParquetLeaseCommit):
             dels = self._dv_deletes(
                 store, base, {f: dvmap[f] for f in dvd}
             )
+            # size-gate the mask (r15, ADVICE): the recorded per-file
+            # counts price the anti-join side at PLAN time — total
+            # scanned debt within the ceiling broadcasts (map-side
+            # anti-join, no shuffle on the data); past it, or with any
+            # count unrecorded, the join shuffles instead of blowing
+            # the broadcast ceiling. Same rows either way (plan-gated
+            # both modes in tests/test_deletion_vectors.py).
+            total_dv = 0
+            for f in dvd:
+                c = (dvmap[f] or {}).get("count")
+                if c is None:
+                    total_dv = None
+                    break
+                total_dv += int(c)
+            small = (
+                total_dv is not None
+                and total_dv <= self.DV_BROADCAST_MAX_POSITIONS
+            )
+            # the explicit shuffle_hash hint keeps the big path
+            # deterministic: the mask side hashes per partition (it is
+            # per-key tiny), and Spark cannot silently re-pick a
+            # driver-sized broadcast from a stale size estimate
             filt = raw.join(
-                F.broadcast(dels), ["__dv_path", "__dv_pos"],
+                F.broadcast(dels) if small else dels.hint("shuffle_hash"),
+                ["__dv_path", "__dv_pos"],
                 "left_anti",
             )
             parts.append(
@@ -3214,14 +3383,18 @@ class ManifestCommit(ParquetLeaseCommit):
     def scan_member_subset(
         self, store, path: str, files, *, logical: bool = True,
         schema=None, version: int | None = None,
-        keep_pos: bool = False,
+        keep_pos: bool = False, plan: dict | None = None,
     ) -> DataFrame:
         """DV-aware scan of an explicit file subset of a manifest
         member — the one reader every row-level rewrite path
         (merge/delete planning, compaction, Z-order) must use, so a
         rewrite can never resurrect rows a deletion vector removed.
         ``logical=False`` keeps physical column names (maintenance
-        rewrites store physical)."""
+        rewrites store physical). A caller-passed ``plan`` dict is
+        filled with ``{"dv": {relpath: blob path or None}}`` — the
+        exact DV state this scan filters through, which a rewrite
+        built from it must hand ``rewrite_files(plan_dv=...)`` so the
+        commit CAS-detects a concurrent restat (r15)."""
         if not files:
             raise ValidationError(
                 "scan_member_subset: empty file subset (callers "
@@ -3236,6 +3409,10 @@ class ManifestCommit(ParquetLeaseCommit):
         entry = self._load_entry(store, path, root, version)
         meta = entry.get("app", {}).get(self._schema_key(member)) or {}
         dvmap = self._dv_map(entry, member, files)
+        if plan is not None:
+            plan["dv"] = {
+                f: (dvmap.get(f) or {}).get("path") for f in files
+            }
         base = self._member_root(root, member)
         return self._dv_scan(
             store, base, files, meta, dvmap,

@@ -51,6 +51,18 @@ class VersionNotFoundError(EngineError):
     unrecoverable history). Carries the retained range in the message."""
 
 
+class RetentionError(EngineError):
+    """A change-feed read named a starting timestamp (or version)
+    that predates RETAINED history while version 0 is vacuumed:
+    changes committed at or after the requested point were pruned, so
+    serving "from the earliest retained version" would silently omit
+    that version's own changes — under-reading an incremental
+    consumer. Raised typed (the Delta CDF out-of-range posture);
+    remediation is a full resync from the current snapshot, or
+    ``startingVersion='earliest'`` when genesis replay is acceptable.
+    Carries the earliest retained version in the message."""
+
+
 class NonAppendHistoryError(EngineError):
     """A change-feed read (``ManifestCommit.read_changes``) spanned a
     version range that REMOVED files (a compaction rewrite, partition

@@ -129,7 +129,10 @@ def compact_small_files(
         # DV-aware subset scan (r14): a group file's deletion vector
         # filters here, so the replacement file MATERIALIZES the
         # delete — rewriting raw bytes would resurrect deleted rows
-        df = commit.scan_member_subset(host, path, group, logical=False)
+        plan: dict = {}
+        df = commit.scan_member_subset(
+            host, path, group, logical=False, plan=plan
+        )
 
         def write(tmp, df=df, pcols=pcols):
             w = df.coalesce(1).write.mode("overwrite")
@@ -138,9 +141,13 @@ def compact_small_files(
             w.parquet(tmp)
 
         try:
-            # content-identical rewrite: change feeds skip it outright
+            # content-identical rewrite: change feeds skip it outright.
+            # plan_dv (r15): a DV restat landing between this scan and
+            # the commit keeps the file listed — the CAS turns what
+            # would be silent row resurrection into a counted conflict
             commit.rewrite_files(
-                host, path, group, write, change={"kind": "preserve"}
+                host, path, group, write, change={"kind": "preserve"},
+                plan_dv=plan["dv"],
             )
         except RewriteConflictError:
             conflicts += 1

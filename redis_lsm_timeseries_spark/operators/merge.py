@@ -273,16 +273,18 @@ def _apply_dv_delete(
             if rows_of[f] is not None and totals[f] >= int(rows_of[f])
         ]
         live_dvd = [f for f in touched if f not in set(dead)]
-        restat = {}
+        overlay = {}
         if live_dvd:
             blob = commit.stage_dv(
                 host, path, new_rows.where(F.col("file").isin(live_dvd))
             )
-            restat = {
-                f: {
-                    **(stats.get(f) or {"rows": None, "cols": {}}),
-                    "dv": {"path": blob, "count": int(totals[f])},
-                }
+            # overlay ONLY the dv field (r15, ADVICE): the rest of the
+            # stats block is taken from the entry the commit lands on,
+            # so a concurrent backfill_file_stats restat of a touched
+            # file (rows/cols landed between planning and commit) is
+            # never clobbered back to plan-time values
+            overlay = {
+                f: {"dv": {"path": blob, "count": int(totals[f])}}
                 for f in live_dvd
             }
         expected = {
@@ -305,7 +307,7 @@ def _apply_dv_delete(
         )
         commit.rewrite_files(
             host, path, dead, staged_write,
-            restat=restat, cdf_df=cdf,
+            restat_overlay=overlay, cdf_df=cdf,
             entry_guard=_compose_guards(
                 envelope_guard,
                 _dv_guard(commit, member, expected),
@@ -369,15 +371,20 @@ def _compose_guards(*guards):
 
 
 def _affected_df(
-    host, commit, path: str, files: list[str], smeta: dict | None = None
+    host, commit, path: str, files: list[str],
+    smeta: dict | None = None, plan: dict | None = None,
 ) -> DataFrame:
     """The affected files as a DataFrame — the LOGICAL view on a
     schema-mapped member (widen-forced physical scan, then the
     inverse rename), so the merge clauses and key joins run on the
     same column names the caller's source carries. Routes through the
     DV-aware subset scan (r14): a rewrite planned over a file with a
-    deletion vector must not resurrect the positions it deleted."""
-    return commit.scan_member_subset(host, path, files, logical=True)
+    deletion vector must not resurrect the positions it deleted.
+    ``plan`` (r15) captures the scan's per-file DV state for the
+    commit's ``plan_dv`` CAS."""
+    return commit.scan_member_subset(
+        host, path, files, logical=True, plan=plan
+    )
 
 
 def partition_cols_of(files: list[str]) -> list[str]:
@@ -821,7 +828,8 @@ def merge_into(
                 staged_write=staged, cdf_override=cdf_over,
             )
             return MergeStats(n_files, total, n_applied)
-    cur = _affected_df(host, commit, path, affected, smeta)
+    plan: dict = {}
+    cur = _affected_df(host, commit, path, affected, smeta, plan=plan)
     cur = cur.select(*src.columns)  # checked against the probe above
     out, upserts, deleted = _merge_outputs(
         cur, src, keys, when_matched, matched_condition,
@@ -863,7 +871,7 @@ def merge_into(
             _physical_out(commit, host, root, member, out, smeta),
             pkeys, n, pcols,
         ),
-        entry_guard=guard, cdf_df=cdf,
+        entry_guard=guard, cdf_df=cdf, plan_dv=plan["dv"],
     )
     return MergeStats(len(affected), total, n_applied)
 
@@ -977,7 +985,8 @@ def delete_rows(
                 affected, matched, fstats, guard,
             )
             return DeleteStats(n, total)
-    cur = _affected_df(host, commit, path, affected, smeta)
+    plan: dict = {}
+    cur = _affected_df(host, commit, path, affected, smeta, plan=plan)
     survivors = cur.join(dk, keys, "left_anti")
     # the erased rows are the commit's row-level change set
     # deleted rows are bounded by the affected files' contents
@@ -1001,7 +1010,8 @@ def delete_rows(
         )
     )
     commit.rewrite_files(
-        host, path, affected, write_fn, entry_guard=guard, cdf_df=cdf
+        host, path, affected, write_fn, entry_guard=guard, cdf_df=cdf,
+        plan_dv=plan["dv"],
     )
     return DeleteStats(len(affected), total)
 
@@ -1096,7 +1106,8 @@ def delete_range(
                 affected, matched, fstats, guard,
             )
             return DeleteStats(n, total)
-    cur = _affected_df(host, commit, path, affected, smeta)
+    plan: dict = {}
+    cur = _affected_df(host, commit, path, affected, smeta, plan=plan)
     survivors = cur.where(~cond | F.col(column).isNull())
     cdf = _cdf_sized(
         _physical_out(
@@ -1117,7 +1128,8 @@ def delete_range(
         )
     )
     commit.rewrite_files(
-        host, path, affected, write_fn, entry_guard=guard, cdf_df=cdf
+        host, path, affected, write_fn, entry_guard=guard, cdf_df=cdf,
+        plan_dv=plan["dv"],
     )
     return DeleteStats(len(affected), total)
 
@@ -1202,8 +1214,9 @@ def replace_range(
         ),
         extra_guard,
     )
+    plan: dict = {"dv": {}}
     if affected:
-        cur = _affected_df(host, commit, path, affected, smeta)
+        cur = _affected_df(host, commit, path, affected, smeta, plan=plan)
         cur = cur.select(*source.columns)
         survivors = cur.where(~cond | F.col(column).isNull())
         removed = cur.where(cond)
@@ -1228,6 +1241,7 @@ def replace_range(
             _physical_out(commit, host, root, member, cdf, smeta),
             len(affected) * 250_000,
         ),
+        plan_dv=plan["dv"],
     )
     return DeleteStats(len(affected), total)
 

@@ -364,7 +364,10 @@ def zorder_compact(
     smeta = commit.schema_meta(host, path)
     # DV-aware subset scan (r14): clustering rewrites materialize any
     # deletion vectors on the tail — raw bytes would resurrect rows
-    cur = commit.scan_member_subset(host, path, tail, logical=False)
+    plan: dict = {}
+    cur = commit.scan_member_subset(
+        host, path, tail, logical=False, plan=plan
+    )
     if smeta:
         logical = commit._logical_view(cur, smeta)
         pmap = smeta.get("map", {})
@@ -410,9 +413,11 @@ def zorder_compact(
             w = w.partitionBy(*pcols)
         w.parquet(tmp)
 
-    # content-identical reorder: change feeds skip it outright
+    # content-identical reorder: change feeds skip it outright.
+    # plan_dv (r15): CAS each tail file's DV against the planning scan
+    # — a concurrent restat would otherwise be silently discarded
     commit.rewrite_files(
         host, path, tail, write, app_meta=cursor,
-        change={"kind": "preserve"},
+        change={"kind": "preserve"}, plan_dv=plan["dv"],
     )
     return len(tail)

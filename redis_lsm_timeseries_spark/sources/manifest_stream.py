@@ -108,8 +108,15 @@ class _Meta:
         (-1 when none — the feed then replays retained history), so a
         feed starting after it serves exactly the changes committed
         at or after the timestamp — the Delta startingTimestamp
-        contract."""
+        contract. A timestamp predating RETAINED history raises the
+        typed ``RetentionError`` when version 0 is vacuumed (r15,
+        ADVICE): starting at the earliest retained version would
+        silently OMIT that version's own changes, which were committed
+        after the requested timestamp — an under-read, not an
+        approximation. While version 0 is retained the request is
+        exactly servable as a genesis replay."""
         from redis_lsm_timeseries_spark.errors import (
+            RetentionError,
             VersionNotFoundError,
         )
 
@@ -118,13 +125,19 @@ class _Meta:
                 self.host, self.path, int(ts_ms) - 1
             )
         except VersionNotFoundError:
-            # timestamp predates retained history: start from the
-            # earliest retained point (genesis replay only while
-            # version 0 is retained — the "earliest" contract)
             vs = self.versions()
-            if not vs:
+            if not vs or vs[0] == 0:
+                # genesis replay is exact: the pre-genesis state is
+                # empty, so every change since the timestamp serves
                 return -1
-            return -1 if vs[0] == 0 else vs[0]
+            raise RetentionError(
+                f"startingTimestamp {int(ts_ms)} predates retained "
+                f"history of {self.path!r} (earliest retained version "
+                f"is {vs[0]}; version 0 was vacuumed) — serving from "
+                "the earliest retained version would silently omit "
+                "its changes. Full-resync from the current snapshot, "
+                "or raise vacuum retention"
+            ) from None
 
     def _genesis_walk(self, to: int):
         """The ``_change_walk`` fold from BEFORE the first log entry
@@ -784,6 +797,39 @@ class ManifestBatchReader(DataSourceReader):
         yield from _read_files_partition(partition)
 
 
+def _validate_constraints_arrow(tbl, cons: dict, path: str) -> None:
+    """Task-side CHECK-constraint validation of a staged Arrow table
+    (LOGICAL column names — runs before the physical rename), with
+    the engine's ``_violation`` semantics exactly: a row violates when
+    ``NOT COALESCE(CAST(expr AS BOOLEAN), FALSE)`` — NULL counts as a
+    violation, a constraint must PROVE every row (``commit.py``
+    ``_violation``). Spark's task workers carry no SparkSession, so
+    the expression evaluates through embedded DuckDB; constraint
+    expressions are the engine-documented ANSI subset both engines
+    parse identically (the same discipline the catalog oracles pin)."""
+    import duckdb
+
+    from redis_lsm_timeseries_spark.errors import ValidationError
+
+    con = duckdb.connect()
+    try:
+        con.register("staged", tbl)
+        for cname, expr in sorted(cons.items()):
+            bad = con.execute(
+                "SELECT * FROM staged WHERE NOT COALESCE(CAST(("
+                + expr
+                + ") AS BOOLEAN), FALSE) LIMIT 1"
+            ).fetchall()
+            if bad:
+                raise ValidationError(
+                    f"rlts_table write to {path!r}: CHECK constraint "
+                    f"{cname!r} ({expr}) violated by staged row "
+                    f"{bad[0]!r} — the job aborts; nothing commits"
+                )
+    finally:
+        con.close()
+
+
 class _WrittenFiles(WriterCommitMessage):
     """Task commit message: the relpaths this task landed under the
     member's data dir."""
@@ -859,17 +905,24 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 "rlts_table writer: the member is hive-partitioned; "
                 "reproduce the layout with append_partitioned instead"
             )
-        cons = entry.get("app", {}).get(
+        # CHECK constraints (r15): validated TASK-SIDE against each
+        # task's staged Arrow output before its file lands — the
+        # 100 TB shape (validation parallelizes with the write; a
+        # driver-side scan of all new files would serialize). The
+        # expressions evaluate through an embedded SQL engine with the
+        # engine's exact semantics (NULL = violation); they live in
+        # the same ANSI subset the catalog oracles pin. A violating
+        # task raises, Spark aborts the job, and ``abort()`` leaves
+        # only invisible orphans. The driver commit CAS-checks the
+        # constraint map so rows validated against the plan-time map
+        # can never land behind a concurrently added/dropped
+        # constraint (the same guard engine-staged writes carry).
+        self.cons = dict(entry.get("app", {}).get(
             commit._constraint_key(self.member)
-        ) or {}
-        if cons:
-            raise ValidationError(
-                "rlts_table writer: the member has CHECK "
-                f"constraint(s) {sorted(cons)} — the connector's "
-                "task-side Arrow path cannot evaluate SQL "
-                "constraints; append through the engine's commit "
-                "APIs (which validate staged rows) instead"
-            )
+        ) or {})
+        self.cons_at_plan = entry.get("app", {}).get(
+            commit._constraint_key(self.member)
+        )
         smeta = entry.get("app", {}).get(
             commit._schema_key(self.member)
         ) or {}
@@ -904,6 +957,8 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         if not batches or sum(b.num_rows for b in batches) == 0:
             return _WrittenFiles([])
         tbl = pa.Table.from_batches(batches)
+        if self.cons:
+            _validate_constraints_arrow(tbl, self.cons, self.path)
         # logical -> physical: rename mapped columns, widen-cast
         mapping = self.smeta.get("map", {})
         widen = self.smeta.get("widen", {})
@@ -961,6 +1016,13 @@ class ManifestArrowWriter(DataSourceArrowWriter):
 
         mutate.stats_add = commit._file_stats(
             host, self.root, member, files
+        )
+        # CAS the constraint map the tasks validated against (r15):
+        # a constraint added/dropped between plan and this commit
+        # conflicts instead of landing unvalidated rows behind it —
+        # the connector mirror of _stage_data's commit-time guard.
+        mutate.entry_guard = commit._app_cas_guard(
+            {commit._constraint_key(member): self.cons_at_plan}
         )
         commit._commit(host, self.root, mutate)
 

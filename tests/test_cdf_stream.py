@@ -369,11 +369,37 @@ class TestChangeFeedStream:
             (r.k, r._change_type) for r in df2.collect()
         } == {(2, "upsert")}
         # a pre-history startingTimestamp replays from the earliest
+        # — exact while version 0 is retained (genesis replay)
         df3 = read_table_batch(
             spark, path, schema=CDF_SCHEMA,
             readchangefeed="true", startingtimestamp="1",
         )
         assert df3.count() == 5
+
+    def test_pre_retention_timestamp_raises_typed(self, spark, tmp_path):
+        """r15 (ADVICE): once version 0 is vacuumed, a
+        startingTimestamp predating retained history must raise the
+        typed retention error instead of silently starting AFTER the
+        earliest retained version (omitting its changes)."""
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            read_table_batch,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        merge_into(
+            host, path,
+            spark.createDataFrame([(2, 99)], SCHEMA),
+            ["k"], commit=commit, mode="dv",
+        )
+        root, _ = commit._resolve(host, path)
+        commit.vacuum(host, root, retain_versions=1, grace_s=0)
+        vs = commit.table_versions(host, path)
+        assert vs and vs[0] > 0
+        with pytest.raises(Exception, match="predates retained"):
+            read_table_batch(
+                spark, path, schema=CDF_SCHEMA,
+                readchangefeed="true", startingtimestamp="1",
+            ).collect()
 
     def test_streamed_feed_reproduces_table_by_key(
         self, spark, tmp_path

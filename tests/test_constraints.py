@@ -161,7 +161,10 @@ class TestCheckConstraints:
         )
         assert commit.read_table(host, path).count() == 21
 
-    def test_connector_writer_refuses(self, spark, tmp_path):
+    def test_connector_write_commits_on_pass(self, spark, tmp_path):
+        """r15: the connector validates CHECK constraints task-side
+        against the staged Arrow output instead of refusing — a
+        passing write commits."""
         from redis_lsm_timeseries_spark.sources.manifest_stream import (
             register_manifest_source,
         )
@@ -169,14 +172,139 @@ class TestCheckConstraints:
         host, commit, path = _fx(spark, tmp_path)
         commit.add_constraint(host, path, "v_nonneg", "v >= 0")
         register_manifest_source(spark)
-        with pytest.raises(Exception, match="CHECK"):
+        (
+            spark.createDataFrame([(100, 7)], SCHEMA)
+            .write.format("rlts_table")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        got = {
+            r.id: r.v for r in commit.read_table(host, path).collect()
+        }
+        assert got[100] == 7 and len(got) == 21
+
+    def test_connector_write_aborts_on_violation(self, spark, tmp_path):
+        """A violating row fails the job and leaves only invisible
+        orphans — the table is untouched at both the row and the
+        version level."""
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            register_manifest_source,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        commit.add_constraint(host, path, "v_nonneg", "v >= 0")
+        register_manifest_source(spark)
+        v0 = commit.table_versions(host, path)[-1]
+        with pytest.raises(Exception, match="v_nonneg"):
             (
-                spark.createDataFrame([(1, 1)], SCHEMA)
+                spark.createDataFrame([(100, 7), (101, -1)], SCHEMA)
                 .write.format("rlts_table")
                 .option("path", path)
                 .mode("append")
                 .save()
             )
+        assert commit.table_versions(host, path)[-1] == v0
+        assert commit.read_table(host, path).count() == 20
+
+    def test_connector_null_evaluation_violates(self, spark, tmp_path):
+        """NULL constraint evaluations are violations on the connector
+        path too — identical semantics to the engine's _violation."""
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            register_manifest_source,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        commit.add_constraint(host, path, "v_nonneg", "v >= 0")
+        register_manifest_source(spark)
+        with pytest.raises(Exception, match="v_nonneg"):
+            (
+                spark.createDataFrame([(100, None)], SCHEMA)
+                .write.format("rlts_table")
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+        assert commit.read_table(host, path).count() == 20
+
+    def test_staged_write_conflicts_with_concurrent_add(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """ADVICE r14 (medium): a write STAGED before a concurrent
+        add_constraint lands must not commit unvalidated rows behind
+        the new constraint — the commit CAS-checks the constraint map
+        it validated against."""
+        from redis_lsm_timeseries_spark.errors import (
+            RewriteConflictError,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        # inject AFTER _stage_data validated (against the empty map)
+        # and BEFORE the commit: _file_stats runs in that window
+        real = ManifestCommit._file_stats
+        raced = {"done": False}
+
+        def racing(self_, store, root, member, files):
+            out = real(self_, store, root, member, files)
+            if not raced["done"] and member == "" and files:
+                raced["done"] = True
+                # the constraint lands while our violating rows sit
+                # staged-invisible (its full-table scan cannot see
+                # them) — the staged commit must CONFLICT
+                ManifestCommit().add_constraint(
+                    store, path, "v_nonneg", "v >= 0"
+                )
+            return out
+
+        monkeypatch.setattr(ManifestCommit, "_file_stats", racing)
+        with pytest.raises(RewriteConflictError, match="constraint"):
+            commit.append_tables(
+                host, path,
+                {"": spark.createDataFrame([(100, -5)], SCHEMA)},
+            )
+        monkeypatch.undo()
+        assert raced["done"]
+        # nothing landed; the constraint holds over the whole table
+        cur = commit.read_table(host, path)
+        assert cur.count() == 20
+        assert cur.where("v < 0").isEmpty()
+        # and a re-staged valid write passes through the new gate
+        commit.append_tables(
+            host, path,
+            {"": spark.createDataFrame([(100, 5)], SCHEMA)},
+        )
+        assert commit.read_table(host, path).count() == 21
+
+    def test_staged_write_conflicts_with_concurrent_drop(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The reverse direction: a write validated against a
+        constraint that is concurrently DROPPED conflicts too (the
+        map changed; re-staging sees the new truth)."""
+        from redis_lsm_timeseries_spark.errors import (
+            RewriteConflictError,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        commit.add_constraint(host, path, "v_nonneg", "v >= 0")
+        real = ManifestCommit._file_stats
+        raced = {"done": False}
+
+        def racing(self_, store, root, member, files):
+            out = real(self_, store, root, member, files)
+            if not raced["done"] and member == "" and files:
+                raced["done"] = True
+                ManifestCommit().drop_constraint(store, path, "v_nonneg")
+            return out
+
+        monkeypatch.setattr(ManifestCommit, "_file_stats", racing)
+        with pytest.raises(RewriteConflictError, match="constraint"):
+            commit.append_tables(
+                host, path,
+                {"": spark.createDataFrame([(100, 5)], SCHEMA)},
+            )
+        monkeypatch.undo()
+        assert commit.read_table(host, path).count() == 20
 
     def test_concurrent_add_conflicts(self, spark, tmp_path):
         from redis_lsm_timeseries_spark.errors import (

@@ -839,22 +839,83 @@ class TestDvCommitProtocol:
 
 
 class TestDvPlanShape:
+    @staticmethod
+    def _plan(commit, host, path):
+        spark = host.spark
+        return commit.read_table(host, path)._jdf.queryExecution() \
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("formatted")
+            )
+
     def test_dv_read_is_broadcast_anti_join(self, spark, tmp_path):
-        """The position filter must plan as a BROADCAST anti-join —
-        the DV side is O(deleted rows); a sort-merge join would
-        shuffle the whole data scan at 100 TB."""
+        """Below the size gate the position filter must plan as a
+        BROADCAST anti-join — the DV side is O(deleted rows); a
+        shuffle would move the whole data scan at 100 TB."""
         host, commit, path = _fx(spark, tmp_path)
         delete_rows(
             host, path, _ids(spark, [5, 150]), ["id"],
             commit=commit, mode="dv",
         )
-        plan = commit.read_table(host, path)._jdf.queryExecution() \
-            .explainString(
-                spark._jvm.org.apache.spark.sql.execution
-                .ExplainMode.fromString("formatted")
-            )
+        plan = self._plan(commit, host, path)
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
         assert "SortMergeJoin" not in plan
+
+    def test_heavy_debt_mask_does_not_broadcast(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Past ``DV_BROADCAST_MAX_POSITIONS`` (total positions summed
+        over the scanned DV'd files — per-file debt is capped but a
+        wide scan's TOTAL is not) the mask must anti-join WITHOUT a
+        broadcast: at 100 TB the union of all deleted positions
+        exceeds any broadcast ceiling and would fail the query. Rows
+        are identical in both modes."""
+        host, commit, path = _fx(spark, tmp_path)
+        delete_rows(
+            host, path, _ids(spark, [5, 150, 250]), ["id"],
+            commit=commit, mode="dv",
+        )
+        want = {
+            r.id for r in commit.read_table(host, path).collect()
+        }
+        # 3 recorded positions: a 2-position ceiling forces the gate
+        monkeypatch.setattr(
+            ManifestCommit, "DV_BROADCAST_MAX_POSITIONS", 2
+        )
+        plan = self._plan(commit, host, path)
+        # the POSITION mask itself must not broadcast (the tiny
+        # relpath-mapping inner join legitimately still does)
+        assert "ShuffledHashJoin LeftAnti" in plan
+        assert "BroadcastHashJoin LeftAnti" not in plan
+        got = {r.id for r in commit.read_table(host, path).collect()}
+        assert got == want and 5 not in got and len(got) == 297
+
+    def test_unrecorded_count_refuses_broadcast(
+        self, spark, tmp_path
+    ):
+        """A DV block missing its ``count`` cannot be priced — the
+        gate must take the scalable path, never an unbounded
+        broadcast."""
+        host, commit, path = _fx(spark, tmp_path)
+        delete_rows(
+            host, path, _ids(spark, [5]), ["id"],
+            commit=commit, mode="dv",
+        )
+        # strip the recorded count via a whole-block restat
+        fstats = commit.member_file_stats(host, path)
+        f, blk = next(
+            (f, s) for f, s in fstats.items() if (s or {}).get("dv")
+        )
+        dv = dict(blk["dv"])
+        dv.pop("count")
+        commit.rewrite_files(
+            host, path, [], None, restat={f: {**blk, "dv": dv}},
+        )
+        plan = self._plan(commit, host, path)
+        assert "ShuffledHashJoin LeftAnti" in plan
+        assert "BroadcastHashJoin LeftAnti" not in plan
+        got = {r.id for r in commit.read_table(host, path).collect()}
+        assert 5 not in got and len(got) == 299
 
     def test_no_dv_no_plan_change(self, spark, tmp_path):
         """A member without DVs must plan the exact same scan as
