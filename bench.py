@@ -787,9 +787,20 @@ def sf1_scale_sample(spark, sf_dir: str) -> dict:
         scale("events", "event_id", 16)
         res["gen_sec"] = round(time.perf_counter() - t0, 3)
         open(marker, "w").close()
+    from redis_lsm_timeseries_spark.plans.reference_queries import (
+        UNREGISTERED_ORACLES,
+    )
+
     for name in SF1_QUERIES:
         t0 = time.perf_counter()
-        df = REGISTRY[name].fn(spark, base)
+        # resolve registered and parity-pinned entries alike (r15:
+        # scalar_functions_events moved to UNREGISTERED_ORACLES)
+        fn = (
+            REGISTRY[name].fn
+            if name in REGISTRY
+            else UNREGISTERED_ORACLES[name][0]
+        )
+        df = fn(spark, base)
         df.write.format("noop").mode("overwrite").save()
         res[name] = round(time.perf_counter() - t0, 3)
     try:

@@ -203,6 +203,109 @@ def backfill_file_stats(
     return len(restat)
 
 
+def restat_live_extrema(
+    host,
+    path: str,
+    commit: ManifestCommit | None = None,
+    max_files: int | None = None,
+) -> int:
+    """Recompute per-column min/max over the LIVE (post-deletion-
+    vector) rows of DV'd files and land them as one ``restat``
+    preserve commit (r15, VERDICT r14 #6): after an edge delete,
+    ``fast_min_max`` refuses because a DV'd file's recorded footer
+    stats only BOUND its live rows — the extremum row may be exactly
+    what was deleted. This restores metadata-only serving with ONE
+    bounded scan of exactly the DV'd files (at 100 TB: k DV'd files
+    out of millions, never the table).
+
+    The live block is stamped with the DV blob path it was computed
+    against and SELF-INVALIDATES: a later delete writes a superseding
+    blob, the stamp no longer matches, and ``fast_min_max`` falls back
+    to the conservative bounds until the next restat — so no CAS is
+    needed for correctness. Files already live-statted against their
+    current DV are skipped (idempotent); ``max_files`` bounds one run
+    like every maintenance cap. Returns the number of files
+    restatted."""
+    from pyspark.sql import functions as F
+
+    commit = commit if commit is not None else ManifestCommit()
+    stats = commit.member_file_stats(host, path)
+    if stats is None:
+        raise ValidationError(
+            f"restat_live_extrema: {path!r} is not manifest-managed"
+        )
+    todo = [
+        f
+        for f in sorted(stats)
+        if (stats[f] or {}).get("dv")
+        and (stats[f].get("live") or {}).get("dv_path")
+        != stats[f]["dv"]["path"]
+    ]
+    if max_files is not None:
+        todo = todo[: max(0, int(max_files))]
+    if not todo:
+        return 0
+    df = commit.scan_member_subset(
+        host, path, todo, logical=False, keep_pos=True
+    )
+    # current DV paths AS OF the planning scan: the stamp must name
+    # the vector the aggregation actually filtered through
+    dv_of = {f: stats[f]["dv"]["path"] for f in todo}
+    statable = {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "string", "timestamp", "timestamp_ntz", "date",
+    }
+    cols = [
+        c
+        for c, t in df.dtypes
+        if c not in ("__dv_file", "__dv_pos")
+        and (t in statable or t.startswith("decimal"))
+    ]
+    if not cols:
+        return 0
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(F.min(c).alias(f"mn{i}"))
+        aggs.append(F.max(c).alias(f"mx{i}"))
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nl{i}")
+        )
+    rows = {
+        r["__dv_file"]: r
+        for r in df.groupBy("__dv_file").agg(*aggs).collect()
+    }
+    overlay = {}
+    for f in todo:
+        r = rows.get(f)
+        live_cols: dict = {}
+        if r is not None:
+            for i, c in enumerate(cols):
+                mn = ManifestCommit._stat_value(
+                    r[f"mn{i}"], ManifestCommit.STATS_MAX_STR, "min"
+                )
+                mx = ManifestCommit._stat_value(
+                    r[f"mx{i}"], ManifestCommit.STATS_MAX_STR, "max"
+                )
+                if mn is not None and mx is not None:
+                    live_cols[c] = {
+                        "min": mn,
+                        "max": mx,
+                        "nulls": int(r[f"nl{i}"] or 0),
+                    }
+        # a file absent from the aggregate has zero live rows — stamp
+        # an empty block so fast_min_max skips it exactly
+        overlay[f] = {
+            "live": {"dv_path": dv_of[f], "cols": live_cols}
+        }
+    # metadata-only: content is untouched by definition (preserve);
+    # the per-field overlay keeps any concurrently landed stats
+    commit.rewrite_files(
+        host, path, [], None,
+        restat_overlay=overlay, change={"kind": "preserve"},
+    )
+    return len(overlay)
+
+
 def table_report(host, path: str, commit: ManifestCommit | None = None):
     """Health report for a manifest member, computed from the log
     alone (no storage reads): file and row counts, stats coverage,
@@ -535,7 +638,9 @@ def fast_min_max(
     its live rows, so the answer stays exact iff every DV'd file's
     range is dominated by the clean files' global range (interior
     deletes — the common case); a DV touching an edge file answers
-    None (the extremum may be what was deleted)."""
+    None (the extremum may be what was deleted) — until
+    ``restat_live_extrema`` (r15) lands exact live extrema for the
+    DV'd files, after which metadata-only serving returns."""
     import datetime
 
     commit = commit if commit is not None else ManifestCommit()
@@ -559,6 +664,27 @@ def fast_min_max(
         if s.get("rows") is not None and int(s["rows"]) - dvc <= 0:
             continue  # every row deletion-vectored out
         saw_rows = True
+        live = s.get("live") if s.get("dv") else None
+        if live is not None and live.get("dv_path") == s["dv"]["path"]:
+            # live-extrema restat against the CURRENT vector (r15,
+            # restat_live_extrema): these min/max are exact over the
+            # file's live rows — treat the file as clean. A stale
+            # stamp (superseded blob) self-invalidates to the bounds
+            # logic below.
+            lc = live.get("cols", {}).get(column)
+            if lc is None:
+                return None  # live rows exist, column unprovable
+            nmn, nmx = norm(lc.get("min")), norm(lc.get("max"))
+            if nmn is None or nmx is None:
+                return None
+            if lo is None:
+                lo, hi = nmn, nmx
+                continue
+            if nmn[0] != lo[0] or nmx[0] != hi[0]:
+                return None
+            lo = min(lo, nmn, key=lambda t: t[1])
+            hi = max(hi, nmx, key=lambda t: t[1])
+            continue
         cs = s.get("cols", {}).get(column)
         nmn = None if cs is None else norm(cs.get("min"))
         nmx = None if cs is None else norm(cs.get("max"))

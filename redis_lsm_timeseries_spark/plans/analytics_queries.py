@@ -619,9 +619,12 @@ def set_ops_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------ scalar funcs
-@register(
-    "scalar_functions_events",
-    oracle="""
+# Unregistered in r15 (50-entry driver window): the scalar surface is
+# exercised inside a dozen other entries' oracles, and the freed slot
+# certifies the rlts_table connector (connector_roundtrip) in the
+# driver's own CORRECTNESS artifact. Keeps the identical
+# rows+schema+values parity check via UNREGISTERED_ORACLES below.
+SCALAR_FUNCTIONS_ORACLE = """
 SELECT event_id,
        upper(event_type) AS type_upper,
        substr(event_type, 1, 3) AS type_prefix,
@@ -635,9 +638,9 @@ SELECT event_id,
        md5(concat(event_type, CAST(event_id AS VARCHAR))) AS row_digest
 FROM events
 WHERE event_id % 100 = 0
-""",
-    tags=("analytics", "scalar"),
-)
+"""
+
+
 def scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String / JSON / math / date / hash scalar functions in one
     projection (SURVEY.md §2.3 scalar functions; the reference's whole
@@ -996,4 +999,8 @@ UNREGISTERED_ORACLES["agg_cube_status_priority"] = (
 UNREGISTERED_ORACLES["unpivot_status_counts"] = (
     unpivot_status_counts,
     UNPIVOT_STATUS_ORACLE,
+)
+UNREGISTERED_ORACLES["scalar_functions_events"] = (
+    scalar_functions_events,
+    SCALAR_FUNCTIONS_ORACLE,
 )

@@ -511,13 +511,13 @@ def metadata_fast_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------- connector
-# Oracle-checked differential for the rlts_table connector (r14) — no
-# driver slot (the 50-entry budget is spent), so it rides the pinned
-# UNREGISTERED_ORACLES parity harness like the cube/unpivot entries:
-# a connector WRITE (two-phase Arrow writer, one atomic log entry)
-# into a throwaway manifest table, read back through the connector's
-# BATCH reader with a range filter whose pushFilters envelope prunes
-# the scan, compared cell-exact against DuckDB recomputing the subset.
+# Registered driver entry since r15 (slot freed by retiring
+# scalar_functions_events, whose scalar surface a dozen other oracles
+# exercise): a connector WRITE (two-phase Arrow writer, one atomic log
+# entry) into a throwaway manifest table, read back through the
+# connector's BATCH reader with a range filter whose pushFilters
+# envelope prunes the scan, compared cell-exact against DuckDB
+# recomputing the subset.
 CONNECTOR_ROUNDTRIP_ORACLE = """
 SELECT CAST(event_id AS BIGINT) AS event_id,
        event_type,
@@ -527,6 +527,11 @@ WHERE event_id % 20 = 0 AND event_id BETWEEN 1000 AND 5000
 """
 
 
+@register(
+    "connector_roundtrip",
+    oracle=CONNECTOR_ROUNDTRIP_ORACLE,
+    tags=("connector", "lifecycle", "mutation"),
+)
 def connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write a deterministic events slice through
     ``df.write.format("rlts_table")``, read it back through the
@@ -569,10 +574,10 @@ def connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------- deletion vectors
-# Oracle-checked differential for merge-on-read row mutation (r14) —
-# parity-pinned like the connector entry (the 50-slot driver budget
-# is spent): a throwaway manifest table takes a DV DELETE (positions
-# blob, data files untouched) then a DV MERGE (matched rows
+# Registered driver entry since r15 (slot freed by retiring
+# ts_top_k_per_tag, whose arg-max window shape ts_lww_update already
+# driver-covers): a throwaway manifest table takes a DV DELETE
+# (positions blob, data files untouched) then a DV MERGE (matched rows
 # position-deleted, applied rows appended, previously-deleted keys
 # re-inserted as unmatched), and the final read — served through the
 # position anti-join — must equal DuckDB computing the same clause
@@ -593,6 +598,11 @@ WHERE event_id % 400 <> 0 OR event_id % 700 = 0
 """
 
 
+@register(
+    "dv_row_mutation",
+    oracle=DV_ROW_MUTATION_ORACLE,
+    tags=("lifecycle", "mutation", "deletion-vectors"),
+)
 def dv_row_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DV delete + DV merge on a throwaway manifest table; returns
     the final state read through the deletion-vector scan."""
@@ -643,15 +653,6 @@ def dv_row_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from redis_lsm_timeseries_spark.plans.reference_queries import (  # noqa: E402
     UNREGISTERED_ORACLES,
-)
-
-UNREGISTERED_ORACLES["connector_roundtrip"] = (
-    connector_roundtrip,
-    CONNECTOR_ROUNDTRIP_ORACLE,
-)
-UNREGISTERED_ORACLES["dv_row_mutation"] = (
-    dv_row_mutation,
-    DV_ROW_MUTATION_ORACLE,
 )
 
 # ------------------------------------------------------- replace_range

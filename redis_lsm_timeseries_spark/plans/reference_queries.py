@@ -394,9 +394,13 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- top-k/rank
-@register(
-    "ts_top_k_per_tag",
-    oracle=SAMPLES_CTE
+# Unregistered in r15 (50-entry driver window): its arg-max window
+# shape is already driver-covered by ts_lww_update (SURVEY §2.4), and
+# the freed slot certifies deletion vectors (dv_row_mutation) in the
+# driver's own CORRECTNESS artifact. Keeps the identical
+# rows+schema+values parity check via UNREGISTERED_ORACLES below.
+TS_TOP_K_PER_TAG_ORACLE = (
+    SAMPLES_CTE
     + """
 SELECT tag, ts, value_num, rn FROM (
   SELECT tag, ts, value_num,
@@ -406,9 +410,10 @@ SELECT tag, ts, value_num, rn FROM (
   FROM samples
 )
 WHERE rn <= 3
-""",
-    tags=("analytics", "window", "topk"),
+"""
 )
+
+
 def ts_top_k_per_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 samples by value per tag (SURVEY.md §2.3 sorts/limits)."""
     s = events_as_samples(spark, sf_dir)
@@ -470,4 +475,5 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 UNREGISTERED_ORACLES = {
     "ts_page_scan": (ts_page_scan, TS_PAGE_SCAN_ORACLE),
     "ts_read_index": (ts_read_index, TS_READ_INDEX_ORACLE),
+    "ts_top_k_per_tag": (ts_top_k_per_tag, TS_TOP_K_PER_TAG_ORACLE),
 }

@@ -387,6 +387,66 @@ class TestDvMetadataServing:
         )
         assert fast_min_max(host, path, "id", commit=commit) is None
 
+    def test_restat_live_extrema_restores_metadata_serving(
+        self, spark, tmp_path
+    ):
+        """r15 (VERDICT r14 #6): after an extremum-deleting DV delete,
+        one bounded scan of exactly the DV'd files restores exact
+        metadata-only min/max — and the live block self-invalidates
+        when a later delete supersedes the vector."""
+        from redis_lsm_timeseries_spark.maintenance import (
+            restat_live_extrema,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        delete_rows(
+            host, path, _ids(spark, [298, 299]), ["id"],
+            commit=commit, mode="dv",
+        )
+        assert fast_min_max(host, path, "id", commit=commit) is None
+        v0 = commit.table_versions(host, path)[-1]
+        assert restat_live_extrema(host, path, commit=commit) == 1
+        # metadata-only serving is back, exact over live rows
+        assert fast_min_max(host, path, "id", commit=commit) == (0, 297)
+        assert fast_min_max(host, path, "v", commit=commit) == (0, 594)
+        # idempotent: the file is stamped against its current vector
+        assert restat_live_extrema(host, path, commit=commit) == 0
+        # the restat is a preserve commit: append feeds see nothing
+        assert commit.read_changes(host, path, v0).count() == 0
+        # a superseding delete invalidates the stamp — conservative
+        # refusal returns until the next restat
+        delete_rows(
+            host, path, _ids(spark, [297]), ["id"],
+            commit=commit, mode="dv",
+        )
+        assert fast_min_max(host, path, "id", commit=commit) is None
+        assert restat_live_extrema(host, path, commit=commit) == 1
+        assert fast_min_max(host, path, "id", commit=commit) == (0, 296)
+        # rows stay exact throughout
+        assert fast_count(host, path, commit=commit) == 297
+
+    def test_restat_live_extrema_bounded_to_dv_files(
+        self, spark, tmp_path
+    ):
+        """The restat scans ONLY DV'd files (max_files caps a run) —
+        the 100 TB posture: k DV'd files, never the table."""
+        from redis_lsm_timeseries_spark.maintenance import (
+            restat_live_extrema,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        delete_rows(
+            host, path, _ids(spark, [0, 299]), ["id"],
+            commit=commit, mode="dv",
+        )
+        # two DV'd files; cap to one per run
+        assert restat_live_extrema(
+            host, path, commit=commit, max_files=1
+        ) == 1
+        assert fast_min_max(host, path, "id", commit=commit) is None
+        assert restat_live_extrema(host, path, commit=commit) == 1
+        assert fast_min_max(host, path, "id", commit=commit) == (1, 298)
+
     def test_table_report_counts_dv_debt(self, spark, tmp_path):
         host, commit, path = _fx(spark, tmp_path)
         delete_rows(

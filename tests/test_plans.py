@@ -193,7 +193,15 @@ class TestTimezoneIndependence:
         date_format/hour on an LTZ timestamp silently render in
         session-local time (the bug this test pinned down in
         scalar_functions_events), while epoch arithmetic does not."""
-        fn = REGISTRY[name].fn
+        from redis_lsm_timeseries_spark.plans.reference_queries import (
+            UNREGISTERED_ORACLES,
+        )
+
+        fn = (
+            REGISTRY[name].fn
+            if name in REGISTRY
+            else UNREGISTERED_ORACLES[name][0]
+        )
         old = spark.conf.get("spark.sql.session.timeZone")
         rows_utc = sorted(map(tuple, fn(spark, SF_DIR).collect()))
         try:
