@@ -207,17 +207,47 @@ class TableCommit:
         so this is an EAGER whole-table rewrite (read, rename, snapshot
         swap) — correct, O(table); ``ManifestCommit`` overrides with a
         metadata-only logical mapping (the Delta column-mapping idiom:
-        physical file schemas never change)."""
+        physical file schemas never change). Dotted paths rename a
+        nested struct field (same eager posture here; ``new`` may be
+        the bare leaf or share ``old``'s parent)."""
+        from pyspark.sql import functions as F
+
         df = self.read_table(store, path, None)
-        if old not in df.columns:
-            raise ValidationError(
-                f"rename_column: {old!r} not in {df.columns}"
+        if "." in old or "." in new:
+            top, rest = old.split(".", 1)
+            leaf = new.rsplit(".", 1)[-1]
+            if "." in new and new.rsplit(".", 1)[0] != old.rsplit(
+                ".", 1
+            )[0]:
+                raise ValidationError(
+                    f"rename_column: {old!r} -> {new!r} would MOVE "
+                    "the field to a different parent"
+                )
+            if top not in df.columns:
+                raise ValidationError(
+                    f"rename_column: {top!r} not in {df.columns}"
+                )
+            within = rest.rsplit(".", 1)
+            parent_within = within[0] if len(within) == 2 else ""
+            tgt = (
+                f"{parent_within}.{leaf}" if parent_within else leaf
             )
-        if new in df.columns:
-            raise ValidationError(
-                f"rename_column: {new!r} already exists"
+            out = df.withColumn(
+                top,
+                F.col(top)
+                .withField(tgt, F.col(f"{old}"))
+                .dropFields(rest),
             )
-        out = df.withColumnRenamed(old, new)
+        else:
+            if old not in df.columns:
+                raise ValidationError(
+                    f"rename_column: {old!r} not in {df.columns}"
+                )
+            if new in df.columns:
+                raise ValidationError(
+                    f"rename_column: {new!r} already exists"
+                )
+            out = df.withColumnRenamed(old, new)
         self.snapshot_rewrite(
             store, path,
             lambda tmp: out.write.mode("overwrite").parquet(tmp),
@@ -227,17 +257,28 @@ class TableCommit:
         """Drop a column. Directory backends rewrite eagerly;
         ``ManifestCommit`` overrides with a metadata-only exclusion
         (old files keep the physical column; the logical view omits
-        it and new writes never carry it)."""
+        it and new writes never carry it). Dotted paths drop a nested
+        struct field (eager here too)."""
+        from pyspark.sql import functions as F
+
         df = self.read_table(store, path, None)
-        if column not in df.columns:
-            raise ValidationError(
-                f"drop_column: {column!r} not in {df.columns}"
-            )
-        if len(df.columns) == 1:
-            raise ValidationError(
-                "drop_column: cannot drop the only column"
-            )
-        out = df.drop(column)
+        if "." in column:
+            top, rest = column.split(".", 1)
+            if top not in df.columns:
+                raise ValidationError(
+                    f"drop_column: {top!r} not in {df.columns}"
+                )
+            out = df.withColumn(top, F.col(top).dropFields(rest))
+        else:
+            if column not in df.columns:
+                raise ValidationError(
+                    f"drop_column: {column!r} not in {df.columns}"
+                )
+            if len(df.columns) == 1:
+                raise ValidationError(
+                    "drop_column: cannot drop the only column"
+                )
+            out = df.drop(column)
         self.snapshot_rewrite(
             store, path,
             lambda tmp: out.write.mode("overwrite").parquet(tmp),
@@ -1263,11 +1304,17 @@ class ManifestCommit(ParquetLeaseCommit):
                 }
                 for m in set(new_tables) | set(add) | set(restat)
             }
+            # hoist the per-member file sets OUT of the inner
+            # comprehension (r15, found by the 100k-file log probe):
+            # rebuilding the set per stats entry made every commit
+            # O(files²) — 115 s for one tiny append on a 50k-file
+            # member; hoisted it is O(files)
+            listed = {m: set(fs) for m, fs in new_tables.items()}
             stats_out = {
                 m: {
                     f: s
                     for f, s in merged.get(m, {}).items()
-                    if f in set(new_tables.get(m, []))
+                    if f in listed.get(m, ())
                 }
                 for m in merged
             }
@@ -1317,7 +1364,7 @@ class ManifestCommit(ParquetLeaseCommit):
                         m: {
                             f: stats_out.get(m, {}).get(f)
                             for f in fmap
-                            if f in set(new_tables.get(m, []))
+                            if f in listed.get(m, ())
                         }
                         for m, fmap in restat.items()
                     }
@@ -1971,26 +2018,171 @@ class ManifestCommit(ParquetLeaseCommit):
             self._physical_scan(store, base, files, meta), meta
         )
 
-    @staticmethod
-    def _logical_view(df, meta):
+    @classmethod
+    def _logical_view(cls, df, meta):
         """Physical scan -> logical view: inverse-rename mapped
-        columns and apply read-side widening casts."""
-        from pyspark.sql import functions as F
+        columns (top-level and nested struct fields, r15) and apply
+        read-side widening casts."""
+        return cls._logical_view_extra(df, meta, ())
 
-        mapping = meta.get("map", {})
-        widen = meta.get("widen", {})
-        dropped = set(meta.get("drop", []))
-        inv = {p: l for l, p in mapping.items()}
-        cols = []
-        for c in df.columns:
-            if c in dropped:
-                continue  # metadata-dropped: old files keep the bytes
-            logical = inv.get(c, c)
-            col = F.col(c)
-            if logical in widen:
-                col = col.cast(widen[logical])
-            cols.append(col.alias(logical))
-        return df.select(*cols)
+    # -- nested-field schema evolution (r15) ----------------------------
+    # The mapping metadata extends to STRUCT FIELDS: the ``nested``
+    # component of the ``__schema__`` app value is keyed by the
+    # PHYSICAL dotted path of the parent struct (physical paths are
+    # immutable under rename, like top-level physical names) and holds
+    # ``{"map": {logical_leaf: physical_leaf}, "drop":
+    # [physical_leaf, ...]}``. Reads rebuild the struct column
+    # (inverse-rename, dropped fields excluded, null structs stay
+    # null); appends translate back to the physical leaf names — the
+    # Delta nested-column-mapping idiom, metadata-only, zero data
+    # files touched. Bounded scope: struct paths only (fields under
+    # array/map elements refuse), nested widen unsupported, and a new
+    # field reusing a dropped leaf's name refuses (no nested remint) —
+    # each loudly, with the rewrite remedy named.
+
+    @staticmethod
+    def _nested_under(nested: dict, path: str) -> bool:
+        """True when any nested-evolution spec applies at or below the
+        physical ``path``."""
+        pre = path + "."
+        return any(k == path or k.startswith(pre) for k in nested)
+
+    @classmethod
+    def _nested_logical_col(cls, col, dtype, phys_path, nested):
+        """Physical struct Column -> logical view: rebuild with
+        inverse-renamed field names, dropped fields excluded,
+        recursing into struct children with deeper specs. A NULL
+        struct row stays NULL (the rebuild is guarded)."""
+        from pyspark.sql import functions as F, types as T
+
+        spec = nested.get(phys_path) or {}
+        inv = {p: l for l, p in spec.get("map", {}).items()}
+        dropped = set(spec.get("drop", []))
+        parts = []
+        for f in dtype.fields:
+            if f.name in dropped:
+                continue
+            child = col.getField(f.name)
+            child_path = f"{phys_path}.{f.name}"
+            if isinstance(f.dataType, T.StructType) and cls._nested_under(
+                nested, child_path
+            ):
+                child = cls._nested_logical_col(
+                    child, f.dataType, child_path, nested
+                )
+            parts.append(child.alias(inv.get(f.name, f.name)))
+        return F.when(col.isNotNull(), F.struct(*parts))
+
+    @classmethod
+    def _nested_physical_col(
+        cls, col, dtype, phys_path, nested, logical_path
+    ):
+        """Logical struct Column (an append's shape) -> physical write
+        shape: rename mapped leaves to their stable physical names; a
+        field resolving to a DROPPED physical leaf refuses (re-adding
+        a dropped nested name needs a rewrite — no nested remint)."""
+        from pyspark.sql import functions as F, types as T
+
+        spec = nested.get(phys_path) or {}
+        nmap = spec.get("map", {})
+        ndrop = set(spec.get("drop", []))
+        parts = []
+        for f in dtype.fields:
+            phys_leaf = nmap.get(f.name, f.name)
+            if phys_leaf in ndrop:
+                raise ValidationError(
+                    f"append to a schema-mapped member: nested field "
+                    f"{logical_path}.{f.name} reuses a DROPPED field's "
+                    "physical name — rewrite the member (or pick a "
+                    "different field name); nested names have no "
+                    "remint"
+                )
+            child = col.getField(f.name)
+            child_path = f"{phys_path}.{phys_leaf}"
+            if isinstance(f.dataType, T.StructType) and cls._nested_under(
+                nested, child_path
+            ):
+                child = cls._nested_physical_col(
+                    child, f.dataType, child_path, nested,
+                    f"{logical_path}.{f.name}",
+                )
+            parts.append(child.alias(phys_leaf))
+        return F.when(col.isNotNull(), F.struct(*parts))
+
+    @classmethod
+    def _nested_struct_type(cls, dtype, phys_path, nested):
+        """Physical StructType -> logical StructType under the nested
+        specs (schema inference's translation — no data involved)."""
+        from pyspark.sql import types as T
+
+        spec = nested.get(phys_path) or {}
+        inv = {p: l for l, p in spec.get("map", {}).items()}
+        dropped = set(spec.get("drop", []))
+        fields = []
+        for f in dtype.fields:
+            if f.name in dropped:
+                continue
+            dt = f.dataType
+            child_path = f"{phys_path}.{f.name}"
+            if isinstance(dt, T.StructType) and cls._nested_under(
+                nested, child_path
+            ):
+                dt = cls._nested_struct_type(dt, child_path, nested)
+            fields.append(
+                T.StructField(inv.get(f.name, f.name), dt, f.nullable)
+            )
+        return T.StructType(fields)
+
+    def _resolve_nested_path(self, store, path: str, dotted: str):
+        """Resolve a LOGICAL dotted field path against the member's
+        current logical schema and mapping: returns ``(parent_phys
+        dotted physical path, parent logical StructType, leaf logical
+        name)``. Every intermediate segment must be a plain struct
+        (fields under array/map elements refuse — their per-element
+        identity has no stable physical rename surface here)."""
+        from pyspark.sql import types as T
+
+        segs = dotted.split(".")
+        if len(segs) < 2 or not all(segs):
+            raise ValidationError(
+                f"nested field path {dotted!r} must be "
+                "parent.field[.field...]"
+            )
+        meta = self.schema_meta(store, path)
+        nested = meta.get("nested", {})
+        schema = self.read_table(store, path, None).schema
+        by_name = {f.name: f for f in schema.fields}
+        if segs[0] not in by_name:
+            raise ValidationError(
+                f"nested field path {dotted!r}: no column {segs[0]!r} "
+                f"in {sorted(by_name)}"
+            )
+        cur = by_name[segs[0]].dataType
+        phys_path = meta.get("map", {}).get(segs[0], segs[0])
+        for seg in segs[1:-1]:
+            if not isinstance(cur, T.StructType):
+                raise ValidationError(
+                    f"nested field path {dotted!r}: {seg!r}'s parent "
+                    "is not a plain struct (fields under array/map "
+                    "elements cannot evolve by mapping — rewrite)"
+                )
+            fld = {f.name: f for f in cur.fields}.get(seg)
+            if fld is None:
+                raise ValidationError(
+                    f"nested field path {dotted!r}: no field {seg!r} "
+                    f"in {sorted(f.name for f in cur.fields)}"
+                )
+            spec = nested.get(phys_path) or {}
+            phys_path = (
+                f"{phys_path}.{spec.get('map', {}).get(seg, seg)}"
+            )
+            cur = fld.dataType
+        if not isinstance(cur, T.StructType):
+            raise ValidationError(
+                f"nested field path {dotted!r}: {segs[-2]!r} is not a "
+                "plain struct"
+            )
+        return phys_path, cur, segs[-1]
 
     @staticmethod
     def _apply_logical_schema(store, df, schema):
@@ -2050,7 +2242,10 @@ class ManifestCommit(ParquetLeaseCommit):
                 ptypes[phys] = dtypes.get(c, "string")
                 used.add(phys)
                 changed = True
-            meta = self._schema_meta_dict(mapping, widen, dropped, ptypes)
+            meta = self._schema_meta_dict(
+                mapping, widen, dropped, ptypes,
+                dict(cur.get("nested", {})),
+            )
             if not changed:
                 return meta
             mutate = lambda t: t  # noqa: E731 — metadata-only commit
@@ -2068,10 +2263,18 @@ class ManifestCommit(ParquetLeaseCommit):
         )
 
     @staticmethod
-    def _schema_meta_dict(mapping, widen, dropped, ptypes) -> dict:
+    def _schema_meta_dict(
+        mapping, widen, dropped, ptypes, nested=None
+    ) -> dict:
         """The member's ``__schema__`` app value with empty components
         elided — every schema-evolution commit builds it here so none
-        silently drops a sibling key (e.g. ``phys_types``)."""
+        silently drops a sibling key (e.g. ``phys_types``,
+        ``nested``)."""
+        nested = {
+            p: s
+            for p, s in (nested or {}).items()
+            if s.get("map") or s.get("drop")
+        }
         return {
             k: v
             for k, v in (
@@ -2079,6 +2282,7 @@ class ManifestCommit(ParquetLeaseCommit):
                 ("widen", widen),
                 ("drop", dropped),
                 ("phys_types", ptypes),
+                ("nested", nested),
             )
             if v
         }
@@ -2093,12 +2297,15 @@ class ManifestCommit(ParquetLeaseCommit):
         name."""
         from pyspark.sql import functions as F
 
+        from pyspark.sql import types as T
+
         _, entry = self._current_entry(store, root)
         meta = entry.get("app", {}).get(self._schema_key(member)) or {}
         mapping = meta.get("map", {})
         widen = meta.get("widen", {})
         dropped = set(meta.get("drop", []))
-        if not mapping and not widen and not dropped:
+        nested = meta.get("nested", {})
+        if not mapping and not widen and not dropped and not nested:
             return df
         reused = [c for c in df.columns if mapping.get(c, c) in dropped]
         if reused:
@@ -2106,9 +2313,11 @@ class ManifestCommit(ParquetLeaseCommit):
             mapping = meta.get("map", {})
             widen = meta.get("widen", {})
             dropped = set(meta.get("drop", []))
+            nested = meta.get("nested", {})
         targets = {p for l, p in mapping.items() if p != l}
         cols = []
-        for c in df.columns:
+        for f in df.schema.fields:
+            c = f.name
             phys = mapping.get(c, c)
             if phys in dropped:
                 raise ValidationError(  # unreachable post-remint; guard
@@ -2124,6 +2333,16 @@ class ManifestCommit(ParquetLeaseCommit):
                     "mapping already targets it)."
                 )
             col = F.col(c)
+            if (
+                nested
+                and isinstance(f.dataType, T.StructType)
+                and self._nested_under(nested, phys)
+            ):
+                # nested specs (r15): the append carries LOGICAL field
+                # names; store the stable physical leaves
+                col = self._nested_physical_col(
+                    col, f.dataType, phys, nested, c
+                )
             if c in widen:
                 col = col.cast(widen[c])
             cols.append(col.alias(phys))
@@ -2133,10 +2352,17 @@ class ManifestCommit(ParquetLeaseCommit):
         """Metadata-only rename: one log entry updating the member's
         logical mapping — zero data files touched, old files read
         under the new name forever after. Refuses hive partition
-        columns (their names are baked into directory paths)."""
+        columns (their names are baked into directory paths).
+
+        Dotted paths (r15) rename a NESTED struct field
+        (``rename_column(..., "props.device", "props.dev_kind")`` —
+        ``new`` may also be the bare leaf) — same metadata-only
+        posture through the ``nested`` mapping component."""
         target = self._target_for_write(store, path)
         if target is None:
             return super().rename_column(store, path, old, new)
+        if "." in old or "." in new:
+            return self._rename_nested_field(store, path, old, new)
         root, member = target
         self._guard_constrained_column(
             store, root, member, old, "rename_column"
@@ -2177,7 +2403,8 @@ class ManifestCommit(ParquetLeaseCommit):
         if old in widen:
             widen[new] = widen.pop(old)
         meta = self._schema_meta_dict(
-            mapping, widen, dropped, dict(cur.get("phys_types", {}))
+            mapping, widen, dropped, dict(cur.get("phys_types", {})),
+            dict(cur.get("nested", {})),
         )
         mutate = lambda t: t  # noqa: E731 — metadata-only commit
         mutate.app_meta = {key: meta}
@@ -2196,10 +2423,14 @@ class ManifestCommit(ParquetLeaseCommit):
         synthetic physical name (``_remint_dropped`` — the Delta
         id-mapping idiom), so the old bytes stay hidden and pre-re-add
         files read the new column as NULL. Refuses hive partition
-        columns and the last column."""
+        columns and the last column. Dotted paths (r15) drop a NESTED
+        struct field by mapping — same posture; re-adding the dropped
+        nested name refuses at append (no nested remint)."""
         target = self._target_for_write(store, path)
         if target is None:
             return super().drop_column(store, path, column)
+        if "." in column:
+            return self._drop_nested_field(store, path, column)
         root, member = target
         self._guard_constrained_column(
             store, root, member, column, "drop_column"
@@ -2232,8 +2463,135 @@ class ManifestCommit(ParquetLeaseCommit):
         phys = mapping.pop(column, column)
         widen.pop(column, None)
         dropped.append(phys)
+        # nested specs at or below the dropped column's physical path
+        # describe hidden fields — prune them with it
+        nested = {
+            p: s
+            for p, s in dict(cur.get("nested", {})).items()
+            if p != phys and not p.startswith(phys + ".")
+        }
         meta = self._schema_meta_dict(
-            mapping, widen, dropped, dict(cur.get("phys_types", {}))
+            mapping, widen, dropped, dict(cur.get("phys_types", {})),
+            nested,
+        )
+        mutate = lambda t: t  # noqa: E731 — metadata-only commit
+        mutate.app_meta = {key: meta}
+        mutate.entry_guard = self._app_cas_guard(
+            {key: entry.get("app", {}).get(key)}
+        )
+        self._commit(store, root, mutate)
+
+    def _rename_nested_field(
+        self, store, path: str, old: str, new: str
+    ) -> None:
+        """Nested-field rename (r15): one CAS-guarded metadata commit
+        updating the parent struct's ``nested`` spec — zero data files
+        touched; pre-rename files serve the new logical view."""
+        root, member = self._target_for_write(store, path)
+        parent_phys, parent_type, leaf = self._resolve_nested_path(
+            store, path, old
+        )
+        if "." in new:
+            if new.rsplit(".", 1)[0] != old.rsplit(".", 1)[0]:
+                raise ValidationError(
+                    f"rename_column: {old!r} -> {new!r} would MOVE the "
+                    "field to a different parent — a rename only "
+                    "changes the leaf name (rewrite to restructure)"
+                )
+            new_leaf = new.rsplit(".", 1)[1]
+        else:
+            new_leaf = new
+        logical_fields = {f.name for f in parent_type.fields}
+        # the parent's LOGICAL field names: physical minus drops,
+        # through the inverse leaf map — parent_type is already the
+        # logical view's type, so its names are logical
+        if leaf not in logical_fields:
+            raise ValidationError(
+                f"rename_column: no field {leaf!r} in "
+                f"{sorted(logical_fields)} of {old.rsplit('.', 1)[0]!r}"
+            )
+        if new_leaf in logical_fields:
+            raise ValidationError(
+                f"rename_column: field {new_leaf!r} already exists in "
+                f"{old.rsplit('.', 1)[0]!r}"
+            )
+        self._guard_constrained_column(
+            store, root, member, old, "rename_column"
+        )
+        key = self._schema_key(member)
+        _, entry = self._current_entry(store, root)
+        cur = entry.get("app", {}).get(key) or {}
+        nested = {
+            p: {k: v for k, v in s.items()}
+            for p, s in dict(cur.get("nested", {})).items()
+        }
+        spec = nested.setdefault(parent_phys, {})
+        nmap = dict(spec.get("map", {}))
+        phys_leaf = nmap.pop(leaf, leaf)
+        nmap[new_leaf] = phys_leaf
+        # identity entries (renamed back to the physical name) elide
+        spec["map"] = {l: p for l, p in nmap.items() if l != p}
+        meta = self._schema_meta_dict(
+            dict(cur.get("map", {})), dict(cur.get("widen", {})),
+            list(cur.get("drop", [])),
+            dict(cur.get("phys_types", {})), nested,
+        )
+        mutate = lambda t: t  # noqa: E731 — metadata-only commit
+        mutate.app_meta = {key: meta}
+        mutate.entry_guard = self._app_cas_guard(
+            {key: entry.get("app", {}).get(key)}
+        )
+        self._commit(store, root, mutate)
+
+    def _drop_nested_field(self, store, path: str, column: str) -> None:
+        """Nested-field drop (r15): metadata-only exclusion of a
+        struct field — old files keep the bytes; the logical view and
+        every new append omit it. Refuses the struct's last field (an
+        empty struct has no parquet representation)."""
+        root, member = self._target_for_write(store, path)
+        parent_phys, parent_type, leaf = self._resolve_nested_path(
+            store, path, column
+        )
+        logical_fields = {f.name for f in parent_type.fields}
+        if leaf not in logical_fields:
+            raise ValidationError(
+                f"drop_column: no field {leaf!r} in "
+                f"{sorted(logical_fields)} of "
+                f"{column.rsplit('.', 1)[0]!r}"
+            )
+        if len(logical_fields) == 1:
+            raise ValidationError(
+                f"drop_column: {leaf!r} is the only field of "
+                f"{column.rsplit('.', 1)[0]!r} — drop the struct "
+                "column itself instead"
+            )
+        self._guard_constrained_column(
+            store, root, member, column, "drop_column"
+        )
+        key = self._schema_key(member)
+        _, entry = self._current_entry(store, root)
+        cur = entry.get("app", {}).get(key) or {}
+        nested = {
+            p: {k: v for k, v in s.items()}
+            for p, s in dict(cur.get("nested", {})).items()
+        }
+        spec = nested.setdefault(parent_phys, {})
+        nmap = dict(spec.get("map", {}))
+        phys_leaf = nmap.pop(leaf, leaf)
+        spec["map"] = nmap
+        spec["drop"] = list(spec.get("drop", [])) + [phys_leaf]
+        dropped_path = f"{parent_phys}.{phys_leaf}"
+        # deeper specs under the dropped field describe hidden bytes
+        nested = {
+            p: s
+            for p, s in nested.items()
+            if p != dropped_path
+            and not p.startswith(dropped_path + ".")
+        }
+        meta = self._schema_meta_dict(
+            dict(cur.get("map", {})), dict(cur.get("widen", {})),
+            list(cur.get("drop", [])),
+            dict(cur.get("phys_types", {})), nested,
         )
         mutate = lambda t: t  # noqa: E731 — metadata-only commit
         mutate.app_meta = {key: meta}
@@ -2245,7 +2603,14 @@ class ManifestCommit(ParquetLeaseCommit):
     def widen_column(self, store, path: str, column: str, to_type: str) -> None:
         """Metadata-only widen: the column reads (and new files write)
         at the wider type; existing files keep their narrow physical
-        type and their stats stay comparable (kind-normalized)."""
+        type and their stats stay comparable (kind-normalized).
+        Nested paths are unsupported (rewrite to widen a struct
+        field)."""
+        if "." in column and self._target_for_write(store, path):
+            raise ValidationError(
+                "widen_column: nested struct fields cannot widen by "
+                "mapping — rewrite the member"
+            )
         if to_type not in self.WIDEN_TYPES:
             raise ValidationError(
                 f"widen_column: to_type must be one of "
@@ -2279,7 +2644,8 @@ class ManifestCommit(ParquetLeaseCommit):
         dropped = list(cur.get("drop", []))
         widen[column] = to_type
         meta = self._schema_meta_dict(
-            mapping, widen, dropped, dict(cur.get("phys_types", {}))
+            mapping, widen, dropped, dict(cur.get("phys_types", {})),
+            dict(cur.get("nested", {})),
         )
         mutate = lambda t: t  # noqa: E731
         mutate.app_meta = {key: meta}
@@ -3359,15 +3725,22 @@ class ManifestCommit(ParquetLeaseCommit):
                 out = self._apply_logical_schema(store, out, schema)
         return out
 
-    @staticmethod
-    def _logical_view_extra(df, meta, extra):
-        """``_logical_view`` keeping the named passthrough columns."""
+    @classmethod
+    def _logical_view_extra(cls, df, meta, extra):
+        """The one physical->logical assembly (``_logical_view`` is
+        the extra=() form): inverse-rename mapped columns, exclude
+        dropped ones, rebuild structs under nested specs (r15), apply
+        widening casts — keeping the named passthrough columns."""
+        from pyspark.sql import types as T
+
         mapping = meta.get("map", {})
         widen = meta.get("widen", {})
         dropped = set(meta.get("drop", []))
+        nested = meta.get("nested", {})
         inv = {p: l for l, p in mapping.items()}
         cols = []
-        for c in df.columns:
+        for f in df.schema.fields:
+            c = f.name
             if c in extra:
                 cols.append(F.col(c))
                 continue
@@ -3375,6 +3748,12 @@ class ManifestCommit(ParquetLeaseCommit):
                 continue
             logical = inv.get(c, c)
             col = F.col(c)
+            if (
+                nested
+                and isinstance(f.dataType, T.StructType)
+                and cls._nested_under(nested, c)
+            ):
+                col = cls._nested_logical_col(col, f.dataType, c, nested)
             if logical in widen:
                 col = col.cast(widen[logical])
             cols.append(col.alias(logical))

@@ -351,6 +351,47 @@ def _hive_values(relpath: str) -> dict:
     return out
 
 
+def _nested_arrow(arr, phys_path: str, nested: dict):
+    """Arrow-side nested-field logical assembly (r15): rebuild a
+    struct array with inverse-renamed field names and dropped fields
+    excluded, recursing into struct children with deeper specs — the
+    connector-read mirror of the engine's ``_nested_logical_col``.
+    Struct-level validity (NULL rows) carries over via the mask."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from redis_lsm_timeseries_spark.commit import ManifestCommit
+
+    spec = nested.get(phys_path) or {}
+    inv = {p: l for l, p in spec.get("map", {}).items()}
+    dropped = set(spec.get("drop", []))
+    chunks = (
+        arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
+    )
+    out = []
+    for chunk in chunks:
+        st = chunk.type
+        children, names = [], []
+        for i in range(st.num_fields):
+            f = st.field(i)
+            if f.name in dropped:
+                continue
+            child = chunk.field(i)
+            child_path = f"{phys_path}.{f.name}"
+            if pa.types.is_struct(f.type) and ManifestCommit._nested_under(
+                nested, child_path
+            ):
+                child = _nested_arrow(child, child_path, nested)
+            children.append(child)
+            names.append(inv.get(f.name, f.name))
+        out.append(
+            pa.StructArray.from_arrays(
+                children, names, mask=pc.is_null(chunk)
+            )
+        )
+    return pa.chunked_array(out) if len(out) != 1 else out[0]
+
+
 def _read_files_partition(partition: _FilesPartition):
     """Executor-side read shared by the stream and batch readers:
     each file scans through pyarrow, assembles the LOGICAL view
@@ -370,7 +411,10 @@ def _read_files_partition(partition: _FilesPartition):
     )
     mapping = partition.smeta.get("map", {})
     dropped = set(partition.smeta.get("drop", []))
+    nested = partition.smeta.get("nested", {})
     inv = {p: l for l, p in mapping.items()}
+    from redis_lsm_timeseries_spark.commit import ManifestCommit
+
     for rel in partition.relpaths:
         tbl = pq.read_table(f"{partition.base}/{rel}")
         blob = partition.dvs.get(rel)
@@ -390,12 +434,20 @@ def _read_files_partition(partition: _FilesPartition):
             pos = dv.column("pos").to_numpy(zero_copy_only=False)
             mask[pos.astype("int64")] = False
             tbl = tbl.filter(pa.array(mask))
-        # physical -> logical names; dropped physical excluded
+        # physical -> logical names; dropped physical excluded;
+        # structs with nested specs rebuild (r15)
         cols, names = [], []
         for name in tbl.schema.names:
             if name in dropped:
                 continue
-            cols.append(tbl.column(name))
+            colarr = tbl.column(name)
+            if (
+                nested
+                and pa.types.is_struct(colarr.type)
+                and ManifestCommit._nested_under(nested, name)
+            ):
+                colarr = _nested_arrow(colarr, name, nested)
+            cols.append(colarr)
             names.append(inv.get(name, name))
         tbl = pa.table(dict(zip(names, cols)))
         # hive partition path segments become constant columns
@@ -926,6 +978,14 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         smeta = entry.get("app", {}).get(
             commit._schema_key(self.member)
         ) or {}
+        if smeta.get("nested"):
+            raise ValidationError(
+                "rlts_table writer: the member has NESTED-field "
+                "schema evolution — the connector's Arrow writer does "
+                "not translate struct-field mappings; append through "
+                "the engine's commit APIs (append_table_with_meta / "
+                "append_tables), which do"
+            )
         mapping = smeta.get("map", {})
         dropped = set(smeta.get("drop", []))
         targets = {p for l, p in mapping.items() if p != l}
@@ -1077,6 +1137,7 @@ class ManifestTableDataSource(DataSource):
         mapping = smeta.get("map", {})
         dropped = set(smeta.get("drop", []))
         widen = smeta.get("widen", {})
+        nested = smeta.get("nested", {})
         inv = {p: l for l, p in mapping.items()}
         phys = pq.read_schema(f"{meta.base}/{rel}")
         st = from_arrow_schema(phys)
@@ -1086,6 +1147,19 @@ class ManifestTableDataSource(DataSource):
                 continue
             logical = inv.get(f.name, f.name)
             dt = f.dataType
+            from pyspark.sql.types import StructType as _ST
+
+            from redis_lsm_timeseries_spark.commit import (
+                ManifestCommit as _MC,
+            )
+
+            if (
+                nested
+                and isinstance(dt, _ST)
+                and _MC._nested_under(nested, f.name)
+            ):
+                # nested specs (r15): infer the LOGICAL struct shape
+                dt = _MC._nested_struct_type(dt, f.name, nested)
             if logical in widen:
                 from pyspark.sql.types import DoubleType
                 from pyspark.sql.types import LongType as _L

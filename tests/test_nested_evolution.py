@@ -1,0 +1,322 @@
+"""Nested-field schema evolution (r15, VERDICT r14 #5): the column
+mapping extends to STRUCT FIELDS via dotted paths — the Delta
+nested-column-mapping idiom on the manifest log. ``rename_column(...,
+"props.device", "props.dev_kind")`` / ``drop_column(..., "props.x")``
+land one metadata-only CAS-guarded commit each: zero data files move,
+PRE-change files serve the new logical view, appends translate
+logical -> physical leaf names, change feeds and the connector's
+batch reader assemble the same view, and the directory backend
+degrades to an eager rewrite. Bounded scope, each refusal loud:
+fields under array/map elements refuse, nested widen refuses, and a
+new field reusing a dropped nested name refuses at append (no nested
+remint)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from redis_lsm_timeseries_spark.commit import (
+    CommitHost,
+    ManifestCommit,
+    ParquetLeaseCommit,
+)
+from redis_lsm_timeseries_spark.errors import ValidationError
+
+SCHEMA = (
+    "k long, props struct<device: string, os: string, "
+    "geo: struct<cc: string, city: string>>"
+)
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(
+        [
+            (k, Row(device=d, os=o, geo=Row(cc=cc, city=city)))
+            for k, d, o, cc, city in data
+        ],
+        SCHEMA,
+    ).coalesce(1)
+
+
+def _mfx(spark, tmp_path):
+    host, commit = CommitHost(spark), ManifestCommit()
+    path = str(tmp_path / "t")
+    commit.append_tables(
+        host, path,
+        {"": _rows(spark, [(1, "ios", "17", "de", "ber"),
+                           (2, "android", "14", "us", "nyc")])},
+    )
+    return host, commit, path
+
+
+def _by_k(df):
+    return {r.k: r.asDict(recursive=True) for r in df.collect()}
+
+
+class TestNestedRename:
+    def test_metadata_only_and_pre_change_files_serve(
+        self, spark, tmp_path
+    ):
+        host, commit, path = _mfx(spark, tmp_path)
+        files = commit.member_files(host, path)
+        commit.rename_column(host, path, "props.device", "dev_kind")
+        assert commit.member_files(host, path) == files  # zero IO
+        got = _by_k(commit.read_table(host, path))
+        assert got[1]["props"] == {
+            "dev_kind": "ios", "os": "17",
+            "geo": {"cc": "de", "city": "ber"},
+        }
+
+    def test_dotted_new_name_must_share_parent(self, spark, tmp_path):
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.rename_column(
+            host, path, "props.device", "props.dev_kind"
+        )
+        assert "dev_kind" in _by_k(commit.read_table(host, path))[1][
+            "props"
+        ]
+        with pytest.raises(ValidationError, match="MOVE"):
+            commit.rename_column(host, path, "props.os", "other.os")
+
+    def test_deep_rename_two_levels(self, spark, tmp_path):
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.rename_column(host, path, "props.geo.cc", "country")
+        got = _by_k(commit.read_table(host, path))
+        assert got[2]["props"]["geo"] == {"country": "us", "city": "nyc"}
+
+    def test_appends_after_rename_write_physical(self, spark, tmp_path):
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.rename_column(host, path, "props.device", "dev_kind")
+        commit.append_tables(
+            host, path,
+            {"": spark.createDataFrame(
+                [(3, Row(dev_kind="web", os="x",
+                         geo=Row(cc="fr", city="par")))],
+                "k long, props struct<dev_kind: string, os: string, "
+                "geo: struct<cc: string, city: string>>",
+            ).coalesce(1)},
+        )
+        got = _by_k(commit.read_table(host, path))
+        assert got[3]["props"]["dev_kind"] == "web"
+        assert got[1]["props"]["dev_kind"] == "ios"
+        # old and new files share ONE physical struct schema: a raw
+        # physical read of any file shows the original leaf name
+        import pyarrow.parquet as pq
+
+        root, member = commit._resolve(host, path)
+        base = commit._member_root(root, member)
+        for f in commit.member_files(host, path):
+            names = [
+                fld.name
+                for fld in pq.read_schema(f"{base}/{f}").field(
+                    "props"
+                ).type
+            ]
+            assert "device" in names and "dev_kind" not in names
+
+    def test_null_struct_rows_stay_null(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        commit.append_tables(
+            host, path,
+            {"": spark.createDataFrame(
+                [(1, Row(device="ios", os="17", geo=None)), (2, None)],
+                SCHEMA,
+            ).coalesce(1)},
+        )
+        commit.rename_column(host, path, "props.device", "dev_kind")
+        got = _by_k(commit.read_table(host, path))
+        assert got[2]["props"] is None
+        assert got[1]["props"]["geo"] is None
+
+    def test_rename_validations(self, spark, tmp_path):
+        host, commit, path = _mfx(spark, tmp_path)
+        with pytest.raises(ValidationError, match="no field"):
+            commit.rename_column(host, path, "props.nope", "x")
+        with pytest.raises(ValidationError, match="already exists"):
+            commit.rename_column(host, path, "props.device", "os")
+        with pytest.raises(ValidationError, match="no column"):
+            commit.rename_column(host, path, "nope.device", "x")
+        with pytest.raises(ValidationError, match="not a plain struct"):
+            commit.rename_column(host, path, "k.x", "y")
+
+    def test_rename_back_round_trips(self, spark, tmp_path):
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.rename_column(host, path, "props.device", "dev_kind")
+        commit.rename_column(host, path, "props.dev_kind", "device")
+        got = _by_k(commit.read_table(host, path))
+        assert got[1]["props"]["device"] == "ios"
+
+    def test_constrained_nested_field_refuses(self, spark, tmp_path):
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.add_constraint(
+            host, path, "dev_set", "props.device IS NOT NULL"
+        )
+        with pytest.raises(ValidationError, match="constraint"):
+            commit.rename_column(host, path, "props.device", "d2")
+        with pytest.raises(ValidationError, match="constraint"):
+            commit.drop_column(host, path, "props.device")
+
+
+class TestNestedDrop:
+    def test_drop_hides_field_everywhere(self, spark, tmp_path):
+        host, commit, path = _mfx(spark, tmp_path)
+        files = commit.member_files(host, path)
+        commit.drop_column(host, path, "props.os")
+        assert commit.member_files(host, path) == files
+        got = _by_k(commit.read_table(host, path))
+        assert "os" not in got[1]["props"]
+        assert got[1]["props"]["device"] == "ios"
+
+    def test_appends_after_drop_never_carry_it(self, spark, tmp_path):
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.drop_column(host, path, "props.os")
+        commit.append_tables(
+            host, path,
+            {"": spark.createDataFrame(
+                [(3, Row(device="web", geo=Row(cc="fr", city="par")))],
+                "k long, props struct<device: string, "
+                "geo: struct<cc: string, city: string>>",
+            ).coalesce(1)},
+        )
+        got = _by_k(commit.read_table(host, path))
+        assert got[3]["props"] == {
+            "device": "web", "geo": {"cc": "fr", "city": "par"},
+        }
+
+    def test_reusing_dropped_nested_name_refuses(self, spark, tmp_path):
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.drop_column(host, path, "props.os")
+        with pytest.raises(ValidationError, match="DROPPED"):
+            commit.append_tables(
+                host, path,
+                {"": _rows(
+                    spark, [(4, "x", "y", "zz", "w")]
+                )},
+            )
+
+    def test_last_field_refuses(self, spark, tmp_path):
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.drop_column(host, path, "props.geo.cc")
+        with pytest.raises(ValidationError, match="only field"):
+            commit.drop_column(host, path, "props.geo.city")
+
+    def test_nested_widen_refuses(self, spark, tmp_path):
+        host, commit, path = _mfx(spark, tmp_path)
+        with pytest.raises(ValidationError, match="nested"):
+            commit.widen_column(host, path, "props.device", "long")
+
+
+class TestNestedComposition:
+    def test_composes_with_top_level_rename(self, spark, tmp_path):
+        """Top-level rename + nested rename: the nested spec keys by
+        the PHYSICAL parent path, so it survives the parent's logical
+        rename."""
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.rename_column(host, path, "props.device", "dev_kind")
+        commit.rename_column(host, path, "props", "attrs")
+        got = _by_k(commit.read_table(host, path))
+        assert got[1]["attrs"]["dev_kind"] == "ios"
+        commit.rename_column(host, path, "attrs.os", "osv")
+        got = _by_k(commit.read_table(host, path))
+        assert got[1]["attrs"]["osv"] == "17"
+
+    def test_change_feed_serves_logical_view(self, spark, tmp_path):
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.rename_column(host, path, "props.device", "dev_kind")
+        v0 = commit.table_versions(host, path)[-1]
+        commit.append_tables(
+            host, path,
+            {"": spark.createDataFrame(
+                [(3, Row(dev_kind="web", os="x",
+                         geo=Row(cc="fr", city="par")))],
+                "k long, props struct<dev_kind: string, os: string, "
+                "geo: struct<cc: string, city: string>>",
+            ).coalesce(1)},
+        )
+        delta = commit.read_changes(host, path, v0)
+        rows = {r.k: r.asDict(recursive=True) for r in delta.collect()}
+        assert rows == {
+            3: {"k": 3, "props": {"dev_kind": "web", "os": "x",
+                                  "geo": {"cc": "fr", "city": "par"}}},
+        }
+
+    def test_merge_reads_through_nested_mapping(self, spark, tmp_path):
+        """A row-level rewrite planned over pre-change files must
+        carry the nested mapping through: survivors re-land physical,
+        the logical view is unchanged."""
+        from redis_lsm_timeseries_spark.operators.merge import (
+            delete_rows,
+        )
+
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.rename_column(host, path, "props.device", "dev_kind")
+        delete_rows(
+            host, path,
+            spark.createDataFrame([(1,)], "k long"), ["k"],
+            commit=commit,
+        )
+        got = _by_k(commit.read_table(host, path))
+        assert set(got) == {2}
+        assert got[2]["props"]["dev_kind"] == "android"
+
+    def test_connector_batch_read_assembles_nested_view(
+        self, spark, tmp_path
+    ):
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            read_table_batch,
+        )
+
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.rename_column(host, path, "props.device", "dev_kind")
+        commit.drop_column(host, path, "props.os")
+        native = _by_k(commit.read_table(host, path))
+        via = {
+            r.k: r.asDict(recursive=True)
+            for r in read_table_batch(spark, path).collect()
+        }
+        assert via == native
+        assert via[1]["props"] == {
+            "dev_kind": "ios", "geo": {"cc": "de", "city": "ber"},
+        }
+
+    def test_connector_writer_refuses_nested_members(
+        self, spark, tmp_path
+    ):
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            register_manifest_source,
+        )
+
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.rename_column(host, path, "props.device", "dev_kind")
+        register_manifest_source(spark)
+        with pytest.raises(Exception, match="NESTED"):
+            (
+                commit.read_table(host, path)
+                .write.format("rlts_table")
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+
+    def test_time_travel_sees_pre_change_view(self, spark, tmp_path):
+        host, commit, path = _mfx(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        commit.rename_column(host, path, "props.device", "dev_kind")
+        old = _by_k(commit.read_table(host, path, None, version=v0))
+        assert "device" in old[1]["props"]
+
+
+class TestDirectoryBackend:
+    def test_eager_nested_rename_and_drop(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ParquetLeaseCommit()
+        path = str(tmp_path / "t")
+        _rows(spark, [(1, "ios", "17", "de", "ber")]).write.parquet(path)
+        commit.rename_column(host, path, "props.device", "dev_kind")
+        got = _by_k(commit.read_table(host, path, None))
+        assert got[1]["props"]["dev_kind"] == "ios"
+        commit.drop_column(host, path, "props.os")
+        got = _by_k(commit.read_table(host, path, None))
+        assert "os" not in got[1]["props"]
+        assert got[1]["props"]["geo"]["cc"] == "de"
