@@ -1560,7 +1560,16 @@ class ManifestCommit(ParquetLeaseCommit):
                 if v is not None:
                     colstats[k] = {"min": v, "max": v, "nulls": 0}
         try:
-            md = pq.ParquetFile(f"{base}/{rel}").metadata
+            pf = pq.ParquetFile(f"{base}/{rel}")
+            md = pf.metadata
+            # nested-leaf skipping (r15): a leaf whose every ancestor
+            # is a PLAIN STRUCT has footer min/max that truly bound
+            # its values (dotted stats key = the physical path, same
+            # convention as the nested schema mapping). Leaves under
+            # list/map elements are excluded — their path encodes
+            # repetition ("a.list.element") and membership-style
+            # predicates don't reduce to a scalar range.
+            struct_leaves = self._struct_leaf_paths(pf.schema_arrow)
             ncols = min(md.num_columns, self.STATS_MAX_COLS)
             agg: dict = {}
             for rg in range(md.num_row_groups):
@@ -1568,8 +1577,8 @@ class ManifestCommit(ParquetLeaseCommit):
                 for ci in range(ncols):
                     col = row_group.column(ci)
                     name = col.path_in_schema
-                    if "." in name:
-                        continue  # nested leaves: no safe bound
+                    if "." in name and name not in struct_leaves:
+                        continue  # repeated-context leaf: no safe bound
                     cur = agg.setdefault(
                         name, {"min": None, "max": None, "nulls": 0,
                                "ok": True, "nulls_ok": True}
@@ -1636,6 +1645,29 @@ class ManifestCommit(ParquetLeaseCommit):
             # footer unreadable through this seam: keep any
             # path-derived stats, with unknown row count
             return {"rows": None, "cols": colstats} if colstats else None
+
+    @staticmethod
+    def _struct_leaf_paths(schema) -> set:
+        """Dotted paths of leaves reachable through PLAIN STRUCTS only
+        (no list/map ancestry) in an Arrow schema — the columns whose
+        parquet footer min/max are safe scalar bounds (r15)."""
+        import pyarrow as pa
+
+        out: set = set()
+
+        def walk(prefix, typ):
+            for i in range(typ.num_fields):
+                f = typ.field(i)
+                p = f"{prefix}.{f.name}"
+                if pa.types.is_struct(f.type):
+                    walk(p, f.type)
+                else:
+                    out.add(p)
+
+        for field in schema:
+            if pa.types.is_struct(field.type):
+                walk(field.name, field.type)
+        return out
 
     def _file_stats(self, store, root: str, member: str, files) -> dict:
         """Per-file ``{"rows": n, "cols": {column: {min, max, nulls}}}``
@@ -2132,6 +2164,20 @@ class ManifestCommit(ParquetLeaseCommit):
                 T.StructField(inv.get(f.name, f.name), dt, f.nullable)
             )
         return T.StructType(fields)
+
+    @staticmethod
+    def _phys_dotted(meta: dict, dotted: str) -> str:
+        """LOGICAL column path (possibly dotted) -> PHYSICAL stats
+        key: the top-level map translates the first segment, the
+        nested specs translate each deeper leaf — the key per-file
+        stats and the nested schema mapping share (r15)."""
+        segs = dotted.split(".")
+        phys = meta.get("map", {}).get(segs[0], segs[0])
+        nested = meta.get("nested", {})
+        for seg in segs[1:]:
+            spec = nested.get(phys) or {}
+            phys = f"{phys}.{spec.get('map', {}).get(seg, seg)}"
+        return phys
 
     def _resolve_nested_path(self, store, path: str, dotted: str):
         """Resolve a LOGICAL dotted field path against the member's
@@ -3997,13 +4043,14 @@ class ManifestCommit(ParquetLeaseCommit):
         files = entry["tables"].get(member, [])
         stats = entry.get("stats", {}).get(member, {})
         meta = entry.get("app", {}).get(self._schema_key(member)) or {}
-        mapping = meta.get("map", {})
-        if mapping:
-            # predicates arrive on LOGICAL names; stats are recorded
-            # under physical ones. Superset-safety across widening is
-            # free: _norm_scalar kind-normalizes numeric widths.
+        if meta.get("map") or meta.get("nested"):
+            # predicates arrive on LOGICAL names (dotted for nested
+            # struct leaves, r15); stats are recorded under physical
+            # ones. Superset-safety across widening is free:
+            # _norm_scalar kind-normalizes numeric widths.
             predicates = {
-                mapping.get(c, c): b for c, b in predicates.items()
+                self._phys_dotted(meta, c): b
+                for c, b in predicates.items()
             }
         sorted_sets = self._sorted_sets(predicates)
         kept = [

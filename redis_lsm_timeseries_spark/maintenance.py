@@ -251,16 +251,31 @@ def restat_live_extrema(
     # current DV paths AS OF the planning scan: the stamp must name
     # the vector the aggregation actually filtered through
     dv_of = {f: stats[f]["dv"]["path"] for f in todo}
+    from pyspark.sql import types as T
+
     statable = {
         "tinyint", "smallint", "int", "bigint", "float", "double",
         "string", "timestamp", "timestamp_ntz", "date",
     }
-    cols = [
-        c
-        for c, t in df.dtypes
-        if c not in ("__dv_file", "__dv_pos")
-        and (t in statable or t.startswith("decimal"))
-    ]
+
+    def ok(dt) -> bool:
+        s = dt.simpleString()
+        return s in statable or s.startswith("decimal")
+
+    cols: list[str] = []
+
+    def collect(path: str, dt) -> None:
+        # plain-struct leaves get dotted live stats too (r15 nested
+        # skipping) — the same keys the footer stats record
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                collect(f"{path}.{f.name}", f.dataType)
+        elif ok(dt):
+            cols.append(path)
+
+    for f in df.schema.fields:
+        if f.name not in ("__dv_file", "__dv_pos"):
+            collect(f.name, f.dataType)
     if not cols:
         return 0
     aggs = []
@@ -417,6 +432,11 @@ def optimize_table(
         clustered = zorder_compact(
             host, path, zorder_cols, min_files=1, commit=commit
         )
+    # files still carrying a DV after compaction (debt under the
+    # threshold) get live extrema restatted (r15), so fast_min_max
+    # serves metadata-only even after edge deletes; a no-op when no
+    # DV'd file lacks a current-vector live block
+    restat_live_extrema(host, path, commit=commit)
     root, _ = commit._resolve(host, path)
     vacuumed = commit.vacuum(
         host, root,
@@ -451,11 +471,13 @@ def fast_count(
         return None
     if predicates:
         # mapped members (r13 schema evolution): predicates arrive on
-        # logical names, stats are recorded under physical ones
-        mapping = commit.schema_meta(host, path).get("map", {})
-        if mapping:
+        # logical names (dotted for nested struct leaves, r15), stats
+        # are recorded under physical ones
+        meta = commit.schema_meta(host, path)
+        if meta.get("map") or meta.get("nested"):
             predicates = {
-                mapping.get(c, c): b for c, b in predicates.items()
+                ManifestCommit._phys_dotted(meta, c): b
+                for c, b in predicates.items()
             }
 
     norm = ManifestCommit._norm_scalar
@@ -647,9 +669,10 @@ def fast_min_max(
     stats = commit.member_file_stats(host, path)
     if stats is None:
         return None
-    # mapped members: the caller names the LOGICAL column
-    column = commit.schema_meta(host, path).get("map", {}).get(
-        column, column
+    # mapped members: the caller names the LOGICAL column (dotted for
+    # nested struct leaves, r15)
+    column = ManifestCommit._phys_dotted(
+        commit.schema_meta(host, path), column
     )
     norm = ManifestCommit._norm_scalar
     lo = hi = None  # over CLEAN (no-DV) files: every row live, exact

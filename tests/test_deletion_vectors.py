@@ -425,6 +425,30 @@ class TestDvMetadataServing:
         # rows stay exact throughout
         assert fast_count(host, path, commit=commit) == 297
 
+    def test_optimize_table_restores_metadata_serving(
+        self, spark, tmp_path
+    ):
+        """optimize_table (r15) runs the live-extrema restat after
+        compaction: a DV'd file whose debt stays UNDER the compaction
+        threshold still gets exact metadata-only min/max back."""
+        from redis_lsm_timeseries_spark.maintenance import (
+            optimize_table,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        delete_rows(
+            host, path, _ids(spark, [299]), ["id"],
+            commit=commit, mode="dv",
+        )
+        assert fast_min_max(host, path, "id", commit=commit) is None
+        # target_rows below the live counts: nothing is "small", the
+        # 1/100 debt is under the 20% threshold — the DV survives the
+        # compaction pass and the restat restores serving
+        optimize_table(host, path, target_rows=10, commit=commit)
+        stats = commit.member_file_stats(host, path)
+        assert any((s or {}).get("dv") for s in stats.values())
+        assert fast_min_max(host, path, "id", commit=commit) == (0, 298)
+
     def test_restat_live_extrema_bounded_to_dv_files(
         self, spark, tmp_path
     ):

@@ -261,6 +261,33 @@ class TestNestedComposition:
         assert set(got) == {2}
         assert got[2]["props"]["dev_kind"] == "android"
 
+    def test_merge_cdf_serves_nested_logical_view(self, spark, tmp_path):
+        """A merge's row-level change feed on a nested-mapped member:
+        CDF files store PHYSICAL leaf names (the member's one storage
+        convention); read_row_changes assembles the logical view."""
+        from redis_lsm_timeseries_spark.operators.merge import (
+            merge_into,
+        )
+
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.rename_column(host, path, "props.device", "dev_kind")
+        v0 = commit.table_versions(host, path)[-1]
+        src = spark.createDataFrame(
+            [(1, Row(dev_kind="tv", os="9",
+                     geo=Row(cc="de", city="ber")))],
+            "k long, props struct<dev_kind: string, os: string, "
+            "geo: struct<cc: string, city: string>>",
+        )
+        merge_into(host, path, src, ["k"], commit=commit)
+        ch = commit.read_row_changes(host, path, v0)
+        rows = {
+            (r.k, r[commit.CDF_TYPE_COL]): r.asDict(recursive=True)
+            for r in ch.collect()
+        }
+        assert rows[(1, "upsert")]["props"]["dev_kind"] == "tv"
+        got = _by_k(commit.read_table(host, path))
+        assert got[1]["props"]["dev_kind"] == "tv"
+
     def test_connector_batch_read_assembles_nested_view(
         self, spark, tmp_path
     ):
@@ -306,6 +333,109 @@ class TestNestedComposition:
         commit.rename_column(host, path, "props.device", "dev_kind")
         old = _by_k(commit.read_table(host, path, None, version=v0))
         assert "device" in old[1]["props"]
+
+
+class TestNestedSkipping:
+    """r15: per-file stats extend to PLAIN-STRUCT leaf paths (footer
+    min/max under the dotted physical path), so predicates on nested
+    payload fields prune files at plan time — with the dotted logical
+    -> physical translation riding the same nested mapping."""
+
+    NSCHEMA = (
+        "k long, props struct<score: long, device: string, "
+        "tags: array<string>>"
+    )
+
+    def _fx(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        for i, (lo, hi) in enumerate([(0, 99), (100, 199), (200, 299)]):
+            commit.append_tables(
+                host, path,
+                {"": spark.createDataFrame(
+                    [
+                        (i * 100 + j, Row(
+                            score=lo + j, device=f"d{i}", tags=["x"]
+                        ))
+                        for j in range(0, 100, 10)
+                    ],
+                    self.NSCHEMA,
+                ).coalesce(1)},
+            )
+        return host, commit, path
+
+    def test_struct_leaf_stats_recorded_and_prune(self, spark, tmp_path):
+        host, commit, path = self._fx(spark, tmp_path)
+        (f0, *_rest) = sorted(commit.member_files(host, path))
+        blk = commit.member_file_stats(host, path)[f0]
+        assert blk["cols"]["props.score"]["min"] == 0
+        assert blk["cols"]["props.score"]["max"] == 90
+        assert blk["cols"]["props.device"]["min"] == "d0"
+        # list-typed leaves are never statted (repeated context)
+        assert not any(k.startswith("props.tags") for k in blk["cols"])
+        kept, total = commit.prune_files(
+            host, path, {"props.score": (120, 150)}
+        )
+        assert (len(kept), total) == (1, 3)
+        kept2, _ = commit.prune_files(
+            host, path, {"props.device": {"d2"}}
+        )
+        assert len(kept2) == 1
+
+    def test_prune_translates_through_nested_rename(
+        self, spark, tmp_path
+    ):
+        host, commit, path = self._fx(spark, tmp_path)
+        commit.rename_column(host, path, "props.score", "points")
+        kept, total = commit.prune_files(
+            host, path, {"props.points": (120, 150)}
+        )
+        assert (len(kept), total) == (1, 3)
+        # and through a top-level rename on top
+        commit.rename_column(host, path, "props", "attrs")
+        kept2, _ = commit.prune_files(
+            host, path, {"attrs.points": (120, 150)}
+        )
+        assert len(kept2) == 1
+
+    def test_fast_min_max_on_nested_leaf(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.maintenance import (
+            fast_min_max,
+            restat_live_extrema,
+        )
+        from redis_lsm_timeseries_spark.operators.merge import (
+            delete_rows,
+        )
+
+        host, commit, path = self._fx(spark, tmp_path)
+        assert fast_min_max(
+            host, path, "props.score", commit=commit
+        ) == (0, 290)
+        # an edge DV delete blocks the proof; the live restat (which
+        # now stats nested leaves too) restores it
+        delete_rows(
+            host, path,
+            spark.createDataFrame([(290,)], "k long"), ["k"],
+            commit=commit, mode="dv",
+        )
+        assert fast_min_max(
+            host, path, "props.score", commit=commit
+        ) is None
+        assert restat_live_extrema(host, path, commit=commit) == 1
+        assert fast_min_max(
+            host, path, "props.score", commit=commit
+        ) == (0, 280)
+
+    def test_unstatted_nested_predicate_never_prunes(
+        self, spark, tmp_path
+    ):
+        """Superset safety: a predicate on a list-typed (unstatted)
+        leaf keeps every file."""
+        host, commit, path = self._fx(spark, tmp_path)
+        kept, total = commit.prune_files(
+            host, path, {"props.tags": ("a", "b")}
+        )
+        assert (len(kept), total) == (3, 3)
 
 
 class TestDirectoryBackend:
