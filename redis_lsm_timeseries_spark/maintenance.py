@@ -562,14 +562,22 @@ def fast_count(
             try:
                 # 'every row matches' additionally requires a KNOWN
                 # zero null count: NULL rows never satisfy a predicate,
-                # so min==max with nulls present (or unrecorded) can
-                # only prove the non-null rows match — not countable
-                # exactly here, fall through to the partial verdict.
-                if (
-                    nmn == nmx
+                # so a contained range with nulls present (or
+                # unrecorded) can only prove the non-null rows match —
+                # not countable exactly here, fall through to the
+                # partial verdict. Interval bounds (r15): min AND max
+                # inside the inclusive range prove every value is (any
+                # v satisfies min <= v <= max ⊆ [lo, hi]); set bounds
+                # still need min == max — in-between values may be
+                # absent from the set.
+                contained = (
+                    nmn == nmx and point_in(nmn, bound)
+                ) or (
+                    not isinstance(bound, (set, frozenset))
                     and point_in(nmn, bound)
-                    and cs.get("nulls") == 0
-                ):
+                    and point_in(nmx, bound)
+                )
+                if contained and cs.get("nulls") == 0:
                     continue  # every row matches on this column
                 ov = overlap(nmn, nmx, bound)
                 if ov is None:

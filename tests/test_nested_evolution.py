@@ -437,6 +437,98 @@ class TestNestedSkipping:
         )
         assert (len(kept), total) == (3, 3)
 
+    def test_nested_pruning_survives_the_rebuild(self, spark, tmp_path):
+        """Plan gate: the logical-view struct rebuild must not defeat
+        Catalyst's nested schema pruning — projecting one renamed leaf
+        reads ONLY that leaf's physical column from parquet (at 100 TB
+        the difference between scanning a leaf and the whole payload
+        struct)."""
+        import re
+
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.rename_column(host, path, "props.device", "dev_kind")
+
+        def read_schema(df):
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("formatted")
+            )
+            return re.search(r"ReadSchema: (.*)", plan).group(1)
+
+        only_k = read_schema(commit.read_table(host, path).select("k"))
+        assert only_k == "struct<k:bigint>"
+        leaf = read_schema(
+            commit.read_table(host, path).select(F.col("props.dev_kind"))
+        )
+        assert leaf == "struct<props:struct<device:string>>"
+
+    def test_fast_count_dotted_predicate(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.maintenance import fast_count
+
+        host, commit, path = self._fx(spark, tmp_path)
+        # a whole file provably matches (min==max impossible here per
+        # row, but the band (100,199) covers file 1 entirely)
+        assert fast_count(
+            host, path, {"props.score": (100, 199)}, commit=commit
+        ) == 10
+        commit.rename_column(host, path, "props.score", "points")
+        assert fast_count(
+            host, path, {"props.points": (100, 199)}, commit=commit
+        ) == 10
+
+    def test_connector_stream_serves_nested_view(self, spark, tmp_path):
+        """The rlts_table STREAM source assembles the nested logical
+        view too (same Arrow partition reader as batch)."""
+        import time as _time
+
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            read_table_stream,
+        )
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        commit.append_tables(
+            host, path,
+            {"": _rows(spark, [(1, "ios", "17", "de", "ber")])},
+        )
+        commit.rename_column(host, path, "props.device", "dev_kind")
+        commit.drop_column(host, path, "props.os")
+        df = read_table_stream(
+            spark, path,
+            schema=(
+                "k long, props struct<dev_kind: string, "
+                "geo: struct<cc: string, city: string>>"
+            ),
+            startingversion="earliest",
+        )
+        q = (
+            df.writeStream.format("memory")
+            .queryName("nstream1")
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            t0 = _time.time()
+            while _time.time() - t0 < 120:
+                if q.exception() is not None:
+                    raise AssertionError(q.exception())
+                if spark.sql(
+                    "SELECT count(*) c FROM nstream1"
+                ).first().c >= 1:
+                    break
+                _time.sleep(0.3)
+            got = {
+                r.k: r.asDict(recursive=True)
+                for r in spark.sql("SELECT * FROM nstream1").collect()
+            }
+            assert got[1]["props"] == {
+                "dev_kind": "ios",
+                "geo": {"cc": "de", "city": "ber"},
+            }
+        finally:
+            q.stop()
+
 
 class TestDirectoryBackend:
     def test_eager_nested_rename_and_drop(self, spark, tmp_path):
