@@ -366,9 +366,13 @@ class TestNestedSkipping:
 
     def test_struct_leaf_stats_recorded_and_prune(self, spark, tmp_path):
         host, commit, path = self._fx(spark, tmp_path)
-        (f0, *_rest) = sorted(commit.member_files(host, path))
-        blk = commit.member_file_stats(host, path)[f0]
-        assert blk["cols"]["props.score"]["min"] == 0
+        # staged relpaths are uuid-token-prefixed — find the 0-band
+        # file by its stats, never by name order
+        blk = next(
+            s
+            for s in commit.member_file_stats(host, path).values()
+            if s["cols"]["props.score"]["min"] == 0
+        )
         assert blk["cols"]["props.score"]["max"] == 90
         assert blk["cols"]["props.device"]["min"] == "d0"
         # list-typed leaves are never statted (repeated context)
