@@ -721,3 +721,81 @@ UNREGISTERED_ORACLES["replace_range_restatement"] = (
     replace_range_restatement,
     REPLACE_RANGE_ORACLE,
 )
+
+# ------------------------------------------------- nested evolution
+# Oracle-checked differential for nested-field schema evolution (r15)
+# — parity-pinned (the 50-slot driver budget is spent): a throwaway
+# manifest table takes a struct payload, drops one nested field and
+# renames another (both metadata-only), then appends a batch in the
+# POST-evolution shape; the final read — pre-change files assembled
+# through the nested mapping, post-change files verbatim — flattens
+# to scalars (the hash harness compares scalar cells) and must equal
+# DuckDB computing the same projection from the base table directly.
+NESTED_EVOLUTION_ORACLE = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       upper(event_type) AS dev_kind,
+       CAST(value AS DOUBLE) AS score
+FROM events WHERE event_id % 30 = 0
+"""
+
+
+def nested_evolution_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nested drop + rename on a throwaway manifest table with a
+    struct payload; returns the flattened logical view over files
+    written BEFORE and AFTER the evolution."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from redis_lsm_timeseries_spark.commit import (
+        CommitHost,
+        ManifestCommit,
+    )
+
+    base_dir = _tempfile.mkdtemp(prefix="rlts_nested_")
+    try:
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = f"{base_dir}/t"
+        ev = load_events(spark, sf_dir).where(
+            F.col("event_id") % 30 == 0
+        )
+        # pre-evolution shape: props struct<device, os, score>
+        pre = ev.where(F.col("event_id") % 60 == 0).select(
+            "event_id",
+            F.struct(
+                F.upper("event_type").alias("device"),
+                F.lit("legacy").alias("os"),
+                F.col("value").cast("double").alias("score"),
+            ).alias("props"),
+        )
+        commit.append_tables(
+            host, path, {"": pre.repartitionByRange(2, "event_id")}
+        )
+        commit.drop_column(host, path, "props.os")
+        commit.rename_column(host, path, "props.device", "dev_kind")
+        # post-evolution shape: props struct<dev_kind, score>
+        post = ev.where(F.col("event_id") % 60 != 0).select(
+            "event_id",
+            F.struct(
+                F.upper("event_type").alias("dev_kind"),
+                F.col("value").cast("double").alias("score"),
+            ).alias("props"),
+        )
+        commit.append_tables(
+            host, path, {"": post.repartitionByRange(2, "event_id")}
+        )
+        out = commit.read_table(host, path).select(
+            "event_id",
+            F.col("props.dev_kind").alias("dev_kind"),
+            F.col("props.score").alias("score"),
+        )
+        return out.localCheckpoint(eager=True)  # outlives the rmtree
+    finally:
+        _shutil.rmtree(base_dir, ignore_errors=True)
+
+
+UNREGISTERED_ORACLES["nested_evolution_roundtrip"] = (
+    nested_evolution_roundtrip,
+    NESTED_EVOLUTION_ORACLE,
+)
