@@ -417,6 +417,11 @@ def _read_files_partition(partition: _FilesPartition):
 
     for rel in partition.relpaths:
         tbl = pq.read_table(f"{partition.base}/{rel}")
+        if len(tbl) == 0:
+            # zero-row files (empty partition splits) contribute
+            # nothing — and their columns can carry 0 Arrow chunks,
+            # which the struct rebuild below cannot reassemble
+            continue
         blob = partition.dvs.get(rel)
         if blob is not None:
             # deletion vector (r14): mask the recorded positions out.

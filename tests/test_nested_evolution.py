@@ -327,6 +327,34 @@ class TestNestedComposition:
                 .save()
             )
 
+    def test_connector_read_survives_zero_row_files(
+        self, spark, tmp_path
+    ):
+        """A zero-row parquet split (empty-partition append) in a
+        nested-mapped member must not break the Arrow struct rebuild."""
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            read_table_batch,
+        )
+
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.rename_column(host, path, "props.device", "dev_kind")
+        # a 2-partition write of 1 row leaves one EMPTY split
+        commit.append_tables(
+            host, path,
+            {"": spark.createDataFrame(
+                [(3, Row(dev_kind="web", os="x",
+                         geo=Row(cc="fr", city="par")))],
+                "k long, props struct<dev_kind: string, os: string, "
+                "geo: struct<cc: string, city: string>>",
+            ).repartition(2)},
+        )
+        via = {
+            r.k: r.asDict(recursive=True)
+            for r in read_table_batch(spark, path).collect()
+        }
+        assert set(via) == {1, 2, 3}
+        assert via[3]["props"]["dev_kind"] == "web"
+
     def test_time_travel_sees_pre_change_view(self, spark, tmp_path):
         host, commit, path = _mfx(spark, tmp_path)
         v0 = commit.table_versions(host, path)[-1]
