@@ -288,19 +288,40 @@ class TableCommit:
         """Widen a column's read type (int->long, float->double).
         Directory backends rewrite eagerly; ``ManifestCommit``
         overrides with a metadata-only cast applied at read (old files
-        keep their narrow physical type; new writes land widened)."""
+        keep their narrow physical type; new writes land widened).
+        Dotted paths widen a nested struct leaf (eager here)."""
+        from pyspark.sql import functions as F
+
         if to_type not in self.WIDEN_TYPES:
             raise ValidationError(
                 f"widen_column: to_type must be one of "
                 f"{sorted(self.WIDEN_TYPES)}, got {to_type!r}"
             )
         df = self.read_table(store, path, None)
-        if column not in df.columns:
-            raise ValidationError(
-                f"widen_column: {column!r} not in {df.columns}"
+        if "." in column:
+            top, rest = column.split(".", 1)
+            if top not in df.columns:
+                raise ValidationError(
+                    f"widen_column: {top!r} not in {df.columns}"
+                )
+            cur = df.select(F.col(column)).dtypes[0][1]
+            self._check_widen_source(cur, column, to_type)
+            # withField REPLACES the existing leaf in place
+            out = df.withColumn(
+                top,
+                F.col(top).withField(
+                    rest, F.col(column).cast(to_type)
+                ),
             )
-        self._check_widen_source(dict(df.dtypes)[column], column, to_type)
-        out = df.withColumn(column, df[column].cast(to_type))
+        else:
+            if column not in df.columns:
+                raise ValidationError(
+                    f"widen_column: {column!r} not in {df.columns}"
+                )
+            self._check_widen_source(
+                dict(df.dtypes)[column], column, to_type
+            )
+            out = df.withColumn(column, df[column].cast(to_type))
         self.snapshot_rewrite(
             store, path,
             lambda tmp: out.write.mode("overwrite").parquet(tmp),
@@ -2009,20 +2030,34 @@ class ManifestCommit(ParquetLeaseCommit):
         df = reader.parquet(*paths)
         widen = meta.get("widen", {})
         phys_types = meta.get("phys_types", {})
+        nested = meta.get("nested", {})
+        # nested widen (r15): the member legitimately mixes struct
+        # LEAF widths across file generations — force the widened
+        # leaf type so the sampled footer's width never misreads the
+        # other generation
+        nested_widen = any(s.get("widen") for s in nested.values())
         present = {f.name for f in df.schema.fields}
         missing = {p: t for p, t in phys_types.items() if p not in present}
-        if widen or missing:
+        if widen or missing or nested_widen:
             wide = {"long": T.LongType(), "double": T.DoubleType()}
             inv = {p: l for l, p in meta.get("map", {}).items()}
+
+            def field_type(f):
+                if inv.get(f.name, f.name) in widen:
+                    return wide[widen[inv.get(f.name, f.name)]]
+                if (
+                    nested_widen
+                    and isinstance(f.dataType, T.StructType)
+                    and self._nested_under(nested, f.name)
+                ):
+                    return self._nested_forced_type(
+                        f.dataType, f.name, nested
+                    )
+                return f.dataType
+
             forced = T.StructType(
                 [
-                    T.StructField(
-                        f.name,
-                        wide[widen[inv.get(f.name, f.name)]]
-                        if inv.get(f.name, f.name) in widen
-                        else f.dataType,
-                        f.nullable,
-                    )
+                    T.StructField(f.name, field_type(f), f.nullable)
                     for f in df.schema.fields
                 ]
                 + [
@@ -2042,6 +2077,29 @@ class ManifestCommit(ParquetLeaseCommit):
                 .parquet(*paths)
             )
         return df
+
+    @classmethod
+    def _nested_forced_type(cls, dtype, phys_path, nested):
+        """Physical StructType with nested-widened leaves forced to
+        their wide type (names stay PHYSICAL — this is the scan
+        schema, not the logical view)."""
+        from pyspark.sql import types as T
+
+        spec = nested.get(phys_path) or {}
+        wmap = spec.get("widen", {})
+        wide = {"long": T.LongType(), "double": T.DoubleType()}
+        fields = []
+        for f in dtype.fields:
+            dt = f.dataType
+            child = f"{phys_path}.{f.name}"
+            if isinstance(dt, T.StructType) and cls._nested_under(
+                nested, child
+            ):
+                dt = cls._nested_forced_type(dt, child, nested)
+            elif f.name in wmap:
+                dt = wide[wmap[f.name]]
+            fields.append(T.StructField(f.name, dt, f.nullable))
+        return T.StructType(fields)
 
     def _mapped_scan(self, store, base: str, files, meta):
         """Physical scan of a mapped member assembled into the
@@ -2082,14 +2140,16 @@ class ManifestCommit(ParquetLeaseCommit):
     @classmethod
     def _nested_logical_col(cls, col, dtype, phys_path, nested):
         """Physical struct Column -> logical view: rebuild with
-        inverse-renamed field names, dropped fields excluded,
-        recursing into struct children with deeper specs. A NULL
-        struct row stays NULL (the rebuild is guarded)."""
+        inverse-renamed field names, dropped fields excluded, widened
+        leaves cast (r15; ``widen`` keys by the immutable PHYSICAL
+        leaf), recursing into struct children with deeper specs. A
+        NULL struct row stays NULL (the rebuild is guarded)."""
         from pyspark.sql import functions as F, types as T
 
         spec = nested.get(phys_path) or {}
         inv = {p: l for l, p in spec.get("map", {}).items()}
         dropped = set(spec.get("drop", []))
+        wmap = spec.get("widen", {})
         parts = []
         for f in dtype.fields:
             if f.name in dropped:
@@ -2102,6 +2162,8 @@ class ManifestCommit(ParquetLeaseCommit):
                 child = cls._nested_logical_col(
                     child, f.dataType, child_path, nested
                 )
+            if f.name in wmap:
+                child = child.cast(wmap[f.name])
             parts.append(child.alias(inv.get(f.name, f.name)))
         return F.when(col.isNotNull(), F.struct(*parts))
 
@@ -2118,6 +2180,7 @@ class ManifestCommit(ParquetLeaseCommit):
         spec = nested.get(phys_path) or {}
         nmap = spec.get("map", {})
         ndrop = set(spec.get("drop", []))
+        wmap = spec.get("widen", {})
         parts = []
         for f in dtype.fields:
             phys_leaf = nmap.get(f.name, f.name)
@@ -2138,6 +2201,10 @@ class ManifestCommit(ParquetLeaseCommit):
                     child, f.dataType, child_path, nested,
                     f"{logical_path}.{f.name}",
                 )
+            if phys_leaf in wmap:
+                # widened leaves store WIDE (one file never mixes
+                # widths with its own stats), like top-level widen
+                child = child.cast(wmap[phys_leaf])
             parts.append(child.alias(phys_leaf))
         return F.when(col.isNotNull(), F.struct(*parts))
 
@@ -2150,6 +2217,8 @@ class ManifestCommit(ParquetLeaseCommit):
         spec = nested.get(phys_path) or {}
         inv = {p: l for l, p in spec.get("map", {}).items()}
         dropped = set(spec.get("drop", []))
+        wmap = spec.get("widen", {})
+        wide = {"long": T.LongType(), "double": T.DoubleType()}
         fields = []
         for f in dtype.fields:
             if f.name in dropped:
@@ -2160,6 +2229,8 @@ class ManifestCommit(ParquetLeaseCommit):
                 nested, child_path
             ):
                 dt = cls._nested_struct_type(dt, child_path, nested)
+            elif f.name in wmap:
+                dt = wide[wmap[f.name]]
             fields.append(
                 T.StructField(inv.get(f.name, f.name), dt, f.nullable)
             )
@@ -2317,9 +2388,9 @@ class ManifestCommit(ParquetLeaseCommit):
         silently drops a sibling key (e.g. ``phys_types``,
         ``nested``)."""
         nested = {
-            p: s
+            p: {k: v for k, v in s.items() if v}
             for p, s in (nested or {}).items()
-            if s.get("map") or s.get("drop")
+            if s.get("map") or s.get("drop") or s.get("widen")
         }
         return {
             k: v
@@ -2626,6 +2697,12 @@ class ManifestCommit(ParquetLeaseCommit):
         phys_leaf = nmap.pop(leaf, leaf)
         spec["map"] = nmap
         spec["drop"] = list(spec.get("drop", [])) + [phys_leaf]
+        # a dropped leaf sheds its widen entry with it
+        spec["widen"] = {
+            k: v
+            for k, v in spec.get("widen", {}).items()
+            if k != phys_leaf
+        }
         dropped_path = f"{parent_phys}.{phys_leaf}"
         # deeper specs under the dropped field describe hidden bytes
         nested = {
@@ -2646,22 +2723,67 @@ class ManifestCommit(ParquetLeaseCommit):
         )
         self._commit(store, root, mutate)
 
+    def _widen_nested_field(
+        self, store, path: str, column: str, to_type: str
+    ) -> None:
+        """Nested-field widen (r15): metadata-only — reads cast the
+        leaf wide, new files store it wide, and the physical scan
+        forces the wide leaf type so mixed-width struct generations
+        read under one schema. The ``widen`` spec keys by the
+        immutable PHYSICAL leaf, so it survives nested renames."""
+        root, member = self._target_for_write(store, path)
+        parent_phys, parent_type, leaf = self._resolve_nested_path(
+            store, path, column
+        )
+        fld = {f.name: f for f in parent_type.fields}.get(leaf)
+        if fld is None:
+            raise ValidationError(
+                f"widen_column: no field {leaf!r} in "
+                f"{sorted(f.name for f in parent_type.fields)} of "
+                f"{column.rsplit('.', 1)[0]!r}"
+            )
+        self._check_widen_source(
+            fld.dataType.simpleString(), column, to_type
+        )
+        self._guard_constrained_column(
+            store, root, member, column, "widen_column"
+        )
+        key = self._schema_key(member)
+        _, entry = self._current_entry(store, root)
+        cur = entry.get("app", {}).get(key) or {}
+        nested = {
+            p: {k: v for k, v in s.items()}
+            for p, s in dict(cur.get("nested", {})).items()
+        }
+        spec = nested.setdefault(parent_phys, {})
+        phys_leaf = {
+            l: p for l, p in spec.get("map", {}).items()
+        }.get(leaf, leaf)
+        spec["widen"] = {**spec.get("widen", {}), phys_leaf: to_type}
+        meta = self._schema_meta_dict(
+            dict(cur.get("map", {})), dict(cur.get("widen", {})),
+            list(cur.get("drop", [])),
+            dict(cur.get("phys_types", {})), nested,
+        )
+        mutate = lambda t: t  # noqa: E731 — metadata-only commit
+        mutate.app_meta = {key: meta}
+        mutate.entry_guard = self._app_cas_guard(
+            {key: entry.get("app", {}).get(key)}
+        )
+        self._commit(store, root, mutate)
+
     def widen_column(self, store, path: str, column: str, to_type: str) -> None:
         """Metadata-only widen: the column reads (and new files write)
         at the wider type; existing files keep their narrow physical
         type and their stats stay comparable (kind-normalized).
-        Nested paths are unsupported (rewrite to widen a struct
-        field)."""
-        if "." in column and self._target_for_write(store, path):
-            raise ValidationError(
-                "widen_column: nested struct fields cannot widen by "
-                "mapping — rewrite the member"
-            )
+        Dotted paths (r15) widen a NESTED struct leaf the same way."""
         if to_type not in self.WIDEN_TYPES:
             raise ValidationError(
                 f"widen_column: to_type must be one of "
                 f"{sorted(self.WIDEN_TYPES)}, got {to_type!r}"
             )
+        if "." in column and self._target_for_write(store, path):
+            return self._widen_nested_field(store, path, column, to_type)
         target = self._target_for_write(store, path)
         if target is None:
             return super().widen_column(store, path, column, to_type)

@@ -202,10 +202,154 @@ class TestNestedDrop:
         with pytest.raises(ValidationError, match="only field"):
             commit.drop_column(host, path, "props.geo.city")
 
-    def test_nested_widen_refuses(self, spark, tmp_path):
+    def test_nested_widen_rejects_lossy_sources(self, spark, tmp_path):
         host, commit, path = _mfx(spark, tmp_path)
-        with pytest.raises(ValidationError, match="nested"):
+        with pytest.raises(ValidationError, match="widening"):
             commit.widen_column(host, path, "props.device", "long")
+
+
+class TestNestedWiden:
+    """r15: nested struct leaves widen by mapping (int->long,
+    float->double) — reads cast, appends store wide, the physical scan
+    forces the wide leaf type so mixed-width struct generations read
+    under one schema."""
+
+    WSCHEMA = "k long, props struct<score: int, name: string>"
+
+    def _fx(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        commit.append_tables(
+            host, path,
+            {"": spark.createDataFrame(
+                [(1, Row(score=10, name="a")),
+                 (2, Row(score=20, name="b"))],
+                self.WSCHEMA,
+            ).coalesce(1)},
+        )
+        return host, commit, path
+
+    def test_widen_reads_wide_and_mixes_generations(
+        self, spark, tmp_path
+    ):
+        import pyarrow.parquet as pq
+
+        host, commit, path = self._fx(spark, tmp_path)
+        files0 = set(commit.member_files(host, path))
+        commit.widen_column(host, path, "props.score", "long")
+        assert commit.member_files(host, path) == sorted(files0) or set(
+            commit.member_files(host, path)
+        ) == files0  # metadata-only
+        df = commit.read_table(host, path)
+        leaf_type = df.select(F.col("props.score")).dtypes[0][1]
+        assert leaf_type == "bigint"
+        # post-widen append stores WIDE physically
+        commit.append_tables(
+            host, path,
+            {"": spark.createDataFrame(
+                [(3, Row(score=2**40, name="c"))],
+                "k long, props struct<score: long, name: string>",
+            ).coalesce(1)},
+        )
+        got = {r.k: r.props.score for r in commit.read_table(
+            host, path
+        ).collect()}
+        assert got == {1: 10, 2: 20, 3: 2**40}
+        # the two generations genuinely mix physical widths
+        root, member = commit._resolve(host, path)
+        base = commit._member_root(root, member)
+        widths = set()
+        for f in commit.member_files(host, path):
+            t = pq.read_schema(f"{base}/{f}").field("props").type
+            widths.add(str({fl.name: str(fl.type) for fl in t}["score"]))
+        assert widths == {"int32", "int64"}
+
+    def test_widen_survives_nested_rename(self, spark, tmp_path):
+        """The widen spec keys by the PHYSICAL leaf — renaming the
+        leaf keeps the cast."""
+        host, commit, path = self._fx(spark, tmp_path)
+        commit.widen_column(host, path, "props.score", "long")
+        commit.rename_column(host, path, "props.score", "points")
+        df = commit.read_table(host, path)
+        assert df.select(F.col("props.points")).dtypes[0][1] == "bigint"
+        # and widening THEN renaming the parent composes too
+        commit.rename_column(host, path, "props", "attrs")
+        df2 = commit.read_table(host, path)
+        assert df2.select(F.col("attrs.points")).dtypes[0][1] == "bigint"
+
+    def test_prune_across_mixed_widths(self, spark, tmp_path):
+        host, commit, path = self._fx(spark, tmp_path)
+        commit.widen_column(host, path, "props.score", "long")
+        commit.append_tables(
+            host, path,
+            {"": spark.createDataFrame(
+                [(3, Row(score=1_000_000, name="c"))],
+                "k long, props struct<score: long, name: string>",
+            ).coalesce(1)},
+        )
+        kept, total = commit.prune_files(
+            host, path, {"props.score": (500_000, None)}
+        )
+        assert (len(kept), total) == (1, 2)
+
+    def test_drop_sheds_widen(self, spark, tmp_path):
+        host, commit, path = self._fx(spark, tmp_path)
+        commit.widen_column(host, path, "props.score", "long")
+        commit.drop_column(host, path, "props.score")
+        meta = commit.schema_meta(host, path)
+        assert not meta["nested"]["props"].get("widen")
+        got = {r.k: r.props.asDict() for r in commit.read_table(
+            host, path
+        ).collect()}
+        assert got[1] == {"name": "a"}
+
+    def test_connector_reads_widened_nested(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            read_table_batch,
+        )
+
+        host, commit, path = self._fx(spark, tmp_path)
+        commit.widen_column(host, path, "props.score", "long")
+        commit.append_tables(
+            host, path,
+            {"": spark.createDataFrame(
+                [(3, Row(score=2**40, name="c"))],
+                "k long, props struct<score: long, name: string>",
+            ).coalesce(1)},
+        )
+        via = {
+            r.k: r.props.score
+            for r in read_table_batch(spark, path).collect()
+        }
+        assert via == {1: 10, 2: 20, 3: 2**40}
+
+    def test_merge_through_widened_nested(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.operators.merge import (
+            merge_into,
+        )
+
+        host, commit, path = self._fx(spark, tmp_path)
+        commit.widen_column(host, path, "props.score", "long")
+        src = spark.createDataFrame(
+            [(2, Row(score=2**41, name="B"))],
+            "k long, props struct<score: long, name: string>",
+        )
+        merge_into(host, path, src, ["k"], commit=commit)
+        got = {r.k: r.props.score for r in commit.read_table(
+            host, path
+        ).collect()}
+        assert got[2] == 2**41 and got[1] == 10
+
+    def test_directory_backend_widens_eagerly(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ParquetLeaseCommit()
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, Row(score=10, name="a"))], self.WSCHEMA
+        ).write.parquet(path)
+        commit.widen_column(host, path, "props.score", "long")
+        df = commit.read_table(host, path, None)
+        assert df.select(F.col("props.score")).dtypes[0][1] == "bigint"
+        assert df.first().props.name == "a"
 
 
 class TestNestedComposition:
