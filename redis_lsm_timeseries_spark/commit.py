@@ -2181,9 +2181,20 @@ class ManifestCommit(ParquetLeaseCommit):
         nmap = spec.get("map", {})
         ndrop = set(spec.get("drop", []))
         wmap = spec.get("widen", {})
+        targets = {p for l, p in nmap.items() if p != l}
         parts = []
         for f in dtype.fields:
             phys_leaf = nmap.get(f.name, f.name)
+            if f.name not in nmap and phys_leaf in targets:
+                # same collision rule as top-level columns: a NEW
+                # field whose name is an existing field's PHYSICAL
+                # name would alias its bytes
+                raise ValidationError(
+                    f"append to a schema-mapped member: new nested "
+                    f"field {logical_path}.{f.name} collides with an "
+                    "existing field's PHYSICAL name — pick a "
+                    "different name (the mapping already targets it)"
+                )
             if phys_leaf in ndrop:
                 raise ValidationError(
                     f"append to a schema-mapped member: nested field "

@@ -196,6 +196,25 @@ class TestNestedDrop:
                 )},
             )
 
+    def test_new_field_colliding_with_physical_name_refuses(
+        self, spark, tmp_path
+    ):
+        """A new nested field named like an existing field's PHYSICAL
+        name would alias its bytes — same refusal as top-level."""
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.rename_column(host, path, "props.device", "dev_kind")
+        with pytest.raises(ValidationError, match="PHYSICAL"):
+            commit.append_tables(
+                host, path,
+                {"": spark.createDataFrame(
+                    [(9, Row(dev_kind="x", device="SNEAKY", os="1",
+                             geo=Row(cc="a", city="b")))],
+                    "k long, props struct<dev_kind: string, "
+                    "device: string, os: string, "
+                    "geo: struct<cc: string, city: string>>",
+                ).coalesce(1)},
+            )
+
     def test_last_field_refuses(self, spark, tmp_path):
         host, commit, path = _mfx(spark, tmp_path)
         commit.drop_column(host, path, "props.geo.cc")
