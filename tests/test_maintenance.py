@@ -210,7 +210,7 @@ class TestObservability:
         df = spark.createDataFrame(
             [(i, i % 3, f"v{i}") for i in range(90)],
             "k long, p long, v string",
-        )
+        ).coalesce(1)  # ONE file per hive partition: wide k bands
         commit.append_partitioned(host, df, path, ["p"])
         # unpredicated: exact sum of per-file rows
         assert fast_count(host, path, commit=commit) == 90
@@ -224,10 +224,16 @@ class TestObservability:
         assert fast_count(
             host, path, {"p": {99}}, commit=commit
         ) == 0
-        # data-column predicate that splits a file: not provable
+        # data-column predicate that SPLITS a file (each file spans
+        # k 0..~89, the bound covers part of it): not provable
         assert fast_count(
             host, path, {"k": (0, 10)}, commit=commit
         ) is None
+        # ... but a range containing a file's whole recorded span IS
+        # provable (r15: interval containment, not just min==max)
+        assert fast_count(
+            host, path, {"k": (0, 1_000)}, commit=commit
+        ) == 90
         # agrees with the real scan where provable
         real = commit.read_table(host, path, None).where("p = 1").count()
         assert real == 30
