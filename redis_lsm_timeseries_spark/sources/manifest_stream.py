@@ -854,6 +854,97 @@ class ManifestBatchReader(DataSourceReader):
         yield from _read_files_partition(partition)
 
 
+def _check_nested_write_schema(schema, smeta: dict) -> None:
+    """Plan-time validation of a connector write against the member's
+    nested specs (r15): a field resolving to a DROPPED physical leaf,
+    or a NEW field aliasing an existing field's physical name, refuses
+    before any task runs — the same rules the engine's
+    ``_nested_physical_col`` enforces."""
+    from pyspark.sql.types import StructType
+
+    from redis_lsm_timeseries_spark.commit import ManifestCommit
+    from redis_lsm_timeseries_spark.errors import ValidationError
+
+    nested = smeta.get("nested", {})
+    mapping = smeta.get("map", {})
+
+    def walk(dt, phys_path, lpath):
+        spec = nested.get(phys_path) or {}
+        nmap = spec.get("map", {})
+        ndrop = set(spec.get("drop", []))
+        targets = {p for l, p in nmap.items() if p != l}
+        for f in dt.fields:
+            pl = nmap.get(f.name, f.name)
+            if pl in ndrop:
+                raise ValidationError(
+                    f"rlts_table writer: nested field "
+                    f"{lpath}.{f.name} reuses a DROPPED field's "
+                    "physical name — rewrite the member or pick a "
+                    "different name"
+                )
+            if f.name not in nmap and pl in targets:
+                raise ValidationError(
+                    f"rlts_table writer: new nested field "
+                    f"{lpath}.{f.name} collides with an existing "
+                    "field's PHYSICAL name"
+                )
+            child = f"{phys_path}.{pl}"
+            if isinstance(
+                f.dataType, StructType
+            ) and ManifestCommit._nested_under(nested, child):
+                walk(f.dataType, child, f"{lpath}.{f.name}")
+
+    for f in schema.fields:
+        phys = mapping.get(f.name, f.name)
+        if isinstance(
+            f.dataType, StructType
+        ) and ManifestCommit._nested_under(nested, phys):
+            walk(f.dataType, phys, f.name)
+
+
+def _nested_arrow_to_physical(arr, phys_path: str, nested: dict):
+    """Arrow-side logical -> physical struct translation for the
+    connector WRITER (r15): rename leaves to their stable physical
+    names and widen-cast widened ones, recursing into struct children
+    with deeper specs — the write mirror of ``_nested_arrow``.
+    Validation happened at plan time; struct-level NULLs carry over."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from redis_lsm_timeseries_spark.commit import ManifestCommit
+
+    spec = nested.get(phys_path) or {}
+    nmap = spec.get("map", {})
+    wmap = spec.get("widen", {})
+    wide = {"long": pa.int64(), "double": pa.float64()}
+    chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
+    out = []
+    for chunk in chunks:
+        st = chunk.type
+        children, names = [], []
+        for i in range(st.num_fields):
+            f = st.field(i)
+            phys_leaf = nmap.get(f.name, f.name)
+            child = chunk.field(i)
+            child_path = f"{phys_path}.{phys_leaf}"
+            if pa.types.is_struct(f.type) and ManifestCommit._nested_under(
+                nested, child_path
+            ):
+                child = _nested_arrow_to_physical(
+                    child, child_path, nested
+                )
+            if phys_leaf in wmap:
+                child = child.cast(wide[wmap[phys_leaf]])
+            children.append(child)
+            names.append(phys_leaf)
+        out.append(
+            pa.StructArray.from_arrays(
+                children, names, mask=pc.is_null(chunk)
+            )
+        )
+    return pa.chunked_array(out) if len(out) != 1 else out[0]
+
+
 def _validate_constraints_arrow(tbl, cons: dict, path: str) -> None:
     """Task-side CHECK-constraint validation of a staged Arrow table
     (LOGICAL column names — runs before the physical rename), with
@@ -983,14 +1074,13 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         smeta = entry.get("app", {}).get(
             commit._schema_key(self.member)
         ) or {}
+        # nested-field evolution (r15): the writer translates struct
+        # leaves logical -> physical in Arrow, task-side (rename +
+        # widen cast, mirroring the engine's _nested_physical_col);
+        # dropped-name reuse and physical-name collisions refuse at
+        # PLAN time, before any task runs
         if smeta.get("nested"):
-            raise ValidationError(
-                "rlts_table writer: the member has NESTED-field "
-                "schema evolution — the connector's Arrow writer does "
-                "not translate struct-field mappings; append through "
-                "the engine's commit APIs (append_table_with_meta / "
-                "append_tables), which do"
-            )
+            _check_nested_write_schema(schema, smeta)
         mapping = smeta.get("map", {})
         dropped = set(smeta.get("drop", []))
         targets = {p for l, p in mapping.items() if p != l}
@@ -1024,18 +1114,31 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         tbl = pa.Table.from_batches(batches)
         if self.cons:
             _validate_constraints_arrow(tbl, self.cons, self.path)
-        # logical -> physical: rename mapped columns, widen-cast
+        # logical -> physical: rename mapped columns, widen-cast,
+        # translate nested struct leaves (r15)
         mapping = self.smeta.get("map", {})
         widen = self.smeta.get("widen", {})
-        if mapping or widen:
+        nested = self.smeta.get("nested", {})
+        if mapping or widen or nested:
+            from redis_lsm_timeseries_spark.commit import (
+                ManifestCommit as _MC,
+            )
+
             wide = {"long": pa.int64(), "double": pa.float64()}
             cols, names = [], []
             for name in tbl.schema.names:
                 col = tbl.column(name)
+                phys = mapping.get(name, name)
+                if (
+                    nested
+                    and pa.types.is_struct(col.type)
+                    and _MC._nested_under(nested, phys)
+                ):
+                    col = _nested_arrow_to_physical(col, phys, nested)
                 if name in widen:
                     col = col.cast(wide[widen[name]])
                 cols.append(col)
-                names.append(mapping.get(name, name))
+                names.append(phys)
             tbl = pa.table(dict(zip(names, cols)))
         rel = f"{self.token}-w{uuid.uuid4().hex[:12]}.parquet"
         _os.makedirs(self.base, exist_ok=True)

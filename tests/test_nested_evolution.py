@@ -471,7 +471,52 @@ class TestNestedComposition:
             "dev_kind": "ios", "geo": {"cc": "de", "city": "ber"},
         }
 
-    def test_connector_writer_refuses_nested_members(
+    def test_connector_writer_translates_nested(self, spark, tmp_path):
+        """r15 (late): the connector writer translates struct leaves
+        logical -> physical in Arrow — a write to a nested-mapped
+        member commits and both read paths serve it."""
+        import pyarrow.parquet as pq
+
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            read_table_batch,
+            register_manifest_source,
+        )
+
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.rename_column(host, path, "props.device", "dev_kind")
+        register_manifest_source(spark)
+        before = set(commit.member_files(host, path))
+        (
+            spark.createDataFrame(
+                [(3, Row(dev_kind="web", os="x",
+                         geo=Row(cc="fr", city="par")))],
+                "k long, props struct<dev_kind: string, os: string, "
+                "geo: struct<cc: string, city: string>>",
+            )
+            .coalesce(1)
+            .write.format("rlts_table")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        native = _by_k(commit.read_table(host, path))
+        assert native[3]["props"]["dev_kind"] == "web"
+        via = {
+            r.k: r.asDict(recursive=True)
+            for r in read_table_batch(spark, path).collect()
+        }
+        assert via == native
+        # the new file stores the PHYSICAL leaf name
+        (new_f,) = set(commit.member_files(host, path)) - before
+        root, member = commit._resolve(host, path)
+        base = commit._member_root(root, member)
+        names = [
+            f.name
+            for f in pq.read_schema(f"{base}/{new_f}").field("props").type
+        ]
+        assert "device" in names and "dev_kind" not in names
+
+    def test_connector_writer_refuses_dropped_nested_reuse(
         self, spark, tmp_path
     ):
         from redis_lsm_timeseries_spark.sources.manifest_stream import (
@@ -479,16 +524,23 @@ class TestNestedComposition:
         )
 
         host, commit, path = _mfx(spark, tmp_path)
-        commit.rename_column(host, path, "props.device", "dev_kind")
+        commit.drop_column(host, path, "props.os")
         register_manifest_source(spark)
-        with pytest.raises(Exception, match="NESTED"):
+        with pytest.raises(Exception, match="DROPPED"):
             (
-                commit.read_table(host, path)
+                spark.createDataFrame(
+                    [(9, Row(device="d", os="sneaky",
+                             geo=Row(cc="a", city="b")))],
+                    "k long, props struct<device: string, os: string, "
+                    "geo: struct<cc: string, city: string>>",
+                )
+                .coalesce(1)
                 .write.format("rlts_table")
                 .option("path", path)
                 .mode("append")
                 .save()
             )
+        assert commit.read_table(host, path).count() == 2
 
     def test_connector_read_survives_zero_row_files(
         self, spark, tmp_path
