@@ -702,14 +702,17 @@ _RECON_CACHE_MAX = 64
 _RECON_CACHE_LOCK = threading.Lock()
 
 #: thread-local handoff from ``_stage_data`` (the one data-staging
-#: chokepoint) to ``_commit``: {(root, member): constraint map
-#: validated at staging (None = none existed)}. ``_commit`` drains
-#: its root's entries and CAS-checks each against the entry the
-#: commit lands on — closing the stage-to-commit window in which a
-#: concurrent ``add_constraint``/``drop_constraint`` could make the
-#: staged rows unvalidated (r15, ADVICE). Thread-local because the
-#: stage and its commit always run on one thread within one public
-#: call; concurrent writers on other threads keep their own maps.
+#: chokepoint) to ``_commit``: {(root, member): (constraint map
+#: validated at staging (None = none existed), frozenset of the
+#: staged relpaths)}. The commit that ADDS those staged files
+#: CAS-checks the map against the entry it lands on — closing the
+#: stage-to-commit window in which a concurrent ``add_constraint``/
+#: ``drop_constraint`` could make the staged rows unvalidated (r15,
+#: ADVICE). Keying by the staged FILE SET (r16) makes an entry from
+#: an abandoned stage inert: its orphan files are never added by any
+#: later commit, so it cannot raise a spurious conflict. Thread-local
+#: because the stage and its commit always run on one thread within
+#: one public call; concurrent writers keep their own maps.
 _CONS_CAS = threading.local()
 
 
@@ -1258,10 +1261,12 @@ class ManifestCommit(ParquetLeaseCommit):
         # were validated against exactly these maps — a commit landing
         # on a different map would reference unvalidated (or
         # over-validated) files. Consumed ONLY by the commit that
-        # actually lands this member's staged files (detected by its
-        # file list changing), so an interleaved metadata commit on
-        # the same thread (the racing add_constraint itself, a cursor
-        # advance) neither drains nor trips it.
+        # actually ADDS the recorded staged files (r16: intersection
+        # with the commit's added set, not mere file-list change), so
+        # an interleaved metadata commit on the same thread (the
+        # racing add_constraint itself, a cursor advance) — or any
+        # later commit after a stage ABANDONED by an exception —
+        # neither drains nor trips it.
         pend = getattr(_CONS_CAS, "map", None) or {}
         for attempt in range(self.MAX_COMMIT_ATTEMPTS):
             if attempt:
@@ -1293,10 +1298,13 @@ class ManifestCommit(ParquetLeaseCommit):
                 (r, m)
                 for (r, m) in list(pend)
                 if r == root
-                and list(new_tables.get(m, [])) != list(tables.get(m, []))
+                and pend[(r, m)][1].intersection(
+                    set(new_tables.get(m, []))
+                    - set(tables.get(m, []))
+                )
             ]
             for key_rm in touched:
-                exp = pend[key_rm]
+                exp = pend[key_rm][0]
                 m = key_rm[1]
                 cur = prev.get("app", {}).get(self._constraint_key(m))
                 if (dict(cur) if cur else None) != exp:
@@ -2893,7 +2901,20 @@ class ManifestCommit(ParquetLeaseCommit):
                 f"({cur[name]}); drop it first"
             )
         if self.table_exists(store, path):
-            row = self._violation(self.read_table(store, path), expr)
+            df = self.read_table(store, path)
+            # dialect gate (r16, VERDICT r15 #3): connector writes
+            # evaluate CHECK expressions task-side in embedded DuckDB
+            # (workers carry no SparkSession) — an expression only
+            # Spark parses would validate fine here, then kill every
+            # future connector write with a task-side parse error as
+            # the FIRST signal. Dry-run the exact task-side SQL shape
+            # against an empty relation of the member's logical schema
+            # and refuse at ADD instead. Fail-open on infrastructure
+            # (missing duckdb / unconvertible schema: the task-side
+            # validator could not run there either), fail-closed on a
+            # parse/bind error.
+            self._constraint_dialect_gate(df.schema, name, expr)
+            row = self._violation(df, expr)
             if row is not None:
                 raise ValidationError(
                     f"add_constraint {name!r}: existing row violates "
@@ -2906,6 +2927,46 @@ class ManifestCommit(ParquetLeaseCommit):
             {key: entry.get("app", {}).get(key)}
         )
         self._commit(store, root, mutate)
+
+    def _constraint_dialect_gate(self, schema, name: str, expr: str) -> None:
+        """Refuse a CHECK expression the connector's task-side
+        validator cannot run: bind the exact SQL shape
+        ``_validate_constraints_arrow`` executes — ``NOT
+        COALESCE(CAST((expr) AS BOOLEAN), FALSE)`` — in embedded
+        DuckDB against an EMPTY relation of the member's logical
+        schema. A Spark-only expression (``array_contains(...)``,
+        backtick quoting, ...) refuses HERE, at ADD, naming the
+        remedy — instead of every later ``df.write.format(
+        "rlts_table")`` dying on a worker-side parse error as the
+        first signal. Infrastructure failures (duckdb missing, a type
+        Arrow cannot carry) skip the gate: the task-side validator
+        could not have run in that environment either."""
+        try:
+            import duckdb
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            empty = to_arrow_schema(schema).empty_table()
+        except Exception:
+            return
+        con = duckdb.connect()
+        try:
+            con.register("staged", empty)
+            try:
+                con.execute(
+                    "SELECT * FROM staged WHERE NOT COALESCE(CAST(("
+                    + expr
+                    + ") AS BOOLEAN), FALSE) LIMIT 1"
+                ).fetchall()
+            except duckdb.Error as e:
+                raise ValidationError(
+                    f"add_constraint {name!r}: ({expr}) does not "
+                    "parse in the ANSI SQL subset CHECK expressions "
+                    "must live in (connector writes validate it "
+                    "task-side in an embedded SQL engine) — rewrite "
+                    f"with portable functions. Parser said: {e}"
+                ) from e
+        finally:
+            con.close()
 
     def drop_constraint(self, store, path: str, name: str) -> None:
         """Remove a CHECK constraint (idempotent)."""
@@ -2953,7 +3014,16 @@ class ManifestCommit(ParquetLeaseCommit):
         pend = getattr(_CONS_CAS, "map", None)
         if pend is None:
             pend = _CONS_CAS.map = {}
-        pend[(root, member)] = dict(cons) if cons else None
+        # keyed by the STAGED FILE SET (r16, VERDICT r15 #4): the CAS
+        # trips only a commit that actually ADDS these files. A stage
+        # abandoned by an exception before its commit leaves orphans
+        # no later commit ever references, so its entry can never
+        # raise a spurious conflict for an unrelated same-thread
+        # commit on the same member — it sits inert until the next
+        # stage of that member overwrites it.
+        pend[(root, member)] = (
+            dict(cons) if cons else None, frozenset(files)
+        )
         if not cons:
             return files
         base = self._member_root(root, member)

@@ -723,14 +723,17 @@ UNREGISTERED_ORACLES["replace_range_restatement"] = (
 )
 
 # ------------------------------------------------- nested evolution
-# Oracle-checked differential for nested-field schema evolution (r15)
-# — parity-pinned (the 50-slot driver budget is spent): a throwaway
-# manifest table takes a struct payload, drops one nested field and
-# renames another (both metadata-only), then appends a batch in the
-# POST-evolution shape; the final read — pre-change files assembled
-# through the nested mapping, post-change files verbatim — flattens
-# to scalars (the hash harness compares scalar cells) and must equal
-# DuckDB computing the same projection from the base table directly.
+# Registered driver entry since r16 (slot freed by retiring
+# text_lang_id, whose map-only scalar-classify shape the driver
+# already covers via text_quality_scores and text_decontaminate; its
+# full differential stays pinned in UNREGISTERED_ORACLES): a
+# throwaway manifest table takes a struct payload, drops one nested
+# field and renames another (both metadata-only), then appends a
+# batch in the POST-evolution shape; the final read — pre-change
+# files assembled through the nested mapping, post-change files
+# verbatim — flattens to scalars (the hash harness compares scalar
+# cells) and must equal DuckDB computing the same projection from the
+# base table directly.
 NESTED_EVOLUTION_ORACLE = """
 SELECT CAST(event_id AS BIGINT) AS event_id,
        upper(event_type) AS dev_kind,
@@ -739,6 +742,11 @@ FROM events WHERE event_id % 30 = 0
 """
 
 
+@register(
+    "nested_evolution_roundtrip",
+    oracle=NESTED_EVOLUTION_ORACLE,
+    tags=("lifecycle", "schema-evolution", "nested"),
+)
 def nested_evolution_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -795,7 +803,3 @@ def nested_evolution_roundtrip(
         _shutil.rmtree(base_dir, ignore_errors=True)
 
 
-UNREGISTERED_ORACLES["nested_evolution_roundtrip"] = (
-    nested_evolution_roundtrip,
-    NESTED_EVOLUTION_ORACLE,
-)

@@ -155,9 +155,13 @@ def _hits_sql(lang: str) -> str:
     )
 
 
-@register(
-    "text_lang_id",
-    oracle=f"""
+# text_lang_id was unregistered in round 16 (50-entry driver window)
+# in favor of nested_evolution_roundtrip: its map-only scalar-classify
+# shape is driver-covered by text_quality_scores (same pure-Column
+# text pipeline) and text_decontaminate, and the operator keeps its
+# FULL rows+schema+values differential via UNREGISTERED_ORACLES
+# (tests/test_oracle_parity.py runs the identical harness).
+TEXT_LANG_ID_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, lang, {TOKENS_SQL.format(e='text')} AS toks FROM documents
 ), h AS (
@@ -176,9 +180,9 @@ SELECT doc_id, lang, hits_en, hits_de, hits_es, hits_fr,
          ELSE 'fr'
        END AS lang_guess
 FROM h
-""",
-    tags=("llm", "text", "langid"),
-)
+"""
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID with deterministic argmax
     precedence (en > de > es > fr)."""
@@ -189,6 +193,13 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", "hits_en", "hits_de", "hits_es", "hits_fr", "lang_guess"
     )
+
+
+from redis_lsm_timeseries_spark.plans.reference_queries import (  # noqa: E402
+    UNREGISTERED_ORACLES,
+)
+
+UNREGISTERED_ORACLES["text_lang_id"] = (text_lang_id, TEXT_LANG_ID_ORACLE)
 
 
 # text_fingerprint_dups was unregistered in round 7 (50-entry driver

@@ -978,6 +978,80 @@ def _validate_constraints_arrow(tbl, cons: dict, path: str) -> None:
         con.close()
 
 
+#: characters Spark's ``ExternalCatalogUtils.escapePathName`` hex-
+#: escapes in a partition directory name (plus all control chars) —
+#: the connector writer must agree with it so ``read_table``'s native
+#: partition discovery and the engine's ``_unescape_partition``
+#: decode the connector's paths identically
+_PARTITION_ESCAPE = set('"#%\'*/:=?\\{[]^\x7f') | {
+    chr(i) for i in range(32)
+}
+
+
+def _escape_partition_value(s: str) -> str:
+    return "".join(
+        f"%{ord(c):02X}" if c in _PARTITION_ESCAPE else c for c in s
+    )
+
+
+def _hive_segment_value(v) -> str:
+    """Partition directory VALUE text for one row value, matching
+    what Spark's own ``partitionBy`` writes (so connector files and
+    ``append_partitioned`` files interleave in one member): NULL and
+    the empty string both map to the hive default-partition sentinel
+    (Spark's ``getPartitionValueString``), booleans lowercase, ints
+    and dates via their canonical text, everything else escaped."""
+    from redis_lsm_timeseries_spark.commit import ManifestCommit
+
+    if v is None or v == "":
+        return ManifestCommit.HIVE_NULL
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return _escape_partition_value(str(v))
+
+
+def _check_partition_write_schema(schema, part_logical) -> None:
+    """Plan-time gate for a partitioned connector write: every
+    partition column present in the incoming schema with a type whose
+    text form round-trips through a hive path segment EXACTLY as
+    Spark's own writer would render it (string / integral / boolean /
+    date). Float, timestamp, and nested partition values refuse
+    toward ``append_partitioned`` (Spark's JVM float/timestamp
+    rendering differs from Python's, and a divergent segment would
+    split one logical partition into two directories)."""
+    from pyspark.sql import types as T
+
+    from redis_lsm_timeseries_spark.errors import ValidationError
+
+    ok = (
+        T.StringType, T.ByteType, T.ShortType, T.IntegerType,
+        T.LongType, T.BooleanType, T.DateType,
+    )
+    fields = {f.name: f for f in schema.fields}
+    for c in part_logical:
+        f = fields.get(c)
+        if f is None:
+            raise ValidationError(
+                f"rlts_table writer: the member is hive-partitioned "
+                f"on {part_logical!r} but the incoming schema has no "
+                f"column {c!r} — partition values ride in the rows"
+            )
+        if not isinstance(f.dataType, ok):
+            raise ValidationError(
+                f"rlts_table writer: partition column {c!r} has type "
+                f"{f.dataType.simpleString()}; the connector "
+                "reproduces hive segments for string/integral/"
+                "boolean/date values only — write through "
+                "append_partitioned for other types"
+            )
+    if len(part_logical) >= len(fields):
+        raise ValidationError(
+            "rlts_table writer: every incoming column is a partition "
+            "column; a hive data file needs at least one non-"
+            "partition column (Spark's own writer refuses this too)"
+        )
+
+
 class _WrittenFiles(WriterCommitMessage):
     """Task commit message: the relpaths this task landed under the
     member's data dir."""
@@ -1003,11 +1077,15 @@ class ManifestArrowWriter(DataSourceArrowWriter):
     replaces the member's file list (an unmarked content rewrite —
     feeds over the range resync, the safe posture). Schema-mapped
     members translate logical -> physical names and widen-cast in
-    Arrow, task-side; dropped-name reuse and hive-partitioned members
-    refuse at PLAN time with the engine-API remedy (the remint needs
-    its own metadata commit, and a partitioned layout must be
-    reproduced exactly — ``append_table_with_meta`` /
-    ``append_partitioned`` handle both)."""
+    Arrow, task-side. Hive-partitioned members (r16) reproduce the
+    partition layout task-side: each task splits its rows by the
+    partition values and lands one file per partition directory,
+    matching ``append_partitioned``'s layout byte-for-byte (segment
+    escaping included) so connector files and engine files interleave
+    in one member; the read-back prunes on the path-derived stats.
+    Dropped-name reuse still refuses at PLAN time with the engine-API
+    remedy (the remint needs its own metadata commit —
+    ``append_table_with_meta``)."""
 
     def __init__(self, schema, overwrite: bool, options):
         import uuid
@@ -1044,15 +1122,6 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         # (its files would be unreferenced and vacuumed: a lost
         # update). Append mode needs no base (its mutate re-derives).
         self.base_files = list(tables.get(self.member, []))
-        from redis_lsm_timeseries_spark.operators.merge import (
-            partition_cols_of,
-        )
-
-        if partition_cols_of(tables.get(self.member, [])):
-            raise ValidationError(
-                "rlts_table writer: the member is hive-partitioned; "
-                "reproduce the layout with append_partitioned instead"
-            )
         # CHECK constraints (r15): validated TASK-SIDE against each
         # task's staged Arrow output before its file lands — the
         # 100 TB shape (validation parallelizes with the write; a
@@ -1099,6 +1168,52 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                     "with an existing column's PHYSICAL name"
                 )
         self.smeta = smeta
+        # hive-partitioned members (r16): the writer reproduces the
+        # member's partition layout TASK-SIDE — each task splits its
+        # staged Arrow output by the partition values carried in the
+        # rows and lands one file per (task, partition) under the
+        # hive directory the engine's ``append_partitioned`` defines
+        # (``tag=a/part_start=0/...``; the reference's own
+        # tag-partitionStart layout, ``index.js:121-122``). The layout
+        # derives from the member's existing files; an EMPTY member
+        # takes it from ``.option("partitionBy", "tag,part_start")``
+        # (Spark's own ``.partitionBy()`` never reaches a Python
+        # DataSource writer). Partition-path stats land via the same
+        # path-segment min==max rule every engine write uses, so
+        # partition-valued predicates prune the read-back.
+        from redis_lsm_timeseries_spark.operators.merge import (
+            partition_cols_of,
+        )
+
+        inv = {p: l for l, p in mapping.items()}
+        part_phys = partition_cols_of(self.base_files)
+        part_logical = [inv.get(p, p) for p in part_phys]
+        opt = options.get("partitionby")
+        if opt is not None:
+            opt_cols = [
+                c.strip() for c in str(opt).split(",") if c.strip()
+            ]
+            if (
+                self.base_files
+                and not self.overwrite
+                and opt_cols != part_logical
+            ):
+                # an APPEND must reproduce the member's layout — a
+                # file at a different depth corrupts partition
+                # discovery; an OVERWRITE replaces the whole file
+                # list, so re-laying-out there is legitimate
+                raise ValidationError(
+                    f"rlts_table writer: option partitionBy "
+                    f"{opt_cols!r} does not match the member's "
+                    f"existing hive layout {part_logical!r} — a file "
+                    "committed under a different layout would corrupt "
+                    "partition discovery for the whole member"
+                )
+            part_logical = opt_cols
+            part_phys = [mapping.get(c, c) for c in opt_cols]
+        self.part_logical, self.part_phys = part_logical, part_phys
+        if part_logical:
+            _check_partition_write_schema(schema, part_logical)
 
     # -- executor leg ---------------------------------------------------
     def write(self, iterator):
@@ -1140,10 +1255,43 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 cols.append(col)
                 names.append(phys)
             tbl = pa.table(dict(zip(names, cols)))
-        rel = f"{self.token}-w{uuid.uuid4().hex[:12]}.parquet"
-        _os.makedirs(self.base, exist_ok=True)
-        pq.write_table(tbl, f"{self.base}/{rel}")
-        return _WrittenFiles([rel])
+        if not self.part_phys:
+            rel = f"{self.token}-w{uuid.uuid4().hex[:12]}.parquet"
+            _os.makedirs(self.base, exist_ok=True)
+            pq.write_table(tbl, f"{self.base}/{rel}")
+            return _WrittenFiles([rel])
+        # hive-partitioned member (r16): split THIS task's rows by
+        # their partition values and land one file per (task,
+        # partition) under the member's hive directories — partition
+        # columns live in the path only (the layout contract), and
+        # the driver's path-segment stats make the read-back prune.
+        # O(distinct partitions in this task) filter passes, each a
+        # vectorized Arrow kernel — no per-row Python.
+        import pyarrow.compute as pc
+
+        combos = tbl.group_by(self.part_phys).aggregate([]).to_pylist()
+        keep = [
+            n for n in tbl.schema.names
+            if n not in set(self.part_phys)
+        ]
+        rels = []
+        for combo in combos:
+            mask = None
+            for c in self.part_phys:
+                v = combo[c]
+                col = tbl.column(c)
+                m = pc.is_null(col) if v is None else pc.equal(col, v)
+                mask = m if mask is None else pc.and_kleene(mask, m)
+            sub = tbl.filter(pc.fill_null(mask, False)).select(keep)
+            segs = "/".join(
+                f"{c}={_hive_segment_value(combo[c])}"
+                for c in self.part_phys
+            )
+            rel = f"{segs}/{self.token}-w{uuid.uuid4().hex[:12]}.parquet"
+            _os.makedirs(f"{self.base}/{segs}", exist_ok=True)
+            pq.write_table(sub, f"{self.base}/{rel}")
+            rels.append(rel)
+        return _WrittenFiles(rels)
 
     # -- driver leg -------------------------------------------------------
     def commit(self, messages):

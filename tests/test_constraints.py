@@ -317,3 +317,86 @@ class TestCheckConstraints:
         # rather than clobber: simulate by re-adding the same name
         with pytest.raises(ValidationError, match="already exists"):
             commit.add_constraint(host, path, "a", "v >= 1")
+
+
+class TestDialectGateAndStaleCAS:
+    """r16 (VERDICT r15 #3/#4): constraint expressions must live in
+    the ANSI subset the connector's task-side validator parses, gated
+    at ADD; and an abandoned stage's thread-local constraint snapshot
+    must never trip a later unrelated commit."""
+
+    def test_spark_only_expression_refuses_at_add(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        # '<=>' (null-safe equality) is Spark-only; without the ADD
+        # gate the first signal would be a worker-side parse failure
+        # in every subsequent connector write to the member
+        with pytest.raises(ValidationError, match="does not parse"):
+            commit.add_constraint(host, path, "nse", "v <=> 0")
+        assert commit.table_constraints(host, path) == {}
+        # so is RLIKE
+        with pytest.raises(ValidationError, match="does not parse"):
+            commit.add_constraint(host, path, "rl", "CAST(v AS STRING) rlike '0'")
+        # an ANSI-subset expression still installs and still gates
+        commit.add_constraint(host, path, "v_ok", "v >= 0")
+        assert "v_ok" in commit.table_constraints(host, path)
+        with pytest.raises(ValidationError, match="v_ok"):
+            commit.append_tables(
+                host, path,
+                {"": spark.createDataFrame([(1, -5)], SCHEMA).coalesce(1)},
+            )
+
+    def test_abandoned_stage_cannot_trip_a_later_commit(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """An exception between _stage_data and _commit leaves a
+        pending constraint-CAS entry; because it is keyed by the
+        staged FILE SET (orphans no commit ever adds), a later
+        same-thread commit on the same member — even after the
+        constraint map changed — must land cleanly, not raise a
+        spurious RewriteConflictError."""
+        import pyarrow as pa
+        from pyspark.sql.types import StructType
+
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            ManifestArrowWriter,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        commit.add_constraint(host, path, "v_nonneg", "v >= 0")
+        real = ManifestCommit._commit
+        state = {"boom": True}
+
+        def flaky(self_, store, root, mutate):
+            if state["boom"]:
+                state["boom"] = False
+                raise RuntimeError("injected between stage and commit")
+            return real(self_, store, root, mutate)
+
+        monkeypatch.setattr(ManifestCommit, "_commit", flaky)
+        with pytest.raises(RuntimeError, match="injected"):
+            commit.append_tables(
+                host, path,
+                {"": spark.createDataFrame([(50, 1)], SCHEMA)
+                 .coalesce(1)},
+            )
+        monkeypatch.undo()
+        # the constraint map CHANGES after the abandoned stage...
+        commit.add_constraint(host, path, "id_pos", "id >= 0")
+        # ...then a same-thread commit that lands OTHER files on the
+        # member (the connector's two-phase writer commits without
+        # _stage_data) must not conflict against the stale snapshot
+        w = ManifestArrowWriter(
+            StructType.fromDDL(SCHEMA), False, {"path": path}
+        )
+        msg = w.write(
+            iter(pa.Table.from_pylist([{"id": 60, "v": 6}]).to_batches())
+        )
+        w.commit([msg])
+        got = commit.read_table(host, path).where("id = 60").collect()
+        assert [(r.id, r.v) for r in got] == [(60, 6)]
+        # and the RETRY of the original append lands cleanly too
+        commit.append_tables(
+            host, path,
+            {"": spark.createDataFrame([(50, 1)], SCHEMA).coalesce(1)},
+        )
+        assert commit.read_table(host, path).count() == 22

@@ -598,7 +598,8 @@ class TestManifestWriter:
                 .mode("append")
                 .save()
             )
-        # hive-partitioned member refuses toward append_partitioned
+        # a partitioned write whose rows lack the partition column
+        # refuses at PLAN time (the values ride in the rows)
         hp = str(tmp_path / "part")
         commit.append_partitioned(
             host,
@@ -608,11 +609,10 @@ class TestManifestWriter:
             ),
             hp, ["tag", "part_start"],
         )
-        with pytest.raises(Exception, match="append_partitioned"):
+        with pytest.raises(Exception, match="hive-partitioned"):
             (
                 spark.createDataFrame(
-                    [("b", 5, 6, "y")],
-                    "tag string, part_start long, ts long, value string",
+                    [(6, "y")], "ts long, value string"
                 )
                 .write.format("rlts_table")
                 .option("path", hp)
@@ -696,6 +696,229 @@ class TestManifestWriter:
             ] == [(7, 70)]
         finally:
             q.stop()
+
+
+class TestPartitionedWriter:
+    """Connector writes on hive-partitioned members (r16, VERDICT r15
+    #1): each task reproduces the partition directories from the
+    values in its rows, one atomic commit lands them, and the
+    read-back prunes on the path-derived stats — closing the last
+    wall in the connector's read/write/stream triangle."""
+
+    P_SCHEMA = "tag string, part_start long, ts long, value string"
+
+    def _pfx(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            register_manifest_source,
+        )
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "pt")
+        commit.append_partitioned(
+            host,
+            spark.createDataFrame(
+                [("a", 0, 1, "x"), ("b", 5, 6, "y")], self.P_SCHEMA
+            ),
+            path, ["tag", "part_start"],
+        )
+        register_manifest_source(spark)
+        return host, commit, path
+
+    def test_partitioned_append_roundtrip_and_pruning(
+        self, spark, tmp_path
+    ):
+        from redis_lsm_timeseries_spark.operators.merge import (
+            partition_cols_of,
+        )
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            read_table_batch,
+        )
+
+        host, commit, path = self._pfx(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        before = set(commit.member_files(host, path))
+        (
+            spark.createDataFrame(
+                [("a", 0, 2, "x2"), ("c", 10, 11, "z"),
+                 ("c", 10, 12, "z2")],
+                self.P_SCHEMA,
+            )
+            .repartition(2)
+            .write.format("rlts_table")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        # one atomic entry for the whole job
+        assert commit.table_versions(host, path)[-1] == v0 + 1
+        got = sorted(
+            (r.tag, r.part_start, r.ts, r.value)
+            for r in commit.read_table(host, path, None).collect()
+        )
+        assert got == [
+            ("a", 0, 1, "x"), ("a", 0, 2, "x2"), ("b", 5, 6, "y"),
+            ("c", 10, 11, "z"), ("c", 10, 12, "z2"),
+        ]
+        # every new file landed at the member's hive depth, and the
+        # partition columns stayed OUT of the data files
+        import pyarrow.parquet as pq
+
+        new = set(commit.member_files(host, path)) - before
+        base = commit._member_root(*commit._resolve(host, path))
+        assert new
+        for rel in new:
+            assert partition_cols_of([rel]) == ["tag", "part_start"]
+            names = pq.read_schema(f"{base}/{rel}").names
+            assert "tag" not in names and "part_start" not in names
+        # path-derived stats prune the read-back on partition values
+        kept, total = commit.prune_files(host, path, {"tag": ("c", "c")})
+        assert total == len(before) + len(new) and len(kept) < total
+        assert all("tag=c" in f for f in kept)
+        # and the connector's own batch reader agrees end-to-end
+        assert read_table_batch(
+            spark, path, schema=self.P_SCHEMA
+        ).where("tag = 'c'").count() == 2
+
+    def test_null_and_escaped_partition_values(self, spark, tmp_path):
+        host, commit, path = self._pfx(spark, tmp_path)
+        (
+            spark.createDataFrame(
+                [(None, 0, 21, "n"), ("c:d", 0, 22, "e")],
+                self.P_SCHEMA,
+            )
+            .write.format("rlts_table")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        files = commit.member_files(host, path)
+        assert any("tag=__HIVE_DEFAULT_PARTITION__/" in f for f in files)
+        assert any("tag=c%3Ad/" in f for f in files)
+        got = sorted(
+            (
+                (r.tag, r.ts)
+                for r in commit.read_table(host, path, None)
+                .where("ts >= 21").collect()
+            ),
+            key=lambda t: t[1],
+        )
+        assert got == [(None, 21), ("c:d", 22)]
+
+    def test_partitionby_option_bootstraps_an_empty_member(
+        self, spark, tmp_path
+    ):
+        from redis_lsm_timeseries_spark.operators.merge import (
+            partition_cols_of,
+        )
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            register_manifest_source,
+        )
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "fresh")
+        commit.append_table_with_meta(
+            host, path,
+            spark.createDataFrame([], self.P_SCHEMA).coalesce(1),
+            {},
+        )
+        # genesis leaves one empty unpartitioned file; overwrite with
+        # an explicit layout bootstraps the hive member
+        register_manifest_source(spark)
+        (
+            spark.createDataFrame([("a", 0, 1, "x")], self.P_SCHEMA)
+            .write.format("rlts_table")
+            .option("path", path)
+            .option("partitionBy", "tag,part_start")
+            .mode("overwrite")
+            .save()
+        )
+        files = commit.member_files(host, path)
+        assert files and partition_cols_of(files) == ["tag", "part_start"]
+        assert [
+            (r.tag, r.part_start, r.ts)
+            for r in commit.read_table(host, path, None).collect()
+        ] == [("a", 0, 1)]
+
+    def test_partitioned_write_refusals(self, spark, tmp_path):
+        host, commit, path = self._pfx(spark, tmp_path)
+        # an explicit partitionBy that contradicts the member's layout
+        with pytest.raises(Exception, match="does not match"):
+            (
+                spark.createDataFrame([("a", 0, 1, "x")], self.P_SCHEMA)
+                .write.format("rlts_table")
+                .option("path", path)
+                .option("partitionBy", "tag")
+                .mode("append")
+                .save()
+            )
+        # a float-typed partition column refuses toward the engine API
+        # (JVM vs Python float rendering would split partitions)
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            ManifestArrowWriter,
+        )
+        from pyspark.sql.types import StructType
+
+        with pytest.raises(Exception, match="append_partitioned"):
+            ManifestArrowWriter(
+                StructType.fromDDL(
+                    "tag double, part_start long, ts long, value string"
+                ),
+                False,
+                {"path": path, "partitionby": "tag,part_start"},
+            )
+
+    def test_partitioned_write_on_a_mapped_member(self, spark, tmp_path):
+        """Column mapping composes with the partitioned layout: a
+        renamed DATA column translates logical->physical task-side
+        while the partition directories keep their physical names."""
+        host, commit, path = self._pfx(spark, tmp_path)
+        commit.rename_column(host, path, "value", "payload")
+        (
+            spark.createDataFrame(
+                [("d", 7, 8, "w")],
+                "tag string, part_start long, ts long, payload string",
+            )
+            .write.format("rlts_table")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        got = commit.read_table(host, path, None).where("tag = 'd'")
+        assert [(r.tag, r.payload) for r in got.collect()] == [("d", "w")]
+        # the new file stores the PHYSICAL column name under the
+        # partition dir
+        import pyarrow.parquet as pq
+
+        base = commit._member_root(*commit._resolve(host, path))
+        new = [f for f in commit.member_files(host, path) if "tag=d" in f]
+        assert len(new) == 1
+        names = pq.read_schema(f"{base}/{new[0]}").names
+        assert "value" in names and "payload" not in names
+
+    def test_writer_files_interleave_with_engine_writes(
+        self, spark, tmp_path
+    ):
+        """After a connector write, the engine's own partitioned
+        surfaces (dynamic partition overwrite) still work on the
+        member — the layouts are byte-identical."""
+        host, commit, path = self._pfx(spark, tmp_path)
+        (
+            spark.createDataFrame([("b", 5, 7, "y2")], self.P_SCHEMA)
+            .write.format("rlts_table")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        commit.overwrite_partitions(
+            host,
+            spark.createDataFrame([("b", 5, 99, "new")], self.P_SCHEMA),
+            path, ["tag", "part_start"],
+        )
+        got = sorted(
+            (r.tag, r.ts)
+            for r in commit.read_table(host, path, None).collect()
+        )
+        assert got == [("a", 1), ("b", 99)]
 
 
 class TestRateLimit:
