@@ -144,6 +144,11 @@ def main() -> int:
     log(f"extras: {extras}")
 
     norm = normalized_vs_prev(per_query, calibration)
+    try:
+        sf1_norm = sf1_normalized_vs_prev(extras, calibration)
+    except Exception as exc:
+        sf1_norm = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    log(f"sf1 normalized vs prev: {sf1_norm}")
 
     # value = sum of per-query minima: commensurate with prior rounds
     # (one measured execution per query), while the raw loop wall now
@@ -177,6 +182,7 @@ def main() -> int:
         "calibration_post": post_cal,
         "extras": extras,
         "normalized_vs_prev": norm,
+        "sf1_normalized_vs_prev": sf1_norm,
     }
     # Persist the COMPLETE record to a sidecar artifact the driver
     # never truncates (r14, VERDICT r13 #3: the compact stdout line
@@ -232,6 +238,7 @@ def main() -> int:
         "total_sec": round(sum(ok_times), 2),
     }
     shed = [
+        ("sf1_normalized_vs_prev", None),
         ("extras", extras_summary),
         ("normalized_vs_prev", None),
         ("calibration", None),
@@ -423,6 +430,95 @@ def normalized_vs_prev(per_query: dict, calibration: dict) -> dict:
         except Exception:
             continue
     return {"prev": None, "reason": "no prior round with calibration"}
+
+
+def sf1_normalized_vs_prev(extras: dict, calibration: dict) -> dict:
+    """The sf1 column's cross-round record (r16, VERDICT r15 #7):
+    per-query raw and host-normalized ratios against the previous
+    round's sidecar, per-family like the catalog (lifecycle legs key
+    to tiny_jobs_sec, analytic legs to the duration-weighted
+    scan/shuffle/cpu mean) — so an sf1 drift is attributable from the
+    record alone instead of single-draw archaeology. Best-effort."""
+    import glob
+    import math
+    import re
+    import statistics
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(glob.glob(os.path.join(here, "BENCH_extras_r*.json")))
+    cur_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for path in reversed(prior):
+        try:
+            rec = json.load(open(path))
+        except Exception:
+            continue
+        # apples-to-apples only: a sidecar recorded at a different SF
+        # (a local smoke run) must not become the comparison base
+        prev_sf = rec.get("sf")
+        if prev_sf is not None and f"sf{prev_sf}" not in cur_sf:
+            continue
+        prev_cal = rec.get("calibration")
+        prev_extras = rec.get("extras") or {}
+        if not (isinstance(prev_cal, dict) and prev_extras):
+            continue
+        keyed = {
+            k: (calibration[k] / prev_cal[k],
+                min(calibration[k], prev_cal[k]))
+            for k in (
+                "cpu_hash_sec", "shuffle_sec", "scan_sec",
+                "tiny_jobs_sec",
+            )
+            if prev_cal.get(k)
+            and isinstance(calibration.get(k), (int, float))
+        }
+        if not keyed:
+            continue
+        wsum = sum(w for _, w in keyed.values())
+        cal_ratio = math.exp(
+            sum(w * math.log(r) for r, w in keyed.values()) / wsum
+        )
+        tiny_ratio = {k: r for k, (r, _) in keyed.items()}.get(
+            "tiny_jobs_sec", cal_ratio
+        )
+        ratios: dict = {}
+        fam_rs: dict = {"sf1_lifecycle": [], "sf1_analytic": []}
+        for k, v in extras.items():
+            if not k.startswith("sf1_") or not isinstance(v, float):
+                continue
+            pv = prev_extras.get(k)
+            if not isinstance(pv, (int, float)) or not pv:
+                continue
+            lifecycle = k.startswith("sf1_lc_")
+            denom = tiny_ratio if lifecycle else cal_ratio
+            raw = v / pv
+            ratios[k] = {
+                "raw": round(raw, 3),
+                "normalized": round(raw / denom, 3),
+            }
+            fam_rs[
+                "sf1_lifecycle" if lifecycle else "sf1_analytic"
+            ].append(raw)
+        if not ratios:
+            continue
+        m = re.search(r"BENCH_extras_(r\d+)", os.path.basename(path))
+        out = {
+            "prev": os.path.basename(path),
+            "prev_round": m.group(1) if m else None,
+            "cal_ratio": round(cal_ratio, 3),
+            "tiny_jobs_ratio": round(tiny_ratio, 3),
+            "ratios": ratios,
+        }
+        for fam, rs in fam_rs.items():
+            if rs:
+                denom = tiny_ratio if fam == "sf1_lifecycle" else cal_ratio
+                med = statistics.median(rs)
+                out[fam] = {
+                    "n": len(rs),
+                    "median_raw": round(med, 3),
+                    "median_normalized": round(med / denom, 3),
+                }
+        return out
+    return {"prev": None, "reason": "no prior sidecar with sf1 extras"}
 
 
 def extras_bench(spark, sf_dir: str) -> dict:
@@ -903,7 +999,10 @@ def sf1_scale_sample(spark, sf_dir: str) -> dict:
     from redis_lsm_timeseries_spark.plans.catalog import REGISTRY
 
     base = "/tmp/rlts_sf1x10"
-    marker = f"{base}/_READY"
+    # _READY2 (r16): regenerated layout — events replicas now offset
+    # user_id as well as event_id (see below), so a stale r15-shape
+    # cache never serves the quadratic layout again
+    marker = f"{base}/_READY2"
     res: dict[str, object] = {}
     if not os.path.exists(marker):
         shutil.rmtree(base, ignore_errors=True)
@@ -918,19 +1017,6 @@ def sf1_scale_sample(spark, sf_dir: str) -> dict:
             else:
                 shutil.copy(src, dst)
         reps = spark.range(SF1_REP).select(F.col("id").alias("_r"))
-
-        def scale(table: str, key: str, parts: int) -> None:
-            df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-            off = df.agg(F.max(key)).first()[0] + 1
-            (
-                df.crossJoin(F.broadcast(reps))
-                .withColumn(key, F.col(key) + F.col("_r") * off)
-                .drop("_r")
-                .repartition(parts)
-                .write.mode("overwrite")
-                .parquet(f"{base}/{table}.parquet")
-            )
-
         # orders/lineitem share the orderkey offset so their join
         # stays consistent across replicas
         od = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -952,15 +1038,39 @@ def sf1_scale_sample(spark, sf_dir: str) -> dict:
             .write.mode("overwrite")
             .parquet(f"{base}/lineitem.parquet")
         )
-        scale("events", "event_id", 16)
+        # events replicas offset BOTH keys (r16, VERDICT r15 #7 root
+        # cause): r15 offset only event_id, so every replica's rows
+        # landed on the SAME users in the SAME time range — per-user
+        # event density grew 10x and the range join's per-(user,
+        # bucket) candidate PAIRS grew ~100x, a quadratic harness
+        # artifact (sf1_range_join read 8.2x for "10x data"). A real
+        # 10x corpus has ~10x users, not 10x-denser users: offsetting
+        # user_id per replica restores the linear shape every other
+        # query already had.
+        evd = spark.read.parquet(f"{sf_dir}/events.parquet")
+        eoff = evd.agg(F.max("event_id")).first()[0] + 1
+        uoff = evd.agg(F.max("user_id")).first()[0] + 1
+        (
+            evd.crossJoin(F.broadcast(reps))
+            .withColumn("event_id", F.col("event_id") + F.col("_r") * eoff)
+            .withColumn("user_id", F.col("user_id") + F.col("_r") * uoff)
+            .drop("_r")
+            .repartition(16)
+            .write.mode("overwrite")
+            .parquet(f"{base}/events.parquet")
+        )
+        res["events_user_offset"] = True
         res["gen_sec"] = round(time.perf_counter() - t0, 3)
         open(marker, "w").close()
     from redis_lsm_timeseries_spark.plans.reference_queries import (
         UNREGISTERED_ORACLES,
     )
 
+    # min-of-2 draws (r16, VERDICT r15 #7): the sf1 extras were
+    # single-draw, so a host-drift spike was indistinguishable from a
+    # regression — same protocol as the catalog now, both draws kept.
+    sf1_draws: dict[str, list[float]] = {}
     for name in SF1_QUERIES:
-        t0 = time.perf_counter()
         # resolve registered and parity-pinned entries alike (r15:
         # scalar_functions_events moved to UNREGISTERED_ORACLES)
         fn = (
@@ -968,12 +1078,57 @@ def sf1_scale_sample(spark, sf_dir: str) -> dict:
             if name in REGISTRY
             else UNREGISTERED_ORACLES[name][0]
         )
-        df = fn(spark, base)
-        df.write.format("noop").mode("overwrite").save()
-        res[name] = round(time.perf_counter() - t0, 3)
+        draws = []
+        for _ in range(2):
+            redis_lsm_timeseries_spark.plans.clear_query_caches()
+            t0 = time.perf_counter()
+            df = fn(spark, base)
+            df.write.format("noop").mode("overwrite").save()
+            draws.append(time.perf_counter() - t0)
+        res[name] = round(min(draws), 3)
+        sf1_draws[name] = [round(d, 3) for d in draws]
+    res["query_draws"] = sf1_draws
+    # bucket-occupancy attribution for the range join (VERDICT r15
+    # #7): the per-(user, time-bucket) candidate row counts are the
+    # join's quadratic-blowup surface — record max and p99 at sf1 so
+    # a future drift is attributable from the record alone.
     try:
-        for k, v in sf1_lifecycle_sample(spark, base).items():
-            res[f"lc_{k}"] = v
+        from redis_lsm_timeseries_spark.plans.analytics_queries import (
+            RANGE_W_MS,
+            load_events,
+        )
+
+        occ = (
+            load_events(spark, base)
+            .groupBy("user_id", F.expr(f"ts_ms div {RANGE_W_MS}"))
+            .count()
+            .agg(
+                F.max("count").alias("mx"),
+                F.expr("percentile(count, 0.99)").alias("p99"),
+            )
+            .first()
+        )
+        res["range_join_bucket_rows_max"] = int(occ.mx)
+        res["range_join_bucket_rows_p99"] = round(float(occ.p99), 1)
+    except Exception as exc:
+        res["range_join_occupancy"] = (
+            f"FAILED {type(exc).__name__}: {exc}"[:200]
+        )
+    try:
+        # two full passes, per-key min (each pass builds its own
+        # throwaway store, so the second measures the same mutation
+        # work, not warm state); non-timing keys (counts, ratios) are
+        # identical across passes, so min is the identity for them
+        lc_passes = [sf1_lifecycle_sample(spark, base) for _ in range(2)]
+        for k, v in lc_passes[0].items():
+            vals = [
+                p[k] for p in lc_passes
+                if isinstance(p.get(k), (int, float))
+            ]
+            res[f"lc_{k}"] = min(vals) if vals else v
+        res["lc_query_draws"] = {
+            k: [p.get(k) for p in lc_passes] for k in lc_passes[0]
+        }
     except Exception as exc:
         res["lc_sample"] = f"FAILED {type(exc).__name__}: {exc}"[:200]
     return res

@@ -1,0 +1,331 @@
+"""Predicate-level UPDATE / DELETE on managed tables (r16, VERDICT
+r15 #9's substrate): the Delta ``UPDATE t SET ... WHERE ...`` /
+``DELETE FROM t WHERE ...`` semantics over the manifest commit —
+file-granular copy-on-write, row-level CDF, optimistic conflicts.
+
+Where the key-based family (``operators/merge``) prunes its file set
+from the manifest STATS envelope of the key values, an arbitrary SQL
+predicate has no such envelope — so these operators derive the
+affected set from the DATA: one DV-aware scan with the predicate
+pushed into the parquet layer (row-group min/max skipping applies)
+marks exactly the files holding matched rows via ``_metadata`` row
+positions, and only those files rewrite. The flip side of the missing
+envelope is the conflict posture: a concurrent append COULD hold rows
+matching the predicate, so these commits conflict with ANY file
+appended between planning and commit (Delta's Serializable posture
+for predicate DML, vs WriteSerializable for key-enveloped merges) —
+the retry re-plans and reaches the new rows.
+
+Reference parity note: the reference engine has no row mutation at
+all (append-only LSM, ``index.js``); this surface exists for the
+lakehouse tier the survey mandates, mirroring the Delta DML
+contract.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from redis_lsm_timeseries_spark.errors import ValidationError
+from redis_lsm_timeseries_spark.operators.merge import (
+    DV_AUTO_MAX_FRACTION,
+    _affected_df,
+    _apply_dv_delete,
+    _cdf_sized,
+    _clustered_write,
+    _compose_guards,
+    _mapping_ctx,
+    _physical_out,
+    partition_cols_of,
+)
+
+
+@dataclass
+class DmlStats:
+    files_rewritten: int
+    files_total: int
+    rows_affected: int
+
+
+def _any_append_guard(commit, member: str, planned: set[str]):
+    """Entry guard for predicate DML: conflict on ANY file added to
+    the member since planning (an arbitrary predicate has no stats
+    envelope that could prove a new file unreachable). Files already
+    in the planning snapshot never trip it, so unrelated members and
+    metadata commits land freely."""
+    from redis_lsm_timeseries_spark.errors import RewriteConflictError
+
+    def guard(prev):
+        hits = [
+            f
+            for f in prev.get("tables", {}).get(member, [])
+            if f not in planned
+        ]
+        if hits:
+            raise RewriteConflictError(
+                f"predicate UPDATE/DELETE conflicts with {len(hits)} "
+                f"file(s) appended since planning (first: {hits[0]}); "
+                "the predicate could match their rows — retry on "
+                "fresh state"
+            )
+
+    return guard
+
+
+def _matched_files(scan: DataFrame, cond) -> list[str]:
+    """Relpaths of files holding at least one predicate-matching row
+    — data-derived (the predicate pushes into the parquet scan), one
+    row per file collected (metadata-scale, like ``prune_files``)."""
+    return [
+        r.f
+        for r in scan.where(cond)
+        .select(F.col("__dv_file").alias("f"))
+        .distinct()
+        .collect()
+    ]
+
+
+def _cond(predicate: str | None):
+    return F.expr(predicate) if predicate else F.lit(True)
+
+
+def update_where(
+    host,
+    path: str,
+    set_exprs: dict[str, str],
+    predicate: str | None = None,
+    commit=None,
+    extra_guard=None,
+) -> DmlStats:
+    """``UPDATE <path> SET col = expr, ... [WHERE predicate]``:
+    every matching row's SET columns recompute from the OLD row (all
+    SET expressions see pre-update values, the SQL UPDATE contract);
+    every other row — and every file holding no matching row — is
+    untouched. One atomic commit carries the replacement files plus
+    the updated rows as typed ``upsert`` change rows, so keyed
+    mirrors consume the update row-incrementally.
+
+    Hive partition columns refuse as SET targets (the updated row
+    would have to MOVE directories — delete + re-append instead).
+    CHECK constraints validate the replacement files at staging like
+    every write. Predicate and SET expressions are SQL over the
+    table's LOGICAL columns."""
+    from redis_lsm_timeseries_spark.commit import ManifestCommit
+
+    if not set_exprs:
+        raise ValidationError("update_where: SET requires ≥1 column")
+    commit = commit if commit is not None else ManifestCommit()
+    cond = _cond(predicate)
+
+    managed = (
+        commit.member_files(host, path)
+        if isinstance(commit, ManifestCommit)
+        else None
+    )
+    cols_of = lambda df: set(df.columns)  # noqa: E731
+
+    def updated(df):
+        missing = set(set_exprs) - cols_of(df)
+        if missing:
+            raise ValidationError(
+                f"update_where: SET column(s) {sorted(missing)} not "
+                f"in {sorted(df.columns)}"
+            )
+        return df.select(
+            *[
+                (
+                    F.when(cond, F.expr(set_exprs[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                )
+                for c in df.columns
+            ]
+        )
+
+    if managed is None:
+        cur = commit.read_table(host, path, None)
+        out = updated(cur)
+        n = out.sparkSession.sparkContext.defaultParallelism
+        commit.snapshot_rewrite(
+            host, path, _clustered_write(out, [out.columns[0]], n)
+        )
+        return DmlStats(-1, -1, -1)
+
+    root, member = commit._resolve(host, path)
+    smeta, phys = _mapping_ctx(commit, host, path)
+    total = len(managed)
+    pcols = set(partition_cols_of(managed))
+    bad = {c for c in set_exprs if phys(c) in pcols or c in pcols}
+    if bad:
+        raise ValidationError(
+            f"update_where: {sorted(bad)} are hive partition columns "
+            "— an updated row would have to move directories; delete "
+            "and re-append instead"
+        )
+    if not managed:
+        return DmlStats(0, 0, 0)
+    scan = commit.scan_member_subset(
+        host, path, managed, keep_pos=True
+    )
+    affected = _matched_files(scan, cond)
+    if not affected:
+        return DmlStats(0, total, 0)
+    guard = _compose_guards(
+        _any_append_guard(commit, member, set(managed)), extra_guard
+    )
+    plan: dict = {}
+    cur = _affected_df(host, commit, path, affected, smeta, plan=plan)
+    n_rows = cur.where(cond).count()
+    out = updated(cur)
+    cdf = _cdf_sized(
+        _physical_out(
+            commit, host, root, member,
+            out.where(cond)
+            .withColumn(commit.CDF_TYPE_COL, F.lit("upsert")),
+            smeta,
+        ),
+        len(affected) * 250_000,
+    )
+    cluster = [
+        phys(c)
+        for c in cur.columns
+        if phys(c) not in pcols
+    ][:1] or [phys(cur.columns[0])]
+    commit.rewrite_files(
+        host, path, affected,
+        _clustered_write(
+            _physical_out(commit, host, root, member, out, smeta),
+            cluster, len(affected), partition_cols_of(affected),
+        ),
+        entry_guard=guard, cdf_df=cdf, plan_dv=plan["dv"],
+    )
+    return DmlStats(len(affected), total, n_rows)
+
+
+def delete_where(
+    host,
+    path: str,
+    predicate: str,
+    commit=None,
+    extra_guard=None,
+    mode: str = "rewrite",
+) -> DmlStats:
+    """``DELETE FROM <path> WHERE predicate``: rows where the
+    predicate holds (NULL = not matched, the SQL contract) are
+    erased; files provably untouched stay as files. ``mode`` as in
+    ``delete_rows``: ``"rewrite"`` copy-on-write, ``"dv"``
+    positions-delete (merge-on-read, O(matched rows)), ``"auto"``
+    picks by matched fraction. The deleted rows ride the commit as
+    typed ``delete`` change rows."""
+    from redis_lsm_timeseries_spark.commit import ManifestCommit
+
+    if not predicate:
+        raise ValidationError(
+            "delete_where: a predicate is required (to drop every "
+            "row, overwrite the member instead)"
+        )
+    if mode not in ("rewrite", "dv", "auto"):
+        raise ValidationError(
+            f"delete_where: mode must be 'rewrite', 'dv' or 'auto', "
+            f"got {mode!r}"
+        )
+    commit = commit if commit is not None else ManifestCommit()
+    cond = _cond(predicate)
+    keep = ~F.coalesce(cond, F.lit(False))
+
+    managed = (
+        commit.member_files(host, path)
+        if isinstance(commit, ManifestCommit)
+        else None
+    )
+    if managed is None:
+        if mode == "dv":
+            raise ValidationError(
+                "delete_where: mode='dv' needs a manifest-managed "
+                "table"
+            )
+        cur = commit.read_table(host, path, None)
+        out = cur.where(keep)
+        n = out.sparkSession.sparkContext.defaultParallelism
+        commit.snapshot_rewrite(
+            host, path, _clustered_write(out, [out.columns[0]], n)
+        )
+        return DmlStats(-1, -1, -1)
+
+    root, member = commit._resolve(host, path)
+    smeta, phys = _mapping_ctx(commit, host, path)
+    total = len(managed)
+    if not managed:
+        return DmlStats(0, 0, 0)
+    scan = commit.scan_member_subset(
+        host, path, managed, keep_pos=True
+    )
+    affected = _matched_files(scan, cond)
+    if not affected:
+        return DmlStats(0, total, 0)
+    guard = _compose_guards(
+        _any_append_guard(commit, member, set(managed)), extra_guard
+    )
+    if mode in ("dv", "auto"):
+        entry = commit._load_entry(host, path, root, None)
+        fstats = entry.get("stats", {}).get(member, {})
+        matched = commit.scan_member_subset(
+            host, path, affected, keep_pos=True
+        ).where(cond)
+        use_dv = mode == "dv"
+        if not use_dv:
+            live = 0
+            for f in affected:
+                s = fstats.get(f)
+                rows = None if s is None else s.get("rows")
+                if rows is None:
+                    live = None
+                    break
+                live += int(rows) - int(
+                    (s.get("dv") or {}).get("count", 0)
+                )
+            use_dv = (
+                live is not None
+                and live > 0
+                and matched.count() <= DV_AUTO_MAX_FRACTION * live
+            )
+        if use_dv:
+            n = _apply_dv_delete(
+                host, commit, path, root, member, smeta,
+                affected, matched, fstats, guard,
+            )
+            return DmlStats(n, total, -1)
+    plan: dict = {}
+    cur = _affected_df(host, commit, path, affected, smeta, plan=plan)
+    n_rows = cur.where(cond).count()
+    survivors = cur.where(keep)
+    cdf = _cdf_sized(
+        _physical_out(
+            commit, host, root, member,
+            cur.where(cond)
+            .withColumn(commit.CDF_TYPE_COL, F.lit("delete")),
+            smeta,
+        ),
+        len(affected) * 250_000,
+    )
+    pcols = set(partition_cols_of(affected))
+    cluster = [
+        phys(c) for c in cur.columns if phys(c) not in pcols
+    ][:1] or [phys(cur.columns[0])]
+    write_fn = (
+        None
+        if survivors.isEmpty()
+        else _clustered_write(
+            _physical_out(commit, host, root, member, survivors, smeta),
+            cluster, len(affected), partition_cols_of(affected),
+        )
+    )
+    commit.rewrite_files(
+        host, path, affected, write_fn, entry_guard=guard, cdf_df=cdf,
+        plan_dv=plan["dv"],
+    )
+    return DmlStats(len(affected), total, n_rows)

@@ -185,6 +185,16 @@ class _Meta:
         """Relpaths appended in ``(since, to]`` under the feed's
         append-only rules (preserve skipped, cdf/removals raise).
         ``since = -1`` walks from genesis (version 0 included)."""
+        return [
+            f for _v, files in self.added_by_version(since, to)
+            for f in files
+        ]
+
+    def added_by_version(self, since: int, to: int):
+        """``added_files`` keeping the per-version grouping (r16 —
+        the file-granular rate limits slice inside one version):
+        ``[(version, [relpath, ...]), ...]`` for ``(since, to]``,
+        versions that added nothing omitted."""
         from redis_lsm_timeseries_spark.errors import (
             NonAppendHistoryError,
         )
@@ -196,7 +206,7 @@ class _Meta:
                 self.host, self.path, self.root, self.member, since, to
             )
         )
-        added: list[str] = []
+        out: list = []
         for v, change, adds, removes, _stats in walk:
             kind = change.get("kind")
             if kind == "cdf" and change.get(
@@ -214,8 +224,9 @@ class _Meta:
                     "row-level changes with "
                     "changefeed.mirror_changes(keys=...) instead"
                 )
-            added.extend(adds)
-        return added
+            if adds:
+                out.append((v, list(adds)))
+        return out
 
     def change_batches(self, since: int, to: int):
         """Row-level change plan for ``(since, to]``: a list of
@@ -333,6 +344,17 @@ def _ts_ms(value) -> int:
     return int(dt.timestamp() * 1000)
 
 
+def _parse_bytes(value) -> int:
+    """``maxBytesPerTrigger`` value: a plain int of bytes or a
+    ``k``/``m``/``g``-suffixed string (``"10m"``), the Spark file-
+    source convention."""
+    s = str(value).strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
 def _hive_values(relpath: str) -> dict:
     """``tag=x/part_start=0/part-....parquet`` -> {"tag": "x",
     "part_start": "0"} (values stay strings; the schema cast types
@@ -351,12 +373,56 @@ def _hive_values(relpath: str) -> dict:
     return out
 
 
+def _arrow_repetition_rewrap(chunk, phys_path: str, rebuild):
+    """Rebuild the struct(s) under a LIST or MAP chunk (r16): the
+    element/value child rebuilds recursively, then rewraps reusing
+    THIS level's validity + offset buffers verbatim — per-element
+    identity, null slots, and slices all carry over untouched, and
+    every child the spec doesn't reach stays zero-copy. ``.values``
+    ignores the chunk's offset (raw child), which is exactly what the
+    reused absolute offsets index into."""
+    import pyarrow as pa
+
+    t = chunk.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        new_vals = rebuild(chunk.values, f"{phys_path}.element")
+        lt = (
+            pa.large_list(new_vals.type)
+            if pa.types.is_large_list(t)
+            else pa.list_(new_vals.type)
+        )
+        return pa.Array.from_buffers(
+            lt, len(chunk), chunk.buffers()[:2],
+            null_count=chunk.null_count, offset=chunk.offset,
+            children=[new_vals],
+        )
+    ent = chunk.values  # map entries: struct<key, value>, offset 0
+    keys, items = ent.field(0), ent.field(1)
+    new_items = rebuild(items, f"{phys_path}.value")
+    kf = ent.type.field(0)
+    vf = pa.field(
+        ent.type.field(1).name, new_items.type,
+        ent.type.field(1).nullable,
+    )
+    new_ent = pa.Array.from_buffers(
+        pa.struct([kf, vf]), len(ent), ent.buffers()[:1],
+        offset=ent.offset, children=[keys, new_items],
+    )
+    return pa.Array.from_buffers(
+        pa.map_(kf, vf), len(chunk), chunk.buffers()[:2],
+        null_count=chunk.null_count, offset=chunk.offset,
+        children=[new_ent],
+    )
+
+
 def _nested_arrow(arr, phys_path: str, nested: dict):
-    """Arrow-side nested-field logical assembly (r15): rebuild a
-    struct array with inverse-renamed field names and dropped fields
-    excluded, recursing into struct children with deeper specs — the
-    connector-read mirror of the engine's ``_nested_logical_col``.
-    Struct-level validity (NULL rows) carries over via the mask."""
+    """Arrow-side nested-field logical assembly (r15; repetition
+    contexts r16): rebuild a struct array with inverse-renamed field
+    names and dropped fields excluded, recursing into struct children
+    with deeper specs and stepping through list elements / map values
+    — the connector-read mirror of the engine's
+    ``_nested_logical_any``. Struct-level validity (NULL rows)
+    carries over via the mask."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -371,6 +437,14 @@ def _nested_arrow(arr, phys_path: str, nested: dict):
     out = []
     for chunk in chunks:
         st = chunk.type
+        if not pa.types.is_struct(st):
+            out.append(
+                _arrow_repetition_rewrap(
+                    chunk, phys_path,
+                    lambda c, p: _nested_arrow(c, p, nested),
+                )
+            )
+            continue
         children, names = [], []
         for i in range(st.num_fields):
             f = st.field(i)
@@ -378,18 +452,98 @@ def _nested_arrow(arr, phys_path: str, nested: dict):
                 continue
             child = chunk.field(i)
             child_path = f"{phys_path}.{f.name}"
-            if pa.types.is_struct(f.type) and ManifestCommit._nested_under(
+            if _arrow_nested_type(f.type) and ManifestCommit._nested_under(
                 nested, child_path
             ):
                 child = _nested_arrow(child, child_path, nested)
             children.append(child)
             names.append(inv.get(f.name, f.name))
+        # reminted leaves (r16) absent from this file's struct (the
+        # file predates the re-add) read as NULL — the Arrow analog
+        # of the engine's forced scan schema
+        have = {st.field(i).name for i in range(st.num_fields)}
+        for pl in sorted(spec.get("phys_types", {})):
+            if pl in have or pl in dropped:
+                continue
+            dt = ManifestCommit._ddl_type_simple(
+                spec["phys_types"][pl]
+            )
+            if dt is None:
+                continue
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            children.append(pa.nulls(len(chunk), to_arrow_type(dt)))
+            names.append(inv.get(pl, pl))
         out.append(
             pa.StructArray.from_arrays(
                 children, names, mask=pc.is_null(chunk)
             )
         )
     return pa.chunked_array(out) if len(out) != 1 else out[0]
+
+
+def _arrow_nested_type(t) -> bool:
+    """Arrow analog of the engine's ``_nested_dispatchable``."""
+    import pyarrow as pa
+
+    return (
+        pa.types.is_struct(t)
+        or pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_map(t)
+    )
+
+
+def _arrow_conform(arr, t):
+    """Field-NAME-based conform of ``arr`` to the target type ``t``
+    (r16): Arrow's struct cast is field-ORDER-sensitive and cannot
+    add members, but across schema-evolution generations struct
+    shapes legitimately differ (a reminted leaf sits at a different
+    position, a pre-re-add file lacks it entirely). Structs conform
+    child-by-child by name (missing children read NULL); lists and
+    maps rewrap their conformed element/value over this level's
+    verbatim buffers; everything else is a plain cast."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if arr.type == t:
+        return arr
+    if isinstance(arr, pa.ChunkedArray):
+        return pa.chunked_array(
+            [_arrow_conform(c, t) for c in arr.chunks], type=t
+        )
+    at = arr.type
+    out = None
+    if pa.types.is_struct(t) and pa.types.is_struct(at):
+        have = {at.field(i).name: i for i in range(at.num_fields)}
+        children, names = [], []
+        for i in range(t.num_fields):
+            f = t.field(i)
+            if f.name in have:
+                children.append(
+                    _arrow_conform(arr.field(have[f.name]), f.type)
+                )
+            else:
+                children.append(pa.nulls(len(arr), f.type))
+            names.append(f.name)
+        out = pa.StructArray.from_arrays(
+            children, names, mask=pc.is_null(arr)
+        )
+    elif (pa.types.is_list(t) or pa.types.is_large_list(t)) and (
+        pa.types.is_list(at) or pa.types.is_large_list(at)
+    ) and pa.types.is_list(t) == pa.types.is_list(at):
+        out = _arrow_repetition_rewrap(
+            arr, "", lambda c, p: _arrow_conform(c, t.value_type)
+        )
+    elif pa.types.is_map(t) and pa.types.is_map(at):
+        out = _arrow_repetition_rewrap(
+            arr, "", lambda c, p: _arrow_conform(c, t.item_type)
+        )
+    if out is None:
+        return arr.cast(t)
+    # a leftover mismatch is now order-aligned metadata (inner entry/
+    # element field names, nullability flags) — a plain cast settles it
+    return out if out.type == t else out.cast(t)
 
 
 def _read_files_partition(partition: _FilesPartition):
@@ -448,7 +602,7 @@ def _read_files_partition(partition: _FilesPartition):
             colarr = tbl.column(name)
             if (
                 nested
-                and pa.types.is_struct(colarr.type)
+                and _arrow_nested_type(colarr.type)
                 and ManifestCommit._nested_under(nested, name)
             ):
                 colarr = _nested_arrow(colarr, name, nested)
@@ -461,7 +615,9 @@ def _read_files_partition(partition: _FilesPartition):
         out_cols = []
         for field in target:
             if field.name in tbl.schema.names:
-                out_cols.append(tbl.column(field.name).cast(field.type))
+                out_cols.append(
+                    _arrow_conform(tbl.column(field.name), field.type)
+                )
             elif field.name in hive:
                 out_cols.append(
                     pa.array([hive[field.name]] * n_rows).cast(field.type)
@@ -498,14 +654,30 @@ class ManifestStreamReader(DataSourceStreamReader):
         # maxVersionsPerTrigger: bound one micro-batch's commit span —
         # a stream resumed against a deep backlog (or started
         # 'earliest' on a long history) drains in bounded batches
-        # instead of planning one giant one (the Delta
-        # maxFilesPerTrigger idea at version granularity). Best-effort
-        # per planner lifetime: the ratchet base comes from
-        # initialOffset/partitions calls, so the first batch after a
-        # RESTART with no replay is uncapped, then capping resumes.
+        # instead of planning one giant one. Best-effort per planner
+        # lifetime: the ratchet base comes from initialOffset/
+        # partitions calls, so the first batch after a RESTART with no
+        # replay is uncapped, then capping resumes.
+        #
+        # maxFilesPerTrigger / maxBytesPerTrigger (r16, VERDICT r15
+        # #8): FILE-granular bounds — one bulk-load version holding
+        # thousands of files drains across several micro-batches
+        # instead of flooding one. Offsets gain an optional ``index``
+        # (files consumed within ``version``'s added-file list), so a
+        # checkpointed resume lands mid-version exactly-once; a plain
+        # ``{"version": v}`` offset (older checkpoints, uncapped
+        # streams) still means "v fully consumed". Soft caps with the
+        # Delta progress guarantee: every non-empty batch plans at
+        # least one file.
         mv = options.get("maxversionspertrigger")
         self.max_versions = None if mv is None else max(1, int(mv))
-        self._ratchet: int | None = None
+        mf = options.get("maxfilespertrigger")
+        self.max_files = None if mf is None else max(1, int(mf))
+        mb = options.get("maxbytespertrigger")
+        self.max_bytes = None if mb is None else max(
+            1, _parse_bytes(mb)
+        )
+        self._ratchet: tuple | None = None  # (version, index|None)
         self._meta = _Meta(path)
         st = options.get("startingtimestamp")
         if st is not None:
@@ -537,27 +709,119 @@ class ManifestStreamReader(DataSourceStreamReader):
             out = -1 if v0 == 0 else v0
         else:
             out = int(self.starting)
-        self._ratchet = out
+        self._ratchet = (out, None)
         return {"version": out}
+
+    #: partitions() can slice INSIDE one version's file list (the
+    #: change-feed subclass cannot — its versions are semantic units)
+    _splittable = True
+
+    @staticmethod
+    def _off(d: dict) -> tuple:
+        """Offset dict -> (version, index|None); index None = the
+        version is fully consumed (the pre-r16 offset shape)."""
+        idx = d.get("index")
+        return int(d["version"]), (None if idx is None else int(idx))
+
+    @staticmethod
+    def _okey(off: tuple):
+        """Total order over offsets: a partial index sorts below the
+        completed version."""
+        v, i = off
+        return (v, float("inf") if i is None else i)
+
+    def _cap_plan(self, since: int, to: int):
+        """Per-version ABSOLUTE-path plan for the byte/file caps
+        walk: ``[(version, [path ...])]``, file order identical to
+        what ``partitions`` slices (index alignment)."""
+        return [
+            (v, [f"{self._meta.base}/{rel}" for rel in files])
+            for v, files in self._meta.added_by_version(since, to)
+        ]
+
+    def _capped_offset(self, base: tuple, cur: int) -> tuple:
+        """Advance from offset ``base`` toward version ``cur`` under
+        the file/byte caps (soft: at least one file per batch). Sizes
+        come from one ``getsize`` per planned file, driver-side —
+        O(batch), not O(backlog), because the walk stops at the cap."""
+        import os as _os
+
+        base_v, base_i = base
+        vcap = cur
+        if self.max_versions is not None:
+            vcap = min(cur, base_v + self.max_versions)
+        if self.max_files is None and self.max_bytes is None:
+            return (max(vcap, base_v), None)
+        since = base_v - 1 if base_i is not None else base_v
+        taken = 0
+        bytes_taken = 0
+        out = base
+        for v, paths in self._cap_plan(since, vcap):
+            i0 = base_i if (v == base_v and base_i is not None) else 0
+            if not self._splittable:
+                # version-granular: take whole versions until a cap
+                # trips (≥1 version per batch)
+                if taken and (
+                    (self.max_files is not None
+                     and taken + len(paths) > self.max_files)
+                    or (self.max_bytes is not None
+                        and bytes_taken >= self.max_bytes)
+                ):
+                    return out
+                taken += len(paths)
+                for p in paths:
+                    try:
+                        bytes_taken += _os.path.getsize(p)
+                    except OSError:
+                        pass
+                out = (v, None)
+                continue
+            for idx in range(i0, len(paths)):
+                if taken and (
+                    (self.max_files is not None
+                     and taken >= self.max_files)
+                    or (self.max_bytes is not None
+                        and bytes_taken >= self.max_bytes)
+                ):
+                    return (v, idx)
+                taken += 1
+                try:
+                    bytes_taken += _os.path.getsize(paths[idx])
+                except OSError:
+                    pass
+            out = (v, None)
+        # caps never tripped inside the span: everything through vcap
+        return (vcap, None) if self._okey((vcap, None)) > self._okey(
+            out
+        ) else out
 
     def latestOffset(self) -> dict:
         cur = self._meta.current_version()
-        if self.max_versions is not None and self._ratchet is not None:
-            capped = min(cur, self._ratchet + self.max_versions)
-            # never retreat below what a prior trigger already planned
-            cur = max(capped, self._ratchet)
-        self._ratchet = cur
-        return {"version": cur}
+        base = self._ratchet if self._ratchet is not None else (cur, None)
+        nxt = self._capped_offset(base, cur)
+        # never retreat below what a prior trigger already planned
+        if self._okey(nxt) < self._okey(base):
+            nxt = base
+        self._ratchet = nxt
+        v, i = nxt
+        return {"version": v} if i is None else {"version": v, "index": i}
 
     def partitions(self, start: dict, end: dict):
-        import json
-
-        s, e = int(start["version"]), int(end["version"])
-        if self._ratchet is None or e > self._ratchet:
+        s, e = self._off(start), self._off(end)
+        if self._ratchet is None or self._okey(e) > self._okey(
+            self._ratchet
+        ):
             self._ratchet = e  # restart replay: resume capping from it
-        if e <= s:
+        if self._okey(e) <= self._okey(s):
             return []
-        added = self._meta.added_files(s, e)
+        s_v, s_i = s
+        e_v, e_i = e
+        since = s_v - 1 if s_i is not None else s_v
+        added: list[str] = []
+        for v, files in self._meta.added_by_version(since, e_v):
+            lo = s_i if (v == s_v and s_i is not None) else 0
+            hi = e_i if (v == e_v and e_i is not None) else len(files)
+            added.extend(files[lo:hi])
         if not added:
             return []
         smeta = self._meta.schema_meta()
@@ -604,12 +868,34 @@ class ChangeFeedStreamReader(ManifestStreamReader):
     100 TB shape: planning stays O(commits in range) of driver-side
     log JSON; each micro-batch ships only the delta's insert files
     plus the (tiny, self-expiring) change files; rows travel as Arrow
-    batches."""
+    batches.
+
+    ``maxFilesPerTrigger``/``maxBytesPerTrigger`` apply at VERSION
+    granularity here (``_splittable = False``): one commit's change
+    rows are a semantic unit a mirror consumer must see whole, so the
+    caps stop BEFORE the version that would exceed them (always at
+    least one version per batch) and never emit a partial ``index``."""
+
+    _splittable = False
+
+    def _cap_plan(self, since: int, to: int):
+        commit = self._meta.commit
+        by_v: dict = {}
+        for v, member, files, _kind in self._meta.change_batches(
+            since, to
+        ):
+            base = commit._member_root(self._meta.root, member)
+            by_v.setdefault(v, []).extend(
+                f"{base}/{rel}" for rel in files
+            )
+        return sorted(by_v.items())
 
     def partitions(self, start: dict, end: dict):
         s, e = int(start["version"]), int(end["version"])
-        if self._ratchet is None or e > self._ratchet:
-            self._ratchet = e
+        if self._ratchet is None or self._okey(
+            (e, None)
+        ) > self._okey(self._ratchet):
+            self._ratchet = (e, None)
         if e <= s:
             return []
         batches = self._meta.change_batches(s, e)
@@ -868,6 +1154,23 @@ def _check_nested_write_schema(schema, smeta: dict) -> None:
     nested = smeta.get("nested", {})
     mapping = smeta.get("map", {})
 
+    def descend(dt, phys_path, lpath):
+        """Dispatch into struct fields and repetition contexts (r16:
+        array elements / map values) wherever a deeper spec applies."""
+        from pyspark.sql.types import ArrayType, MapType
+
+        if isinstance(dt, StructType):
+            walk(dt, phys_path, lpath)
+        elif isinstance(dt, ArrayType):
+            descend(
+                dt.elementType, f"{phys_path}.element",
+                f"{lpath}.element",
+            )
+        elif isinstance(dt, MapType):
+            descend(
+                dt.valueType, f"{phys_path}.value", f"{lpath}.value"
+            )
+
     def walk(dt, phys_path, lpath):
         spec = nested.get(phys_path) or {}
         nmap = spec.get("map", {})
@@ -879,8 +1182,9 @@ def _check_nested_write_schema(schema, smeta: dict) -> None:
                 raise ValidationError(
                     f"rlts_table writer: nested field "
                     f"{lpath}.{f.name} reuses a DROPPED field's "
-                    "physical name — rewrite the member or pick a "
-                    "different name"
+                    "physical name; the remint needs its own metadata "
+                    "commit — append through append_table_with_meta "
+                    "instead"
                 )
             if f.name not in nmap and pl in targets:
                 raise ValidationError(
@@ -889,25 +1193,23 @@ def _check_nested_write_schema(schema, smeta: dict) -> None:
                     "field's PHYSICAL name"
                 )
             child = f"{phys_path}.{pl}"
-            if isinstance(
-                f.dataType, StructType
-            ) and ManifestCommit._nested_under(nested, child):
-                walk(f.dataType, child, f"{lpath}.{f.name}")
+            if ManifestCommit._nested_under(nested, child):
+                descend(f.dataType, child, f"{lpath}.{f.name}")
 
     for f in schema.fields:
         phys = mapping.get(f.name, f.name)
-        if isinstance(
-            f.dataType, StructType
-        ) and ManifestCommit._nested_under(nested, phys):
-            walk(f.dataType, phys, f.name)
+        if ManifestCommit._nested_under(nested, phys):
+            descend(f.dataType, phys, f.name)
 
 
 def _nested_arrow_to_physical(arr, phys_path: str, nested: dict):
     """Arrow-side logical -> physical struct translation for the
-    connector WRITER (r15): rename leaves to their stable physical
-    names and widen-cast widened ones, recursing into struct children
-    with deeper specs — the write mirror of ``_nested_arrow``.
-    Validation happened at plan time; struct-level NULLs carry over."""
+    connector WRITER (r15; repetition contexts r16): rename leaves to
+    their stable physical names and widen-cast widened ones,
+    recursing into struct children with deeper specs and stepping
+    through list elements / map values — the write mirror of
+    ``_nested_arrow``. Validation happened at plan time; struct-level
+    NULLs carry over."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -921,13 +1223,21 @@ def _nested_arrow_to_physical(arr, phys_path: str, nested: dict):
     out = []
     for chunk in chunks:
         st = chunk.type
+        if not pa.types.is_struct(st):
+            out.append(
+                _arrow_repetition_rewrap(
+                    chunk, phys_path,
+                    lambda c, p: _nested_arrow_to_physical(c, p, nested),
+                )
+            )
+            continue
         children, names = [], []
         for i in range(st.num_fields):
             f = st.field(i)
             phys_leaf = nmap.get(f.name, f.name)
             child = chunk.field(i)
             child_path = f"{phys_path}.{phys_leaf}"
-            if pa.types.is_struct(f.type) and ManifestCommit._nested_under(
+            if _arrow_nested_type(f.type) and ManifestCommit._nested_under(
                 nested, child_path
             ):
                 child = _nested_arrow_to_physical(
@@ -1246,7 +1556,7 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 phys = mapping.get(name, name)
                 if (
                     nested
-                    and pa.types.is_struct(col.type)
+                    and _arrow_nested_type(col.type)
                     and _MC._nested_under(nested, phys)
                 ):
                     col = _nested_arrow_to_physical(col, phys, nested)
@@ -1411,11 +1721,12 @@ class ManifestTableDataSource(DataSource):
 
             if (
                 nested
-                and isinstance(dt, _ST)
+                and _MC._nested_dispatchable(dt)
                 and _MC._nested_under(nested, f.name)
             ):
-                # nested specs (r15): infer the LOGICAL struct shape
-                dt = _MC._nested_struct_type(dt, f.name, nested)
+                # nested specs (r15/r16): infer the LOGICAL shape,
+                # stepping through repetition contexts
+                dt = _MC._nested_type_any(dt, f.name, nested)
             if logical in widen:
                 from pyspark.sql.types import DoubleType
                 from pyspark.sql.types import LongType as _L

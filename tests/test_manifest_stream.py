@@ -964,3 +964,183 @@ class TestRateLimit:
         )
         r2.partitions({"version": 2}, {"version": 3})  # replay leg
         assert r2.latestOffset() == {"version": 4}
+
+    def test_max_files_per_trigger_slices_inside_a_version(
+        self, spark, tmp_path
+    ):
+        """r16 (VERDICT r15 #8): one bulk-load version drains across
+        several bounded micro-batches — offsets gain a file 'index'
+        inside the version, checkpoint-resume replays the exact
+        slice."""
+        from pyspark.sql.types import StructType
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "bulk")
+        # one version, 6 files
+        commit.append_table_with_meta(
+            host, path,
+            spark.createDataFrame(
+                [(k, k % 3, "x") for k in range(600)], SCHEMA
+            ).repartition(6),
+            {},
+        )
+        assert len(commit.member_files(host, path)) == 6
+        reader = ManifestStreamReader(
+            StructType.fromDDL(SCHEMA),
+            {
+                "path": path,
+                "startingversion": "earliest",
+                "maxfilespertrigger": "2",
+            },
+        )
+        o0 = reader.initialOffset()
+        assert o0 == {"version": -1}
+        o1 = reader.latestOffset()
+        assert o1 == {"version": 0, "index": 2}
+        assert sum(
+            len(p.relpaths) for p in reader.partitions(o0, o1)
+        ) == 2
+        o2 = reader.latestOffset()
+        assert o2 == {"version": 0, "index": 4}
+        o3 = reader.latestOffset()
+        assert o3 == {"version": 0}  # drained: version completes
+        assert reader.latestOffset() == {"version": 0}  # stable
+        # the three slices cover all 6 files exactly once, in order
+        files = commit.member_files(host, path)
+        s1 = [r for p in reader.partitions(o0, o1) for r in p.relpaths]
+        s2 = [r for p in reader.partitions(o1, o2) for r in p.relpaths]
+        s3 = [r for p in reader.partitions(o2, o3) for r in p.relpaths]
+        assert s1 + s2 + s3 == files
+        # checkpoint-resume mid-version: a FRESH planner replays the
+        # exact middle slice from the offsets alone
+        r2 = ManifestStreamReader(
+            StructType.fromDDL(SCHEMA),
+            {"path": path, "maxfilespertrigger": "2"},
+        )
+        replay = [
+            r for p in r2.partitions(o1, o2) for r in p.relpaths
+        ]
+        assert replay == s2
+
+    def test_max_bytes_per_trigger_is_soft_with_progress(
+        self, spark, tmp_path
+    ):
+        """A 1-byte cap still plans one file per batch (the Delta
+        progress guarantee) and never skips or duplicates."""
+        from pyspark.sql.types import StructType
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "bytes")
+        commit.append_table_with_meta(
+            host, path,
+            spark.createDataFrame(
+                [(k, k % 3, "x") for k in range(300)], SCHEMA
+            ).repartition(3),
+            {},
+        )
+        reader = ManifestStreamReader(
+            StructType.fromDDL(SCHEMA),
+            {
+                "path": path,
+                "startingversion": "earliest",
+                "maxbytespertrigger": "1",
+            },
+        )
+        offs = [reader.initialOffset()]
+        for _ in range(4):
+            offs.append(reader.latestOffset())
+        assert offs[1] == {"version": 0, "index": 1}
+        assert offs[2] == {"version": 0, "index": 2}
+        assert offs[3] == {"version": 0}
+        assert offs[4] == {"version": 0}
+        planned = [
+            r
+            for a, b in zip(offs, offs[1:])
+            for p in reader.partitions(a, b)
+            for r in p.relpaths
+        ]
+        assert planned == commit.member_files(host, path)
+
+    def test_file_cap_composes_with_version_cap(self, spark, tmp_path):
+        from pyspark.sql.types import StructType
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "combo")
+        for k in (0, 1, 2):
+            commit.append_table_with_meta(
+                host, path,
+                spark.createDataFrame(
+                    [(k, k, "x"), (k + 10, k, "y")], SCHEMA
+                ).repartition(2),
+                {},
+            )
+        reader = ManifestStreamReader(
+            StructType.fromDDL(SCHEMA),
+            {
+                "path": path,
+                "startingversion": "earliest",
+                "maxversionspertrigger": "2",
+                "maxfilespertrigger": "3",
+            },
+        )
+        o0 = reader.initialOffset()
+        o1 = reader.latestOffset()
+        # version cap allows (−1, 1]; file cap trims to 3 files:
+        # all of v0 (2 files) + 1 file of v1
+        assert o1 == {"version": 1, "index": 1}
+        assert sum(
+            len(p.relpaths) for p in reader.partitions(o0, o1)
+        ) == 3
+        o2 = reader.latestOffset()
+        # v1's remaining file + v2's two fit the 3-file cap exactly
+        assert o2 == {"version": 2}
+        assert sum(
+            len(p.relpaths) for p in reader.partitions(o1, o2)
+        ) == 3
+        assert reader.latestOffset() == {"version": 2}  # drained
+
+    def test_cdf_stream_caps_at_version_granularity(
+        self, spark, tmp_path
+    ):
+        """The change-feed stream never splits a commit: with a
+        1-file cap each batch is exactly one version, offsets carry
+        no 'index'."""
+        from pyspark.sql.types import StructType
+
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            CDF_TYPE,
+            CDF_VERSION,
+            ChangeFeedStreamReader,
+        )
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "cdfcap")
+        for k in (0, 1):
+            commit.append_table_with_meta(
+                host, path,
+                spark.createDataFrame(
+                    [(k, k, "x"), (k + 10, k, "y")], SCHEMA
+                ).repartition(2),
+                {},
+            )
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        schema = StructType.fromDDL(SCHEMA).add(
+            StructField(CDF_TYPE, StringType())
+        ).add(StructField(CDF_VERSION, LongType()))
+        reader = ChangeFeedStreamReader(
+            schema,
+            {
+                "path": path,
+                "startingversion": "earliest",
+                "maxfilespertrigger": "1",
+            },
+        )
+        o0 = reader.initialOffset()
+        o1 = reader.latestOffset()
+        assert o1 == {"version": 0}  # whole version, no index
+        o2 = reader.latestOffset()
+        assert o2 == {"version": 1}
+        assert sum(
+            len(p.relpaths) for p in reader.partitions(o0, o1)
+        ) == 2

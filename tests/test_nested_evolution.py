@@ -6,10 +6,11 @@ land one metadata-only CAS-guarded commit each: zero data files move,
 PRE-change files serve the new logical view, appends translate
 logical -> physical leaf names, change feeds and the connector's
 batch reader assemble the same view, and the directory backend
-degrades to an eager rewrite. Bounded scope, each refusal loud:
-fields under array/map elements refuse, nested widen refuses, and a
-new field reusing a dropped nested name refuses at append (no nested
-remint)."""
+degrades to an eager rewrite. Since r16 paths may cross array
+elements and map values (tests/test_nested_repetition.py); still
+refused, each loudly: map KEY evolution, nested widen across
+repetition, and a new field reusing a dropped nested name at append
+(no nested remint)."""
 
 from __future__ import annotations
 
@@ -185,15 +186,57 @@ class TestNestedDrop:
             "device": "web", "geo": {"cc": "fr", "city": "par"},
         }
 
-    def test_reusing_dropped_nested_name_refuses(self, spark, tmp_path):
+    def test_reusing_dropped_nested_name_remints(self, spark, tmp_path):
+        """r16 (VERDICT r15 #6): re-adding a dropped nested field
+        name mints a fresh synthetic physical leaf (``{name}__r{n}``)
+        — old bytes stay hidden forever, pre-re-add files read the
+        new leaf as NULL, and skipping stays superset-safe (old files
+        carry no stats for the minted leaf, so they are never
+        pruned)."""
         host, commit, path = _mfx(spark, tmp_path)
         commit.drop_column(host, path, "props.os")
-        with pytest.raises(ValidationError, match="DROPPED"):
+        commit.append_tables(
+            host, path,
+            {"": _rows(spark, [(4, "x", "NEW", "zz", "w")])},
+        )
+        got = _by_k(commit.read_table(host, path))
+        assert got[4]["props"]["os"] == "NEW"  # re-added leaf serves
+        assert got[1]["props"]["os"] is None  # old bytes stay hidden
+        spec = commit.schema_meta(host, path)["nested"]["props"]
+        assert spec["map"]["os"] == "os__r2"
+        assert spec["phys_types"]["os__r2"] == "string"
+        assert "os" in spec["drop"]
+        # skipping superset-safe: the dotted predicate translates to
+        # the MINTED leaf; pre-re-add files carry no stats for it and
+        # are kept, the new file's stats can still serve it
+        kept, total = commit.prune_files(
+            host, path, {"props.os": ("ZZZ", "ZZZ")}
+        )
+        assert total == 2 and len(kept) >= 1
+        # the connector's batch reader serves the same view (NULL
+        # backfill Arrow-side)
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            read_table_batch,
+        )
+
+        cgot = {
+            r.k: r.asDict(recursive=True)
+            for r in read_table_batch(spark, path).collect()
+        }
+        assert cgot[4]["props"]["os"] == "NEW"
+        assert cgot[1]["props"]["os"] is None
+
+    def test_reusing_dropped_complex_nested_name_refuses(
+        self, spark, tmp_path
+    ):
+        """A re-added nested leaf of NON-ATOMIC type has no remint
+        (a complex type cannot be forced into scan schemas
+        session-free) — refuse loudly toward rewrite."""
+        host, commit, path = _mfx(spark, tmp_path)
+        commit.drop_column(host, path, "props.geo")
+        with pytest.raises(ValidationError, match="non-atomic"):
             commit.append_tables(
-                host, path,
-                {"": _rows(
-                    spark, [(4, "x", "y", "zz", "w")]
-                )},
+                host, path, {"": _rows(spark, [(5, "a", "b", "c", "d")])}
             )
 
     def test_new_field_colliding_with_physical_name_refuses(

@@ -1,0 +1,312 @@
+"""The SQL DML facade (r16, VERDICT r15 #9) and its predicate
+UPDATE/DELETE substrate (``operators/dml.py``): the Delta-documented
+``MERGE INTO`` / ``UPDATE`` / ``DELETE FROM`` / ``DESCRIBE HISTORY``
+subset executes against manifest paths with DuckDB-differential
+checks; everything outside the subset refuses with the Python-API
+remedy named. File posture: only files holding matched rows rewrite;
+typed change rows ride every mutating commit."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from redis_lsm_timeseries_spark.commit import CommitHost, ManifestCommit
+from redis_lsm_timeseries_spark.errors import ValidationError
+from redis_lsm_timeseries_spark.sql_dml import sql
+
+SCHEMA = "id long, v long, tag string"
+ROWS = [(i, i * 10, "even" if i % 2 == 0 else "odd") for i in range(40)]
+
+
+def _fx(spark, tmp_path, n_files=4):
+    host, commit = CommitHost(spark), ManifestCommit()
+    path = str(tmp_path / "t")
+    commit.append_tables(
+        host, path,
+        {"": spark.createDataFrame(ROWS, SCHEMA)
+         .repartitionByRange(n_files, "id")},
+    )
+    return host, commit, path
+
+
+def _table(commit, host, path):
+    return sorted(
+        (r.id, r.v, r.tag)
+        for r in commit.read_table(host, path).collect()
+    )
+
+
+def _duck(statements):
+    """Expected final table state per DuckDB executing the same DML
+    on the same seed."""
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE t (id BIGINT, v BIGINT, tag VARCHAR)"
+        )
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?, ?)", [list(r) for r in ROWS]
+        )
+        for s in statements:
+            con.execute(s)
+        return sorted(
+            tuple(r) for r in con.execute("SELECT * FROM t").fetchall()
+        )
+    finally:
+        con.close()
+
+
+class TestUpdateWhere:
+    def test_update_matches_duckdb_and_prunes_files(
+        self, spark, tmp_path
+    ):
+        host, commit, path = _fx(spark, tmp_path)
+        got = sql(
+            spark,
+            f"UPDATE '{path}' SET v = v + 1000, tag = upper(tag) "
+            "WHERE id BETWEEN 5 AND 8",
+        ).first()
+        assert got.num_affected_rows == 4
+        # range-clustered on id: only the file(s) holding 5..8 rewrite
+        assert got.files_rewritten < got.files_total
+        assert _table(commit, host, path) == _duck(
+            ["UPDATE t SET v = v + 1000, tag = upper(tag) "
+             "WHERE id BETWEEN 5 AND 8"]
+        )
+
+    def test_set_expressions_see_the_old_row(self, spark, tmp_path):
+        """The classic swap: both SET expressions evaluate against
+        pre-update values (the SQL UPDATE contract)."""
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "swap")
+        commit.append_tables(
+            host, path,
+            {"": spark.createDataFrame(
+                [(1, 10, 20)], "id long, a long, b long"
+            ).coalesce(1)},
+        )
+        sql(spark, f"UPDATE '{path}' SET a = b, b = a")
+        r = commit.read_table(host, path).first()
+        assert (r.a, r.b) == (20, 10)
+
+    def test_update_emits_upsert_change_rows(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        sql(spark, f"UPDATE '{path}' SET v = 0 WHERE id = 7")
+        ch = commit.read_row_changes(host, path, v0)
+        rows = [
+            (r.id, r.v, r._change_type) for r in ch.collect()
+        ]
+        assert (7, 0, "upsert") in rows
+
+    def test_update_refusals(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        with pytest.raises(ValidationError, match="not in"):
+            sql(spark, f"UPDATE '{path}' SET nope = 1")
+        # hive partition columns refuse as SET targets
+        hp = str(tmp_path / "part")
+        commit.append_partitioned(
+            host,
+            spark.createDataFrame(
+                [("a", 1, 2.0)], "tag string, ts long, value double"
+            ),
+            hp, ["tag"],
+        )
+        with pytest.raises(ValidationError, match="partition"):
+            sql(spark, f"UPDATE '{hp}' SET tag = 'b'")
+
+
+class TestDeleteWhere:
+    def test_delete_matches_duckdb(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        got = sql(
+            spark, f"DELETE FROM '{path}' WHERE tag = 'odd' AND id < 10"
+        ).first()
+        assert got.num_affected_rows == 5
+        assert got.files_rewritten < got.files_total
+        assert _table(commit, host, path) == _duck(
+            ["DELETE FROM t WHERE tag = 'odd' AND id < 10"]
+        )
+
+    def test_null_predicate_rows_survive(self, spark, tmp_path):
+        """NULL evaluations are NOT matched (the SQL contract) — a
+        DELETE on a NULL-holding column keeps those rows."""
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "nulls")
+        commit.append_tables(
+            host, path,
+            {"": spark.createDataFrame(
+                [(1, 5), (2, None), (3, 50)], "id long, v long"
+            ).coalesce(1)},
+        )
+        sql(spark, f"DELETE FROM '{path}' WHERE v > 10")
+        assert sorted(
+            r.id for r in commit.read_table(host, path).collect()
+        ) == [1, 2]
+
+    def test_fully_matched_file_drops_without_replacement(
+        self, spark, tmp_path
+    ):
+        host, commit, path = _fx(spark, tmp_path)
+        before = len(commit.member_files(host, path))
+        sql(spark, f"DELETE FROM '{path}' WHERE id >= 0")  # everything
+        assert commit.read_table(host, path, SCHEMA).count() == 0
+        assert len(commit.member_files(host, path)) < before
+
+    def test_delete_requires_where(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        with pytest.raises(ValidationError, match="WHERE"):
+            sql(spark, f"DELETE FROM '{path}'")
+
+
+class TestMergeFacade:
+    def test_merge_upsert_matches_duckdb(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        spark.createDataFrame(
+            [(3, 999, "new"), (100, 1, "ins")], SCHEMA
+        ).createOrReplaceTempView("merge_src")
+        got = sql(
+            spark,
+            f"""MERGE INTO '{path}' AS t USING merge_src AS s
+            ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""",
+        ).first()
+        assert got.num_affected_rows == 2
+        # DuckDB lacks MERGE: the equivalent delete+insert algebra
+        assert _table(commit, host, path) == _duck(
+            ["DELETE FROM t WHERE id IN (3, 100)",
+             "INSERT INTO t VALUES (3, 999, 'new'), (100, 1, 'ins')"]
+        )
+
+    def test_merge_conditional_delete_clause(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        spark.createDataFrame(
+            [(4, 0, "x"), (5, 0, "x")], SCHEMA
+        ).createOrReplaceTempView("merge_del")
+        sql(
+            spark,
+            f"""MERGE INTO '{path}' AS t USING merge_del AS s
+            ON t.id = s.id
+            WHEN MATCHED AND t.tag = 'even' THEN DELETE""",
+        )
+        assert _table(commit, host, path) == _duck(
+            ["DELETE FROM t WHERE id IN (4, 5) AND tag = 'even'"]
+        )
+
+    def test_merge_subquery_source(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        spark.createDataFrame(
+            [(200, 7, "q")], SCHEMA
+        ).createOrReplaceTempView("merge_raw")
+        sql(
+            spark,
+            f"""MERGE INTO '{path}' AS t
+            USING (SELECT id, v * 2 AS v, tag FROM merge_raw) AS s
+            ON t.id = s.id
+            WHEN NOT MATCHED THEN INSERT *""",
+        )
+        assert (200, 14, "q") in _table(commit, host, path)
+
+    def test_merge_refusals(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        spark.createDataFrame([(1, 1, "x")], SCHEMA) \
+            .createOrReplaceTempView("m_src")
+        with pytest.raises(ValidationError, match="equi-key"):
+            sql(
+                spark,
+                f"MERGE INTO '{path}' AS t USING m_src AS s "
+                "ON t.id > s.id WHEN MATCHED THEN DELETE",
+            )
+        with pytest.raises(ValidationError, match="merge_into"):
+            sql(
+                spark,
+                f"MERGE INTO '{path}' AS t USING m_src AS s "
+                "ON t.id = s.id "
+                "WHEN MATCHED THEN UPDATE SET v = s.v",
+            )
+
+
+class TestHistoryAndRefusals:
+    def test_describe_history_newest_first(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        sql(spark, f"UPDATE '{path}' SET v = 1 WHERE id = 0")
+        hist = sql(spark, f"DESCRIBE HISTORY '{path}'")
+        rows = hist.collect()
+        assert [r.version for r in rows] == sorted(
+            (r.version for r in rows), reverse=True
+        )
+        assert rows[0].n_files >= 1
+
+    def test_outside_subset_names_the_python_api(self, spark, tmp_path):
+        with pytest.raises(ValidationError, match="Python API"):
+            sql(spark, "VACUUM '/nope'")
+        with pytest.raises(ValidationError, match="temp view"):
+            sql(spark, "SELECT 1")
+
+    def test_update_conflicts_with_concurrent_append(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Predicate DML has no stats envelope: ANY file appended
+        between planning and commit conflicts (Serializable), and the
+        retry sees the new rows."""
+        from redis_lsm_timeseries_spark.errors import (
+            RewriteConflictError,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        real = ManifestCommit._file_stats
+        raced = {"done": False}
+
+        def racing(self_, store, root, member, files):
+            out = real(self_, store, root, member, files)
+            if not raced["done"] and files:
+                raced["done"] = True
+                ManifestCommit().append_tables(
+                    store, path,
+                    {"": store.spark.createDataFrame(
+                        [(999, 1, "late")], SCHEMA
+                    ).coalesce(1)},
+                )
+            return out
+
+        monkeypatch.setattr(ManifestCommit, "_file_stats", racing)
+        with pytest.raises(RewriteConflictError, match="appended"):
+            sql(spark, f"UPDATE '{path}' SET v = 0 WHERE id = 1")
+        monkeypatch.undo()
+        # retry on fresh state lands
+        got = sql(
+            spark, f"UPDATE '{path}' SET v = 0 WHERE id = 1"
+        ).first()
+        assert got.num_affected_rows == 1
+
+
+class TestMappedAndDvModes:
+    def test_update_through_column_mapping(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        commit.rename_column(host, path, "v", "score")
+        sql(spark, f"UPDATE '{path}' SET score = -1 WHERE id = 2")
+        got = {
+            r.id: r.score
+            for r in commit.read_table(host, path).collect()
+        }
+        assert got[2] == -1 and got[3] == 30
+
+    def test_delete_where_dv_mode(self, spark, tmp_path):
+        """delete_where(mode='dv') lands a positions-delete: the data
+        files never move."""
+        from redis_lsm_timeseries_spark.operators.dml import (
+            delete_where,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        files = commit.member_files(host, path)
+        st = delete_where(
+            host, path, "id % 10 = 3", commit=commit, mode="dv"
+        )
+        assert st.files_rewritten >= 1
+        assert commit.member_files(host, path) == files  # no moves
+        assert sorted(
+            r.id for r in commit.read_table(host, path).collect()
+        ) == [i for i in range(40) if i % 10 != 3]
