@@ -803,3 +803,104 @@ def nested_evolution_roundtrip(
         _shutil.rmtree(base_dir, ignore_errors=True)
 
 
+
+
+# --------------------------------------------------------- SQL DML
+# Parity-pinned differential for the r16 SQL DML facade (the 50-slot
+# driver budget is spent — the harness in tests/test_oracle_parity.py
+# runs the identical rows+schema+hash check): a throwaway manifest
+# table takes, THROUGH sql() statements, a predicate UPDATE, a
+# predicate DELETE, and a MERGE (matched update + unmatched re-insert
+# of previously deleted keys), and the final read must equal DuckDB
+# computing the same statement algebra. Exercises the parser, the
+# update_where/delete_where operators (data-derived affected sets,
+# typed change rows) and merge_into dispatch end-to-end.
+SQL_DML_ORACLE = """
+WITH slice AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         event_type,
+         CAST(value AS DOUBLE) AS value
+  FROM events WHERE event_id % 45 = 0
+), u AS (            -- UPDATE ... SET value = -value WHERE click
+  SELECT event_id, event_type,
+         CASE WHEN event_type = 'click' THEN -value ELSE value END
+           AS value
+  FROM slice
+), d AS (            -- DELETE ... WHERE event_id % 90 = 0 AND view
+  SELECT * FROM u
+  WHERE NOT (event_id % 90 = 0 AND event_type = 'view')
+), m AS (            -- MERGE matched: every surviving %135 key
+  SELECT event_id,
+         CASE WHEN event_id % 135 = 0 THEN 'merged'
+              ELSE event_type END AS event_type,
+         CASE WHEN event_id % 135 = 0 THEN 1.5 ELSE value END AS value
+  FROM d
+)
+SELECT * FROM m
+UNION ALL            -- MERGE unmatched: %135 keys the DELETE removed
+SELECT event_id, 'merged' AS event_type, 1.5 AS value
+FROM slice
+WHERE event_id % 135 = 0
+  AND event_id NOT IN (SELECT event_id FROM d)
+"""
+
+
+def sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE + DELETE + MERGE through the ``sql()`` facade on a
+    throwaway manifest table; returns the final state."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from redis_lsm_timeseries_spark.commit import (
+        CommitHost,
+        ManifestCommit,
+    )
+    from redis_lsm_timeseries_spark.sql_dml import sql
+
+    base_dir = _tempfile.mkdtemp(prefix="rlts_sqldml_")
+    try:
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = f"{base_dir}/t"
+        slice_df = (
+            load_events(spark, sf_dir)
+            .where(F.col("event_id") % 45 == 0)
+            .select("event_id", "event_type", "value")
+        )
+        commit.append_tables(
+            host, path,
+            {"": slice_df.repartitionByRange(4, "event_id")},
+        )
+        sql(
+            spark,
+            f"UPDATE '{path}' SET value = -value "
+            "WHERE event_type = 'click'",
+        )
+        sql(
+            spark,
+            f"DELETE FROM '{path}' "
+            "WHERE event_id % 90 = 0 AND event_type = 'view'",
+        )
+        slice_df.where(F.col("event_id") % 135 == 0).select(
+            "event_id",
+            F.lit("merged").alias("event_type"),
+            F.lit(1.5).alias("value"),
+        ).createOrReplaceTempView("sql_dml_merge_src")
+        sql(
+            spark,
+            f"""MERGE INTO '{path}' AS t USING sql_dml_merge_src AS s
+            ON t.event_id = s.event_id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""",
+        )
+        out = commit.read_table(host, path).select(
+            "event_id", "event_type", "value"
+        )
+        return out.localCheckpoint(eager=True)  # outlives the rmtree
+    finally:
+        _shutil.rmtree(base_dir, ignore_errors=True)
+
+
+UNREGISTERED_ORACLES["sql_dml_lifecycle"] = (
+    sql_dml_lifecycle,
+    SQL_DML_ORACLE,
+)

@@ -17,6 +17,7 @@ Grammar (case-insensitive keywords; anything outside it refuses loudly
 with the Python API named):
 
 - ``DESCRIBE HISTORY `/path/to/table```
+- ``VACUUM `/path``` and ``OPTIMIZE `/path` [ZORDER BY col, ...]``
 - ``DELETE FROM `/path` WHERE <predicate>``
 - ``UPDATE `/path` SET col = expr[, ...] [WHERE <predicate>]``
 - ``MERGE INTO `/path` AS t USING <view|(subquery)> AS s
@@ -150,6 +151,43 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
     commit = commit if commit is not None else ManifestCommit()
     stmt = statement.strip().rstrip(";").strip()
 
+    m = re.match(rf"(?is)^VACUUM\s+{_PATH}\s*$", stmt)
+    if m:
+        resolved = commit._resolve(host, _path_of(m))
+        if resolved is None:
+            raise ValidationError(
+                f"sql VACUUM: {_path_of(m)!r} is not a "
+                "manifest-managed table"
+            )
+        n = commit.vacuum(host, resolved[0])
+        return spark.createDataFrame(
+            [(int(n),)], "num_files_removed long"
+        )
+
+    m = re.match(
+        rf"(?is)^OPTIMIZE\s+{_PATH}"
+        r"(?:\s+ZORDER\s+BY\s+(?P<zcols>[\w\s,]+))?\s*$",
+        stmt,
+    )
+    if m:
+        from redis_lsm_timeseries_spark.maintenance import (
+            optimize_table,
+        )
+
+        zcols = m.group("zcols")
+        st = optimize_table(
+            host, _path_of(m),
+            zorder_cols=(
+                [c.strip() for c in zcols.split(",")] if zcols else None
+            ),
+            commit=commit,
+        )
+        return spark.createDataFrame(
+            [(st.compacted_files, st.clustered_files, st.vacuumed)],
+            "compacted_files long, clustered_files long, "
+            "vacuumed long",
+        )
+
     m = re.match(rf"(?is)^DESCRIBE\s+HISTORY\s+{_PATH}\s*$", stmt)
     if m:
         import json as _json
@@ -272,9 +310,9 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
 
     raise ValidationError(
         "sql: statement outside the documented DML subset (MERGE "
-        "INTO / UPDATE / DELETE FROM / DESCRIBE HISTORY over a "
-        "quoted manifest path). Query-side SQL: register a temp view "
-        "over read_table(...) and use spark.sql. Other mutations: "
-        "replace_range / delete_range / overwrite_partitions / "
-        "optimize_table / vacuum via the Python API."
+        "INTO / UPDATE / DELETE FROM / DESCRIBE HISTORY / VACUUM / "
+        "OPTIMIZE over a quoted manifest path). Query-side SQL: "
+        "register a temp view over read_table(...) and use "
+        "spark.sql. Other mutations: replace_range / delete_range / "
+        "overwrite_partitions via the Python API."
     )

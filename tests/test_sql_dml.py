@@ -241,9 +241,21 @@ class TestHistoryAndRefusals:
 
     def test_outside_subset_names_the_python_api(self, spark, tmp_path):
         with pytest.raises(ValidationError, match="Python API"):
-            sql(spark, "VACUUM '/nope'")
+            sql(spark, "ALTER TABLE '/nope' ADD COLUMN x INT")
         with pytest.raises(ValidationError, match="temp view"):
             sql(spark, "SELECT 1")
+
+    def test_vacuum_and_optimize_statements(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        sql(spark, f"UPDATE '{path}' SET v = 0 WHERE id = 1")
+        opt = sql(spark, f"OPTIMIZE '{path}'").first()
+        assert opt.compacted_files >= 0
+        vac = sql(spark, f"VACUUM '{path}'").first()
+        assert vac.num_files_removed >= 0
+        # the table still reads whole after maintenance
+        assert commit.read_table(host, path).count() == len(ROWS)
+        with pytest.raises(ValidationError, match="manifest-managed"):
+            sql(spark, "VACUUM '/definitely/not/a/table'")
 
     def test_update_conflicts_with_concurrent_append(
         self, spark, tmp_path, monkeypatch
