@@ -5,16 +5,21 @@ file-granular copy-on-write, row-level CDF, optimistic conflicts.
 
 Where the key-based family (``operators/merge``) prunes its file set
 from the manifest STATS envelope of the key values, an arbitrary SQL
-predicate has no such envelope — so these operators derive the
+predicate may have no such envelope — so these operators derive the
 affected set from the DATA: one DV-aware scan with the predicate
 pushed into the parquet layer (row-group min/max skipping applies)
 marks exactly the files holding matched rows via ``_metadata`` row
-positions, and only those files rewrite. The flip side of the missing
-envelope is the conflict posture: a concurrent append COULD hold rows
-matching the predicate, so these commits conflict with ANY file
-appended between planning and commit (Delta's Serializable posture
-for predicate DML, vs WriteSerializable for key-enveloped merges) —
-the retry re-plans and reaches the new rows.
+positions, and only those files rewrite. When the predicate's
+top-level AND conjuncts ARE envelope-expressible (``col <op>
+literal`` / ``BETWEEN``), ``_predicate_envelope`` extracts a
+superset-safe stats envelope first: the scan runs over the
+manifest-pruned candidates only (a time-band DELETE on a 100 TB
+member reads O(band files)), and the conflict guard relaxes to the
+envelope — concurrent appends provably outside it land untouched,
+the same WriteSerializable posture key-enveloped merges have. With
+no envelope, the conflict posture is Serializable: a concurrent
+append COULD hold matching rows, so the commit conflicts with ANY
+file appended between planning and commit and the retry re-plans.
 
 Reference parity note: the reference engine has no row mutation at
 all (append-only LSM, ``index.js``); this surface exists for the
@@ -36,6 +41,7 @@ from redis_lsm_timeseries_spark.operators.merge import (
     _cdf_sized,
     _clustered_write,
     _compose_guards,
+    _envelope_guard,
     _mapping_ctx,
     _physical_out,
     partition_cols_of,
@@ -72,6 +78,131 @@ def _any_append_guard(commit, member: str, planned: set[str]):
             )
 
     return guard
+
+
+import re as _re
+
+_CMP_RE = _re.compile(
+    r"^\s*(\w+)\s*(=|==|<=|>=|<|>)\s*(.+?)\s*$", _re.S
+)
+_BETWEEN_RE = _re.compile(
+    r"^\s*(\w+)\s+BETWEEN\s+(.+?)\s+AND\s+(.+?)\s*$", _re.I | _re.S
+)
+
+
+def _lit(text: str):
+    """Parse a SQL literal (int, float, 'string'); None = not one."""
+    t = text.strip()
+    if (
+        len(t) >= 2
+        and t[0] == t[-1] == "'"
+        and "'" not in t[1:-1]
+    ):
+        return t[1:-1]
+    try:
+        return int(t)
+    except ValueError:
+        pass
+    try:
+        return float(t)
+    except ValueError:
+        return None
+
+
+def _predicate_envelope(predicate: str | None) -> dict | None:
+    """SUPERSET-SAFE stats envelope from a predicate's top-level AND
+    conjuncts (r16): ``{col: (lo, hi)}`` such that every matching row
+    provably lies inside — so ``prune_files`` can skip files at the
+    MANIFEST level before the data-derived scan, and the conflict
+    guard can admit concurrent appends provably outside it (the
+    key-enveloped merge posture). Soundness rules: any top-level
+    ``OR`` voids the whole envelope (an AND-split across it would
+    over-constrain); a conjunct that isn't ``col <op> literal`` /
+    ``col BETWEEN a AND b`` is simply ignored (the envelope from the
+    parsed conjuncts still contains the predicate's rows); bounds are
+    widened to inclusive. None = no envelope (full-member scan +
+    conflict-on-any-append)."""
+    if not predicate:
+        return None
+    # split on AND outside parens/quotes; abort on a top-level OR. A
+    # BETWEEN's own AND binds to it, not to the conjunction — track a
+    # pending BETWEEN and let it consume exactly one AND.
+    parts, depth, cur, q = [], 0, [], None
+    pending_between = False
+    tokens = _re.split(
+        r"(?i)(\bAND\b|\bOR\b|\bBETWEEN\b|[()'])", predicate
+    )
+    for tok in tokens:
+        if q:
+            cur.append(tok)
+            if tok == q:
+                q = None
+            continue
+        up = tok.strip().upper()
+        if tok == "'":
+            q = "'"
+            cur.append(tok)
+        elif tok == "(":
+            depth += 1
+            cur.append(tok)
+        elif tok == ")":
+            depth -= 1
+            cur.append(tok)
+        elif depth == 0 and up == "OR":
+            return None
+        elif depth == 0 and up == "BETWEEN":
+            pending_between = True
+            cur.append(tok)
+        elif depth == 0 and up == "AND":
+            if pending_between:
+                pending_between = False
+                cur.append(tok)
+            else:
+                parts.append("".join(cur))
+                cur = []
+        else:
+            cur.append(tok)
+    parts.append("".join(cur))
+    env: dict = {}
+
+    def bound(col, lo, hi):
+        plo, phi = env.get(col, (None, None))
+        if lo is not None:
+            plo = lo if plo is None else max(plo, lo)
+        if hi is not None:
+            phi = hi if phi is None else min(phi, hi)
+        env[col] = (plo, phi)
+
+    found = False
+    for part in parts:
+        p = part.strip()
+        while p.startswith("(") and p.endswith(")"):
+            inner = p[1:-1]
+            if inner.count("(") != inner.count(")"):
+                break
+            p = inner.strip()
+        m = _BETWEEN_RE.match(p)
+        if m:
+            lo, hi = _lit(m.group(2)), _lit(m.group(3))
+            if lo is not None and hi is not None:
+                bound(m.group(1), lo, hi)
+                found = True
+            continue
+        m = _CMP_RE.match(p)
+        if not m:
+            continue
+        col, op, rhs = m.group(1), m.group(2), m.group(3)
+        v = _lit(rhs)
+        if v is None:
+            continue
+        if op in ("=", "=="):
+            bound(col, v, v)
+        elif op in ("<", "<="):
+            bound(col, None, v)
+        else:  # > / >=
+            bound(col, v, None)
+        found = True
+    return env if found else None
 
 
 def _matched_files(scan: DataFrame, cond) -> list[str]:
@@ -168,14 +299,31 @@ def update_where(
         )
     if not managed:
         return DmlStats(0, 0, 0)
+    # manifest-level pre-prune (r16): envelope-expressible conjuncts
+    # skip files BEFORE the data-derived scan — a DELETE/UPDATE on a
+    # time band touches O(band files) of a 100 TB member, and the
+    # conflict guard relaxes to the envelope (concurrent appends
+    # provably outside it land untouched, the merge posture)
+    env = _predicate_envelope(predicate)
+    candidates = managed
+    if env:
+        candidates, _ = commit.prune_files(host, path, env)
+        if not candidates:
+            return DmlStats(0, total, 0)
     scan = commit.scan_member_subset(
-        host, path, managed, keep_pos=True
+        host, path, candidates, keep_pos=True
     )
     affected = _matched_files(scan, cond)
     if not affected:
         return DmlStats(0, total, 0)
     guard = _compose_guards(
-        _any_append_guard(commit, member, set(managed)), extra_guard
+        _envelope_guard(
+            commit, member, set(managed),
+            {phys(c): b for c, b in env.items()},
+        )
+        if env
+        else _any_append_guard(commit, member, set(managed)),
+        extra_guard,
     )
     plan: dict = {}
     cur = _affected_df(host, commit, path, affected, smeta, plan=plan)
@@ -261,14 +409,26 @@ def delete_where(
     total = len(managed)
     if not managed:
         return DmlStats(0, 0, 0)
+    env = _predicate_envelope(predicate)
+    candidates = managed
+    if env:
+        candidates, _ = commit.prune_files(host, path, env)
+        if not candidates:
+            return DmlStats(0, total, 0)
     scan = commit.scan_member_subset(
-        host, path, managed, keep_pos=True
+        host, path, candidates, keep_pos=True
     )
     affected = _matched_files(scan, cond)
     if not affected:
         return DmlStats(0, total, 0)
     guard = _compose_guards(
-        _any_append_guard(commit, member, set(managed)), extra_guard
+        _envelope_guard(
+            commit, member, set(managed),
+            {phys(c): b for c, b in env.items()},
+        )
+        if env
+        else _any_append_guard(commit, member, set(managed)),
+        extra_guard,
     )
     if mode in ("dv", "auto"):
         entry = commit._load_entry(host, path, root, None)

@@ -260,9 +260,9 @@ class TestHistoryAndRefusals:
     def test_update_conflicts_with_concurrent_append(
         self, spark, tmp_path, monkeypatch
     ):
-        """Predicate DML has no stats envelope: ANY file appended
-        between planning and commit conflicts (Serializable), and the
-        retry sees the new rows."""
+        """An envelope-LESS predicate (modulo — no stats surface) has
+        the Serializable posture: ANY file appended between planning
+        and commit conflicts, and the retry sees the new rows."""
         from redis_lsm_timeseries_spark.errors import (
             RewriteConflictError,
         )
@@ -285,13 +285,73 @@ class TestHistoryAndRefusals:
 
         monkeypatch.setattr(ManifestCommit, "_file_stats", racing)
         with pytest.raises(RewriteConflictError, match="appended"):
-            sql(spark, f"UPDATE '{path}' SET v = 0 WHERE id = 1")
+            sql(spark, f"UPDATE '{path}' SET v = 0 WHERE id % 41 = 1")
         monkeypatch.undo()
-        # retry on fresh state lands
+        # retry on fresh state lands (rows 1 and the appended 999 —
+        # 999 % 41 = 15, so exactly row 1 matches)
         got = sql(
-            spark, f"UPDATE '{path}' SET v = 0 WHERE id = 1"
+            spark, f"UPDATE '{path}' SET v = 0 WHERE id % 41 = 1"
         ).first()
         assert got.num_affected_rows == 1
+
+    def test_enveloped_predicate_admits_outside_appends(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """An envelope-EXPRESSIBLE predicate relaxes to the merge
+        posture: a concurrent append provably OUTSIDE the envelope
+        lands untouched, no conflict."""
+        host, commit, path = _fx(spark, tmp_path)
+        real = ManifestCommit._file_stats
+        raced = {"done": False}
+
+        def racing(self_, store, root, member, files):
+            out = real(self_, store, root, member, files)
+            if not raced["done"] and files:
+                raced["done"] = True
+                ManifestCommit().append_tables(
+                    store, path,
+                    {"": store.spark.createDataFrame(
+                        [(999, 1, "late")], SCHEMA
+                    ).coalesce(1)},
+                )
+            return out
+
+        monkeypatch.setattr(ManifestCommit, "_file_stats", racing)
+        got = sql(
+            spark, f"DELETE FROM '{path}' WHERE id BETWEEN 1 AND 3"
+        ).first()
+        monkeypatch.undo()
+        assert got.num_affected_rows == 3
+        ids = sorted(
+            r.id for r in commit.read_table(host, path).collect()
+        )
+        assert 999 in ids and 1 not in ids and 4 in ids
+
+
+class TestPredicateEnvelope:
+    def test_envelope_extraction(self):
+        from redis_lsm_timeseries_spark.operators.dml import (
+            _predicate_envelope as pe,
+        )
+
+        assert pe("id BETWEEN 5 AND 8 AND tag = 'x'") == {
+            "id": (5, 8), "tag": ("x", "x")
+        }
+        assert pe("id >= 5 AND id < 10") == {"id": (5, 10)}
+        assert pe("ts <= 100") == {"ts": (None, 100)}
+        # a top-level OR voids the whole envelope (AND-splitting
+        # across it would over-constrain)
+        assert pe("id = 1 OR tag = 'x' AND id = 3") is None
+        # unparsable conjuncts are ignored, the rest still bound
+        assert pe("id = 7 AND upper(tag) = 'X'") == {"id": (7, 7)}
+        assert pe("id % 2 = 1") is None
+        # OR inside parens / strings does not void
+        assert pe("id = 1 AND (tag = 'a' OR tag = 'b')") == {
+            "id": (1, 1)
+        }
+        assert pe("tag = 'a OR b' AND id = 2") == {
+            "tag": ("a OR b", "a OR b"), "id": (2, 2)
+        }
 
 
 class TestMappedAndDvModes:
