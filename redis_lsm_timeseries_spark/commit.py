@@ -5197,6 +5197,59 @@ class ManifestCommit(ParquetLeaseCommit):
             )
         return best
 
+    def restore_table(self, store, path: str, version: int) -> int:
+        """Delta's ``RESTORE TABLE ... VERSION AS OF`` (r16): ONE
+        metadata-only commit sets the member's file list (and those
+        files' recorded stats) back to what retained ``version``
+        listed — the undo for a bad merge/delete/overwrite. Nothing
+        moves on disk: immutable data files of a RETAINED version are
+        still present (vacuum only collects files unreferenced by
+        every retained entry), so restore costs one log entry and the
+        restore itself is a new version — history keeps flowing
+        forward and the mistake stays inspectable via time travel.
+
+        Scope, deliberately: FILES ONLY. Schema-evolution metadata
+        (column mapping, constraints, cursors in the ``app`` map)
+        stays CURRENT — physical names are immutable, so the current
+        logical view serves the restored files exactly; columns added
+        after ``version`` read as NULL from them, columns dropped
+        after it stay dropped. Returns the restored file count.
+
+        Concurrency: conflicts if the member's file list changed
+        between planning and commit (the snapshot_rewrite posture —
+        a racing append silently wiped by the restore would be a
+        lost update). Feed consumers see a non-append entry and
+        resync loudly — a restore rewrites history's effect, the one
+        thing an incremental feed cannot express (Delta's RESTORE
+        breaks CDF streams the same way)."""
+        target = self._target_for_write(store, path)
+        if target is None:
+            raise ValidationError(
+                f"restore_table: {path!r} is not manifest-managed"
+            )
+        root, member = target
+        old = self._load_entry(store, path, root, int(version))
+        files = list(old["tables"].get(member, []))
+        stats = old.get("stats", {}).get(member, {})
+        _, tables = self._current(store, root)
+        base = list(tables.get(member, []))
+        if base == files:
+            return len(files)  # already that state: idempotent no-op
+
+        def mutate(t):
+            if list(t.get(member, [])) != base:
+                raise RewriteConflictError(
+                    f"restore_table({path!r}, {version}): the member "
+                    "changed since planning; re-check and retry"
+                )
+            return {**t, member: files}
+
+        mutate.stats_add = {
+            member: {f: stats[f] for f in files if f in stats}
+        }
+        self._commit(store, root, mutate)
+        return len(files)
+
     def member_file_stats(
         self, store, path: str, version: int | None = None
     ) -> dict | None:

@@ -18,6 +18,11 @@ with the Python API named):
 
 - ``DESCRIBE HISTORY `/path/to/table```
 - ``VACUUM `/path``` and ``OPTIMIZE `/path` [ZORDER BY col, ...]``
+- ``RESTORE TABLE `/path` TO VERSION AS OF <n>`` (files-only undo;
+  schema metadata stays current — see ``restore_table``)
+- ``ALTER TABLE `/path` RENAME COLUMN a TO b | DROP COLUMN a |
+  ALTER COLUMN a TYPE long`` (dotted nested paths included; ADD
+  COLUMN refuses toward the additive-append contract)
 - ``DELETE FROM `/path` WHERE <predicate>``
 - ``UPDATE `/path` SET col = expr[, ...] [WHERE <predicate>]``
 - ``MERGE INTO `/path` AS t USING <view|(subquery)> AS s
@@ -150,6 +155,63 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
     spark = host.spark
     commit = commit if commit is not None else ManifestCommit()
     stmt = statement.strip().rstrip(";").strip()
+
+    m = re.match(
+        rf"(?is)^RESTORE\s+TABLE\s+{_PATH}\s+TO\s+VERSION\s+AS\s+OF"
+        r"\s+(?P<v>\d+)\s*$",
+        stmt,
+    )
+    if m:
+        n = commit.restore_table(host, _path_of(m), int(m.group("v")))
+        return spark.createDataFrame(
+            [(int(n), int(m.group("v")))],
+            "num_restored_files long, restored_version long",
+        )
+
+    m = re.match(
+        rf"(?is)^ALTER\s+TABLE\s+{_PATH}\s+(?P<act>.+)$", stmt
+    )
+    if m:
+        path, act = _path_of(m), m.group("act").strip()
+        am = re.match(
+            r"(?is)^RENAME\s+COLUMN\s+(?P<old>[\w.]+)\s+TO\s+"
+            r"(?P<new>[\w.]+)\s*$",
+            act,
+        )
+        if am:
+            commit.rename_column(
+                host, path, am.group("old"), am.group("new")
+            )
+            return spark.createDataFrame([(True,)], "ok boolean")
+        am = re.match(
+            r"(?is)^DROP\s+COLUMN\s+(?P<col>[\w.]+)\s*$", act
+        )
+        if am:
+            commit.drop_column(host, path, am.group("col"))
+            return spark.createDataFrame([(True,)], "ok boolean")
+        am = re.match(
+            r"(?is)^ALTER\s+COLUMN\s+(?P<col>[\w.]+)\s+TYPE\s+"
+            r"(?P<t>\w+)\s*$",
+            act,
+        )
+        if am:
+            commit.widen_column(
+                host, path, am.group("col"), am.group("t").lower()
+            )
+            return spark.createDataFrame([(True,)], "ok boolean")
+        if re.match(r"(?is)^ADD\s+COLUMN", act):
+            raise ValidationError(
+                "sql ALTER TABLE: columns are additive by APPEND — "
+                "write a batch carrying the new column (NULL-backfill "
+                "is automatic for older files); no explicit ADD "
+                "COLUMN commit exists"
+            )
+        raise ValidationError(
+            f"sql ALTER TABLE: unsupported action {act!r} — the "
+            "facade covers RENAME COLUMN a TO b, DROP COLUMN a, and "
+            "ALTER COLUMN a TYPE long|double (dotted nested paths "
+            "included)"
+        )
 
     m = re.match(rf"(?is)^VACUUM\s+{_PATH}\s*$", stmt)
     if m:
@@ -310,9 +372,10 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
 
     raise ValidationError(
         "sql: statement outside the documented DML subset (MERGE "
-        "INTO / UPDATE / DELETE FROM / DESCRIBE HISTORY / VACUUM / "
-        "OPTIMIZE over a quoted manifest path). Query-side SQL: "
-        "register a temp view over read_table(...) and use "
-        "spark.sql. Other mutations: replace_range / delete_range / "
-        "overwrite_partitions via the Python API."
+        "INTO / UPDATE / DELETE FROM / ALTER TABLE / RESTORE TABLE "
+        "/ DESCRIBE HISTORY / VACUUM / OPTIMIZE over a quoted "
+        "manifest path). Query-side SQL: register a temp view over "
+        "read_table(...) and use spark.sql. Other mutations: "
+        "replace_range / delete_range / overwrite_partitions via "
+        "the Python API."
     )

@@ -241,7 +241,7 @@ class TestHistoryAndRefusals:
 
     def test_outside_subset_names_the_python_api(self, spark, tmp_path):
         with pytest.raises(ValidationError, match="Python API"):
-            sql(spark, "ALTER TABLE '/nope' ADD COLUMN x INT")
+            sql(spark, "TRUNCATE TABLE '/nope'")
         with pytest.raises(ValidationError, match="temp view"):
             sql(spark, "SELECT 1")
 
@@ -382,3 +382,76 @@ class TestMappedAndDvModes:
         assert sorted(
             r.id for r in commit.read_table(host, path).collect()
         ) == [i for i in range(40) if i % 10 != 3]
+
+
+class TestRestoreAndAlter:
+    def test_restore_undoes_a_bad_delete(self, spark, tmp_path):
+        """RESTORE TABLE ... VERSION AS OF: one metadata-only commit
+        puts the file list back; nothing moves on disk, history keeps
+        flowing forward (the restore is itself a new version)."""
+        host, commit, path = _fx(spark, tmp_path)
+        v_good = commit.table_versions(host, path)[-1]
+        sql(spark, f"DELETE FROM '{path}' WHERE id < 20")
+        assert commit.read_table(host, path).count() == 20
+        got = sql(
+            spark, f"RESTORE TABLE '{path}' TO VERSION AS OF {v_good}"
+        ).first()
+        assert got.num_restored_files >= 1
+        assert _table(commit, host, path) == sorted(ROWS)
+        # the mistake stays inspectable: time travel to the deleted
+        # state still works (restore appended a version, not rewrote)
+        vs = commit.table_versions(host, path)
+        assert len(vs) >= 3
+        assert commit.read_table(
+            host, path, None, version=vs[-2]
+        ).count() == 20
+        # stats restored with the files: pruning works post-restore
+        kept, total = commit.prune_files(host, path, {"id": (0, 0)})
+        assert len(kept) < total
+
+    def test_restore_is_idempotent_and_conflict_safe(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from redis_lsm_timeseries_spark.errors import (
+            RewriteConflictError,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        # restore to the current state: no-op, no new version
+        n_before = len(commit.table_versions(host, path))
+        commit.restore_table(host, path, v0)
+        assert len(commit.table_versions(host, path)) == n_before
+        sql(spark, f"DELETE FROM '{path}' WHERE id = 0")
+        # a commit racing between plan and commit conflicts
+        real = ManifestCommit._current_entry
+        state = {"raced": False}
+
+        def racing(self_, store, root):
+            out = real(self_, store, root)
+            if not state["raced"]:
+                state["raced"] = True
+                ManifestCommit().append_tables(
+                    store, path,
+                    {"": store.spark.createDataFrame(
+                        [(500, 1, "race")], SCHEMA
+                    ).coalesce(1)},
+                )
+            return out
+
+        monkeypatch.setattr(ManifestCommit, "_current_entry", racing)
+        with pytest.raises(RewriteConflictError, match="changed"):
+            commit.restore_table(host, path, v0)
+        monkeypatch.undo()
+
+    def test_alter_table_statements(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        sql(spark, f"ALTER TABLE '{path}' RENAME COLUMN v TO score")
+        sql(spark, f"ALTER TABLE '{path}' ALTER COLUMN id TYPE long")
+        sql(spark, f"ALTER TABLE '{path}' DROP COLUMN tag")
+        cols = commit.read_table(host, path).columns
+        assert cols == ["id", "score"]
+        with pytest.raises(ValidationError, match="additive"):
+            sql(spark, f"ALTER TABLE '{path}' ADD COLUMN x INT")
+        with pytest.raises(ValidationError, match="RENAME COLUMN"):
+            sql(spark, f"ALTER TABLE '{path}' SET TBLPROPERTIES x")
