@@ -3329,7 +3329,7 @@ class ManifestCommit(ParquetLeaseCommit):
                 ).fetchall()
             except duckdb.Error as e:
                 raise ValidationError(
-                    f"add_constraint {name!r}: ({expr}) does not "
+                    f"CHECK constraint {name!r}: ({expr}) does not "
                     "parse in the ANSI SQL subset CHECK expressions "
                     "must live in (connector writes validate it "
                     "task-side in an embedded SQL engine) — rewrite "
@@ -5231,10 +5231,44 @@ class ManifestCommit(ParquetLeaseCommit):
         old = self._load_entry(store, path, root, int(version))
         files = list(old["tables"].get(member, []))
         stats = old.get("stats", {}).get(member, {})
-        _, tables = self._current(store, root)
-        base = list(tables.get(member, []))
-        if base == files:
+        cur_entry = self._load_entry(store, path, root, None)
+        base = list(cur_entry["tables"].get(member, []))
+        cur_stats = cur_entry.get("stats", {}).get(member, {})
+        # files that STAY listed must get their old stats BLOCK back
+        # too — a DV-mode delete changes row content while the file
+        # list stays identical (the positions blob lives in stats), so
+        # comparing lists alone would no-op past it. Restored blocks
+        # ride the explicit ``restat`` delta op (a plain stats_add for
+        # an already-listed file would be dropped by delta
+        # reconstruction, which only carries stats for ADDED files).
+        kept = [f for f in files if f in set(base)]
+        restat = {
+            f: (stats.get(f) or {})
+            for f in kept
+            if (stats.get(f) or {}) != (cur_stats.get(f) or {})
+        }
+        if base == files and not restat:
             return len(files)  # already that state: idempotent no-op
+        # CAS each kept file's deletion-vector reference: a DV attach
+        # landing between planning and this commit must conflict, not
+        # be silently clobbered back to the restored block
+        expected_dv = {
+            f: ((cur_stats.get(f) or {}).get("dv") or {}).get("path")
+            for f in kept
+        }
+
+        def guard(prev):
+            pstats = prev.get("stats", {}).get(member, {})
+            for f, exp in expected_dv.items():
+                cur = ((pstats.get(f) or {}).get("dv") or {}).get(
+                    "path"
+                )
+                if cur != exp:
+                    raise RewriteConflictError(
+                        f"restore_table({path!r}, {version}): the "
+                        f"deletion vector of {f} changed since "
+                        "planning — retry on fresh state"
+                    )
 
         def mutate(t):
             if list(t.get(member, [])) != base:
@@ -5245,8 +5279,15 @@ class ManifestCommit(ParquetLeaseCommit):
             return {**t, member: files}
 
         mutate.stats_add = {
-            member: {f: stats[f] for f in files if f in stats}
+            member: {
+                f: stats[f]
+                for f in files
+                if f in stats and f not in set(base)
+            }
         }
+        if restat:
+            mutate.restat = {member: restat}
+        mutate.entry_guard = guard
         self._commit(store, root, mutate)
         return len(files)
 

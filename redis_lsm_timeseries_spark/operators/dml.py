@@ -205,17 +205,20 @@ def _predicate_envelope(predicate: str | None) -> dict | None:
     return env if found else None
 
 
-def _matched_files(scan: DataFrame, cond) -> list[str]:
-    """Relpaths of files holding at least one predicate-matching row
-    — data-derived (the predicate pushes into the parquet scan), one
-    row per file collected (metadata-scale, like ``prune_files``)."""
-    return [
-        r.f
-        for r in scan.where(cond)
-        .select(F.col("__dv_file").alias("f"))
-        .distinct()
+def _matched_file_counts(scan: DataFrame, cond) -> tuple[list[str], int]:
+    """(relpaths of files holding ≥1 predicate-matching row, total
+    matched rows) from ONE aggregation job — data-derived (the
+    predicate pushes into the parquet scan), one row per file
+    collected (metadata-scale, like ``prune_files``). Folding the
+    row count into the same pass saves a whole scan of the affected
+    files versus counting separately."""
+    rows = (
+        scan.where(cond)
+        .groupBy(F.col("__dv_file").alias("f"))
+        .count()
         .collect()
-    ]
+    )
+    return [r.f for r in rows], int(sum(r["count"] for r in rows))
 
 
 def _cond(predicate: str | None):
@@ -313,7 +316,7 @@ def update_where(
     scan = commit.scan_member_subset(
         host, path, candidates, keep_pos=True
     )
-    affected = _matched_files(scan, cond)
+    affected, n_rows = _matched_file_counts(scan, cond)
     if not affected:
         return DmlStats(0, total, 0)
     guard = _compose_guards(
@@ -327,12 +330,37 @@ def update_where(
     )
     plan: dict = {}
     cur = _affected_df(host, commit, path, affected, smeta, plan=plan)
-    n_rows = cur.where(cond).count()
-    out = updated(cur)
+    missing = set(set_exprs) - set(cur.columns)
+    if missing:
+        raise ValidationError(
+            f"update_where: SET column(s) {sorted(missing)} not in "
+            f"{sorted(cur.columns)}"
+        )
+    # the match flag is computed on PRE-update values and carried
+    # through the projection: a SET that modifies a predicate column
+    # must not change which rows the change feed reports (the
+    # post-update row could flip the predicate either way)
+    marked = cur.withColumn(
+        "__dml_m", F.coalesce(cond, F.lit(False))
+    )
+    out_marked = marked.select(
+        *[
+            (
+                F.when(F.col("__dml_m"), F.expr(set_exprs[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in set_exprs
+                else F.col(c)
+            )
+            for c in cur.columns
+        ],
+        F.col("__dml_m"),
+    )
+    out = out_marked.drop("__dml_m")
     cdf = _cdf_sized(
         _physical_out(
             commit, host, root, member,
-            out.where(cond)
+            out_marked.where("__dml_m").drop("__dml_m")
             .withColumn(commit.CDF_TYPE_COL, F.lit("upsert")),
             smeta,
         ),
@@ -418,7 +446,7 @@ def delete_where(
     scan = commit.scan_member_subset(
         host, path, candidates, keep_pos=True
     )
-    affected = _matched_files(scan, cond)
+    affected, n_rows = _matched_file_counts(scan, cond)
     if not affected:
         return DmlStats(0, total, 0)
     guard = _compose_guards(
@@ -458,10 +486,9 @@ def delete_where(
                 host, commit, path, root, member, smeta,
                 affected, matched, fstats, guard,
             )
-            return DmlStats(n, total, -1)
+            return DmlStats(n, total, n_rows)
     plan: dict = {}
     cur = _affected_df(host, commit, path, affected, smeta, plan=plan)
-    n_rows = cur.where(cond).count()
     survivors = cur.where(keep)
     cdf = _cdf_sized(
         _physical_out(

@@ -346,13 +346,27 @@ def _ts_ms(value) -> int:
 
 def _parse_bytes(value) -> int:
     """``maxBytesPerTrigger`` value: a plain int of bytes or a
-    ``k``/``m``/``g``-suffixed string (``"10m"``), the Spark file-
-    source convention."""
+    ``k``/``kb``/``m``/``mb``/``g``/``gb``-suffixed string
+    (``"10m"``, ``"10mb"`` — Spark's own byte-string convention
+    accepts both). A malformed value refuses typed, naming the
+    option."""
+    from redis_lsm_timeseries_spark.errors import ValidationError
+
     s = str(value).strip().lower()
     mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
-    if s and s[-1] in mult:
-        return int(float(s[:-1]) * mult[s[-1]])
-    return int(s)
+    num, suffix = s, None
+    if s.endswith("b") and len(s) > 1 and s[-2] in mult:
+        num, suffix = s[:-2], s[-2]
+    elif s and s[-1] in mult:
+        num, suffix = s[:-1], s[-1]
+    try:
+        return int(float(num) * mult[suffix]) if suffix else int(num)
+    except ValueError:
+        raise ValidationError(
+            f"rlts_table: maxBytesPerTrigger value {value!r} is not "
+            "a byte count (use an int or a k/kb/m/mb/g/gb-suffixed "
+            "string)"
+        ) from None
 
 
 def _hive_values(relpath: str) -> dict:
@@ -769,11 +783,14 @@ class ManifestStreamReader(DataSourceStreamReader):
                 ):
                     return out
                 taken += len(paths)
-                for p in paths:
-                    try:
-                        bytes_taken += _os.path.getsize(p)
-                    except OSError:
-                        pass
+                if self.max_bytes is not None:
+                    # only stat files when a byte cap actually reads
+                    # the counter — a files-only cap stays I/O-free
+                    for p in paths:
+                        try:
+                            bytes_taken += _os.path.getsize(p)
+                        except OSError:
+                            pass
                 out = (v, None)
                 continue
             for idx in range(i0, len(paths)):
@@ -785,10 +802,11 @@ class ManifestStreamReader(DataSourceStreamReader):
                 ):
                     return (v, idx)
                 taken += 1
-                try:
-                    bytes_taken += _os.path.getsize(paths[idx])
-                except OSError:
-                    pass
+                if self.max_bytes is not None:
+                    try:
+                        bytes_taken += _os.path.getsize(paths[idx])
+                    except OSError:
+                        pass
             out = (v, None)
         # caps never tripped inside the span: everything through vcap
         return (vcap, None) if self._okey((vcap, None)) > self._okey(
@@ -1450,6 +1468,14 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         self.cons_at_plan = entry.get("app", {}).get(
             commit._constraint_key(self.member)
         )
+        # dialect gate at PLAN time (r16): add_constraint dry-runs
+        # expressions in DuckDB only when the table already has data
+        # (an empty member has no schema to bind against), so a
+        # Spark-only expression installed pre-data would otherwise
+        # surface as a worker-side parse error mid-job — refuse here,
+        # before any task runs, against the WRITE schema
+        for cname, cexpr in sorted(self.cons.items()):
+            commit._constraint_dialect_gate(schema, cname, cexpr)
         smeta = entry.get("app", {}).get(
             commit._schema_key(self.member)
         ) or {}

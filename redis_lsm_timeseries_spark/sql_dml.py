@@ -94,6 +94,35 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in out if p.strip()]
 
 
+def _split_where(text: str) -> tuple[str, str | None]:
+    """Split ``<sets> [WHERE <pred>]`` at the first TOP-LEVEL WHERE
+    keyword — outside quotes and parentheses, so a SET expression
+    containing the word in a string literal (``SET note = 'no where
+    here'``) never splits mid-literal (a naive regex split would)."""
+    parts = re.split(r"(?i)(\bWHERE\b|[()'])", text)
+    depth, q, cur = 0, None, []
+    for i, tok in enumerate(parts):
+        if q:
+            cur.append(tok)
+            if tok == q:
+                q = None
+            continue
+        if tok == "'":
+            q = "'"
+            cur.append(tok)
+        elif tok == "(":
+            depth += 1
+            cur.append(tok)
+        elif tok == ")":
+            depth -= 1
+            cur.append(tok)
+        elif depth == 0 and tok.strip().upper() == "WHERE":
+            return "".join(cur).strip(), "".join(parts[i + 1:]).strip()
+        else:
+            cur.append(tok)
+    return "".join(cur).strip(), None
+
+
 def _parse_on_keys(cond: str) -> list[str]:
     """Equi-key conjunction ``t.k = s.k AND ...`` -> [k, ...]."""
     keys = []
@@ -289,13 +318,12 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
         )
 
     m = re.match(
-        rf"(?is)^UPDATE\s+{_PATH}\s+SET\s+(?P<sets>.+?)"
-        r"(?:\s+WHERE\s+(?P<pred>.+))?$",
-        stmt,
+        rf"(?is)^UPDATE\s+{_PATH}\s+SET\s+(?P<rest>.+)$", stmt
     )
     if m:
+        sets_text, pred = _split_where(m.group("rest"))
         set_exprs = {}
-        for part in _split_top_level(m.group("sets")):
+        for part in _split_top_level(sets_text):
             sm = re.match(r"(?s)^\s*(\w+)\s*=\s*(.+)$", part)
             if not sm:
                 raise ValidationError(
@@ -303,10 +331,8 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
                     "(expected col = expr)"
                 )
             set_exprs[sm.group(1)] = sm.group(2).strip()
-        pred = m.group("pred")
         st = update_where(
-            host, _path_of(m), set_exprs,
-            pred.strip() if pred else None, commit=commit,
+            host, _path_of(m), set_exprs, pred, commit=commit
         )
         return spark.createDataFrame(
             [(st.rows_affected, st.files_rewritten, st.files_total)],

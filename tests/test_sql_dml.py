@@ -455,3 +455,99 @@ class TestRestoreAndAlter:
             sql(spark, f"ALTER TABLE '{path}' ADD COLUMN x INT")
         with pytest.raises(ValidationError, match="RENAME COLUMN"):
             sql(spark, f"ALTER TABLE '{path}' SET TBLPROPERTIES x")
+
+
+class TestReviewRegressions:
+    """r16 self-review findings, each pinned."""
+
+    def test_cdf_rows_flag_on_pre_update_values(self, spark, tmp_path):
+        """A SET that modifies a predicate column must not change
+        which rows the change feed reports: value = -value WHERE
+        value > 0 flips the predicate for every updated row."""
+        host, commit, path = _fx(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        got = sql(
+            spark,
+            f"UPDATE '{path}' SET v = -v WHERE v > 0 AND id < 4",
+        ).first()
+        assert got.num_affected_rows == 3  # ids 1..3 (id 0 has v=0)
+        ch = commit.read_row_changes(host, path, v0)
+        ups = sorted(
+            (r.id, r.v)
+            for r in ch.collect()
+            if r._change_type == "upsert"
+        )
+        # the POST-update values of exactly the matched rows
+        assert ups == [(1, -10), (2, -20), (3, -30)]
+
+    def test_restore_undoes_a_dv_delete(self, spark, tmp_path):
+        """A DV-mode delete keeps the file list identical (the
+        positions blob lives in stats) — restore must see through
+        that and clear the vector, not no-op."""
+        from redis_lsm_timeseries_spark.operators.dml import (
+            delete_where,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        v_good = commit.table_versions(host, path)[-1]
+        files = commit.member_files(host, path)
+        delete_where(host, path, "id % 10 = 3", commit=commit, mode="dv")
+        assert commit.member_files(host, path) == files  # DV: no moves
+        assert commit.read_table(host, path).count() == 36
+        n = commit.restore_table(host, path, v_good)
+        assert n == len(files)
+        assert _table(commit, host, path) == sorted(ROWS)
+        # and fast_count serves again (the DV reference is gone)
+        from redis_lsm_timeseries_spark.maintenance import fast_count
+
+        assert fast_count(host, path, commit=commit) == len(ROWS)
+
+    def test_predata_constraint_refuses_at_connector_plan(
+        self, spark, tmp_path
+    ):
+        """A Spark-only CHECK installed while the member held no rows
+        (the ADD-time gate has no schema to bind) must refuse at the
+        connector's PLAN time, not die task-side mid-job."""
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            register_manifest_source,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        sql(spark, f"DELETE FROM '{path}' WHERE id >= 0")  # empty it
+        commit.add_constraint(host, path, "nse", "v <=> 0")
+        register_manifest_source(spark)
+        with pytest.raises(Exception, match="does not parse"):
+            (
+                spark.createDataFrame([(1, 0, "x")], SCHEMA)
+                .write.format("rlts_table")
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+
+    def test_update_with_where_inside_string_literal(
+        self, spark, tmp_path
+    ):
+        host, commit, path = _fx(spark, tmp_path)
+        got = sql(
+            spark,
+            f"UPDATE '{path}' SET tag = 'no where here' "
+            "WHERE id = 5",
+        ).first()
+        assert got.num_affected_rows == 1
+        r = {r.id: r.tag for r in commit.read_table(host, path).collect()}
+        assert r[5] == "no where here" and r[6] == "even"
+
+    def test_parse_bytes_spark_convention(self):
+        from redis_lsm_timeseries_spark.errors import ValidationError
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            _parse_bytes,
+        )
+
+        assert _parse_bytes("10m") == 10 << 20
+        assert _parse_bytes("10mb") == 10 << 20
+        assert _parse_bytes("1gb") == 1 << 30
+        assert _parse_bytes("2kb") == 2048
+        assert _parse_bytes(4096) == 4096
+        with pytest.raises(ValidationError, match="maxBytesPerTrigger"):
+            _parse_bytes("lots")
