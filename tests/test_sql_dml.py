@@ -551,3 +551,38 @@ class TestReviewRegressions:
         assert _parse_bytes(4096) == 4096
         with pytest.raises(ValidationError, match="maxBytesPerTrigger"):
             _parse_bytes("lots")
+
+    def test_predicate_dml_preserves_hive_layout(self, spark, tmp_path):
+        """Row-level rewrites of a hive-partitioned member must write
+        replacements under the partition directories — a flat file at
+        a different depth corrupts partition discovery."""
+        from redis_lsm_timeseries_spark.operators.merge import (
+            partition_cols_of,
+        )
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "hive")
+        commit.append_partitioned(
+            host,
+            spark.createDataFrame(
+                [("a", i, float(i)) for i in range(6)]
+                + [("b", i, float(i)) for i in range(6)],
+                "tag string, ts long, value double",
+            ),
+            path, ["tag"],
+        )
+        sql(spark, f"UPDATE '{path}' SET value = -1.0 WHERE ts = 2")
+        sql(spark, f"DELETE FROM '{path}' WHERE ts >= 4")
+        files = commit.member_files(host, path)
+        assert files and all(
+            partition_cols_of([f]) == ["tag"] for f in files
+        )
+        got = sorted(
+            (r.tag, r.ts, r.value)
+            for r in commit.read_table(host, path).collect()
+        )
+        assert got == sorted(
+            (t, i, -1.0 if i == 2 else float(i))
+            for t in ("a", "b")
+            for i in range(4)
+        )
