@@ -30,11 +30,12 @@ with the Python API named):
   [WHEN MATCHED [AND <cond>] THEN UPDATE SET *]
   [WHEN MATCHED [AND <cond>] THEN DELETE]
   [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]``
-  — target/source aliases MUST be ``t`` and ``s`` (they name the
-  sides in clause conditions, matching ``merge_into``); the ON
-  condition must be an equi-key conjunction; ``UPDATE SET *`` /
-  ``INSERT *`` are the by-name forms ``merge_into`` implements
-  (column-level SET inside MERGE refuses toward ``update_where``).
+  — any distinct pair of target/source aliases works (qualified
+  references rewrite to ``merge_into``'s ``t``/``s`` condition
+  names); the ON condition must be an equi-key conjunction;
+  ``UPDATE SET *`` / ``INSERT *`` are the by-name forms
+  ``merge_into`` implements (column-level SET inside MERGE refuses
+  toward ``update_where``).
 
 Each mutation returns a one-row DataFrame (``num_affected_rows`` /
 merge stats), the Delta convention.
@@ -153,11 +154,24 @@ def _parse_on_keys(cond: str) -> list[str]:
 
 _MERGE_RE = re.compile(
     rf"""(?isx)^\s*
-    MERGE\s+INTO\s+{_PATH}\s+(?:AS\s+)?t\s+
-    USING\s+(?P<src>\(.*?\)|\S+)\s+(?:AS\s+)?s\s+
+    MERGE\s+INTO\s+{_PATH}\s+(?:AS\s+)?(?P<ta>\w+)\s+
+    USING\s+(?P<src>\(.*?\)|\S+)\s+(?:AS\s+)?(?P<sa>\w+)\s+
     ON\s+(?P<on>.*?)
     (?P<clauses>\s+WHEN\s+.*)$""",
 )
+
+
+def _realias(text: str | None, ta: str, sa: str) -> str | None:
+    """Rewrite user-chosen target/source aliases to the ``t``/``s``
+    names ``merge_into`` conditions use — qualified references only
+    (``target.col`` -> ``t.col``), so a bare column or string content
+    is never touched."""
+    if text is None:
+        return None
+    out = re.sub(rf"(?i)\b{re.escape(ta)}\s*\.", "t.", text)
+    if sa.lower() != ta.lower():
+        out = re.sub(rf"(?i)\b{re.escape(sa)}\s*\.", "s.", out)
+    return out
 
 _CLAUSE_RE = re.compile(
     r"""(?isx)
@@ -347,8 +361,14 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
             source = spark.sql(src[1:-1])
         else:
             source = spark.table(src)
-        keys = _parse_on_keys(m.group("on"))
-        clauses = m.group("clauses")
+        ta, sa = m.group("ta"), m.group("sa")
+        if ta.lower() == sa.lower():
+            raise ValidationError(
+                f"sql MERGE: target and source share the alias "
+                f"{ta!r} — give them distinct aliases"
+            )
+        keys = _parse_on_keys(_realias(m.group("on"), ta, sa))
+        clauses = _realias(m.group("clauses"), ta, sa)
         covered = _CLAUSE_RE.sub("", clauses).strip()
         if covered:
             raise ValidationError(

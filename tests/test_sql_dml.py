@@ -586,3 +586,28 @@ class TestReviewRegressions:
             for t in ("a", "b")
             for i in range(4)
         )
+
+    def test_merge_with_custom_aliases(self, spark, tmp_path):
+        """Delta users write 'AS target USING ... AS src' — qualified
+        references rewrite to merge_into's t/s condition names."""
+        host, commit, path = _fx(spark, tmp_path)
+        spark.createDataFrame(
+            [(6, 0, "x"), (300, 3, "n")], SCHEMA
+        ).createOrReplaceTempView("alias_src")
+        sql(
+            spark,
+            f"""MERGE INTO '{path}' AS target USING alias_src AS src
+            ON target.id = src.id
+            WHEN MATCHED AND target.tag = 'even' THEN UPDATE SET *
+            WHEN NOT MATCHED AND src.v > 1 THEN INSERT *""",
+        )
+        got = {r.id: (r.v, r.tag) for r in
+               commit.read_table(host, path).collect()}
+        assert got[6] == (0, "x")  # matched + condition held
+        assert got[300] == (3, "n")  # inserted (v > 1)
+        with pytest.raises(ValidationError, match="distinct aliases"):
+            sql(
+                spark,
+                f"MERGE INTO '{path}' AS x USING alias_src AS x "
+                "ON x.id = x.id WHEN MATCHED THEN DELETE",
+            )
