@@ -2578,7 +2578,9 @@ class ManifestCommit(ParquetLeaseCommit):
             ]
         )
 
-    def _remint_dropped(self, store, root: str, member: str, df, reused):
+    def _remint_dropped(
+        self, store, root: str, member: str, dtypes: dict, reused
+    ):
         """Dropped-name reuse (r14 — the Delta id-based column-mapping
         idiom on plain parquet): a NEW logical column whose name was
         previously dropped gets a fresh synthetic PHYSICAL name
@@ -2588,9 +2590,11 @@ class ManifestCommit(ParquetLeaseCommit):
         the new column as NULL — ``phys_types`` records its type so
         ``_physical_scan`` can force it into the scan schema
         regardless of which footer inference sampled. Returns the
-        fresh schema meta; retries through racing evolutions."""
+        fresh schema meta; retries through racing evolutions.
+        ``dtypes`` maps column name -> ddl string (``dict(df.dtypes)``
+        shape) — session-free, so the connector's planner process can
+        remint too (r16)."""
         key = self._schema_key(member)
-        dtypes = dict(df.dtypes)
         for _ in range(5):
             _, entry = self._current_entry(store, root)
             before = entry.get("app", {}).get(key)
@@ -2795,7 +2799,9 @@ class ManifestCommit(ParquetLeaseCommit):
             return df
         reused = [c for c in df.columns if mapping.get(c, c) in dropped]
         if reused:
-            meta = self._remint_dropped(store, root, member, df, reused)
+            meta = self._remint_dropped(
+                store, root, member, dict(df.dtypes), reused
+            )
             mapping = meta.get("map", {})
             widen = meta.get("widen", {})
             dropped = set(meta.get("drop", []))

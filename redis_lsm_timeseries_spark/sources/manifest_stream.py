@@ -1197,12 +1197,11 @@ def _check_nested_write_schema(schema, smeta: dict) -> None:
         for f in dt.fields:
             pl = nmap.get(f.name, f.name)
             if pl in ndrop:
-                raise ValidationError(
+                raise ValidationError(  # unreachable post-remint
                     f"rlts_table writer: nested field "
-                    f"{lpath}.{f.name} reuses a DROPPED field's "
-                    "physical name; the remint needs its own metadata "
-                    "commit — append through append_table_with_meta "
-                    "instead"
+                    f"{lpath}.{f.name} still resolves to a DROPPED "
+                    "physical leaf after the remint — racing schema "
+                    "evolutions; retry the write"
                 )
             if f.name not in nmap and pl in targets:
                 raise ValidationError(
@@ -1411,9 +1410,11 @@ class ManifestArrowWriter(DataSourceArrowWriter):
     matching ``append_partitioned``'s layout byte-for-byte (segment
     escaping included) so connector files and engine files interleave
     in one member; the read-back prunes on the path-derived stats.
-    Dropped-name reuse still refuses at PLAN time with the engine-API
-    remedy (the remint needs its own metadata commit —
-    ``append_table_with_meta``)."""
+    Dropped-name reuse REMINTS at PLAN time (r16): the planner runs
+    driver-side, so the synthetic-physical-name commit lands before
+    any task, exactly as an engine append would — top-level and
+    nested leaves alike (non-atomic nested re-adds refuse toward
+    rewrite, the remint's own rule)."""
 
     def __init__(self, schema, overwrite: bool, options):
         import uuid
@@ -1479,11 +1480,36 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         smeta = entry.get("app", {}).get(
             commit._schema_key(self.member)
         ) or {}
+        # dropped-name reuse (r16): the writer's planner runs
+        # DRIVER-side, so the remint's metadata-only CAS-guarded
+        # commit can land right here, exactly as an engine append
+        # would — a re-added column (top-level or nested leaf) mints
+        # its synthetic physical name before any task runs, and the
+        # old refusal toward append_table_with_meta is gone
+        mapping = smeta.get("map", {})
+        dropped = set(smeta.get("drop", []))
+        reused = [
+            c for c in schema.fieldNames()
+            if mapping.get(c, c) in dropped
+        ]
+        if reused:
+            smeta = commit._remint_dropped(
+                host, self.root, self.member,
+                {f.name: f.dataType.simpleString()
+                 for f in schema.fields},
+                reused,
+            )
+        n_reused = ManifestCommit._nested_reuse_sites(
+            schema, smeta.get("map", {}), smeta.get("nested", {})
+        ) if smeta.get("nested") else []
+        if n_reused:
+            smeta = commit._remint_nested_dropped(
+                host, self.root, self.member, n_reused
+            )
         # nested-field evolution (r15): the writer translates struct
         # leaves logical -> physical in Arrow, task-side (rename +
         # widen cast, mirroring the engine's _nested_physical_col);
-        # dropped-name reuse and physical-name collisions refuse at
-        # PLAN time, before any task runs
+        # physical-name collisions refuse at PLAN time
         if smeta.get("nested"):
             _check_nested_write_schema(schema, smeta)
         mapping = smeta.get("map", {})
@@ -1492,11 +1518,10 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         for c in schema.fieldNames():
             phys = mapping.get(c, c)
             if phys in dropped:
-                raise ValidationError(
-                    f"rlts_table writer: column {c!r} reuses a "
-                    "DROPPED column's name; the remint needs its own "
-                    "metadata commit — append through "
-                    "append_table_with_meta instead"
+                raise ValidationError(  # unreachable post-remint
+                    f"rlts_table writer: column {c!r} still resolves "
+                    "to a DROPPED physical name after the remint — "
+                    "racing schema evolutions; retry the write"
                 )
             if c not in mapping and phys in targets:
                 raise ValidationError(

@@ -590,14 +590,24 @@ class TestManifestWriter:
         host, commit, path = _fx(spark, tmp_path)
         register_manifest_source(spark)
         commit.drop_column(host, path, "v")
-        with pytest.raises(Exception, match="append_table_with_meta"):
-            (
-                spark.createDataFrame([(9, 99, "x")], SCHEMA)
-                .write.format("rlts_table")
-                .option("path", path)
-                .mode("append")
-                .save()
-            )
+        # dropped-name reuse REMINTS at plan time since r16 (the
+        # planner runs driver-side): the write lands under a fresh
+        # synthetic physical name instead of refusing
+        (
+            spark.createDataFrame([(9, 99, "x")], SCHEMA)
+            .write.format("rlts_table")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        got = {
+            r.k: r.v
+            for r in commit.read_table(host, path, None).collect()
+        }
+        assert got[9] == 99
+        assert got[1] is None  # old 'v' bytes stay hidden
+        meta = commit.schema_meta(host, path)
+        assert meta["map"]["v"] == "v__r2"
         # a partitioned write whose rows lack the partition column
         # refuses at PLAN time (the values ride in the rows)
         hp = str(tmp_path / "part")

@@ -559,9 +559,13 @@ class TestNestedComposition:
         ]
         assert "device" in names and "dev_kind" not in names
 
-    def test_connector_writer_refuses_dropped_nested_reuse(
+    def test_connector_writer_remints_dropped_nested_reuse(
         self, spark, tmp_path
     ):
+        """r16: the connector's planner runs driver-side, so a
+        dropped-nested-name re-add REMINTS there (one metadata commit
+        before any task) instead of refusing toward the engine API —
+        old bytes stay hidden, pre-re-add rows read NULL."""
         from redis_lsm_timeseries_spark.sources.manifest_stream import (
             register_manifest_source,
         )
@@ -569,21 +573,24 @@ class TestNestedComposition:
         host, commit, path = _mfx(spark, tmp_path)
         commit.drop_column(host, path, "props.os")
         register_manifest_source(spark)
-        with pytest.raises(Exception, match="DROPPED"):
-            (
-                spark.createDataFrame(
-                    [(9, Row(device="d", os="sneaky",
-                             geo=Row(cc="a", city="b")))],
-                    "k long, props struct<device: string, os: string, "
-                    "geo: struct<cc: string, city: string>>",
-                )
-                .coalesce(1)
-                .write.format("rlts_table")
-                .option("path", path)
-                .mode("append")
-                .save()
+        (
+            spark.createDataFrame(
+                [(9, Row(device="d", os="fresh",
+                         geo=Row(cc="a", city="b")))],
+                "k long, props struct<device: string, os: string, "
+                "geo: struct<cc: string, city: string>>",
             )
-        assert commit.read_table(host, path).count() == 2
+            .coalesce(1)
+            .write.format("rlts_table")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        got = _by_k(commit.read_table(host, path))
+        assert got[9]["props"]["os"] == "fresh"
+        assert got[1]["props"]["os"] is None  # old bytes stay hidden
+        spec = commit.schema_meta(host, path)["nested"]["props"]
+        assert spec["map"]["os"] == "os__r2"
 
     def test_connector_read_survives_zero_row_files(
         self, spark, tmp_path

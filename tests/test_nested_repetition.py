@@ -278,7 +278,10 @@ class TestRepetitionConnector:
         flat = str(pq.read_schema(f"{base}/{new.pop()}"))
         assert "sku" in flat and "score" in flat
 
-    def test_connector_write_refuses_dropped_reuse(self, spark, tmp_path):
+    def test_connector_write_remints_dropped_reuse(self, spark, tmp_path):
+        """r16: a dropped-name re-add UNDER AN ARRAY ELEMENT remints
+        at the connector's plan time — the write lands with the
+        synthetic physical leaf, old per-element bytes stay hidden."""
         from redis_lsm_timeseries_spark.sources.manifest_stream import (
             register_manifest_source,
         )
@@ -286,14 +289,20 @@ class TestRepetitionConnector:
         host, commit, path = _fx(spark, tmp_path)
         commit.drop_column(host, path, "items.element.note")
         register_manifest_source(spark)
-        with pytest.raises(Exception, match="DROPPED"):
-            (
-                spark.createDataFrame([(8, [("h", 1.0, "x", (1, 1))], None)], SCHEMA)
-                .write.format("rlts_table")
-                .option("path", path)
-                .mode("append")
-                .save()
+        (
+            spark.createDataFrame(
+                [(8, [("h", 1.0, "new-note", (1, 1))], None)], SCHEMA
             )
+            .write.format("rlts_table")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        got = _by_id(commit.read_table(host, path))
+        assert got[8]["items"][0]["note"] == "new-note"
+        assert got[1]["items"][0]["note"] is None
+        spec = commit.schema_meta(host, path)["nested"]["items.element"]
+        assert spec["map"]["note"] == "note__r2"
 
     def test_stream_serves_repetition_view(self, spark, tmp_path):
         import time
