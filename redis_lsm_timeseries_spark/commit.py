@@ -2203,12 +2203,15 @@ class ManifestCommit(ParquetLeaseCommit):
     # spec key uses the parquet-style repetition segment (``.element``
     # / ``.value``), and reads rebuild through ``transform()`` /
     # ``transform_values()`` so the per-element structs reassemble
-    # without ever exploding. Remaining walls, each loud with the
-    # rewrite remedy named: map KEYS refuse (a key's fields are the
-    # map entry's identity), nested widen refuses across repetition
-    # (a repeated leaf has no footer-stat surface to keep mixed
-    # generations comparable), and a new field reusing a dropped
-    # leaf's name refuses (no nested remint).
+    # without ever exploding. A new field reusing a dropped leaf's
+    # name REMINTS a synthetic physical leaf
+    # (``_remint_nested_dropped`` — atomic types only). Remaining
+    # walls, each loud with the rewrite remedy named: map KEYS refuse
+    # (a key's fields are the map entry's identity), nested widen
+    # refuses across repetition (a repeated leaf has no footer-stat
+    # surface to keep mixed generations comparable), and a
+    # non-atomic re-added leaf refuses (its type cannot be forced
+    # into scan schemas session-free).
 
     @staticmethod
     def _nested_under(nested: dict, path: str) -> bool:

@@ -6,9 +6,10 @@ Reads rebuild per-element through ``transform()`` /
 writer translate back to the stable physical leaf names, the
 connector's Arrow readers rewrap list/map buffers verbatim (per-
 element identity, null slots and slices carry over), and schema
-inference serves the logical shape. Refusals stay loud: map KEYS,
-nested widen across repetition, dropped-name reuse, and wrong
-repetition segments."""
+inference serves the logical shape. Dropped-name re-adds REMINT
+(engine appends and connector writes alike); refusals stay loud for
+map KEYS, nested widen across repetition, non-atomic re-adds, and
+wrong repetition segments."""
 
 from __future__ import annotations
 
@@ -369,3 +370,38 @@ class TestRepetitionConnector:
         ]
         assert got[1]["attrs"] == {"K": {"tag": "M", "points": 50}}
         assert got[4]["items"][0]["code"] == "c"  # untouched row intact
+
+    def test_inference_fills_reminted_leaf_missing_from_newest_footer(
+        self, spark, tmp_path
+    ):
+        """Connector schema inference samples the NEWEST footer; when
+        that file predates (or simply omits) the reminted leaf, the
+        spec's phys_types forces it into the inferred logical shape
+        and the Arrow read NULL-fills it."""
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            read_table_batch,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        commit.drop_column(host, path, "items.element.note")
+        # re-add -> remint note__r2
+        commit.append_tables(
+            host, path,
+            {"": spark.createDataFrame(
+                [(9, [("f", 1.0, "fresh", (0, 0))], None)], SCHEMA
+            ).coalesce(1)},
+        )
+        # a LATER batch omitting the re-added leaf (additive contract)
+        commit.append_tables(
+            host, path,
+            {"": spark.createDataFrame(
+                [(10, [("g", 2.0, (3, 4))], None)],
+                "id long, items array<struct<sku: string, "
+                "price: double, dims: struct<w: long, h: long>>>, "
+                "attrs map<string, struct<tag: string, score: long>>",
+            ).coalesce(1)},
+        )
+        got = _by_id(read_table_batch(spark, path))  # inferred schema
+        assert got[9]["items"][0]["note"] == "fresh"
+        assert got[10]["items"][0]["note"] is None
+        assert got[1]["items"][0]["note"] is None
