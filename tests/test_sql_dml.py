@@ -611,3 +611,18 @@ class TestReviewRegressions:
                 f"MERGE INTO '{path}' AS x USING alias_src AS x "
                 "ON x.id = x.id WHEN MATCHED THEN DELETE",
             )
+
+    def test_predicate_pushes_into_the_parquet_scan(
+        self, spark, tmp_path
+    ):
+        """The affected-set discovery scan must carry the predicate
+        as PushedFilters — row-group min/max skipping is the
+        envelope-less fallback's only pruning surface."""
+        host, commit, path = _fx(spark, tmp_path)
+        scan = commit.scan_member_subset(
+            host, path, commit.member_files(host, path), keep_pos=True
+        ).where("id >= 5 AND id <= 8")
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan
+        assert "GreaterThanOrEqual(id,5)" in plan
+        assert "LessThanOrEqual(id,8)" in plan
