@@ -88,15 +88,28 @@ _CMP_RE = _re.compile(
 _BETWEEN_RE = _re.compile(
     r"^\s*(\w+)\s+BETWEEN\s+(.+?)\s+AND\s+(.+?)\s*$", _re.I | _re.S
 )
+_IN_RE = _re.compile(
+    r"^\s*(\w+)\s+IN\s*\((.+)\)\s*$", _re.I | _re.S
+)
+_NOT_IN_RE = _re.compile(r"^\s*\w+\s+NOT\s+IN\b", _re.I)
+
+#: an IN list longer than this contributes no envelope — the
+#: per-file membership check is driver-side bisect (cheap), but the
+#: parsed literal set itself should stay bounded in the log entry
+#: guard; mirrors merge's KEY_SET_MAX posture.
+IN_SET_MAX = 10_000
 
 
 def _lit(text: str):
-    """Parse a SQL literal (int, float, 'string'); None = not one."""
+    """Parse a SQL literal (int, float, 'string', Spark's
+    double-quoted "string"); None = not one."""
     t = text.strip()
     if (
         len(t) >= 2
-        and t[0] == t[-1] == "'"
-        and "'" not in t[1:-1]
+        and t[0] == t[-1]
+        and t[0] in ("'", '"')
+        and t[0] not in t[1:-1]
+        and "\\" not in t[1:-1]
     ):
         return t[1:-1]
     try:
@@ -109,70 +122,115 @@ def _lit(text: str):
         return None
 
 
-def _predicate_envelope(predicate: str | None) -> dict | None:
-    """SUPERSET-SAFE stats envelope from a predicate's top-level AND
-    conjuncts (r16): ``{col: (lo, hi)}`` such that every matching row
-    provably lies inside — so ``prune_files`` can skip files at the
-    MANIFEST level before the data-derived scan, and the conflict
-    guard can admit concurrent appends provably outside it (the
-    key-enveloped merge posture). Soundness rules: any top-level
-    ``OR`` voids the whole envelope (an AND-split across it would
-    over-constrain); a conjunct that isn't ``col <op> literal`` /
-    ``col BETWEEN a AND b`` is simply ignored (the envelope from the
-    parsed conjuncts still contains the predicate's rows); bounds are
-    widened to inclusive. None = no envelope (full-member scan +
-    conflict-on-any-append)."""
-    if not predicate:
-        return None
-    # split on AND outside parens/quotes; abort on a top-level OR. A
-    # BETWEEN's own AND binds to it, not to the conjunction — track a
-    # pending BETWEEN and let it consume exactly one AND.
-    parts, depth, cur, q = [], 0, [], None
-    pending_between = False
-    tokens = _re.split(
-        r"(?i)(\bAND\b|\bOR\b|\bBETWEEN\b|[()'])", predicate
+def _split_conjuncts(predicate: str) -> list[str] | None:
+    """Top-level AND conjuncts of a predicate, or None when a
+    top-level OR voids conjunct-wise analysis. Literal-aware via the
+    shared tokenizer (r17, ADVICE r16: ANDs inside double-quoted
+    literals or backtick identifiers no longer split). A BETWEEN's
+    own AND binds to it — a pending BETWEEN consumes exactly one."""
+    from redis_lsm_timeseries_spark.sqltext import (
+        iter_keyword_spans,
+        mask_literals,
     )
-    for tok in tokens:
-        if q:
-            cur.append(tok)
-            if tok == q:
-                q = None
-            continue
-        up = tok.strip().upper()
-        if tok == "'":
-            q = "'"
-            cur.append(tok)
-        elif tok == "(":
-            depth += 1
-            cur.append(tok)
-        elif tok == ")":
-            depth -= 1
-            cur.append(tok)
-        elif depth == 0 and up == "OR":
-            return None
-        elif depth == 0 and up == "BETWEEN":
-            pending_between = True
-            cur.append(tok)
-        elif depth == 0 and up == "AND":
-            if pending_between:
-                pending_between = False
-                cur.append(tok)
-            else:
-                parts.append("".join(cur))
-                cur = []
-        else:
-            cur.append(tok)
-    parts.append("".join(cur))
-    env: dict = {}
 
-    def bound(col, lo, hi):
-        plo, phi = env.get(col, (None, None))
+    mask = mask_literals(predicate)
+    parts, last, pending_between = [], 0, False
+    for s, e, kw in iter_keyword_spans(
+        predicate, ["AND", "OR", "BETWEEN"], mask=mask
+    ):
+        if kw == "OR":
+            return None
+        if kw == "BETWEEN":
+            pending_between = True
+        elif pending_between:
+            pending_between = False
+        else:
+            parts.append(predicate[last:s])
+            last = e
+    parts.append(predicate[last:])
+    return parts
+
+
+def _env_range(env: dict, col: str, lo, hi):
+    """Tighten ``col``'s envelope entry with an inclusive range. An
+    existing value-SET entry filters by the range where values are
+    comparable; incomparable (mixed-type) or empty results keep the
+    prior entry — any superset stays sound."""
+    prev = env.get(col, (None, None))
+    if isinstance(prev, (set, frozenset)):
+        try:
+            kept = {
+                v
+                for v in prev
+                if (lo is None or v >= lo) and (hi is None or v <= hi)
+            }
+        except TypeError:
+            return
+        if kept:
+            env[col] = kept
+        return
+    plo, phi = prev
+    try:
         if lo is not None:
             plo = lo if plo is None else max(plo, lo)
         if hi is not None:
             phi = hi if phi is None else min(phi, hi)
-        env[col] = (plo, phi)
+    except TypeError:
+        return
+    env[col] = (plo, phi)
 
+
+def _env_set(env: dict, col: str, values: set):
+    """Tighten ``col``'s envelope entry with an IN value set:
+    set ∧ set intersects, set ∧ range filters the set by the range.
+    Empty or incomparable results keep the wider prior entry
+    (superset-safe either way)."""
+    prev = env.get(col)
+    if prev is None:
+        env[col] = values
+        return
+    if isinstance(prev, (set, frozenset)):
+        kept = prev & values
+        if kept:
+            env[col] = kept
+        return
+    lo, hi = prev
+    try:
+        kept = {
+            v
+            for v in values
+            if (lo is None or v >= lo) and (hi is None or v <= hi)
+        }
+    except TypeError:
+        kept = values
+    env[col] = kept if kept else values
+
+
+def _predicate_envelope(predicate: str | None) -> dict | None:
+    """SUPERSET-SAFE stats envelope from a predicate's top-level AND
+    conjuncts (r16; literal-aware + IN lists r17): ``{col: (lo, hi) |
+    {values}}`` such that every matching row provably lies inside —
+    so ``prune_files`` can skip files at the MANIFEST level before
+    the data-derived scan, and the conflict guard can admit
+    concurrent appends provably outside it (the key-enveloped merge
+    posture). ``col IN (lit, ...)`` emits a value SET — exact
+    membership pruning, the GDPR id-list DELETE shape — which
+    ``prune_files``/``_stats_may_match`` already consume via bisect.
+    Soundness rules: any top-level ``OR`` voids the whole envelope
+    (an AND-split across it would over-constrain); a conjunct that
+    isn't ``col <op> literal`` / ``col BETWEEN a AND b`` / ``col IN
+    (literals)`` is simply ignored (the envelope from the parsed
+    conjuncts still contains the predicate's rows); bounds widen to
+    inclusive; literals inside quoted text never parse as keywords.
+    None = no envelope (full-member scan + conflict-on-any-append)."""
+    if not predicate:
+        return None
+    from redis_lsm_timeseries_spark.sqltext import split_top_level
+
+    parts = _split_conjuncts(predicate)
+    if parts is None:
+        return None
+    env: dict = {}
     found = False
     for part in parts:
         p = part.strip()
@@ -185,7 +243,21 @@ def _predicate_envelope(predicate: str | None) -> dict | None:
         if m:
             lo, hi = _lit(m.group(2)), _lit(m.group(3))
             if lo is not None and hi is not None:
-                bound(m.group(1), lo, hi)
+                _env_range(env, m.group(1), lo, hi)
+                found = True
+            continue
+        if _NOT_IN_RE.match(p):
+            continue  # ignored conjunct: envelope stays a superset
+        m = _IN_RE.match(p)
+        if m:
+            items = split_top_level(m.group(2), ",")
+            vals = [_lit(i) for i in items]
+            if (
+                vals
+                and len(vals) <= IN_SET_MAX
+                and all(v is not None for v in vals)
+            ):
+                _env_set(env, m.group(1), set(vals))
                 found = True
             continue
         m = _CMP_RE.match(p)
@@ -196,11 +268,11 @@ def _predicate_envelope(predicate: str | None) -> dict | None:
         if v is None:
             continue
         if op in ("=", "=="):
-            bound(col, v, v)
+            _env_range(env, col, v, v)
         elif op in ("<", "<="):
-            bound(col, None, v)
+            _env_range(env, col, None, v)
         else:  # > / >=
-            bound(col, v, None)
+            _env_range(env, col, v, None)
         found = True
     return env if found else None
 

@@ -422,27 +422,163 @@ def _clustered_write(
     return write
 
 
+#: the canonical single-clause shape every fast path keys on
+_DEFAULT_CLAUSES = [("update", "*", None)]
+
+
+def _norm_matched_clauses(when_matched, matched_condition):
+    """Normalize the WHEN MATCHED surface to an ordered clause list
+    ``[(action, sets, cond)]`` — ``action`` is ``'update'`` or
+    ``'delete'``, ``sets`` is ``'*'`` (replace the matched target row
+    with the source row) or a ``{col: sql_expr}`` dict (column-level
+    SET over aliases ``t``/``s``; unset columns keep TARGET values),
+    ``cond`` a SQL condition string or None.
+
+    Accepted ``when_matched`` forms: the legacy scalars (``'update'``
+    / ``'delete'`` / None, with ``matched_condition`` as the one
+    condition), or an ORDERED list of clause tuples (r17, Delta's
+    multi-clause MERGE): each tuple starts with the action, followed
+    in any order by at most one sets spec (a dict or ``'*'``) and at
+    most one condition string. First-matching-clause-wins per matched
+    pair; only the LAST clause may omit its condition (an earlier
+    unconditional clause would make every later one unreachable —
+    the Delta rule, enforced loudly)."""
+    if when_matched is None or isinstance(when_matched, str):
+        if when_matched is None:
+            return []
+        if when_matched not in ("update", "delete"):
+            raise ValidationError(
+                f"merge: when_matched must be 'update', 'delete', "
+                f"None or a clause list, got {when_matched!r}"
+            )
+        sets = "*" if when_matched == "update" else None
+        return [(when_matched, sets, matched_condition)]
+    if matched_condition is not None:
+        raise ValidationError(
+            "merge: with a when_matched clause LIST, conditions go "
+            "inside each clause tuple — matched_condition must be "
+            "None"
+        )
+    clauses = []
+    for item in when_matched:
+        if isinstance(item, str):
+            item = (item,)
+        if not isinstance(item, (tuple, list)) or not item:
+            raise ValidationError(
+                f"merge: each when_matched clause is a tuple "
+                f"(action[, sets][, condition]), got {item!r}"
+            )
+        action, sets, cond = item[0], None, None
+        seen_sets = seen_cond = False
+        if action not in ("update", "delete"):
+            raise ValidationError(
+                f"merge: clause action must be 'update' or "
+                f"'delete', got {action!r}"
+            )
+        for el in item[1:]:
+            if isinstance(el, dict) or el == "*":
+                if seen_sets:
+                    raise ValidationError(
+                        f"merge: clause {item!r} has two sets specs"
+                    )
+                sets, seen_sets = el, True
+            elif el is None or isinstance(el, str):
+                if seen_cond:
+                    raise ValidationError(
+                        f"merge: clause {item!r} has two conditions"
+                    )
+                cond, seen_cond = el, True
+            else:
+                raise ValidationError(
+                    f"merge: clause element {el!r} is neither a "
+                    "sets dict, '*', nor a condition string"
+                )
+        if action == "delete":
+            if seen_sets:
+                raise ValidationError(
+                    "merge: a 'delete' clause takes no sets spec"
+                )
+        else:
+            if sets is None:
+                sets = "*"
+            if isinstance(sets, dict) and not sets:
+                raise ValidationError(
+                    "merge: an 'update' clause's sets dict needs "
+                    "at least one column"
+                )
+        clauses.append((action, sets, cond))
+    for i, (_, _, cond) in enumerate(clauses[:-1]):
+        if cond is None:
+            raise ValidationError(
+                f"merge: when_matched clause {i + 1} of "
+                f"{len(clauses)} has no condition — every clause "
+                "after it would be unreachable (only the LAST "
+                "clause may omit its condition)"
+            )
+    return clauses
+
+
+def _clause_index(clauses, matched):
+    """First-matching-clause-wins column: the 0-based index of the
+    first clause whose condition holds for this (t, s) pair, NULL if
+    none applies (the target row survives verbatim). Null-safe: a
+    condition evaluating to NULL means "clause does not apply" —
+    never "row vanishes"."""
+    idx = None
+    for i, (_, _, cond) in enumerate(clauses):
+        c = F.coalesce(
+            matched
+            & (F.expr(cond) if cond is not None else F.lit(True)),
+            F.lit(False),
+        )
+        idx = F.when(c, F.lit(i)) if idx is None else idx.when(
+            c, F.lit(i)
+        )
+    return idx
+
+
+def _clause_update_proj(sets, cols, keys):
+    """The output projection of one 'update' clause over the joined
+    (t, s) pair: ``'*'`` replaces the row with the source row;
+    a sets dict recomputes exactly the SET columns (expressions see
+    BOTH pre-update aliases — ``t`` the target row, ``s`` the source
+    row) and keeps every other column from the TARGET, the SQL
+    column-level UPDATE contract."""
+    if sets == "*":
+        return [F.col(f"s.{c}").alias(c) for c in cols]
+    return [
+        (
+            F.expr(sets[c]).alias(c)
+            if c in sets
+            else F.col(f"t.{c}").alias(c)
+        )
+        for c in cols
+    ]
+
+
 def _merge_outputs(
     cur: DataFrame,
     src: DataFrame,
     keys: list[str],
-    when_matched: str | None,
-    matched_condition: str | None,
+    clauses: list,
     insert_unmatched: bool,
     not_matched_condition: str | None,
 ):
     """(surviving-rows DataFrame, applied-upserts DataFrame,
-    deleted-rows DataFrame) for the merge clauses over the affected
-    target slice ``cur``. Conditions are SQL strings over aliases
-    ``t`` (target row) and ``s`` (source row), evaluated per matched
-    pair — the Delta ``whenMatched(condition)`` surface. The default
-    clause set (update-all-matched, insert-all-unmatched, no
-    conditions) reduces to the classic anti-join + union plan."""
+    deleted-rows DataFrame) for the ORDERED merge clause list over
+    the affected target slice ``cur`` (see ``_norm_matched_clauses``
+    for the clause shape). Conditions and column-level SET
+    expressions are SQL strings over aliases ``t`` (target row) and
+    ``s`` (source row), evaluated per matched pair — the Delta
+    ``whenMatched(condition)`` surface with first-match-wins across
+    clauses. The default clause set (update-all-matched,
+    insert-all-unmatched, no conditions) reduces to the classic
+    anti-join + union plan."""
     from functools import reduce
 
     cols = src.columns
     deleted = None
-    if when_matched == "update" and matched_condition is None:
+    if clauses == _DEFAULT_CLAUSES:
         if insert_unmatched and not_matched_condition is None:
             # the classic plan: every source row lands, one anti-join
             out = cur.join(
@@ -455,7 +591,7 @@ def _merge_outputs(
         tkeys = cur.select(*keys).distinct()
         applied = src.join(tkeys, keys, "left_semi")
         inserts = src.join(tkeys, keys, "left_anti")
-    elif when_matched is None:
+    elif not clauses:
         # no matched clause: every target row survives verbatim
         survivors = cur
         applied = None
@@ -470,30 +606,44 @@ def _merge_outputs(
         )
         joined = t.join(s, on, "left")
         matched = F.col(f"s.{keys[0]}").isNotNull()
-        cond = (
-            F.expr(matched_condition)
-            if matched_condition is not None
-            else F.lit(True)
+        marked = joined.withColumn(
+            "__mrg_c", _clause_index(clauses, matched)
         )
-        # null-safe: a condition evaluating to NULL must mean "clause
-        # does not apply" (target row survives), never "row vanishes"
-        action = F.coalesce(matched & cond, F.lit(False))
         t_cols = [F.col(f"t.{c}").alias(c) for c in cols]
-        s_cols = [F.col(f"s.{c}").alias(c) for c in cols]
-        survivors = joined.where(~action).select(*t_cols)
-        applied = None
-        if when_matched == "update":
-            applied = (
-                joined.where(action).select(*s_cols)
-                .dropDuplicates(keys)
-            )
-        elif when_matched == "delete":
-            deleted = joined.where(action).select(*t_cols)
-        else:
-            raise ValidationError(
-                f"merge: when_matched must be 'update', 'delete' or "
-                f"None, got {when_matched!r}"
-            )
+        survivors = marked.where(
+            F.col("__mrg_c").isNull()
+        ).select(*t_cols)
+        upd_parts, del_parts = [], []
+        for i, (action, sets, _) in enumerate(clauses):
+            rows_i = marked.where(F.col("__mrg_c") == i)
+            if action == "delete":
+                del_parts.append(rows_i.select(*t_cols))
+            elif sets == "*":
+                # replace semantics: duplicate target keys collapse
+                # to the one source row (the key-replace contract)
+                upd_parts.append(
+                    rows_i.select(
+                        *_clause_update_proj(sets, cols, keys)
+                    ).dropDuplicates(keys)
+                )
+            else:
+                # column-level SET: each matched target row updates
+                # independently (unset columns keep ITS values)
+                upd_parts.append(
+                    rows_i.select(
+                        *_clause_update_proj(sets, cols, keys)
+                    )
+                )
+        applied = (
+            reduce(lambda a, b: a.unionByName(b), upd_parts)
+            if upd_parts
+            else None
+        )
+        deleted = (
+            reduce(lambda a, b: a.unionByName(b), del_parts)
+            if del_parts
+            else None
+        )
         inserts = src.join(
             cur.select(*keys).distinct(), keys, "left_anti"
         )
@@ -517,8 +667,7 @@ def _merge_dv_outputs(
     cur: DataFrame,
     src: DataFrame,
     keys: list[str],
-    when_matched: str | None,
-    matched_condition: str | None,
+    clauses: list,
     insert_unmatched: bool,
     not_matched_condition: str | None,
 ):
@@ -528,13 +677,15 @@ def _merge_dv_outputs(
     clauses replace or erase (their positions feed the deletion
     vector), ``append`` the rows to land as NEW files, and
     ``upserts``/``deleted`` the row-level change accounting — the same
-    clause semantics as ``_merge_outputs``, minus the survivor
-    rewrite: survivors simply stay where they are."""
+    ordered first-match-wins clause semantics as ``_merge_outputs``,
+    minus the survivor rewrite: survivors simply stay where they are.
+    A column-level UPDATE clause deletion-vectors the old position
+    and appends the recomputed row — O(matched rows) either way."""
     from functools import reduce
 
     cols = src.columns
     pos = ["__dv_file", "__dv_pos"]
-    if when_matched == "update" and matched_condition is None:
+    if clauses == _DEFAULT_CLAUSES:
         dead = cur.join(src.select(*keys).distinct(), keys, "left_semi")
         if insert_unmatched and not_matched_condition is None:
             return dead, src, src, None
@@ -550,7 +701,7 @@ def _merge_dv_outputs(
         else:
             append = applied
         return dead, append, append, None
-    if when_matched is None:
+    if not clauses:
         if not insert_unmatched:
             return cur.limit(0), None, None, None
         inserts = src.join(
@@ -568,29 +719,38 @@ def _merge_dv_outputs(
     )
     joined = t.join(s, on, "left")
     matched = F.col(f"s.{keys[0]}").isNotNull()
-    cond = (
-        F.expr(matched_condition)
-        if matched_condition is not None
-        else F.lit(True)
+    marked = joined.withColumn(
+        "__mrg_c", _clause_index(clauses, matched)
     )
-    action = F.coalesce(matched & cond, F.lit(False))
-    t_cols = [F.col(f"t.{c}").alias(c) for c in cols] + [
-        F.col(f"t.{p}").alias(p) for p in pos
-    ]
-    s_cols = [F.col(f"s.{c}").alias(c) for c in cols]
-    dead = joined.where(action).select(*t_cols)
-    applied = deleted = None
-    if when_matched == "update":
-        applied = (
-            joined.where(action).select(*s_cols).dropDuplicates(keys)
-        )
-    elif when_matched == "delete":
-        deleted = dead.drop(*pos)
-    else:
-        raise ValidationError(
-            f"merge: when_matched must be 'update', 'delete' or "
-            f"None, got {when_matched!r}"
-        )
+    t_cols = [F.col(f"t.{c}").alias(c) for c in cols]
+    t_pos_cols = t_cols + [F.col(f"t.{p}").alias(p) for p in pos]
+    dead = marked.where(F.col("__mrg_c").isNotNull()).select(
+        *t_pos_cols
+    )
+    upd_parts, del_parts = [], []
+    for i, (action, sets, _) in enumerate(clauses):
+        rows_i = marked.where(F.col("__mrg_c") == i)
+        if action == "delete":
+            del_parts.append(rows_i.select(*t_cols))
+        elif sets == "*":
+            upd_parts.append(
+                rows_i.select(*_clause_update_proj(sets, cols, keys))
+                .dropDuplicates(keys)
+            )
+        else:
+            upd_parts.append(
+                rows_i.select(*_clause_update_proj(sets, cols, keys))
+            )
+    applied = (
+        reduce(lambda a, b: a.unionByName(b), upd_parts)
+        if upd_parts
+        else None
+    )
+    deleted = (
+        reduce(lambda a, b: a.unionByName(b), del_parts)
+        if del_parts
+        else None
+    )
     inserts = None
     if insert_unmatched:
         inserts = src.join(
@@ -617,7 +777,7 @@ def merge_into(
     order_col: str | None = None,
     commit=None,
     target_files: int | None = None,
-    when_matched: str | None = "update",
+    when_matched="update",
     matched_condition: str | None = None,
     insert_unmatched: bool = True,
     not_matched_condition: str | None = None,
@@ -630,15 +790,25 @@ def merge_into(
     manifest backend, every file the key envelope cannot reach is
     untouched as a FILE (carried forward in the log entry, never read).
 
-    The Delta MERGE clause surface (r12):
+    The Delta MERGE clause surface (r12; ordered multi-clause +
+    column-level SET r17):
 
     - ``when_matched``: ``"update"`` (default — replace the matched
-      target row with the source row), ``"delete"`` (erase it), or
-      None (leave matched targets untouched);
+      target row with the source row), ``"delete"`` (erase it),
+      None (leave matched targets untouched), or an ORDERED clause
+      list ``[(action[, sets][, condition]), ...]`` — ``action`` is
+      ``'update'``/``'delete'``, ``sets`` is ``'*'`` (replace with
+      the source row, the default) or ``{col: sql_expr}``
+      (column-level SET: expressions see the PRE-update aliases
+      ``t``/``s``, unset columns keep the target row's values), and
+      per matched pair the FIRST clause whose condition holds
+      applies (the Delta multi-clause contract; only the last clause
+      may omit its condition). A soft-delete upsert is
+      ``[("delete", "s.deleted"), ("update", {"v": "s.v + t.v"})]``;
     - ``matched_condition``: SQL over aliases ``t`` (target) and
-      ``s`` (source), e.g. ``"s.ver > t.ver"`` — the clause applies
-      only to matched pairs where it holds, other matched targets
-      stay verbatim (``WHEN MATCHED AND <cond> THEN ...``);
+      ``s`` (source), e.g. ``"s.ver > t.ver"`` — the legacy
+      single-clause condition (``WHEN MATCHED AND <cond> THEN ...``);
+      with a clause LIST, conditions go inside the tuples instead;
     - ``insert_unmatched`` / ``not_matched_condition``: ``WHEN NOT
       MATCHED [AND <cond over s>] THEN INSERT``.
 
@@ -668,7 +838,16 @@ def merge_into(
             f"got {mode!r}"
         )
     commit = commit if commit is not None else ManifestCommit()
+    clauses = _norm_matched_clauses(when_matched, matched_condition)
     src = _resolve_source(source, keys, order_col)
+    for _, sets, _c in clauses:
+        if isinstance(sets, dict):
+            bad = set(sets) - set(src.columns)
+            if bad:
+                raise ValidationError(
+                    f"merge: SET column(s) {sorted(bad)} not in "
+                    f"{sorted(src.columns)}"
+                )
     n_upserts = src.count()
     if n_upserts == 0:
         total = commit.table_file_count(host, path)
@@ -691,7 +870,7 @@ def merge_into(
         _check_columns(cur, src, path)
         cur = cur.select(*src.columns)
         out, _, _ = _merge_outputs(
-            cur, src, keys, when_matched, matched_condition,
+            cur, src, keys, clauses,
             insert_unmatched, not_matched_condition,
         )
         n = target_files or out.sparkSession.sparkContext.defaultParallelism
@@ -755,8 +934,7 @@ def merge_into(
         return MergeStats(0, total, n_ins)
 
     default_clauses = (
-        when_matched == "update"
-        and matched_condition is None
+        clauses == _DEFAULT_CLAUSES
         and insert_unmatched
         and not_matched_condition is None
     )
@@ -767,7 +945,7 @@ def merge_into(
             host, path, affected, keep_pos=True
         ).select(*src.columns, "__dv_file", "__dv_pos")
         dead, append, ups_dv, del_dv = _merge_dv_outputs(
-            cur_pos, src, keys, when_matched, matched_condition,
+            cur_pos, src, keys, clauses,
             insert_unmatched, not_matched_condition,
         )
         use_dv = mode == "dv"
@@ -832,7 +1010,7 @@ def merge_into(
     cur = _affected_df(host, commit, path, affected, smeta, plan=plan)
     cur = cur.select(*src.columns)  # checked against the probe above
     out, upserts, deleted = _merge_outputs(
-        cur, src, keys, when_matched, matched_condition,
+        cur, src, keys, clauses,
         insert_unmatched, not_matched_condition,
     )
     # rows_upserted must report the rows the clauses ACTUALLY applied:

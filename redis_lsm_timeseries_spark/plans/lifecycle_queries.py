@@ -810,11 +810,15 @@ def nested_evolution_roundtrip(
 # driver budget is spent — the harness in tests/test_oracle_parity.py
 # runs the identical rows+schema+hash check): a throwaway manifest
 # table takes, THROUGH sql() statements, a predicate UPDATE, a
-# predicate DELETE, and a MERGE (matched update + unmatched re-insert
-# of previously deleted keys), and the final read must equal DuckDB
-# computing the same statement algebra. Exercises the parser, the
+# predicate DELETE, an IN-list DELETE (r17 — the value-set envelope
+# path), and an ordered MULTI-CLAUSE MERGE with column-level SET
+# (r17, VERDICT r16 #1: WHEN MATCHED AND t.value < 0 THEN DELETE /
+# WHEN MATCHED THEN UPDATE SET value = s.value + t.value — the unset
+# event_type column must keep the TARGET value / WHEN NOT MATCHED
+# THEN INSERT *), and the final read must equal DuckDB computing the
+# same statement algebra. Exercises the parser, the
 # update_where/delete_where operators (data-derived affected sets,
-# typed change rows) and merge_into dispatch end-to-end.
+# typed change rows) and clause-list merge_into dispatch end-to-end.
 SQL_DML_ORACLE = """
 WITH slice AS (
   SELECT CAST(event_id AS BIGINT) AS event_id,
@@ -829,19 +833,27 @@ WITH slice AS (
 ), d AS (            -- DELETE ... WHERE event_id % 90 = 0 AND view
   SELECT * FROM u
   WHERE NOT (event_id % 90 = 0 AND event_type = 'view')
-), m AS (            -- MERGE matched: every surviving %135 key
-  SELECT event_id,
-         CASE WHEN event_id % 135 = 0 THEN 'merged'
-              ELSE event_type END AS event_type,
-         CASE WHEN event_id % 135 = 0 THEN 1.5 ELSE value END AS value
-  FROM d
+), d2 AS (           -- DELETE ... WHERE event_id IN (...)
+  SELECT * FROM d
+  WHERE event_id NOT IN (90, 180, 315, 630)
+), src AS (          -- MERGE source: %135 keys of the base slice
+  SELECT event_id, 'merged' AS event_type, 1.5 AS value
+  FROM slice WHERE event_id % 135 = 0
+), m AS (            -- clause 1: matched AND t.value < 0 -> DELETE
+                     -- clause 2: matched -> UPDATE SET value =
+                     --   s.value + t.value (event_type keeps TARGET)
+  SELECT t.event_id,
+         t.event_type,
+         CASE WHEN s.event_id IS NOT NULL THEN s.value + t.value
+              ELSE t.value END AS value
+  FROM d2 t LEFT JOIN src s ON t.event_id = s.event_id
+  WHERE NOT (s.event_id IS NOT NULL AND t.value < 0)
 )
 SELECT * FROM m
-UNION ALL            -- MERGE unmatched: %135 keys the DELETE removed
-SELECT event_id, 'merged' AS event_type, 1.5 AS value
-FROM slice
-WHERE event_id % 135 = 0
-  AND event_id NOT IN (SELECT event_id FROM d)
+UNION ALL            -- MERGE unmatched: keys the DELETEs removed
+SELECT s.event_id, s.event_type, s.value
+FROM src s
+WHERE s.event_id NOT IN (SELECT event_id FROM d2)
 """
 
 
@@ -880,16 +892,25 @@ def sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"DELETE FROM '{path}' "
             "WHERE event_id % 90 = 0 AND event_type = 'view'",
         )
+        # r17: the IN-list shape — value-set envelope pre-prune
+        sql(
+            spark,
+            f"DELETE FROM '{path}' "
+            "WHERE event_id IN (90, 180, 315, 630)",
+        )
         slice_df.where(F.col("event_id") % 135 == 0).select(
             "event_id",
             F.lit("merged").alias("event_type"),
             F.lit(1.5).alias("value"),
         ).createOrReplaceTempView("sql_dml_merge_src")
+        # r17: ordered multi-clause MERGE with column-level SET —
+        # first-match-wins, unset event_type keeps the target value
         sql(
             spark,
             f"""MERGE INTO '{path}' AS t USING sql_dml_merge_src AS s
             ON t.event_id = s.event_id
-            WHEN MATCHED THEN UPDATE SET *
+            WHEN MATCHED AND t.value < 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET value = s.value + t.value
             WHEN NOT MATCHED THEN INSERT *""",
         )
         out = commit.read_table(host, path).select(

@@ -27,15 +27,22 @@ with the Python API named):
 - ``UPDATE `/path` SET col = expr[, ...] [WHERE <predicate>]``
 - ``MERGE INTO `/path` AS t USING <view|(subquery)> AS s
   ON t.k = s.k [AND t.k2 = s.k2 ...]
-  [WHEN MATCHED [AND <cond>] THEN UPDATE SET *]
-  [WHEN MATCHED [AND <cond>] THEN DELETE]
+  [WHEN MATCHED [AND <cond>] THEN UPDATE SET * |
+                                  UPDATE SET col = expr, ... |
+                                  DELETE]...
   [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]``
   — any distinct pair of target/source aliases works (qualified
   references rewrite to ``merge_into``'s ``t``/``s`` condition
-  names); the ON condition must be an equi-key conjunction;
-  ``UPDATE SET *`` / ``INSERT *`` are the by-name forms
-  ``merge_into`` implements (column-level SET inside MERGE refuses
-  toward ``update_where``).
+  names, in one simultaneous literal-skipping pass); the ON
+  condition must be an equi-key conjunction. MULTIPLE WHEN MATCHED
+  clauses evaluate in statement order, first-match-wins per matched
+  pair, and only the last may omit its condition (r17, the Delta
+  multi-clause contract). ``UPDATE SET col = expr`` recomputes
+  exactly the named TARGET columns (expressions see both pre-update
+  aliases; unset columns keep the target row's values); ``UPDATE
+  SET *`` replaces the matched row with the source row by name.
+  CASE expressions inside merge clauses must be parenthesized
+  (their WHEN/THEN is otherwise ambiguous with clause keywords).
 
 Each mutation returns a one-row DataFrame (``num_affected_rows`` /
 merge stats), the Delta convention.
@@ -67,61 +74,29 @@ def _path_of(m: re.Match) -> str:
 
 
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
-    """Split on ``sep`` outside parentheses/quotes (SET lists can
-    hold function calls and quoted strings)."""
-    out, depth, cur, q = [], 0, [], None
-    for ch in s:
-        if q:
-            cur.append(ch)
-            if ch == q:
-                q = None
-            continue
-        if ch in "'\"":
-            q = ch
-            cur.append(ch)
-        elif ch == "(":
-            depth += 1
-            cur.append(ch)
-        elif ch == ")":
-            depth -= 1
-            cur.append(ch)
-        elif ch == sep and depth == 0:
-            out.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        out.append("".join(cur))
-    return [p.strip() for p in out if p.strip()]
+    """Split on ``sep`` outside parentheses and ALL literal styles
+    (single/double quotes, backticks) — delegated to the shared
+    tokenizer (r17, ADVICE r16: the prior inline version tracked only
+    ``'``/``"`` and missed backticks)."""
+    from redis_lsm_timeseries_spark.sqltext import split_top_level
+
+    return split_top_level(s, sep)
 
 
 def _split_where(text: str) -> tuple[str, str | None]:
     """Split ``<sets> [WHERE <pred>]`` at the first TOP-LEVEL WHERE
-    keyword — outside quotes and parentheses, so a SET expression
-    containing the word in a string literal (``SET note = 'no where
-    here'``) never splits mid-literal (a naive regex split would)."""
-    parts = re.split(r"(?i)(\bWHERE\b|[()'])", text)
-    depth, q, cur = 0, None, []
-    for i, tok in enumerate(parts):
-        if q:
-            cur.append(tok)
-            if tok == q:
-                q = None
-            continue
-        if tok == "'":
-            q = "'"
-            cur.append(tok)
-        elif tok == "(":
-            depth += 1
-            cur.append(tok)
-        elif tok == ")":
-            depth -= 1
-            cur.append(tok)
-        elif depth == 0 and tok.strip().upper() == "WHERE":
-            return "".join(cur).strip(), "".join(parts[i + 1:]).strip()
-        else:
-            cur.append(tok)
-    return "".join(cur).strip(), None
+    keyword — outside literals of every style and parentheses, so a
+    SET expression containing the word in a string literal (``SET
+    note = 'no where here'`` or the double-quoted Spark form ``SET
+    note = "no where here"``) never splits mid-literal (ADVICE r16:
+    the prior version tracked only single quotes)."""
+    from redis_lsm_timeseries_spark.sqltext import find_keyword
+
+    span = find_keyword(text, "WHERE")
+    if span is None:
+        return text.strip(), None
+    s, e = span
+    return text[:s].strip(), text[e:].strip()
 
 
 def _parse_on_keys(cond: str) -> list[str]:
@@ -152,34 +127,136 @@ def _parse_on_keys(cond: str) -> list[str]:
     return keys
 
 
-_MERGE_RE = re.compile(
-    rf"""(?isx)^\s*
-    MERGE\s+INTO\s+{_PATH}\s+(?:AS\s+)?(?P<ta>\w+)\s+
-    USING\s+(?P<src>\(.*?\)|\S+)\s+(?:AS\s+)?(?P<sa>\w+)\s+
-    ON\s+(?P<on>.*?)
-    (?P<clauses>\s+WHEN\s+.*)$""",
+_MERGE_HEAD_RE = re.compile(
+    rf"(?is)^MERGE\s+INTO\s+{_PATH}\s+(?:AS\s+)?(?P<ta>\w+)"
+    r"\s+USING\s+"
 )
+_MATCHED_HEAD_RE = re.compile(
+    r"(?is)^\s*(?P<not_>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s*$"
+)
+_SET_ITEM_RE = re.compile(r"(?s)^\s*(?:t\s*\.\s*)?(\w+)\s*=\s*(.+)$")
 
 
 def _realias(text: str | None, ta: str, sa: str) -> str | None:
     """Rewrite user-chosen target/source aliases to the ``t``/``s``
     names ``merge_into`` conditions use — qualified references only
     (``target.col`` -> ``t.col``), so a bare column or string content
-    is never touched."""
-    if text is None:
-        return None
-    out = re.sub(rf"(?i)\b{re.escape(ta)}\s*\.", "t.", text)
-    if sa.lower() != ta.lower():
-        out = re.sub(rf"(?i)\b{re.escape(sa)}\s*\.", "s.", out)
-    return out
+    is never touched. One SIMULTANEOUS literal-skipping pass (r17,
+    ADVICE r16): ``AS x ... AS t`` no longer collapses both aliases
+    to ``s.``, and alias-dot text inside string literals survives
+    verbatim."""
+    from redis_lsm_timeseries_spark.sqltext import (
+        sub_qualified_aliases,
+    )
 
-_CLAUSE_RE = re.compile(
-    r"""(?isx)
-    WHEN\s+(?P<not_>NOT\s+)?MATCHED
-    (?:\s+AND\s+(?P<cond>.*?))?
-    \s+THEN\s+(?P<act>UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)
-    """,
-)
+    return sub_qualified_aliases(text, {ta: "t", sa: "s"})
+
+def _parse_set_list(sets_text: str) -> dict | str:
+    """``UPDATE SET`` payload: ``*`` (replace with the source row) or
+    a ``{col: expr}`` dict. Targets may carry the (realiased) ``t.``
+    prefix; a ``s.``-prefixed target is a user error (you can only
+    SET target columns)."""
+    if sets_text.strip() == "*":
+        return "*"
+    sets: dict = {}
+    for part in _split_top_level(sets_text):
+        if re.match(r"(?is)^\s*s\s*\.", part):
+            raise ValidationError(
+                f"sql MERGE: SET target in {part!r} is "
+                "source-qualified — only TARGET columns can be SET"
+            )
+        sm = _SET_ITEM_RE.match(part)
+        if not sm:
+            raise ValidationError(
+                f"sql MERGE: cannot parse SET item {part!r} "
+                "(expected [t.]col = expr)"
+            )
+        col = sm.group(1)
+        if col in sets:
+            raise ValidationError(
+                f"sql MERGE: SET names column {col!r} twice"
+            )
+        sets[col] = sm.group(2).strip()
+    if not sets:
+        raise ValidationError("sql MERGE: empty SET list")
+    return sets
+
+
+def _parse_merge_clauses(clauses_text: str):
+    """Parse the realiased ``WHEN ...`` tail into (ordered matched
+    clause list for ``merge_into``, insert_unmatched,
+    not_matched_condition). Splitting is literal-aware and
+    paren-aware via the shared tokenizer, so WHEN/THEN inside string
+    literals or subexpressions never split a clause — but an
+    UNparenthesized CASE expression in a condition would (its WHEN /
+    THEN look top-level), so that refuses loudly instead."""
+    from redis_lsm_timeseries_spark.sqltext import (
+        find_keyword,
+        split_keyword,
+    )
+
+    segs = split_keyword(clauses_text, "WHEN")
+    if segs[0].strip():
+        raise ValidationError(
+            f"sql MERGE: unsupported text before the first WHEN "
+            f"clause: {segs[0].strip()!r}"
+        )
+    matched: list = []
+    insert_unmatched = False
+    not_matched_condition = None
+    for seg in segs[1:]:
+        if find_keyword(seg, "CASE") is not None:
+            raise ValidationError(
+                "sql MERGE: parenthesize CASE expressions inside "
+                "merge clauses — an unparenthesized CASE's WHEN/THEN "
+                "is ambiguous with the clause keywords"
+            )
+        then = find_keyword(seg, "THEN")
+        if then is None:
+            raise ValidationError(
+                f"sql MERGE: clause {('WHEN ' + seg.strip())!r} has "
+                "no THEN"
+            )
+        head, action = seg[: then[0]], seg[then[1]:].strip()
+        hm = _MATCHED_HEAD_RE.match(head)
+        if not hm:
+            raise ValidationError(
+                f"sql MERGE: cannot parse clause head "
+                f"{head.strip()!r} — the facade covers WHEN "
+                "[NOT] MATCHED [AND <cond>] THEN ... (no BY "
+                "SOURCE/BY TARGET forms)"
+            )
+        cond = hm.group("cond")
+        cond = cond.strip() if cond else None
+        if hm.group("not_"):
+            if not re.fullmatch(r"(?is)INSERT\s+\*", action):
+                raise ValidationError(
+                    "sql MERGE: WHEN NOT MATCHED supports only THEN "
+                    "INSERT * (merge_into inserts the source row "
+                    "by name)"
+                )
+            if insert_unmatched:
+                raise ValidationError(
+                    "sql MERGE: at most one WHEN NOT MATCHED clause"
+                )
+            insert_unmatched = True
+            not_matched_condition = cond
+            continue
+        if re.fullmatch(r"(?is)DELETE", action):
+            matched.append(("delete", cond))
+            continue
+        um = re.match(r"(?is)^UPDATE\s+SET\s+(?P<sets>.+)$", action)
+        if um:
+            matched.append(
+                ("update", _parse_set_list(um.group("sets")), cond)
+            )
+            continue
+        raise ValidationError(
+            f"sql MERGE: unsupported action {action!r} — the facade "
+            "covers UPDATE SET * | UPDATE SET col = expr, ... | "
+            "DELETE (matched) and INSERT * (not matched)"
+        )
+    return matched, insert_unmatched, not_matched_condition
 
 
 def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
@@ -354,59 +431,49 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
             "files_total long",
         )
 
-    m = _MERGE_RE.match(stmt)
+    m = _MERGE_HEAD_RE.match(stmt)
     if m:
-        src = m.group("src").strip()
+        from redis_lsm_timeseries_spark.sqltext import find_keyword
+
+        path, ta = _path_of(m), m.group("ta")
+        rest = stmt[m.end():]
+        on_span = find_keyword(rest, "ON")
+        if on_span is None:
+            raise ValidationError("sql MERGE: missing ON clause")
+        src_part = rest[: on_span[0]].strip()
+        after_on = rest[on_span[1]:]
+        when_span = find_keyword(after_on, "WHEN")
+        if when_span is None:
+            raise ValidationError(
+                "sql MERGE: needs at least one WHEN clause"
+            )
+        on_text = after_on[: when_span[0]].strip()
+        clauses_text = after_on[when_span[0]:]
+        sm = re.fullmatch(
+            r"(?is)(?P<src>.+?)\s+(?:AS\s+)?(?P<sa>\w+)", src_part
+        )
+        if not sm:
+            raise ValidationError(
+                f"sql MERGE: cannot parse USING {src_part!r} "
+                "(expected <view|(subquery)> [AS] <alias>)"
+            )
+        src, sa = sm.group("src").strip(), sm.group("sa")
         if src.startswith("("):
             source = spark.sql(src[1:-1])
         else:
             source = spark.table(src)
-        ta, sa = m.group("ta"), m.group("sa")
         if ta.lower() == sa.lower():
             raise ValidationError(
                 f"sql MERGE: target and source share the alias "
                 f"{ta!r} — give them distinct aliases"
             )
-        keys = _parse_on_keys(_realias(m.group("on"), ta, sa))
-        clauses = _realias(m.group("clauses"), ta, sa)
-        covered = _CLAUSE_RE.sub("", clauses).strip()
-        if covered:
-            raise ValidationError(
-                f"sql MERGE: unsupported clause text {covered!r} — "
-                "the facade covers WHEN MATCHED [AND c] THEN UPDATE "
-                "SET * | DELETE and WHEN NOT MATCHED [AND c] THEN "
-                "INSERT *; use merge_into(...) for anything richer"
-            )
-        when_matched = None
-        matched_condition = None
-        insert_unmatched = False
-        not_matched_condition = None
-        for cm in _CLAUSE_RE.finditer(clauses):
-            act = re.sub(r"\s+", " ", cm.group("act")).upper()
-            cond = cm.group("cond")
-            cond = cond.strip() if cond else None
-            if cm.group("not_"):
-                if act != "INSERT *":
-                    raise ValidationError(
-                        "sql MERGE: WHEN NOT MATCHED supports only "
-                        "THEN INSERT *"
-                    )
-                insert_unmatched = True
-                not_matched_condition = cond
-            else:
-                if when_matched is not None:
-                    raise ValidationError(
-                        "sql MERGE: at most one WHEN MATCHED clause "
-                        "(merge_into takes one matched action)"
-                    )
-                when_matched = (
-                    "update" if act == "UPDATE SET *" else "delete"
-                )
-                matched_condition = cond
+        keys = _parse_on_keys(_realias(on_text, ta, sa))
+        matched, insert_unmatched, not_matched_condition = (
+            _parse_merge_clauses(_realias(clauses_text, ta, sa))
+        )
         st = merge_into(
-            host, _path_of(m), source, keys, commit=commit,
-            when_matched=when_matched,
-            matched_condition=matched_condition,
+            host, path, source, keys, commit=commit,
+            when_matched=matched,
             insert_unmatched=insert_unmatched,
             not_matched_condition=not_matched_condition,
         )
