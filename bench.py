@@ -62,13 +62,29 @@ def main() -> int:
     # Host speed on this box drifts up to ~2x WITHIN a session
     # (shared/bursty CPU): a single calibration draw after the catalog
     # can reflect a different machine than the one the queries ran on.
-    # Calibrate BEFORE and AFTER and average per key, bracketing the
-    # measurement window.
-    try:
-        pre_cal = host_calibration(spark, sf_dir)
-    except Exception as exc:
-        pre_cal = {"error": f"{type(exc).__name__}: {exc}"[:200]}
-    log(f"calibration (pre): {pre_cal}")
+    # r17 (VERDICT r16 #6): calibration INTERLEAVES with the catalog —
+    # pre, two mid-run draws at the third boundaries, post — each draw
+    # timestamped relative to the run, so (a) per-query normalization
+    # can use the nearest-in-time host factor and (b) the intra-run
+    # spread across draws gates cal_unreliable (r16's own pre/post
+    # disagreed 1.74x on cpu_hash while the flag stayed False).
+    run_t0 = time.perf_counter()
+    cal_draws: list[dict] = []
+
+    def take_cal(label: str) -> dict:
+        t0 = time.perf_counter()
+        try:
+            c = dict(host_calibration(spark, sf_dir))
+        except Exception as exc:
+            c = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+        c["label"] = label
+        c["t_sec"] = round(t0 - run_t0, 1)
+        c["cal_wall_sec"] = round(time.perf_counter() - t0, 1)
+        cal_draws.append(c)
+        log(f"calibration ({label}): {c}")
+        return c
+
+    pre_cal = take_cal("pre")
 
     # Per-query min-of-2 (r9 verdict ask #1): this host's throughput
     # drifts up to ~2x WITHIN a session, and a single draw per query
@@ -81,9 +97,19 @@ def main() -> int:
     # second draw measures the same work, not a warm-state shortcut.
     per_query: dict[str, float] = {}
     query_draws: dict[str, list[float]] = {}
+    query_t: dict[str, float] = {}
     failures: dict[str, str] = {}
+    # mid-run calibration points (r17): after the first and second
+    # third of the catalog — close enough that every query has a
+    # host-factor estimate within ~a third of the run of its own
+    # execution, cheap enough (2 extra draws) not to move the wall
+    mid_points = (
+        {len(names) // 3, (2 * len(names)) // 3} if len(names) >= 6
+        else set()
+    )
+    cal_loop_sec = 0.0
     total_t0 = time.perf_counter()
-    for name in names:
+    for qi, name in enumerate(names):
         spec = catalog.REGISTRY[name]
         draws: list[float] = []
         try:
@@ -98,6 +124,7 @@ def main() -> int:
                 draws.append(time.perf_counter() - t0)
             per_query[name] = round(min(draws), 3)
             query_draws[name] = [round(d, 3) for d in draws]
+            query_t[name] = round(time.perf_counter() - run_t0, 1)
             log(f"{name}: {min(draws):.3f}s (draws: "
                 + ", ".join(f"{d:.3f}" for d in draws) + ")")
         except Exception as exc:  # keep benching; report the failure
@@ -109,7 +136,14 @@ def main() -> int:
                 # queries/value under a min-of-2 protocol — failures
                 # wins, queries_draws keeps what was measured
                 query_draws[name] = [round(d, 3) for d in draws]
-    total = time.perf_counter() - total_t0
+        if (qi + 1) in mid_points:
+            tc = time.perf_counter()
+            take_cal(f"mid@{qi + 1}")
+            cal_loop_sec += time.perf_counter() - tc
+    # loop wall stays the QUERY wall: the interleaved calibration
+    # draws are subtracted so the number remains commensurate with
+    # prior rounds
+    total = time.perf_counter() - total_t0 - cal_loop_sec
 
     ingest_rps, read_qps, bulk_rps = ingest_read_bench(spark)
     log(
@@ -119,23 +153,39 @@ def main() -> int:
 
     # Auxiliary sections must never cost us the headline JSON line —
     # the catalog numbers above are already measured at this point.
-    try:
-        post_cal = host_calibration(spark, sf_dir)
-    except Exception as exc:
-        post_cal = {"error": f"{type(exc).__name__}: {exc}"[:200]}
-    log(f"calibration (post): {post_cal}")
+    post_cal = take_cal("post")
     keys = ("cpu_hash_sec", "shuffle_sec", "scan_sec", "tiny_jobs_sec")
-    if all(
-        isinstance(c.get(k), (int, float))
-        for c in (pre_cal, post_cal)
-        for k in keys
-    ):
+    good_draws = [
+        c
+        for c in cal_draws
+        if all(isinstance(c.get(k), (int, float)) for k in keys)
+    ]
+    if good_draws:
         calibration = {
-            k: round((pre_cal[k] + post_cal[k]) / 2, 3) for k in keys
+            k: round(
+                sum(c[k] for c in good_draws) / len(good_draws), 3
+            )
+            for k in keys
         }
     else:
         calibration = post_cal if "error" not in post_cal else pre_cal
-    log(f"calibration (bracketed mean): {calibration}")
+    # intra-run reliability (r17): the largest per-key max/min ratio
+    # ACROSS this run's own draws — when the run itself proves the
+    # host factor unstable, any normalization built on it is flagged
+    intra_spread = None
+    if len(good_draws) >= 2:
+        intra_spread = round(
+            max(
+                max(c[k] for c in good_draws)
+                / min(c[k] for c in good_draws)
+                for k in keys
+            ),
+            3,
+        )
+    log(
+        f"calibration (mean of {len(good_draws)} draws): "
+        f"{calibration}; intra-run spread: {intra_spread}"
+    )
 
     try:
         extras = extras_bench(spark, sf_dir)
@@ -143,7 +193,11 @@ def main() -> int:
         extras = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     log(f"extras: {extras}")
 
-    norm = normalized_vs_prev(per_query, calibration)
+    norm = normalized_vs_prev(
+        per_query, calibration,
+        cal_draws=good_draws, query_t=query_t,
+        intra_spread=intra_spread,
+    )
     try:
         sf1_norm = sf1_normalized_vs_prev(extras, calibration)
     except Exception as exc:
@@ -180,6 +234,16 @@ def main() -> int:
         "calibration": calibration,
         "calibration_pre": pre_cal,
         "calibration_post": post_cal,
+        # r17: every interleaved draw with its run-relative timestamp
+        # (pre / mid@N / post), plus the intra-run stability verdict
+        "calibration_draws": cal_draws,
+        "cal_intra_run_spread": intra_spread,
+        "cal_unreliable_intra_run": (
+            bool(intra_spread > 1.5)
+            if intra_spread is not None
+            else None
+        ),
+        "query_t_sec": query_t,
         "extras": extras,
         "normalized_vs_prev": norm,
         "sf1_normalized_vs_prev": sf1_norm,
@@ -219,6 +283,8 @@ def main() -> int:
     compact["queries"] = {k: round(v, 2) for k, v in per_query.items()}
     compact.pop("calibration_pre", None)
     compact.pop("calibration_post", None)
+    compact.pop("calibration_draws", None)  # sidecar keeps them all
+    compact.pop("query_t_sec", None)
     compact.pop("queries_draws", None)  # full record keeps both draws
     # timings are rounded floats; int-valued extras (cc_rounds,
     # cc_edges_round_N) are metrics, not durations — keep them out of
@@ -256,12 +322,27 @@ def main() -> int:
     return 1 if failures else 0
 
 
-def normalized_vs_prev(per_query: dict, calibration: dict) -> dict:
+def normalized_vs_prev(
+    per_query: dict,
+    calibration: dict,
+    cal_draws: list | None = None,
+    query_t: dict | None = None,
+    intra_spread: float | None = None,
+) -> dict:
     """Host-calibration-normalized comparison against the most recent
     recorded round (SURVEY §6's protocol as a computed column): the
     per-query time ratio divided by the host-speed ratio, so a
     uniformly slower/faster sandbox reads as ~1.0. Best-effort — any
-    missing prior data yields a reason string instead of numbers."""
+    missing prior data yields a reason string instead of numbers.
+
+    r17 (VERDICT r16 #6): ``cal_draws`` + ``query_t`` enable the
+    nearest-in-time column — each query's raw ratio divided by the
+    host factor of the calibration draw closest to when IT ran —
+    and ``intra_spread`` (this run's own per-key max/min across
+    draws) now gates ``cal_unreliable`` alongside the cross-key
+    disagreement: a run that proves its own host factor unstable
+    (r16's 1.74x pre/post cpu_hash swing) flags every normalized
+    number it emits."""
     import glob
     import re
     import statistics
@@ -359,10 +440,32 @@ def normalized_vs_prev(per_query: dict, calibration: dict) -> dict:
                 # >1.5x, the denominator is noise (this box's throughput
                 # drifts ~2x between sessions) — flag it so the
                 # normalized median is read with the raw one, not
-                # instead of it.
+                # instead of it. r17: the flag ALSO trips when this
+                # run's own draws disagree >1.5x on any key (intra-run
+                # drift — the r16 contradiction's root cause).
                 "cal_unreliable": bool(
                     max(per_key) / min(per_key) > 1.5
+                    or (
+                        intra_spread is not None
+                        and intra_spread > 1.5
+                    )
                 ),
+                "cal_unreliable_reasons": [
+                    r
+                    for r, hit in (
+                        (
+                            "cross_key_disagreement",
+                            max(per_key) / min(per_key) > 1.5,
+                        ),
+                        (
+                            "intra_run_drift",
+                            intra_spread is not None
+                            and intra_spread > 1.5,
+                        ),
+                    )
+                    if hit
+                ],
+                "intra_run_spread": intra_spread,
             }
             if q_ratios:
                 med = statistics.median(q_ratios)
@@ -371,6 +474,54 @@ def normalized_vs_prev(per_query: dict, calibration: dict) -> dict:
                     med / cal_ratio, 3
                 )
                 out["n_compared"] = len(q_ratios)
+            # nearest-in-time normalization (r17): each query's raw
+            # ratio divided by the host factor of the calibration
+            # draw closest to its own completion — robust when the
+            # host drifts WITHIN the run (the run-mean factor then
+            # misattributes drift to whichever queries ran at the
+            # wrong time)
+            if cal_draws and query_t:
+                cal_keys = (
+                    "cpu_hash_sec", "shuffle_sec", "scan_sec",
+                    "tiny_jobs_sec",
+                )
+                draw_pts = []
+                for c in cal_draws:
+                    kd = {
+                        k: (c[k] / prev_cal[k], min(c[k], prev_cal[k]))
+                        for k in cal_keys
+                        if prev_cal.get(k)
+                        and isinstance(c.get(k), (int, float))
+                    }
+                    if kd:
+                        w = sum(wt for _, wt in kd.values())
+                        draw_pts.append((
+                            float(c.get("t_sec", 0.0)),
+                            math.exp(
+                                sum(
+                                    wt * math.log(r)
+                                    for r, wt in kd.values()
+                                )
+                                / w
+                            ),
+                        ))
+                if draw_pts:
+                    nq = []
+                    for k in per_query:
+                        if prev_queries.get(k) and k in query_t:
+                            t = float(query_t[k])
+                            _, r = min(
+                                draw_pts,
+                                key=lambda dr: abs(dr[0] - t),
+                            )
+                            nq.append(
+                                (per_query[k] / prev_queries[k]) / r
+                            )
+                    if nq:
+                        out["median_query_ratio_normalized_nearest"] = (
+                            round(statistics.median(nq), 3)
+                        )
+                        out["n_cal_draws"] = len(draw_pts)
             # Per-family normalization (r15, VERDICT r14 #7): the
             # lifecycle entries run dozens of trivial jobs whose wall
             # is scheduler/driver overhead — the +24% shuffle-key

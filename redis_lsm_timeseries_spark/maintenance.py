@@ -54,6 +54,7 @@ def compact_small_files(
     max_groups: int | None = None,
     commit: ManifestCommit | None = None,
     dv_debt_fraction: float = 0.2,
+    scope_files: set[str] | None = None,
 ) -> CompactStats:
     """Fold files recorded at fewer than ``target_rows`` rows into
     ~``target_rows``-row files, partition-dir-local, one atomic
@@ -62,6 +63,9 @@ def compact_small_files(
     ``snapshot_rewrite``). ``max_groups`` bounds one run's work, like
     every other maintenance cap in the engine; the rest compacts on
     later runs, oldest grouping first (deterministic file order).
+    ``scope_files`` (r17, predicate-scoped OPTIMIZE) restricts the
+    candidate set — files outside it are never grouped or rewritten,
+    so maintenance on a 100 TB member is schedulable per stats band.
 
     Deletion-vector debt (r14): a file whose DV has erased at least
     ``dv_debt_fraction`` of its physical rows is a compaction
@@ -84,6 +88,8 @@ def compact_small_files(
         f for f, s in stats.items() if s is not None and s.get("dv")
     }
     for f in sorted(stats):
+        if scope_files is not None and f not in scope_files:
+            continue
         s = stats[f]
         rows = None if s is None else s.get("rows")
         if rows is None:
@@ -405,6 +411,7 @@ def optimize_table(
     vacuum_retain: int | None = None,
     commit: ManifestCommit | None = None,
     dv_debt_fraction: float = 0.2,
+    where: str | None = None,
 ) -> OptimizeStats:
     """One maintenance pass over a manifest member, in the order the
     steps compose best: fold small files (so the Z-order pass
@@ -413,24 +420,62 @@ def optimize_table(
     coalesce already keeps row order within groups), vacuum to the
     retention horizon, and return the post-pass ``table_report``. The
     cron-job entry point; each underlying step keeps its own crash /
-    conflict story, so the composition inherits them."""
+    conflict story, so the composition inherits them.
+
+    ``where`` (r17, the Delta predicate-scoped OPTIMIZE): a SQL
+    predicate whose envelope-expressible conjuncts (``col <op>
+    literal`` / BETWEEN / IN — see ``_predicate_envelope``) bound the
+    pass to the files whose STATS may overlap — compaction and
+    Z-ordering on a 100 TB member become schedulable per recency
+    band, touching O(band files). A predicate with no extractable
+    envelope refuses loudly (silently optimizing everything would
+    betray the caller's cost expectation). Scoped passes skip the
+    stats backfill (statless files always stay in scope — superset-
+    safe — and backfilling the whole member defeats the scoping)."""
+    from redis_lsm_timeseries_spark.operators.dml import (
+        _predicate_envelope,
+    )
     from redis_lsm_timeseries_spark.operators.zorder import zorder_compact
 
     commit = commit if commit is not None else ManifestCommit()
+    scope = None
+    if where is not None:
+        env = _predicate_envelope(where)
+        if not env:
+            raise ValidationError(
+                f"optimize_table: WHERE {where!r} has no envelope-"
+                "expressible conjunct (col <op> literal / BETWEEN / "
+                "IN of literals, AND-combined) — run unscoped, or "
+                "express the band as stats bounds"
+            )
+        kept, _total = commit.prune_files(host, path, env)
+        scope = set(kept)
+        if not scope:
+            return OptimizeStats(
+                0, 0, 0, table_report(host, path, commit=commit)
+            )
     # stats first (r14): statless files are invisible to compaction's
     # zero-IO planning and never prune — one preserve-kind restat
     # commit makes the rest of the pass (and every future scan) see
     # them; a no-op when nothing is missing
-    backfill_file_stats(host, path, commit=commit)
+    if scope is None:
+        backfill_file_stats(host, path, commit=commit)
     cs = compact_small_files(
         host, path, target_rows=target_rows,
         max_groups=max_groups, commit=commit,
-        dv_debt_fraction=dv_debt_fraction,
+        dv_debt_fraction=dv_debt_fraction, scope_files=scope,
     )
     clustered = 0
     if zorder_cols:
+        if scope is not None and cs.files_compacted:
+            # compaction replaced in-scope files with NEW relpaths;
+            # re-prune on fresh state so the Z-order pass sees the
+            # band's current files (replacements hold only in-band
+            # rows, so their stats land back inside the envelope)
+            scope = set(commit.prune_files(host, path, env)[0])
         clustered = zorder_compact(
-            host, path, zorder_cols, min_files=1, commit=commit
+            host, path, zorder_cols, min_files=1, commit=commit,
+            scope_files=scope,
         )
     # files still carrying a DV after compaction (debt under the
     # threshold) get live extrema restatted (r15), so fast_min_max

@@ -50,6 +50,13 @@ from redis_lsm_timeseries_spark.operators.merge import (
 
 @dataclass
 class DmlStats:
+    """Stats for a predicate UPDATE/DELETE. ``rows_affected`` is
+    always the real matched-row count. The file counts are -1 on a
+    non-manifest (directory-mode) backend: the fallback is a
+    whole-table snapshot rewrite with no per-file accounting (ADVICE
+    r16 — the sentinel is documented rather than masquerading as a
+    count)."""
+
     files_rewritten: int
     files_total: int
     rows_affected: int
@@ -313,11 +320,16 @@ def update_where(
     the updated rows as typed ``upsert`` change rows, so keyed
     mirrors consume the update row-incrementally.
 
-    Hive partition columns refuse as SET targets (the updated row
-    would have to MOVE directories — delete + re-append instead).
-    CHECK constraints validate the replacement files at staging like
-    every write. Predicate and SET expressions are SQL over the
-    table's LOGICAL columns."""
+    Hive partition columns are valid SET targets (r17, VERDICT r16
+    #3 — the Delta single-transaction partition move): the affected
+    files rewrite WITHOUT the matched rows' old images while the
+    updated rows land under their NEW hive directories, all in the
+    same ``rewrite_files`` commit — the replacement writer reproduces
+    the member's partition layout (``partitionBy``), so each output
+    row routes to the directory its (possibly updated) partition
+    value names. CHECK constraints validate the replacement files at
+    staging like every write. Predicate and SET expressions are SQL
+    over the table's LOGICAL columns."""
     from redis_lsm_timeseries_spark.commit import ManifestCommit
 
     if not set_exprs:
@@ -354,24 +366,20 @@ def update_where(
 
     if managed is None:
         cur = commit.read_table(host, path, None)
+        n_rows = cur.where(
+            F.coalesce(cond, F.lit(False))
+        ).count()
         out = updated(cur)
         n = out.sparkSession.sparkContext.defaultParallelism
         commit.snapshot_rewrite(
             host, path, _clustered_write(out, [out.columns[0]], n)
         )
-        return DmlStats(-1, -1, -1)
+        return DmlStats(-1, -1, n_rows)
 
     root, member = commit._resolve(host, path)
     smeta, phys = _mapping_ctx(commit, host, path)
     total = len(managed)
     pcols = set(partition_cols_of(managed))
-    bad = {c for c in set_exprs if phys(c) in pcols or c in pcols}
-    if bad:
-        raise ValidationError(
-            f"update_where: {sorted(bad)} are hive partition columns "
-            "— an updated row would have to move directories; delete "
-            "and re-append instead"
-        )
     if not managed:
         return DmlStats(0, 0, 0)
     # manifest-level pre-prune (r16): envelope-expressible conjuncts
@@ -497,12 +505,15 @@ def delete_where(
                 "table"
             )
         cur = commit.read_table(host, path, None)
+        n_rows = cur.where(
+            F.coalesce(cond, F.lit(False))
+        ).count()
         out = cur.where(keep)
         n = out.sparkSession.sparkContext.defaultParallelism
         commit.snapshot_rewrite(
             host, path, _clustered_write(out, [out.columns[0]], n)
         )
-        return DmlStats(-1, -1, -1)
+        return DmlStats(-1, -1, n_rows)
 
     root, member = commit._resolve(host, path)
     smeta, phys = _mapping_ctx(commit, host, path)

@@ -316,6 +316,7 @@ def zorder_compact(
     min_files: int = 2,
     target_files: int | None = None,
     commit=None,
+    scope_files: set[str] | None = None,
 ) -> int:
     """Incremental OPTIMIZE: Z-order-cluster only the files NOT
     written by a previous pass — the steady-state maintenance loop
@@ -351,7 +352,15 @@ def zorder_compact(
             f"zorder_compact: {path!r} is not manifest-managed"
         )
     tokens = set(commit.read_app_meta(host, path).get(ZORDER_TOKENS, []))
-    tail = [f for f in current if _file_token(f) not in tokens]
+    # scope_files (r17, predicate-scoped OPTIMIZE): out-of-scope tail
+    # files are simply not this pass's work — they keep no token, so
+    # a later unscoped (or differently-scoped) pass picks them up
+    tail = [
+        f
+        for f in current
+        if _file_token(f) not in tokens
+        and (scope_files is None or f in scope_files)
+    ]
     if len(tail) < max(1, int(min_files)):
         return 0
 

@@ -857,9 +857,19 @@ WHERE s.event_id NOT IN (SELECT event_id FROM d2)
 """
 
 
+@register(
+    "sql_dml_lifecycle",
+    oracle=SQL_DML_ORACLE,
+    tags=("lifecycle", "sql-dml", "merge"),
+)
 def sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UPDATE + DELETE + MERGE through the ``sql()`` facade on a
-    throwaway manifest table; returns the final state."""
+    """UPDATE + DELETE + IN-list DELETE + multi-clause MERGE through
+    the ``sql()`` facade on a throwaway manifest table; returns the
+    final state. Registered r17 (VERDICT r16 #7 — the facade earns a
+    driver hash row); the slot came from retiring
+    ``multimodal_binary_metadata`` to ``UNREGISTERED_ORACLES`` (its
+    map-only metadata-extract shape stays driver-covered by
+    ``multimodal_feature_extract`` and ``multimodal_frame_sample``)."""
     import shutil as _shutil
     import tempfile as _tempfile
 
@@ -921,7 +931,3 @@ def sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(base_dir, ignore_errors=True)
 
 
-UNREGISTERED_ORACLES["sql_dml_lifecycle"] = (
-    sql_dml_lifecycle,
-    SQL_DML_ORACLE,
-)

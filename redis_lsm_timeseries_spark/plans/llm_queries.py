@@ -876,9 +876,14 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- multimodal
-@register(
-    "multimodal_binary_metadata",
-    oracle="""
+# multimodal_binary_metadata was unregistered in round 17 (50-entry
+# driver window) in favor of sql_dml_lifecycle: its map-only
+# metadata-extract shape stays driver-covered by
+# multimodal_feature_extract (same binary plumbing + Arrow decode) and
+# multimodal_frame_sample (mapInPandas 1-in/N-out), and the query keeps
+# its FULL rows+schema+values differential via UNREGISTERED_ORACLES
+# (tests/test_oracle_parity.py runs the identical harness).
+MULTIMODAL_BINARY_ORACLE = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS content_digest,
@@ -888,9 +893,9 @@ SELECT doc_id,
          ELSE 'video'
        END AS modality
 FROM documents
-""",
-    tags=("llm", "multimodal"),
-)
+"""
+
+
 def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary column plumbing: treat the payload as bytes with
     typed metadata (size, digest, modality tag). The modality here is a
@@ -907,6 +912,12 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("video")
         .alias("modality"),
     )
+
+
+UNREGISTERED_ORACLES["multimodal_binary_metadata"] = (
+    multimodal_binary_metadata,
+    MULTIMODAL_BINARY_ORACLE,
+)
 
 
 @register(

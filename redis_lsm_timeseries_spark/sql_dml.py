@@ -17,12 +17,20 @@ Grammar (case-insensitive keywords; anything outside it refuses loudly
 with the Python API named):
 
 - ``DESCRIBE HISTORY `/path/to/table```
-- ``VACUUM `/path``` and ``OPTIMIZE `/path` [ZORDER BY col, ...]``
-- ``RESTORE TABLE `/path` TO VERSION AS OF <n>`` (files-only undo;
-  schema metadata stays current — see ``restore_table``)
+- ``VACUUM `/path``` and ``OPTIMIZE `/path` [WHERE <pred>]
+  [ZORDER BY col, ...]`` — the WHERE (r17, Delta's predicate-scoped
+  optimize) bounds compaction/clustering to files whose stats may
+  overlap the predicate's envelope, so maintenance is schedulable
+  per recency band
+- ``RESTORE TABLE `/path` TO VERSION AS OF <n>`` and ``... TO
+  TIMESTAMP AS OF <epoch-ms | 'ISO datetime'>`` (files-only undo;
+  schema metadata stays current — see ``restore_table``; naive
+  datetimes are UTC, resolved via ``resolve_version_asof``)
 - ``ALTER TABLE `/path` RENAME COLUMN a TO b | DROP COLUMN a |
-  ALTER COLUMN a TYPE long`` (dotted nested paths included; ADD
-  COLUMN refuses toward the additive-append contract)
+  ALTER COLUMN a TYPE long | ADD CONSTRAINT n CHECK (expr) |
+  DROP CONSTRAINT n`` (dotted nested paths included; ADD COLUMN
+  refuses toward the additive-append contract; ADD CONSTRAINT runs
+  the existing-data scan and the DuckDB dialect gate)
 - ``DELETE FROM `/path` WHERE <predicate>``
 - ``UPDATE `/path` SET col = expr[, ...] [WHERE <predicate>]``
 - ``MERGE INTO `/path` AS t USING <view|(subquery)> AS s
@@ -71,6 +79,34 @@ def _host_of(spark_or_host):
 
 def _path_of(m: re.Match) -> str:
     return m.group("p1") or m.group("p2")
+
+
+def _parse_ts_ms(val: str) -> int:
+    """``TIMESTAMP AS OF`` operand -> epoch milliseconds: a bare
+    integer is epoch ms verbatim; a quoted ISO datetime ('2026-01-02'
+    / '2026-01-02 03:04:05[.ffffff]') is interpreted as UTC when
+    naive — matching how the manifest records commit ``ts_ms``."""
+    from datetime import datetime, timezone
+
+    t = val.strip()
+    if (
+        len(t) >= 2
+        and t[0] == t[-1]
+        and t[0] in ("'", '"')
+    ):
+        t = t[1:-1]
+    if re.fullmatch(r"-?\d+", t):
+        return int(t)
+    try:
+        dt = datetime.fromisoformat(t)
+    except ValueError:
+        raise ValidationError(
+            f"sql RESTORE: TIMESTAMP AS OF takes epoch milliseconds "
+            f"or an ISO datetime string, got {val!r}"
+        ) from None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
 
 
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
@@ -277,14 +313,30 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
     stmt = statement.strip().rstrip(";").strip()
 
     m = re.match(
-        rf"(?is)^RESTORE\s+TABLE\s+{_PATH}\s+TO\s+VERSION\s+AS\s+OF"
-        r"\s+(?P<v>\d+)\s*$",
+        rf"(?is)^RESTORE\s+TABLE\s+{_PATH}\s+TO\s+"
+        r"(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+(?P<val>.+?)\s*$",
         stmt,
     )
     if m:
-        n = commit.restore_table(host, _path_of(m), int(m.group("v")))
+        path, val = _path_of(m), m.group("val").strip()
+        if m.group("kind").upper() == "VERSION":
+            if not val.isdigit():
+                raise ValidationError(
+                    f"sql RESTORE: VERSION AS OF takes an integer "
+                    f"version, got {val!r}"
+                )
+            version = int(val)
+        else:
+            # TIMESTAMP AS OF <epoch-ms int | 'ISO datetime'> —
+            # naive datetimes are UTC (the manifest's ts_ms
+            # convention); resolves to the newest retained version
+            # committed at or before it (r17, VERDICT r16 #4)
+            version = commit.resolve_version_asof(
+                host, path, _parse_ts_ms(val)
+            )
+        n = commit.restore_table(host, path, version)
         return spark.createDataFrame(
-            [(int(n), int(m.group("v")))],
+            [(int(n), int(version))],
             "num_restored_files long, restored_version long",
         )
 
@@ -319,6 +371,24 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
                 host, path, am.group("col"), am.group("t").lower()
             )
             return spark.createDataFrame([(True,)], "ok boolean")
+        am = re.match(
+            r"(?is)^ADD\s+CONSTRAINT\s+(?P<name>\w+)\s+CHECK\s*"
+            r"\((?P<expr>.+)\)\s*$",
+            act,
+        )
+        if am:
+            # existing-data scan + DuckDB dialect dry-run gate both
+            # fire inside add_constraint (r17, VERDICT r16 #4)
+            commit.add_constraint(
+                host, path, am.group("name"), am.group("expr").strip()
+            )
+            return spark.createDataFrame([(True,)], "ok boolean")
+        am = re.match(
+            r"(?is)^DROP\s+CONSTRAINT\s+(?P<name>\w+)\s*$", act
+        )
+        if am:
+            commit.drop_constraint(host, path, am.group("name"))
+            return spark.createDataFrame([(True,)], "ok boolean")
         if re.match(r"(?is)^ADD\s+COLUMN", act):
             raise ValidationError(
                 "sql ALTER TABLE: columns are additive by APPEND — "
@@ -328,9 +398,10 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
             )
         raise ValidationError(
             f"sql ALTER TABLE: unsupported action {act!r} — the "
-            "facade covers RENAME COLUMN a TO b, DROP COLUMN a, and "
+            "facade covers RENAME COLUMN a TO b, DROP COLUMN a, "
             "ALTER COLUMN a TYPE long|double (dotted nested paths "
-            "included)"
+            "included), ADD CONSTRAINT n CHECK (expr), and DROP "
+            "CONSTRAINT n"
         )
 
     m = re.match(rf"(?is)^VACUUM\s+{_PATH}\s*$", stmt)
@@ -346,23 +417,47 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
             [(int(n),)], "num_files_removed long"
         )
 
-    m = re.match(
-        rf"(?is)^OPTIMIZE\s+{_PATH}"
-        r"(?:\s+ZORDER\s+BY\s+(?P<zcols>[\w\s,]+))?\s*$",
-        stmt,
-    )
+    m = re.match(rf"(?is)^OPTIMIZE\s+{_PATH}(?P<rest>.*)$", stmt)
     if m:
         from redis_lsm_timeseries_spark.maintenance import (
             optimize_table,
         )
+        from redis_lsm_timeseries_spark.sqltext import find_keyword
 
-        zcols = m.group("zcols")
+        # OPTIMIZE <path> [WHERE <pred>] [ZORDER BY col, ...] — the
+        # WHERE scopes the pass to stat-overlapping files (r17); the
+        # split is literal-aware so a predicate string containing
+        # 'zorder' never truncates
+        rest = m.group("rest")
+        z_span = find_keyword(rest, "ZORDER")
+        zcols = None
+        head = rest
+        if z_span is not None:
+            head = rest[: z_span[0]]
+            zm = re.fullmatch(
+                r"(?is)\s*BY\s+(?P<zcols>[\w\s,]+)", rest[z_span[1]:]
+            )
+            if not zm:
+                raise ValidationError(
+                    "sql OPTIMIZE: ZORDER takes BY col[, col ...]"
+                )
+            zcols = [
+                c.strip() for c in zm.group("zcols").split(",")
+            ]
+        where = None
+        head = head.strip()
+        if head:
+            wm = re.match(r"(?is)^WHERE\s+(?P<pred>.+)$", head)
+            if not wm:
+                raise ValidationError(
+                    f"sql OPTIMIZE: unsupported text {head!r} — the "
+                    "facade covers OPTIMIZE <path> [WHERE <pred>] "
+                    "[ZORDER BY col, ...]"
+                )
+            where = wm.group("pred").strip()
         st = optimize_table(
-            host, _path_of(m),
-            zorder_cols=(
-                [c.strip() for c in zcols.split(",")] if zcols else None
-            ),
-            commit=commit,
+            host, _path_of(m), zorder_cols=zcols, commit=commit,
+            where=where,
         )
         return spark.createDataFrame(
             [(st.compacted_files, st.clustered_files, st.vacuumed)],

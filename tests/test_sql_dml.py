@@ -104,17 +104,6 @@ class TestUpdateWhere:
         host, commit, path = _fx(spark, tmp_path)
         with pytest.raises(ValidationError, match="not in"):
             sql(spark, f"UPDATE '{path}' SET nope = 1")
-        # hive partition columns refuse as SET targets
-        hp = str(tmp_path / "part")
-        commit.append_partitioned(
-            host,
-            spark.createDataFrame(
-                [("a", 1, 2.0)], "tag string, ts long, value double"
-            ),
-            hp, ["tag"],
-        )
-        with pytest.raises(ValidationError, match="partition"):
-            sql(spark, f"UPDATE '{hp}' SET tag = 'b'")
 
 
 class TestDeleteWhere:
@@ -219,13 +208,17 @@ class TestMergeFacade:
                 f"MERGE INTO '{path}' AS t USING m_src AS s "
                 "ON t.id > s.id WHEN MATCHED THEN DELETE",
             )
-        with pytest.raises(ValidationError, match="merge_into"):
-            sql(
-                spark,
-                f"MERGE INTO '{path}' AS t USING m_src AS s "
-                "ON t.id = s.id "
-                "WHEN MATCHED THEN UPDATE SET v = s.v",
-            )
+        # column-level SET inside MERGE is a FEATURE since r17: the
+        # matched row's v recomputes, everything else keeps target
+        # values (previously this refused toward update_where)
+        sql(
+            spark,
+            f"MERGE INTO '{path}' AS t USING m_src AS s "
+            "ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v + 100",
+        )
+        got = dict((r[0], r[1]) for r in _table(commit, host, path))
+        assert got[1] == 101 and got[2] == 20
 
 
 class TestHistoryAndRefusals:
@@ -885,3 +878,288 @@ class TestInListEnvelope:
             r.id for r in commit.read_table(host, path).collect()
         }
         assert 1000 in ids and 2 not in ids and 3 not in ids
+
+class TestFacadeCompleteness:
+    """r17 (VERDICT r16 #4): RESTORE ... TIMESTAMP AS OF and ALTER
+    TABLE ADD/DROP CONSTRAINT through ``sql()``; plus the ADVICE r16
+    directory-mode stats contract (real row counts, documented -1
+    file sentinels)."""
+
+    def test_restore_timestamp_as_of(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        hist = commit.version_history(host, path)
+        ts_v0 = [h["ts_ms"] for h in hist if h["version"] == 0][0]
+        before = _table(commit, host, path)
+        sql(spark, f"DELETE FROM '{path}' WHERE id < 20")
+        assert len(_table(commit, host, path)) == 20
+        # epoch-ms form
+        st = sql(
+            spark,
+            f"RESTORE TABLE '{path}' TO TIMESTAMP AS OF {ts_v0}",
+        ).collect()[0]
+        assert st.restored_version == 0
+        assert _table(commit, host, path) == before
+        # ISO string form: far-future timestamp resolves to the
+        # NEWEST version (which, post-restore, is current state)
+        st2 = sql(
+            spark,
+            f"RESTORE TABLE '{path}' TO TIMESTAMP AS OF "
+            "'2200-01-01 00:00:00'",
+        ).collect()[0]
+        assert _table(commit, host, path) == before
+        # a timestamp before every retained version refuses
+        from redis_lsm_timeseries_spark.errors import (
+            VersionNotFoundError,
+        )
+
+        with pytest.raises(VersionNotFoundError):
+            sql(spark, f"RESTORE TABLE '{path}' TO TIMESTAMP AS OF 1")
+        with pytest.raises(ValidationError, match="ISO datetime"):
+            sql(
+                spark,
+                f"RESTORE TABLE '{path}' TO TIMESTAMP AS OF 'nope'",
+            )
+
+    def test_add_drop_constraint_via_sql(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        sql(
+            spark,
+            f"ALTER TABLE '{path}' ADD CONSTRAINT v_nonneg "
+            "CHECK (v >= 0)",
+        )
+        bad = spark.createDataFrame([(900, -5, "x")], SCHEMA)
+        with pytest.raises(ValidationError, match="v_nonneg"):
+            commit.append_tables(host, path, {"": bad})
+        sql(spark, f"ALTER TABLE '{path}' DROP CONSTRAINT v_nonneg")
+        commit.append_tables(host, path, {"": bad})  # now lands
+        assert (900, -5, "x") in _table(commit, host, path)
+
+    def test_add_constraint_dialect_gate_fires(self, spark, tmp_path):
+        """The DuckDB dry-run gate refuses Spark-only expression
+        shapes at ADD time, through the facade too."""
+        host, commit, path = _fx(spark, tmp_path)
+        with pytest.raises(ValidationError):
+            sql(
+                spark,
+                f"ALTER TABLE '{path}' ADD CONSTRAINT weird "
+                "CHECK (v <=> 10)",
+            )
+
+    def test_directory_mode_rows_are_real(self, spark, tmp_path):
+        """ADVICE r16: snapshot-rewrite fallbacks report the true
+        matched-row count; only the FILE counts carry the documented
+        -1 sentinel."""
+        from redis_lsm_timeseries_spark.commit import ParquetLeaseCommit
+        from redis_lsm_timeseries_spark.operators.dml import (
+            delete_where,
+            update_where,
+        )
+
+        host = CommitHost(spark)
+        commit = ParquetLeaseCommit()
+        path = str(tmp_path / "t")
+        spark.createDataFrame(ROWS, SCHEMA).write.parquet(path)
+        st = update_where(
+            host, path, {"v": "v + 1"}, "id < 7", commit=commit
+        )
+        assert st.rows_affected == 7
+        assert st.files_rewritten == -1 and st.files_total == -1
+        st = delete_where(host, path, "id >= 30", commit=commit)
+        assert st.rows_affected == 10
+        assert st.files_rewritten == -1
+        assert len(_table(commit, host, path)) == 30
+
+class TestPartitionMovingUpdate:
+    """r17 (VERDICT r16 #3): UPDATE may SET hive partition columns —
+    matched rows MOVE directories in one atomic commit, layout and
+    partition-pruned reads stay correct, CDF upserts carry the new
+    partition value."""
+
+    def _hive(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "hive")
+        commit.append_partitioned(
+            host,
+            spark.createDataFrame(
+                [("a", i, float(i)) for i in range(6)]
+                + [("b", i, float(i)) for i in range(6)],
+                "tag string, ts long, value double",
+            ),
+            path, ["tag"],
+        )
+        return host, commit, path
+
+    def test_update_moves_rows_across_partitions(
+        self, spark, tmp_path
+    ):
+        from redis_lsm_timeseries_spark.operators.merge import (
+            partition_cols_of,
+        )
+
+        host, commit, path = self._hive(spark, tmp_path)
+        st = sql(
+            spark,
+            f"UPDATE '{path}' SET tag = 'c', value = value + 100 "
+            "WHERE tag = 'a' AND ts >= 4",
+        ).first()
+        assert st.num_affected_rows == 2
+        # layout intact: every file still under a tag= directory
+        files = commit.member_files(host, path)
+        assert files and all(
+            partition_cols_of([f]) == ["tag"] for f in files
+        )
+        # moved rows live under the NEW directory
+        assert any(f.startswith("tag=c/") for f in files)
+        got = sorted(
+            (r.tag, r.ts, r.value)
+            for r in commit.read_table(host, path).collect()
+        )
+        want = sorted(
+            [("a", i, float(i)) for i in range(4)]
+            + [("b", i, float(i)) for i in range(6)]
+            + [("c", i, float(i) + 100) for i in (4, 5)]
+        )
+        assert got == want
+
+    def test_moved_rows_partition_prune(self, spark, tmp_path):
+        """After the move, a tag-envelope prune must find the moved
+        rows ONLY under the new value (stats follow the directories)."""
+        host, commit, path = self._hive(spark, tmp_path)
+        sql(spark, f"UPDATE '{path}' SET tag = 'c' WHERE tag = 'a'")
+        kept_c, total = commit.prune_files(host, path, {"tag": ("c", "c")})
+        kept_a, _ = commit.prune_files(host, path, {"tag": ("a", "a")})
+        assert kept_c and not kept_a
+        assert all(f.startswith("tag=c/") for f in kept_c)
+        # partition-pruned read-back sees exactly the moved rows
+        got = commit.read_table(host, path).where("tag = 'c'")
+        assert got.count() == 6
+        assert commit.read_table(host, path).where("tag = 'a'").count() == 0
+
+    def test_move_rides_cdf_with_new_value(self, spark, tmp_path):
+        host, commit, path = self._hive(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        sql(
+            spark,
+            f"UPDATE '{path}' SET tag = 'z' WHERE tag = 'b' AND ts = 0",
+        )
+        ch = [
+            (r.tag, r.ts, r._change_type)
+            for r in commit.read_row_changes(host, path, v0).collect()
+        ]
+        assert ("z", 0, "upsert") in ch
+
+    def test_move_replays_through_keyed_mirror(self, spark, tmp_path):
+        """The move emits ONE post-image upsert per moved row; a
+        mirror keyed on a UNIQUE key the UPDATE does not touch
+        (here a row id — the partition column is NOT part of the
+        key) converges row-incrementally."""
+        from redis_lsm_timeseries_spark.changefeed import mirror_changes
+
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "hive")
+        commit.append_partitioned(
+            host,
+            spark.createDataFrame(
+                [(t * 6 + i, tag, i, float(i))
+                 for t, tag in enumerate(("a", "b"))
+                 for i in range(6)],
+                "uid long, tag string, ts long, value double",
+            ),
+            path, ["tag"],
+        )
+        dst = str(tmp_path / "dst")
+        mirror_changes(host, path, dst, keys=["uid"], commit=commit)
+        sql(
+            spark,
+            f"UPDATE '{path}' SET tag = 'z' WHERE tag = 'a' AND ts <= 1",
+        )
+        m = mirror_changes(host, path, dst, keys=["uid"], commit=commit)
+        assert m.mode == "row-incremental"
+        src_rows = sorted(
+            (r.uid, r.tag, r.ts, r.value)
+            for r in commit.read_table(host, path).collect()
+        )
+        dst_rows = sorted(
+            (r.uid, r.tag, r.ts, r.value)
+            for r in commit.read_table(host, dst).collect()
+        )
+        assert dst_rows == src_rows
+        assert ("z" in {t for _, t, _, _ in dst_rows})
+
+class TestScopedOptimize:
+    """r17 stretch (VERDICT r16 #8): ``OPTIMIZE t WHERE <pred>
+    [ZORDER BY ...]`` bounds the pass to stat-overlapping files —
+    out-of-band files are never rewritten."""
+
+    def _small_files(self, spark, tmp_path):
+        """8 one-file commits, range-clustered on id: ids [10i,
+        10i+10) in file i — every file 'small' for compaction."""
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        for i in range(8):
+            commit.append_tables(
+                host, path,
+                {"": spark.createDataFrame(
+                    [(j, j * 10, "x") for j in range(i * 10, i * 10 + 10)],
+                    SCHEMA,
+                ).coalesce(1)},
+            )
+        return host, commit, path
+
+    def test_scoped_compaction_touches_only_the_band(
+        self, spark, tmp_path
+    ):
+        host, commit, path = self._small_files(spark, tmp_path)
+        before = set(commit.member_files(host, path))
+        assert len(before) == 8
+        # (bounds widen to INCLUSIVE — 'id < 40' would pull in the
+        # file whose min is exactly 40, superset-safely)
+        st = sql(
+            spark, f"OPTIMIZE '{path}' WHERE id <= 39"
+        ).first()
+        after = set(commit.member_files(host, path))
+        # files covering ids >= 40 are byte-identical survivors
+        untouched = before & after
+        assert st.compacted_files >= 2
+        assert len(untouched) == 4  # the out-of-band half
+        rows = sorted(r.id for r in commit.read_table(host, path).collect())
+        assert rows == list(range(80))
+
+    def test_scoped_zorder_and_in_band_equivalence(
+        self, spark, tmp_path
+    ):
+        host, commit, path = self._small_files(spark, tmp_path)
+        before = set(commit.member_files(host, path))
+        sql(
+            spark,
+            f"OPTIMIZE '{path}' WHERE id BETWEEN 0 AND 19 "
+            "ZORDER BY id, v",
+        )
+        after = set(commit.member_files(host, path))
+        untouched = before & after
+        assert len(untouched) == 6  # only the two in-band files moved
+        rows = sorted(r.id for r in commit.read_table(host, path).collect())
+        assert rows == list(range(80))
+
+    def test_unscopable_predicate_refuses(self, spark, tmp_path):
+        host, commit, path = self._small_files(spark, tmp_path)
+        with pytest.raises(ValidationError, match="envelope"):
+            sql(spark, f"OPTIMIZE '{path}' WHERE id < 40 OR v > 5")
+        with pytest.raises(ValidationError, match="unsupported text"):
+            sql(spark, f"OPTIMIZE '{path}' BOGUS TRAILER")
+
+    def test_empty_scope_is_a_noop(self, spark, tmp_path):
+        host, commit, path = self._small_files(spark, tmp_path)
+        before = set(commit.member_files(host, path))
+        st = sql(
+            spark, f"OPTIMIZE '{path}' WHERE id > 10000"
+        ).first()
+        assert st.compacted_files == 0 and st.clustered_files == 0
+        assert set(commit.member_files(host, path)) == before
+
+    def test_unscoped_optimize_unchanged(self, spark, tmp_path):
+        host, commit, path = self._small_files(spark, tmp_path)
+        st = sql(spark, f"OPTIMIZE '{path}'").first()
+        assert st.compacted_files == 8
+        rows = sorted(r.id for r in commit.read_table(host, path).collect())
+        assert rows == list(range(80))
