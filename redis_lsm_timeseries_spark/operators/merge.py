@@ -518,16 +518,95 @@ def _norm_matched_clauses(when_matched, matched_condition):
     return clauses
 
 
-def _clause_index(clauses, matched):
+def _norm_by_source_clauses(not_matched_by_source):
+    """Normalize the WHEN NOT MATCHED BY SOURCE surface (r17 — the
+    third Delta clause family: target rows with NO source match).
+    Same ordered-tuple shape as ``when_matched``, two extra rules:
+    an update's sets must be an explicit ``{col: expr}`` dict
+    (``'*'`` would mean "replace with the source row", and there IS
+    no source row), and neither sets expressions nor conditions may
+    reference the ``s`` alias — every source column is NULL on an
+    unmatched row, so a reference is a bug, not a value."""
+    if not not_matched_by_source:
+        return []
+    clauses = _norm_matched_clauses(not_matched_by_source, None)
+    for action, sets, cond in clauses:
+        if sets == "*":
+            raise ValidationError(
+                "merge: a NOT MATCHED BY SOURCE update needs an "
+                "explicit {col: expr} sets dict — there is no "
+                "source row to replace with"
+            )
+        for label, text in (
+            ("condition", cond),
+            *(
+                (f"SET {c}", e)
+                for c, e in (sets or {}).items()
+            ),
+        ):
+            if text is not None and _refs_source_alias(text):
+                raise ValidationError(
+                    f"merge: NOT MATCHED BY SOURCE {label} {text!r} "
+                    "references the source alias 's' — every source "
+                    "column is NULL on an unmatched target row"
+                )
+    return clauses
+
+
+def _refs_source_alias(text: str) -> bool:
+    """True when ``text`` contains a qualified ``s.`` reference
+    outside string literals."""
+    import re
+
+    from redis_lsm_timeseries_spark.sqltext import (
+        MASK_CHAR,
+        mask_literals,
+    )
+
+    mask = mask_literals(text)
+    return any(
+        MASK_CHAR not in mask[m.start() : m.end()]
+        for m in re.finditer(r"(?i)\bs\s*\.", text)
+    )
+
+
+def _strip_target_alias(text: str) -> str:
+    """Drop qualified ``t.`` prefixes outside literals —
+    ``_predicate_envelope`` parses bare column names."""
+    import re
+
+    from redis_lsm_timeseries_spark.sqltext import (
+        MASK_CHAR,
+        mask_literals,
+    )
+
+    mask = mask_literals(text)
+    pat = re.compile(r"(?i)\bt\s*\.")
+
+    def repl(m):
+        if MASK_CHAR in mask[m.start() : m.end()]:
+            return m.group(0)
+        return ""
+
+    return pat.sub(repl, text)
+
+
+def _clause_index(clauses, matched, ns_clauses=()):
     """First-matching-clause-wins column: the 0-based index of the
     first clause whose condition holds for this (t, s) pair, NULL if
-    none applies (the target row survives verbatim). Null-safe: a
+    none applies (the target row survives verbatim). Matched clauses
+    take indices 0..m-1 gated on ``matched``; NOT MATCHED BY SOURCE
+    clauses (r17) take m..m+k-1 gated on ``~matched`` — disjoint
+    predicates, so one when-chain covers both families. Null-safe: a
     condition evaluating to NULL means "clause does not apply" —
     never "row vanishes"."""
     idx = None
-    for i, (_, _, cond) in enumerate(clauses):
+    gated = [(matched, c) for c in clauses] + [
+        (~matched, c) for c in ns_clauses
+    ]
+    for i, (gate, (_, _, cond)) in enumerate(gated):
         c = F.coalesce(
-            matched
+            gate
             & (F.expr(cond) if cond is not None else F.lit(True)),
             F.lit(False),
         )
@@ -563,6 +642,7 @@ def _merge_outputs(
     clauses: list,
     insert_unmatched: bool,
     not_matched_condition: str | None,
+    ns_clauses: list = (),
 ):
     """(surviving-rows DataFrame, applied-upserts DataFrame,
     deleted-rows DataFrame) for the ORDERED merge clause list over
@@ -578,7 +658,7 @@ def _merge_outputs(
 
     cols = src.columns
     deleted = None
-    if clauses == _DEFAULT_CLAUSES:
+    if clauses == _DEFAULT_CLAUSES and not ns_clauses:
         if insert_unmatched and not_matched_condition is None:
             # the classic plan: every source row lands, one anti-join
             out = cur.join(
@@ -591,7 +671,7 @@ def _merge_outputs(
         tkeys = cur.select(*keys).distinct()
         applied = src.join(tkeys, keys, "left_semi")
         inserts = src.join(tkeys, keys, "left_anti")
-    elif not clauses:
+    elif not clauses and not ns_clauses:
         # no matched clause: every target row survives verbatim
         survivors = cur
         applied = None
@@ -607,14 +687,16 @@ def _merge_outputs(
         joined = t.join(s, on, "left")
         matched = F.col(f"s.{keys[0]}").isNotNull()
         marked = joined.withColumn(
-            "__mrg_c", _clause_index(clauses, matched)
+            "__mrg_c", _clause_index(clauses, matched, ns_clauses)
         )
         t_cols = [F.col(f"t.{c}").alias(c) for c in cols]
         survivors = marked.where(
             F.col("__mrg_c").isNull()
         ).select(*t_cols)
         upd_parts, del_parts = [], []
-        for i, (action, sets, _) in enumerate(clauses):
+        for i, (action, sets, _) in enumerate(
+            list(clauses) + list(ns_clauses)
+        ):
             rows_i = marked.where(F.col("__mrg_c") == i)
             if action == "delete":
                 del_parts.append(rows_i.select(*t_cols))
@@ -670,6 +752,7 @@ def _merge_dv_outputs(
     clauses: list,
     insert_unmatched: bool,
     not_matched_condition: str | None,
+    ns_clauses: list = (),
 ):
     """Merge-on-read clause plan over the affected slice ``cur``
     (logical columns + ``__dv_file``/``__dv_pos``): ``(dead, append,
@@ -685,7 +768,7 @@ def _merge_dv_outputs(
 
     cols = src.columns
     pos = ["__dv_file", "__dv_pos"]
-    if clauses == _DEFAULT_CLAUSES:
+    if clauses == _DEFAULT_CLAUSES and not ns_clauses:
         dead = cur.join(src.select(*keys).distinct(), keys, "left_semi")
         if insert_unmatched and not_matched_condition is None:
             return dead, src, src, None
@@ -701,7 +784,7 @@ def _merge_dv_outputs(
         else:
             append = applied
         return dead, append, append, None
-    if not clauses:
+    if not clauses and not ns_clauses:
         if not insert_unmatched:
             return cur.limit(0), None, None, None
         inserts = src.join(
@@ -720,7 +803,7 @@ def _merge_dv_outputs(
     joined = t.join(s, on, "left")
     matched = F.col(f"s.{keys[0]}").isNotNull()
     marked = joined.withColumn(
-        "__mrg_c", _clause_index(clauses, matched)
+        "__mrg_c", _clause_index(clauses, matched, ns_clauses)
     )
     t_cols = [F.col(f"t.{c}").alias(c) for c in cols]
     t_pos_cols = t_cols + [F.col(f"t.{p}").alias(p) for p in pos]
@@ -728,7 +811,9 @@ def _merge_dv_outputs(
         *t_pos_cols
     )
     upd_parts, del_parts = [], []
-    for i, (action, sets, _) in enumerate(clauses):
+    for i, (action, sets, _) in enumerate(
+        list(clauses) + list(ns_clauses)
+    ):
         rows_i = marked.where(F.col("__mrg_c") == i)
         if action == "delete":
             del_parts.append(rows_i.select(*t_cols))
@@ -781,6 +866,7 @@ def merge_into(
     matched_condition: str | None = None,
     insert_unmatched: bool = True,
     not_matched_condition: str | None = None,
+    not_matched_by_source=None,
     extra_guard=None,
     mode: str = "rewrite",
 ) -> MergeStats:
@@ -810,10 +896,23 @@ def merge_into(
       single-clause condition (``WHEN MATCHED AND <cond> THEN ...``);
       with a clause LIST, conditions go inside the tuples instead;
     - ``insert_unmatched`` / ``not_matched_condition``: ``WHEN NOT
-      MATCHED [AND <cond over s>] THEN INSERT``.
+      MATCHED [AND <cond over s>] THEN INSERT``;
+    - ``not_matched_by_source`` (r17 — the third Delta clause
+      family): an ordered clause list applied to TARGET rows with NO
+      source match — ``[("delete", cond), ("update", {col: expr},
+      cond)]``; sets must be explicit dicts and neither sets nor
+      conditions may reference ``s`` (every source column is NULL on
+      an unmatched row). An empty source with a by-source DELETE
+      erases everything the conditions reach — the Delta
+      sync-deletions shape.
 
-    File-pruning posture is unchanged by the clauses: only files the
-    key envelope may reach are read or rewritten.
+    File-pruning posture: matched/insert clauses touch only files the
+    KEY envelope may reach. By-source clauses can reach any row, so
+    their presence widens the affected set — to the union of the key
+    envelope and each by-source condition's stats envelope when every
+    condition is envelope-expressible (a ``t.ts < X`` sweep touches
+    O(band files)), else to the whole member; the conflict guard
+    widens identically (any-append when unbounded).
 
     ``mode`` picks the physical strategy on a manifest backend
     (r14, the Delta merge-on-read idiom): ``"rewrite"`` (default)
@@ -839,8 +938,9 @@ def merge_into(
         )
     commit = commit if commit is not None else ManifestCommit()
     clauses = _norm_matched_clauses(when_matched, matched_condition)
+    ns_clauses = _norm_by_source_clauses(not_matched_by_source)
     src = _resolve_source(source, keys, order_col)
-    for _, sets, _c in clauses:
+    for _, sets, _c in list(clauses) + list(ns_clauses):
         if isinstance(sets, dict):
             bad = set(sets) - set(src.columns)
             if bad:
@@ -849,7 +949,9 @@ def merge_into(
                     f"{sorted(src.columns)}"
                 )
     n_upserts = src.count()
-    if n_upserts == 0:
+    if n_upserts == 0 and not ns_clauses:
+        # with by-source clauses an EMPTY source is meaningful (every
+        # target row is unmatched); without them, nothing can happen
         total = commit.table_file_count(host, path)
         return MergeStats(0, total, 0)
 
@@ -871,7 +973,7 @@ def merge_into(
         cur = cur.select(*src.columns)
         out, _, _ = _merge_outputs(
             cur, src, keys, clauses,
-            insert_unmatched, not_matched_condition,
+            insert_unmatched, not_matched_condition, ns_clauses,
         )
         n = target_files or out.sparkSession.sparkContext.defaultParallelism
         commit.snapshot_rewrite(
@@ -892,18 +994,66 @@ def merge_into(
             src, path, exempt=pcols,
         )
     preds = _key_predicates(src, keys)
-    affected, _ = commit.prune_files(host, path, preds)
+    affected, _ = (
+        commit.prune_files(host, path, preds)
+        if n_upserts
+        else ([], len(managed))
+    )
     # the envelope guard compares against per-file stats, which are
     # recorded under PHYSICAL names — translate the logical envelope
     # (prune_files translates internally; the guard takes it raw)
     gpreds = {phys(c): b for c, b in preds.items()}
     pkeys = [phys(k) for k in keys]
-    guard = _compose_guards(
-        _envelope_guard(
-            commit, member, set(managed) | set(affected), gpreds
-        ),
-        extra_guard,
-    )
+    guards = []
+    if n_upserts:
+        guards.append(
+            _envelope_guard(
+                commit, member, set(managed) | set(affected), gpreds
+            )
+        )
+    if ns_clauses:
+        # by-source clauses reach rows no source key names: widen the
+        # affected set to the union of each condition's stats
+        # envelope (prune_files), or the whole member when any
+        # condition is unbounded/unparseable — and widen the conflict
+        # guard identically (a concurrent append's rows are by
+        # definition unmatched-by-source)
+        from redis_lsm_timeseries_spark.operators.dml import (
+            _any_append_guard,
+            _predicate_envelope,
+        )
+
+        ns_envs: list | None = []
+        for _a, _s, cond in ns_clauses:
+            env = (
+                _predicate_envelope(_strip_target_alias(cond))
+                if cond is not None
+                else None
+            )
+            if not env:
+                ns_envs = None
+                break
+            ns_envs.append(env)
+        if ns_envs is None:
+            affected = list(managed)
+            guards.append(
+                _any_append_guard(commit, member, set(managed))
+            )
+        else:
+            ns_files = set(affected)
+            for env in ns_envs:
+                kept, _t = commit.prune_files(host, path, env)
+                ns_files |= set(kept)
+            affected = sorted(ns_files)
+            for env in ns_envs:
+                guards.append(
+                    _envelope_guard(
+                        commit, member,
+                        set(managed) | set(affected),
+                        {phys(c): b for c, b in env.items()},
+                    )
+                )
+    guard = _compose_guards(*guards, extra_guard)
     if not affected:
         # no file can contain a matched key: only the NOT MATCHED
         # clause applies
@@ -935,6 +1085,7 @@ def merge_into(
 
     default_clauses = (
         clauses == _DEFAULT_CLAUSES
+        and not ns_clauses
         and insert_unmatched
         and not_matched_condition is None
     )
@@ -946,7 +1097,7 @@ def merge_into(
         ).select(*src.columns, "__dv_file", "__dv_pos")
         dead, append, ups_dv, del_dv = _merge_dv_outputs(
             cur_pos, src, keys, clauses,
-            insert_unmatched, not_matched_condition,
+            insert_unmatched, not_matched_condition, ns_clauses,
         )
         use_dv = mode == "dv"
         if not use_dv:
@@ -1011,7 +1162,7 @@ def merge_into(
     cur = cur.select(*src.columns)  # checked against the probe above
     out, upserts, deleted = _merge_outputs(
         cur, src, keys, clauses,
-        insert_unmatched, not_matched_condition,
+        insert_unmatched, not_matched_condition, ns_clauses,
     )
     # rows_upserted must report the rows the clauses ACTUALLY applied:
     # a conditional update that filtered most pairs, or a matched

@@ -815,10 +815,13 @@ def nested_evolution_roundtrip(
 # (r17, VERDICT r16 #1: WHEN MATCHED AND t.value < 0 THEN DELETE /
 # WHEN MATCHED THEN UPDATE SET value = s.value + t.value — the unset
 # event_type column must keep the TARGET value / WHEN NOT MATCHED
-# THEN INSERT *), and the final read must equal DuckDB computing the
-# same statement algebra. Exercises the parser, the
-# update_where/delete_where operators (data-derived affected sets,
-# typed change rows) and clause-list merge_into dispatch end-to-end.
+# THEN INSERT *), a second MERGE with a conditional WHEN NOT MATCHED
+# BY SOURCE DELETE (the r17 third clause family), and an INSERT INTO
+# ... VALUES (positional bind + store-assignment cast) — and the
+# final read must equal DuckDB computing the same statement algebra.
+# Exercises the parser, the update_where/delete_where operators
+# (data-derived affected sets, typed change rows) and clause-list
+# merge_into dispatch end-to-end.
 SQL_DML_ORACLE = """
 WITH slice AS (
   SELECT CAST(event_id AS BIGINT) AS event_id,
@@ -848,12 +851,25 @@ WITH slice AS (
               ELSE t.value END AS value
   FROM d2 t LEFT JOIN src s ON t.event_id = s.event_id
   WHERE NOT (s.event_id IS NOT NULL AND t.value < 0)
+), m2 AS (
+  SELECT * FROM m
+  UNION ALL          -- MERGE unmatched: keys the DELETEs removed
+  SELECT s.event_id, s.event_type, s.value
+  FROM src s
+  WHERE s.event_id NOT IN (SELECT event_id FROM d2)
+), bs AS (           -- second MERGE (r17): WHEN NOT MATCHED BY
+                     -- SOURCE AND t.event_type = 'purchase' THEN
+                     -- DELETE — unmatched = event_id not a %135 key
+  SELECT * FROM m2
+  WHERE NOT (event_id % 135 <> 0 AND event_type = 'purchase')
 )
-SELECT * FROM m
-UNION ALL            -- MERGE unmatched: keys the DELETEs removed
-SELECT s.event_id, s.event_type, s.value
-FROM src s
-WHERE s.event_id NOT IN (SELECT event_id FROM d2)
+SELECT * FROM bs
+UNION ALL            -- INSERT INTO ... VALUES (r17)
+SELECT CAST(v.event_id AS BIGINT), v.event_type,
+       CAST(v.value AS DOUBLE)
+FROM (VALUES (1000001, 'inserted', 2.25),
+             (1000002, 'inserted', 3.5))
+     v(event_id, event_type, value)
 """
 
 
@@ -863,10 +879,11 @@ WHERE s.event_id NOT IN (SELECT event_id FROM d2)
     tags=("lifecycle", "sql-dml", "merge"),
 )
 def sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UPDATE + DELETE + IN-list DELETE + multi-clause MERGE through
-    the ``sql()`` facade on a throwaway manifest table; returns the
-    final state. Registered r17 (VERDICT r16 #7 — the facade earns a
-    driver hash row); the slot came from retiring
+    """UPDATE + DELETE + IN-list DELETE + multi-clause MERGE +
+    by-source MERGE + INSERT through the ``sql()`` facade on a
+    throwaway manifest table; returns the final state. Registered
+    r17 (VERDICT r16 #7 — the facade earns a driver hash row); the
+    slot came from retiring
     ``multimodal_binary_metadata`` to ``UNREGISTERED_ORACLES`` (its
     map-only metadata-extract shape stays driver-covered by
     ``multimodal_feature_extract`` and ``multimodal_frame_sample``)."""
@@ -922,6 +939,22 @@ def sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHEN MATCHED AND t.value < 0 THEN DELETE
             WHEN MATCHED THEN UPDATE SET value = s.value + t.value
             WHEN NOT MATCHED THEN INSERT *""",
+        )
+        # r17: the third clause family — target rows no source key
+        # names, deleted when the condition holds (sync shape)
+        sql(
+            spark,
+            f"""MERGE INTO '{path}' AS t USING sql_dml_merge_src AS s
+            ON t.event_id = s.event_id
+            WHEN NOT MATCHED BY SOURCE
+              AND t.event_type = 'purchase' THEN DELETE""",
+        )
+        # r17: INSERT INTO ... VALUES (positional bind + store-
+        # assignment cast to the member's types)
+        sql(
+            spark,
+            f"INSERT INTO '{path}' VALUES "
+            "(1000001, 'inserted', 2.25), (1000002, 'inserted', 3.5)",
         )
         out = commit.read_table(host, path).select(
             "event_id", "event_type", "value"

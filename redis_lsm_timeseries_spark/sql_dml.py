@@ -16,7 +16,12 @@ view (``read_table(...).createOrReplaceTempView``) and use
 Grammar (case-insensitive keywords; anything outside it refuses loudly
 with the Python API named):
 
-- ``DESCRIBE HISTORY `/path/to/table```
+- ``DESCRIBE HISTORY `/path/to/table``` and ``DESCRIBE DETAIL
+  `/path``` (one-row table metadata computed from the log alone —
+  version, live rows, files, partition columns, constraints)
+- ``INSERT INTO `/path` <SELECT ...|VALUES ...|TABLE v|WITH ...>``
+  (atomic append; SELECT binds by NAME, VALUES by POSITION) and
+  ``INSERT OVERWRITE `/path` <query>`` (atomic whole-member swap)
 - ``VACUUM `/path``` and ``OPTIMIZE `/path` [WHERE <pred>]
   [ZORDER BY col, ...]`` — the WHERE (r17, Delta's predicate-scoped
   optimize) bounds compaction/clustering to files whose stats may
@@ -38,7 +43,9 @@ with the Python API named):
   [WHEN MATCHED [AND <cond>] THEN UPDATE SET * |
                                   UPDATE SET col = expr, ... |
                                   DELETE]...
-  [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]``
+  [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+  [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+     UPDATE SET col = expr, ... | DELETE]...``
   — any distinct pair of target/source aliases works (qualified
   references rewrite to ``merge_into``'s ``t``/``s`` condition
   names, in one simultaneous literal-skipping pass); the ON
@@ -49,6 +56,12 @@ with the Python API named):
   exactly the named TARGET columns (expressions see both pre-update
   aliases; unset columns keep the target row's values); ``UPDATE
   SET *`` replaces the matched row with the source row by name.
+  ``NOT MATCHED BY SOURCE`` clauses (r17 — the third Delta family)
+  apply to TARGET rows with no source match: explicit SET lists or
+  DELETE, conditions over ``t`` only (``NOT MATCHED BY TARGET`` is
+  the alias of plain NOT MATCHED). The affected-file posture widens
+  to each BY SOURCE condition's stats envelope (whole member when
+  unbounded) — a ``t.ts < X`` sweep still touches O(band files).
   CASE expressions inside merge clauses must be parenthesized
   (their WHEN/THEN is otherwise ambiguous with clause keywords).
 
@@ -168,7 +181,9 @@ _MERGE_HEAD_RE = re.compile(
     r"\s+USING\s+"
 )
 _MATCHED_HEAD_RE = re.compile(
-    r"(?is)^\s*(?P<not_>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s*$"
+    r"(?is)^\s*(?P<not_>NOT\s+)?MATCHED"
+    r"(?:\s+BY\s+(?P<by>SOURCE|TARGET))?"
+    r"(?:\s+AND\s+(?P<cond>.+?))?\s*$"
 )
 _SET_ITEM_RE = re.compile(r"(?s)^\s*(?:t\s*\.\s*)?(\w+)\s*=\s*(.+)$")
 
@@ -221,11 +236,15 @@ def _parse_set_list(sets_text: str) -> dict | str:
 def _parse_merge_clauses(clauses_text: str):
     """Parse the realiased ``WHEN ...`` tail into (ordered matched
     clause list for ``merge_into``, insert_unmatched,
-    not_matched_condition). Splitting is literal-aware and
-    paren-aware via the shared tokenizer, so WHEN/THEN inside string
-    literals or subexpressions never split a clause — but an
-    UNparenthesized CASE expression in a condition would (its WHEN /
-    THEN look top-level), so that refuses loudly instead."""
+    not_matched_condition, ordered not-matched-BY-SOURCE clause
+    list). Splitting is literal-aware and paren-aware via the shared
+    tokenizer, so WHEN/THEN inside string literals or subexpressions
+    never split a clause — but an UNparenthesized CASE expression in
+    a condition would (its WHEN / THEN look top-level), so that
+    refuses loudly instead. ``NOT MATCHED BY TARGET`` is the Delta
+    alias of plain ``NOT MATCHED``; ``NOT MATCHED BY SOURCE`` (r17)
+    takes ``UPDATE SET col = expr`` / ``DELETE`` actions applied to
+    target rows with no source match."""
     from redis_lsm_timeseries_spark.sqltext import (
         find_keyword,
         split_keyword,
@@ -238,6 +257,7 @@ def _parse_merge_clauses(clauses_text: str):
             f"clause: {segs[0].strip()!r}"
         )
     matched: list = []
+    by_source: list = []
     insert_unmatched = False
     not_matched_condition = None
     for seg in segs[1:]:
@@ -258,12 +278,38 @@ def _parse_merge_clauses(clauses_text: str):
         if not hm:
             raise ValidationError(
                 f"sql MERGE: cannot parse clause head "
-                f"{head.strip()!r} — the facade covers WHEN "
-                "[NOT] MATCHED [AND <cond>] THEN ... (no BY "
-                "SOURCE/BY TARGET forms)"
+                f"{head.strip()!r} — the facade covers WHEN [NOT] "
+                "MATCHED [BY SOURCE|BY TARGET] [AND <cond>] THEN ..."
             )
         cond = hm.group("cond")
         cond = cond.strip() if cond else None
+        by = (hm.group("by") or "").upper()
+        if by and not hm.group("not_"):
+            raise ValidationError(
+                f"sql MERGE: MATCHED BY {by} is not a clause form — "
+                "BY SOURCE/BY TARGET qualify NOT MATCHED only"
+            )
+        if hm.group("not_") and by == "SOURCE":
+            if re.fullmatch(r"(?is)DELETE", action):
+                by_source.append(("delete", cond))
+                continue
+            um = re.match(
+                r"(?is)^UPDATE\s+SET\s+(?P<sets>.+)$", action
+            )
+            if um:
+                sets = _parse_set_list(um.group("sets"))
+                if sets == "*":
+                    raise ValidationError(
+                        "sql MERGE: NOT MATCHED BY SOURCE UPDATE "
+                        "needs explicit SET col = expr (there is no "
+                        "source row to replace with)"
+                    )
+                by_source.append(("update", sets, cond))
+                continue
+            raise ValidationError(
+                f"sql MERGE: unsupported BY SOURCE action "
+                f"{action!r} — UPDATE SET col = expr, ... | DELETE"
+            )
         if hm.group("not_"):
             if not re.fullmatch(r"(?is)INSERT\s+\*", action):
                 raise ValidationError(
@@ -290,9 +336,10 @@ def _parse_merge_clauses(clauses_text: str):
         raise ValidationError(
             f"sql MERGE: unsupported action {action!r} — the facade "
             "covers UPDATE SET * | UPDATE SET col = expr, ... | "
-            "DELETE (matched) and INSERT * (not matched)"
+            "DELETE (matched, and BY SOURCE without SET *) and "
+            "INSERT * (not matched)"
         )
-    return matched, insert_unmatched, not_matched_condition
+    return matched, insert_unmatched, not_matched_condition, by_source
 
 
 def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
@@ -465,6 +512,113 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
             "vacuumed long",
         )
 
+    m = re.match(
+        rf"(?is)^INSERT\s+(?P<ow>OVERWRITE|INTO)\s+{_PATH}\s+"
+        r"(?P<q>.+)$",
+        stmt,
+    )
+    if m:
+        from pyspark.sql import functions as F
+
+        path, q = _path_of(m), m.group("q").strip()
+        df = spark.sql(q)
+        is_values = bool(re.match(r"(?is)^\s*VALUES\b", q))
+        managed = commit.member_files(host, path)
+        if managed:
+            tgt = commit.read_table(host, path)
+            target_cols = tgt.columns
+            tgt_types = {f.name: f.dataType for f in tgt.schema.fields}
+            if is_values:
+                # VALUES yields positional col1..colN names — bind
+                # them to the target schema by POSITION, the SQL
+                # INSERT ... VALUES contract
+                if len(df.columns) != len(target_cols):
+                    raise ValidationError(
+                        f"sql INSERT: VALUES row has "
+                        f"{len(df.columns)} column(s), the table "
+                        f"has {len(target_cols)}"
+                    )
+                df = df.toDF(*target_cols)
+            elif set(df.columns) != set(target_cols):
+                raise ValidationError(
+                    f"sql INSERT: query columns "
+                    f"{sorted(df.columns)} != table columns "
+                    f"{sorted(target_cols)} — alias the SELECT to "
+                    "the table's names (appends bind by NAME)"
+                )
+            # store-assignment cast to the TARGET types (ANSI: an
+            # overflowing literal raises, never silently wraps) — a
+            # VALUES literal arrives as DECIMAL and a bare int as
+            # INT; writing those widths raw would put mixed physical
+            # types into one member
+            df = df.select(
+                *[
+                    F.col(c).cast(tgt_types[c]).alias(c)
+                    for c in target_cols
+                ]
+            )
+        elif is_values:
+            raise ValidationError(
+                "sql INSERT: VALUES into an empty/new table has no "
+                "schema to bind positionally — use SELECT with "
+                "aliased columns"
+            )
+        n = df.count()
+        if m.group("ow").upper() == "OVERWRITE":
+            commit.replace_tables(host, path, {"": df})
+        else:
+            commit.append_tables(host, path, {"": df})
+        return spark.createDataFrame(
+            [(int(n),)], "num_inserted_rows long"
+        )
+
+    m = re.match(rf"(?is)^DESCRIBE\s+DETAIL\s+{_PATH}\s*$", stmt)
+    if m:
+        import json as _json
+
+        from redis_lsm_timeseries_spark.operators.merge import (
+            partition_cols_of,
+        )
+
+        path = _path_of(m)
+        stats = commit.member_file_stats(host, path)
+        if stats is None:
+            raise ValidationError(
+                f"sql DESCRIBE DETAIL: {path!r} is not a "
+                "manifest-managed table"
+            )
+        files = commit.member_files(host, path) or []
+        # live rows from the log alone (DV-adjusted); NULL when any
+        # file lacks stats — never a storage read, the Delta
+        # DESCRIBE DETAIL posture
+        rows = 0
+        for f in files:
+            s = stats.get(f)
+            if s is None or s.get("rows") is None:
+                rows = None
+                break
+            rows += int(s["rows"]) - int(
+                (s.get("dv") or {}).get("count", 0)
+            )
+        hist = commit.version_history(host, path)
+        newest = hist[-1] if hist else {}
+        cons = commit.table_constraints(host, path)
+        return spark.createDataFrame(
+            [(
+                "rlts-manifest",
+                path,
+                newest.get("version"),
+                newest.get("ts_ms"),
+                len(files),
+                rows,
+                _json.dumps(partition_cols_of(files)),
+                _json.dumps(sorted(cons)),
+            )],
+            "format string, location string, version long, "
+            "last_modified_ms long, num_files long, num_rows long, "
+            "partition_columns string, constraints string",
+        )
+
     m = re.match(rf"(?is)^DESCRIBE\s+HISTORY\s+{_PATH}\s*$", stmt)
     if m:
         import json as _json
@@ -563,7 +717,7 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
                 f"{ta!r} — give them distinct aliases"
             )
         keys = _parse_on_keys(_realias(on_text, ta, sa))
-        matched, insert_unmatched, not_matched_condition = (
+        matched, insert_unmatched, not_matched_condition, by_src = (
             _parse_merge_clauses(_realias(clauses_text, ta, sa))
         )
         st = merge_into(
@@ -571,6 +725,7 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
             when_matched=matched,
             insert_unmatched=insert_unmatched,
             not_matched_condition=not_matched_condition,
+            not_matched_by_source=by_src,
         )
         return spark.createDataFrame(
             [(st.rows_upserted, st.files_rewritten, st.files_total)],
@@ -580,10 +735,10 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
 
     raise ValidationError(
         "sql: statement outside the documented DML subset (MERGE "
-        "INTO / UPDATE / DELETE FROM / ALTER TABLE / RESTORE TABLE "
-        "/ DESCRIBE HISTORY / VACUUM / OPTIMIZE over a quoted "
-        "manifest path). Query-side SQL: register a temp view over "
-        "read_table(...) and use spark.sql. Other mutations: "
-        "replace_range / delete_range / overwrite_partitions via "
-        "the Python API."
+        "INTO / UPDATE / DELETE FROM / INSERT INTO|OVERWRITE / "
+        "ALTER TABLE / RESTORE TABLE / DESCRIBE HISTORY|DETAIL / "
+        "VACUUM / OPTIMIZE over a quoted manifest path). Query-side "
+        "SQL: register a temp view over read_table(...) and use "
+        "spark.sql. Other mutations: replace_range / delete_range / "
+        "overwrite_partitions via the Python API."
     )

@@ -860,3 +860,145 @@ class TestMultiClauseMerge:
         after = set(commit.member_files(host, path))
         assert 1 <= st.files_rewritten < st.files_total
         assert len(before & after) == st.files_total - st.files_rewritten
+
+class TestNotMatchedBySource:
+    """r17: the third Delta clause family — WHEN NOT MATCHED BY
+    SOURCE [AND cond] THEN UPDATE SET col = expr | DELETE, applied to
+    target rows with NO source match. File posture: the affected set
+    widens to each condition's stats envelope (whole member when
+    unbounded); guards widen identically."""
+
+    SCHEMA3 = "k long, v double, note string"
+
+    def _fx(self, spark, tmp_path, name="t"):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / name)
+        df = spark.createDataFrame(
+            [(i, float(i), "keep") for i in range(1, 9)], self.SCHEMA3
+        ).repartitionByRange(4, "k").sortWithinPartitions("k")
+        commit.rewrite_files(
+            host, path, [],
+            lambda tmp: df.write.mode("overwrite").parquet(tmp),
+        )
+        src = spark.createDataFrame(
+            [(3, 30.0, "up"), (20, 200.0, "new")], self.SCHEMA3
+        )
+        return host, commit, path, src
+
+    WANT = {
+        3: (30.0, "up"), 4: (4.0, "stale"), 5: (5.0, "stale"),
+        6: (6.0, "keep"), 7: (7.0, "keep"), 8: (8.0, "keep"),
+        20: (200.0, "new"),
+    }
+
+    def _state(self, host, commit, path):
+        return {
+            r.k: (r.v, r.note)
+            for r in commit.read_table(host, path).collect()
+        }
+
+    def _sync_merge(self, host, commit, path, src, **kw):
+        return merge_into(
+            host, path, src, ["k"], commit=commit,
+            when_matched="update",
+            not_matched_by_source=[
+                ("delete", "t.k <= 2"),
+                ("update", {"note": "'stale'"}, "t.k <= 5"),
+            ],
+            **kw,
+        )
+
+    def test_sync_merge_matches_duckdb(self, spark, tmp_path):
+        import duckdb
+
+        host, commit, path, src = self._fx(spark, tmp_path)
+        self._sync_merge(host, commit, path, src)
+        got = self._state(host, commit, path)
+        want = duckdb.connect().execute(
+            """
+            WITH tgt AS (SELECT k, CAST(k AS DOUBLE) v, 'keep' note
+                         FROM range(1, 9) t(k)),
+                 src(k, v, note) AS (VALUES (3, 30.0, 'up'),
+                                            (20, 200.0, 'new'))
+            SELECT t.k,
+                   CASE WHEN s.k IS NOT NULL THEN s.v ELSE t.v END v,
+                   CASE WHEN s.k IS NOT NULL THEN s.note
+                        WHEN t.k <= 5 THEN 'stale'
+                        ELSE t.note END note
+            FROM tgt t LEFT JOIN src s USING (k)
+            WHERE NOT (s.k IS NULL AND t.k <= 2)
+            UNION ALL
+            SELECT s.k, s.v, s.note FROM src s
+            WHERE s.k NOT IN (SELECT k FROM tgt)
+            """
+        ).fetchall()
+        assert got == {k: (v, n) for k, v, n in want}
+        assert got == self.WANT
+
+    def test_dv_mode_equivalent(self, spark, tmp_path):
+        host, commit, path, src = self._fx(spark, tmp_path)
+        self._sync_merge(host, commit, path, src, mode="dv")
+        assert self._state(host, commit, path) == self.WANT
+
+    def test_empty_source_sync_deletions(self, spark, tmp_path):
+        """The Delta sync shape: empty source + unconditional BY
+        SOURCE DELETE erases everything."""
+        host, commit, path, _ = self._fx(spark, tmp_path)
+        empty = spark.createDataFrame([], self.SCHEMA3)
+        merge_into(
+            host, path, empty, ["k"], commit=commit,
+            when_matched=None, insert_unmatched=False,
+            not_matched_by_source=[("delete",)],
+        )
+        assert (
+            commit.read_table(host, path, self.SCHEMA3).count() == 0
+        )
+
+    def test_bounded_condition_prunes_files(self, spark, tmp_path):
+        """A by-source condition with a stats envelope widens the
+        affected set only to in-band files — out-of-band files are
+        carried forward byte-untouched."""
+        host, commit, path, src = self._fx(spark, tmp_path)
+        before = set(commit.member_files(host, path))
+        st = merge_into(
+            host, path, src.where("k = 3"), ["k"], commit=commit,
+            when_matched="update", insert_unmatched=False,
+            not_matched_by_source=[("delete", "t.k <= 2")],
+        )
+        after = set(commit.member_files(host, path))
+        assert 1 <= st.files_rewritten < st.files_total
+        assert len(before & after) == st.files_total - st.files_rewritten
+        assert {
+            r.k for r in commit.read_table(host, path).collect()
+        } == {3, 4, 5, 6, 7, 8}
+
+    def test_by_source_cdf_replays(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.changefeed import mirror_changes
+
+        host, commit, path, src = self._fx(spark, tmp_path)
+        dst = str(tmp_path / "dst")
+        mirror_changes(host, path, dst, keys=["k"], commit=commit)
+        self._sync_merge(host, commit, path, src)
+        m = mirror_changes(host, path, dst, keys=["k"], commit=commit)
+        assert m.mode == "row-incremental"
+        assert self._state(host, commit, dst) == self.WANT
+
+    def test_validation(self, spark, tmp_path):
+        host, commit, path, src = self._fx(spark, tmp_path)
+        cases = [
+            # source-alias reference in a by-source condition
+            dict(not_matched_by_source=[("delete", "s.v > 0")]),
+            # source-alias reference in a by-source SET expression
+            dict(not_matched_by_source=[("update", {"v": "s.v"})]),
+            # '*' sets by source
+            dict(not_matched_by_source=[("update", "*")]),
+            # non-last unconditional by-source clause
+            dict(
+                not_matched_by_source=[
+                    ("delete",), ("update", {"v": "t.v"}),
+                ]
+            ),
+        ]
+        for kw in cases:
+            with pytest.raises(ValidationError):
+                merge_into(host, path, src, ["k"], commit=commit, **kw)

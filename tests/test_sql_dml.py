@@ -746,9 +746,11 @@ class TestMultiClauseMergeFacade:
              "ON t.id = s.id WHEN MATCHED AND CASE WHEN s.v > 0 "
              "THEN true END THEN DELETE",
              "parenthesize"),
-            # BY SOURCE form
+            # MATCHED BY SOURCE is not a clause form (NOT MATCHED
+            # BY SOURCE became a FEATURE later in r17 — see
+            # TestBySourceAndInsertFacade)
             (f"MERGE INTO '{path}' AS t USING ref_src AS s "
-             "ON t.id = s.id WHEN NOT MATCHED BY SOURCE THEN DELETE",
+             "ON t.id = s.id WHEN MATCHED BY SOURCE THEN DELETE",
              "BY SOURCE"),
             # two NOT MATCHED clauses
             (f"MERGE INTO '{path}' AS t USING ref_src AS s "
@@ -1163,3 +1165,122 @@ class TestScopedOptimize:
         assert st.compacted_files == 8
         rows = sorted(r.id for r in commit.read_table(host, path).collect())
         assert rows == list(range(80))
+
+class TestBySourceAndInsertFacade:
+    """r17 capabilities beyond the verdict list: WHEN NOT MATCHED BY
+    SOURCE through ``sql()``, INSERT INTO/OVERWRITE, DESCRIBE
+    DETAIL."""
+
+    def test_by_source_sync_matches_duckdb(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        spark.createDataFrame(
+            [(2, 999, "up"), (100, 5, "new")], SCHEMA
+        ).createOrReplaceTempView("bs_sync")
+        sql(
+            spark,
+            f"""MERGE INTO '{path}' AS t USING bs_sync AS s
+            ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND t.id < 5 THEN DELETE
+            WHEN NOT MATCHED BY SOURCE AND t.id < 10
+              THEN UPDATE SET tag = 'stale'""",
+        )
+        want = _duck([
+            "UPDATE t SET v = 999, tag = 'up' WHERE id = 2",
+            "INSERT INTO t VALUES (100, 5, 'new')",
+            "DELETE FROM t WHERE id < 5 AND id NOT IN (2, 100)",
+            "UPDATE t SET tag = 'stale' "
+            "WHERE id < 10 AND id NOT IN (2, 100)",
+        ])
+        assert _table(commit, host, path) == want
+
+    def test_empty_source_wipe_through_sql(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        spark.createDataFrame([], SCHEMA).createOrReplaceTempView(
+            "bs_empty"
+        )
+        sql(
+            spark,
+            f"""MERGE INTO '{path}' AS t USING bs_empty AS s
+            ON t.id = s.id
+            WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+        )
+        assert commit.read_table(host, path, SCHEMA).count() == 0
+
+    def test_by_source_refusals(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        spark.createDataFrame([(1, 1, "a")], SCHEMA) \
+            .createOrReplaceTempView("bs_ref")
+        with pytest.raises(ValidationError, match="no source row"):
+            sql(
+                spark,
+                f"MERGE INTO '{path}' AS t USING bs_ref AS s "
+                "ON t.id = s.id "
+                "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
+            )
+        with pytest.raises(
+            ValidationError, match="source alias"
+        ):
+            sql(
+                spark,
+                f"MERGE INTO '{path}' AS t USING bs_ref AS s "
+                "ON t.id = s.id "
+                "WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE",
+            )
+        with pytest.raises(ValidationError, match="BY SOURCE"):
+            sql(
+                spark,
+                f"MERGE INTO '{path}' AS t USING bs_ref AS s "
+                "ON t.id = s.id WHEN MATCHED BY SOURCE THEN DELETE",
+            )
+
+    def test_insert_into_matches_duckdb(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        st = sql(
+            spark,
+            f"INSERT INTO '{path}' VALUES (100, 1, 'a'), "
+            "(101, 2, 'b')",
+        ).first()
+        assert st.num_inserted_rows == 2
+        sql(
+            spark,
+            f"INSERT INTO '{path}' "
+            "SELECT id + 200 AS id, v, tag FROM "
+            f"(SELECT * FROM VALUES (1, 9, 'c') AS x(id, v, tag))",
+        )
+        assert _table(commit, host, path) == _duck([
+            "INSERT INTO t VALUES (100, 1, 'a'), (101, 2, 'b')",
+            "INSERT INTO t VALUES (201, 9, 'c')",
+        ])
+
+    def test_insert_overwrite_swaps(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        sql(
+            spark,
+            f"INSERT OVERWRITE '{path}' "
+            "SELECT 1 AS id, 2 AS v, 'only' AS tag",
+        )
+        assert _table(commit, host, path) == [(1, 2, "only")]
+        # the overwrite is itself a version: the old state is
+        # still time-travelable
+        assert commit.read_table(
+            host, path, version=v0
+        ).count() == len(ROWS)
+
+    def test_describe_detail(self, spark, tmp_path):
+        import json
+
+        host, commit, path = _fx(spark, tmp_path)
+        sql(
+            spark,
+            f"ALTER TABLE '{path}' ADD CONSTRAINT v_big "
+            "CHECK (v >= 0)",
+        )
+        d = sql(spark, f"DESCRIBE DETAIL '{path}'").first()
+        assert d.format == "rlts-manifest"
+        assert d.num_rows == len(ROWS)
+        assert d.num_files == len(commit.member_files(host, path))
+        assert json.loads(d.constraints) == ["v_big"]
+        assert d.version == commit.table_versions(host, path)[-1]
