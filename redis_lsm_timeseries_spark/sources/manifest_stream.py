@@ -1621,36 +1621,58 @@ class ManifestArrowWriter(DataSourceArrowWriter):
             _os.makedirs(self.base, exist_ok=True)
             pq.write_table(tbl, f"{self.base}/{rel}")
             return _WrittenFiles([rel])
-        # hive-partitioned member (r16): split THIS task's rows by
-        # their partition values and land one file per (task,
-        # partition) under the member's hive directories — partition
-        # columns live in the path only (the layout contract), and
-        # the driver's path-segment stats make the read-back prune.
-        # O(distinct partitions in this task) filter passes, each a
-        # vectorized Arrow kernel — no per-row Python.
+        # hive-partitioned member (r16; sort-then-slice r17, VERDICT
+        # r16 minor note): split THIS task's rows by their partition
+        # values and land one file per (task, partition) under the
+        # member's hive directories — partition columns live in the
+        # path only (the layout contract), and the driver's
+        # path-segment stats make the read-back prune. ONE sort on
+        # the partition columns + zero-copy slices at the run
+        # boundaries: linear in rows regardless of how many distinct
+        # partitions a task holds (the prior per-combo filter pass
+        # was O(partitions x rows)).
+        import numpy as np
         import pyarrow.compute as pc
 
-        combos = tbl.group_by(self.part_phys).aggregate([]).to_pylist()
         keep = [
             n for n in tbl.schema.names
             if n not in set(self.part_phys)
         ]
+        if tbl.num_rows == 0:
+            return _WrittenFiles([])
+        stbl = tbl.take(
+            pc.sort_indices(
+                tbl,
+                sort_keys=[(c, "ascending") for c in self.part_phys],
+                null_placement="at_end",
+            )
+        )
+        n = stbl.num_rows
+        # run boundaries: row i starts a new partition when any
+        # partition column differs from row i-1 (null-safe: a
+        # null-vs-value flip counts, null-vs-null does not)
+        change = np.zeros(max(0, n - 1), dtype=bool)
+        for c in self.part_phys:
+            col = stbl.column(c).combine_chunks()
+            a, b = col.slice(0, n - 1), col.slice(1)
+            neq = pc.fill_null(pc.not_equal(a, b), False)
+            flip = pc.not_equal(pc.is_null(a), pc.is_null(b))
+            change |= pc.or_(neq, flip).to_numpy(
+                zero_copy_only=False
+            )
+        starts = [0] + (np.nonzero(change)[0] + 1).tolist() + [n]
         rels = []
-        for combo in combos:
-            mask = None
-            for c in self.part_phys:
-                v = combo[c]
-                col = tbl.column(c)
-                m = pc.is_null(col) if v is None else pc.equal(col, v)
-                mask = m if mask is None else pc.and_kleene(mask, m)
-            sub = tbl.filter(pc.fill_null(mask, False)).select(keep)
+        for off, end in zip(starts[:-1], starts[1:]):
             segs = "/".join(
-                f"{c}={_hive_segment_value(combo[c])}"
+                f"{c}={_hive_segment_value(stbl.column(c)[off].as_py())}"
                 for c in self.part_phys
             )
             rel = f"{segs}/{self.token}-w{uuid.uuid4().hex[:12]}.parquet"
             _os.makedirs(f"{self.base}/{segs}", exist_ok=True)
-            pq.write_table(sub, f"{self.base}/{rel}")
+            pq.write_table(
+                stbl.slice(off, end - off).select(keep),
+                f"{self.base}/{rel}",
+            )
             rels.append(rel)
         return _WrittenFiles(rels)
 
