@@ -726,8 +726,10 @@ class ManifestStreamReader(DataSourceStreamReader):
         self._ratchet = (out, None)
         return {"version": out}
 
-    #: partitions() can slice INSIDE one version's file list (the
-    #: change-feed subclass cannot — its versions are semantic units)
+    #: partitions() can slice INSIDE one version's file list (since
+    #: r17 the change-feed subclass does too — Delta-style file-
+    #: granular CDF batches; its index domain is the change-batch
+    #: file order instead of the added-file order)
     _splittable = True
 
     @staticmethod
@@ -888,51 +890,81 @@ class ChangeFeedStreamReader(ManifestStreamReader):
     plus the (tiny, self-expiring) change files; rows travel as Arrow
     batches.
 
-    ``maxFilesPerTrigger``/``maxBytesPerTrigger`` apply at VERSION
-    granularity here (``_splittable = False``): one commit's change
-    rows are a semantic unit a mirror consumer must see whole, so the
-    caps stop BEFORE the version that would exceed them (always at
-    least one version per batch) and never emit a partial ``index``."""
+    ``maxFilesPerTrigger``/``maxBytesPerTrigger`` split at FILE
+    granularity (r17, the Delta behavior — through r16 this reader
+    capped at whole versions): one mega-merge's change files drain
+    across several bounded micro-batches, with the same optional
+    ``index``-bearing offsets as the append reader, so a checkpointed
+    resume lands mid-version exactly-once. Change rows of a single
+    version may therefore straddle micro-batches WHEN A CAP IS SET —
+    safe for the keyed mirror (rows apply idempotently per key and
+    file order within a version follows the log, so batch order IS
+    log order), but a consumer doing its own per-VERSION bookkeeping
+    should leave the caps unset (uncapped batches still end on
+    version boundaries; ``maxVersionsPerTrigger`` also never splits
+    one)."""
 
-    _splittable = False
-
-    def _cap_plan(self, since: int, to: int):
+    def _version_file_plan(self, since: int, to: int):
+        """``[(version, base, consts, [relpath, ...])]`` — one entry
+        per change batch in log order. The per-version concatenation
+        of these file lists is THE index domain for ``(version,
+        index)`` offsets: ``_cap_plan`` and ``partitions`` both
+        derive from it, keeping cap walks and slice replays aligned
+        across planner restarts (the lists come from log JSON, so
+        the order is stable)."""
         commit = self._meta.commit
-        by_v: dict = {}
-        for v, member, files, _kind in self._meta.change_batches(
+        out = []
+        for v, member, files, kind in self._meta.change_batches(
             since, to
         ):
             base = commit._member_root(self._meta.root, member)
+            consts = {CDF_VERSION: int(v)}
+            if kind == "insert":
+                consts[CDF_TYPE] = "insert"
+            out.append((v, base, consts, list(files)))
+        return out
+
+    def _cap_plan(self, since: int, to: int):
+        by_v: dict = {}
+        for v, base, _c, files in self._version_file_plan(since, to):
             by_v.setdefault(v, []).extend(
                 f"{base}/{rel}" for rel in files
             )
         return sorted(by_v.items())
 
     def partitions(self, start: dict, end: dict):
-        s, e = int(start["version"]), int(end["version"])
-        if self._ratchet is None or self._okey(
-            (e, None)
-        ) > self._okey(self._ratchet):
-            self._ratchet = (e, None)
-        if e <= s:
+        s, e = self._off(start), self._off(end)
+        if self._ratchet is None or self._okey(e) > self._okey(
+            self._ratchet
+        ):
+            self._ratchet = e  # restart replay: resume capping from it
+        if self._okey(e) <= self._okey(s):
             return []
-        batches = self._meta.change_batches(s, e)
-        if not batches:
+        s_v, s_i = s
+        e_v, e_i = e
+        since = s_v - 1 if s_i is not None else s_v
+        plan = self._version_file_plan(since, e_v)
+        if not plan:
             return []
         smeta = self._meta.schema_meta()
         schema_json = self.schema.json()
         n = self.files_per_partition
-        commit = self._meta.commit
         out = []
-        for v, member, files, kind in batches:
-            base = commit._member_root(self._meta.root, member)
-            consts = {CDF_VERSION: int(v)}
-            if kind == "insert":
-                consts[CDF_TYPE] = "insert"
-            for i in range(0, len(files), n):
+        pos: dict[int, int] = {}  # files of v already walked (index base)
+        for v, base, consts, files in plan:
+            off0 = pos.get(v, 0)
+            pos[v] = off0 + len(files)
+            lo_g = s_i if (v == s_v and s_i is not None) else 0
+            hi_g = (
+                e_i if (v == e_v and e_i is not None) else pos[v]
+            )
+            lo = max(0, lo_g - off0)
+            hi = max(0, min(len(files), hi_g - off0))
+            sl = files[lo:hi]
+            for i in range(0, len(sl), n):
                 out.append(
                     _FilesPartition(
-                        base, files[i : i + n], smeta, schema_json,
+                        base, sl[i : i + n], smeta, schema_json,
                         consts=consts,
                     )
                 )
