@@ -880,8 +880,9 @@ FROM (VALUES (1000001, 'inserted', 2.25),
 )
 def sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE + DELETE + IN-list DELETE + multi-clause MERGE +
-    by-source MERGE + INSERT through the ``sql()`` facade on a
-    throwaway manifest table; returns the final state. Registered
+    by-source MERGE + INSERT + CTAS + SELECT-over-path through the
+    ``sql()`` facade on a throwaway manifest table; returns the final
+    state (read back via the query front door's rewrite). Registered
     r17 (VERDICT r16 #7 — the facade earns a driver hash row); the
     slot came from retiring
     ``multimodal_binary_metadata`` to ``UNREGISTERED_ORACLES`` (its
@@ -956,8 +957,18 @@ def sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"INSERT INTO '{path}' VALUES "
             "(1000001, 'inserted', 2.25), (1000002, 'inserted', 3.5)",
         )
-        out = commit.read_table(host, path).select(
-            "event_id", "event_type", "value"
+        # r17: the query front door closes the loop — CTAS the final
+        # state into a second manifest table and read it back through
+        # sql()'s SELECT rewrite, so the driver hash row certifies
+        # CREATE TABLE AS + SELECT-over-path alongside the DML chain
+        sql(
+            spark,
+            f"CREATE TABLE `{base_dir}/out` AS "
+            f"SELECT event_id, event_type, value FROM `{path}`",
+        )
+        out = sql(
+            spark,
+            f"SELECT event_id, event_type, value FROM `{base_dir}/out`",
         )
         return out.localCheckpoint(eager=True)  # outlives the rmtree
     finally:

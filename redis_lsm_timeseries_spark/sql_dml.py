@@ -9,20 +9,37 @@ Spark's Python DataSource API cannot register DSv2 catalog tables, so
 these statements cannot reach ``spark.sql`` natively; this facade is
 the documented bridge. The TARGET is always a quoted manifest path
 (backticks or single quotes) — the same string every engine API
-takes. QUERY-side SQL needs no facade: register the table as a temp
-view (``read_table(...).createOrReplaceTempView``) and use
-``spark.sql`` directly.
+takes.
+
+QUERY-side SQL goes through the same front door (r17): a statement
+beginning with ``SELECT`` / ``WITH`` / ``TABLE`` is rewritten —
+every backtick-quoted manifest path becomes a temp view over
+``read_table``, with Delta's ``VERSION AS OF <n>`` / ``TIMESTAMP AS
+OF <ts>`` time travel honored per reference — and delegated to
+``spark.sql``, so joins, CTEs and subqueries over manifest tables
+plan natively. The same rewrite applies inside INSERT source
+queries, CTAS, and MERGE ``USING`` clauses (``INSERT INTO `/t`
+SELECT * FROM `/t` VERSION AS OF 3`` is the snapshot-copy idiom).
 
 Grammar (case-insensitive keywords; anything outside it refuses loudly
 with the Python API named):
 
+- ``SELECT ... FROM `/path` [VERSION AS OF n | TIMESTAMP AS OF ts]
+  [AS alias] ...`` (and any WITH/TABLE-headed query) — full Spark
+  SQL over rewritten views
 - ``DESCRIBE HISTORY `/path/to/table``` and ``DESCRIBE DETAIL
   `/path``` (one-row table metadata computed from the log alone —
   version, live rows, files, partition columns, constraints)
+- ``CREATE [OR REPLACE] TABLE `/path` AS <query>`` (CTAS: the
+  append IS the creating commit; OR REPLACE swaps atomically and is
+  itself time-travelable)
 - ``INSERT INTO `/path` <SELECT ...|VALUES ...|TABLE v|WITH ...>``
   (atomic append; SELECT binds by NAME, VALUES by POSITION) and
   ``INSERT OVERWRITE `/path` <query>`` (atomic whole-member swap)
-- ``VACUUM `/path``` and ``OPTIMIZE `/path` [WHERE <pred>]
+- ``VACUUM `/path` [RETAIN <n> HOURS] [DRY RUN]`` (RETAIN maps to
+  the grace window for unreferenced files; DRY RUN reports the
+  read-only ``vacuum_report`` sweep without deleting anything) and
+  ``OPTIMIZE `/path` [WHERE <pred>]
   [ZORDER BY col, ...]`` — the WHERE (r17, Delta's predicate-scoped
   optimize) bounds compaction/clustering to files whose stats may
   overlap the predicate's envelope, so maintenance is schedulable
@@ -146,6 +163,74 @@ def _split_where(text: str) -> tuple[str, str | None]:
         return text.strip(), None
     s, e = span
     return text[:s].strip(), text[e:].strip()
+
+
+_ASOF_RE = re.compile(
+    r"(?is)\s+(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"(?P<val>'[^']*'|\"[^\"]*\"|\S+)"
+)
+
+
+def resolve_query(spark_or_host, query: str, commit=None) -> str:
+    """Rewrite every backtick-quoted MANIFEST PATH in ``query`` (any
+    backtick span containing a ``/`` — plain backtick identifiers
+    never do) into a registered temp view over ``read_table``, and
+    return the rewritten text ready for ``spark.sql``. A path may be
+    followed by ``VERSION AS OF <n>`` or ``TIMESTAMP AS OF <epoch-ms
+    | 'ISO datetime'>`` (resolved via ``resolve_version_asof``, naive
+    datetimes UTC) — the Delta time-travel SQL idiom; the suffix is
+    consumed into the view. Spans inside string literals are never
+    touched (the shared tokenizer skips them). View names are
+    deterministic per (path, version), so repeated queries reuse
+    one registration."""
+    import hashlib
+
+    from redis_lsm_timeseries_spark.commit import ManifestCommit
+    from redis_lsm_timeseries_spark.sqltext import iter_quoted_spans
+
+    host = _host_of(spark_or_host)
+    commit = commit if commit is not None else ManifestCommit()
+    out: list[str] = []
+    last = 0
+    for start, end, content in iter_quoted_spans(query, "`"):
+        if "/" not in content:
+            continue  # backtick IDENTIFIER (a column name), not a path
+        version = None
+        am = _ASOF_RE.match(query, end)
+        if am:
+            val = am.group("val").rstrip(",;)")
+            if am.group("kind").upper() == "VERSION":
+                if not re.fullmatch(r"\d+", val):
+                    raise ValidationError(
+                        f"sql query: VERSION AS OF takes an integer "
+                        f"version, got {val!r}"
+                    )
+                version = int(val)
+            else:
+                version = commit.resolve_version_asof(
+                    host, content, _parse_ts_ms(val)
+                )
+            # trailing punctuation (a subquery's ')' the \S+ grabbed)
+            # stays in the statement text
+            end = am.end() - (len(am.group("val")) - len(val))
+        if version is not None and commit._resolve(
+            host, content
+        ) is None:
+            raise ValidationError(
+                f"sql query: {content!r} is not a manifest-managed "
+                "table — AS OF time travel needs the commit log"
+            )
+        df = commit.read_table(host, content, version=version)
+        tag = hashlib.md5(
+            f"{content}@{version}".encode()
+        ).hexdigest()[:10]
+        view = f"rlts_q_{tag}"
+        df.createOrReplaceTempView(view)
+        out.append(query[last:start])
+        out.append(view)
+        last = end
+    out.append(query[last:])
+    return "".join(out)
 
 
 def _parse_on_keys(cond: str) -> list[str]:
@@ -359,6 +444,41 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
     commit = commit if commit is not None else ManifestCommit()
     stmt = statement.strip().rstrip(";").strip()
 
+    # query front door (r17): SELECT/WITH/TABLE over backtick-quoted
+    # manifest paths, with Delta-style VERSION/TIMESTAMP AS OF time
+    # travel — rewritten to temp views over read_table, then delegated
+    # to spark.sql (joins, CTEs and subqueries all compose; Catalyst
+    # plans the rewritten text like any other query)
+    if re.match(r"(?is)^(SELECT|WITH|TABLE|VALUES)\b", stmt):
+        return spark.sql(resolve_query(host, stmt, commit=commit))
+
+    m = re.match(
+        rf"(?is)^CREATE\s+(?P<orr>OR\s+REPLACE\s+)?TABLE\s+{_PATH}"
+        r"\s+AS\s+(?P<q>.+)$",
+        stmt,
+    )
+    if m:
+        # CTAS: materialize the query as a NEW manifest table (the
+        # append IS the creating commit); CREATE OR REPLACE swaps an
+        # existing member atomically — itself a time-travelable
+        # version, the Delta REPLACE TABLE posture
+        path, q = _path_of(m), m.group("q").strip()
+        df = spark.sql(resolve_query(host, q, commit=commit))
+        exists = bool(commit.member_files(host, path))
+        if exists and not m.group("orr"):
+            raise ValidationError(
+                f"sql CREATE TABLE: {path!r} already exists — use "
+                "CREATE OR REPLACE TABLE to swap it atomically"
+            )
+        n = df.count()
+        if exists:
+            commit.replace_tables(host, path, {"": df})
+        else:
+            commit.append_tables(host, path, {"": df})
+        return spark.createDataFrame(
+            [(int(n),)], "num_inserted_rows long"
+        )
+
     m = re.match(
         rf"(?is)^RESTORE\s+TABLE\s+{_PATH}\s+TO\s+"
         r"(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+(?P<val>.+?)\s*$",
@@ -451,7 +571,12 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
             "CONSTRAINT n"
         )
 
-    m = re.match(rf"(?is)^VACUUM\s+{_PATH}\s*$", stmt)
+    m = re.match(
+        rf"(?is)^VACUUM\s+{_PATH}"
+        r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS?)?"
+        r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$",
+        stmt,
+    )
     if m:
         resolved = commit._resolve(host, _path_of(m))
         if resolved is None:
@@ -459,7 +584,30 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
                 f"sql VACUUM: {_path_of(m)!r} is not a "
                 "manifest-managed table"
             )
-        n = commit.vacuum(host, resolved[0])
+        # RETAIN n HOURS maps onto the grace window: unreferenced
+        # files younger than it survive this pass (version-count
+        # retention — the log horizon — stays at its configured
+        # default; this engine retains by VERSIONS, not wall time)
+        grace = (
+            float(m.group("hours")) * 3600.0
+            if m.group("hours") is not None
+            else None
+        )
+        if m.group("dry"):
+            rep = commit.vacuum_report(
+                host, resolved[0], grace_s=grace
+            )
+            return spark.createDataFrame(
+                [(
+                    int(rep["dead_files"]),
+                    int(rep["dead_in_grace"]),
+                    int(rep["live_files"]),
+                    int(rep["prunable_log_entries"]),
+                )],
+                "num_files_to_remove long, num_files_in_grace long, "
+                "num_live_files long, prunable_log_entries long",
+            )
+        n = commit.vacuum(host, resolved[0], grace_s=grace)
         return spark.createDataFrame(
             [(int(n),)], "num_files_removed long"
         )
@@ -521,7 +669,9 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
         from pyspark.sql import functions as F
 
         path, q = _path_of(m), m.group("q").strip()
-        df = spark.sql(q)
+        # source queries resolve manifest paths too (r17): INSERT INTO
+        # `/t` SELECT * FROM `/t` VERSION AS OF 3 is the snapshot-copy
+        df = spark.sql(resolve_query(host, q, commit=commit))
         is_values = bool(re.match(r"(?is)^\s*VALUES\b", q))
         managed = commit.member_files(host, path)
         if managed:
@@ -707,6 +857,9 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
                 "(expected <view|(subquery)> [AS] <alias>)"
             )
         src, sa = sm.group("src").strip(), sm.group("sa")
+        # USING may name a manifest path (optionally AS OF) or embed
+        # one in a subquery — the same front-door rewrite applies
+        src = resolve_query(host, src, commit=commit).strip()
         if src.startswith("("):
             source = spark.sql(src[1:-1])
         else:
@@ -734,11 +887,11 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
         )
 
     raise ValidationError(
-        "sql: statement outside the documented DML subset (MERGE "
-        "INTO / UPDATE / DELETE FROM / INSERT INTO|OVERWRITE / "
-        "ALTER TABLE / RESTORE TABLE / DESCRIBE HISTORY|DETAIL / "
-        "VACUUM / OPTIMIZE over a quoted manifest path). Query-side "
-        "SQL: register a temp view over read_table(...) and use "
-        "spark.sql. Other mutations: replace_range / delete_range / "
-        "overwrite_partitions via the Python API."
+        "sql: statement outside the documented subset (SELECT/WITH/"
+        "TABLE queries, MERGE INTO / UPDATE / DELETE FROM / INSERT "
+        "INTO|OVERWRITE / CREATE [OR REPLACE] TABLE AS / ALTER TABLE "
+        "/ RESTORE TABLE / DESCRIBE HISTORY|DETAIL / VACUUM / "
+        "OPTIMIZE over a quoted manifest path). Other mutations: "
+        "replace_range / delete_range / overwrite_partitions via the "
+        "Python API."
     )

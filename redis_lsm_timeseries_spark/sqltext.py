@@ -69,6 +69,42 @@ def mask_literals(text: str) -> str:
     return "".join(out)
 
 
+def iter_quoted_spans(
+    text: str, quote: str = "`"
+) -> Iterator[tuple[int, int, str]]:
+    """Yield ``(start, end, content)`` for every TOP-LEVEL span quoted
+    with ``quote`` — ``start``/``end`` bracket the span including the
+    quote characters, ``content`` is the unquoted inside (doubled
+    quotes collapsed). A span opened inside a DIFFERENT quote style
+    does not count: ``'a `b` c'`` yields nothing for backticks. The
+    facade's query front door uses this to find backtick-quoted
+    manifest paths in arbitrary statement text without ever matching
+    one inside a string literal."""
+    i, n = 0, len(text)
+    while i < n:
+        q = text[i]
+        if q not in _QUOTES:
+            i += 1
+            continue
+        start = i
+        i += 1
+        while i < n:
+            c = text[i]
+            if c == "\\" and q != "`" and i + 1 < n:
+                i += 2
+                continue
+            if c == q:
+                if i + 1 < n and text[i + 1] == q:
+                    i += 2
+                    continue
+                i += 1
+                break
+            i += 1
+        if q == quote:
+            inner = text[start + 1 : i - 1].replace(q + q, q)
+            yield (start, i, inner)
+
+
 def iter_keyword_spans(
     text: str,
     keywords: list[str],

@@ -235,8 +235,9 @@ class TestHistoryAndRefusals:
     def test_outside_subset_names_the_python_api(self, spark, tmp_path):
         with pytest.raises(ValidationError, match="Python API"):
             sql(spark, "TRUNCATE TABLE '/nope'")
-        with pytest.raises(ValidationError, match="temp view"):
-            sql(spark, "SELECT 1")
+        # SELECT stopped being a refusal in r17 — the query front
+        # door delegates it to spark.sql
+        assert sql(spark, "SELECT 1 AS one").first().one == 1
 
     def test_vacuum_and_optimize_statements(self, spark, tmp_path):
         host, commit, path = _fx(spark, tmp_path)
@@ -1284,3 +1285,183 @@ class TestBySourceAndInsertFacade:
         assert d.num_files == len(commit.member_files(host, path))
         assert json.loads(d.constraints) == ["v_big"]
         assert d.version == commit.table_versions(host, path)[-1]
+
+
+class TestQueryFrontDoor:
+    """r17: SELECT/WITH/TABLE statements through ``sql()`` — backtick
+    manifest paths rewrite to temp views over ``read_table`` with
+    Delta's VERSION/TIMESTAMP AS OF honored, CTAS creates/replaces
+    tables atomically, and the same rewrite reaches INSERT source
+    queries and MERGE USING clauses."""
+
+    def test_select_over_manifest_path(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        rows = sql(
+            spark,
+            f"SELECT id, v FROM `{path}` WHERE id < 3 ORDER BY id",
+        ).collect()
+        assert [(r.id, r.v) for r in rows] == [(0, 0), (1, 10), (2, 20)]
+
+    def test_select_version_as_of(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        sql(spark, f"DELETE FROM `{path}` WHERE id >= 10")
+        assert sql(spark, f"SELECT * FROM `{path}`").count() == 10
+        assert sql(
+            spark, f"SELECT * FROM `{path}` VERSION AS OF {v0}"
+        ).count() == len(ROWS)
+
+    def test_select_timestamp_as_of(self, spark, tmp_path):
+        import time as _t
+
+        host, commit, path = _fx(spark, tmp_path)
+        _t.sleep(0.05)
+        ts_mid = int(_t.time() * 1000)
+        _t.sleep(0.05)
+        sql(spark, f"DELETE FROM `{path}` WHERE id >= 10")
+        assert sql(
+            spark,
+            f"SELECT * FROM `{path}` TIMESTAMP AS OF {ts_mid}",
+        ).count() == len(ROWS)
+        # quoted ISO form parses too (UTC when naive)
+        from datetime import datetime, timezone
+
+        iso = datetime.fromtimestamp(
+            ts_mid / 1000, tz=timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S.%f")
+        assert sql(
+            spark,
+            f"SELECT * FROM `{path}` TIMESTAMP AS OF '{iso}'",
+        ).count() == len(ROWS)
+
+    def test_join_two_paths_and_literal_safety(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        commit.append_tables(
+            host, a,
+            {"": spark.createDataFrame(
+                [(1, "x"), (2, "y")], "id long, s string"
+            ).coalesce(1)},
+        )
+        commit.append_tables(
+            host, b,
+            {"": spark.createDataFrame(
+                [(1, 100), (3, 300)], "id long, n long"
+            ).coalesce(1)},
+        )
+        rows = sql(
+            spark,
+            f"SELECT l.id, l.s, r.n, '`{a}`' AS lit "
+            f"FROM `{a}` l JOIN `{b}` r ON l.id = r.id",
+        ).collect()
+        # the join resolved both paths; the backtick path INSIDE the
+        # string literal stayed a literal
+        assert [(r.id, r.s, r.n, r.lit) for r in rows] == [
+            (1, "x", 100, f"`{a}`")
+        ]
+
+    def test_with_cte_and_aggregate(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        r = sql(
+            spark,
+            f"WITH e AS (SELECT * FROM `{path}` WHERE tag = 'even') "
+            "SELECT count(*) AS c, sum(v) AS s FROM e",
+        ).first()
+        assert (r.c, r.s) == (20, sum(i * 10 for i in range(0, 40, 2)))
+
+    def test_ctas_and_or_replace(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        out = str(tmp_path / "ctas")
+        r = sql(
+            spark,
+            f"CREATE TABLE `{out}` AS "
+            f"SELECT id, v FROM `{path}` WHERE id < 5",
+        ).first()
+        assert r.num_inserted_rows == 5
+        assert sql(spark, f"SELECT * FROM `{out}`").count() == 5
+        with pytest.raises(ValidationError, match="already exists"):
+            sql(spark, f"CREATE TABLE `{out}` AS SELECT 1 AS x")
+        v0 = commit.table_versions(host, out)[-1]
+        sql(
+            spark,
+            f"CREATE OR REPLACE TABLE `{out}` AS "
+            f"SELECT id FROM `{path}` WHERE id >= 30",
+        )
+        assert sql(spark, f"SELECT * FROM `{out}`").count() == 10
+        # the replace is a version: old CTAS state time-travels
+        assert commit.read_table(host, out, version=v0).count() == 5
+
+    def test_insert_select_snapshot_copy(self, spark, tmp_path):
+        """INSERT INTO t SELECT FROM t VERSION AS OF n — the
+        snapshot-copy idiom the rewrite enables inside INSERT."""
+        host, commit, path = _fx(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        sql(spark, f"DELETE FROM `{path}` WHERE id >= 1")
+        assert sql(spark, f"SELECT * FROM `{path}`").count() == 1
+        r = sql(
+            spark,
+            f"INSERT INTO `{path}` SELECT * FROM `{path}` "
+            f"VERSION AS OF {v0} WHERE id >= 1",
+        ).first()
+        assert r.num_inserted_rows == len(ROWS) - 1
+        assert _table(commit, host, path) == sorted(ROWS)
+
+    def test_merge_using_manifest_path(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        src = str(tmp_path / "src")
+        commit.append_tables(
+            host, src,
+            {"": spark.createDataFrame(
+                [(0, 1111, "upd"), (99, 990, "new")], SCHEMA
+            ).coalesce(1)},
+        )
+        sql(
+            spark,
+            f"MERGE INTO `{path}` AS t USING `{src}` AS s "
+            "ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+        got = dict(
+            (r.id, (r.v, r.tag))
+            for r in commit.read_table(host, path).collect()
+        )
+        assert got[0] == (1111, "upd") and got[99] == (990, "new")
+
+    def test_vacuum_retain_and_dry_run(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "vac")
+        for i in range(13):
+            commit.replace_tables(
+                host, path,
+                {"": spark.createDataFrame(
+                    [(i, i)], "id long, v long"
+                ).coalesce(1)},
+            )
+        vs_seed = commit.table_versions(host, path)
+        rep = sql(
+            spark, f"VACUUM `{path}` RETAIN 0 HOURS DRY RUN"
+        ).first()
+        assert rep.num_files_to_remove > 0
+        # dry run deleted NOTHING: the current snapshot and the log
+        # are untouched
+        assert commit.read_table(host, path).count() == 1
+        assert commit.table_versions(host, path) == vs_seed
+        n = sql(
+            spark, f"VACUUM `{path}` RETAIN 0 HOURS"
+        ).first().num_files_removed
+        assert n == rep.num_files_to_remove
+        assert commit.read_table(host, path).count() == 1
+
+    def test_select_nonmanifest_asof_refuses(self, spark, tmp_path):
+        plain = str(tmp_path / "plain")
+        spark.createDataFrame(
+            [(1,)], "id long"
+        ).coalesce(1).write.parquet(plain)
+        # a plain parquet dir SELECTs fine (read_table falls back)...
+        assert sql(
+            spark, f"SELECT * FROM `{plain}`"
+        ).count() == 1
+        # ...but AS OF needs the commit log
+        with pytest.raises(ValidationError, match="manifest-managed"):
+            sql(spark, f"SELECT * FROM `{plain}` VERSION AS OF 0")
