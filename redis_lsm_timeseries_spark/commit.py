@@ -5300,6 +5300,105 @@ class ManifestCommit(ParquetLeaseCommit):
         self._commit(store, root, mutate)
         return len(files)
 
+    def clone_table(
+        self, store, src_path: str, dst_path: str,
+        version: int | None = None,
+    ) -> int:
+        """Delta's ``CREATE TABLE ... CLONE src [VERSION AS OF n]``
+        (r17): duplicate one manifest member's snapshot — current, or
+        a retained ``version`` — into a brand-new single-member table
+        at ``dst_path``, as ONE bootstrap commit in the clone's fresh
+        log. Semantically a DEEP clone (the clone references no
+        source file, so source and clone vacuum/mutate/retain fully
+        independently — the shallow-clone vacuum hazard is designed
+        out), at near-shallow cost: every file duplicates through
+        ``fs.link_or_copy`` — a hard link locally (O(0) bytes; safe
+        because data files are immutable and deletes only unlink),
+        server-side copy on an object store — so a 100 TB clone costs
+        O(files) metadata operations, no byte moves through compute.
+
+        What carries over, translated to the clone's root member:
+        the file list under identical relpaths, every per-file stats
+        block (data skipping works immediately), deletion-vector
+        blobs with their references intact (a DV'd snapshot clones
+        without materializing), the logical schema mapping
+        (rename/drop/widen/nested), and CHECK constraints. What does
+        NOT: commit history (the clone starts at version 0 — time
+        travel into pre-clone history happens on the SOURCE, Delta's
+        clone contract) and app-map consumer cursors (a feed cursor
+        names the source's history; following a clone would replay
+        or skip).
+
+        The reference has no snapshot or clone notion (``index.js``
+        serves live Redis state only); this is lakehouse-tier parity.
+        Returns the number of files cloned (data + DV blobs)."""
+        resolved = self._resolve(store, src_path)
+        if resolved is None:
+            raise ValidationError(
+                f"clone_table: source {src_path!r} is not "
+                "manifest-managed"
+            )
+        root, member = resolved
+        entry = self._load_entry(
+            store, src_path, root,
+            None if version is None else int(version),
+        )
+        files = list(entry["tables"].get(member, []))
+        stats = entry.get("stats", {}).get(member, {})
+        app = entry.get("app", {})
+        if self._resolve(store, dst_path) is not None:
+            raise ValidationError(
+                f"clone_table: {dst_path!r} already exists — clone "
+                "targets a fresh path"
+            )
+        if store.fs.exists(dst_path) and (
+            not store.fs.is_dir(dst_path)
+            or store.fs.listdir(dst_path)
+        ):
+            raise ValidationError(
+                f"clone_table: {dst_path!r} exists and is not an "
+                "empty directory"
+            )
+        # DV blobs referenced by the snapshot's stats ride along —
+        # same relpaths, so the copied blocks' references stay valid
+        blobs = sorted(
+            {
+                s["dv"]["path"]
+                for f in files
+                if (s := stats.get(f)) and s.get("dv")
+            }
+        )
+        src_base = self._member_root(root, member)
+        dst_base = self._member_root(dst_path, "")
+        store.fs.makedirs(f"{dst_path}/{LOG_DIR}")
+        for rel in list(files) + blobs:
+            dst_file = f"{dst_base}/{rel}"
+            store.fs.makedirs(dst_file.rsplit("/", 1)[0])
+            store.fs.link_or_copy(f"{src_base}/{rel}", dst_file)
+        app_meta = {}
+        smeta = app.get(self._schema_key(member))
+        if smeta:
+            app_meta[self._schema_key("")] = smeta
+        cons = app.get(self._constraint_key(member))
+        if cons:
+            app_meta[self._constraint_key("")] = cons
+
+        def mutate(t):
+            if t.get("", []):
+                raise RewriteConflictError(
+                    f"clone_table: {dst_path!r} gained files while "
+                    "cloning — clone targets a fresh path"
+                )
+            return {**t, "": files}
+
+        mutate.stats_add = {
+            "": {f: stats[f] for f in files if f in stats}
+        }
+        if app_meta:
+            mutate.app_meta = app_meta
+        self._commit(store, dst_path, mutate)
+        return len(files) + len(blobs)
+
     def member_file_stats(
         self, store, path: str, version: int | None = None
     ) -> dict | None:

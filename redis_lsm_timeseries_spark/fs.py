@@ -58,6 +58,23 @@ class StorageFilesystem:
         """Recursive delete; absent path is a no-op."""
         shutil.rmtree(path, ignore_errors=True)
 
+    def link_or_copy(self, src: str, dst: str) -> None:
+        """Duplicate one immutable file as cheaply as the store
+        allows (CLONE's primitive, r17). Locally a hard link — O(0)
+        bytes, safe because the engine never mutates a data file in
+        place and deletes only ever unlink one name — falling back to
+        a byte copy across filesystems; an object-store
+        implementation should use server-side copy (S3 CopyObject /
+        GCS rewrite), which moves no bytes through compute. A
+        pre-existing ``dst`` is an error (clone targets are fresh
+        paths)."""
+        try:
+            os.link(src, dst)
+        except OSError:
+            if os.path.exists(dst):
+                raise
+            shutil.copy2(src, dst)
+
     def rmdir_if_empty(self, path: str) -> bool:
         """Delete a directory only if empty (used to retire the L0
         root without racing a concurrent batch write). Returns True

@@ -33,6 +33,11 @@ with the Python API named):
 - ``CREATE [OR REPLACE] TABLE `/path` AS <query>`` (CTAS: the
   append IS the creating commit; OR REPLACE swaps atomically and is
   itself time-travelable)
+- ``CREATE TABLE `/dst` [DEEP] CLONE `/src` [VERSION AS OF n |
+  TIMESTAMP AS OF ts]`` (snapshot duplication: link-or-copy every
+  data file + DV blob, one bootstrap commit carrying stats, schema
+  mapping and constraints — deep semantics at near-shallow cost;
+  ``SHALLOW`` refuses with the rationale)
 - ``INSERT INTO `/path` <SELECT ...|VALUES ...|TABLE v|WITH ...>``
   (atomic append; SELECT binds by NAME, VALUES by POSITION) and
   ``INSERT OVERWRITE `/path` <query>`` (atomic whole-member swap)
@@ -95,6 +100,9 @@ from pyspark.sql import DataFrame
 from redis_lsm_timeseries_spark.errors import ValidationError
 
 _PATH = r"(?:`(?P<p1>[^`]+)`|'(?P<p2>[^']+)')"
+#: a second path operand in one statement (CLONE's source) — same
+#: shape, distinct group names
+_PATH2 = r"(?:`(?P<q1>[^`]+)`|'(?P<q2>[^']+)')"
 
 
 def _host_of(spark_or_host):
@@ -451,6 +459,46 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
     # plans the rewritten text like any other query)
     if re.match(r"(?is)^(SELECT|WITH|TABLE|VALUES)\b", stmt):
         return spark.sql(resolve_query(host, stmt, commit=commit))
+
+    m = re.match(
+        rf"(?is)^CREATE\s+TABLE\s+{_PATH}\s+"
+        rf"(?P<depth>SHALLOW\s+|DEEP\s+)?CLONE\s+{_PATH2}"
+        r"(?:\s+(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+        r"(?P<val>.+?))?\s*$",
+        stmt,
+    )
+    if m:
+        # CREATE TABLE dst [DEEP] CLONE src [VERSION AS OF n] (r17):
+        # snapshot duplication via link-or-copy + one bootstrap
+        # commit — see ManifestCommit.clone_table
+        dst = _path_of(m)
+        src = m.group("q1") or m.group("q2")
+        if (m.group("depth") or "").strip().upper() == "SHALLOW":
+            raise ValidationError(
+                "sql CLONE: this engine's clone is DEEP semantically "
+                "(the clone references no source file, so source and "
+                "clone vacuum/mutate independently) at shallow-like "
+                "cost (hard links locally, server-side copy on object "
+                "stores) — write CREATE TABLE ... [DEEP] CLONE ..."
+            )
+        version = None
+        if m.group("kind"):
+            val = m.group("val").strip()
+            if m.group("kind").upper() == "VERSION":
+                if not val.isdigit():
+                    raise ValidationError(
+                        f"sql CLONE: VERSION AS OF takes an integer "
+                        f"version, got {val!r}"
+                    )
+                version = int(val)
+            else:
+                version = commit.resolve_version_asof(
+                    host, src, _parse_ts_ms(val)
+                )
+        n = commit.clone_table(host, src, dst, version=version)
+        return spark.createDataFrame(
+            [(int(n),)], "num_cloned_files long"
+        )
 
     m = re.match(
         rf"(?is)^CREATE\s+(?P<orr>OR\s+REPLACE\s+)?TABLE\s+{_PATH}"

@@ -1465,3 +1465,133 @@ class TestQueryFrontDoor:
         # ...but AS OF needs the commit log
         with pytest.raises(ValidationError, match="manifest-managed"):
             sql(spark, f"SELECT * FROM `{plain}` VERSION AS OF 0")
+
+
+class TestClone:
+    """r17: CREATE TABLE dst [DEEP] CLONE src [VERSION AS OF n] —
+    snapshot duplication via fs.link_or_copy (hard links locally)
+    plus one bootstrap commit. Deep semantics: the clone references
+    no source file, so mutation/vacuum on either side never touches
+    the other; stats, DV references, schema mapping and constraints
+    all carry over."""
+
+    def test_clone_current_is_zero_copy_and_equal(
+        self, spark, tmp_path
+    ):
+        import os
+
+        host, commit, path = _fx(spark, tmp_path)
+        dst = str(tmp_path / "c")
+        n = sql(
+            spark, f"CREATE TABLE `{dst}` CLONE `{path}`"
+        ).first().num_cloned_files
+        assert n == len(commit.member_files(host, path))
+        assert _table(commit, host, dst) == sorted(ROWS)
+        # hard-linked, not copied: same inode (zero bytes moved)
+        src_f = commit.member_files(host, path)[0]
+        dst_f = commit.member_files(host, dst)[0]
+        src_base = commit._member_root(path, "")
+        dst_base = commit._member_root(dst, "")
+        assert src_f in set(commit.member_files(host, dst))
+        assert os.stat(f"{src_base}/{src_f}").st_ino == os.stat(
+            f"{dst_base}/{src_f}"
+        ).st_ino
+        # stats carried: data skipping works immediately on the clone
+        st = commit.member_file_stats(host, dst)
+        assert st and all(s is not None for s in st.values())
+        # the clone's history starts fresh at one bootstrap commit
+        assert len(commit.table_versions(host, dst)) == 1
+
+    def test_clone_version_as_of(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        sql(spark, f"DELETE FROM `{path}` WHERE id >= 10")
+        dst = str(tmp_path / "old")
+        sql(
+            spark,
+            f"CREATE TABLE `{dst}` DEEP CLONE `{path}` "
+            f"VERSION AS OF {v0}",
+        )
+        assert _table(commit, host, dst) == sorted(ROWS)
+        assert commit.read_table(host, path).count() == 10
+
+    def test_clone_independence_and_vacuum_safety(
+        self, spark, tmp_path
+    ):
+        host, commit, path = _fx(spark, tmp_path)
+        dst = str(tmp_path / "ind")
+        sql(spark, f"CREATE TABLE `{dst}` CLONE `{path}`")
+        # mutate both sides independently
+        sql(spark, f"DELETE FROM `{path}` WHERE id < 20")
+        sql(spark, f"DELETE FROM `{dst}` WHERE id >= 20")
+        assert {r.id for r in commit.read_table(host, path).collect()} \
+            == set(range(20, 40))
+        assert {r.id for r in commit.read_table(host, dst).collect()} \
+            == set(range(20))
+        # aggressive vacuum of the SOURCE (collect everything
+        # unreferenced, no grace) leaves the clone fully readable —
+        # the shallow-clone hazard this design rules out
+        root, _ = commit._resolve(host, path)
+        commit.vacuum(host, root, retain_versions=1, grace_s=0)
+        assert {r.id for r in commit.read_table(host, dst).collect()} \
+            == set(range(20))
+
+    def test_clone_carries_dv_blobs(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.operators.merge import (
+            delete_rows,
+        )
+
+        host, commit, path = _fx(spark, tmp_path)
+        delete_rows(
+            host, path,
+            spark.createDataFrame([(3,), (7,)], "id long"),
+            ["id"], commit=commit, mode="dv",
+        )
+        dst = str(tmp_path / "dvc")
+        sql(spark, f"CREATE TABLE `{dst}` CLONE `{path}`")
+        assert {r.id for r in commit.read_table(host, dst).collect()} \
+            == set(range(40)) - {3, 7}
+        # blob is the clone's own: vacuuming the source away leaves
+        # the clone's DV mask working
+        root, _ = commit._resolve(host, path)
+        commit.vacuum(host, root, retain_versions=1, grace_s=0)
+        assert {r.id for r in commit.read_table(host, dst).collect()} \
+            == set(range(40)) - {3, 7}
+
+    def test_clone_carries_mapping_and_constraints(
+        self, spark, tmp_path
+    ):
+        host, commit, path = _fx(spark, tmp_path)
+        commit.rename_column(host, path, "v", "val")
+        sql(
+            spark,
+            f"ALTER TABLE `{path}` ADD CONSTRAINT pos CHECK (id >= 0)",
+        )
+        dst = str(tmp_path / "map")
+        sql(spark, f"CREATE TABLE `{dst}` CLONE `{path}`")
+        assert "val" in commit.read_table(host, dst).columns
+        assert set(commit.table_constraints(host, dst)) == {"pos"}
+        with pytest.raises(ValidationError, match="pos"):
+            commit.append_tables(
+                host, dst,
+                {"": spark.createDataFrame(
+                    [(-1, 0, "bad")], "id long, val long, tag string"
+                ).coalesce(1)},
+            )
+
+    def test_clone_refusals(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        dst = str(tmp_path / "r")
+        sql(spark, f"CREATE TABLE `{dst}` CLONE `{path}`")
+        with pytest.raises(ValidationError, match="already exists"):
+            sql(spark, f"CREATE TABLE `{dst}` CLONE `{path}`")
+        with pytest.raises(ValidationError, match="DEEP"):
+            sql(
+                spark,
+                f"CREATE TABLE `{tmp_path}/s` SHALLOW CLONE `{path}`",
+            )
+        with pytest.raises(ValidationError, match="manifest-managed"):
+            sql(
+                spark,
+                f"CREATE TABLE `{tmp_path}/x` CLONE `{tmp_path}/nope`",
+            )
