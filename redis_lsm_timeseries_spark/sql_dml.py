@@ -41,6 +41,11 @@ with the Python API named):
 - ``INSERT INTO `/path` <SELECT ...|VALUES ...|TABLE v|WITH ...>``
   (atomic append; SELECT binds by NAME, VALUES by POSITION) and
   ``INSERT OVERWRITE `/path` <query>`` (atomic whole-member swap)
+- ``COPY INTO `/path` FROM '/landing/dir' [FILEFORMAT = PARQUET|
+  JSON|CSV] [PATTERN = 'glob']`` (idempotent bulk-file ingest: loads
+  exactly the files not yet taken, cursor and rows in one CAS'd
+  commit — re-runs and races never double-load; see
+  ``operators/copy_into``)
 - ``VACUUM `/path` [RETAIN <n> HOURS] [DRY RUN]`` (RETAIN maps to
   the grace window for unreferenced files; DRY RUN reports the
   read-only ``vacuum_report`` sweep without deleting anything) and
@@ -706,6 +711,29 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
             [(st.compacted_files, st.clustered_files, st.vacuumed)],
             "compacted_files long, clustered_files long, "
             "vacuumed long",
+        )
+
+    m = re.match(
+        rf"(?is)^COPY\s+INTO\s+{_PATH}\s+FROM\s+{_PATH2}"
+        r"(?:\s+FILEFORMAT\s*=\s*(?P<fmt>\w+))?"
+        r"(?:\s+PATTERN\s*=\s*'(?P<pat>[^']*)')?\s*$",
+        stmt,
+    )
+    if m:
+        # idempotent bulk-file ingest (r17) — see operators/copy_into
+        from redis_lsm_timeseries_spark.operators.copy_into import (
+            copy_into,
+        )
+
+        st = copy_into(
+            host, _path_of(m), m.group("q1") or m.group("q2"),
+            file_format=(m.group("fmt") or "parquet"),
+            pattern=m.group("pat"), commit=commit,
+        )
+        return spark.createDataFrame(
+            [(st.files_loaded, st.rows_loaded, st.files_skipped)],
+            "num_files_loaded long, num_rows_loaded long, "
+            "num_files_skipped long",
         )
 
     m = re.match(
