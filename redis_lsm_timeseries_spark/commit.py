@@ -5382,6 +5382,13 @@ class ManifestCommit(ParquetLeaseCommit):
         cons = app.get(self._constraint_key(member))
         if cons:
             app_meta[self._constraint_key("")] = cons
+        # source properties carry over (the Delta CLONE contract),
+        # plus provenance keys a Delta user expects to find
+        app_meta[self._props_key("")] = {
+            **(app.get(self._props_key(member)) or {}),
+            "clone.source": src_path,
+            "clone.sourceVersion": str(entry.get("version")),
+        }
 
         def mutate(t):
             if t.get("", []):
@@ -5398,6 +5405,77 @@ class ManifestCommit(ParquetLeaseCommit):
             mutate.app_meta = app_meta
         self._commit(store, dst_path, mutate)
         return len(files) + len(blobs)
+
+    @staticmethod
+    def _props_key(member: str) -> str:
+        return f"__props__:{member}" if member else "__props__:"
+
+    def table_properties(
+        self, store, path: str, version: int | None = None
+    ) -> dict:
+        """User table properties (``{key: str value}``) — the Delta
+        TBLPROPERTIES surface on the app map (r17). Empty when none
+        or unmanaged. Versioned like everything else in the entry:
+        time travel sees each version's own properties."""
+        resolved = self._resolve(store, path)
+        if resolved is None:
+            return {}
+        root, member = resolved
+        entry = self._load_entry(store, path, root, version)
+        return dict(
+            entry.get("app", {}).get(self._props_key(member)) or {}
+        )
+
+    def set_table_properties(
+        self, store, path: str, props: dict
+    ) -> dict:
+        """Merge ``props`` (values coerced to str — the Delta
+        convention) into the member's properties in one metadata-only
+        commit, CAS'd on the map it planned against so two concurrent
+        setters never silently drop each other's keys. Returns the
+        resulting map."""
+        resolved = self._resolve(store, path)
+        if resolved is None:
+            raise ValidationError(
+                f"set_table_properties: {path!r} is not "
+                "manifest-managed"
+            )
+        root, member = resolved
+        key = self._props_key(member)
+        entry = self._load_entry(store, path, root, None)
+        cur = entry.get("app", {}).get(key)
+        new = {**(cur or {}), **{k: str(v) for k, v in props.items()}}
+        self.append_table_with_meta(
+            store, path, None, {key: new}, expected_app={key: cur}
+        )
+        return new
+
+    def unset_table_properties(
+        self, store, path: str, keys
+    ) -> dict:
+        """Remove ``keys`` from the member's properties (absent keys
+        are a no-op, the ``UNSET TBLPROPERTIES`` contract); same CAS
+        posture as the setter. Returns the resulting map."""
+        resolved = self._resolve(store, path)
+        if resolved is None:
+            raise ValidationError(
+                f"unset_table_properties: {path!r} is not "
+                "manifest-managed"
+            )
+        root, member = resolved
+        key = self._props_key(member)
+        entry = self._load_entry(store, path, root, None)
+        cur = entry.get("app", {}).get(key)
+        drop = set(keys)
+        new = {
+            k: v for k, v in (cur or {}).items() if k not in drop
+        }
+        if new == (cur or {}):
+            return new
+        self.append_table_with_meta(
+            store, path, None, {key: new}, expected_app={key: cur}
+        )
+        return new
 
     def member_file_stats(
         self, store, path: str, version: int | None = None

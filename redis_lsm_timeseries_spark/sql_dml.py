@@ -60,9 +60,14 @@ with the Python API named):
   datetimes are UTC, resolved via ``resolve_version_asof``)
 - ``ALTER TABLE `/path` RENAME COLUMN a TO b | DROP COLUMN a |
   ALTER COLUMN a TYPE long | ADD CONSTRAINT n CHECK (expr) |
-  DROP CONSTRAINT n`` (dotted nested paths included; ADD COLUMN
-  refuses toward the additive-append contract; ADD CONSTRAINT runs
-  the existing-data scan and the DuckDB dialect gate)
+  DROP CONSTRAINT n | SET TBLPROPERTIES ('k' = 'v', ...) |
+  UNSET TBLPROPERTIES ('k', ...)`` (dotted nested paths included;
+  ADD COLUMN refuses toward the additive-append contract; ADD
+  CONSTRAINT runs the existing-data scan and the DuckDB dialect
+  gate; property commits are metadata-only and CAS'd)
+- ``SHOW TBLPROPERTIES `/path``` (key/value rows; CLONE records
+  ``clone.source`` / ``clone.sourceVersion`` provenance here, and
+  DESCRIBE DETAIL carries the same map as a JSON column)
 - ``DELETE FROM `/path` WHERE <predicate>``
 - ``UPDATE `/path` SET col = expr[, ...] [WHERE <predicate>]``
 - ``MERGE INTO `/path` AS t USING <view|(subquery)> AS s
@@ -609,6 +614,47 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
         if am:
             commit.drop_constraint(host, path, am.group("name"))
             return spark.createDataFrame([(True,)], "ok boolean")
+        am = re.match(
+            r"(?is)^SET\s+TBLPROPERTIES\s*\((?P<kv>.+)\)\s*$", act
+        )
+        if am:
+            props = {}
+            for part in _split_top_level(am.group("kv")):
+                pm = re.fullmatch(
+                    r"(?s)\s*(?:'(?P<k1>[^']*)'|\"(?P<k2>[^\"]*)\")"
+                    r"\s*=\s*(?:'(?P<v1>[^']*)'|\"(?P<v2>[^\"]*)\")"
+                    r"\s*",
+                    part,
+                )
+                if not pm:
+                    raise ValidationError(
+                        f"sql ALTER TABLE: cannot parse TBLPROPERTIES "
+                        f"item {part!r} (expected 'key' = 'value')"
+                    )
+                props[
+                    pm.group("k1") or pm.group("k2") or ""
+                ] = pm.group("v1") if pm.group("v1") is not None \
+                    else pm.group("v2")
+            commit.set_table_properties(host, path, props)
+            return spark.createDataFrame([(True,)], "ok boolean")
+        am = re.match(
+            r"(?is)^UNSET\s+TBLPROPERTIES\s*\((?P<ks>.+)\)\s*$", act
+        )
+        if am:
+            keys = []
+            for part in _split_top_level(am.group("ks")):
+                pm = re.fullmatch(
+                    r"\s*(?:'([^']*)'|\"([^\"]*)\")\s*", part
+                )
+                if not pm:
+                    raise ValidationError(
+                        f"sql ALTER TABLE: cannot parse UNSET "
+                        f"TBLPROPERTIES item {part!r} "
+                        "(expected 'key')"
+                    )
+                keys.append(pm.group(1) or pm.group(2) or "")
+            commit.unset_table_properties(host, path, keys)
+            return spark.createDataFrame([(True,)], "ok boolean")
         if re.match(r"(?is)^ADD\s+COLUMN", act):
             raise ValidationError(
                 "sql ALTER TABLE: columns are additive by APPEND — "
@@ -798,6 +844,15 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
             [(int(n),)], "num_inserted_rows long"
         )
 
+    m = re.match(
+        rf"(?is)^SHOW\s+TBLPROPERTIES\s+{_PATH}\s*$", stmt
+    )
+    if m:
+        props = commit.table_properties(host, _path_of(m))
+        return spark.createDataFrame(
+            sorted(props.items()), "key string, value string"
+        )
+
     m = re.match(rf"(?is)^DESCRIBE\s+DETAIL\s+{_PATH}\s*$", stmt)
     if m:
         import json as _json
@@ -839,10 +894,15 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
                 rows,
                 _json.dumps(partition_cols_of(files)),
                 _json.dumps(sorted(cons)),
+                _json.dumps(
+                    commit.table_properties(host, path),
+                    sort_keys=True,
+                ),
             )],
             "format string, location string, version long, "
             "last_modified_ms long, num_files long, num_rows long, "
-            "partition_columns string, constraints string",
+            "partition_columns string, constraints string, "
+            "properties string",
         )
 
     m = re.match(rf"(?is)^DESCRIBE\s+HISTORY\s+{_PATH}\s*$", stmt)

@@ -1595,3 +1595,81 @@ class TestClone:
                 spark,
                 f"CREATE TABLE `{tmp_path}/x` CLONE `{tmp_path}/nope`",
             )
+
+
+class TestTableProperties:
+    """r17: TBLPROPERTIES — metadata-only CAS'd commits on the app
+    map, SHOW/DESCRIBE surfacing, versioned like any entry, and
+    clone provenance keys."""
+
+    def test_set_show_unset_roundtrip(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        sql(
+            spark,
+            f"ALTER TABLE `{path}` SET TBLPROPERTIES "
+            "('owner' = 'data-eng', 'pipeline.tier' = 'gold')",
+        )
+        rows = sql(
+            spark, f"SHOW TBLPROPERTIES `{path}`"
+        ).collect()
+        assert [(r.key, r.value) for r in rows] == [
+            ("owner", "data-eng"), ("pipeline.tier", "gold"),
+        ]
+        # merge, not replace
+        sql(
+            spark,
+            f"ALTER TABLE `{path}` SET TBLPROPERTIES "
+            "(\"owner\" = \"ml-infra\")",
+        )
+        assert commit.table_properties(host, path) == {
+            "owner": "ml-infra", "pipeline.tier": "gold",
+        }
+        sql(
+            spark,
+            f"ALTER TABLE `{path}` UNSET TBLPROPERTIES ('owner')",
+        )
+        assert commit.table_properties(host, path) == {
+            "pipeline.tier": "gold",
+        }
+        # empty map still answers (zero rows)
+        sql(
+            spark,
+            f"ALTER TABLE `{path}` UNSET TBLPROPERTIES "
+            "('pipeline.tier', 'never-set')",
+        )
+        assert sql(spark, f"SHOW TBLPROPERTIES `{path}`").count() == 0
+
+    def test_properties_are_versioned_and_in_detail(
+        self, spark, tmp_path
+    ):
+        import json
+
+        host, commit, path = _fx(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        sql(
+            spark,
+            f"ALTER TABLE `{path}` SET TBLPROPERTIES ('k' = '1')",
+        )
+        assert commit.table_properties(host, path, version=v0) == {}
+        d = sql(spark, f"DESCRIBE DETAIL `{path}`").first()
+        assert json.loads(d.properties) == {"k": "1"}
+        # a property commit is metadata-only: same file list
+        assert d.num_files == len(commit.member_files(host, path))
+
+    def test_clone_records_provenance_and_copies_props(
+        self, spark, tmp_path
+    ):
+        host, commit, path = _fx(spark, tmp_path)
+        sql(
+            spark,
+            f"ALTER TABLE `{path}` SET TBLPROPERTIES ('team' = 'x')",
+        )
+        v = commit.table_versions(host, path)[-1]
+        dst = str(tmp_path / "c")
+        sql(spark, f"CREATE TABLE `{dst}` CLONE `{path}`")
+        props = commit.table_properties(host, dst)
+        assert props == {
+            "team": "x",
+            "clone.source": path,
+            "clone.sourceVersion": str(v),
+        }
