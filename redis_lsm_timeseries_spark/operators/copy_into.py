@@ -174,7 +174,10 @@ def copy_into(
             ],
             *extras,  # additive evolution: new columns append through
         )
-    n_rows = df.count()
+    # rows-loaded comes from the commit's OWN per-file stats delta
+    # below (footer-derived during staging) — counting df here would
+    # read every new file twice, a real 2x at bulk-ingest scale
+    before = set(entry["tables"].get(member, []))
 
     new_paths = sorted(loaded | {f"{source_dir}/{r}" for r in fresh})
     side_rel = f"_copy/{uuid.uuid4().hex[:12]}.json"
@@ -201,4 +204,12 @@ def copy_into(
             host.fs.remove_file(f"{root}/{cur['sidecar']}")
         except OSError:
             pass
-    return CopyStats(len(fresh), int(n_rows), skipped)
+    # reporting only: an unrelated append landing in this tiny window
+    # would inflate the stat, never the data
+    after = commit.member_file_stats(host, path) or {}
+    n_rows = sum(
+        int((s or {}).get("rows") or 0)
+        for f, s in after.items()
+        if f not in before
+    )
+    return CopyStats(len(fresh), n_rows, skipped)
