@@ -5170,6 +5170,7 @@ class ManifestCommit(ParquetLeaseCommit):
                     entry = self._read_entry_raw(store, root, v, path)
                     if i > 0:
                         self._apply_entry(state, entry)
+                    delta = entry.get("delta")
                     out.append(
                         {
                             "version": v,
@@ -5179,6 +5180,31 @@ class ManifestCommit(ParquetLeaseCommit):
                                 for m, fs_ in state["tables"].items()
                             },
                             "app": dict(state["app"]),
+                            # r17 (DESCRIBE HISTORY operation column):
+                            # the entry's own change metadata + delta
+                            # shape; None counts = a full (non-delta)
+                            # entry
+                            "change": dict(entry.get("change") or {}),
+                            "n_added": (
+                                sum(
+                                    len(fs_)
+                                    for fs_ in delta.get(
+                                        "add", {}
+                                    ).values()
+                                )
+                                if delta is not None
+                                else None
+                            ),
+                            "n_removed": (
+                                sum(
+                                    len(fs_)
+                                    for fs_ in delta.get(
+                                        "remove", {}
+                                    ).values()
+                                )
+                                if delta is not None
+                                else None
+                            ),
                         }
                     )
                 return out

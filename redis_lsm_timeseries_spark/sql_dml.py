@@ -68,6 +68,11 @@ with the Python API named):
 - ``SHOW TBLPROPERTIES `/path``` (key/value rows; CLONE records
   ``clone.source`` / ``clone.sourceVersion`` provenance here, and
   DESCRIBE DETAIL carries the same map as a JSON column)
+- ``SHOW PARTITIONS `/path``` (distinct hive partition value rows
+  from the manifest's file list alone — no storage listing; refuses
+  on unpartitioned tables, the Spark contract) and ``ANALYZE TABLE
+  `/path` COMPUTE STATISTICS`` (backfills missing per-file skipping
+  stats via one ``restat`` commit — ``backfill_file_stats``)
 - ``DELETE FROM `/path` WHERE <predicate>``
 - ``UPDATE `/path` SET col = expr[, ...] [WHERE <predicate>]``
 - ``MERGE INTO `/path` AS t USING <view|(subquery)> AS s
@@ -909,18 +914,92 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
     if m:
         import json as _json
 
+        def _op(r):
+            # Delta-style operation label from the entry's own change
+            # metadata, falling back to the delta shape
+            kind = r.get("change", {}).get("kind")
+            if kind == "cdf":
+                return "ROW_DML"
+            if kind == "preserve":
+                return "MAINTENANCE"
+            if r.get("change", {}).get("restat"):
+                return "RESTAT"
+            add, rem = r.get("n_added"), r.get("n_removed")
+            if add is None:
+                return "CHECKPOINT"  # full (non-delta) entry
+            if rem:
+                return "REWRITE"
+            if add:
+                return "WRITE"
+            return "METADATA"
+
         rows = commit.version_history(host, _path_of(m))
         return spark.createDataFrame(
             [
                 (
                     int(r["version"]),
                     r.get("ts_ms"),
+                    _op(r),
                     int(sum(r.get("members", {}).values())),
                     _json.dumps(r.get("members", {}), sort_keys=True),
                 )
                 for r in reversed(rows)  # newest first, the Delta shape
             ],
-            "version long, ts_ms long, n_files long, members string",
+            "version long, ts_ms long, operation string, "
+            "n_files long, members string",
+        )
+
+    m = re.match(rf"(?is)^SHOW\s+PARTITIONS\s+{_PATH}\s*$", stmt)
+    if m:
+        from redis_lsm_timeseries_spark.operators.merge import (
+            partition_cols_of,
+        )
+        from redis_lsm_timeseries_spark.sources.manifest_stream import (
+            _hive_values,
+        )
+
+        path = _path_of(m)
+        files = commit.member_files(host, path)
+        if files is None:
+            raise ValidationError(
+                f"sql SHOW PARTITIONS: {path!r} is not a "
+                "manifest-managed table"
+            )
+        pcols = partition_cols_of(files or [])
+        if not pcols:
+            raise ValidationError(
+                f"sql SHOW PARTITIONS: {path!r} is not a "
+                "hive-partitioned table"
+            )
+        seen = set()
+        for f in files:
+            hv = _hive_values(f)
+            seen.add(
+                tuple(
+                    "__HIVE_DEFAULT_PARTITION__"
+                    if hv.get(c) is None
+                    else str(hv[c])
+                    for c in pcols
+                )
+            )
+        return spark.createDataFrame(
+            sorted(seen),
+            ", ".join(f"`{c}` string" for c in pcols),
+        )
+
+    m = re.match(
+        rf"(?is)^ANALYZE\s+TABLE\s+{_PATH}\s+COMPUTE\s+STATISTICS"
+        r"\s*$",
+        stmt,
+    )
+    if m:
+        from redis_lsm_timeseries_spark.maintenance import (
+            backfill_file_stats,
+        )
+
+        n = backfill_file_stats(host, _path_of(m), commit=commit)
+        return spark.createDataFrame(
+            [(int(n),)], "num_files_analyzed long"
         )
 
     m = re.match(

@@ -1673,3 +1673,82 @@ class TestTableProperties:
             "clone.source": path,
             "clone.sourceVersion": str(v),
         }
+
+
+class TestShowAnalyzeHistory:
+    """r17: SHOW PARTITIONS (manifest-only listing), ANALYZE TABLE
+    COMPUTE STATISTICS (restat backfill), and the DESCRIBE HISTORY
+    operation column."""
+
+    def test_show_partitions_from_manifest(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "p")
+        commit.append_partitioned(
+            host,
+            spark.createDataFrame(
+                [(1, "a"), (2, "b"), (3, "a")], "id long, tag string"
+            ),
+            path, ["tag"],
+        )
+        rows = sql(spark, f"SHOW PARTITIONS `{path}`").collect()
+        assert [r.tag for r in rows] == ["a", "b"]
+        # unpartitioned refuses (the Spark contract)
+        flat = str(tmp_path / "f")
+        commit.append_tables(
+            host, flat,
+            {"": spark.createDataFrame([(1,)], "id long").coalesce(1)},
+        )
+        with pytest.raises(ValidationError, match="partitioned"):
+            sql(spark, f"SHOW PARTITIONS `{flat}`")
+
+    def test_analyze_backfills_missing_stats(
+        self, spark, tmp_path, monkeypatch
+    ):
+        host, commit, path = _fx(spark, tmp_path)
+        # append one file with stats computation suppressed — the
+        # pre-stats-history shape ANALYZE exists for
+        monkeypatch.setattr(
+            ManifestCommit, "_file_stats",
+            lambda self, *a, **k: {},
+        )
+        commit.append_tables(
+            host, path,
+            {"": spark.createDataFrame(
+                [(100, 1, "x")], SCHEMA
+            ).coalesce(1)},
+        )
+        monkeypatch.undo()
+        missing = [
+            f
+            for f, s in commit.member_file_stats(host, path).items()
+            if s is None
+        ]
+        assert len(missing) == 1
+        n = sql(
+            spark, f"ANALYZE TABLE `{path}` COMPUTE STATISTICS"
+        ).first().num_files_analyzed
+        assert n == 1
+        blk = commit.member_file_stats(host, path)[missing[0]]
+        assert blk["rows"] is not None and blk["cols"]
+        # idempotent: nothing left to analyze
+        assert sql(
+            spark, f"ANALYZE TABLE `{path}` COMPUTE STATISTICS"
+        ).first().num_files_analyzed == 0
+
+    def test_describe_history_operations(self, spark, tmp_path):
+        host, commit, path = _fx(spark, tmp_path)
+        sql(spark, f"DELETE FROM `{path}` WHERE id = 0")  # ROW_DML
+        sql(
+            spark,
+            f"ALTER TABLE `{path}` SET TBLPROPERTIES ('k' = 'v')",
+        )  # METADATA
+        from redis_lsm_timeseries_spark.maintenance import (
+            compact_small_files,
+        )
+
+        compact_small_files(host, path, min_group=1, commit=commit)
+        hist = sql(spark, f"DESCRIBE HISTORY `{path}`").collect()
+        ops = [r.operation for r in hist]  # newest first
+        assert ops[-1] == "WRITE"  # the seeding append
+        assert "ROW_DML" in ops and "METADATA" in ops
+        assert "MAINTENANCE" in ops
