@@ -975,3 +975,108 @@ def sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(base_dir, ignore_errors=True)
 
 
+
+
+# ----------------------------------------------- CLONE + COPY INTO
+# Parity-pinned differential for the late-r17 table-lifecycle
+# statements (no free driver slot — the harness in
+# tests/test_oracle_parity.py runs the identical rows+schema+values
+# check): a landing directory feeds a table through TWO ``COPY INTO``
+# runs — the second lists all three landed file groups but must load
+# ONLY the new one (a double-load would duplicate every %60∩%90 row
+# and fail the differential — the idempotent-cursor proof), then
+# ``CREATE TABLE ... CLONE ... VERSION AS OF`` the post-run-1
+# version, DELETE on the clone (source must stay untouched — the
+# deep-clone independence proof), and the final read unions both
+# sides through the query front door's SELECT rewrite.
+CLONE_COPY_ORACLE = """
+WITH ev AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         event_type,
+         CAST(value AS DOUBLE) AS value
+  FROM events
+), src AS (            -- COPY run 1 (d1 = %120, d2 = other %60)
+                       -- then run 2 appends ONLY the new d3 (%90)
+  SELECT * FROM ev WHERE event_id % 60 = 0
+  UNION ALL
+  SELECT * FROM ev WHERE event_id % 90 = 0
+), cl AS (             -- clone AS OF the post-run-1 version (%60
+                       -- rows only), then DELETE ... WHERE 'view'
+  SELECT * FROM ev
+  WHERE event_id % 60 = 0 AND event_type <> 'view'
+)
+SELECT 'src' AS side, * FROM src
+UNION ALL
+SELECT 'clone' AS side, * FROM cl
+"""
+
+
+def clone_copy_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO idempotency + deep-clone independence + AS OF time
+    travel + the SELECT front door, one differential (r17). RAISES —
+    failing the parity check loudly — if the second COPY loads
+    anything but the one new file, certifying the cursor path rather
+    than a silent re-load that happens to dedup."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from redis_lsm_timeseries_spark.commit import (
+        CommitHost,
+        ManifestCommit,
+    )
+    from redis_lsm_timeseries_spark.sql_dml import sql
+
+    base_dir = _tempfile.mkdtemp(prefix="rlts_clonecopy_")
+    try:
+        host, commit = CommitHost(spark), ManifestCommit()
+        landing = f"{base_dir}/landing"
+        path = f"{base_dir}/t"
+        ev = load_events(spark, sf_dir).select(
+            F.col("event_id").cast("long").alias("event_id"),
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+        )
+        ev.where(F.col("event_id") % 120 == 0).coalesce(
+            1
+        ).write.parquet(f"{landing}/d1")
+        ev.where(
+            (F.col("event_id") % 60 == 0)
+            & (F.col("event_id") % 120 != 0)
+        ).coalesce(1).write.parquet(f"{landing}/d2")
+        st1 = sql(spark, f"COPY INTO `{path}` FROM '{landing}'").first()
+        if st1.num_files_loaded != 2:
+            raise AssertionError(
+                f"COPY run 1 loaded {st1.num_files_loaded} files, "
+                "expected 2"
+            )
+        v1 = commit.table_versions(host, path)[-1]
+        ev.where(F.col("event_id") % 90 == 0).coalesce(
+            1
+        ).write.parquet(f"{landing}/d3")
+        st2 = sql(spark, f"COPY INTO `{path}` FROM '{landing}'").first()
+        if (st2.num_files_loaded, st2.num_files_skipped) != (1, 2):
+            raise AssertionError(
+                "COPY run 2 must load exactly the new file and skip "
+                f"the two already taken, got loaded="
+                f"{st2.num_files_loaded} skipped={st2.num_files_skipped}"
+            )
+        clone = f"{base_dir}/c"
+        sql(
+            spark,
+            f"CREATE TABLE `{clone}` CLONE `{path}` "
+            f"VERSION AS OF {v1}",
+        )
+        sql(spark, f"DELETE FROM `{clone}` WHERE event_type = 'view'")
+        out = sql(
+            spark, f"SELECT 'src' AS side, * FROM `{path}`"
+        ).unionAll(
+            sql(spark, f"SELECT 'clone' AS side, * FROM `{clone}`")
+        )
+        return out.localCheckpoint(eager=True)  # outlives the rmtree
+    finally:
+        _shutil.rmtree(base_dir, ignore_errors=True)
+
+
+UNREGISTERED_ORACLES["clone_copy_lifecycle"] = (
+    clone_copy_lifecycle, CLONE_COPY_ORACLE,
+)
