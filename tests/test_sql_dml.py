@@ -1752,3 +1752,67 @@ class TestShowAnalyzeHistory:
         assert ops[-1] == "WRITE"  # the seeding append
         assert "ROW_DML" in ops and "METADATA" in ops
         assert "MAINTENANCE" in ops
+
+
+class TestFrontDoorPlans:
+    """The SELECT rewrite must not cost plan quality: predicates
+    reach the parquet scan as pushed filters, and projection pruning
+    reads only the selected columns — the same plan a direct
+    read_table would get."""
+
+    def test_filter_and_projection_reach_the_scan(
+        self, spark, tmp_path
+    ):
+        host, commit, path = _fx(spark, tmp_path)
+        df = sql(
+            spark, f"SELECT id FROM `{path}` WHERE id = 7"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(id), EqualTo(id,7)]" in plan
+        # column pruning: the scan's ReadSchema carries id only
+        assert "ReadSchema: struct<id:bigint>" in plan
+
+    def test_asof_inside_subquery_parens(self, spark, tmp_path):
+        """The \\S+ operand grab must not eat a subquery's closing
+        paren (the rstrip path)."""
+        host, commit, path = _fx(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        sql(spark, f"DELETE FROM `{path}` WHERE id >= 10")
+        n = sql(
+            spark,
+            f"SELECT count(*) AS c FROM "
+            f"(SELECT * FROM `{path}` VERSION AS OF {v0})",
+        ).first().c
+        assert n == len(ROWS)
+
+    def test_backtick_path_inside_string_literal_stays(
+        self, spark, tmp_path
+    ):
+        host, commit, path = _fx(spark, tmp_path)
+        # a backtick path inside a double-quoted literal is DATA
+        r = sql(
+            spark,
+            f'SELECT "`{path}`" AS s, count(*) AS c FROM `{path}`',
+        ).first()
+        assert r.s == f"`{path}`" and r.c == len(ROWS)
+
+    def test_merge_using_subquery_over_path_asof(
+        self, spark, tmp_path
+    ):
+        """MERGE USING (subquery over a manifest path with AS OF):
+        restore old values for a key subset via time travel."""
+        host, commit, path = _fx(spark, tmp_path)
+        v0 = commit.table_versions(host, path)[-1]
+        sql(spark, f"UPDATE `{path}` SET v = -1 WHERE id < 5")
+        sql(
+            spark,
+            f"MERGE INTO `{path}` AS t USING "
+            f"(SELECT * FROM `{path}` VERSION AS OF {v0} "
+            "WHERE id < 5) AS s "
+            "ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v",
+        )
+        got = dict(
+            (r.id, r.v) for r in commit.read_table(host, path).collect()
+        )
+        assert all(got[i] == i * 10 for i in range(5))
