@@ -1227,6 +1227,19 @@ class ManifestCommit(ParquetLeaseCommit):
         version, entry = self._current_entry(store, root)
         return version, entry.get("tables", {})
 
+    @staticmethod
+    def _hive_prefix_cols(relpath: str) -> tuple:
+        """The hive partition-column names a member relpath encodes
+        (``tag=x/part_start=0/f.parquet`` -> ("tag", "part_start");
+        () for a flat file) — the per-file form of
+        ``operators.merge.partition_cols_of``, used by the commit
+        layout invariant."""
+        return tuple(
+            s.split("=", 1)[0]
+            for s in relpath.split("/")[:-1]
+            if "=" in s
+        )
+
     def _commit(self, store, root: str, mutate) -> int:
         """Optimistic commit: re-reads the current manifest and retries
         ``mutate`` on every lost race, so the applied change is always
@@ -1294,6 +1307,38 @@ class ManifestCommit(ParquetLeaseCommit):
                 # now-violated state forever.
                 guard(prev)
             new_tables = mutate(dict(tables))
+            # layout-consistency invariant (r17, found via the INSERT
+            # facade): every file of a member must encode the SAME
+            # hive partition-column prefix — a flat file added to a
+            # partitioned member is listed by the manifest but the
+            # basePath partitioned read SILENTLY DROPS its rows, the
+            # worst failure class. O(added files) per commit: only
+            # files new to the member are checked, against the
+            # member's first listed file.
+            for m, fs in new_tables.items():
+                if not fs:
+                    continue
+                ref = self._hive_prefix_cols(fs[0])
+                old_set = set(tables.get(m, ()))
+                bad = next(
+                    (
+                        f for f in fs
+                        if f not in old_set
+                        and self._hive_prefix_cols(f) != ref
+                    ),
+                    None,
+                )
+                if bad is not None:
+                    raise ValidationError(
+                        f"commit to member {m!r} mixes partition "
+                        f"layouts: {bad!r} vs the member's "
+                        f"{ref or ['<flat>']} hive prefix — a "
+                        "mixed-depth member silently drops rows "
+                        "under partitioned reads. Write through "
+                        "append_partitioned / overwrite_partitions "
+                        "(or replace the WHOLE member to change "
+                        "layout)"
+                    )
             touched = [
                 (r, m)
                 for (r, m) in list(pend)

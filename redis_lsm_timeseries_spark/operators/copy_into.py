@@ -187,13 +187,25 @@ def copy_into(
         json.dumps({"paths": new_paths}),
     )
     try:
-        commit.append_table_with_meta(
-            host, path, df,
-            app_meta={
-                key: {"sidecar": side_rel, "n": len(new_paths)}
-            },
-            expected_app={key: cur},
+        from redis_lsm_timeseries_spark.operators.merge import (
+            partition_cols_of,
         )
+
+        pcols = partition_cols_of(entry["tables"].get(member) or [])
+        app_meta = {key: {"sidecar": side_rel, "n": len(new_paths)}}
+        if pcols:
+            # hive-partitioned target: the layout-aware append (same
+            # cursor CAS) — a flat file would be refused by the
+            # commit layout invariant, and before r17 was silently
+            # unreadable
+            commit.append_partitioned(
+                host, df, path, pcols,
+                app_meta=app_meta, expected_app={key: cur},
+            )
+        else:
+            commit.append_table_with_meta(
+                host, path, df, app_meta, expected_app={key: cur},
+            )
     except Exception:
         host.fs.remove_file(f"{root}/{side_rel}")
         raise

@@ -205,7 +205,19 @@ def resolve_query(spark_or_host, query: str, commit=None) -> str:
     consumed into the view. Spans inside string literals are never
     touched (the shared tokenizer skips them). View names are
     deterministic per (path, version), so repeated queries reuse
-    one registration."""
+    one registration.
+
+    Scan path, deliberately: views bind ``read_table`` — the JVM
+    parquet scan (whole-stage codegen, DV- and mapping-aware), so
+    predicates and projections push into the scan natively
+    (plan-gated in ``tests/test_sql_dml.py::TestFrontDoorPlans``)
+    and row-group stats skip within files. MANIFEST-level file
+    skipping (``prune_files``) is the one thing this path leaves on
+    the table — callers with a highly selective predicate over a
+    huge member can register ``spark.read.format("rlts_table")``
+    (whose ``pushFilters`` prunes the file list) or use
+    ``read_table_pruned`` directly; the default favors the faster
+    JVM scan over the Python-DataSource Arrow hop."""
     import hashlib
 
     from redis_lsm_timeseries_spark.commit import ManifestCommit
@@ -527,7 +539,8 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
         # version, the Delta REPLACE TABLE posture
         path, q = _path_of(m), m.group("q").strip()
         df = spark.sql(resolve_query(host, q, commit=commit))
-        exists = bool(commit.member_files(host, path))
+        cur_files = commit.member_files(host, path)
+        exists = bool(cur_files)
         if exists and not m.group("orr"):
             raise ValidationError(
                 f"sql CREATE TABLE: {path!r} already exists — use "
@@ -535,7 +548,26 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
             )
         n = df.count()
         if exists:
-            commit.replace_tables(host, path, {"": df})
+            from redis_lsm_timeseries_spark.operators.merge import (
+                partition_cols_of,
+            )
+
+            pcols = partition_cols_of(cur_files)
+            if pcols and set(pcols) <= set(df.columns):
+                # replacing a hive-partitioned member: keep its
+                # layout (dynamic overwrite + drop of every prior
+                # partition dir, one atomic entry)
+                prefixes = sorted(
+                    {
+                        "/".join(f.split("/")[: len(pcols)])
+                        for f in cur_files
+                    }
+                )
+                commit.overwrite_partitions(
+                    host, df, path, pcols, drop_prefixes=prefixes
+                )
+            else:
+                commit.replace_tables(host, path, {"": df})
         else:
             commit.append_tables(host, path, {"": df})
         return spark.createDataFrame(
@@ -841,8 +873,34 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
                 "aliased columns"
             )
         n = df.count()
+        # hive-partitioned members route through the layout-aware
+        # writers (r17 fix: a flat append to a partitioned member
+        # passed the manifest but the partitioned read silently
+        # dropped its rows — now also refused by the commit layout
+        # invariant)
+        from redis_lsm_timeseries_spark.operators.merge import (
+            partition_cols_of,
+        )
+
+        pcols = partition_cols_of(managed or [])
         if m.group("ow").upper() == "OVERWRITE":
-            commit.replace_tables(host, path, {"": df})
+            if pcols:
+                # full overwrite preserving the hive layout: dynamic
+                # overwrite of df's partitions + drop of every prior
+                # partition dir, one atomic entry
+                prefixes = sorted(
+                    {
+                        "/".join(f.split("/")[: len(pcols)])
+                        for f in managed
+                    }
+                )
+                commit.overwrite_partitions(
+                    host, df, path, pcols, drop_prefixes=prefixes
+                )
+            else:
+                commit.replace_tables(host, path, {"": df})
+        elif pcols:
+            commit.append_partitioned(host, df, path, pcols)
         else:
             commit.append_tables(host, path, {"": df})
         return spark.createDataFrame(

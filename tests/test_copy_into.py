@@ -83,9 +83,14 @@ class TestCopyInto:
         ).coalesce(1).write.parquet(f"{src}/d1")
         st = copy_into(host, path, src)
         assert st.files_loaded == 1
-        df = commit.read_table(host, path)
+        # additive columns read back under the EXPLICIT evolved
+        # schema — the engine's documented posture (schema-less reads
+        # take one footer and may miss late columns; mergeSchema's
+        # every-footer scan is not a 100 TB default)
+        df = commit.read_table(
+            host, path, "id long, v long, note string"
+        )
         assert dict(df.dtypes)["id"] == "bigint"  # cast to target
-        assert "note" in df.columns  # additive evolution
         rows = {(r.id, r.v, r.note) for r in df.collect()}
         assert rows == {(1, 10, None), (7, 70, "x")}
 

@@ -1816,3 +1816,103 @@ class TestFrontDoorPlans:
             (r.id, r.v) for r in commit.read_table(host, path).collect()
         )
         assert all(got[i] == i * 10 for i in range(5))
+
+
+class TestPartitionedTargets:
+    """r17 fix: INSERT INTO / INSERT OVERWRITE / COPY INTO against a
+    hive-partitioned member must reproduce the layout — before this,
+    a flat append passed the manifest and the partitioned read
+    SILENTLY DROPPED the new rows. The commit layout invariant now
+    also refuses any raw mixed-depth add."""
+
+    def _pfx(self, spark, tmp_path):
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "pt")
+        commit.append_partitioned(
+            host,
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "id long, tag string"
+            ),
+            path, ["tag"],
+        )
+        return host, commit, path
+
+    def test_insert_into_partitioned_lands_in_layout(
+        self, spark, tmp_path
+    ):
+        host, commit, path = self._pfx(spark, tmp_path)
+        sql(spark, f"INSERT INTO `{path}` VALUES (3, 'c')")
+        assert sorted(
+            (r.id, r.tag)
+            for r in commit.read_table(host, path).collect()
+        ) == [(1, "a"), (2, "b"), (3, "c")]
+        assert any(
+            f.startswith("tag=c/")
+            for f in commit.member_files(host, path)
+        )
+        # partition-pruned read-back still works
+        rows = sql(
+            spark, f"SELECT id FROM `{path}` WHERE tag = 'c'"
+        ).collect()
+        assert [r.id for r in rows] == [3]
+
+    def test_insert_overwrite_preserves_layout(self, spark, tmp_path):
+        host, commit, path = self._pfx(spark, tmp_path)
+        sql(
+            spark,
+            f"INSERT OVERWRITE `{path}` "
+            "SELECT 9 AS id, 'z' AS tag",
+        )
+        files = commit.member_files(host, path)
+        assert files and all(f.startswith("tag=z/") for f in files)
+        assert sorted(
+            (r.id, r.tag)
+            for r in commit.read_table(host, path).collect()
+        ) == [(9, "z")]
+
+    def test_copy_into_partitioned_target(self, spark, tmp_path):
+        from redis_lsm_timeseries_spark.operators.copy_into import (
+            copy_into,
+        )
+
+        host, commit, path = self._pfx(spark, tmp_path)
+        src = str(tmp_path / "landing")
+        spark.createDataFrame(
+            [(5, "a"), (6, "q")], "id long, tag string"
+        ).coalesce(1).write.parquet(f"{src}/d1")
+        st = copy_into(host, path, src)
+        assert (st.files_loaded, st.rows_loaded) == (1, 2)
+        assert sorted(
+            (r.id, r.tag)
+            for r in commit.read_table(host, path).collect()
+        ) == [(1, "a"), (2, "b"), (5, "a"), (6, "q")]
+        # idempotent on the partitioned path too
+        assert copy_into(host, path, src).files_loaded == 0
+
+    def test_commit_guard_refuses_mixed_depth(self, spark, tmp_path):
+        host, commit, path = self._pfx(spark, tmp_path)
+        with pytest.raises(ValidationError, match="mixes partition"):
+            commit.append_tables(
+                host, path,
+                {"": spark.createDataFrame(
+                    [(7, "q")], "id long, tag string"
+                ).coalesce(1)},
+            )
+        # ...and the member is untouched
+        assert commit.read_table(host, path).count() == 2
+
+    def test_ctas_or_replace_keeps_partition_layout(
+        self, spark, tmp_path
+    ):
+        host, commit, path = self._pfx(spark, tmp_path)
+        sql(
+            spark,
+            f"CREATE OR REPLACE TABLE `{path}` AS "
+            f"SELECT id + 10 AS id, tag FROM `{path}`",
+        )
+        files = commit.member_files(host, path)
+        assert files and all("tag=" in f for f in files)
+        assert sorted(
+            (r.id, r.tag)
+            for r in commit.read_table(host, path).collect()
+        ) == [(11, "a"), (12, "b")]
