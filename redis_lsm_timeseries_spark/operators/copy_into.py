@@ -149,7 +149,11 @@ def copy_into(
     if not fresh:
         return CopyStats(0, 0, skipped)
 
-    reader = spark.read.format(fmt)
+    # basePath: an explicit file list disables Spark's partition
+    # discovery — with it, a hive-laid-out landing directory
+    # (dt=2026-08-17/part-*.parquet) still materializes its
+    # partition-path columns
+    reader = spark.read.format(fmt).option("basePath", source_dir)
     if fmt == "csv":
         reader = reader.option("header", "true").option(
             "inferSchema", "true"

@@ -180,3 +180,30 @@ class TestCopyInto:
         (plain / "x.txt").write_text("not a table")
         with pytest.raises(ValidationError, match="manifest-managed"):
             copy_into(host, str(plain), str(tmp_path / "landing"))
+
+    def test_hive_partitioned_landing_keeps_path_columns(
+        self, spark, tmp_path
+    ):
+        """A landing dir laid out hive-style (dt=.../) contributes
+        its partition-path column as data (basePath discovery), and
+        a later partition dir loads incrementally."""
+        host, commit = CommitHost(spark), ManifestCommit()
+        path = str(tmp_path / "t")
+        src = str(tmp_path / "landing")
+        spark.createDataFrame(
+            [(1, 10)], SCHEMA
+        ).coalesce(1).write.parquet(f"{src}/region=eu")
+        st = copy_into(host, path, src)
+        assert (st.files_loaded, st.rows_loaded) == (1, 1)
+        spark.createDataFrame(
+            [(2, 20)], SCHEMA
+        ).coalesce(1).write.parquet(f"{src}/region=us")
+        st2 = copy_into(host, path, src)
+        assert (st2.files_loaded, st2.files_skipped) == (1, 1)
+        rows = sorted(
+            (r.id, r.v, r.region)
+            for r in commit.read_table(
+                host, path, "id long, v long, region string"
+            ).collect()
+        )
+        assert rows == [(1, 10, "eu"), (2, 20, "us")]
