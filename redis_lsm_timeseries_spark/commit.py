@@ -5373,7 +5373,7 @@ class ManifestCommit(ParquetLeaseCommit):
 
     def clone_table(
         self, store, src_path: str, dst_path: str,
-        version: int | None = None,
+        version: int | None = None, replace: bool = False,
     ) -> int:
         """Delta's ``CREATE TABLE ... CLONE src [VERSION AS OF n]``
         (r17): duplicate one manifest member's snapshot — current, or
@@ -5400,6 +5400,17 @@ class ManifestCommit(ParquetLeaseCommit):
         names the source's history; following a clone would replay
         or skip).
 
+        ``replace=True`` (``CREATE OR REPLACE TABLE ... CLONE``, the
+        Delta refresh idiom) atomically swaps an EXISTING clone
+        target's content — one commit replaces the root member's
+        file list and overwrites the schema-mapping / constraint /
+        property keys with the source's (a stale mapping applied to
+        the source's physical files would mis-serve), the old state
+        staying time-travelable; staged names are uuid-unique, so a
+        relpath already present at the target (a prior clone of the
+        same lineage) is the same immutable bytes and is reused
+        rather than re-copied.
+
         The reference has no snapshot or clone notion (``index.js``
         serves live Redis state only); this is lakehouse-tier parity.
         Returns the number of files cloned (data + DV blobs)."""
@@ -5417,12 +5428,21 @@ class ManifestCommit(ParquetLeaseCommit):
         files = list(entry["tables"].get(member, []))
         stats = entry.get("stats", {}).get(member, {})
         app = entry.get("app", {})
-        if self._resolve(store, dst_path) is not None:
+        dst_resolved = self._resolve(store, dst_path)
+        if dst_resolved is not None and not replace:
             raise ValidationError(
                 f"clone_table: {dst_path!r} already exists — clone "
-                "targets a fresh path"
+                "targets a fresh path (or pass replace=True / "
+                "CREATE OR REPLACE TABLE ... CLONE to swap it)"
             )
-        if store.fs.exists(dst_path) and (
+        if dst_resolved is not None and dst_resolved != (
+            dst_path, ""
+        ):
+            raise ValidationError(
+                f"clone_table: {dst_path!r} is a member of another "
+                "table — clone replaces whole tables only"
+            )
+        if dst_resolved is None and store.fs.exists(dst_path) and (
             not store.fs.is_dir(dst_path)
             or store.fs.listdir(dst_path)
         ):
@@ -5444,25 +5464,32 @@ class ManifestCommit(ParquetLeaseCommit):
         store.fs.makedirs(f"{dst_path}/{LOG_DIR}")
         for rel in list(files) + blobs:
             dst_file = f"{dst_base}/{rel}"
+            if replace and store.fs.exists(dst_file):
+                # same uuid-named relpath from a prior clone of this
+                # lineage: identical immutable bytes — reuse
+                continue
             store.fs.makedirs(dst_file.rsplit("/", 1)[0])
             store.fs.link_or_copy(f"{src_base}/{rel}", dst_file)
-        app_meta = {}
-        smeta = app.get(self._schema_key(member))
-        if smeta:
-            app_meta[self._schema_key("")] = smeta
-        cons = app.get(self._constraint_key(member))
-        if cons:
-            app_meta[self._constraint_key("")] = cons
-        # source properties carry over (the Delta CLONE contract),
-        # plus provenance keys a Delta user expects to find
-        app_meta[self._props_key("")] = {
-            **(app.get(self._props_key(member)) or {}),
-            "clone.source": src_path,
-            "clone.sourceVersion": str(entry.get("version")),
+        # the source's member-scoped app keys REPLACE the target's
+        # (always set, {} when absent — on a replace-clone a stale
+        # mapping or constraint applied to the source's physical
+        # files would mis-serve), plus provenance properties
+        app_meta = {
+            self._schema_key(""): app.get(self._schema_key(member))
+            or {},
+            self._constraint_key(""): app.get(
+                self._constraint_key(member)
+            )
+            or {},
+            self._props_key(""): {
+                **(app.get(self._props_key(member)) or {}),
+                "clone.source": src_path,
+                "clone.sourceVersion": str(entry.get("version")),
+            },
         }
 
         def mutate(t):
-            if t.get("", []):
+            if not replace and t.get("", []):
                 raise RewriteConflictError(
                     f"clone_table: {dst_path!r} gained files while "
                     "cloning — clone targets a fresh path"

@@ -33,11 +33,13 @@ with the Python API named):
 - ``CREATE [OR REPLACE] TABLE `/path` AS <query>`` (CTAS: the
   append IS the creating commit; OR REPLACE swaps atomically and is
   itself time-travelable)
-- ``CREATE TABLE `/dst` [DEEP] CLONE `/src` [VERSION AS OF n |
-  TIMESTAMP AS OF ts]`` (snapshot duplication: link-or-copy every
-  data file + DV blob, one bootstrap commit carrying stats, schema
-  mapping and constraints — deep semantics at near-shallow cost;
-  ``SHALLOW`` refuses with the rationale)
+- ``CREATE [OR REPLACE] TABLE `/dst` [DEEP] CLONE `/src` [VERSION
+  AS OF n | TIMESTAMP AS OF ts]`` (snapshot duplication: link-or-
+  copy every data file + DV blob, one bootstrap commit carrying
+  stats, schema mapping and constraints — deep semantics at near-
+  shallow cost; OR REPLACE refreshes an existing clone atomically,
+  reusing shared-lineage files; ``SHALLOW`` refuses with the
+  rationale)
 - ``INSERT INTO `/path` <SELECT ...|VALUES ...|TABLE v|WITH ...>``
   (atomic append; SELECT binds by NAME, VALUES by POSITION) and
   ``INSERT OVERWRITE `/path` <query>`` (atomic whole-member swap)
@@ -488,7 +490,7 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
         return spark.sql(resolve_query(host, stmt, commit=commit))
 
     m = re.match(
-        rf"(?is)^CREATE\s+TABLE\s+{_PATH}\s+"
+        rf"(?is)^CREATE\s+(?P<orr>OR\s+REPLACE\s+)?TABLE\s+{_PATH}\s+"
         rf"(?P<depth>SHALLOW\s+|DEEP\s+)?CLONE\s+{_PATH2}"
         r"(?:\s+(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
         r"(?P<val>.+?))?\s*$",
@@ -522,7 +524,10 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
                 version = commit.resolve_version_asof(
                     host, src, _parse_ts_ms(val)
                 )
-        n = commit.clone_table(host, src, dst, version=version)
+        n = commit.clone_table(
+            host, src, dst, version=version,
+            replace=bool(m.group("orr")),
+        )
         return spark.createDataFrame(
             [(int(n),)], "num_cloned_files long"
         )

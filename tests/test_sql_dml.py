@@ -1916,3 +1916,34 @@ class TestPartitionedTargets:
             (r.id, r.tag)
             for r in commit.read_table(host, path).collect()
         ) == [(11, "a"), (12, "b")]
+
+    def test_or_replace_clone_refreshes(self, spark, tmp_path):
+        """CREATE OR REPLACE TABLE ... CLONE — the refresh idiom:
+        the target swaps to the source's current snapshot in one
+        time-travelable commit, shared-lineage files are reused, and
+        the source's schema mapping replaces any stale one."""
+        host, commit, path = _fx(spark, tmp_path)
+        dst = str(tmp_path / "rc")
+        sql(spark, f"CREATE TABLE `{dst}` CLONE `{path}`")
+        # diverge both sides
+        sql(spark, f"DELETE FROM `{dst}` WHERE id >= 5")
+        commit.rename_column(host, path, "v", "val")
+        sql(spark, f"UPDATE `{path}` SET val = val + 1 WHERE id = 0")
+        v_old = commit.table_versions(host, dst)[-1]
+        sql(spark, f"CREATE OR REPLACE TABLE `{dst}` CLONE `{path}`")
+        # the refreshed clone serves the source's CURRENT state,
+        # including the renamed logical view
+        a = sorted(
+            map(tuple, commit.read_table(host, dst).collect())
+        )
+        b = sorted(
+            map(tuple, commit.read_table(host, path).collect())
+        )
+        assert a == b and "val" in commit.read_table(host, dst).columns
+        # pre-refresh clone state is still time-travelable
+        assert commit.read_table(host, dst, version=v_old).count() == 5
+        props = commit.table_properties(host, dst)
+        assert props["clone.source"] == path
+        # plain CREATE (no OR REPLACE) still refuses on existing
+        with pytest.raises(ValidationError, match="already exists"):
+            sql(spark, f"CREATE TABLE `{dst}` CLONE `{path}`")
