@@ -1167,9 +1167,10 @@ def sql(spark_or_host, statement: str, commit=None) -> DataFrame:
     raise ValidationError(
         "sql: statement outside the documented subset (SELECT/WITH/"
         "TABLE queries, MERGE INTO / UPDATE / DELETE FROM / INSERT "
-        "INTO|OVERWRITE / CREATE [OR REPLACE] TABLE AS / ALTER TABLE "
-        "/ RESTORE TABLE / DESCRIBE HISTORY|DETAIL / VACUUM / "
-        "OPTIMIZE over a quoted manifest path). Other mutations: "
-        "replace_range / delete_range / overwrite_partitions via the "
-        "Python API."
+        "INTO|OVERWRITE / COPY INTO / CREATE [OR REPLACE] TABLE "
+        "AS|CLONE / ALTER TABLE / RESTORE TABLE / DESCRIBE "
+        "HISTORY|DETAIL / SHOW TBLPROPERTIES|PARTITIONS / ANALYZE "
+        "TABLE / VACUUM / OPTIMIZE over a quoted manifest path). "
+        "Other mutations: replace_range / delete_range / "
+        "overwrite_partitions via the Python API."
     )
