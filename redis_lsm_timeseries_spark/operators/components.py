@@ -47,9 +47,14 @@ def _star(e: DataFrame, large: bool) -> DataFrame:
     # neighborhood member x of u at m. The min MUST include u
     # itself — after a contraction round the component minimum
     # appears only on the v side, and a min over neighbors alone
-    # would hand its neighbors a wrong (larger) label; folding the
-    # self-loop (u, u) into the symmetric edge set gives both the
-    # self-inclusive min and small-star's u->m edge for free.
+    # would hand its neighbors a wrong (larger) label. The
+    # self-inclusive min is folded INTO the aggregate
+    # (least(min(v), u)) instead of materializing (u, u) self-loop
+    # rows: the previous formulation unioned a distinct'd self-loop
+    # set into the join input, paying one extra shuffle per star
+    # call (r17, guide §2.4) for rows whose only effects — the
+    # self-inclusive min and small-star's u->m edge — both fall out
+    # of the `mins` table directly.
     #
     # Re-pointing is a JOIN of the edge rows against the per-node
     # min table — NEVER a collect_set of the neighborhood: one
@@ -58,21 +63,34 @@ def _star(e: DataFrame, large: bool) -> DataFrame:
     # unsplittable straggler and an OOM risk), while the same hot
     # key under groupBy(min) collapses map-side to one row and
     # under the equi-join gets split by AQE skew-join handling.
-    closed = _sym(e).unionByName(
-        _sym(e).select("u", F.col("u").alias("v")).distinct()
+    sym = _sym(e)
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.col("u")).alias("m")
     )
-    mins = closed.groupBy("u").agg(F.min("v").alias("m"))
     cond = (
         (F.col("v") > F.col("u"))  # larger neighbors -> min
         if large
-        else (F.col("v") <= F.col("u"))  # smaller + self -> min
+        else (F.col("v") < F.col("u"))  # smaller neighbors -> min
     )
-    return (
-        closed.join(mins, "u")
+    repointed = (
+        sym.join(mins, "u")
         .where(cond & (F.col("v") != F.col("m")))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
+    if large:
+        # No output distinct: duplicate (v, m) edges (several u's
+        # re-pointing the same neighbor at the same min) are folded
+        # by the NEXT star's groupBy(min) map-side and by small-star's
+        # terminal distinct — dropping the shuffle here halves the
+        # per-round exchange count without changing the edge SET.
+        return repointed
+    # small-star also emits each node's own u -> m edge (the effect
+    # the self-loop rows used to produce), straight from `mins`.
+    return repointed.unionByName(
+        mins.where(F.col("u") != F.col("m")).select(
+            "u", F.col("m").alias("v")
+        )
+    ).distinct()
 
 
 def connected_components(

@@ -876,13 +876,13 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- multimodal
-# multimodal_binary_metadata was unregistered in round 17 (50-entry
-# driver window) in favor of sql_dml_lifecycle: its map-only
-# metadata-extract shape stays driver-covered by
-# multimodal_feature_extract (same binary plumbing + Arrow decode) and
-# multimodal_frame_sample (mapInPandas 1-in/N-out), and the query keeps
-# its FULL rows+schema+values differential via UNREGISTERED_ORACLES
-# (tests/test_oracle_parity.py runs the identical harness).
+# multimodal_binary_metadata stays REGISTERED (optimization-round
+# contract: every query in CORRECTNESS_r16.json must keep its driver
+# hash row — a disappeared entry is a regression regardless of speed).
+# The interrupted r17 build had swapped it for sql_dml_lifecycle; that
+# swap is reverted, and sql_dml_lifecycle keeps its full differential
+# via UNREGISTERED_ORACLES instead (tests/test_oracle_parity.py runs
+# the identical rows+schema+values harness).
 MULTIMODAL_BINARY_ORACLE = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -896,6 +896,11 @@ FROM documents
 """
 
 
+@register(
+    "multimodal_binary_metadata",
+    oracle=MULTIMODAL_BINARY_ORACLE,
+    tags=("multimodal", "binary"),
+)
 def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary column plumbing: treat the payload as bytes with
     typed metadata (size, digest, modality tag). The modality here is a
@@ -912,12 +917,6 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("video")
         .alias("modality"),
     )
-
-
-UNREGISTERED_ORACLES["multimodal_binary_metadata"] = (
-    multimodal_binary_metadata,
-    MULTIMODAL_BINARY_ORACLE,
-)
 
 
 @register(

@@ -426,8 +426,13 @@ def _refresh_locked(
 
     # Oldest-new-work-first tag selection, bounded to max_tags (+1 to
     # detect overflow). Driver state = this list — the cap's point.
+    # `_nb` rides the same aggregate so the touched-bucket metric is
+    # summed driver-side from these collected rows instead of a
+    # separate count() job over the touched set (r17, guide §1.2:
+    # fewer actions on a tiny-job-dominated path).
     tag_stats = bucket_stats.groupBy("tag").agg(
-        F.min("_mi").alias("_mi")
+        F.min("_mi").alias("_mi"),
+        F.count(F.lit(1)).alias("_nb"),
     )
     if cursor is not None:
         c_mi, c_tag = int(cursor[0]), cursor[1]
@@ -458,7 +463,10 @@ def _refresh_locked(
     touched = bucket_stats.join(
         F.broadcast(sel_df), ["tag"], "left_semi"
     ).select("tag", "bucket_start")
-    n_touched = touched.count()
+    # bucket_stats has exactly one row per (tag, bucket), so the
+    # touched-bucket count is the sum of the selected tags' collected
+    # per-tag counts — no extra job.
+    n_touched = sum(int(r._nb) for r in selected)
 
     # Recompute ONLY touched buckets: raw members semi-joined on the
     # (small) touched set FIRST, identity-deduped on the shrunken
@@ -470,7 +478,10 @@ def _refresh_locked(
     )
     recomputed = _aggregate(lww_latest(in_touched), step, stored_sketch)
 
-    touched_tags = touched.select("tag").distinct()
+    # every selected tag owns >= 1 bucket_stats row by construction,
+    # so the touched tag set IS sel_df — reusing it skips a distinct
+    # shuffle on the carried-bucket join's build side
+    touched_tags = sel_df
     # Carried-bucket source: only the SELECTED tags' partitions matter
     # (the semi-join below keeps nothing else), and the tag set is the
     # bounded driver-side list the cap already collected — manifest
