@@ -111,18 +111,32 @@ def _resolve_source(
     NULL keys are rejected on every backend: NULL never equals a
     target key, so the row could neither match nor be looked up
     again."""
+    return _resolve_source_counted(source, keys, order_col)[0]
+
+
+def _resolve_source_counted(
+    source: DataFrame, keys: list[str], order_col: str | None
+) -> tuple[DataFrame, int | None]:
+    """``_resolve_source`` plus the resolved row count when it falls
+    out for free: without ``order_col`` the NULL-key check, the
+    duplicate-key check and the source count all derive from ONE
+    groupBy(keys) aggregation — previously three separate source
+    scans (isEmpty + dup collect + count), the dominant per-merge
+    fixed cost on small sources (r17, guide §1.2). With ``order_col``
+    the count depends on the group collapse, so it returns None and
+    the caller counts the resolved frame if it needs to."""
     null_pred = None
     for k in keys:
         c = F.col(k).isNull()
         null_pred = c if null_pred is None else (null_pred | c)
-    if not source.where(null_pred).isEmpty():
-        raise ValidationError(
-            f"merge: source key column(s) {keys!r} contain NULL — "
-            "NULL never equals a target key, so the row could "
-            "neither match nor be looked up again"
-        )
     others = [c for c in source.columns if c not in keys]
     if order_col is not None:
+        if not source.where(null_pred).isEmpty():
+            raise ValidationError(
+                f"merge: source key column(s) {keys!r} contain NULL — "
+                "NULL never equals a target key, so the row could "
+                "neither match nor be looked up again"
+            )
         if order_col not in others:
             raise ValidationError(
                 f"merge: order_col {order_col!r} must be a non-key "
@@ -132,21 +146,42 @@ def _resolve_source(
         picked = source.groupBy(*keys).agg(
             F.max(F.struct(order_col, *rest)).alias("_w")
         )
-        return picked.select(*keys, *[f"_w.{c}" for c in others])
-    dup = (
+        return picked.select(*keys, *[f"_w.{c}" for c in others]), None
+    head = (
         source.groupBy(*keys)
-        .count()
-        .where(F.col("count") > 1)
-        .limit(1)
-        .collect()
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.sum("_c").alias("n"),
+            F.max("_c").alias("mx"),
+            F.max(
+                F.when(null_pred, F.lit(1)).otherwise(F.lit(0))
+            ).alias("has_null"),
+        )
+        .first()
     )
-    if dup:
+    if head.n is None:  # empty source: nothing to validate
+        return source, 0
+    if head.has_null:
+        raise ValidationError(
+            f"merge: source key column(s) {keys!r} contain NULL — "
+            "NULL never equals a target key, so the row could "
+            "neither match nor be looked up again"
+        )
+    if int(head.mx) > 1:
+        # error path only: re-derive one offending key for the message
+        dup = (
+            source.groupBy(*keys)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
         key_repr = ", ".join(f"{k}={dup[0][k]!r}" for k in keys)
         raise ValidationError(
             f"merge: duplicate source key ({key_repr}); pass "
             "order_col to resolve in-source conflicts by LWW"
         )
-    return source
+    return source, int(head.n)
 
 
 def _envelope_guard(
@@ -939,7 +974,7 @@ def merge_into(
     commit = commit if commit is not None else ManifestCommit()
     clauses = _norm_matched_clauses(when_matched, matched_condition)
     ns_clauses = _norm_by_source_clauses(not_matched_by_source)
-    src = _resolve_source(source, keys, order_col)
+    src, n_upserts = _resolve_source_counted(source, keys, order_col)
     for _, sets, _c in list(clauses) + list(ns_clauses):
         if isinstance(sets, dict):
             bad = set(sets) - set(src.columns)
@@ -948,7 +983,8 @@ def merge_into(
                     f"merge: SET column(s) {sorted(bad)} not in "
                     f"{sorted(src.columns)}"
                 )
-    n_upserts = src.count()
+    if n_upserts is None:  # order_col path: count the collapsed frame
+        n_upserts = src.count()
     if n_upserts == 0 and not ns_clauses:
         # with by-source clauses an EMPTY source is meaningful (every
         # target row is unmatched); without them, nothing can happen
@@ -1278,6 +1314,18 @@ def delete_rows(
     affected, _ = commit.prune_files(host, path, preds)
     if not affected:
         return DeleteStats(0, total)
+    if len(keys) == 1 and isinstance(preds.get(keys[0]), set):
+        # the envelope collect already materialized the FULL key set
+        # (bounded by KEY_SET_MAX): rebuild the join side from those
+        # literals so the semi/anti joins below stop re-executing the
+        # caller's delete-key derivation — up to three extra source
+        # scans per delete (r17, guide §1.2). Values (incl. None)
+        # round-trip through createDataFrame under dk's own schema,
+        # so join behavior is byte-identical; multi-key deletes keep
+        # the frame (per-column sets are not the tuple set).
+        dk = dk.sparkSession.createDataFrame(
+            [(v,) for v in preds[keys[0]]], dk.schema
+        )
     guard = _compose_guards(
         _envelope_guard(
             commit, member, set(managed) | set(affected),

@@ -863,9 +863,20 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = corpus.withColumn("nrm", S.norm("v")).withColumn(
         "nv", F.expr("zip_with(v, array_repeat(nrm, 64), (x, n) -> x / n)")
     )
-    banded = S.with_lsh_bands(
-        normed.select("vec_id", "v", "nv"), vec_col="v",
-        num_bands=NEAR_DUP_BANDS, planes_per_band=8,
+    # Materialize the banded projection before the bucket self-join:
+    # both join sides otherwise re-inline the banding subtree (32
+    # hyperplane dots x 64 components per row) plus the normalization
+    # — the same projection-collapse rule as the MinHash signature
+    # cache (r17, guide §2.3: the self-join should shuffle the small
+    # banded rows, not recompute them twice). `v` is dropped first;
+    # only (id, nv, band) survive the exchange.
+    banded = (
+        S.with_lsh_bands(
+            normed.select("vec_id", "v", "nv"), vec_col="v",
+            num_bands=NEAR_DUP_BANDS, planes_per_band=8,
+        )
+        .select("vec_id", "nv", "band_idx", "band_bucket")
+        .localCheckpoint(eager=True)
     )
     pairs = (
         S.banded_pair_scores(banded, id_col="vec_id", nv_col="nv")

@@ -136,6 +136,18 @@ class TimeseriesStore:
         self._lease_tls = threading.local()
         self._lease_plock = threading.Lock()
 
+    def _shuffle_partitions(self) -> int:
+        """The session's current ``spark.sql.shuffle.partitions`` —
+        the explicit task count for clustering shuffles that must not
+        be AQE-coalesced to one task (partitioned writes serialize
+        their directory IO in a single task otherwise). Respects
+        ``pinned_shuffle_partitions`` contexts; falls back to
+        defaultParallelism if the conf is unreadable."""
+        try:
+            return int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            return self.spark.sparkContext.defaultParallelism
+
     def invalidate_hot_cache(self) -> None:
         """Drop the cached hot-table handle so the next read re-lists
         the table. Called by every in-module mutator; call it manually
@@ -354,8 +366,14 @@ class TimeseriesStore:
             # Explicit partition count: with the count left implicit,
             # AQE coalesces a small clustering shuffle into ONE task
             # that then writes every partition directory serially.
+            # Sized from the SESSION's shuffle-partition conf, not
+            # defaultParallelism (r17): a caller that pinned the conf
+            # to its data (the temp-store lifecycle jobs, guide §2.2)
+            # gets that many write tasks instead of one per core, and
+            # a production session sized to cluster cores behaves as
+            # before.
             out = out.repartition(
-                self.spark.sparkContext.defaultParallelism, "tag", "part_start"
+                self._shuffle_partitions(), "tag", "part_start"
             )
         with self.commit.maintenance_lock(self):
             self._append_hot(out, app_meta=app_meta, expected_app=expected_app)
@@ -545,10 +563,11 @@ class TimeseriesStore:
             staged = self.spark.read.schema(SAMPLE_SCHEMA).parquet(stage_dir)
             # Cluster onto the partition key, but size the shuffle to the
             # input: each segment is one <=2,000-row write() batch, so a
-            # 1-segment fold gets 1 task, not defaultParallelism near-empty
-            # ones (explicit count still needed — AQE would coalesce to one
-            # task and serialize the directory writes on BIG folds).
-            n_parts = min(self.spark.sparkContext.defaultParallelism, len(segments))
+            # 1-segment fold gets 1 task, not a full session's worth of
+            # near-empty ones (explicit count still needed — AQE would
+            # coalesce to one task and serialize the directory writes on
+            # BIG folds). Session-conf-sized like write_df (r17).
+            n_parts = min(self._shuffle_partitions(), len(segments))
             clustered = staged.repartition(n_parts, "tag", "part_start")
             self._append_hot(clustered)
         self.fs.write_text(f"{stage_dir}/_COMMITTED", "")
