@@ -87,7 +87,7 @@ def tiering_purge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     + snapshot, O9 purge_ack idempotent anti-join delete (exact-member,
     so the late write survives), and the hot read over the mutated
     store."""
-    return _run_lifecycle(spark, sf_dir)[0]
+    return _run_lifecycle(spark, sf_dir)
 
 
 @register(
@@ -106,21 +106,28 @@ def tiering_purge_lifecycle_mhot(
     certifies the transactional hot tier END-TO-END (r14, VERDICT r13
     #8), the way r13's ``metadata_fast_stats`` certified the
     metadata-only path."""
-    return _run_lifecycle(spark, sf_dir, manifest_hot=True)[0]
+    return _run_lifecycle(spark, sf_dir, manifest_hot=True)
 
 
-# One lifecycle run serves both lifecycle entries (hot-only and
-# hot-union-cold reads). Keyed by Spark application id: a cached
-# localCheckpoint belongs to its session and must not leak across
-# restarts. Both results are checkpointed, so the temp store is gone
-# by the time anything reads them.
-_LIFECYCLE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+# Cache of materialized lifecycle reads, keyed by Spark application id
+# (a cached localCheckpoint belongs to its session and must not leak
+# across restarts) AND by which read the caller wants. Each entry
+# materializes ONLY its own read (r17, guide §1.2 — don't compute what
+# you throw away): the bench clears this cache before every timed
+# draw, so under the old shape every lifecycle entry paid for BOTH the
+# hot read and the hot-union-cold read even though it returns one of
+# them. Within one warm session (oracle parity, the driver's
+# correctness pass) the cache still deduplicates per (want) key; the
+# protocol runs once per distinct read because the temp store is gone
+# by the time the result is returned.
+_LIFECYCLE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _run_lifecycle(
-    spark: SparkSession, sf_dir: str, manifest_hot: bool = False
-) -> tuple[DataFrame, DataFrame]:
-    key = (spark.sparkContext.applicationId, sf_dir, manifest_hot)
+    spark: SparkSession, sf_dir: str, manifest_hot: bool = False,
+    want: str = "hot",
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, manifest_hot, want)
     if key in _LIFECYCLE_CACHE:
         return _LIFECYCLE_CACHE[key]
     base_dir = tempfile.mkdtemp(prefix="rlts_lifecycle_")
@@ -128,14 +135,14 @@ def _run_lifecycle(
     # maintenance job cost more than the work they do.
     with pinned_shuffle_partitions(spark, 8):
         return _run_lifecycle_inner(
-            spark, sf_dir, base_dir, key, manifest_hot
+            spark, sf_dir, base_dir, key, manifest_hot, want
         )
 
 
 def _run_lifecycle_inner(
     spark: SparkSession, sf_dir: str, base_dir: str, key,
-    manifest_hot: bool = False,
-) -> tuple[DataFrame, DataFrame]:
+    manifest_hot: bool = False, want: str = "hot",
+) -> DataFrame:
     try:
         cfg = EngineConfig(
             root=base_dir, partition_width=LIFECYCLE_W,
@@ -184,26 +191,23 @@ def _run_lifecycle_inner(
         if purge_ack(store, marks[0].purge_id):
             raise RuntimeError("re-ack was not idempotent")
 
-        hot_read = (
-            lww_latest(store.hot())
-            .select("tag", "ts", "value")
-            .localCheckpoint(eager=True)
-        )
-        # The unified read: hot UNION cold, member-identity dedup, LWW —
-        # read_all is read_range over every tag and the whole range,
-        # without the tag-enumeration job a range map would need. Only
-        # the default (directory-hot) run feeds tiering_cold_union_read;
-        # the manifest-hot variant serves its hot read alone, so skip
-        # the extra jobs there.
-        union_read = (
-            hot_read
-            if manifest_hot
-            else store.read_all(include_cold=True).localCheckpoint(
+        if want == "union" and not manifest_hot:
+            # The unified read: hot UNION cold, member-identity dedup,
+            # LWW — read_all is read_range over every tag and the whole
+            # range, without the tag-enumeration job a range map would
+            # need. (The manifest-hot variant serves its hot read
+            # alone, so `want` degrades to "hot" there.)
+            out = store.read_all(include_cold=True).localCheckpoint(
                 eager=True
             )
-        )
-        _LIFECYCLE_CACHE[key] = (hot_read, union_read)
-        return _LIFECYCLE_CACHE[key]
+        else:
+            out = (
+                lww_latest(store.hot())
+                .select("tag", "ts", "value")
+                .localCheckpoint(eager=True)
+            )
+        _LIFECYCLE_CACHE[key] = out
+        return out
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
 
@@ -242,7 +246,7 @@ def tiering_cold_union_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses by member identity, and the post-mark late write wins its
     key by LWW. Expected result = the ORIGINAL dataset with the late
     write applied — tiering must never lose data."""
-    return _run_lifecycle(spark, sf_dir)[1]
+    return _run_lifecycle(spark, sf_dir, want="union")
 
 
 @register(

@@ -583,10 +583,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _near_corpus_signatures(spark, sf_dir)
     cand = D.lsh_candidate_pairs(D.lsh_bands(sig))
 
+    # Materialize the exploded distinct-shingle relation (and the tiny
+    # per-doc size table derived from it) before the verify joins: the
+    # plan otherwise re-inlines the explode + distinct SHUFFLE four
+    # times — once per join side (sa, sb) and once inside each copy of
+    # `sizes` (za, zb) — guide §2.3/§5: compute a reused subtree once,
+    # then fan out from the materialized rows. Checkpoints are
+    # plan-only; results are unchanged.
     doc_sh = (
-        sig.select("doc_id", F.explode("sh").alias("shingle")).distinct()
+        sig.select("doc_id", F.explode("sh").alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    sizes = doc_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = (
+        doc_sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .localCheckpoint(eager=True)
+    )
     sa = doc_sh.select(F.col("doc_id").alias("a"), "shingle")
     sb = doc_sh.select(F.col("doc_id").alias("b"), "shingle")
     inter = (
