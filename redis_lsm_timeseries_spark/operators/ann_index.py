@@ -42,12 +42,12 @@ from pyspark.sql.window import Window
 from redis_lsm_timeseries_spark.commit import CommitHost, ManifestCommit
 from redis_lsm_timeseries_spark.errors import ValidationError
 from redis_lsm_timeseries_spark.operators.similarity import (
+    _train_ivf,
     _unit_rows,
     assign_lists_join,
     centroids_df,
     dot,
     probe_lists_join,
-    train_ivf_centroids,
 )
 
 CENTROIDS_MEMBER = "centroids"
@@ -90,24 +90,34 @@ def build_ivf_index(
             f"build_ivf_index: corpus for {index_path!r} is empty — "
             "an IVF index needs at least one vector to train on"
         )
-    centroids = train_ivf_centroids(
+    # Train and keep the CHECKPOINTED normalized rows: the final
+    # assignment below reads the same materialized (_id, _nv) frame
+    # the Lloyd iterations used instead of re-scanning + re-normalizing
+    # the corpus (r17, guide §2.3).
+    centroids, unit = _train_ivf(
         corpus, n_list=n_list, iters=iters, id_col=id_col, vec_col=vec_col
     )
     cent_df = centroids_df(spark, centroids)
     # broadcast-join assignment (scales in n_list; the literal
     # expression path compiles O(n_list x dim) literals — see
     # assign_lists_join)
-    unit = _unit_rows(corpus, id_col, vec_col)
+    #
     # Range-cluster by list_id (not hash): each written file then
     # covers a CONTIGUOUS narrow band of lists, so its manifest
     # min/max list_id stats are tight and a probe's list set prunes
     # files at plan time (hash clustering would spread e.g. lists
     # {0, 9} into one file, giving useless min=0/max=9 spans).
+    # The assignment is checkpointed FIRST: repartitionByRange runs a
+    # range-boundary SAMPLING pass over its child, so without the
+    # materialization the whole corpus-wide assign shuffle executed
+    # twice — once for the sample, once for the write (r17, guide §1).
     vectors = assign_lists_join(unit, cent_df).select(
         F.col("_id").alias(id_col),
         F.col("list_id"),
         F.col("_nv").alias("nv"),
-    ).repartitionByRange(max(1, min(n_list, 8)), "list_id")
+    ).localCheckpoint(eager=False).repartitionByRange(
+        max(1, min(n_list, 8)), "list_id"
+    )
     host = _host(spark, fs)
     commit = ManifestCommit()
     commit.replace_tables(

@@ -426,6 +426,20 @@ def train_ivf_centroids(
     partition (map-side combine), and only n_list x dim tiny rows reach
     the driver. Train on a SAMPLE at 100 TB — the quantizer doesn't
     need the full corpus."""
+    return _train_ivf(corpus, n_list, iters, id_col, vec_col)[0]
+
+
+def _train_ivf(
+    corpus: DataFrame,
+    n_list: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], DataFrame]:
+    """``train_ivf_centroids`` plus the checkpointed normalized rows it
+    trained on, so an index build can assign the SAME materialized
+    (_id, _nv) frame instead of re-scanning and re-normalizing the
+    corpus for the final assignment (r17, guide §2.3)."""
     # Materialize the normalized rows once: seeds + every Lloyd
     # iteration each trigger an action, and without the checkpoint each
     # one re-runs the scan+normalize from the corpus (iters+1 times).
@@ -466,7 +480,7 @@ def train_ivf_centroids(
             nrm = sum(x * x for x in mean) ** 0.5 or 1.0
             new.append([x / nrm for x in mean])
         centroids = new
-    return centroids
+    return centroids, unit
 
 
 def ivf_topk(
@@ -689,6 +703,27 @@ def semantic_dedup_pairs(
     quietly reintroduce the all-pairs blowup, so a cluster exceeding
     the cap raises ``ValidationError`` (train more centroids —
     n_list ~ sqrt(corpus) keeps expected occupancy at sqrt(corpus))."""
+    pairs, _ = _semantic_pairs_assigned(
+        corpus, centroids, threshold, id_col, vec_col, max_cluster_size
+    )
+    return pairs
+
+
+def _semantic_pairs_assigned(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    max_cluster_size: int,
+) -> tuple[DataFrame, DataFrame]:
+    """``semantic_dedup_pairs`` plus the checkpointed assignment it is
+    built on, so ``semantic_dedup`` can derive its quality scores from
+    the SAME materialized (_id, list_id, _nv) rows instead of paying
+    the corpus-wide assignment shuffle a second time (r17, guide §2.3:
+    the assignment is the expensive subtree — normalize + n_list dots
+    per row + a full groupBy(_id) combine — and it is deterministic,
+    so reuse is bit-identical)."""
     from redis_lsm_timeseries_spark.errors import ValidationError
 
     spark = corpus.sparkSession
@@ -720,13 +755,14 @@ def semantic_dedup_pairs(
         F.col("_id").alias(f"{id_col}_b"),
         F.col("_nv").alias("_vb"),
     )
-    return (
+    pairs = (
         a.join(b, "cluster_id")
         .where(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
         .withColumn("cosine_sim", dot("_va", "_vb"))
         .where(F.col("cosine_sim") >= float(threshold))
         .select("cluster_id", f"{id_col}_a", f"{id_col}_b", "cosine_sim")
     )
+    return pairs, assigned
 
 
 def semantic_dedup(
@@ -755,13 +791,16 @@ def semantic_dedup(
     )
 
     spark = corpus.sparkSession
-    pairs = semantic_dedup_pairs(
+    pairs, assigned = _semantic_pairs_assigned(
         corpus, centroids, threshold, id_col, vec_col, max_cluster_size
     )
-    unit = _unit_rows(corpus, id_col, vec_col)
     cdf = centroids_df(spark, centroids)
+    # Score from the SAME checkpointed assignment the pair join reads
+    # (r17, guide §2.3) — previously a second assign_lists_join here
+    # re-ran the scan + normalize + broadcast-score + groupBy(_id)
+    # shuffle over the whole corpus for rows already materialized.
     scored = (
-        assign_lists_join(unit, cdf)
+        assigned
         .join(F.broadcast(cdf), "list_id")
         .withColumn("_negsim", -dot("_nv", "centroid"))
         .select(F.col("_id").alias(id_col), "_negsim")
