@@ -384,9 +384,14 @@ def incremental_exact_dedup(
     of rows, and a hot digest under ``Window.partitionBy(digest)``
     would be one straggler WindowExec task — the exact shape the
     content-rewrite passes already eliminated."""
+    # Materialized ONCE (lazy local checkpoint): consumed three times
+    # below — the broadcast probe-set distinct, the winner aggregate,
+    # and the join probe of ``mark_first_occurrence`` — and without
+    # materialization each consumer re-scans the batch and re-runs the
+    # md5 digest. (id, digest) rows only; the text never persists.
     digests = batch.select(
         F.col(id_col), content_digest(text_col).alias("digest")
-    )
+    ).localCheckpoint(eager=False)
     hits = (
         corpus_digests.select(
             F.col(corpus_digests.columns[0]).alias("digest")
@@ -643,6 +648,16 @@ def paragraph_dedup(
             ).alias("pos", "para"),
         )
         .withColumn("pdigest", F.md5(F.col("para")))
+        # Materialized ONCE (lazy local checkpoint): the winner pick
+        # consumes this table twice (the groupBy-min aggregate and the
+        # join probe), and without materialization projection collapse
+        # re-inlines the split+trim+posexplode+md5 paragraph derivation
+        # into both subtrees — the same double-consume
+        # ``duplicate_substring_spans`` already materializes its
+        # window-digest explode for. At deployment scale this IS the
+        # persisted paragraph-digest table the pipeline maintains
+        # alongside the window-digest index.
+        .localCheckpoint(eager=False)
     )
     kept = mark_first_occurrence(paras, "pdigest", id_col, "pos")
     reassembled = (

@@ -62,11 +62,24 @@ def unigram_model(
     ``ln(1 / total)`` — the smoothing already in place for unseen
     tokens. ``min_count=1`` keeps the full distribution (probabilities
     sum to 1)."""
+    return _unigram_model_from_tokens(
+        _doc_tokens(df, text_col).select(F.col("_tok").alias("token")),
+        min_count,
+    )
+
+
+def _unigram_model_from_tokens(
+    toks: DataFrame, min_count: int
+) -> DataFrame:
+    """``unigram_model`` over an already-exploded (token) relation, so
+    a self-scoring caller can fit and score from ONE materialized
+    token table instead of tokenizing the corpus once per pass (r17,
+    guide §2.3)."""
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
     counts = (
-        _doc_tokens(df, text_col)
-        .groupBy(F.col("_tok").alias("token"))
+        toks
+        .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         # counts feeds TWO consumers (the total aggregate and the
         # crossJoin side); without materialization projection collapse
@@ -103,6 +116,17 @@ def with_lm_score(
     toks = _doc_tokens(
         corpus.select(F.col(id_col), F.col(text_col)), text_col
     ).select(id_col, F.col("_tok").alias("token"))
+    return _score_unigram_tokens(corpus, toks, model, id_col)
+
+
+def _score_unigram_tokens(
+    corpus: DataFrame,
+    toks: DataFrame,
+    model: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """``with_lm_score`` over an already-exploded (id, token) relation
+    (see ``_unigram_model_from_tokens`` for why)."""
     # The model plan is consumed TWICE below (broadcast join + the
     # 1-row total aggregate); without materialization each consumer
     # re-runs the full corpus tokenize/count of unigram_model — the
@@ -157,9 +181,29 @@ def lm_quality_scores(
     """Self-scoring convenience: fit on the corpus, score the corpus.
     With the default pruning, tokens rarer than ``min_count`` score at
     the OOV floor (and count as OOV) — exactly the penalty a junk
-    filter wants; ``min_count=1`` restores no-OOV self-scoring."""
-    return with_lm_score(
-        df, unigram_model(df, text_col, min_count), text_col, id_col
+    filter wants; ``min_count=1`` restores no-OOV self-scoring.
+
+    Fit and score share ONE materialized (id, token) explode (r17,
+    guide §2.3): composing ``unigram_model`` + ``with_lm_score``
+    directly tokenizes the corpus once per pass. At deployment scale
+    this materialization is the persisted token table a pipeline
+    keeps alongside the model."""
+    toks = (
+        _doc_tokens(df.select(F.col(id_col), F.col(text_col)), text_col)
+        .select(id_col, F.col("_tok").alias("token"))
+        .localCheckpoint(eager=False)
+    )
+    model = _unigram_model_from_tokens(toks.select("token"), min_count)
+    return _score_unigram_tokens(df, toks, model, id_col)
+
+
+def _bg_pairs() -> F.Column:
+    """Consecutive-pair builder over the _bg_toks token array."""
+    return F.expr(
+        "CASE WHEN size(_bg_toks) < 2 "
+        "THEN CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) "
+        "ELSE transform(sequence(0, size(_bg_toks) - 2), "
+        "i -> struct(_bg_toks[i] AS w1, _bg_toks[i + 1] AS w2)) END"
     )
 
 
@@ -167,12 +211,7 @@ def _doc_bigrams(df: DataFrame, text_col: str) -> DataFrame:
     """Consecutive token pairs, one row per bigram. Pairs are built
     per row with a bound-lambda transform (no self-join, no shuffle);
     docs with < 2 tokens contribute nothing."""
-    pairs = F.expr(
-        "CASE WHEN size(_bg_toks) < 2 "
-        "THEN CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) "
-        "ELSE transform(sequence(0, size(_bg_toks) - 2), "
-        "i -> struct(_bg_toks[i] AS w1, _bg_toks[i + 1] AS w2)) END"
-    )
+    pairs = _bg_pairs()
     return (
         df.withColumn("_bg_toks", nonempty_tokens(text_col))
         .withColumn("_bg", F.explode(pairs))
@@ -195,10 +234,22 @@ def bigram_model(
     falls back to the stupid-backoff unigram path in
     ``with_bigram_score``, which is precisely the treatment an unseen
     bigram gets."""
+    return _bigram_model_from_grams(
+        _doc_bigrams(df.select(F.col(text_col)), text_col).select(
+            "w1", "w2"
+        ),
+        min_count,
+    )
+
+
+def _bigram_model_from_grams(grams: DataFrame, min_count: int) -> DataFrame:
+    """``bigram_model`` over an already-exploded (w1, w2) relation, so
+    a self-scoring caller can fit and score from ONE materialized
+    bigram table (r17, guide §2.3)."""
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
     counts = (
-        _doc_bigrams(df.select(F.col(text_col)), text_col)
+        grams
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .localCheckpoint(eager=False)  # feeds the context agg AND the join
@@ -237,6 +288,21 @@ def with_bigram_score(
     Output: (id, n_bigrams, n_backoff, bigram_score); documents with
     < 2 tokens score 0.0 with n_bigrams = 0. Both models BROADCAST
     (vocabulary-bounded)."""
+    grams = _doc_bigrams(
+        corpus.select(F.col(id_col), F.col(text_col)), text_col
+    ).select(id_col, "w1", "w2")
+    return _score_bigram_grams(corpus, grams, bi_model, uni_model, id_col)
+
+
+def _score_bigram_grams(
+    corpus: DataFrame,
+    grams: DataFrame,
+    bi_model: DataFrame,
+    uni_model: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """``with_bigram_score`` over an already-exploded (id, w1, w2)
+    relation (see ``_bigram_model_from_grams`` for why)."""
     bi = bi_model.select("w1", "w2", F.col("logprob").alias("_bi_lp"))
     uni = uni_model.select(
         F.col("token").alias("w2"), F.col("logprob").alias("_uni_lp")
@@ -244,9 +310,6 @@ def with_bigram_score(
     uni_total = uni_model.agg(
         F.max("_total").alias("_floor_total")
     )
-    grams = _doc_bigrams(
-        corpus.select(F.col(id_col), F.col(text_col)), text_col
-    ).select(id_col, "w1", "w2")
     backoff_uni = F.log(
         F.lit(float(BACKOFF_ALPHA))
     ) + F.coalesce(
@@ -295,10 +358,33 @@ def bigram_quality_scores(
     """Self-scoring convenience: fit bigram + unigram models on the
     corpus, score the corpus. With the default pruning, in-corpus
     bigrams rarer than ``min_count`` back off like unseen ones;
-    ``min_count=1`` restores never-backs-off self-scoring."""
-    return with_bigram_score(
-        df,
-        bigram_model(df, text_col, min_count),
-        unigram_model(df, text_col, min_count),
-        text_col, id_col,
+    ``min_count=1`` restores never-backs-off self-scoring.
+
+    One corpus tokenization serves all three passes (r17, guide
+    §2.3): composing ``bigram_model`` + ``unigram_model`` +
+    ``with_bigram_score`` directly tokenizes the corpus THREE times
+    (bigram fit, unigram fit, score). Here the (id, token-array) rows
+    are materialized once; the unigram explode and the shared bigram
+    table (fit + score read the same materialized grams) derive from
+    them. Same aggregations over identical rows — scores are
+    unchanged."""
+    arr = (
+        df.select(
+            F.col(id_col), nonempty_tokens(text_col).alias("_bg_toks")
+        )
+        .localCheckpoint(eager=False)
     )
+    grams = (
+        arr.withColumn("_bg", F.explode(_bg_pairs()))
+        .select(
+            id_col,
+            F.col("_bg.w1").alias("w1"),
+            F.col("_bg.w2").alias("w2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bi = _bigram_model_from_grams(grams.select("w1", "w2"), min_count)
+    uni = _unigram_model_from_tokens(
+        arr.select(F.explode("_bg_toks").alias("token")), min_count
+    )
+    return _score_bigram_grams(df, grams, bi, uni, id_col)

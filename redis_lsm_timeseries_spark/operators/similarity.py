@@ -79,19 +79,38 @@ def cosine_topk(
     posture as ``_unit_rows`` on the IVF path, so exact and ANN
     results stay comparable on a corpus containing broken embeddings.
 
-    Output: (query_id, neighbor_id, cosine_sim, rnk)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double_array(vec_col).alias("qv"),
-    ).where(usable_norm("qv"))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double_array(vec_col).alias("cv"),
-    ).where(usable_norm("cv"))
+    Output: (query_id, neighbor_id, cosine_sim, rnk).
+
+    The norms ride as COLUMNS computed in the per-side projections
+    below the join (the join blocks projection collapse), so each
+    corpus row's 64-element norm aggregate runs once — inlining
+    ``cosine()`` above the join would re-evaluate norm(cv) once per
+    joined PAIR (x n_queries per corpus row) and norm(qv) per pair
+    too (guide §4/§2.3: same value, computed |q| x fewer times; the
+    division consumes the identical doubles, so results are
+    bit-identical)."""
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(vec_col).alias("qv"),
+        )
+        .withColumn("_qn", norm("qv"))
+        .where((F.col("_qn") > 0.0) & ~F.isnan(F.col("_qn")))
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(vec_col).alias("cv"),
+        )
+        .withColumn("_cn", norm("cv"))
+        .where((F.col("_cn") > 0.0) & ~F.isnan(F.col("_cn")))
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine("qv", "cv"))
+        .withColumn(
+            "cosine_sim", dot("qv", "cv") / (F.col("_qn") * F.col("_cn"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -267,21 +286,48 @@ def lsh_bucket_topk(
     """Approximate top-k: compete only within the query's LSH bucket.
     The bucket equi-join replaces the cross join — the shuffle key is
     the bucket id, so work scales with bucket occupancy, not corpus
-    size. Zero/NaN-norm rows are dropped like in ``cosine_topk``."""
-    qb = with_lsh_bucket(queries, vec_col, num_planes, dim).select(
-        F.col(id_col).alias("query_id"),
-        as_double_array(vec_col).alias("qv"),
-        "lsh_bucket",
-    ).where(usable_norm("qv"))
-    cb = with_lsh_bucket(corpus, vec_col, num_planes, dim).select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double_array(vec_col).alias("cv"),
-        "lsh_bucket",
-    ).where(usable_norm("cv"))
+    size. Zero/NaN-norm rows are dropped like in ``cosine_topk``.
+
+    Two expression-duplication guards (guide §2.3): the bucket id is
+    wrapped in ``coalesce(bucket, -1)`` — every row surviving the
+    usable-norm filter has a non-null bucket, so the value is
+    unchanged, but the NON-NULLABLE key lets the optimizer drop the
+    equi-join's implicit ``IsNotNull(key)`` filter, which otherwise
+    re-inlines the whole num_planes x dim bucket expression into the
+    corpus-side Filter (it ran TWICE per corpus row). And the norms
+    ride as columns computed below the join, once per row, not once
+    per joined pair — same doubles, bit-identical results (see
+    ``cosine_topk``)."""
+    qb = (
+        with_lsh_bucket(queries, vec_col, num_planes, dim)
+        .select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(vec_col).alias("qv"),
+            F.coalesce(F.col("lsh_bucket"), F.lit(-1).cast("long")).alias(
+                "lsh_bucket"
+            ),
+        )
+        .withColumn("_qn", norm("qv"))
+        .where((F.col("_qn") > 0.0) & ~F.isnan(F.col("_qn")))
+    )
+    cb = (
+        with_lsh_bucket(corpus, vec_col, num_planes, dim)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(vec_col).alias("cv"),
+            F.coalesce(F.col("lsh_bucket"), F.lit(-1).cast("long")).alias(
+                "lsh_bucket"
+            ),
+        )
+        .withColumn("_cn", norm("cv"))
+        .where((F.col("_cn") > 0.0) & ~F.isnan(F.col("_cn")))
+    )
     scored = (
         cb.join(F.broadcast(qb), "lsh_bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine("qv", "cv"))
+        .withColumn(
+            "cosine_sim", dot("qv", "cv") / (F.col("_qn") * F.col("_cn"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
