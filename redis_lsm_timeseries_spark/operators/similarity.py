@@ -609,13 +609,23 @@ def embedding_decontamination(
     split the pair). ``use_lsh=False`` scores every (corpus, eval)
     pair exactly — the small-eval baseline and the recall yardstick
     in tests."""
-    c = corpus.select(
-        F.col(id_col), as_double_array(vec_col).alias("cv")
-    ).where(usable_norm("cv"))
-    e = eval_set.select(
-        F.col(id_col).alias("_eval_id"),
-        as_double_array(vec_col).alias("ev"),
-    ).where(usable_norm("ev"))
+    # Norms ride as columns computed below the candidate join — once
+    # per row, not once per (corpus, eval) candidate pair; the division
+    # consumes identical doubles, so results are bit-identical (same
+    # rationale as ``cosine_topk``, guide §2.3).
+    c = (
+        corpus.select(F.col(id_col), as_double_array(vec_col).alias("cv"))
+        .withColumn("_cn", norm("cv"))
+        .where((F.col("_cn") > 0.0) & ~F.isnan(F.col("_cn")))
+    )
+    e = (
+        eval_set.select(
+            F.col(id_col).alias("_eval_id"),
+            as_double_array(vec_col).alias("ev"),
+        )
+        .withColumn("_en", norm("ev"))
+        .where((F.col("_en") > 0.0) & ~F.isnan(F.col("_en")))
+    )
 
     if use_lsh:
         cb = with_lsh_bands(
@@ -626,6 +636,7 @@ def embedding_decontamination(
         ).select(
             F.col(id_col),
             F.col("embedding").alias("cv"),
+            "_cn",
             "band_idx",
             "band_bucket",
         )
@@ -637,17 +648,20 @@ def embedding_decontamination(
         ).select(
             "_eval_id",
             F.col("embedding").alias("ev"),
+            "_en",
             "band_idx",
             "band_bucket",
         )
         pairs = cb.join(
             F.broadcast(eb), ["band_idx", "band_bucket"]
-        ).select(id_col, "cv", "_eval_id", "ev")
+        ).select(id_col, "cv", "_cn", "_eval_id", "ev", "_en")
     else:
         pairs = c.crossJoin(F.broadcast(e))
 
     scored = (
-        pairs.withColumn("_sim", cosine("cv", "ev"))
+        pairs.withColumn(
+            "_sim", dot("cv", "ev") / (F.col("_cn") * F.col("_en"))
+        )
         .groupBy(id_col)
         .agg(
             F.max_by("_eval_id", F.struct("_sim", "_eval_id")).alias(
