@@ -117,9 +117,18 @@ def connected_components(
     rounds x per-round fixed overhead, so separating "more rounds"
     from "slower rounds" needs these recorded (bench extras carries
     them for the catalog workload)."""
+    # Materialize the raw pair projection ONCE before fanning out:
+    # ``edges`` and the node universe below both consume ``pairs``
+    # (the union twice), and projection collapse re-inlines the
+    # caller's whole candidate-pair subtree — band explode, bucket
+    # self-join, distinct — into every consumer, executing it three
+    # times per call. The lazy checkpoint materializes inside the
+    # first consumer's job; everything after reads the stored rows.
+    base = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=False)
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        base.where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .where(F.col("u") != F.col("v"))  # self-pairs carry no structure
         .distinct()
         .localCheckpoint(eager=True)
@@ -128,8 +137,8 @@ def connected_components(
     # component has collapsed (and singleton-only nodes never enter the
     # edge iteration at all); the final labeling re-attaches them.
     nodes = (
-        pairs.select(F.col(src).alias("node"))
-        .unionByName(pairs.select(F.col(dst).alias("node")))
+        base.select(F.col("u").alias("node"))
+        .unionByName(base.select(F.col("v").alias("node")))
         .where(F.col("node").isNotNull())
         .distinct()
         .localCheckpoint(eager=True)
@@ -138,15 +147,17 @@ def connected_components(
     # Terminate on EDGE-SET stability (the paper's criterion: a round
     # that changes nothing means the graph is fully contracted into
     # stars). Checking edges is cheaper than labeling every round —
-    # the count on a just-checkpointed frame is near-free, and the
-    # exceptAll only runs when counts already agree.
+    # the count() below doubles as the checkpoint's materializing
+    # action (lazy checkpoint: contraction, storage, and count are ONE
+    # Spark job per round, not a materialize job plus a count job),
+    # and the exceptAll only runs when counts already agree.
     prev: tuple[DataFrame, int] | None = None
     converged = False
     edges_per_round: list[int] = []
     rounds = 0
     for _ in range(max_iter):
         edges = _star(edges, large=True)
-        edges = _star(edges, large=False).localCheckpoint(eager=True)
+        edges = _star(edges, large=False).localCheckpoint(eager=False)
         n = edges.count()
         rounds += 1
         edges_per_round.append(n)
@@ -227,7 +238,13 @@ def canonical_docs_by(
     relative to the corpus); scores join onto it, never the reverse,
     and the final anti-join against the loser set is the only contact
     with the full corpus."""
-    comp = connected_components(pairs, src=src, dst=dst)
+    # comp fans out into the score join AND the loser join (scored
+    # itself is consumed twice via ``best``) — materialize the small
+    # labeling once instead of re-running its aggregate+join per
+    # consumer.
+    comp = connected_components(pairs, src=src, dst=dst).localCheckpoint(
+        eager=False
+    )
     scored = comp.join(
         docs.select(
             F.col(id_col).alias("node"), F.col(score_col).alias("_s")
