@@ -97,8 +97,23 @@ def main() -> int:
     # second draw measures the same work, not a warm-state shortcut.
     per_query: dict[str, float] = {}
     query_draws: dict[str, list[float]] = {}
+    query_jobs: dict[str, int] = {}
+    query_jobs_draws: dict[str, list[int]] = {}
     query_t: dict[str, float] = {}
     failures: dict[str, str] = {}
+
+    # r18 (VERDICT r17 #1): per-entry Spark JOB COUNT — drift-free,
+    # structural, diffable round-over-round while wall clock rides a
+    # host whose speed swings 2-10x. The DAGScheduler's nextJobId is a
+    # monotonically increasing counter across ALL driver threads
+    # (streaming micro-batches included), so a delta around a draw is
+    # exactly "jobs this invocation started". Best-effort: a private
+    # accessor, so failures degrade to no counts, never a dead bench.
+    def next_job_id() -> int | None:
+        try:
+            return int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId())
+        except Exception:
+            return None
     # mid-run calibration points (r17): after the first and second
     # third of the catalog — close enough that every query has a
     # host-factor estimate within ~a third of the run of its own
@@ -112,18 +127,29 @@ def main() -> int:
     for qi, name in enumerate(names):
         spec = catalog.REGISTRY[name]
         draws: list[float] = []
+        jobs_draws: list[int] = []
         try:
             for _ in range(2):
                 # clear the shared per-app derivation caches so both
                 # draws execute the full query (a cached draw measures
                 # a dict lookup, not the engine)
                 redis_lsm_timeseries_spark.plans.clear_query_caches()
+                j0 = next_job_id()
                 t0 = time.perf_counter()
                 df = spec.fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 draws.append(time.perf_counter() - t0)
+                j1 = next_job_id()
+                if j0 is not None and j1 is not None:
+                    jobs_draws.append(j1 - j0)
             per_query[name] = round(min(draws), 3)
             query_draws[name] = [round(d, 3) for d in draws]
+            if jobs_draws:
+                # min over draws: a stray background job (e.g. a
+                # late-stopping stream from a prior entry) can only
+                # inflate a count, never deflate it
+                query_jobs[name] = min(jobs_draws)
+                query_jobs_draws[name] = jobs_draws
             query_t[name] = round(time.perf_counter() - run_t0, 1)
             log(f"{name}: {min(draws):.3f}s (draws: "
                 + ", ".join(f"{d:.3f}" for d in draws) + ")")
@@ -226,6 +252,13 @@ def main() -> int:
         },
         "sf": sf,
         "n_queries": len(per_query),
+        # r18: Spark jobs per single invocation (min over the two
+        # draws; full per-draw record in queries_jobs_draws). Keyed by
+        # query name; the compact stdout line may degrade this to an
+        # array aligned with sorted(queries) to stay under the
+        # driver's ~2,000-char tail capture.
+        "queries_jobs": query_jobs,
+        "queries_jobs_draws": query_jobs_draws,
         "failures": failures,
         "cpus": cpus,
         "ingest_rows_per_s": round(ingest_rps, 1),
@@ -286,6 +319,7 @@ def main() -> int:
     compact.pop("calibration_draws", None)  # sidecar keeps them all
     compact.pop("query_t_sec", None)
     compact.pop("queries_draws", None)  # full record keeps both draws
+    compact.pop("queries_jobs_draws", None)  # full record keeps them
     # timings are rounded floats; int-valued extras (cc_rounds,
     # cc_edges_round_N) are metrics, not durations — keep them out of
     # the shed-path total_sec
@@ -306,8 +340,24 @@ def main() -> int:
     shed = [
         ("sf1_normalized_vs_prev", None),
         ("extras", extras_summary),
+        # degrade the job-count dict to an array aligned with
+        # sorted(queries) keys — the values survive the capture
+        # window; the full-detail line and the sidecar keep the dict
+        (
+            "queries_jobs",
+            [query_jobs.get(k) for k in sorted(per_query)]
+            if query_jobs
+            else None,
+        ),
         ("normalized_vs_prev", None),
         ("calibration", None),
+        # keep the job counts over these two (sidecar + full line
+        # keep everything; draw_policy has been fixed since r10)
+        ("draw_policy", None),
+        ("extras", None),
+        # absolute last resort: a truncated-HEAD line is worse than a
+        # line without job counts (they live in the sidecar regardless)
+        ("queries_jobs", None),
         (None, None),
     ]
     for key, replacement in shed:

@@ -71,6 +71,90 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
+#: Spark scalar types a driver-side parquet write reproduces exactly
+#: (pyarrow type with identical parquet physical/logical encoding).
+_DRIVER_PA_TYPES = {
+    "string": "string",
+    "bigint": "int64",
+    "int": "int32",
+    "double": "float64",
+    "float": "float32",
+    "boolean": "bool_",
+}
+
+
+def _driver_writable_fields(schema) -> list[tuple[str, str]] | None:
+    """``[(name, pyarrow type attr)]`` when every column of ``schema``
+    (StructType or DDL string) is an exact-mappable scalar; None
+    otherwise (caller keeps the Spark write path). DDL strings parse
+    session-free via the simple-DDL splitter pattern: ``name type``
+    pairs at depth 0."""
+    if isinstance(schema, str):
+        fields = []
+        depth = 0
+        part = []
+        parts = []
+        for ch in schema:
+            if ch in "<(":
+                depth += 1
+            elif ch in ">)":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(part))
+                part = []
+            else:
+                part.append(ch)
+        parts.append("".join(part))
+        for p in parts:
+            bits = p.strip().split()
+            if len(bits) != 2:
+                return None
+            name, typ = bits[0].strip("`"), bits[1].lower()
+            if typ == "long":
+                typ = "bigint"
+            if typ not in _DRIVER_PA_TYPES:
+                return None
+            fields.append((name, _DRIVER_PA_TYPES[typ]))
+        return fields
+    try:
+        return [
+            (f.name, _DRIVER_PA_TYPES[f.dataType.simpleString()])
+            for f in schema.fields
+        ]
+    except (KeyError, AttributeError):
+        return None
+
+
+def _driver_parquet_file(rows: list[tuple], schema, dest: str) -> bool:
+    """Write a BOUNDED protocol-metadata row batch as one parquet file
+    from the driver — no Spark job. The append-only protocol tables
+    (purge log: <= K marks / <= max_ids acks per call) pay one whole
+    Spark job per append under the createDataFrame path, pure fixed
+    cost at any scale; real table formats write commit metadata
+    driver-side for exactly this reason (Delta's JSON actions). Returns
+    False (caller falls back to the Spark write) when the schema
+    carries any type outside the exact-scalar map — datum fidelity is
+    the contract, so anything nontrivial keeps the old path.
+
+    Parquet shape matches the Spark writer where it matters for reads:
+    snappy compression, optional (nullable) fields — Spark writes all
+    fields optional regardless of declared nullability."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields = _driver_writable_fields(schema)
+    if fields is None:
+        return False
+    pa_fields = [(name, getattr(pa, t)()) for name, t in fields]
+    cols = list(zip(*rows)) if rows else [[] for _ in pa_fields]
+    table = pa.Table.from_arrays(
+        [pa.array(list(c), type=t) for c, (_, t) in zip(cols, pa_fields)],
+        schema=pa.schema(pa_fields),
+    )
+    pq.write_table(table, dest, compression="snappy")
+    return True
+
+
 class TableCommit:
     """Interface. Subclasses provide the operations above plus the
     read-side resolution (a transactional backend decides WHAT a
@@ -533,7 +617,25 @@ class ParquetLeaseCommit(TableCommit):
         even a 4-row list over defaultParallelism partitions, and
         coalesce(1) then evaluates all 32 Python input partitions
         serially in one task (~0.15 s of worker round-trips each —
-        measured 4.5 s per append). One input slice = one task."""
+        measured 4.5 s per append). One input slice = one task.
+
+        r18: the file is written DRIVER-SIDE when every column is an
+        exact-mappable scalar (``_driver_parquet_file``) — the rows
+        are bounded protocol metadata already sitting in driver
+        memory, and the Spark job the old path paid per append was
+        the purge/ack protocol's single largest fixed cost. Non-scalar
+        schemas (or any driver-write failure) keep the Spark path."""
+        import uuid as _uuid
+
+        try:
+            store.fs.makedirs(path)
+            if _driver_parquet_file(
+                rows, schema,
+                f"{path}/part-{_uuid.uuid4().hex}.snappy.parquet",
+            ):
+                return
+        except Exception:
+            pass  # fall back to the Spark writer below
         rdd = store.spark.sparkContext.parallelize(rows, 1)
         df = store.spark.createDataFrame(rdd, schema)
         df.write.mode("append").parquet(path)
@@ -1839,6 +1941,23 @@ class ManifestCommit(ParquetLeaseCommit):
         if target is None:
             return super().append_rows(store, rows, schema, path)
         root, member = target
+        all_scalar = _driver_writable_fields(schema) is not None
+        if all_scalar and not self.schema_meta(store, path):
+            # unmapped member + exact-scalar schema: stage the bounded
+            # protocol-metadata batch DRIVER-SIDE (r18 — see the
+            # directory backend's append_rows); the staged file goes
+            # through the same constraint gate and stats derivation
+            def driver_write(tmp):
+                store.fs.makedirs(tmp)
+                _driver_parquet_file(
+                    rows, schema, f"{tmp}/part-00000.snappy.parquet"
+                )
+
+            files = self._stage_data(store, root, member, driver_write)
+            mutate = lambda t: {**t, member: t.get(member, []) + files}  # noqa: E731
+            mutate.stats_add = self._file_stats(store, root, member, files)
+            self._commit(store, root, mutate)
+            return
         rdd = store.spark.sparkContext.parallelize(rows, 1)
         df = self._to_physical(
             store, root, member, store.spark.createDataFrame(rdd, schema)
@@ -4273,7 +4392,11 @@ class ManifestCommit(ParquetLeaseCommit):
             ],
             "file string, __dv_blob string",
         )
-        rows = store.spark.read.parquet(
+        # explicit schema: the blob layout is fixed by stage_dv's own
+        # CAST projection, and schema inference on a parquet read is a
+        # driver Spark JOB — one per DV-filtered scan, pure overhead
+        # on every read/merge/delete of a DV'd member (r18, guide §1.2)
+        rows = store.spark.read.schema("file string, pos long").parquet(
             *[f"{base}/{b}" for b in blobs]
         ).select(
             "file",
@@ -4395,7 +4518,32 @@ class ManifestCommit(ParquetLeaseCommit):
         if meta and logical:
             out = self._logical_view_extra(out, meta, extra)
             if schema is not None:
-                out = self._apply_logical_schema(store, out, schema)
+                if extra:
+                    # schema projection + the position-tracking
+                    # passthrough columns (the plain projection names
+                    # only table columns and would drop them)
+                    from pyspark.sql import types as T
+
+                    st = (
+                        schema
+                        if isinstance(schema, T.StructType)
+                        else T.StructType.fromDDL(schema)
+                    )
+                    present = set(out.columns)
+                    out = out.select(
+                        *[
+                            (
+                                F.col(f.name).cast(f.dataType)
+                                if f.name in present
+                                else F.lit(None).cast(f.dataType)
+                            ).alias(f.name)
+                            for f in st.fields
+                            if f.name not in extra
+                        ],
+                        *[F.col(c) for c in extra],
+                    )
+                else:
+                    out = self._apply_logical_schema(store, out, schema)
         return out
 
     @classmethod

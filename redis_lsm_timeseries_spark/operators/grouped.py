@@ -60,8 +60,20 @@ def per_group_linear_trend(
         # the per-row loop out of bytecode (~2.5x less in-UDF CPU than
         # the per-element comprehensions they replace — guide §4:
         # the boundary stays, the Python-per-row work goes).
-        xs = pdf[x_col].tolist()
-        ys = pdf[y_col].tolist()
+        # tolist() is exact ONLY for integer dtypes: nulls upcast the
+        # column to float64 and a float column would silently degrade
+        # the arbitrary-precision sums to float (ADVICE r17). Non-int
+        # input goes through int(v) per element — exact for the
+        # float-that-is-an-integer case, loud (ValueError on NaN) for
+        # anything broken — instead of silently accumulating floats.
+        def ints(col):
+            vals = pdf[col].tolist()
+            if pdf[col].dtype.kind not in ("i", "u"):
+                vals = [int(v) for v in vals]
+            return vals
+
+        xs = ints(x_col)
+        ys = ints(y_col)
         n = len(xs)
         sx = sum(xs)
         sy = sum(ys)

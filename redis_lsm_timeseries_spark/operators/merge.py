@@ -443,10 +443,26 @@ def _clustered_write(
     """Replacement-file writer: range-clustered on the key so each
     file covers a contiguous key band and its manifest stats prune
     the NEXT merge as tightly as this one. Hive-partitioned members
-    keep their directory layout (``partition_cols``)."""
-    clustered = out.repartitionByRange(
-        max(1, n_files), *keys
-    ).sortWithinPartitions(*keys)
+    keep their directory layout (``partition_cols``).
+
+    Single-file outputs skip ``repartitionByRange``: with one target
+    partition the range boundaries are vacuous, but Spark still runs
+    the range-sampling pass as its own job re-executing the whole
+    child plan (r18, guide §1.2). ``coalesce(1)`` + the within-
+    partition sort produces the identical one sorted file."""
+    if max(1, n_files) == 1:
+        clustered = out.coalesce(1).sortWithinPartitions(*keys)
+    else:
+        # materialize once (lazily — the closure may never run): the
+        # range-sampling pass otherwise re-executes the child plan (the
+        # full merge/delete output subtree) and the write re-executes
+        # it AGAIN (r17 IVF-build pattern, guide §2.3). The checkpoint
+        # is the replacement files' own content, already bounded.
+        clustered = (
+            out.localCheckpoint(eager=False)
+            .repartitionByRange(n_files, *keys)
+            .sortWithinPartitions(*keys)
+        )
 
     def write(tmp):
         w = clustered.write.mode("overwrite")
@@ -1021,14 +1037,17 @@ def merge_into(
     smeta, phys = _mapping_ctx(commit, host, path)
     total = len(managed)
     pcols = partition_cols_of(managed)
+    probe_schema = None
     if managed:
         # name AND type enforcement against the member's logical
         # schema (one-file probe, plan-only) — covers the insert-only
         # branch too, which writes source-typed files verbatim
-        _check_columns(
-            _affected_df(host, commit, path, managed[:1], smeta),
-            src, path, exempt=pcols,
-        )
+        probe = _affected_df(host, commit, path, managed[:1], smeta)
+        _check_columns(probe, src, path, exempt=pcols)
+        # the probe already paid the schema-inference job — every
+        # later scan of the SAME member reuses its schema instead of
+        # re-inferring (one driver job per scan, r18 guide §1.2)
+        probe_schema = probe.schema
     preds = _key_predicates(src, keys)
     affected, _ = (
         commit.prune_files(host, path, preds)
@@ -1129,7 +1148,7 @@ def merge_into(
         entry = commit._load_entry(host, path, root, None)
         fstats = entry.get("stats", {}).get(member, {})
         cur_pos = commit.scan_member_subset(
-            host, path, affected, keep_pos=True
+            host, path, affected, keep_pos=True, schema=probe_schema
         ).select(*src.columns, "__dv_file", "__dv_pos")
         dead, append, ups_dv, del_dv = _merge_dv_outputs(
             cur_pos, src, keys, clauses,
@@ -1194,7 +1213,10 @@ def merge_into(
             )
             return MergeStats(n_files, total, n_applied)
     plan: dict = {}
-    cur = _affected_df(host, commit, path, affected, smeta, plan=plan)
+    cur = commit.scan_member_subset(
+        host, path, affected, logical=True, plan=plan,
+        schema=probe_schema,
+    )
     cur = cur.select(*src.columns)  # checked against the probe above
     out, upserts, deleted = _merge_outputs(
         cur, src, keys, clauses,

@@ -289,17 +289,26 @@ def lsh_bucket_topk(
     size. Zero/NaN-norm rows are dropped like in ``cosine_topk``.
 
     Two expression-duplication guards (guide §2.3): the bucket id is
-    wrapped in ``coalesce(bucket, -1)`` — every row surviving the
-    usable-norm filter has a non-null bucket, so the value is
-    unchanged, but the NON-NULLABLE key lets the optimizer drop the
-    equi-join's implicit ``IsNotNull(key)`` filter, which otherwise
-    re-inlines the whole num_planes x dim bucket expression into the
-    corpus-side Filter (it ran TWICE per corpus row). And the norms
-    ride as columns computed below the join, once per row, not once
-    per joined pair — same doubles, bit-identical results (see
-    ``cosine_topk``)."""
+    wrapped in ``coalesce(bucket, -1)`` — the NON-NULLABLE key lets
+    the optimizer drop the equi-join's implicit ``IsNotNull(key)``
+    filter, which otherwise re-inlines the whole num_planes x dim
+    bucket expression into the corpus-side Filter (it ran TWICE per
+    corpus row). The coalesce is an identity because of the
+    ``size(v) = dim`` filter below: under the usable-norm filter a
+    null bucket can ONLY come from a length-mismatched vector
+    (zip_with null-pads; a null ELEMENT nulls the norm too and is
+    already dropped), so dropping mismatched lengths first — the
+    exact rows whose null key could never match the equi-join before
+    the coalesce existed (ADVICE r17) — restores that semantics
+    without putting the bucket expression back in a Filter: size()
+    is O(1) on the array. And the norms ride as columns computed
+    below the join, once per row, not once per joined pair — same
+    doubles, bit-identical results (see ``cosine_topk``)."""
     qb = (
-        with_lsh_bucket(queries, vec_col, num_planes, dim)
+        with_lsh_bucket(
+            queries.where(F.size(F.col(vec_col)) == F.lit(int(dim))),
+            vec_col, num_planes, dim,
+        )
         .select(
             F.col(id_col).alias("query_id"),
             as_double_array(vec_col).alias("qv"),
@@ -311,7 +320,10 @@ def lsh_bucket_topk(
         .where((F.col("_qn") > 0.0) & ~F.isnan(F.col("_qn")))
     )
     cb = (
-        with_lsh_bucket(corpus, vec_col, num_planes, dim)
+        with_lsh_bucket(
+            corpus.where(F.size(F.col(vec_col)) == F.lit(int(dim))),
+            vec_col, num_planes, dim,
+        )
         .select(
             F.col(id_col).alias("neighbor_id"),
             as_double_array(vec_col).alias("cv"),

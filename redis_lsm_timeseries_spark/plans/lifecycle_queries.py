@@ -647,9 +647,13 @@ def dv_row_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("value", F.lit(-1.0)),
             ["event_id"], commit=commit, mode="dv",
         )
-        out = commit.read_table(host, path).select(
-            "event_id", "event_type", "value"
-        )
+        # explicit schema: the table was created from this exact
+        # projection two statements up — schema inference on the final
+        # read would be one more driver job (r18, guide §1.2)
+        out = commit.read_table(
+            host, path,
+            schema="event_id long, event_type string, value double",
+        ).select("event_id", "event_type", "value")
         return out.localCheckpoint(eager=True)  # outlives the rmtree
     finally:
         _shutil.rmtree(base_dir, ignore_errors=True)

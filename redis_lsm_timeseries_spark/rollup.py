@@ -277,7 +277,10 @@ def _refresh_locked(
         full = (
             rollup_full(store, step, with_sketch)
             .repartition("tag")
-            .localCheckpoint()
+            # lazy: the counts aggregate below is the materializing
+            # action (r18, guide §1.2); the overwrite still writes
+            # from the checkpointed rows
+            .localCheckpoint(eager=False)
         )
         # one fused pass over the checkpointed rollup for both counts
         head = full.agg(
@@ -414,7 +417,9 @@ def _refresh_locked(
     bucket_stats = (
         probe.groupBy("tag", _bucket(step).alias("bucket_start"))
         .agg(*bucket_aggs)
-        .localCheckpoint(eager=True)
+        # lazy: the first consumer below (the boundary sum, else the
+        # tag_stats collect) materializes it — one probe job total
+        .localCheckpoint(eager=False)
     )
     if known_upper_boundary is None:
         # members are tag-scoped, so the global distinct-at-upper is
@@ -506,7 +511,9 @@ def _refresh_locked(
     merged = (
         carried.unionByName(recomputed)
         .repartition("tag")
-        .localCheckpoint()  # materialize before overwriting its source
+        # materialize before overwriting its source — lazily: the
+        # present-tags collect below is the materializing action
+        .localCheckpoint(eager=False)
     )
     # Dynamic overwrite only rewrites tag partitions PRESENT in
     # merged: a touched tag whose every bucket emptied (fully
@@ -702,7 +709,9 @@ def cascade_rollup(
                 merged_sketch.alias("distinct_sketch"),
             )
             .repartition("tag")
-            .localCheckpoint()  # materialize before replacing the dir
+            # materialize before replacing the dir — lazily: the
+            # bucket count below is the materializing action
+            .localCheckpoint(eager=False)
         )
         n_buckets = out.count()
         n_tags = out.select("tag").distinct().count()

@@ -142,11 +142,18 @@ class TimeseriesStore:
         be AQE-coalesced to one task (partitioned writes serialize
         their directory IO in a single task otherwise). Respects
         ``pinned_shuffle_partitions`` contexts; falls back to
-        defaultParallelism if the conf is unreadable."""
+        defaultParallelism if the conf is unreadable. Capped at
+        defaultParallelism (r18, ADVICE r17): an UNPINNED session
+        still carrying the vanilla conf default (200) must not shuffle
+        a small hot append into 200 tiny tasks/files — the conf only
+        *lowers* the count below the core count, it never raises it."""
+        par = max(1, int(self.spark.sparkContext.defaultParallelism))
         try:
-            return int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            return min(
+                int(self.spark.conf.get("spark.sql.shuffle.partitions")), par
+            )
         except Exception:
-            return self.spark.sparkContext.defaultParallelism
+            return par
 
     def invalidate_hot_cache(self) -> None:
         """Drop the cached hot-table handle so the next read re-lists
@@ -568,7 +575,15 @@ class TimeseriesStore:
             # coalesce to one task and serialize the directory writes on
             # BIG folds). Session-conf-sized like write_df (r17).
             n_parts = min(self._shuffle_partitions(), len(segments))
-            clustered = staged.repartition(n_parts, "tag", "part_start")
+            if n_parts == 1:
+                # one <=2,000-row batch: a keyed repartition(1) pays a
+                # full shuffle stage (its own AQE job) to land every
+                # row in the one task coalesce(1) reaches shuffle-free
+                # (r18, guide §2.4) — same rows, same single writer
+                # task, same (tag, ts) sort from _append_hot
+                clustered = staged.coalesce(1)
+            else:
+                clustered = staged.repartition(n_parts, "tag", "part_start")
             self._append_hot(clustered)
         self.fs.write_text(f"{stage_dir}/_COMMITTED", "")
         self.fs.remove_tree(stage_dir)

@@ -369,14 +369,26 @@ def purge_ack_many(
             (F.col("tag") == tag) & (F.col("part_start") == part_start)
         )
     hot_parts = store.hot().where(part_pred)
+    if store.commit.tracks_changes(store, store.config.hot_path):
+        # the manifest branch consumes the marked partitions TWICE
+        # (the remainder anti-join and the evicted-rows semi-join for
+        # the CDF) — materialize the slice once, lazily: the
+        # nonempty-partition collect below is the materializing action
+        # (r18, guide §2.3; single-consumer directory mode skips the
+        # cache)
+        hot_parts = hot_parts.localCheckpoint(eager=False)
     remainder = hot_parts.join(
         F.broadcast(snapshot), on=MEMBER_IDENTITY_COLS, how="left_anti"
     )
     # Materialize before overwriting the directories we just read
-    # (Spark refuses / corrupts a self-overwrite otherwise).
+    # (Spark refuses / corrupts a self-overwrite otherwise). LAZY
+    # checkpoint: the nonempty-partition collect right below is the
+    # materializing action (r18, guide §1.2 — the r17 components
+    # pattern), so the ack pays one job here instead of two; the
+    # overwrite still reads materialized rows.
     remaining = remainder.select(
         *[f.name for f in SAMPLE_SCHEMA.fields]
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     nonempty = {
         (r.tag, r.part_start)
         for r in remaining.select("tag", "part_start").distinct().collect()
@@ -559,8 +571,10 @@ def compact(
             .limit(max_partitions)
         )
     # Materialize once: at most K (or #dirty-partition) tiny rows —
-    # reused for the semi-join keys AND the metrics aggregate.
-    part_stats = part_stats.localCheckpoint(eager=True)
+    # reused for the semi-join keys AND the metrics aggregate. LAZY:
+    # the totals aggregate right below doubles as the materializing
+    # action (r18, guide §1.2 — one job, not two).
+    part_stats = part_stats.localCheckpoint(eager=False)
     totals = part_stats.agg(
         F.count(F.lit(1)).alias("parts"), F.sum("rows").alias("rows")
     ).first()
@@ -578,7 +592,10 @@ def compact(
         lww_latest(target)
         .select(*[f.name for f in SAMPLE_SCHEMA.fields])
         .repartition("tag", "part_start")
-        .localCheckpoint()
+        # lazy: the rows_after count below materializes it (the
+        # checkpoint itself stays mandatory — the overwrite replaces
+        # the directories this plan reads)
+        .localCheckpoint(eager=False)
     )
     rows_after = winners.count()
     cdf = None
